@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed once for warm-up-free wall time after a shared
+session warm-up query (JVM/codegen spin-up excluded — we measure the engine,
+not JVM startup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from w4h_integrated_toolkit_spark.plans import QUERIES
+from w4h_integrated_toolkit_spark.session import get_spark
+
+# Headline set: the relational spine + the heavy training-data ops.
+BENCH_QUERIES = [
+    "pricing_summary",
+    "range_scan",
+    "cohort_kpi",
+    "mets_broadcast_lookup",
+    "calibration",
+    "breach_histogram",
+    "resample_1min",
+    "sliding_window",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "simhash",
+    "knn_cosine_topk",
+    "text_stats",
+    "language_id",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("w4h-bench", cpus=cpus, shuffle_partitions=cpus,
+                      driver_memory="24g")
+
+    # warm-up: JVM + parquet footer caches
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _ = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

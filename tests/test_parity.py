@@ -1,0 +1,59 @@
+"""Spark-vs-DuckDB oracle parity for every registered query (the same
+comparison the driver's correctness gate performs: row count + schema-width +
+order-insensitive values)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import pytest
+
+from tests.conftest import SF_DIR
+from w4h_integrated_toolkit_spark.plans import QUERIES
+
+ORACLE_CASES = [(n, fn, sql) for n, (fn, sql) in QUERIES.items() if sql is not None]
+NO_ORACLE_CASES = [(n, fn) for n, (fn, sql) in QUERIES.items() if sql is None]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 and fold float32 artifacts
+        return round(v + 0.0, 9)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    return v
+
+
+def _canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("name,fn,sql", ORACLE_CASES, ids=[c[0] for c in ORACLE_CASES])
+def test_oracle_parity(spark, ddb, name, fn, sql):
+    sdf = fn(spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} != {len(d_rows)}"
+    s_c, d_c = _canon(s_rows, s_cols), _canon(d_rows, d_cols)
+    mismatches = [
+        (a, b) for a, b in zip(s_c, d_c) if a != b
+    ]
+    assert not mismatches, f"{name}: first value mismatches {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name,fn", NO_ORACLE_CASES, ids=[c[0] for c in NO_ORACLE_CASES])
+def test_no_oracle_runs(spark, name, fn):
+    sdf = fn(spark, SF_DIR)
+    assert sdf.count() >= 0
+    assert len(sdf.columns) > 0

@@ -1,0 +1,219 @@
+"""Config-driven catalog.
+
+Two halves:
+
+1. **GeoMTS catalog** — the reference's best architectural idea is that the
+   logical schema is *declared in config*, not code (reference
+   ``conf/config.yaml:1-46``; DDL generated from it at
+   ``script/w4h_db_utils.py:19-55``). We keep that: a YAML-shaped dict maps to
+   Spark ``StructType``s and table registrations. The reference's type table
+   (``conf/config.yaml:41-46``) maps to Spark types per SURVEY §1.3.
+
+2. **Test-table loader** — the driver's TPC-H-ish parquet tables
+   (``/root/testdata/sf*/``), registered as temp views so both the DataFrame
+   and ``spark.sql()`` surfaces work.
+
+Scale posture: fact tables written through :func:`write_fact_table` are
+partitioned by date (``partitionBy(dt)``) so time-range scans prune
+partitions, and sorted within partitions by ``(user_id, timestamp)`` so the
+dominant per-user window operators read nearly-clustered data. At 100 TB the
+date partition bounds each scan to the queried range and the user bucketing
+keeps semi-joins/windows shuffle-light.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+__all__ = [
+    "TESTDATA_TABLES",
+    "DEFAULT_GEOMTS_CONFIG",
+    "spark_type_for",
+    "struct_type_for_users",
+    "FACT_SCHEMA",
+    "GEO_SCHEMA",
+    "load_tables",
+    "write_fact_table",
+]
+
+# Tables the driver generates at each scale factor (TESTDATA.md).
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Mirrors the *shape* of reference conf/config.yaml (mapping, tables, types).
+# The reference builds PostgreSQL DDL from this by string-eval of SQLAlchemy
+# types (w4h_db_utils.py:34-36); we build StructTypes instead.
+DEFAULT_GEOMTS_CONFIG: dict[str, Any] = {
+    "mapping": {"user_id": "user_id", "timestamp": "timestamp", "value": "value"},
+    "subject_table": {
+        "name": "geomts_users",
+        "attributes": {
+            "user_id": "string",
+            "age": "int",
+            "height": "float",
+            "weight": "float",
+            "state_of_residence": "string",
+            "data_collection_start_date": "datetime",
+            "consent": "boolean",
+            "device": "string",
+            "email": "string",
+        },
+    },
+    "series_tables": ["heart_rates", "calories", "distances", "steps", "sleep", "weight"],
+    "geo_tables": ["locations"],
+}
+
+# Reference type table conf/config.yaml:41-46 -> Spark types (SURVEY §1.3).
+_TYPE_MAP: dict[str, T.DataType] = {
+    "int": T.IntegerType(),
+    "float": T.DoubleType(),
+    "string": T.StringType(),
+    "datetime": T.TimestampType(),
+    "boolean": T.BooleanType(),
+}
+
+
+def spark_type_for(conf_type: str) -> T.DataType:
+    """Reference attribute type name -> Spark DataType."""
+    try:
+        return _TYPE_MAP[conf_type]
+    except KeyError:
+        raise ValueError(f"unknown GeoMTS attribute type: {conf_type!r}") from None
+
+
+def struct_type_for_users(config: dict[str, Any] | None = None) -> T.StructType:
+    """Subject-table StructType from config (cf. w4h_db_utils.py:33-36).
+
+    ``user_id`` is the PK (non-nullable); everything else nullable — attribute
+    filters are null-tolerant by design (viz.py:417).
+    """
+    config = config or DEFAULT_GEOMTS_CONFIG
+    attrs = config["subject_table"]["attributes"]
+    fields = [
+        T.StructField(name, spark_type_for(t), nullable=(name != "user_id"))
+        for name, t in attrs.items()
+    ]
+    return T.StructType(fields)
+
+
+# Narrow time-series fact schema (w4h_db_utils.py:40-45): composite PK
+# (user_id, timestamp) — enforced at write time via dropDuplicates, Spark has
+# no constraint system.
+FACT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType(), False),
+        T.StructField("timestamp", T.TimestampType(), False),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+# Geo fact table (w4h_db_utils.py:48-53): PostGIS POINT becomes the canonical
+# struct-free pair (lon, lat) + optional WKT string (SURVEY §1.3 geometry row).
+GEO_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType(), False),
+        T.StructField("timestamp", T.TimestampType(), False),
+        T.StructField("lon", T.DoubleType(), True),
+        T.StructField("lat", T.DoubleType(), True),
+        T.StructField("wkt", T.StringType(), True),
+    ]
+)
+
+
+def ns_timestamp_columns(path: str) -> list[str]:
+    """Names of TIMESTAMP(NANOS) columns in a parquet file (footer-only read).
+
+    Spark refuses INT64 TIMESTAMP(NANOS) parquet columns outright; DuckDB
+    truncates them to microseconds. We match DuckDB: read them as longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate-convert.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    first = path
+    if "*" not in path:
+        import os
+
+        if os.path.isdir(path):
+            files = [f for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+            if files:
+                first = os.path.join(path, files[0])
+    schema = pq.read_schema(first)
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Normalizing parquet reader: ns-timestamps -> µs TimestampType.
+
+    The conversion is a cheap projection fused into the scan stage; the
+    footer inspection reads metadata only (no data IO) so this stays O(1)
+    per table at any scale.
+    """
+    from pyspark.sql import functions as F
+
+    ns_cols = ns_timestamp_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: list[str] | None = None,
+    register: bool = True,
+) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables and (optionally) register temp views.
+
+    Catalyst pushes filters/projections into the scan, so callers should
+    express predicates declaratively and never pre-filter here.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables or TESTDATA_TABLES:
+        df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def write_fact_table(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Scale-ready fact-table sink: date-partitioned, user/time-sorted parquet.
+
+    Mirrors the reference's append path (w4h_db_utils.py:200) with the
+    composite-PK dedup it performs (w4h_db_utils.py:192), plus a physical
+    layout chosen for the 100 TB case: ``dt`` partition pruning for the
+    date-bounded scans (viz.py:140-153) and within-file clustering on
+    ``(user_id, timestamp)`` for per-user windows.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.dropDuplicates(["user_id", "timestamp"])
+        .withColumn("dt", F.to_date("timestamp"))
+        .repartition("dt")
+        .sortWithinPartitions("user_id", "timestamp")
+        .write.mode(mode)
+        .partitionBy("dt")
+        .parquet(path)
+    )

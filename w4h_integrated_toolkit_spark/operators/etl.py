@@ -1,0 +1,100 @@
+"""ImportHub ETL re-expressed (SURVEY §3.3): wide CSV -> narrow GeoMTS facts.
+
+- **melt** — the per-feature-column unpivot the reference loops over in
+  pandas (w4h_db_utils.py:184-189), as a single ``stack()`` projection: one
+  scan of the wide input produces all narrow facts.
+- **fuzzy_map_columns** — the column auto-mapping (import_hub_main.py:34-55,
+  fuzzywuzzy threshold 60) with a dependency-free normalized-Levenshtein
+  scorer. Runs driver-side over df.columns (metadata, not data).
+- **upsert_users** — anti-join append of unseen users
+  (w4h_db_utils.py:160-173).
+- **ingest_fact** — dedup on the composite PK + append
+  (w4h_db_utils.py:192-200).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["melt", "fuzzy_map_columns", "normalize_name", "upsert_users", "ingest_fact"]
+
+
+def melt(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "feature",
+    value_name: str = "value",
+) -> DataFrame:
+    """Unpivot value columns into (feature, value) rows via ``stack`` — the
+    Spark-native melt (one projection, no shuffle, no per-column loop)."""
+    pairs = ", ".join(f"'{c}', cast(`{c}` as double)" for c in value_cols)
+    stack_expr = f"stack({len(value_cols)}, {pairs}) as ({var_name}, {value_name})"
+    return df.selectExpr(*id_cols, stack_expr)
+
+
+def normalize_name(name: str) -> str:
+    """Lowercase, underscores->spaces, word tokens only
+    (import_hub_main.py:14-31)."""
+    s = re.sub(r"_", " ", name.lower())
+    return " ".join(re.findall(r"\b\w+\b", s))
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain Levenshtein distance (dependency-free)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _ratio(a: str, b: str) -> float:
+    """Levenshtein ratio in [0,100] (fuzzywuzzy-style score)."""
+    if not a and not b:
+        return 100.0
+    dist = _lev(a, b)
+    return 100.0 * (1 - dist / max(len(a), len(b)))
+
+
+def fuzzy_map_columns(
+    columns: list[str], targets: dict[str, str], threshold: float = 60.0
+) -> dict[str, str | None]:
+    """For each canonical target (name -> descriptive hint string), pick the
+    best-matching input column by normalized-Levenshtein ratio, or None below
+    ``threshold`` (import_hub_main.py:34-55 semantics: unmapped columns are
+    simply ignored)."""
+    out: dict[str, str | None] = {}
+    for target, hint in targets.items():
+        best, best_score = None, -1.0
+        for col in columns:
+            score = _ratio(normalize_name(col), normalize_name(hint))
+            if score > best_score:
+                best, best_score = col, score
+        out[target] = best if best_score >= threshold else None
+    return out
+
+
+def upsert_users(incoming: DataFrame, existing: DataFrame, key: str = "user_id") -> DataFrame:
+    """New-user rows only (anti join), ready to append
+    (w4h_db_utils.py:160-173)."""
+    return (
+        incoming.select(key)
+        .distinct()
+        .join(existing.select(key).distinct(), key, "left_anti")
+    )
+
+
+def ingest_fact(df: DataFrame, user: str = "user_id", ts: str = "timestamp") -> DataFrame:
+    """Composite-PK dedup before append (w4h_db_utils.py:192) — keeps the
+    first row per key deterministically by taking min over the rest via
+    dropDuplicates after an orderBy-free shuffle; for strict determinism on
+    conflicting values, prefer groupBy().agg(first(...)) on sorted input."""
+    return df.dropDuplicates([user, ts])

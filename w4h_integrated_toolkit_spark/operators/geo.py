@@ -1,0 +1,113 @@
+"""Geometry codecs + trajectory assembly (SURVEY §2.7 C11-C13, §2.1 S3).
+
+No Spark GeometryType and no PostGIS: the canonical representation is plain
+``lon``/``lat`` double columns (+ optional WKT string), exactly what the
+reference ultimately extracts anyway (viz.py:818 reads ``.x``/``.y``).
+
+- WKT encode/decode: pure built-in string expressions (the reference does
+  row-at-a-time Python, w4h_db_utils.py:196-197 / viz.py:126).
+- WKB decode: a vectorized pandas UDF using only stdlib ``struct`` — the
+  wire format PostGIS emits (hex EWKB, possibly with SRID flag).
+- haversine: Column math (augment_with_trajectories.ipynb cell 3 uses the
+  same Earth radius).
+- trajectory: per-user time-ordered [[lat, lon], ...] path arrays
+  (viz.py:814-821) via collect_list over an ordered window.
+"""
+
+from __future__ import annotations
+
+import math
+import struct as _struct
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "wkt_point",
+    "wkt_decode_lon",
+    "wkt_decode_lat",
+    "wkb_hex_decode",
+    "haversine_m",
+    "trajectories",
+]
+
+EARTH_RADIUS_M = 6371000.0  # viz.py:37 / augment_with_trajectories.ipynb cell 3
+
+_NUM = r"(-?[0-9]+\.?[0-9]*(?:[eE][+-]?[0-9]+)?)"
+
+
+def wkt_point(lon: Column, lat: Column) -> Column:
+    """POINT(lon lat) — w4h_db_utils.py:196-197's f-string, vectorized."""
+    return F.concat(F.lit("POINT("), lon.cast("string"), F.lit(" "), lat.cast("string"), F.lit(")"))
+
+
+def wkt_decode_lon(wkt: Column) -> Column:
+    return F.regexp_extract(wkt, rf"POINT\s*\(\s*{_NUM}\s+{_NUM}\s*\)", 1).cast("double")
+
+
+def wkt_decode_lat(wkt: Column) -> Column:
+    return F.regexp_extract(wkt, rf"POINT\s*\(\s*{_NUM}\s+{_NUM}\s*\)", 2).cast("double")
+
+
+_POINT_STRUCT = T.StructType(
+    [T.StructField("lon", T.DoubleType()), T.StructField("lat", T.DoubleType())]
+)
+
+
+@F.pandas_udf(_POINT_STRUCT)
+def wkb_hex_decode(hex_s: pd.Series) -> pd.DataFrame:
+    """Hex-(E)WKB POINT -> (lon, lat). Pure-stdlib parse of the wire format
+    the reference decodes with shapely (viz.py:126): byte order flag, geom
+    type (with optional SRID flag 0x20000000), two float64s."""
+
+    def one(h):
+        if h is None:
+            return (None, None)
+        try:
+            raw = bytes.fromhex(h)
+            little = raw[0] == 1
+            bo = "<" if little else ">"
+            (gtype,) = _struct.unpack_from(bo + "I", raw, 1)
+            off = 5
+            if gtype & 0x20000000:  # EWKB SRID present
+                off += 4
+            if gtype & 0xFF != 1:  # not a POINT
+                return (None, None)
+            lon, lat = _struct.unpack_from(bo + "dd", raw, off)
+            return (lon, lat)
+        except (ValueError, _struct.error):
+            return (None, None)
+
+    decoded = [one(h) for h in hex_s]
+    return pd.DataFrame(decoded, columns=["lon", "lat"])
+
+
+def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle distance in meters (Column math, codegen'd)."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = F.sin(dlat) ** 2 + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) ** 2
+    return 2 * EARTH_RADIUS_M * F.asin(F.sqrt(a))
+
+
+def trajectories(
+    locations: DataFrame,
+    user: str = "user_id",
+    ts: str = "timestamp",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Per-user time-ordered path [[lat, lon], ...] (viz.py:814-821).
+
+    sort_array over structs keyed by timestamp keeps the whole thing one
+    hash aggregate (no global sort): collect unordered, order in-place.
+    """
+    pt = F.struct(F.col(ts).alias("ts"), F.array(F.col(lat), F.col(lon)).alias("p"))
+    return (
+        locations.groupBy(user)
+        .agg(F.sort_array(F.collect_list(pt)).alias("pts"))
+        .select(user, F.transform(F.col("pts"), lambda s: s["p"]).alias("path"))
+    )

@@ -1,0 +1,63 @@
+"""Safe-band + breach histogram (SURVEY §2.4 A7/A8; viz.py:179-258).
+
+The reference computes the band client-side then loops over ≤600 buckets in
+Python; here both are two declarative aggregations: one scalar agg for the
+band/span, one bucketized groupBy. The scalar frame is broadcast — the big
+fact scan happens once, map-side, no driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["safe_band", "breach_histogram"]
+
+
+def safe_band(df: DataFrame, value: str = "value", k: float = 2.0) -> DataFrame:
+    """A8 (viz.py:192-196): band = mean ± k·stddev (sample) over ALL users."""
+    return df.agg(
+        (F.avg(value) - k * F.stddev_samp(value)).alias("band_lo"),
+        (F.avg(value) + k * F.stddev_samp(value)).alias("band_hi"),
+    )
+
+
+def breach_histogram(
+    df: DataFrame,
+    ts: str = "timestamp",
+    value: str = "value",
+    max_buckets: int = 600,
+    min_bucket_seconds: float = 30.0,
+    k: float = 2.0,
+) -> DataFrame:
+    """A7 (viz.py:237-258): split the observed time span into at most
+    ``max_buckets`` buckets of at least ``min_bucket_seconds``; per bucket,
+    the fraction of readings outside the safe band, and the reference's
+    opacity ramp ``0.7*ratio + 0.2`` (viz.py:254).
+
+    Plan shape: one scalar aggregate (span + band) cross-joined broadcast
+    into the fact scan, then a hash aggregate on the bucket index.
+    """
+    # cast keeps sub-second precision and matches DuckDB's epoch() exactly
+    e = F.col(ts).cast("double")
+    scalars = df.agg(
+        F.min(e).alias("t0"),
+        F.max(e).alias("t1"),
+        (F.avg(value) - k * F.stddev_samp(value)).alias("band_lo"),
+        (F.avg(value) + k * F.stddev_samp(value)).alias("band_hi"),
+    ).withColumn(
+        "bucket_w",
+        F.greatest((F.col("t1") - F.col("t0")) / max_buckets, F.lit(min_bucket_seconds)),
+    )
+    unsafe = (F.col(value) < F.col("band_lo")) | (F.col(value) > F.col("band_hi"))
+    return (
+        df.join(F.broadcast(scalars))
+        .withColumn("bucket", F.floor((e - F.col("t0")) / F.col("bucket_w")).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(unsafe, 1).otherwise(0)).alias("n_unsafe"),
+        )
+        .withColumn("unsafe_ratio", F.col("n_unsafe") / F.col("n_total"))
+        .withColumn("opacity", 0.7 * F.col("unsafe_ratio") + 0.2)
+    )

@@ -1,0 +1,160 @@
+"""Per-user time-series operators (SURVEY §2.4 A4-A6, §2.5 W1-W5).
+
+The reference runs these as per-group pandas pipelines (viz.py:80-96); here
+they are native window functions over a single
+``Window.partitionBy(user).orderBy(ts)`` — one shuffle on ``user_id`` serves
+the whole chain (first-ts, baseline mean, elapsed days, lead-gap masking),
+and with user-bucketed storage (catalog.write_fact_table) even that shuffle
+disappears.
+
+``calibrate_pandas`` is the applyInPandas parity variant kept for testing
+exact pandas semantics (SURVEY §2.9 U3).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "activity_span",
+    "stable_mean",
+    "resample_mean",
+    "calibrate",
+    "calibrate_pandas",
+    "gap_mask",
+]
+
+
+def stable_mean(value, decimals: int = 6):
+    """Order-independent mean for fixed-point data (≤``decimals`` fractional
+    digits): exact DECIMAL summation, then one double division.
+
+    Float sums depend on partial-aggregation order, which in Spark varies
+    with partitioning — so ``avg(double)`` is not run-to-run deterministic on
+    a cluster. Sensor values are fixed-point decimals; summing them as
+    DECIMAL is exact, making the mean bit-identical regardless of partition
+    count (and reproducible by any other engine).
+    """
+    c = F.col(value) if isinstance(value, str) else value
+    return F.sum(c.cast(f"decimal(27,{decimals})")).cast("double") / F.count(c)
+
+
+def activity_span(df: DataFrame, user: str = "user_id", ts: str = "timestamp") -> DataFrame:
+    """A4 (viz.py:765-766): per-user [first, last] activity timestamps."""
+    return df.groupBy(user).agg(
+        F.min(ts).alias("start_date"), F.max(ts).alias("end_date")
+    )
+
+
+def resample_mean(
+    df: DataFrame,
+    duration: str = "1 minute",
+    user: str = "user_id",
+    ts: str = "timestamp",
+    value: str = "value",
+    stable_decimals: int | None = None,
+) -> DataFrame:
+    """A6 (data_preproc.ipynb cell 7): per-user fixed-bucket mean downsample.
+
+    ``F.window`` tumbling buckets == pandas ``resample('1T').mean().dropna()``
+    (empty buckets simply don't exist in groupBy output, matching dropna).
+    ``stable_decimals`` switches to the order-independent decimal mean.
+    """
+    mean = (
+        stable_mean(value, stable_decimals)
+        if stable_decimals is not None
+        else F.avg(value)
+    )
+    return (
+        df.groupBy(user, F.window(ts, duration).alias("w"))
+        .agg(mean.alias("mean_value"))
+        .select(
+            user,
+            F.col("w.start").alias("bucket_start"),
+            "mean_value",
+        )
+    )
+
+
+def calibrate(
+    df: DataFrame,
+    user: str = "user_id",
+    ts: str = "timestamp",
+    value: str = "value",
+    gap_days: float = 0.5,
+    stable_decimals: int | None = None,
+) -> DataFrame:
+    """The METs calibration pipeline (viz.py:80-96) as native windows:
+
+    - baseline = 1 / per-user mean (A5, viz.py:88-90) -> scaled value
+    - days_since_start from per-user first timestamp (W1-W2, viz.py:92)
+    - null out a reading when the gap to the NEXT reading exceeds
+      ``gap_days`` (lead, not lag — viz.py:93's diff().shift(-1))
+
+    ``stable_decimals`` makes the per-user baseline mean order-independent
+    (see :func:`stable_mean`).
+    """
+    w_user = Window.partitionBy(user)
+    w_ord = w_user.orderBy(ts)
+    # cast-to-double keeps sub-second precision (unix_timestamp truncates)
+    days = (
+        F.col(ts).cast("double") - F.min(F.col(ts).cast("double")).over(w_user)
+    ) / 86400.0
+    if stable_decimals is not None:
+        mu = (
+            F.sum(F.col(value).cast(f"decimal(27,{stable_decimals})"))
+            .over(w_user)
+            .cast("double")
+            / F.count(value).over(w_user)
+        )
+    else:
+        mu = F.avg(value).over(w_user)
+    scaled = F.col(value) / mu
+    out = df.withColumn("days_since_start", days).withColumn("scaled_value", scaled)
+    gap_to_next = F.lead("days_since_start", 1).over(w_ord) - F.col("days_since_start")
+    return out.withColumn(
+        "scaled_value",
+        F.when(gap_to_next > gap_days, F.lit(None)).otherwise(F.col("scaled_value")),
+    )
+
+
+def calibrate_pandas(df: DataFrame, gap_days: float = 0.5) -> DataFrame:
+    """Exact-pandas-parity variant of :func:`calibrate` via applyInPandas
+    (U3 escape hatch) — used in tests to pin the native-window version to the
+    reference's pandas semantics (viz.py:80-96)."""
+    schema = (
+        "user_id string, timestamp timestamp, value double, "
+        "days_since_start double, scaled_value double"
+    )
+
+    def _one_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("timestamp").reset_index(drop=True)
+        first = pdf["timestamp"].iloc[0]
+        pdf["days_since_start"] = (pdf["timestamp"] - first).dt.total_seconds() / 86400.0
+        baseline = 1.0 / pdf["value"].mean()
+        scaled = pdf["value"] * baseline
+        gap_next = pdf["days_since_start"].diff().shift(-1)
+        pdf["scaled_value"] = scaled.where(~(gap_next > gap_days), other=None)
+        return pdf
+
+    return df.groupBy("user_id").applyInPandas(_one_user, schema)
+
+
+def gap_mask(
+    df: DataFrame,
+    gap_seconds: float,
+    user: str = "user_id",
+    ts: str = "timestamp",
+    value: str = "value",
+    out: str = "masked_value",
+) -> DataFrame:
+    """W3/W4 standalone: null a reading when the next reading (per user, time
+    order) is more than ``gap_seconds`` away (viz.py:93; 2 h variant
+    viz.py:944)."""
+    w = Window.partitionBy(user).orderBy(ts)
+    gap = F.lead(F.col(ts).cast("double"), 1).over(w) - F.col(ts).cast("double")
+    return df.withColumn(
+        out, F.when(gap > gap_seconds, F.lit(None)).otherwise(F.col(value))
+    )

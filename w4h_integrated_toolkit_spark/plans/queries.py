@@ -1,0 +1,907 @@
+"""The driver-facing query registry (SURVEY §2 coverage).
+
+Each entry pairs a Spark DataFrame plan (built from the operator library)
+with an ANSI-SQL oracle DuckDB runs on the same parquet tables. Conventions
+that make the hash-compare deterministic across engines:
+
+- every computed column is aliased identically on both sides;
+- floating aggregates are rounded in-query (2 dp for large money sums,
+  5-6 dp for means/ratios) so last-ulp summation-order differences vanish;
+- timestamps stay naive-UTC (session TZ pinned; oracle avoids TIMESTAMPTZ
+  producers like to_timestamp) or are emitted as epoch BIGINTs;
+- epoch seconds always come from ``CAST(ts AS DOUBLE)`` / ``epoch(ts)``
+  (microsecond precision on both engines);
+- integer sums are CAST to BIGINT in DuckDB (its sum(int) is INT128);
+- DuckDB regexp_replace always gets the 'g' flag (Spark's is global).
+
+Literals (dates, thresholds) are chosen to be meaningful at every sf
+(lineitem shipdates span 1995-2001; events span 2024-01).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import read_parquet
+from ..functions import time_of_day_between
+from ..operators import dedup as D
+from ..operators import kpi as K
+from ..operators import similarity as SIM
+from ..operators import text as TX
+from ..operators import timeseries as TS
+from ..operators.cohort import FilterSpec, cohort_anti_join, cohort_semi_join, filter_users
+from ..operators.dedup import _perm_params
+from ..operators.etl import melt
+from ..operators.safeband import breach_histogram, safe_band
+from ..session import prepare_session
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prepare_session(spark)
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def _r(c, n):
+    """Portable rounding: scale, round at integer, unscale.
+
+    ``round(x, n)`` diverges across engines when x is a *decimal* half that
+    has no exact binary representation (e.g. avg over a power-of-2 count:
+    50.9034375 → Spark .903437, DuckDB .903438). Scaling first makes both
+    engines round the *same* double, and integer-adjacent halves ARE exactly
+    representable, where both round half-away-from-zero. The oracle SQL gets
+    the same rewrite via :func:`_portable_round_sql`.
+    """
+    scale = F.lit(float(10**n))
+    return F.round(c * scale, 0) / scale
+
+
+def _savg(col, n):
+    """Rounded order-independent mean (see operators.timeseries.stable_mean):
+    float avg() is summation-order-dependent, so a parallel Spark sum and a
+    serial DuckDB sum can straddle a rounding boundary when the true mean is
+    an exact decimal (common: 2-decimal data over power-of-2 counts)."""
+    return _r(TS.stable_mean(col, 6), n)
+
+
+def _savg_sql(col: str, n: int) -> str:
+    return (
+        f"round(CAST(sum(CAST({col} AS DECIMAL(27,6))) AS DOUBLE) / count({col}), {n})"
+    )
+
+
+def _portable_round_sql(sql: str) -> str:
+    """Rewrite every ``round(expr, n)`` in an oracle SQL string to the
+    portable ``round((expr) * 1en) / 1en`` form (see :func:`_r`)."""
+    idx = sql.find("round(")
+    if idx == -1:
+        return sql
+    k = idx + len("round(")
+    start, depth, last_comma = k, 0, None
+    while True:
+        ch = sql[k]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif ch == "," and depth == 0:
+            last_comma = k
+        k += 1
+    if last_comma is None:  # round(x) without scale: leave as-is
+        return sql[: k + 1] + _portable_round_sql(sql[k + 1 :])
+    expr = _portable_round_sql(sql[start:last_comma])
+    n = int(sql[last_comma + 1 : k].strip())
+    repl = f"round(({expr}) * 1e{n}) / 1e{n}"
+    return sql[:idx] + repl + _portable_round_sql(sql[k + 1 :])
+
+
+# --------------------------------------------------------------------------
+# 1. Relational spine (scan / filter / join / agg / sort) — SURVEY §2.1-2.4
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped grouped aggregate (A1/A2 family). One scan,
+    map-side partial aggs, 2-key hash agg; filter pushed to parquet."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _r(F.sum(disc), 2).alias("sum_disc_price"),
+            _r(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            _savg("l_quantity", 6).alias("avg_qty"),
+            _savg("l_extendedprice", 6).alias("avg_price"),
+            _savg("l_discount", 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice*(1-l_discount)), 2)                    AS sum_disc_price,
+       round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2)          AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / count(l_extendedprice), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: date-bounded predicate-pushdown scan (viz.py:140-153)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(F.lit("1996-01-01"), F.lit("1996-12-31"))
+    )
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _r(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+_SQL_RANGE_SCAN = """
+SELECT count(*) AS n_rows, round(sum(l_extendedprice),2) AS sum_price,
+       min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+"""
+
+
+def q_cohort_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 spine: typed null-tolerant attribute filters (F4) -> broadcast
+    semi join (J1) -> grouped KPIs. The engine's main SELECT path."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cohort = filter_users(
+        cust,
+        [
+            FilterSpec("c_mktsegment", "string", ["BUILDING", "MACHINERY"]),
+            FilterSpec("c_acctbal", "float", (0.0, 5000.0)),
+        ],
+    ).select(F.col("c_custkey").alias("o_custkey"))
+    facts = cohort_semi_join(orders, cohort, "o_custkey")
+    return facts.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _r(F.sum("o_totalprice"), 2).alias("sum_total"),
+        _savg("o_totalprice", 6).alias("avg_total"),
+    )
+
+
+_SQL_COHORT_KPI = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice),2) AS sum_total,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) / count(o_totalprice), 6) AS avg_total
+FROM orders
+WHERE o_custkey IN (
+    SELECT c_custkey FROM customer
+    WHERE (c_mktsegment IN ('BUILDING','MACHINERY') OR c_mktsegment IS NULL)
+      AND (c_acctbal BETWEEN 0.0 AND 5000.0 OR c_acctbal IS NULL))
+GROUP BY o_orderpriority
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: customers that never ordered (w4h_db_utils.py:160-173's set diff)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return cohort_anti_join(cust.select("c_custkey"), orders, "c_custkey")
+
+
+_SQL_ANTI_JOIN = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_mets_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/C4: broadcast dim lookup with default (viz.py:71-78 METs): weight
+    from the dim when present, 70 kg otherwise; kcal->kJ->METs arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        (F.lit(50) + F.col("c_custkey") % 50).cast("double").alias("weight_kg"),
+    )
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "left")
+    mets_col = (F.col("value") * 4.186) / F.coalesce(F.col("weight_kg"), F.lit(70.0))
+    return joined.groupBy("user_id").agg(
+        _r(F.avg(mets_col), 6).alias("avg_mets"), F.count(F.lit(1)).alias("n")
+    )
+
+
+_SQL_METS_LOOKUP = """
+SELECT e.user_id,
+       round(avg(e.value * 4.186 / coalesce(CAST(50 + c.c_custkey % 50 AS DOUBLE), 70.0)), 6) AS avg_mets,
+       count(*) AS n
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY e.user_id
+"""
+
+
+def q_widget_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: filter-widget domain discovery (viz.py:335-365): min/max of numeric
+    attrs, distinct cardinality of categorical ones."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.agg(
+        _r(F.min("c_acctbal"), 2).alias("min_acctbal"),
+        _r(F.max("c_acctbal"), 2).alias("max_acctbal"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+
+
+_SQL_WIDGET_DOMAINS = """
+SELECT round(min(c_acctbal),2) AS min_acctbal, round(max(c_acctbal),2) AS max_acctbal,
+       count(DISTINCT c_mktsegment) AS n_segments,
+       count(DISTINCT c_nationkey) AS n_nations
+FROM customer
+"""
+
+
+def q_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: LIKE pattern filter (viz.py:60-68 user_id LIKE %pattern%)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_name").like("%1%"))
+    return cust.agg(
+        F.count(F.lit(1)).alias("n"), F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+_SQL_LIKE_FILTER = """
+SELECT count(*) AS n, min(c_custkey) AS min_key, max(c_custkey) AS max_key
+FROM customer WHERE c_name LIKE '%1%'
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5/O6: union + except (pd.concat / set-difference analogs)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    high = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01")).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return high.union(recent).distinct().subtract(building)
+
+
+_SQL_SET_OPS = """
+SELECT custkey FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+  UNION
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by value with deterministic tiebreak (limit after total order)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", _r(F.col("o_totalprice"), 2).alias("total"))
+    )
+
+
+_SQL_TOPK = """
+SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS total
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_first_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5-style row_number alignment: first event per user by time."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts")
+    )
+
+
+_SQL_FIRST_PER_USER = """
+SELECT user_id, event_id, ts FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_cohort_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/A12: subject-vs-control KPI deltas (viz.py:850-921) — two scalar
+    aggregates, 1x1 broadcast cross join, delta arithmetic."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    cohort = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    subj = cohort_semi_join(orders, cohort, "o_custkey").agg(
+        TS.stable_mean("o_totalprice").alias("avg_total"), F.count(F.lit(1)).alias("n")
+    )
+    ctrl = orders.agg(
+        TS.stable_mean("o_totalprice").alias("avg_total"), F.count(F.lit(1)).alias("n")
+    )
+    s = subj.select(
+        F.col("avg_total").alias("subject_avg"), F.col("n").alias("n_subject")
+    )
+    c = ctrl.select(
+        F.col("avg_total").alias("control_avg"), F.col("n").alias("n_control")
+    )
+    return s.crossJoin(F.broadcast(c)).select(
+        _r(F.col("subject_avg"), 6).alias("subject_avg"),
+        _r(F.col("control_avg"), 6).alias("control_avg"),
+        _r(F.col("subject_avg") - F.col("control_avg"), 6).alias("delta_avg"),
+        "n_subject",
+        "n_control",
+    )
+
+
+_SQL_COHORT_COMPARE = """
+WITH subj AS (
+  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)/count(o_totalprice) AS a,
+         count(*) AS n FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')),
+ctrl AS (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)/count(o_totalprice) AS a,
+         count(*) AS n FROM orders)
+SELECT round(subj.a,6) AS subject_avg, round(ctrl.a,6) AS control_avg,
+       round(subj.a - ctrl.a,6) AS delta_avg,
+       subj.n AS n_subject, ctrl.n AS n_control
+FROM subj, ctrl
+"""
+
+
+# --------------------------------------------------------------------------
+# 2. GeoMTS time-series semantics on the events table — SURVEY §2.4/2.5
+# --------------------------------------------------------------------------
+
+
+def q_activity_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-user [first,last] activity timestamps (viz.py:765-766)."""
+    return TS.activity_span(_t(spark, sf_dir, "events"), "user_id", "ts")
+
+
+_SQL_ACTIVITY_SPAN = """
+SELECT user_id, min(ts) AS start_date, max(ts) AS end_date FROM events GROUP BY user_id
+"""
+
+
+def q_resample_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: 1-minute mean downsample (data_preproc.ipynb cell 7)."""
+    out = TS.resample_mean(
+        _t(spark, sf_dir, "events"), "1 minute", "user_id", "ts", "value",
+        stable_decimals=6,
+    )
+    return out.select(
+        "user_id", "bucket_start", _r(F.col("mean_value"), 6).alias("mean_value")
+    )
+
+
+_SQL_RESAMPLE = """
+SELECT user_id, date_trunc('minute', ts) AS bucket_start,
+       round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value), 6) AS mean_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+W1-W3 (viz.py:80-96): per-user baseline scaling, elapsed days,
+    lead-gap masking (null when gap to NEXT reading > 0.5 day)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = TS.calibrate(ev, "user_id", "ts", "value", gap_days=0.5, stable_decimals=6)
+    return out.select(
+        "event_id",
+        "user_id",
+        _r(F.col("days_since_start"), 6).alias("days_since_start"),
+        _r(F.col("scaled_value"), 6).alias("scaled_value"),
+    )
+
+
+_SQL_CALIBRATION = """
+WITH base AS (
+  SELECT event_id, user_id, value,
+         epoch(ts) AS e,
+         min(epoch(ts)) OVER (PARTITION BY user_id) AS e0,
+         CAST(sum(CAST(value AS DECIMAL(27,6))) OVER (PARTITION BY user_id) AS DOUBLE)\n           / count(value) OVER (PARTITION BY user_id) AS mu,
+         lead(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS e_next
+  FROM events)
+SELECT event_id, user_id,
+       round((e - e0)/86400.0, 6) AS days_since_start,
+       CASE WHEN (e_next - e)/86400.0 > 0.5 THEN NULL
+            ELSE round(value/mu, 6) END AS scaled_value
+FROM base
+"""
+
+
+def q_gap_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/W4 standalone: 12 h lead-gap masking (viz.py:93)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = TS.gap_mask(ev, 12 * 3600.0, "user_id", "ts", "value")
+    return out.select(
+        "event_id", "user_id", _r(F.col("masked_value"), 6).alias("masked_value")
+    )
+
+
+_SQL_GAP_MASK = """
+SELECT event_id, user_id,
+       CASE WHEN lead(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) - epoch(ts)
+                 > 43200.0 THEN NULL ELSE round(value,6) END AS masked_value
+FROM events
+"""
+
+
+def q_safe_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: mean ± 2·stddev_samp band (viz.py:192-196)."""
+    out = safe_band(_t(spark, sf_dir, "events"), "value")
+    return out.select(
+        _r(F.col("band_lo"), 6).alias("band_lo"), _r(F.col("band_hi"), 6).alias("band_hi")
+    )
+
+
+_SQL_SAFE_BAND = """
+SELECT round(avg(value) - 2*stddev_samp(value),6) AS band_lo,
+       round(avg(value) + 2*stddev_samp(value),6) AS band_hi
+FROM events
+"""
+
+
+def q_breach_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (viz.py:237-258): ≤600 buckets (≥30 s), per-bucket unsafe ratio and
+    opacity ramp."""
+    out = breach_histogram(_t(spark, sf_dir, "events"), "ts", "value")
+    return out.select(
+        "bucket",
+        "n_total",
+        "n_unsafe",
+        _r(F.col("unsafe_ratio"), 6).alias("unsafe_ratio"),
+        _r(F.col("opacity"), 6).alias("opacity"),
+    )
+
+
+_SQL_BREACH_HISTOGRAM = """
+WITH s AS (
+  SELECT min(epoch(ts)) AS t0, max(epoch(ts)) AS t1,
+         avg(value) - 2*stddev_samp(value) AS lo,
+         avg(value) + 2*stddev_samp(value) AS hi
+  FROM events),
+w AS (SELECT *, greatest((t1 - t0)/600, 30.0) AS bw FROM s)
+SELECT CAST(floor((epoch(e.ts) - w.t0)/w.bw) AS BIGINT) AS bucket,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN e.value < w.lo OR e.value > w.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_unsafe,
+       round(sum(CASE WHEN e.value < w.lo OR e.value > w.hi THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS unsafe_ratio,
+       round(0.7 * (sum(CASE WHEN e.value < w.lo OR e.value > w.hi THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)) + 0.2, 6) AS opacity
+FROM events e CROSS JOIN w
+GROUP BY 1
+"""
+
+
+def q_time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: overnight-wrapping time-of-day slice 20:00 -> 04:45
+    (viz.py:542-547, 1074) — compiles to the two-arm OR."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(time_of_day_between(F.col("ts"), 20 * 3600, 4 * 3600 + 45 * 60))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _savg("value", 6).alias("avg_value"))
+    )
+
+
+_SQL_TIME_OF_DAY = """
+SELECT event_type, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value), 6) AS avg_value
+FROM events
+WHERE (CAST(floor(epoch(ts)) AS BIGINT) % 86400) >= 72000
+   OR (CAST(floor(epoch(ts)) AS BIGINT) % 86400) <= 17100
+GROUP BY event_type
+"""
+
+
+def q_dedup_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: composite-key dedup (w4h_db_utils.py:192) expressed as the
+    deterministic keep-min-id variant."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("keep_id"), F.count(F.lit(1)).alias("n")
+    )
+
+
+_SQL_DEDUP_COMPOSITE = """
+SELECT user_id, event_type, min(event_id) AS keep_id, count(*) AS n
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 batch analog: 10-minute windows sliding by 5 (viz.py:783-803's
+    recomputed trailing KPIs, as proper hopping windows)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), _savg("value", 6).alias("avg_value"))
+        .select(F.col("w.start").cast("long").alias("window_start_epoch"), "n", "avg_value")
+    )
+
+
+_SQL_SLIDING_WINDOW = """
+WITH assigned AS (
+  SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS w_start, value FROM events
+  UNION ALL
+  SELECT CAST(floor(epoch(ts)/300)*300 - 300 AS BIGINT) AS w_start, value FROM events)
+SELECT w_start AS window_start_epoch, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value), 6) AS avg_value
+FROM assigned GROUP BY 1
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14: JSON decode of the props payload + aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("total_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+_SQL_JSON_EXTRACT = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. ETL (melt / unpivot) — SURVEY §3.3
+# --------------------------------------------------------------------------
+
+
+def q_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->narrow unpivot via stack() (w4h_db_utils.py:184-189 loop)."""
+    return melt(_t(spark, sf_dir, "part"), ["p_partkey"], ["p_retailprice", "p_size"])
+
+
+_SQL_MELT = """
+SELECT p_partkey, 'p_retailprice' AS feature, CAST(p_retailprice AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_size' AS feature, CAST(p_size AS DOUBLE) AS value FROM part
+"""
+
+
+# --------------------------------------------------------------------------
+# 4. Text analysis + dedup + similarity (north-star training-data ops)
+# --------------------------------------------------------------------------
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 + portable 32-bit rolling hash + md5-prefix
+    hash (the exact-dedup / LSH primitives)."""
+    return TX.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+_SQL_FINGERPRINT = """
+SELECT doc_id, md5(text) AS md5_fp,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
+         (a, b) -> (a*31 + b) % 2147483647) AS rolling_fp,
+       list_reduce(
+         [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+          for c in string_split(substr(md5(text), 1, 8), '')],
+         (a, b) -> a*16 + b) AS fp32
+FROM documents
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content hash (keep min doc_id)."""
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_SQL_EXACT_DEDUP = """
+SELECT md5(text) AS content_key, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surface stats (token counting, ratios)."""
+    out = TX.text_stats(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        _r(F.col("mean_token_len"), 6).alias("mean_token_len"),
+        _r(F.col("punct_ratio"), 6).alias("punct_ratio"),
+        _r(F.col("digit_ratio"), 6).alias("digit_ratio"),
+    )
+
+
+_SQL_TEXT_STATS = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_space
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens,
+       round(CAST(n_chars - n_space AS DOUBLE)/n_tokens, 6) AS mean_token_len,
+       round(CAST(n_punct AS DOUBLE)/n_chars, 6) AS punct_ratio,
+       round(CAST(n_digit AS DOUBLE)/n_chars, 6) AS digit_ratio
+FROM base
+"""
+
+
+def _langid_sql() -> str:
+    from ..operators.text import _LANG_MARKERS
+
+    score_exprs = []
+    for lang, words in _LANG_MARKERS.items():
+        parts = [
+            f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+            for w in words
+        ]
+        score_exprs.append(" + ".join(parts) + f" AS score_{lang}")
+    langs = list(_LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lang} = best AND best > 0 THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM padded),
+ranked AS (SELECT doc_id, {best} AS best, * FROM scored)
+SELECT doc_id, {case} AS lang_pred, best AS best_score FROM ranked
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-marker language ID."""
+    return TX.language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score."""
+    out = TX.quality_score(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", _r(F.col("quality"), 6).alias("quality"))
+
+
+def _quality_sql() -> str:
+    from ..operators.text import _LANG_MARKERS
+
+    en_parts = " + ".join(
+        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        for w in _LANG_MARKERS["en"]
+    )
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_space
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+         {en_parts} AS en_hits,
+         n_tokens,
+         CAST(n_chars - n_space AS DOUBLE)/n_tokens AS mean_token_len,
+         CAST(n_punct AS DOUBLE)/n_chars AS punct_ratio
+  FROM base)
+SELECT doc_id,
+       round(greatest(least(
+         0.4 * least(n_tokens/50.0, 1.0)
+       + 0.3 * least(CAST(en_hits AS DOUBLE)/greatest(n_tokens*0.02, 1.0), 1.0)
+       + 0.3 * (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
+       - least(punct_ratio*2.0, 0.5), 1.0), 0.0), 6) AS quality
+FROM feat
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over word-5-gram shingles (inverted-
+    index self-join; hot-shingle cap is OFF here for oracle equivalence)."""
+    out = D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=5, threshold=0.2)
+    return out.select("id_a", "id_b", _r(F.col("jaccard"), 6).alias("jaccard"))
+
+
+_SQL_NGRAM_JACCARD = r"""
+WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)])) AS shingle
+  FROM words WHERE len(w) >= 5),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_common / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= 0.2
+"""
+
+
+_ROLLING_IN_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "[CAST(ascii(c) AS BIGINT) for c in string_split({s}, '')]), "
+    "(a, b) -> (a*31 + b) % 2147483647)"
+)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 perms over word-3-gram shingles) — the LSH
+    dedup primitive, fully portable hash family."""
+    return D.minhash_signatures(_t(spark, sf_dir, "documents"), n=3, num_perm=8)
+
+
+def _minhash_sql(num_perm: int = 8) -> str:
+    rolling = _ROLLING_IN_SQL.format(s="s")
+    mh_cols = ", ".join(
+        f"coalesce(list_min([({pa}*h + {pb}) % 2147483647 for h in hs]), 2147483647) AS mh_{i}"
+        for i, (pa, pb) in enumerate(_perm_params(num_perm))
+    )
+    return rf"""
+WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
+              ELSE [] END AS shingles
+  FROM words),
+h AS (SELECT doc_id, [{rolling} for s in shingles] AS hs FROM sh)
+SELECT doc_id, {mh_cols} FROM h
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints from word rolling-hashes."""
+    return D.simhash32(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    rolling = _ROLLING_IN_SQL.format(s="word")
+    votes = ", ".join(
+        f"CAST(sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v{b}"
+        for b in range(32)
+    )
+    fp = " + ".join(f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)" for b in range(32))
+    return rf"""
+WITH wrds AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents),
+wh AS (SELECT doc_id, {rolling} AS h FROM wrds),
+votes AS (SELECT doc_id, {votes} FROM wh GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for query vectors (vec_id < 8):
+    broadcast queries, JVM array arithmetic, deterministic tiebreaks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", _r(F.col("cos"), 5).alias("cos")
+    )
+
+
+_SQL_KNN = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+s AS (SELECT qid, nid,
+             list_dot_product(qv, cv) /
+             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+      FROM q CROSS JOIN c WHERE qid <> nid),
+r AS (SELECT qid AS query_id, nid AS neighbor_id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, rank, round(cos, 5) AS cos FROM r WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# 5. Non-SQL-expressible: streaming + LSH variants (rows-only checks)
+# --------------------------------------------------------------------------
+
+
+def q_stream_window_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/T8 as an actual Structured Streaming job: file replay of the events
+    table -> watermark -> 10-minute tumbling window KPIs -> memory sink.
+    (No SQL oracle: streaming execution is the thing under test; the batch
+    equivalence is covered by q_sliding_window.)"""
+    from ..streaming.replay import run_windowed_kpis_batchmode
+
+    return run_windowed_kpis_batchmode(spark, f"{sf_dir}/events.parquet")
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by exact Jaccard (threshold 0.5).
+    (No SQL oracle: banding is engine-internal; exact-Jaccard recall is
+    oracle-checked via q_ngram_jaccard.)"""
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=3, num_perm=8, bands=4, threshold=0.5
+    ).select("id_a", "id_b", _r(F.col("jaccard"), 6).alias("jaccard"))
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "pricing_summary": (q_pricing_summary, _SQL_PRICING),
+    "range_scan": (q_range_scan, _SQL_RANGE_SCAN),
+    "cohort_kpi": (q_cohort_kpi, _SQL_COHORT_KPI),
+    "anti_join_new_users": (q_anti_join, _SQL_ANTI_JOIN),
+    "mets_broadcast_lookup": (q_mets_lookup, _SQL_METS_LOOKUP),
+    "widget_domains": (q_widget_domains, _SQL_WIDGET_DOMAINS),
+    "like_filter": (q_like_filter, _SQL_LIKE_FILTER),
+    "set_ops": (q_set_ops, _SQL_SET_OPS),
+    "topk_orders": (q_topk_orders, _SQL_TOPK),
+    "first_per_user": (q_first_per_user, _SQL_FIRST_PER_USER),
+    "cohort_compare": (q_cohort_compare, _SQL_COHORT_COMPARE),
+    "activity_span": (q_activity_span, _SQL_ACTIVITY_SPAN),
+    "resample_1min": (q_resample_1min, _SQL_RESAMPLE),
+    "calibration": (q_calibration, _SQL_CALIBRATION),
+    "gap_mask": (q_gap_mask, _SQL_GAP_MASK),
+    "safe_band": (q_safe_band, _SQL_SAFE_BAND),
+    "breach_histogram": (q_breach_histogram, _SQL_BREACH_HISTOGRAM),
+    "time_of_day_overnight": (q_time_of_day, _SQL_TIME_OF_DAY),
+    "dedup_composite_key": (q_dedup_composite, _SQL_DEDUP_COMPOSITE),
+    "sliding_window": (q_sliding_window, _SQL_SLIDING_WINDOW),
+    "json_extract": (q_json_extract, _SQL_JSON_EXTRACT),
+    "melt_unpivot": (q_melt, _SQL_MELT),
+    "doc_fingerprint": (q_fingerprint, _SQL_FINGERPRINT),
+    "exact_dedup": (q_exact_dedup, _SQL_EXACT_DEDUP),
+    "text_stats": (q_text_stats, _SQL_TEXT_STATS),
+    "language_id": (q_language_id, _langid_sql()),
+    "quality_score": (q_quality_score, _quality_sql()),
+    "ngram_jaccard_pairs": (q_ngram_jaccard, _SQL_NGRAM_JACCARD),
+    "minhash_signatures": (q_minhash_signatures, _minhash_sql(8)),
+    "simhash": (q_simhash, _simhash_sql()),
+    "knn_cosine_topk": (q_knn_cosine, _SQL_KNN),
+    "stream_window_kpis": (q_stream_window_kpis, None),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
+}
+
+
+# apply the portable-rounding rewrite to every oracle
+QUERIES = {
+    name: (fn, _portable_round_sql(sql) if sql is not None else None)
+    for name, (fn, sql) in QUERIES.items()
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,172 @@
+"""Replay streaming (SURVEY §2.8 T1-T9).
+
+The reference simulates near-real-time analytics by replaying historical
+tables through a Flask endpoint at a pacing knob (stream_sim.py:42-83):
+batches of BATCH distinct timestamps every TIMEOUT seconds, with seek-to-
+start, fast-forward, and loop-around. Structured Streaming gives us the
+execution substrate; this module supplies the replay semantics:
+
+- :class:`ReplaySource` — batch-driven replay: deterministic micro-batches
+  of N distinct timestamps from a static DataFrame, with seek (T3), pacing
+  (T1), fast-forward scale (T2) and loop (O7). Drives ``foreachBatch``-style
+  consumers and tests without wall-clock waits.
+- :func:`windowed_kpis_stream` — the standing streaming query: event-time
+  tumbling/hopping window aggregates with a watermark (T5, T8).
+- :func:`run_windowed_kpis_batchmode` — runs that exact streaming query over
+  a file source with ``availableNow`` + memory sink, synchronously; used by
+  the driver-facing registry so the streaming path is exercised in batch
+  test environments.
+
+Scale notes: the replay cursor is data-defined (distinct event times), so a
+production deployment swaps the file source for Kafka with no change to the
+windowed query; watermark bounds state (the reference instead accumulates
+client frames unboundedly, viz.py:742-747).
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["ReplaySource", "windowed_kpis_stream", "run_windowed_kpis_batchmode"]
+
+
+class ReplaySource:
+    """Deterministic micro-batch replay of a static event-time DataFrame.
+
+    Semantics mirror stream_sim.py: ``seek(start)`` clamps to the data span
+    and positions the cursor at the first distinct timestamp >= start
+    (stream_sim.py:65-83); ``next_batch()`` returns all rows carrying the
+    next ``batch_size`` distinct timestamps (stream_sim.py:42-62);
+    ``loop=True`` wraps the cursor at end-of-data (stream_sim.py:60-61).
+
+    The distinct-timestamp index is collected once (timestamps only — tiny
+    relative to the data); each batch is a range filter on the cached source
+    so Spark prunes/pushes down per batch.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        ts_col: str = "timestamp",
+        batch_size: int = 1,
+        loop: bool = False,
+    ):
+        self.df = df
+        self.ts_col = ts_col
+        self.batch_size = batch_size
+        self.loop = loop
+        rows = df.select(ts_col).distinct().orderBy(ts_col).collect()
+        self._stamps: list[datetime] = [r[0] for r in rows]
+        self._pos = 0
+
+    @property
+    def span(self) -> tuple[datetime, datetime]:
+        return self._stamps[0], self._stamps[-1]
+
+    def seek(self, start: datetime) -> datetime:
+        """Position at first timestamp >= start, clamped to span; returns the
+        actual start (the reference returns it to the client too)."""
+        lo, hi = self.span
+        start = max(lo, min(start, hi))
+        import bisect
+
+        self._pos = bisect.bisect_left(self._stamps, start)
+        return self._stamps[self._pos]
+
+    def next_batch(self) -> DataFrame | None:
+        """Rows of the next ``batch_size`` distinct timestamps; None at end
+        (or wraps when loop=True)."""
+        if self._pos >= len(self._stamps):
+            if not self.loop:
+                return None
+            self._pos = 0
+        take = self._stamps[self._pos : self._pos + self.batch_size]
+        self._pos += len(take)
+        lo, hi = take[0], take[-1]
+        c = F.col(self.ts_col)
+        return self.df.filter((c >= F.lit(lo)) & (c <= F.lit(hi)))
+
+    def batches(self, limit: int | None = None) -> Iterator[DataFrame]:
+        n = 0
+        while limit is None or n < limit:
+            b = self.next_batch()
+            if b is None:
+                return
+            yield b
+            n += 1
+
+
+def windowed_kpis_stream(
+    events: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+    keys: list[str] | None = None,
+):
+    """The standing streaming aggregation (T5 + T8): event-time windows with
+    a watermark so state is GC'd — works identically on batch DataFrames."""
+    grouped_keys = [F.window(ts, window, slide).alias("w")] + [
+        F.col(k) for k in (keys or [])
+    ]
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(*grouped_keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(value).alias("avg_value"),
+            F.min(value).alias("min_value"),
+            F.max(value).alias("max_value"),
+        )
+    )
+
+
+def run_windowed_kpis_batchmode(spark: SparkSession, events_path: str) -> DataFrame:
+    """Execute the streaming windowed-KPI query end-to-end synchronously:
+    parquet file source -> watermark -> window agg -> memory sink
+    (availableNow). Returns the sink contents as a DataFrame."""
+    import os
+    import tempfile
+
+    from ..catalog import ns_timestamp_columns
+
+    ns_cols = ns_timestamp_columns(events_path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    # the file stream source requires a directory; stage the file via symlink
+    if os.path.isfile(events_path):
+        stage = tempfile.mkdtemp(prefix="w4h_stream_")
+        os.symlink(events_path, os.path.join(stage, os.path.basename(events_path)))
+        source_dir = stage
+    else:
+        source_dir = events_path
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    for c in ns_cols:  # ns->µs truncation, same normalization as the batch reader
+        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    agg = windowed_kpis_stream(stream, ts="ts", value="value", window="10 minutes")
+    name = "w4h_stream_kpis_" + uuid.uuid4().hex[:8]
+    # complete mode so every window is emitted at termination (append would
+    # hold back windows the final watermark hasn't passed yet)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    return out.select(
+        F.col("w.start").cast("long").alias("window_start_epoch"),
+        "n",
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
