@@ -1,0 +1,275 @@
+"""Unit tests for the operator library on W4H-shaped in-memory fixtures
+(SURVEY §5: the pandas-quirk semantics the TPC-H-ish oracle tables can't
+exercise — calibration parity, null-tolerant filters, overnight ranges,
+geometry codecs, ETL mapping)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from w4h_integrated_toolkit_spark.catalog import (
+    DEFAULT_GEOMTS_CONFIG,
+    FACT_SCHEMA,
+    struct_type_for_users,
+)
+from w4h_integrated_toolkit_spark.functions import (
+    mets,
+    rolling_hash,
+    time_of_day_between,
+    word_shingles,
+)
+from w4h_integrated_toolkit_spark.operators.cohort import (
+    FilterSpec,
+    cohort_semi_join,
+    filter_users,
+)
+from w4h_integrated_toolkit_spark.operators.etl import (
+    fuzzy_map_columns,
+    melt,
+    normalize_name,
+    upsert_users,
+)
+from w4h_integrated_toolkit_spark.operators.geo import (
+    haversine_m,
+    trajectories,
+    wkb_hex_decode,
+    wkt_decode_lat,
+    wkt_decode_lon,
+    wkt_point,
+)
+from w4h_integrated_toolkit_spark.operators.timeseries import (
+    calibrate,
+    calibrate_pandas,
+    gap_mask,
+)
+
+T0 = dt.datetime(2016, 8, 1, 12, 0, 0)
+
+
+def _ts(hours):
+    return T0 + dt.timedelta(hours=hours)
+
+
+@pytest.fixture(scope="module")
+def hr_df(spark):
+    """Two users; u2 has a >12 h gap after its 2nd reading (viz.py:93 case)."""
+    rows = [
+        ("u1", _ts(0), 70.0),
+        ("u1", _ts(1), 80.0),
+        ("u1", _ts(2), 90.0),
+        ("u2", _ts(0), 50.0),
+        ("u2", _ts(1), 60.0),
+        ("u2", _ts(20), 70.0),  # 19 h gap from previous
+    ]
+    return spark.createDataFrame(rows, FACT_SCHEMA)
+
+
+def test_calibrate_matches_pandas_replica(spark, hr_df):
+    """Native-window calibration == applyInPandas replica of viz.py:80-96."""
+    native = {
+        (r["user_id"], r["timestamp"]): (r["days_since_start"], r["scaled_value"])
+        for r in calibrate(hr_df).collect()
+    }
+    replica = {
+        (r["user_id"], r["timestamp"]): (r["days_since_start"], r["scaled_value"])
+        for r in calibrate_pandas(hr_df).collect()
+    }
+    assert native.keys() == replica.keys()
+    for k in native:
+        dn, sn = native[k]
+        dr, sr = replica[k]
+        assert dn == pytest.approx(dr, abs=1e-9)
+        if sn is None or sr is None:
+            assert sn is None and sr is None, k
+        else:
+            assert sn == pytest.approx(sr, abs=1e-9)
+
+
+def test_calibrate_gap_masks_lead_not_lag(spark, hr_df):
+    """The reading BEFORE a long gap is nulled (diff().shift(-1) semantics),
+    not the one after."""
+    out = {
+        (r["user_id"], r["timestamp"]): r["scaled_value"]
+        for r in calibrate(hr_df).collect()
+    }
+    assert out[("u2", _ts(1))] is None  # gap to next reading = 19 h > 12 h
+    assert out[("u2", _ts(20))] is not None  # reading after the gap survives
+
+
+def test_gap_mask_threshold(spark, hr_df):
+    out = {
+        (r["user_id"], r["timestamp"]): r["masked_value"]
+        for r in gap_mask(hr_df, gap_seconds=2 * 3600.0).collect()
+    }
+    # 1 h gaps survive a 2 h threshold; the 19 h gap doesn't
+    assert out[("u1", _ts(0))] == 70.0
+    assert out[("u2", _ts(1))] is None
+
+
+def test_filter_users_null_tolerant(spark):
+    users = spark.createDataFrame(
+        [("u1", 30), ("u2", None), ("u3", 70)], "user_id string, age int"
+    )
+    got = {
+        r["user_id"]
+        for r in filter_users(users, [FilterSpec("age", "int", (20, 40))]).collect()
+    }
+    assert got == {"u1", "u2"}  # null passes (viz.py:417)
+    got2 = {
+        r["user_id"]
+        for r in filter_users(
+            users, [FilterSpec("age", "int", (20, 40), ignore_nulls=False)]
+        ).collect()
+    }
+    assert got2 == {"u1"}
+
+
+def test_filter_users_empty_multiselect_means_all(spark):
+    users = spark.createDataFrame(
+        [("u1", "CA"), ("u2", None)], "user_id string, state string"
+    )
+    got = filter_users(users, [FilterSpec("state", "string", [])]).count()
+    assert got == 2  # empty selection = no restriction (viz.py:388-390)
+
+
+def test_cohort_semi_join(spark, hr_df):
+    cohort = spark.createDataFrame([("u1",)], "user_id string")
+    assert cohort_semi_join(hr_df, cohort).count() == 3
+
+
+def test_time_of_day_wraparound(spark):
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 21, 0)),  # in (evening)
+        ("b", dt.datetime(2024, 1, 1, 3, 0)),  # in (early morning)
+        ("c", dt.datetime(2024, 1, 1, 12, 0)),  # out
+        ("d", dt.datetime(2024, 1, 1, 4, 45)),  # boundary in
+        ("e", dt.datetime(2024, 1, 1, 4, 46)),  # just out
+    ]
+    df = spark.createDataFrame(rows, "id string, ts timestamp")
+    got = {
+        r["id"]
+        for r in df.filter(
+            time_of_day_between(F.col("ts"), 20 * 3600, 4 * 3600 + 45 * 60)
+        ).collect()
+    }
+    assert got == {"a", "b", "d"}
+
+
+def test_mets_default_weight(spark):
+    df = spark.createDataFrame([(100.0, 50.0), (100.0, None)], "cal double, w double")
+    out = df.select(mets(F.col("cal"), F.col("w")).alias("m")).collect()
+    assert out[0]["m"] == pytest.approx(100 * 4.186 / 50)
+    assert out[1]["m"] == pytest.approx(100 * 4.186 / 70)  # default 70 kg
+
+
+def test_wkt_roundtrip(spark):
+    df = spark.createDataFrame([(-118.2851, 34.0224)], "lon double, lat double")
+    enc = df.select(wkt_point(F.col("lon"), F.col("lat")).alias("wkt"))
+    assert enc.collect()[0]["wkt"] == "POINT(-118.2851 34.0224)"
+    dec = enc.select(
+        wkt_decode_lon(F.col("wkt")).alias("lon"), wkt_decode_lat(F.col("wkt")).alias("lat")
+    ).collect()[0]
+    assert dec["lon"] == pytest.approx(-118.2851)
+    assert dec["lat"] == pytest.approx(34.0224)
+
+
+def test_wkb_hex_decode(spark):
+    # little-endian WKB POINT(1.5 2.5); EWKB with SRID 4326 flag
+    import struct as st
+
+    plain = (b"\x01" + st.pack("<I", 1) + st.pack("<dd", 1.5, 2.5)).hex()
+    ewkb = (
+        b"\x01" + st.pack("<I", 1 | 0x20000000) + st.pack("<I", 4326)
+        + st.pack("<dd", 1.5, 2.5)
+    ).hex()
+    df = spark.createDataFrame([(plain,), (ewkb,), (None,)], "h string")
+    out = df.select(wkb_hex_decode(F.col("h")).alias("p")).collect()
+    assert out[0]["p"]["lon"] == 1.5 and out[0]["p"]["lat"] == 2.5
+    assert out[1]["p"]["lon"] == 1.5 and out[1]["p"]["lat"] == 2.5
+    assert out[2]["p"] is None or out[2]["p"]["lon"] is None
+
+
+def test_haversine(spark):
+    # USC to ~1 degree east at equator-ish latitude: sanity magnitude check
+    df = spark.createDataFrame([(0.0, 0.0, 1.0, 0.0)], "a double, b double, c double, d double")
+    m = df.select(haversine_m(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("m")).collect()[0]["m"]
+    assert m == pytest.approx(111194.9, rel=1e-3)  # 1° of longitude at equator
+
+
+def test_trajectories_ordered(spark):
+    rows = [
+        ("u1", _ts(1), -118.0, 34.1),
+        ("u1", _ts(0), -118.2, 34.0),
+        ("u2", _ts(0), -117.0, 33.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, timestamp timestamp, lon double, lat double")
+    out = {r["user_id"]: r["path"] for r in trajectories(df).collect()}
+    assert out["u1"] == [[34.0, -118.2], [34.1, -118.0]]  # time-ordered [lat, lon]
+    assert out["u2"] == [[33.0, -117.0]]
+
+
+def test_melt(spark):
+    df = spark.createDataFrame([("u1", T0, 72.0, 1.5)],
+                               "user_id string, ts timestamp, hr double, cal double")
+    out = melt(df, ["user_id", "ts"], ["hr", "cal"])
+    got = {(r["feature"], r["value"]) for r in out.collect()}
+    assert got == {("hr", 72.0), ("cal", 1.5)}
+
+
+def test_fuzzy_map_columns():
+    cols = ["Patient Email", "Start_Time", "Heart Rate (bpm)", "calorie_burn", "Wt", "junk_col"]
+    mapping = fuzzy_map_columns(
+        cols,
+        {
+            "user_id": "patient email",
+            "timestamp": "start time timestamp date",
+            "heart_rates": "heart rate bpm",
+            "calories": "calorie burn",
+            "weight": "wt weight",
+        },
+        threshold=60.0,
+    )
+    assert mapping["user_id"] == "Patient Email"
+    assert mapping["timestamp"] == "Start_Time"
+    assert mapping["heart_rates"] == "Heart Rate (bpm)"
+    assert mapping["calories"] == "calorie_burn"
+    assert normalize_name("Heart_Rate (bpm)") == "heart rate bpm"
+
+
+def test_fuzzy_unmapped_below_threshold():
+    mapping = fuzzy_map_columns(["zzzzz"], {"user_id": "patient email"}, threshold=60.0)
+    assert mapping["user_id"] is None
+
+
+def test_upsert_users(spark):
+    incoming = spark.createDataFrame([("u1",), ("u9",), ("u9",)], "user_id string")
+    existing = spark.createDataFrame([("u1",)], "user_id string")
+    got = [r["user_id"] for r in upsert_users(incoming, existing).collect()]
+    assert got == ["u9"]
+
+
+def test_struct_type_from_config():
+    st = struct_type_for_users(DEFAULT_GEOMTS_CONFIG)
+    names = [f.name for f in st.fields]
+    assert names[0] == "user_id" and not st.fields[0].nullable
+    assert st["age"].dataType.typeName() == "integer"
+    assert st["data_collection_start_date"].dataType.typeName() == "timestamp"
+    assert st["consent"].dataType.typeName() == "boolean"
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "t string")
+    out = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()
+    assert out[0]["s"] == ["a b c", "b c d"]
+    assert out[1]["s"] == []
+
+
+def test_rolling_hash_known_value(spark):
+    # h("ab") = (0*31+97)*31 + 98 = 3105
+    df = spark.createDataFrame([("ab",)], "t string")
+    assert df.select(rolling_hash(F.col("t")).alias("h")).collect()[0]["h"] == 97 * 31 + 98

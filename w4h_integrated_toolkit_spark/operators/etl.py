@@ -57,11 +57,16 @@ def _lev(a: str, b: str) -> int:
 
 
 def _ratio(a: str, b: str) -> float:
-    """Levenshtein ratio in [0,100] (fuzzywuzzy-style score)."""
+    """Fuzzy score in [0,100]: max of full Levenshtein ratio and a token-set
+    overlap (Sørensen) — approximates fuzzywuzzy's extractOne behavior, which
+    scores partial/token matches highly (import_hub_main.py:34-55 relies on
+    that for hint strings like 'time timestamp date')."""
     if not a and not b:
         return 100.0
-    dist = _lev(a, b)
-    return 100.0 * (1 - dist / max(len(a), len(b)))
+    full = 100.0 * (1 - _lev(a, b) / max(len(a), len(b)))
+    ta, tb = set(a.split()), set(b.split())
+    tok = 100.0 * 2 * len(ta & tb) / (len(ta) + len(tb)) if (ta or tb) else 0.0
+    return max(full, tok)
 
 
 def fuzzy_map_columns(
