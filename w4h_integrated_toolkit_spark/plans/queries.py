@@ -828,6 +828,338 @@ SELECT query_id, neighbor_id, rank, round(cos, 5) AS cos FROM r WHERE rank <= 5
 
 
 # --------------------------------------------------------------------------
+# 4b. Second wave: percentiles, rollup/pivot, sessionization, alignment,
+#     pagination, string ops, distinct counts (SURVEY §2.4/2.6/2.7)
+# --------------------------------------------------------------------------
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (A13's exact counterpart; the approx
+    variant is q_approx_aggregates). Spark percentile() and DuckDB
+    quantile_cont both use linear interpolation."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        _r(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        _r(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        _r(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        _r(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+    )
+
+
+_SQL_PERCENTILES = """
+SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+FROM orders
+"""
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: exact distinct cardinalities across fact/dim tables."""
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    a = ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_event_types"),
+    )
+    b = orders.agg(F.countDistinct("o_custkey").alias("n_ordering_custs"))
+    return a.crossJoin(F.broadcast(b))
+
+
+_SQL_DISTINCT_COUNTS = """
+SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT count(DISTINCT event_type) FROM events) AS n_event_types,
+       (SELECT count(DISTINCT o_custkey) FROM orders) AS n_ordering_custs
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup hierarchy totals (orderstatus -> priority -> grand total)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), _r(F.sum("o_totalprice"), 2).alias("sum_total")
+    )
+
+
+_SQL_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS sum_total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into per-user count columns (explicit value list so
+    the plan is a single hash agg, no distinct-discovery pass)."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+_SQL_PIVOT = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a >1 h silence starts a new session (lag + running
+    sum of session-start flags over the per-user time order)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 3600.0), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   > 3600.0
+              OR lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events FROM sess GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
+def q_align_by_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: positional 1:1 alignment of two per-user streams (the trajectory
+    generator pairs heart-rate timestamps with generated points by position,
+    augment_with_trajectories.ipynb cell 4): i-th click joined to i-th view."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w))
+        .select("user_id", "rn", F.col("event_id").alias("click_id"))
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(w))
+        .select("user_id", "rn", F.col("event_id").alias("view_id"))
+    )
+    return clicks.join(views, ["user_id", "rn"])
+
+
+_SQL_ALIGN = """
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'click'),
+views AS (
+  SELECT user_id, event_id AS view_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'view')
+SELECT user_id, rn, click_id, view_id FROM clicks JOIN views USING (user_id, rn)
+"""
+
+
+def q_offset_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: offset/limit pagination over a total order (stream_sim.py:52-58's
+    cursor batching, batch analog)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    return (
+        ev.select("event_id", "user_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").between(101, 200))
+        .drop("rn")
+    )
+
+
+_SQL_OFFSET_BATCH = """
+SELECT event_id, user_id, event_type
+FROM events ORDER BY event_id LIMIT 100 OFFSET 100
+"""
+
+
+def q_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8/C10: string normalize/tokenize/capitalize (import_hub_main.py:14-31
+    pipeline) on part names — portable first-letter capitalization."""
+    part = _t(spark, sf_dir, "part")
+    norm = F.lower(F.regexp_replace(F.col("p_name"), "_", " "))
+    toks = F.split(F.trim(norm), r"\s+")
+    cap = F.concat(
+        F.upper(F.substring(norm, 1, 1)), F.substring(norm, 2, 1000000)
+    )
+    return part.select(
+        "p_partkey",
+        norm.alias("norm_name"),
+        F.size(toks).alias("n_tokens"),
+        cap.alias("cap_name"),
+    )
+
+
+_SQL_STRING_NORMALIZE = r"""
+SELECT p_partkey,
+       lower(replace(p_name, '_', ' ')) AS norm_name,
+       len(regexp_split_to_array(trim(lower(replace(p_name, '_', ' '))), '\s+')) AS n_tokens,
+       upper(substr(lower(replace(p_name, '_', ' ')), 1, 1))
+         || substr(lower(replace(p_name, '_', ' ')), 2) AS cap_name
+FROM part
+"""
+
+
+def q_fuzzy_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: fuzzy column auto-mapping as a relational query — candidate
+    columns x canonical hints, Levenshtein-ratio scored, argmax per target
+    with the 60-point threshold (import_hub_main.py:34-55)."""
+    from pyspark.sql import Window
+
+    cands = ["patient email", "start time", "heart rate bpm", "calorie burn", "junk col"]
+    targets = [
+        ("user_id", "user id email patient"),
+        ("timestamp", "time timestamp date start"),
+        ("heart_rates", "heart rate value bpm"),
+        ("calories", "calories value burn"),
+    ]
+    cand_df = spark.createDataFrame([(c,) for c in cands], "candidate string")
+    tgt_df = spark.createDataFrame(targets, "target string, hint string")
+    scored = tgt_df.crossJoin(F.broadcast(cand_df)).withColumn(
+        "score",
+        _r(
+            100.0
+            * (
+                1
+                - F.levenshtein("candidate", "hint")
+                / F.greatest(F.length("candidate"), F.length("hint"))
+            ),
+            4,
+        ),
+    )
+    w = Window.partitionBy("target").orderBy(F.col("score").desc(), F.col("candidate"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "target",
+            F.when(F.col("score") >= 60.0, F.col("candidate")).alias("best_candidate"),
+            "score",
+        )
+    )
+
+
+_SQL_FUZZY_MAPPING = """
+WITH cands(candidate) AS (VALUES ('patient email'), ('start time'),
+                                 ('heart rate bpm'), ('calorie burn'), ('junk col')),
+tgts(target, hint) AS (VALUES ('user_id', 'user id email patient'),
+                              ('timestamp', 'time timestamp date start'),
+                              ('heart_rates', 'heart rate value bpm'),
+                              ('calories', 'calories value burn')),
+scored AS (
+  SELECT target, candidate,
+         round(100.0 * (1 - levenshtein(candidate, hint)
+               / CAST(greatest(length(candidate), length(hint)) AS DOUBLE)), 4) AS score
+  FROM tgts CROSS JOIN cands),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY target ORDER BY score DESC, candidate) AS rk
+  FROM scored)
+SELECT target,
+       CASE WHEN score >= 60.0 THEN candidate END AS best_candidate,
+       score
+FROM ranked WHERE rk = 1
+"""
+
+
+def q_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: conditional bucketing (when/otherwise) + grouped counts."""
+    ev = _t(spark, sf_dir, "events")
+    tier = (
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 150, "mid")
+        .otherwise("high")
+    )
+    return ev.groupBy(tier.alias("tier")).agg(
+        F.count(F.lit(1)).alias("n"), _savg("value", 6).alias("avg_value")
+    )
+
+
+_SQL_VALUE_TIERS = """
+SELECT CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid'
+            ELSE 'high' END AS tier,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value), 6) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+def q_trailing_window_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (viz.py:783-803): KPIs over the trailing 24 h ending at the max
+    observed timestamp (batch analog of the real-time window)."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(F.max("ts").alias("max_ts"))
+    recent = ev.join(F.broadcast(bounds)).filter(
+        F.col("ts").cast("double") >= F.col("max_ts").cast("double") - 86400.0
+    )
+    return recent.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        _savg("value", 6).alias("avg_value"),
+    )
+
+
+_SQL_TRAILING_WINDOW = """
+SELECT count(*) AS n, min(value) AS min_value, max(value) AS max_value,
+       round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value), 6) AS avg_value
+FROM events
+WHERE epoch(ts) >= (SELECT max(epoch(ts)) FROM events) - 86400.0
+"""
+
+
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: approximate aggregates (approx_count_distinct/percentile_approx,
+    the built-in counterparts of the reference's fft_approximate extension).
+    No SQL oracle: sketch algorithms are engine-specific by nature; the
+    exact counterparts are oracle-checked in q_distinct_counts and
+    q_percentiles."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_id").alias("approx_events"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+    )
+
+
+# --------------------------------------------------------------------------
 # 5. Non-SQL-expressible: streaming + LSH variants (rows-only checks)
 # --------------------------------------------------------------------------
 
@@ -835,20 +1167,77 @@ SELECT query_id, neighbor_id, rank, round(cos, 5) AS cos FROM r WHERE rank <= 5
 def q_stream_window_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5/T8 as an actual Structured Streaming job: file replay of the events
     table -> watermark -> 10-minute tumbling window KPIs -> memory sink.
-    (No SQL oracle: streaming execution is the thing under test; the batch
-    equivalence is covered by q_sliding_window.)"""
+    Oracle-checked: the streaming result must equal the batch tumbling-window
+    aggregation (stream-batch unification is the correctness claim)."""
     from ..streaming.replay import run_windowed_kpis_batchmode
 
+    prepare_session(spark)
     return run_windowed_kpis_batchmode(spark, f"{sf_dir}/events.parquet")
+
+
+_SQL_STREAM_WINDOW = """
+SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS window_start_epoch,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value), 6) AS avg_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY 1
+"""
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs verified by exact Jaccard (threshold 0.5).
-    (No SQL oracle: banding is engine-internal; exact-Jaccard recall is
-    oracle-checked via q_ngram_jaccard.)"""
+    Oracle replicates the full pipeline — portable hash family, banding,
+    candidate join, exact-Jaccard verification — in DuckDB SQL."""
     return D.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), n=3, num_perm=8, bands=4, threshold=0.5
     ).select("id_a", "id_b", _r(F.col("jaccard"), 6).alias("jaccard"))
+
+
+def _minhash_lsh_sql(num_perm: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+    rolling = _ROLLING_IN_SQL.format(s="s")
+    mh_cols = ", ".join(
+        f"coalesce(list_min([({pa}*h + {pb}) % 2147483647 for h in hs]), 2147483647) AS mh_{i}"
+        for i, (pa, pb) in enumerate(_perm_params(num_perm))
+    )
+    rpb = num_perm // bands
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || '_' || ".join(
+                f"CAST(mh_{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    return rf"""
+WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
+              ELSE [] END AS shingles
+  FROM words),
+h AS (SELECT doc_id, [{rolling} for s in shingles] AS hs FROM sh),
+sig AS (SELECT doc_id, {mh_cols} FROM h),
+buckets AS (
+  {band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b USING (band, key) WHERE a.doc_id < b.doc_id),
+shx AS (SELECT doc_id, unnest(list_distinct(shingles)) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM shx GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shx a JOIN shx b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT c.id_a, c.id_b,
+       round(n_common / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE), 6) AS jaccard
+FROM cand c
+JOIN common USING (id_a, id_b)
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE n_common / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= {threshold}
+"""
 
 
 # --------------------------------------------------------------------------
@@ -887,8 +1276,20 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "minhash_signatures": (q_minhash_signatures, _minhash_sql(8)),
     "simhash": (q_simhash, _simhash_sql()),
     "knn_cosine_topk": (q_knn_cosine, _SQL_KNN),
-    "stream_window_kpis": (q_stream_window_kpis, None),
-    "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
+    "percentiles": (q_percentiles, _SQL_PERCENTILES),
+    "distinct_counts": (q_distinct_counts, _SQL_DISTINCT_COUNTS),
+    "rollup_totals": (q_rollup, _SQL_ROLLUP),
+    "pivot_event_types": (q_pivot, _SQL_PIVOT),
+    "sessionize": (q_sessionize, _SQL_SESSIONIZE),
+    "align_by_position": (q_align_by_position, _SQL_ALIGN),
+    "offset_batch": (q_offset_batch, _SQL_OFFSET_BATCH),
+    "string_normalize": (q_string_normalize, _SQL_STRING_NORMALIZE),
+    "fuzzy_column_mapping": (q_fuzzy_column_mapping, _SQL_FUZZY_MAPPING),
+    "value_tiers": (q_value_tiers, _SQL_VALUE_TIERS),
+    "trailing_window_kpis": (q_trailing_window_kpis, _SQL_TRAILING_WINDOW),
+    "stream_window_kpis": (q_stream_window_kpis, _SQL_STREAM_WINDOW),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, _minhash_lsh_sql()),
+    "approx_aggregates": (q_approx_aggregates, None),
 }
 
 

@@ -112,6 +112,8 @@ def windowed_kpis_stream(
 ):
     """The standing streaming aggregation (T5 + T8): event-time windows with
     a watermark so state is GC'd — works identically on batch DataFrames."""
+    from ..operators.timeseries import stable_mean
+
     grouped_keys = [F.window(ts, window, slide).alias("w")] + [
         F.col(k) for k in (keys or [])
     ]
@@ -120,7 +122,9 @@ def windowed_kpis_stream(
         .groupBy(*grouped_keys)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.avg(value).alias("avg_value"),
+            # order-independent mean: exact decimal sum, so results are
+            # bit-identical whatever the micro-batch/partition split
+            stable_mean(value).alias("avg_value"),
             F.min(value).alias("min_value"),
             F.max(value).alias("max_value"),
         )
@@ -163,10 +167,11 @@ def run_windowed_kpis_batchmode(spark: SparkSession, events_path: str) -> DataFr
     )
     q.awaitTermination()
     out = spark.table(name)
+    scale = F.lit(1e6)
     return out.select(
         F.col("w.start").cast("long").alias("window_start_epoch"),
         "n",
-        F.round("avg_value", 6).alias("avg_value"),
-        F.round("min_value", 6).alias("min_value"),
-        F.round("max_value", 6).alias("max_value"),
+        (F.round(F.col("avg_value") * scale, 0) / scale).alias("avg_value"),
+        F.col("min_value"),
+        F.col("max_value"),
     )
