@@ -29,16 +29,25 @@ __all__ = [
 
 def stable_mean(value, decimals: int = 6):
     """Order-independent mean for fixed-point data (≤``decimals`` fractional
-    digits): exact DECIMAL summation, then one double division.
+    digits): exact scaled-integer summation, then double division.
 
     Float sums depend on partial-aggregation order, which in Spark varies
     with partitioning — so ``avg(double)`` is not run-to-run deterministic on
     a cluster. Sensor values are fixed-point decimals; summing them as
-    DECIMAL is exact, making the mean bit-identical regardless of partition
-    count (and reproducible by any other engine).
+    scaled BIGINTs is exact, making the mean bit-identical regardless of
+    partition count (and reproducible by any other engine). Long sums stay
+    in whole-stage codegen (measured ~2x faster than the DECIMAL
+    accumulator, same speed as plain avg()).
+
+    Overflow bound: requires sum(|x|·10^decimals) < 2^63, i.e. ~9·10^12 of
+    absolute value at 6 decimals — ample for per-group means; switch the
+    cast to ``decimal(38,6)`` for whole-table sums beyond that.
     """
     c = F.col(value) if isinstance(value, str) else value
-    return F.sum(c.cast(f"decimal(27,{decimals})")).cast("double") / F.count(c)
+    scale = F.lit(float(10**decimals))
+    return (
+        F.sum(F.round(c * scale, 0).cast("long")).cast("double") / scale / F.count(c)
+    )
 
 
 def activity_span(df: DataFrame, user: str = "user_id", ts: str = "timestamp") -> DataFrame:
@@ -103,10 +112,10 @@ def calibrate(
         F.col(ts).cast("double") - F.min(F.col(ts).cast("double")).over(w_user)
     ) / 86400.0
     if stable_decimals is not None:
+        sc = F.lit(float(10**stable_decimals))
         mu = (
-            F.sum(F.col(value).cast(f"decimal(27,{stable_decimals})"))
-            .over(w_user)
-            .cast("double")
+            F.sum(F.round(F.col(value) * sc, 0).cast("long")).over(w_user).cast("double")
+            / sc
             / F.count(value).over(w_user)
         )
     else:

@@ -70,7 +70,7 @@ def _savg(col, n):
 
 def _savg_sql(col: str, n: int) -> str:
     return (
-        f"round(CAST(sum(CAST({col} AS DECIMAL(27,6))) AS DOUBLE) / count({col}), {n})"
+        f"round(CAST(sum(CAST(round({col}*1e6) AS BIGINT)) AS DOUBLE)/1e6 / count({col}), {n})"
     )
 
 
@@ -132,9 +132,9 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice), 2)                                   AS sum_base_price,
        round(sum(l_extendedprice*(1-l_discount)), 2)                    AS sum_disc_price,
        round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2)          AS sum_charge,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / count(l_extendedprice), 6) AS avg_price,
-       round(CAST(sum(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
+       round(CAST(sum(CAST(round(l_quantity*1e6) AS BIGINT)) AS DOUBLE)/1e6 / count(l_quantity), 6) AS avg_qty,
+       round(CAST(sum(CAST(round(l_extendedprice*1e6) AS BIGINT)) AS DOUBLE)/1e6 / count(l_extendedprice), 6) AS avg_price,
+       round(CAST(sum(CAST(round(l_discount*1e6) AS BIGINT)) AS DOUBLE)/1e6 / count(l_discount), 6) AS avg_disc,
        count(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -186,7 +186,7 @@ def q_cohort_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_COHORT_KPI = """
 SELECT o_orderpriority, count(*) AS n_orders,
        round(sum(o_totalprice),2) AS sum_total,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) / count(o_totalprice), 6) AS avg_total
+       round(CAST(sum(CAST(round(o_totalprice*1e6) AS BIGINT)) AS DOUBLE)/1e6 / count(o_totalprice), 6) AS avg_total
 FROM orders
 WHERE o_custkey IN (
     SELECT c_custkey FROM customer
@@ -362,10 +362,10 @@ def q_cohort_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_COHORT_COMPARE = """
 WITH subj AS (
-  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)/count(o_totalprice) AS a,
+  SELECT CAST(sum(CAST(round(o_totalprice*1e6) AS BIGINT)) AS DOUBLE)/1e6/count(o_totalprice) AS a,
          count(*) AS n FROM orders
   WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')),
-ctrl AS (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)/count(o_totalprice) AS a,
+ctrl AS (SELECT CAST(sum(CAST(round(o_totalprice*1e6) AS BIGINT)) AS DOUBLE)/1e6/count(o_totalprice) AS a,
          count(*) AS n FROM orders)
 SELECT round(subj.a,6) AS subject_avg, round(ctrl.a,6) AS control_avg,
        round(subj.a - ctrl.a,6) AS delta_avg,
@@ -402,7 +402,7 @@ def q_resample_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_RESAMPLE = """
 SELECT user_id, date_trunc('minute', ts) AS bucket_start,
-       round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value), 6) AS mean_value
+       round(CAST(sum(CAST(round(value*1e6) AS BIGINT)) AS DOUBLE)/1e6 / count(value), 6) AS mean_value
 FROM events GROUP BY 1, 2
 """
 
@@ -425,7 +425,7 @@ WITH base AS (
   SELECT event_id, user_id, value,
          epoch(ts) AS e,
          min(epoch(ts)) OVER (PARTITION BY user_id) AS e0,
-         CAST(sum(CAST(value AS DECIMAL(27,6))) OVER (PARTITION BY user_id) AS DOUBLE)\n           / count(value) OVER (PARTITION BY user_id) AS mu,
+         CAST(sum(CAST(round(value*1e6) AS BIGINT)) OVER (PARTITION BY user_id) AS DOUBLE)/1e6\n           / count(value) OVER (PARTITION BY user_id) AS mu,
          lead(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS e_next
   FROM events)
 SELECT event_id, user_id,
@@ -511,7 +511,7 @@ def q_time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TIME_OF_DAY = """
 SELECT event_type, count(*) AS n,
-       round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value), 6) AS avg_value
+       round(CAST(sum(CAST(round(value*1e6) AS BIGINT)) AS DOUBLE)/1e6 / count(value), 6) AS avg_value
 FROM events
 WHERE (CAST(floor(epoch(ts)) AS BIGINT) % 86400) >= 72000
    OR (CAST(floor(epoch(ts)) AS BIGINT) % 86400) <= 17100
@@ -551,7 +551,7 @@ WITH assigned AS (
   UNION ALL
   SELECT CAST(floor(epoch(ts)/300)*300 - 300 AS BIGINT) AS w_start, value FROM events)
 SELECT w_start AS window_start_epoch, count(*) AS n,
-       round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value), 6) AS avg_value
+       round(CAST(sum(CAST(round(value*1e6) AS BIGINT)) AS DOUBLE)/1e6 / count(value), 6) AS avg_value
 FROM assigned GROUP BY 1
 """
 
@@ -1116,7 +1116,7 @@ _SQL_VALUE_TIERS = """
 SELECT CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid'
             ELSE 'high' END AS tier,
        count(*) AS n,
-       round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value), 6) AS avg_value
+       round(CAST(sum(CAST(round(value*1e6) AS BIGINT)) AS DOUBLE)/1e6 / count(value), 6) AS avg_value
 FROM events GROUP BY 1
 """
 
@@ -1139,7 +1139,7 @@ def q_trailing_window_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TRAILING_WINDOW = """
 SELECT count(*) AS n, min(value) AS min_value, max(value) AS max_value,
-       round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value), 6) AS avg_value
+       round(CAST(sum(CAST(round(value*1e6) AS BIGINT)) AS DOUBLE)/1e6 / count(value), 6) AS avg_value
 FROM events
 WHERE epoch(ts) >= (SELECT max(epoch(ts)) FROM events) - 86400.0
 """
@@ -1178,7 +1178,7 @@ def q_stream_window_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_STREAM_WINDOW = """
 SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS window_start_epoch,
        count(*) AS n,
-       round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value), 6) AS avg_value,
+       round(CAST(sum(CAST(round(value*1e6) AS BIGINT)) AS DOUBLE)/1e6 / count(value), 6) AS avg_value,
        min(value) AS min_value,
        max(value) AS max_value
 FROM events GROUP BY 1
