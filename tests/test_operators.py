@@ -273,3 +273,71 @@ def test_rolling_hash_known_value(spark):
     # h("ab") = (0*31+97)*31 + 98 = 3105
     df = spark.createDataFrame([("ab",)], "t string")
     assert df.select(rolling_hash(F.col("t")).alias("h")).collect()[0]["h"] == 97 * 31 + 98
+
+
+# --------------------------------------------------------------------------
+# Multimodal binary-payload operators
+# --------------------------------------------------------------------------
+
+def _mm_docs(spark):
+    from w4h_integrated_toolkit_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a" * 100), Row(doc_id=2, text="xyz " * 40)],
+        "doc_id long, text string",
+    )
+    return MM, MM.attach_payload(docs)
+
+
+def test_multimodal_meta_schema_and_frames(spark):
+    MM, payloads = _mm_docs(spark)
+    assert dict(payloads.dtypes)["payload"] == "binary"
+    meta = {r["doc_id"]: r for r in MM.payload_meta(payloads).collect()}
+    assert meta[1]["n_bytes"] == 100 and meta[1]["n_frames"] == 2  # ceil(100/64)
+    assert meta[2]["n_bytes"] == 160 and meta[2]["n_frames"] == 3
+
+
+def test_frame_sample_every_k(spark):
+    MM, payloads = _mm_docs(spark)
+    rows = MM.frame_sample(payloads, every=2).collect()
+    # doc1: frames {0}, sampled every 2 from 2 frames -> idx 0; doc2: 3 frames -> 0,2
+    assert sorted((r["doc_id"], r["frame_idx"]) for r in rows) == [(1, 0), (2, 0), (2, 2)]
+
+
+def test_byte_histogram_exact_counts(spark):
+    MM, payloads = _mm_docs(spark)
+    rows = MM.byte_histogram_features(payloads, n_buckets=16).collect()
+    by_doc = {(r["doc_id"], r["bucket"]): r["n_bytes"] for r in rows}
+    # 'a' = 97 -> bucket 6 (97//16); doc1 all 100 bytes there
+    assert by_doc[(1, 6)] == 100
+    # doc2: 'x','y','z' = 120,121,122 -> bucket 7 (x3 * 40), ' ' = 32 -> bucket 2
+    assert by_doc[(2, 7)] == 120 and by_doc[(2, 2)] == 40
+
+
+def test_decode_frames_fake_codec_and_stub(spark):
+    MM, payloads = _mm_docs(spark)
+    rows = MM.decode_frames(payloads, codec="fake").collect()
+    means = {(r["doc_id"], r["frame_idx"]): r["mean_byte"] for r in rows}
+    assert means[(1, 0)] == 97.0 and means[(1, 1)] == 97.0
+    assert len(means) == 5  # 2 + 3 frames
+    with pytest.raises(NotImplementedError):
+        MM.decode_frames(payloads, codec="real")
+
+
+# --------------------------------------------------------------------------
+# Embedding near-duplicate pairs (sign-LSH blocking)
+# --------------------------------------------------------------------------
+
+def test_neardup_pairs_finds_identical_vectors(spark):
+    from w4h_integrated_toolkit_spark.operators.similarity import neardup_pairs
+
+    v1 = [1.0, 0.0, 0.0, 0.0]
+    v2 = [0.99, 0.01, 0.0, 0.0]   # nearly identical
+    v3 = [-1.0, 0.5, 0.0, 0.0]    # far away
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=v1), Row(vec_id=2, embedding=v2), Row(vec_id=3, embedding=v3)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = neardup_pairs(df, threshold=0.9, dim=4, n_planes=2).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["cos"] > 0.99

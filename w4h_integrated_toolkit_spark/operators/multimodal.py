@@ -1,0 +1,203 @@
+"""Multimodal (binary-payload) columns: schema, framing, features, decode.
+
+A media column is an opaque ``binary`` payload plus a typed metadata struct
+(`META_TYPE`) — the layout a 100 TB training-data lake actually uses
+(parquet keeps the blobs out of dictionary/stats paths; metadata stays
+columnar and prunable). Everything *around* the codec is real, distributed
+Spark:
+
+- **attach_payload / payload_meta** — pure JVM column expressions
+  (encode/md5/octet slicing); no Python in the hot path.
+- **frame_sample** — every-k-th fixed-size frame via `sequence` + `explode`
+  + binary `substring`: frame extraction without ever shipping payloads
+  through Python, and without a shuffle (map-side explode).
+- **byte_histogram_features** — the feature-extraction shape: `mapInPandas`
+  over Arrow record batches, NumPy-vectorized per batch. This is the
+  template for real decode→featurize kernels; batches arrive
+  partition-local, so the op scales linearly with executors.
+- **decode_frames** — the real-media decode kernel. Image/audio libraries
+  are not available in this environment, so ``codec="real"`` raises
+  NotImplementedError by design; ``codec="fake"`` runs the same
+  mapInPandas plumbing with a deterministic byte-mean "decoder" so schema,
+  batch shape, and partitioning are testable end-to-end.
+
+Reference parity: the reference has no binary columns (geometry aside,
+SURVEY §2.7 C11); this module is a north-star extension (BASELINE.json
+"multimodal columns"), designed per the 100 TB goal.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "META_TYPE",
+    "attach_payload",
+    "payload_meta",
+    "frame_sample",
+    "byte_histogram_features",
+    "decode_frames",
+]
+
+META_TYPE = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+
+def attach_payload(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    frame_bytes: int = 64,
+) -> DataFrame:
+    """(id, payload: binary, meta: struct) from a text column.
+
+    Deterministic stand-in for reading real media blobs from parquet: the
+    UTF-8 bytes of the text ARE the payload. Metadata is computed, typed,
+    and carried as a struct so downstream ops never re-touch the blob for
+    bookkeeping."""
+    payload = F.encode(F.col(text), "UTF-8")
+    n_bytes = F.octet_length(payload).cast("long")
+    n_frames = F.ceil(n_bytes / F.lit(float(frame_bytes))).cast("long")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("fake/raw").alias("format"),
+            n_bytes.alias("n_bytes"),
+            F.lit(frame_bytes).alias("frame_bytes"),
+            n_frames.alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def payload_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Typed metadata projection: byte length, content digest, frame count.
+    Pure column expressions — the blob never leaves the JVM."""
+    return df.select(
+        F.col(id_col),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+
+
+def frame_sample(
+    df: DataFrame, every: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Every ``every``-th fixed-size frame of each payload, with a digest.
+
+    sequence(0, n_frames-1, every) → explode → binary substring: map-side
+    only (no shuffle), JVM-side slicing. The last frame may be short
+    (substring clamps) — same semantics as a tail video frame."""
+    fb = F.col("meta.frame_bytes")
+    idx = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.col("meta.n_frames") - 1, F.lit(every).cast("long"))
+    ).alias("frame_idx")
+    return df.select(F.col(id_col), F.col("payload"), fb.alias("fb"), idx).select(
+        F.col(id_col),
+        F.col("frame_idx"),
+        F.md5(
+            F.substring(F.col("payload"), F.col("frame_idx") * F.col("fb") + 1, F.col("fb"))
+        ).alias("frame_md5"),
+    )
+
+
+def byte_histogram_features(
+    df: DataFrame, n_buckets: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Byte-value histogram per payload — the feature-extraction template.
+
+    mapInPandas over Arrow batches; NumPy does the counting per batch
+    (vectorized, no per-row Python). Output is long-form
+    (id, bucket, n_bytes) so exact integer counts are oracle-comparable.
+    Scales map-side: each task featurizes only its partition's blobs.
+    """
+    import numpy as np
+
+    width = 256 // n_buckets
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, buckets, counts = [], [], []
+            for i, blob in zip(pdf[id_col], pdf["payload"]):
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8) // width
+                hist = np.bincount(arr, minlength=n_buckets)
+                nz = np.nonzero(hist)[0]
+                ids.extend([i] * len(nz))
+                buckets.extend(nz.tolist())
+                counts.extend(hist[nz].tolist())
+            yield pd.DataFrame(
+                {"doc_id": ids, "bucket": buckets, "n_bytes": counts}
+            )
+
+    return df.select(F.col(id_col), F.col("payload")).mapInPandas(
+        featurize, schema=out_schema
+    )
+
+
+def decode_frames(
+    df: DataFrame, codec: str = "real", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode each sampled frame to a scalar feature (mean byte value).
+
+    ``codec="real"`` is the integration point for actual image/audio
+    decoders (PIL/av/librosa) — NOT available in this environment, so it
+    raises NotImplementedError (clearly-marked stub, see module docstring).
+    ``codec="fake"`` exercises identical plumbing with a deterministic
+    byte-mean decoder.
+    """
+    if codec != "fake":
+        raise NotImplementedError(
+            "real media codecs are unavailable in this environment; "
+            "use codec='fake' for the deterministic test decoder"
+        )
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("mean_byte", T.DoubleType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "mean_byte": []}
+            for i, blob, fb, nf in zip(
+                pdf[id_col], pdf["payload"], pdf["frame_bytes"], pdf["n_frames"]
+            ):
+                data = np.frombuffer(bytes(blob), dtype=np.uint8)
+                for k in range(int(nf)):
+                    frame = data[k * fb : (k + 1) * fb]
+                    rows["doc_id"].append(i)
+                    rows["frame_idx"].append(k)
+                    rows["mean_byte"].append(float(frame.mean()))
+            yield pd.DataFrame(rows)
+
+    flat = df.select(
+        F.col(id_col),
+        F.col("payload"),
+        F.col("meta.frame_bytes").alias("frame_bytes"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+    return flat.mapInPandas(decode, schema=out_schema)

@@ -17,7 +17,16 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "lsh_topk"]
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "cosine_topk",
+    "lsh_topk",
+    "neardup_pairs",
+    "hyperplanes",
+    "sign_bucket_key",
+]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -81,11 +90,66 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Seeded Gaussian hyperplanes, inlined as literals on both the Spark and
+    oracle sides so sign-LSH bucketing is engine-reproducible."""
     rng = random.Random(seed)
     return [
         [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
     ]
+
+
+_hyperplanes = hyperplanes  # back-compat alias
+
+
+def sign_bucket_key(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: one character per plane, '1' iff
+    dot(vec, plane) >= 0. Pure map-side column expression."""
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(p) for p in plane])) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH blocking.
+
+    Scale shape: one map-side bucket-key projection, ONE shuffle on the
+    bucket key, pair generation confined to same-bucket candidates (recall
+    trade: a pair is found only if no plane separates it — P ≈
+    (1 - θ/π)^n_planes per pair), then exact cosine verification. At 100 TB
+    the bucket shuffle replaces an O(n²) cross join; raise n_planes as n
+    grows to keep buckets bounded, or band multiple keys for recall.
+    Output: (id_a < id_b, cos ≥ threshold).
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", sign_bucket_key(F.col("v"), planes))
+    a_side = b.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    b_side = b.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        a_side.join(b_side, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("id_a", "id_b", "cos")
+    )
 
 
 def lsh_topk(
@@ -104,23 +168,13 @@ def lsh_topk(
     pairs are scored. At 100 TB: corpus bucketed once (map-side key compute +
     one shuffle on bucket), each query probes one bucket instead of the whole
     corpus. Recall < 1 by design; raise n_planes/bands for precision."""
-    planes = _hyperplanes(dim, n_planes, seed)
-
-    def bucket_key(vec: Column) -> Column:
-        bits = [
-            F.when(
-                dot(vec, F.array(*[F.lit(p) for p in plane])) >= 0, F.lit("1")
-            ).otherwise(F.lit("0"))
-            for plane in planes
-        ]
-        return F.concat(*bits)
-
+    planes = hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", bucket_key(F.col("cv")))
+    ).withColumn("bucket", sign_bucket_key(F.col("cv"), planes))
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", bucket_key(F.col("qv")))
+    ).withColumn("bucket", sign_bucket_key(F.col("qv"), planes))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -29,6 +29,7 @@ from ..catalog import read_parquet
 from ..functions import time_of_day_between
 from ..operators import dedup as D
 from ..operators import kpi as K
+from ..operators import multimodal as MM
 from ..operators import similarity as SIM
 from ..operators import text as TX
 from ..operators import timeseries as TS
@@ -1240,6 +1241,90 @@ WHERE n_common / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= {thresh
 """
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH blocking
+    (seeded hyperplanes → sign buckets, exact cosine ≥ 0.35 verification —
+    the synthetic corpus' top-similarity tail; real near-dup corpora use
+    ≥0.9 with more planes). One bucket-key shuffle replaces the O(n²)
+    cross join; the oracle replicates bucketing with the same inlined
+    plane literals."""
+    return SIM.neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, dim=64, n_planes=2
+    ).select("id_a", "id_b", _r(F.col("cos"), 5).alias("cos"))
+
+
+def _embedding_neardup_sql(
+    threshold: float = 0.35, dim: int = 64, n_planes: int = 2, seed: int = 42
+) -> str:
+    """Oracle for q_embedding_neardup: same hyperplane literals (repr
+    round-trips doubles exactly in both engines), same bucket/verify plan."""
+    planes = SIM.hyperplanes(dim, n_planes, seed)
+    bit = (
+        "(CASE WHEN list_dot_product(ev, [{p}]) >= 0 THEN '1' ELSE '0' END)"
+    )
+    bucket = " || ".join(
+        bit.format(p=", ".join(repr(x) for x in plane)) for plane in planes
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+b AS (SELECT vec_id, ev, {bucket} AS bucket FROM v),
+p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             list_dot_product(a.ev, c.ev) /
+             (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(c.ev, c.ev))) AS cos
+      FROM b a JOIN b c USING (bucket) WHERE a.vec_id < c.vec_id)
+SELECT id_a, id_b, round(cos, 5) AS cos FROM p WHERE cos >= {threshold}
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata projection: documents carried as opaque
+    binary + typed meta struct; length/digest/frame-count stay JVM-side
+    (the blob never crosses into Python). Docs are ASCII so the oracle's
+    char offsets equal byte offsets."""
+    payloads = MM.attach_payload(_t(spark, sf_dir, "documents"))
+    return MM.payload_meta(payloads)
+
+
+_SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames
+FROM documents
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-4th 64-byte frame per payload with digest: sequence + explode
+    + binary substring, map-side only (frame sampling without Python or
+    shuffle)."""
+    payloads = MM.attach_payload(_t(spark, sf_dir, "documents"))
+    return MM.frame_sample(payloads, every=4)
+
+
+_SQL_FRAME_SAMPLE = """
+SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+       md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
+FROM documents,
+     unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 4)) AS t(i)
+"""
+
+
+def q_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (mapInPandas +
+    NumPy bincount): long-form byte-bucket histogram, exact counts."""
+    payloads = MM.attach_payload(_t(spark, sf_dir, "documents"))
+    return MM.byte_histogram_features(payloads, n_buckets=16)
+
+
+_SQL_BYTE_HISTOGRAM = """
+SELECT doc_id, CAST(ord(substr(text, CAST(i AS INT), 1)) // 16 AS INT) AS bucket,
+       count(*) AS n_bytes
+FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1289,6 +1374,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "trailing_window_kpis": (q_trailing_window_kpis, _SQL_TRAILING_WINDOW),
     "stream_window_kpis": (q_stream_window_kpis, _SQL_STREAM_WINDOW),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, _minhash_lsh_sql()),
+    "embedding_neardup_pairs": (q_embedding_neardup, _embedding_neardup_sql()),
+    "multimodal_meta": (q_multimodal_meta, _SQL_MULTIMODAL_META),
+    "frame_sample": (q_frame_sample, _SQL_FRAME_SAMPLE),
+    "byte_histogram": (q_byte_histogram, _SQL_BYTE_HISTOGRAM),
     "approx_aggregates": (q_approx_aggregates, None),
 }
 
