@@ -1,0 +1,114 @@
+"""Sources/sinks: CSV round-trip, JSON micro-batch decode, GeoJSON polygons,
+config-driven DDL (SURVEY §2.1 S5/S6/S9/S11/S13/S14)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from w4h_integrated_toolkit_spark.sources import (
+    create_instance,
+    ddl_for_config,
+    list_tables,
+    read_csv,
+    read_geojson_polygons,
+    sensor_batch_from_json,
+    write_csv,
+)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("u1", 10.5), ("u2", 20.0)], "user_id string, value double"
+    )
+    out = str(tmp_path / "export")
+    write_csv(df, out, single_file=True)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = read_csv(spark, out, schema=schema)
+    assert sorted((r.user_id, r.value) for r in back.collect()) == [
+        ("u1", 10.5),
+        ("u2", 20.0),
+    ]
+
+
+def test_sensor_batch_from_json(spark):
+    payload = json.dumps(
+        {
+            "heart_rates": [
+                {"user_id": "u1", "timestamp": "2016-08-01 12:00:00", "value": "71.0"}
+            ],
+            "calories": [
+                {"user_id": "u1", "timestamp": "2016-08-01 12:00:00", "value": "1.2"}
+            ],
+            "coordinates": [
+                {
+                    "user_id": "u1",
+                    "timestamp": "2016-08-01 12:00:00",
+                    "value": "0101000020E610000000000000008052C00000000000004140",
+                }
+            ],
+        }
+    )
+    payloads = spark.createDataFrame([(payload,)], "payload string")
+    batches = sensor_batch_from_json(spark, payloads)
+    hr = batches["heart_rates"].collect()
+    assert len(hr) == 1 and hr[0]["value"] == 71.0
+    assert dict(batches["heart_rates"].dtypes)["value"] == "double"
+    assert dict(batches["coordinates"].dtypes)["value"] == "string"  # WKB hex kept
+    assert batches["calories"].collect()[0]["timestamp"].year == 2016
+
+
+def test_geojson_polygons(spark, tmp_path):
+    gj = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"name": "University Park"},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [
+                        [[-118.29, 34.02], [-118.28, 34.02], [-118.28, 34.03], [-118.29, 34.02]]
+                    ],
+                },
+            }
+        ],
+    }
+    p = tmp_path / "hoods.geojson"
+    p.write_text(json.dumps(gj))
+    rows = read_geojson_polygons(spark, str(p)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["name"] == "University Park" and r["geometry_type"] == "Polygon"
+    assert r["ring"][0]["lon"] == -118.29 and r["ring"][0]["lat"] == 34.02
+    assert r["wkt"].startswith("POLYGON ((-118.29 34.02,")
+
+
+def test_ddl_generation_and_instance(spark):
+    stmts = ddl_for_config(database="w4h_test")
+    assert stmts[0].startswith("CREATE DATABASE")
+    assert any("geomts_users" in s for s in stmts)
+    assert any("heart_rates" in s and "PARTITIONED BY (dt)" in s for s in stmts)
+    # unknown type in config must be rejected, not silently stringified
+    bad = {
+        "subject_table": {"name": "x", "attributes": {"user_id": "uuid"}},
+        "series_tables": [],
+    }
+    with pytest.raises(ValueError):
+        ddl_for_config(bad)
+
+    create_instance(spark, database="w4h_test")
+    tables = list_tables(spark, "w4h_test")
+    assert "geomts_users" in tables and "locations" in tables
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS w4h_test.{t}")
+    spark.sql("DROP DATABASE IF EXISTS w4h_test")

@@ -1,0 +1,22 @@
+"""Sources & sinks (SURVEY §2.1): CSV, JSON micro-batches, GeoJSON, DDL.
+
+Each maps a reference ingestion/export path onto a declarative Spark
+reader/writer so Catalyst sees the whole plan (pushdown + pruning reach the
+scan). Nothing here materializes driver-side beyond schema metadata.
+"""
+
+from .csv_io import read_csv, write_csv
+from .ddl import create_instance, ddl_for_config, list_tables
+from .geojson import read_geojson_polygons
+from .json_io import SENSOR_BATCH_SCHEMA, sensor_batch_from_json
+
+__all__ = [
+    "read_csv",
+    "write_csv",
+    "sensor_batch_from_json",
+    "SENSOR_BATCH_SCHEMA",
+    "read_geojson_polygons",
+    "ddl_for_config",
+    "create_instance",
+    "list_tables",
+]
