@@ -75,3 +75,57 @@ def test_streaming_end_to_end(spark):
     rows = df.collect()
     assert len(rows) > 100
     assert all(r["n"] >= 1 for r in rows)
+
+
+def _file_stream(spark, tmp_path, rows, schema):
+    """Stage rows as parquet and open as a file-stream source."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    sch = spark.read.parquet(src).schema
+    return spark.readStream.schema(sch).parquet(src)
+
+
+def test_stateful_running_user_stats(spark, tmp_path):
+    """applyInPandasWithState: running per-user KPIs with constant-size
+    keyed state through the real streaming engine."""
+    from w4h_integrated_toolkit_spark.streaming.stateful import running_user_stats
+
+    rows = [(1, _ts(m), float(m)) for m in range(4)] + [(2, _ts(0), 100.0)]
+    stream = _file_stream(spark, tmp_path, rows, "user_id long, ts timestamp, value double")
+    out = running_user_stats(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_stats_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = {r["user_id"]: r for r in spark.table("stateful_stats_t").collect()}
+    assert res[1]["n"] == 4 and res[1]["mean"] == 1.5
+    assert res[1]["min_value"] == 0.0 and res[1]["max_value"] == 3.0
+    assert res[2]["n"] == 1 and res[2]["total"] == 100.0
+
+
+def test_stateful_trajectory_tails(spark, tmp_path):
+    from w4h_integrated_toolkit_spark.streaming.stateful import trajectory_tails
+
+    rows = [
+        (1, _ts(m), 34.0 + m * 0.01, -118.0 - m * 0.01) for m in range(5)
+    ]
+    stream = _file_stream(
+        spark, tmp_path, rows, "user_id long, ts timestamp, lat double, lon double"
+    )
+    out = trajectory_tails(stream, tail=3)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("traj_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    r = spark.table("traj_t").collect()[0]
+    assert r["n_points"] == 5          # total seen
+    assert len(r["path"]) == 3          # state bounded to tail
+    assert r["path"][-1] == [34.04, -118.04]  # time-ordered, newest last

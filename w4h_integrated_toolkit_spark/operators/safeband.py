@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["safe_band", "breach_histogram"]
+__all__ = ["safe_band", "breach_histogram", "alerts"]
 
 
 def safe_band(df: DataFrame, value: str = "value", k: float = 2.0) -> DataFrame:
@@ -60,4 +60,44 @@ def breach_histogram(
         )
         .withColumn("unsafe_ratio", F.col("n_unsafe") / F.col("n_total"))
         .withColumn("opacity", 0.7 * F.col("unsafe_ratio") + 0.2)
+    )
+
+
+def alerts(
+    df: DataFrame,
+    ts: str = "timestamp",
+    value: str = "value",
+    window_seconds: int = 60,
+    ratio_threshold: float = 0.5,
+    k: float = 2.0,
+) -> DataFrame:
+    """T9 (viz.py:38, ALERT_TIMEOUT=60): alert windows — fixed event-time
+    windows where the fraction of readings outside the safe band exceeds
+    ``ratio_threshold``.
+
+    Same broadcast-scalars + hash-aggregate shape as breach_histogram, with
+    epoch-aligned tumbling windows so the streaming variant (groupBy
+    F.window) emits identical window keys. Works on batch or (with a
+    watermark upstream) streaming DataFrames; output is the alert sink's
+    schema: (window_start_epoch, n_total, n_unsafe, unsafe_ratio).
+    """
+    e = F.col(ts).cast("double")
+    band = df.agg(
+        (F.avg(value) - k * F.stddev_samp(value)).alias("band_lo"),
+        (F.avg(value) + k * F.stddev_samp(value)).alias("band_hi"),
+    )
+    unsafe = (F.col(value) < F.col("band_lo")) | (F.col(value) > F.col("band_hi"))
+    return (
+        df.join(F.broadcast(band))
+        .withColumn(
+            "window_start_epoch",
+            (F.floor(e / window_seconds) * window_seconds).cast("long"),
+        )
+        .groupBy("window_start_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(unsafe, 1).otherwise(0)).alias("n_unsafe"),
+        )
+        .withColumn("unsafe_ratio", F.col("n_unsafe") / F.col("n_total"))
+        .filter(F.col("unsafe_ratio") > F.lit(ratio_threshold))
     )

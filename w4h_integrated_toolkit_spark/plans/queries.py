@@ -36,6 +36,7 @@ from ..operators import timeseries as TS
 from ..operators.cohort import FilterSpec, cohort_anti_join, cohort_semi_join, filter_users
 from ..operators.dedup import _perm_params
 from ..operators.etl import melt
+from ..operators.safeband import alerts as sb_alerts
 from ..operators.safeband import breach_histogram, safe_band
 from ..session import prepare_session
 
@@ -1325,6 +1326,118 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 alert thresholding (ALERT_TIMEOUT semantics, viz.py:38): 10-minute
+    event-time windows where >50% of readings breach the mean±2σ safe band.
+    Broadcast scalar band + one hash aggregate; the same operator runs on a
+    watermarked stream (safeband.alerts)."""
+    ev = _t(spark, sf_dir, "events")
+    out = sb_alerts(ev, ts="ts", window_seconds=600, ratio_threshold=0.5)
+    return out.select(
+        "window_start_epoch",
+        "n_total",
+        "n_unsafe",
+        _r(F.col("unsafe_ratio"), 6).alias("unsafe_ratio"),
+    )
+
+
+_SQL_STREAM_ALERTS = """
+WITH band AS (
+  SELECT avg(value) - 2*stddev_samp(value) AS lo,
+         avg(value) + 2*stddev_samp(value) AS hi
+  FROM events),
+w AS (SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS window_start_epoch,
+             count(*) AS n_total,
+             sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS n_unsafe
+      FROM events, band GROUP BY 1)
+SELECT window_start_epoch, n_total, n_unsafe,
+       round(CAST(n_unsafe AS DOUBLE)/n_total, 6) AS unsafe_ratio
+FROM w WHERE CAST(n_unsafe AS DOUBLE)/n_total > 0.5
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: customer⋈orders⋈lineitem with selective filters on
+    both sides of the big join. Date predicates push into both parquet
+    scans; the customer side (post-filter) broadcasts; revenue is a single
+    hash aggregate and top-10 is a TakeOrderedAndProject (no global sort)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+_SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue, o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-way join (fact + 5 dims) with a region filter.
+    All dimension sides broadcast (nation/region tiny, supplier/customer
+    small at any SF relative to lineitem) so the only shuffle is the final
+    per-nation aggregate — the join tree is one map-side pipeline over
+    lineitem."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+_SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1374,6 +1487,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "trailing_window_kpis": (q_trailing_window_kpis, _SQL_TRAILING_WINDOW),
     "stream_window_kpis": (q_stream_window_kpis, _SQL_STREAM_WINDOW),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, _minhash_lsh_sql()),
+    "stream_alerts": (q_stream_alerts, _SQL_STREAM_ALERTS),
+    "shipping_priority": (q_shipping_priority, _SQL_SHIPPING_PRIORITY),
+    "local_supplier_volume": (q_local_supplier_volume, _SQL_LOCAL_SUPPLIER_VOLUME),
     "embedding_neardup_pairs": (q_embedding_neardup, _embedding_neardup_sql()),
     "multimodal_meta": (q_multimodal_meta, _SQL_MULTIMODAL_META),
     "frame_sample": (q_frame_sample, _SQL_FRAME_SAMPLE),

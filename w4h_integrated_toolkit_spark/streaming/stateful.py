@@ -1,0 +1,161 @@
+"""Custom stateful streaming operators (SURVEY §2.8 T6/T7).
+
+The reference accumulates *all* streamed rows into client-side session
+frames and recomputes running KPIs and per-user trajectory paths each tick
+(viz.py:737-821) — unbounded memory by design. The Spark-native shape is
+keyed state in the state store via ``applyInPandasWithState``: per-key
+state is O(counters + tail), not O(rows seen), and it is partitioned
+across executors (the client-frame approach can never leave one machine).
+
+- :func:`running_user_stats` — T6: running n/mean/min/max per user,
+  emitted every micro-batch (the "entire-so-far KPIs" the reference
+  recomputes from the full frame each tick).
+- :func:`trajectory_tails` — T7: per-user trajectory tail (last K points,
+  time-ordered), the map-polyline state, bounded at K points per user.
+
+Both emit per micro-batch (update semantics). State schema is explicit
+Spark SQL types — the state store serializes exactly these columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["running_user_stats", "trajectory_tails"]
+
+_STATS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("min_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+_STATS_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("mn", T.DoubleType()),
+        T.StructField("mx", T.DoubleType()),
+    ]
+)
+
+
+def running_user_stats(
+    events: DataFrame, user: str = "user_id", value: str = "value"
+) -> DataFrame:
+    """Running per-user KPIs over a *streaming* DataFrame.
+
+    One state row of four scalars per user — constant-size state however
+    long the stream runs (vs the reference's grow-forever frames). Keys are
+    hash-partitioned by the state store, so throughput scales with
+    executors.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, total, mn, mx = state.get
+        else:
+            n, total, mn, mx = 0, 0.0, float("inf"), float("-inf")
+        for pdf in pdfs:
+            v = pdf[value]
+            n += int(v.count())
+            total += float(v.sum())
+            mn = min(mn, float(v.min()))
+            mx = max(mx, float(v.max()))
+        state.update((n, total, mn, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n": [n],
+                "total": [total],
+                "mean": [total / n if n else None],
+                "min_value": [mn],
+                "max_value": [mx],
+            }
+        )
+
+    return events.groupBy(user).applyInPandasWithState(
+        update,
+        outputStructType=_STATS_OUT,
+        stateStructType=_STATS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_TRAJ_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_points", T.LongType()),
+        T.StructField("path", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ]
+)
+_TRAJ_STATE = T.StructType(
+    [
+        T.StructField("lats", T.ArrayType(T.DoubleType())),
+        T.StructField("lons", T.ArrayType(T.DoubleType())),
+        T.StructField("n_total", T.LongType()),
+    ]
+)
+
+
+def trajectory_tails(
+    events: DataFrame,
+    tail: int = 100,
+    user: str = "user_id",
+    ts: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Per-user trajectory tail: last ``tail`` [lat, lon] points in event-time
+    order (the reference's map polyline, viz.py:814-821, with bounded state).
+
+    Replay delivers batches time-ordered (stream_sim.py:147), so within-key
+    ordering only needs a per-batch sort; state truncates to the tail."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            lats, lons, n_total = state.get
+            lats, lons = list(lats), list(lons)
+        else:
+            lats, lons, n_total = [], [], 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts)
+            lats.extend(float(x) for x in pdf[lat])
+            lons.extend(float(x) for x in pdf[lon])
+            n_total += len(pdf)
+        lats, lons = lats[-tail:], lons[-tail:]
+        state.update((lats, lons, n_total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_points": [n_total],
+                "path": [[[la, lo] for la, lo in zip(lats, lons)]],
+            }
+        )
+
+    return events.groupBy(user).applyInPandasWithState(
+        update,
+        outputStructType=_TRAJ_OUT,
+        stateStructType=_TRAJ_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
