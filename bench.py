@@ -26,16 +26,22 @@ BENCH_QUERIES = [
     "pricing_summary",
     "range_scan",
     "cohort_kpi",
+    "shipping_priority",
+    "local_supplier_volume",
     "mets_broadcast_lookup",
     "calibration",
     "breach_histogram",
+    "stream_alerts",
     "resample_1min",
     "sliding_window",
     "exact_dedup",
     "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
     "minhash_signatures",
     "simhash",
     "knn_cosine_topk",
+    "embedding_neardup_pairs",
+    "byte_histogram",
     "text_stats",
     "language_id",
 ]
@@ -47,17 +53,25 @@ def main() -> None:
     spark = get_spark("w4h-bench", cpus=cpus, shuffle_partitions=cpus,
                       driver_memory="24g")
 
-    # warm-up: JVM + parquet footer caches
+    # warm-up: JVM + parquet footer caches + the Python/Arrow worker pool
+    # (we measure the engine, not JVM or daemon startup)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    warm = spark.range(cpus * 4).repartition(cpus)
+    warm.groupBy("id").applyInPandas(lambda p: p, "id long").count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn, _ = QUERIES[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # noop sink: forces full computation of every output column
+        # (count() would let Catalyst prune projections on map-only queries)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import ROLLING_HASH_MOD, rolling_hash
+from ..functions import ROLLING_HASH_MOD, portable_hash31, portable_hash32
 
 __all__ = [
     "exact_dedup",
@@ -185,16 +185,16 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """MinHash signature per document: for each of ``num_perm`` permutations,
-    min over shingles of (a*rolling_hash(shingle)+b) mod p.
+    min over shingles of (a*portable_hash31(shingle)+b) mod p.
 
-    Shape: shingle rows -> one rolling hash per row -> ``num_perm`` min
+    Shape: shingle rows -> one MD5-prefix hash per row -> ``num_perm`` min
     aggregates in ONE hash aggregate on doc_id (reuses the shingle window's
     partitioning — no extra shuffle). Documents with no shingles (shorter
     than n words) get the sentinel signature value p via a left join back to
     the id universe.
     """
     rows = shingle_rows(df, n, text, id_col)
-    hashed = rows.select(F.col(id_col), rolling_hash(F.col("shingle")).alias("h"))
+    hashed = rows.select(F.col(id_col), portable_hash31(F.col("shingle")).alias("h"))
     aggs = [
         F.min((F.lit(pa) * F.col("h") + F.lit(pb)) % F.lit(ROLLING_HASH_MOD)).alias(
             f"mh_{i}"
@@ -245,25 +245,34 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verification on candidates only
-    exact = ngram_jaccard_pairs(df, n, 0.0, text, id_col).select(
+    # exact verification restricted to docs that appear in some candidate
+    # pair: candidates ~ O(near-dups), so the expensive shingle-set pass
+    # touches a vanishing fraction of the corpus at scale (semi-join first,
+    # THEN exact Jaccard — not the other way around)
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    exact = ngram_jaccard_pairs(cand_docs, n, 0.0, text, id_col).select(
         "id_a", "id_b", "jaccard"
     )
     return cand.join(exact, ["id_a", "id_b"]).filter(F.col("jaccard") >= threshold)
 
 
 def simhash32(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash over word rolling-hashes: bit b of the fingerprint is 1
+    """32-bit SimHash over word MD5-prefix hashes: bit b of the fingerprint is 1
     iff the +1/-1 vote sum over words for bit b is positive. Near-duplicate
     docs differ in few bits (compare via Hamming distance downstream).
 
-    Shape: explode words -> one rolling hash per word row -> 32 conditional
+    Shape: explode words -> one MD5-prefix hash per word row -> 32 conditional
     sums in one hash aggregate per doc -> bit assembly. All codegen'd; one
     shuffle on doc_id.
     """
     words = F.split(F.trim(F.col(text)), r"\s+")
     hrows = df.select(F.col(id_col), F.explode(words).alias("word")).select(
-        F.col(id_col), rolling_hash(F.col("word")).alias("h")
+        F.col(id_col), portable_hash32(F.col("word")).alias("h")
     )
     votes = hrows.groupBy(id_col).agg(
         *[

@@ -758,6 +758,11 @@ _ROLLING_IN_SQL = (
     "(a, b) -> (a*31 + b) % 2147483647)"
 )
 
+# MD5-prefix portable hashes (functions.portable_hash32/31): JVM-fast on the
+# Spark side, exact-reproducible in DuckDB via a hex-literal cast.
+_MD5H32_IN_SQL = "CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT)"
+_MD5H31_IN_SQL = "(CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT) % 2147483647)"
+
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 perms over word-3-gram shingles) — the LSH
@@ -766,7 +771,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql(num_perm: int = 8) -> str:
-    rolling = _ROLLING_IN_SQL.format(s="s")
+    rolling = _MD5H31_IN_SQL.format(s="s")
     mh_cols = ", ".join(
         f"coalesce(list_min([({pa}*h + {pb}) % 2147483647 for h in hs]), 2147483647) AS mh_{i}"
         for i, (pa, pb) in enumerate(_perm_params(num_perm))
@@ -785,12 +790,12 @@ SELECT doc_id, {mh_cols} FROM h
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints from word rolling-hashes."""
+    """32-bit SimHash fingerprints from word MD5-prefix hashes."""
     return D.simhash32(_t(spark, sf_dir, "documents"))
 
 
 def _simhash_sql() -> str:
-    rolling = _ROLLING_IN_SQL.format(s="word")
+    rolling = _MD5H32_IN_SQL.format(s="word")
     votes = ", ".join(
         f"CAST(sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v{b}"
         for b in range(32)
@@ -1197,7 +1202,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_sql(num_perm: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
-    rolling = _ROLLING_IN_SQL.format(s="s")
+    rolling = _MD5H31_IN_SQL.format(s="s")
     mh_cols = ", ".join(
         f"coalesce(list_min([({pa}*h + {pb}) % 2147483647 for h in hs]), 2147483647) AS mh_{i}"
         for i, (pa, pb) in enumerate(_perm_params(num_perm))
