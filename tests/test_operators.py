@@ -341,3 +341,142 @@ def test_neardup_pairs_finds_identical_vectors(spark):
     pairs = neardup_pairs(df, threshold=0.9, dim=4, n_planes=2).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
     assert pairs[0]["cos"] > 0.99
+
+
+# --------------------------------------------------------------------------
+# FFT-approximate range aggregates (A13)
+# --------------------------------------------------------------------------
+
+def test_fft_sketch_exact_when_full_spectrum(spark):
+    """Keeping the whole spectrum must reconstruct range sums to float
+    precision (pure DFT round-trip)."""
+    from w4h_integrated_toolkit_spark.operators.approx import (
+        approx_range_sum,
+        build_fft_sketch,
+    )
+
+    rows = [
+        Row(user_id=u, ts=dt.datetime(2016, 8, 1) + dt.timedelta(minutes=m), value=float((u * 7 + m) % 23))
+        for u in (1, 2)
+        for m in range(256)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    sketch = build_fft_sketch(df, n_buckets=64, n_coeffs=33)  # rfft(64) -> 33 coeffs
+    t0 = dt.datetime(2016, 8, 1).timestamp()
+    got = {
+        r["key"]: r["approx_sum"]
+        for r in approx_range_sum(sketch, t0, t0 + 256 * 60).collect()
+    }
+    exact = {
+        r["user_id"]: r["s"]
+        for r in df.groupBy("user_id").agg(F.sum("value").alias("s")).collect()
+    }
+    for u in (1, 2):
+        assert abs(got[u] - exact[u]) < 1e-6
+
+
+def test_fft_sketch_bounded_error_truncated(spark):
+    """Truncated spectrum: approximate range sums within a modest relative
+    error on a smooth (diurnal-ish) signal, at 8x compression."""
+    import math
+
+    from w4h_integrated_toolkit_spark.operators.approx import (
+        approx_range_sum,
+        build_fft_sketch,
+    )
+
+    rows = [
+        Row(user_id=1, ts=dt.datetime(2016, 8, 1) + dt.timedelta(minutes=m),
+            value=100.0 + 30.0 * math.sin(2 * math.pi * m / 96.0))
+        for m in range(512)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    sketch = build_fft_sketch(df, n_buckets=128, n_coeffs=8)
+    t0 = dt.datetime(2016, 8, 1).timestamp()
+    start, end = t0 + 100 * 60, t0 + 400 * 60
+    got = approx_range_sum(sketch, start, end).collect()[0]["approx_sum"]
+    exact = (
+        df.filter((F.col("ts").cast("double") >= start) & (F.col("ts").cast("double") < end))
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    assert abs(got - exact) / exact < 0.05
+
+
+# --------------------------------------------------------------------------
+# Query-history store (S12)
+# --------------------------------------------------------------------------
+
+def test_query_history_roundtrip(spark, tmp_path):
+    from w4h_integrated_toolkit_spark.plans.history import (
+        latest_specs,
+        load_history,
+        save_query,
+    )
+
+    path = str(tmp_path / "history")
+    specs = [
+        FilterSpec(name="age", type="int", value=(30, 50)),
+        FilterSpec(name="state_of_residence", type="string", value=["CA"]),
+    ]
+    save_query(spark, path, "alice", "cohort1", specs, extra={"range": "morning"})
+    save_query(spark, path, "alice", "cohort1",
+               [FilterSpec(name="age", type="int", value=(40, 60))])
+    save_query(spark, path, "bob", "other", [])
+
+    hist = load_history(spark, path, "alice")
+    assert hist.count() == 2
+
+    got, extra = latest_specs(spark, path, "alice", "cohort1")
+    assert len(got) == 1 and got[0].value == (40, 60)   # latest wins
+    assert extra == {}
+    assert latest_specs(spark, path, "alice", "nope") is None
+
+
+# --------------------------------------------------------------------------
+# Skew utilities (salted agg / salted join)
+# --------------------------------------------------------------------------
+
+def test_two_stage_agg_matches_plain(spark):
+    from w4h_integrated_toolkit_spark.operators.skew import two_stage_agg
+
+    rows = [("hot", float(i % 7)) for i in range(500)] + [("cold", 3.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r["k"]: (r["s"], r["n"], r["mn"], r["mx"])
+        for r in two_stage_agg(
+            df, ["k"], [("v", "sum", "s"), ("v", "count", "n"), ("v", "min", "mn"), ("v", "max", "mx")],
+            salt=8,
+        ).collect()
+    }
+    exp = {
+        r["k"]: (r["s"], r["n"], r["mn"], r["mx"])
+        for r in df.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count("v").alias("n"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        ).collect()
+    }
+    assert got == exp
+    with pytest.raises(ValueError):
+        two_stage_agg(df, ["k"], [("v", "avg", "a")])
+
+
+def test_salted_join_matches_plain(spark):
+    from w4h_integrated_toolkit_spark.operators.skew import salted_join
+
+    probe = spark.createDataFrame(
+        [("hot", i) for i in range(200)] + [("rare", 0), ("miss", 1)],
+        "k string, pv int",
+    )
+    build = spark.createDataFrame(
+        [("hot", "H"), ("rare", "R"), ("other", "O")], "k string, bv string"
+    )
+    got = sorted((r["k"], r["pv"], r["bv"]) for r in salted_join(probe, build, "k", salt=4).collect())
+    exp = sorted((r["k"], r["pv"], r["bv"]) for r in probe.join(build, "k").collect())
+    assert got == exp
+    left = sorted(
+        (r["k"], r["pv"], r["bv"])
+        for r in salted_join(probe, build, "k", salt=4, how="left").collect()
+    )
+    exp_left = sorted((r["k"], r["pv"], r["bv"]) for r in probe.join(build, "k", "left").collect())
+    assert left == exp_left

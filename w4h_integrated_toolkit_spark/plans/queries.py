@@ -1443,6 +1443,24 @@ GROUP BY n_name
 """
 
 
+def q_fft_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 custom path: per-user FFT sketch (256 buckets -> 32 coefficients,
+    ~8x compression) answering an approximate mid-January range sum without
+    rescanning the series. No SQL oracle by nature (approximate); the exact
+    counterpart is the oracle-checked trailing_window/range_scan family,
+    and unit tests bound the truncation error."""
+    from ..operators.approx import approx_range_sum, build_fft_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = build_fft_sketch(ev, ts="ts", key="user_id", n_buckets=256, n_coeffs=32)
+    # events span 2024-01-01..01-30 (TESTDATA, seed=42); query the middle third
+    start = 1704067200.0 + 10 * 86400  # 2024-01-11
+    end = 1704067200.0 + 20 * 86400  # 2024-01-21
+    return approx_range_sum(sketch, start, end).select(
+        F.col("key").alias("user_id"), _r(F.col("approx_sum"), 2).alias("approx_sum")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1500,6 +1518,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "frame_sample": (q_frame_sample, _SQL_FRAME_SAMPLE),
     "byte_histogram": (q_byte_histogram, _SQL_BYTE_HISTOGRAM),
     "approx_aggregates": (q_approx_aggregates, None),
+    "fft_range_sum": (q_fft_range_sum, None),
 }
 
 
