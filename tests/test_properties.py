@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis): semantic invariants that example
+tests can't sweep — wrap-around predicates, partition-count invariance,
+serialization round-trips."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from w4h_integrated_toolkit_spark.functions import time_of_day_between
+from w4h_integrated_toolkit_spark.operators.etl import normalize_name, _ratio
+from w4h_integrated_toolkit_spark.operators.cohort import FilterSpec
+from w4h_integrated_toolkit_spark.plans.history import specs_from_json
+import json
+from dataclasses import asdict
+
+
+# ---- driver-side properties (no Spark jobs, run many examples) ----------
+
+@given(st.text(max_size=40))
+def test_normalize_name_idempotent(s):
+    once = normalize_name(s)
+    assert normalize_name(once) == once
+
+
+@given(st.text(max_size=20), st.text(max_size=20))
+def test_fuzzy_ratio_symmetric_bounded(a, b):
+    r = _ratio(a, b)
+    assert 0.0 <= r <= 100.0
+    assert abs(r - _ratio(b, a)) < 1e-9
+    assert _ratio(a, a) == 100.0 or a == ""
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["int", "float", "string", "boolean"]),
+            st.booleans(),
+        ),
+        max_size=5,
+    )
+)
+def test_filterspec_json_roundtrip(kinds):
+    specs = []
+    for i, (t, ig) in enumerate(kinds):
+        value = {
+            "int": (0, 10),
+            "float": (0.5, 2.5),
+            "string": ["a", "b"],
+            "boolean": True,
+        }[t]
+        specs.append(FilterSpec(name=f"c{i}", type=t, value=value, ignore_nulls=ig))
+    payload = json.dumps({"filters": [asdict(s) for s in specs], "extra": {}})
+    back, _ = specs_from_json(payload)
+    assert back == specs
+
+
+# ---- Spark-side properties (few examples, one job each) -----------------
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.integers(0, 86399),  # range start (seconds of day)
+    st.integers(0, 86399),  # range end — start > end means overnight wrap
+    st.lists(st.integers(0, 86399), min_size=1, max_size=20),
+)
+def test_time_of_day_matches_python_model(spark, start, end, tods):
+    base = dt.datetime(2016, 8, 1, tzinfo=dt.timezone.utc)
+    rows = [Row(i=i, ts=base + dt.timedelta(seconds=tod)) for i, tod in enumerate(tods)]
+    df = spark.createDataFrame(rows, "i long, ts timestamp")
+    got = {
+        r["i"]
+        for r in df.filter(time_of_day_between(F.col("ts"), start, end)).collect()
+    }
+    def model(tod: int) -> bool:
+        if start <= end:
+            return start <= tod <= end
+        return tod >= start or tod <= end  # overnight wrap
+
+    assert got == {i for i, tod in enumerate(tods) if model(tod)}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(-(10**6), 10**6).map(lambda c: c / 100.0),  # 2-decimal fixed point
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_stable_mean_partition_invariant(spark, values):
+    from w4h_integrated_toolkit_spark.operators.timeseries import stable_mean
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    means = set()
+    for parts in (1, 3, 7):
+        m = df.repartition(parts).agg(stable_mean("v").alias("m")).collect()[0]["m"]
+        means.add(m)
+    assert len(means) == 1  # bit-identical at any partitioning

@@ -14,6 +14,7 @@ from ..functions import rolling_hash, portable_hash32
 
 __all__ = [
     "token_count",
+    "subword_count",
     "text_stats",
     "quality_score",
     "language_id",
@@ -22,10 +23,22 @@ __all__ = [
 
 _WORD_RE = r"\s+"
 
+# BPE-ish pre-tokenizer (GPT-2-style, simplified to constructs both Java
+# regex and RE2 support — no lookarounds): contractions, space-prefixed
+# letter runs, digit runs, punctuation runs. Counting these matches is the
+# standard fast token-count estimate for LLM budgets.
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
 
 def token_count(text: Column) -> Column:
     """Whitespace token count."""
     return F.size(F.split(F.trim(text), _WORD_RE))
+
+
+def subword_count(text: Column) -> Column:
+    """BPE-ish token-count estimate: number of pre-tokenizer matches
+    (``regexp_count`` — one codegen'd pass, no array materialization)."""
+    return F.regexp_count(text, F.lit(_BPE_RE))
 
 
 def text_stats(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:

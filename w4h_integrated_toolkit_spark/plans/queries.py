@@ -1443,6 +1443,25 @@ GROUP BY n_name
 """
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (whitespace + BPE-ish pre-tokenizer regex):
+    the LLM-budget estimate, one regexp_count pass per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("ws_tokens"),
+        TX.subword_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+_SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS bpe_tokens
+FROM documents
+"""
+
+
 def q_fft_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 custom path: per-user FFT sketch (256 buckets -> 32 coefficients,
     ~8x compression) answering an approximate mid-January range sum without
@@ -1517,6 +1536,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_meta": (q_multimodal_meta, _SQL_MULTIMODAL_META),
     "frame_sample": (q_frame_sample, _SQL_FRAME_SAMPLE),
     "byte_histogram": (q_byte_histogram, _SQL_BYTE_HISTOGRAM),
+    "token_counts": (q_token_counts, _SQL_TOKEN_COUNTS),
     "approx_aggregates": (q_approx_aggregates, None),
     "fft_range_sum": (q_fft_range_sum, None),
 }
