@@ -53,12 +53,16 @@ def main() -> None:
     spark = get_spark("w4h-bench", cpus=cpus, shuffle_partitions=cpus,
                       driver_memory="24g")
 
-    # warm-up: JVM + parquet footer caches + the Python/Arrow worker pool
-    # (we measure the engine, not JVM or daemon startup)
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    import pandas as pd  # noqa: F401
-    from pyspark.sql import functions as F
+    # warm-up: JVM/codegen, parquet data + footer page cache for every bench
+    # table, and the Python/Arrow worker pool (we measure the engine, not
+    # JVM startup or cold storage — count() alone reads only footers)
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
 
+    for t in ("lineitem", "orders", "customer", "supplier", "nation",
+              "region", "events", "documents", "embeddings"):
+        read_parquet(spark, f"{sf_dir}/{t}.parquet").write.format(
+            "noop"
+        ).mode("overwrite").save()
     warm = spark.range(cpus * 4).repartition(cpus)
     warm.groupBy("id").applyInPandas(lambda p: p, "id long").count()
 

@@ -1,0 +1,80 @@
+"""Physical-plan quality regression tests: the properties that matter at
+100 TB — predicate pushdown into the scan, column pruning, broadcast (not
+sort-merge) joins for dims, shuffle counts, top-k without global sort.
+A query can pass the value oracle with a terrible plan; these tests pin
+the plan shape itself."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from w4h_integrated_toolkit_spark.plans import QUERIES
+
+SF_DIR = os.environ.get("W4H_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def plan_of(spark, name: str) -> str:
+    fn, _ = QUERIES[name]
+    df = fn(spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def n_shuffles(plan: str) -> int:
+    # data shuffles only — BroadcastExchange is the cheap kind we WANT
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def test_range_scan_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "range_scan")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "l_shipdate" in pushed[0], "date predicate must reach the scan"
+    schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # 2-column projection must prune the 11-column lineitem scan
+    assert "l_extendedprice" in schema and "l_orderkey" not in schema
+
+
+def test_cohort_filters_pushed_including_null_tolerant(spark):
+    plan = plan_of(spark, "cohort_kpi")
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    # the null-tolerant OR form still pushes down (Or(In(...), IsNull(...)))
+    assert "c_mktsegment" in pushed and "IsNull" in pushed
+
+
+def test_join_queries_broadcast_not_sort_merge(spark):
+    for name in ("shipping_priority", "local_supplier_volume", "cohort_kpi",
+                 "mets_broadcast_lookup"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: dims must broadcast"
+        assert "SortMergeJoin" not in plan, f"{name}: no sort-merge join expected"
+
+
+def test_semi_join_stays_semi(spark):
+    plan = plan_of(spark, "cohort_kpi")
+    assert "LeftSemi" in plan  # cohort membership never widens the fact rows
+
+
+def test_topk_no_global_sort(spark):
+    plan = plan_of(spark, "shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"\(\d+\) Sort\b", plan), "top-k must not globally sort"
+
+
+def test_calibration_single_shuffle(spark):
+    """All per-user windows + the stable mean share ONE user_id exchange."""
+    assert n_shuffles(plan_of(spark, "calibration")) == 1
+
+
+def test_pricing_summary_partial_agg_single_shuffle(spark):
+    """Partial (map-side) aggregation: one exchange of group partials."""
+    plan = plan_of(spark, "pricing_summary")
+    assert n_shuffles(plan) == 1
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_mets_lookup_broadcasts_weights(spark):
+    plan = plan_of(spark, "mets_broadcast_lookup")
+    assert "BroadcastExchange" in plan

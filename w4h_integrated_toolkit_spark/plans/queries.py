@@ -1443,6 +1443,51 @@ GROUP BY n_name
 """
 
 
+def q_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12/T7 trajectory assembly (viz.py:814-821): per-user time-ordered
+    path as a WKT LINESTRING. Points are a deterministic integer grid
+    derived from the event value (the events table has no geo columns);
+    first 20 points per user via row_number. One shuffle (user window);
+    the path string is exact-comparable across engines."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    lon = F.pmod(F.floor(F.col("value") * 100), F.lit(360)).cast("long")
+    lat = F.pmod(F.floor(F.col("value") * 100), F.lit(180)).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = (
+        ev.select(
+            "user_id",
+            F.concat_ws(" ", lon, lat).alias("pt"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 20)
+    )
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("rn", "pt"))), lambda s: s["pt"]
+    )
+    return pts.groupBy("user_id").agg(
+        F.concat(
+            F.lit("LINESTRING ("), F.array_join(ordered, ", "), F.lit(")")
+        ).alias("traj"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+_SQL_TRAJECTORIES = """
+WITH p AS (
+  SELECT user_id,
+         (CAST(floor(value*100) AS BIGINT) % 360) || ' ' ||
+         (CAST(floor(value*100) AS BIGINT) % 180) AS pt,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT user_id,
+       'LINESTRING (' || string_agg(pt, ', ' ORDER BY rn) || ')' AS traj,
+       count(*) AS n_points
+FROM p WHERE rn <= 20 GROUP BY user_id
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting both ways (whitespace + BPE-ish pre-tokenizer regex):
     the LLM-budget estimate, one regexp_count pass per document."""
@@ -1537,6 +1582,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "frame_sample": (q_frame_sample, _SQL_FRAME_SAMPLE),
     "byte_histogram": (q_byte_histogram, _SQL_BYTE_HISTOGRAM),
     "token_counts": (q_token_counts, _SQL_TOKEN_COUNTS),
+    "trajectories": (q_trajectories, _SQL_TRAJECTORIES),
     "approx_aggregates": (q_approx_aggregates, None),
     "fft_range_sum": (q_fft_range_sum, None),
 }
