@@ -480,3 +480,30 @@ def test_salted_join_matches_plain(spark):
     )
     exp_left = sorted((r["k"], r["pv"], r["bv"]) for r in probe.join(build, "k", "left").collect())
     assert left == exp_left
+
+
+# --------------------------------------------------------------------------
+# Z-normalized time-series similarity (tsim)
+# --------------------------------------------------------------------------
+
+def test_user_similarity_ranks_correlated_first(spark):
+    """u2 tracks u1 exactly (r=1), u3 is anti-correlated (r=-1): top-1 for
+    u1 must be u2, and u3 must rank below it."""
+    from w4h_integrated_toolkit_spark.operators.tsim import user_similarity_topk
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(24):
+        t = base + dt.timedelta(hours=h)
+        sig = float((h * 13) % 7)
+        rows += [
+            Row(user_id=1, ts=t, value=10.0 + sig),
+            Row(user_id=2, ts=t, value=50.0 + 2.0 * sig),   # affine copy -> r = 1
+            Row(user_id=3, ts=t, value=30.0 - sig),          # negated -> r = -1
+        ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = user_similarity_topk(df, k=2, bucket_seconds=3600, min_common=8)
+    got = {(r["user_a"], r["rank"]): (r["user_b"], round(r["r"], 6)) for r in out.collect()}
+    assert got[(1, 1)] == (2, 1.0)
+    assert got[(1, 2)] == (3, -1.0)
+    assert got[(3, 1)][1] == -1.0  # u3's best is still an anti-correlated peer

@@ -1488,6 +1488,39 @@ FROM p WHERE rn <= 20 GROUP BY user_id
 """
 
 
+def q_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-normalized time-series similarity top-3 per user (Pearson r over a
+    shared 6-hour resample grid; r = cosine of the z-normalized series).
+    Resample bounds pair cost; the self-join is grid-cell-local."""
+    from ..operators.tsim import user_similarity_topk
+
+    out = user_similarity_topk(
+        _t(spark, sf_dir, "events"), k=3, bucket_seconds=21600, min_common=8
+    )
+    return out.select(
+        "user_a", "user_b", "rank", _r(F.col("r"), 5).alias("r"), "n_common"
+    )
+
+
+_SQL_USER_SIMILARITY = """
+WITH g AS (
+  SELECT user_id AS k, CAST(floor(epoch(ts)/21600) AS BIGINT) AS bucket,
+         CAST(sum(CAST(round(value*1e6) AS BIGINT)) AS DOUBLE)/1e6/count(value) AS v
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.k AS user_a, b.k AS user_b, corr(a.v, b.v) AS r, count(*) AS n_common
+  FROM g a JOIN g b USING (bucket)
+  WHERE a.k <> b.k
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT user_a, user_b, r, n_common,
+         row_number() OVER (PARTITION BY user_a ORDER BY r DESC, user_b) AS rank
+  FROM pairs WHERE n_common >= 8 AND r IS NOT NULL)
+SELECT user_a, user_b, rank, round(r, 5) AS r, n_common
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting both ways (whitespace + BPE-ish pre-tokenizer regex):
     the LLM-budget estimate, one regexp_count pass per document."""
@@ -1583,6 +1616,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "byte_histogram": (q_byte_histogram, _SQL_BYTE_HISTOGRAM),
     "token_counts": (q_token_counts, _SQL_TOKEN_COUNTS),
     "trajectories": (q_trajectories, _SQL_TRAJECTORIES),
+    "user_similarity_topk": (q_user_similarity, _SQL_USER_SIMILARITY),
     "approx_aggregates": (q_approx_aggregates, None),
     "fft_range_sum": (q_fft_range_sum, None),
 }
