@@ -507,3 +507,60 @@ def test_user_similarity_ranks_correlated_first(spark):
     assert got[(1, 1)] == (2, 1.0)
     assert got[(1, 2)] == (3, -1.0)
     assert got[(3, 1)][1] == -1.0  # u3's best is still an anti-correlated peer
+
+
+# --------------------------------------------------------------------------
+# MERGE upsert into date-partitioned fact tables
+# --------------------------------------------------------------------------
+
+def test_merge_upsert_incoming_wins_and_partitions_survive(spark, tmp_path):
+    from w4h_integrated_toolkit_spark.operators.etl import merge_upsert
+
+    path = str(tmp_path / "hr")
+    d1, d2 = dt.datetime(2016, 8, 1, 10), dt.datetime(2016, 8, 2, 10)
+    base = spark.createDataFrame(
+        [("u1", d1, 70.0), ("u1", d2, 71.0), ("u2", d1, 80.0)],
+        "user_id string, timestamp timestamp, value double",
+    )
+    merge_upsert(spark, path, base)
+
+    # increment: conflicts on (u1, d1), adds (u3, d1); day 2 untouched
+    inc = spark.createDataFrame(
+        [("u1", d1, 99.0), ("u3", d1, 60.0)],
+        "user_id string, timestamp timestamp, value double",
+    )
+    merge_upsert(spark, path, inc)
+
+    rows = {
+        (r["user_id"], r["timestamp"]): r["value"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert rows[("u1", d1)] == 99.0       # incoming wins the conflict
+    assert rows[("u2", d1)] == 80.0       # same-partition non-conflict kept
+    assert rows[("u3", d1)] == 60.0       # insert
+    assert rows[("u1", d2)] == 71.0       # untouched partition intact
+    assert len(rows) == 4
+
+    # idempotent: replaying the increment changes nothing
+    merge_upsert(spark, path, inc)
+    assert spark.read.parquet(path).count() == 4
+
+
+def test_partitioned_layout_prunes(spark, tmp_path):
+    """write_fact_table's dt layout must show partition pruning (not data
+    filters) for a date predicate."""
+    from w4h_integrated_toolkit_spark.catalog import write_fact_table
+
+    path = str(tmp_path / "facts")
+    days = [dt.datetime(2016, 8, d, 12) for d in (1, 2, 3)]
+    df = spark.createDataFrame(
+        [("u1", d, float(i)) for i, d in enumerate(days)],
+        "user_id string, timestamp timestamp, value double",
+    )
+    write_fact_table(df, path)
+    scan = spark.read.parquet(path).filter(F.col("dt") == "2016-08-02")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = scan._jdf.queryExecution().explainString(mode)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "dt" in pf[0]           # predicate prunes directories...
+    assert scan.count() == 1              # ...and reads one day only

@@ -19,7 +19,14 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["melt", "fuzzy_map_columns", "normalize_name", "upsert_users", "ingest_fact"]
+__all__ = [
+    "melt",
+    "fuzzy_map_columns",
+    "normalize_name",
+    "upsert_users",
+    "ingest_fact",
+    "merge_upsert",
+]
 
 
 def melt(
@@ -103,3 +110,52 @@ def ingest_fact(df: DataFrame, user: str = "user_id", ts: str = "timestamp") -> 
     dropDuplicates after an orderBy-free shuffle; for strict determinism on
     conflicting values, prefer groupBy().agg(first(...)) on sorted input."""
     return df.dropDuplicates([user, ts])
+
+
+def merge_upsert(
+    spark,
+    path: str,
+    incoming: DataFrame,
+    user: str = "user_id",
+    ts: str = "timestamp",
+) -> None:
+    """Idempotent MERGE into a date-partitioned fact table — the scale-ready
+    upgrade of the reference's append+dedup (SURVEY §3.3): incoming rows win
+    on composite-key conflicts, and ONLY the date partitions containing
+    incoming keys are rewritten (dynamic partition overwrite). At 100 TB a
+    daily increment touches a handful of `dt=` directories, never the table.
+
+    Plan: derive the incoming date set (tiny; broadcast), semi-join the
+    existing table down to affected partitions, anti-join those rows against
+    incoming keys (existing loses conflicts), union with incoming, overwrite
+    dynamically. Without a txn log (Delta/Iceberg) the overwrite is not
+    atomic across partitions — swap the writer for a Delta MERGE when a log
+    is available; the plan shape is identical.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    inc = incoming.dropDuplicates([user, ts]).withColumn("dt", F.to_date(ts))
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+            touched = inc.select("dt").distinct()
+            keep = (
+                existing.join(F.broadcast(touched), "dt", "left_semi")
+                .join(inc.select(user, ts), [user, ts], "left_anti")
+            )
+            out = keep.unionByName(inc)
+        else:
+            out = inc
+        (
+            out.repartition("dt")
+            .sortWithinPartitions(user, ts)
+            .write.mode("overwrite")
+            .partitionBy("dt")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
