@@ -129,3 +129,50 @@ def test_stateful_trajectory_tails(spark, tmp_path):
     assert r["n_points"] == 5          # total seen
     assert len(r["path"]) == 3          # state bounded to tail
     assert r["path"][-1] == [34.04, -118.04]  # time-ordered, newest last
+
+
+def test_streaming_alerts_match_batch(spark):
+    """T9 through the real streaming engine: safe band calibrated on static
+    history, alert windows computed over the stream, results equal to the
+    batch operator on the same data (stream-batch unification)."""
+    from pyspark.sql import functions as F
+
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.safeband import alerts, safe_band
+    from w4h_integrated_toolkit_spark.streaming.replay import (
+        run_windowed_kpis_batchmode,  # noqa: F401  (pattern reference)
+    )
+    import os
+    import tempfile
+    import uuid
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    ev = read_parquet(spark, path)
+    band = safe_band(ev, "value")
+    expected = {
+        r["window_start_epoch"]: (r["n_total"], r["n_unsafe"])
+        for r in alerts(ev, ts="ts", window_seconds=600, ratio_threshold=0.5,
+                        band=band).collect()
+    }
+
+    stage = tempfile.mkdtemp(prefix="w4h_alerts_")
+    os.symlink(path, os.path.join(stage, "events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("`ts` DIV 1000")))
+    out = alerts(
+        stream.withWatermark("ts", "1 hour"),
+        ts="ts", window_seconds=600, ratio_threshold=0.5, band=band,
+    )
+    name = "alerts_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        r["window_start_epoch"]: (r["n_total"], r["n_unsafe"])
+        for r in spark.table(name).collect()
+    }
+    assert got == expected and len(got) > 0

@@ -70,6 +70,7 @@ def alerts(
     window_seconds: int = 60,
     ratio_threshold: float = 0.5,
     k: float = 2.0,
+    band: DataFrame | None = None,
 ) -> DataFrame:
     """T9 (viz.py:38, ALERT_TIMEOUT=60): alert windows — fixed event-time
     windows where the fraction of readings outside the safe band exceeds
@@ -77,15 +78,19 @@ def alerts(
 
     Same broadcast-scalars + hash-aggregate shape as breach_histogram, with
     epoch-aligned tumbling windows so the streaming variant (groupBy
-    F.window) emits identical window keys. Works on batch or (with a
-    watermark upstream) streaming DataFrames; output is the alert sink's
+    F.window) emits identical window keys. Output is the alert sink's
     schema: (window_start_epoch, n_total, n_unsafe, unsafe_ratio).
+
+    Streaming: pass ``band`` precomputed from historical data (one scalar
+    row) — a stream can't aggregate itself into its own predicate; the
+    stream-static broadcast join is the standard calibration pattern.
     """
     e = F.col(ts).cast("double")
-    band = df.agg(
-        (F.avg(value) - k * F.stddev_samp(value)).alias("band_lo"),
-        (F.avg(value) + k * F.stddev_samp(value)).alias("band_hi"),
-    )
+    if band is None:
+        band = df.agg(
+            (F.avg(value) - k * F.stddev_samp(value)).alias("band_lo"),
+            (F.avg(value) + k * F.stddev_samp(value)).alias("band_hi"),
+        )
     unsafe = (F.col(value) < F.col("band_lo")) | (F.col(value) > F.col("band_hi"))
     return (
         df.join(F.broadcast(band))

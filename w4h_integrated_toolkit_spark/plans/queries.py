@@ -1488,6 +1488,40 @@ FROM p WHERE rn <= 20 GROUP BY user_id
 """
 
 
+def q_stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by portable content hash (the
+    stable-split idiom of training-data pipelines: membership depends only
+    on doc_id, never on partitioning, sampling order, or engine). 80/10/10
+    by hash bucket; per-split counts + token totals in one pass."""
+    from ..functions import portable_hash32
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = portable_hash32(F.col("doc_id").cast("string")) % 10
+    split = (
+        F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(TX.token_count(F.col("text")).cast("long")).alias("total_tokens"),
+        )
+    )
+
+
+_SQL_STABLE_SPLIT = r"""
+WITH b AS (
+  SELECT doc_id, text,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+FROM b GROUP BY 1
+"""
+
+
 def q_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-normalized time-series similarity top-3 per user (Pearson r over a
     shared 6-hour resample grid; r = cosine of the z-normalized series).
@@ -1617,6 +1651,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "token_counts": (q_token_counts, _SQL_TOKEN_COUNTS),
     "trajectories": (q_trajectories, _SQL_TRAJECTORIES),
     "user_similarity_topk": (q_user_similarity, _SQL_USER_SIMILARITY),
+    "stable_split": (q_stable_split, _SQL_STABLE_SPLIT),
     "approx_aggregates": (q_approx_aggregates, None),
     "fft_range_sum": (q_fft_range_sum, None),
 }
