@@ -105,6 +105,21 @@ def shingle_index(
     return idx
 
 
+def _ordered_pairs(docs: Column) -> Column:
+    """All ordered (id_a < id_b) pairs from a sorted id array — the in-bucket
+    pair generator shared by the Jaccard and LSH paths. O(len²) confined to
+    one bucket's array; callers cap bucket size for skew control."""
+    return F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + F.lit(2), F.greatest(F.size(docs) - i - 1, F.lit(1))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 5,
@@ -130,18 +145,8 @@ def ngram_jaccard_pairs(
     )
     if max_doc_freq is not None:
         buckets = buckets.filter(F.size("docs") <= max_doc_freq)
-    docs = F.col("docs")
-    pair_struct = F.flatten(
-        F.transform(
-            docs,
-            lambda x, i: F.transform(
-                F.slice(docs, i + F.lit(2), F.greatest(F.size(docs) - i - 1, F.lit(1))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     common = (
-        buckets.select(F.explode(pair_struct).alias("p"))
+        buckets.select(F.explode(_ordered_pairs(F.col("docs"))).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -222,10 +227,15 @@ def minhash_lsh_pairs(
     """MinHash-LSH near-dup candidates, verified with exact Jaccard.
 
     Band key = the tuple of rows in the band (concatenated); docs sharing any
-    band key become candidates (one shuffle on band keys, each band a narrow
-    (key, id) relation), then exact Jaccard over shingle sets filters to
-    ``>= threshold``. This is the 100 TB-shaped plan: candidates ~ O(n·near
-    dups), never O(n²)."""
+    band key become candidates, generated by ONE groupBy(band, key) +
+    collect_set + in-bucket pair explosion — never a bucket self-join, which
+    would make Spark evaluate the whole signature subtree once per join side
+    (no common-subplan sharing across join inputs; measured 2x the cost of
+    candidate generation). Exact Jaccard then verifies candidates via a
+    per-doc shingle-set join: collect each candidate doc's distinct shingle
+    set once, broadcast-join both pair sides, intersect arrays in-row. This
+    is the 100 TB-shaped plan: candidates ~ O(n·near dups), never O(n²), and
+    the verification pass touches only candidate docs."""
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, n, num_perm, text, id_col)
     band_cols = []
@@ -234,16 +244,25 @@ def minhash_lsh_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.concat_ws("_", *parts).alias("key"))
         )
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = buckets.select(F.col(id_col).alias("id_a"), "band", "key")
-    b_ = buckets.select(F.col(id_col).alias("id_b"), "band", "key")
+    buckets = (
+        sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
+        .groupBy(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .agg(F.sort_array(F.collect_set(id_col)).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
     cand = (
-        a.join(b_, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(_ordered_pairs(F.col("docs"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
+        # materialization barrier: the candidate set is referenced three
+        # times below (pair list + both set-join sides); without one, Spark
+        # re-evaluates the whole signature subtree per reference (no
+        # common-subplan sharing). localCheckpoint — not persist(): a cached
+        # plan freezes pre-AQE shuffles (no coalescing/broadcast conversion
+        # under InMemoryRelation), while an eager checkpoint runs the
+        # candidate job with AQE and leaves a lineage-free scan. Candidates
+        # are O(near-dups) — tiny relative to the corpus at any scale.
+        .localCheckpoint(eager=True)
     )
     # exact verification restricted to docs that appear in some candidate
     # pair: candidates ~ O(near-dups), so the expensive shingle-set pass
@@ -255,10 +274,22 @@ def minhash_lsh_pairs(
         .distinct()
     )
     cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
-    exact = ngram_jaccard_pairs(cand_docs, n, 0.0, text, id_col).select(
-        "id_a", "id_b", "jaccard"
+    sets = (
+        shingle_rows(cand_docs, n, text, id_col)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("shingles"))
     )
-    return cand.join(exact, ["id_a", "id_b"]).filter(F.col("jaccard") >= threshold)
+    sets_a = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sets_b = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        cand.join(F.broadcast(sets_a), "id_a")
+        .join(F.broadcast(sets_b), "id_b")
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash32(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
