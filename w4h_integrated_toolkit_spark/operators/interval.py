@@ -1,0 +1,127 @@
+"""Temporal join operators: as-of join and non-equi interval join.
+
+The reference has no temporal joins (SURVEY §2.3 note) — these are the
+standard time-series extensions (cf. kdb+ aj, TimescaleDB/DuckDB ASOF,
+Flink interval join) re-expressed in shuffle-aware Spark plans:
+
+- **asof_join** — "latest right row at or before each left row, per key"
+  via the union trick: tag both sides, union, one window pass carrying the
+  last-seen right payload forward, keep left rows. ONE shuffle+sort on
+  (key, ts) total — never a per-row range probe or a join explosion. At
+  100 TB this is the only as-of shape that scales: the sort is the same
+  (key, ts) order the fact tables are already laid out in, so with
+  bucketed/sorted storage the exchange disappears entirely.
+- **interval_join** — points-in-intervals without an equi key, via bucket
+  binning: intervals explode to the coarse time buckets they cover, points
+  map to their single bucket, equi-join on bucket, then the exact range
+  predicate filters in-row. Join fan-out is O(intervals x
+  ceil(len/bucket)), never the O(points x intervals) cartesian a naive
+  non-equi join plans. A point lives in exactly one bucket, so no
+  pair-dedup pass is needed. Pick ``bucket_seconds`` ~ the typical
+  interval length (each interval then covers <= 2 buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "interval_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts: str = "ts",
+    right_cols: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every left row joined to the most recent right row
+    with ``right.ts <= left.ts`` in the same ``on`` group (DuckDB/kdb+ ASOF
+    semantics, equal timestamps match). Left rows keep all their columns;
+    the matched right row contributes ``prefix + ts`` and ``prefix + c`` for
+    each requested column; no match => nulls (left-join semantics).
+
+    Right-side ties on (key, ts) resolve deterministically to the maximum
+    payload (struct order) — not by pre-aggregating the right side, which
+    would cost its own exchange, but by adding the payload to the window
+    sort key so ``last()`` lands on the max. The whole operator is ONE
+    exchange + sort over the union.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, ts)]
+    ref_struct = F.struct(
+        F.col(ts).alias(f"{prefix}{ts}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+    )
+    r = right.select(
+        on, F.col(ts), ref_struct.alias("_ref"), F.lit(1).alias("_is_ref")
+    )
+    ref_type = r.schema["_ref"].dataType
+    payload = [c for c in left.columns if c not in (on, ts)]
+    l_ = left.select(
+        on,
+        F.col(ts),
+        F.lit(None).cast(ref_type).alias("_ref"),
+        F.lit(0).alias("_is_ref"),
+        F.struct(*[F.col(c) for c in payload]).alias("_row"),
+    )
+    r_ = r.select(on, ts, "_ref", "_is_ref", F.lit(None).cast(l_.schema["_row"].dataType).alias("_row"))
+    # at equal ts every ref sorts before any left row (_is_ref desc), so
+    # "<=" matches; among same-ts refs, _ref asc puts the max last, which
+    # is exactly the row last() carries forward
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_is_ref").desc(), F.col("_ref").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("_ref", ignorenulls=True).over(w)
+    out = (
+        l_.unionByName(r_)
+        .withColumn("_carried", carried)
+        .filter(F.col("_is_ref") == 0)
+    )
+    return out.select(
+        on,
+        F.col(ts),
+        *[F.col("_row").getField(c).alias(c) for c in payload],
+        F.col(f"_carried.{prefix}{ts}"),
+        *[F.col(f"_carried.{prefix}{c}") for c in right_cols],
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    bucket_seconds: int = 600,
+    equi_keys: list[str] | None = None,
+) -> DataFrame:
+    """Inner join of point rows to every interval containing them
+    (``start <= ts < end``), optionally also matching on ``equi_keys``.
+
+    Returns one row per (point, interval) pair with both sides' columns
+    (name collisions other than the equi keys must be resolved upstream).
+    """
+    equi_keys = equi_keys or []
+    wsec = float(bucket_seconds)
+    p = points.withColumn(
+        "_bucket", F.floor(F.col(ts).cast("double") / wsec).cast("long")
+    )
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start).cast("double") / wsec).cast("long"),
+                F.floor(F.col(end).cast("double") / wsec).cast("long"),
+            )
+        ),
+    )
+    cond = (F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end))
+    return (
+        p.join(iv, ["_bucket", *equi_keys])
+        .filter(cond)
+        .drop("_bucket")
+    )

@@ -34,6 +34,7 @@ __all__ = [
     "l2_norm",
     "cosine",
     "cosine_topk",
+    "ivf_topk",
     "lsh_topk",
     "neardup_pairs",
     "hyperplanes",
@@ -104,6 +105,70 @@ def cosine_topk(
     )
     scored = c.crossJoin(F.broadcast(q)).withColumn(
         "cos", _cosine_batch(F.col("qv"), F.col("cv"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_stride: int = 50,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: corpus vectors
+    are assigned to their nearest coarse centroid by cosine, and each query
+    scores only the vectors in its ``nprobe`` nearest cells.
+
+    Centroids here are the deterministic subset ``id % centroid_stride == 0``
+    (a k-means coarse quantizer would slot in identically — determinism is
+    what lets the SQL oracle reproduce the index). Scale shape: the
+    centroid table is tiny (K ~ sqrt(n)) and broadcast; cell assignment is
+    one map-side pass (the "index build" — persist it partitioned by cell
+    and the probe phase becomes a pruned scan of nprobe/K of the corpus);
+    probing is a broadcast join on cell, so the corpus never shuffles.
+    Ties break by centroid/neighbor id everywhere, so results are
+    deterministic and engine-reproducible.
+    """
+    cent = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
+    )
+
+    def nearest_cells(df: DataFrame, vec: str, n: int, out: str) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).withColumn(
+            "_cs", _cosine_batch(F.col(vec), F.col("cv"))
+        )
+        w = Window.partitionBy(df.columns[0]).orderBy(
+            F.col("_cs").desc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .select(*df.columns, F.col("cid").alias(out))
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
+    )
+    assigned = nearest_cells(c, "nv", 1, "cell")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    probes = nearest_cells(q, "qv", nprobe, "cell")
+    scored = assigned.join(F.broadcast(probes), "cell").withColumn(
+        "cos", _cosine_batch(F.col("qv"), F.col("nv"))
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))

@@ -36,6 +36,7 @@ from ..operators import timeseries as TS
 from ..operators.cohort import FilterSpec, cohort_anti_join, cohort_semi_join, filter_users
 from ..operators.dedup import _perm_params
 from ..operators.etl import melt
+from ..operators.interval import asof_join, interval_join
 from ..operators.safeband import alerts as sb_alerts
 from ..operators.safeband import breach_histogram, safe_band
 from ..session import prepare_session
@@ -1522,6 +1523,130 @@ FROM b GROUP BY 1
 """
 
 
+def q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (kdb+ aj / DuckDB ASOF): each click event paired with the
+    user's most recent purchase at or before it. One (user, ts) shuffle via
+    the union trick (operators.interval.asof_join) — no range probe, no
+    join explosion."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(clicks, purchases, on="user_id", ts="ts", right_cols=["value"])
+    return j.select(
+        "event_id",
+        "user_id",
+        _r(F.col("value"), 5).alias("click_value"),
+        _r(F.col("asof_value"), 5).alias("purchase_value"),
+        F.floor(F.col("ts").cast("double") - F.col("asof_ts").cast("double"))
+        .cast("long")
+        .alias("secs_since_purchase"),
+    )
+
+
+_SQL_ASOF_PURCHASE = """
+WITH c AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT user_id, ts, max(value) AS pvalue
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT c.event_id, c.user_id,
+       round(c.value, 5) AS click_value,
+       round(p.pvalue, 5) AS purchase_value,
+       CAST(floor(epoch(c.ts) - epoch(p.ts)) AS BIGINT) AS secs_since_purchase
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_incident_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi interval join: every error event opens a 10-minute incident
+    window; count and average the non-error events falling inside each —
+    with NO equi key, via bucket binning (operators.interval.interval_join)
+    instead of the O(points x intervals) cartesian a naive BETWEEN join
+    plans."""
+    ev = _t(spark, sf_dir, "events")
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("start"),
+        F.expr("ts + INTERVAL 600 SECONDS").alias("end"),
+    )
+    points = ev.filter(F.col("event_type") != "error").select("ts", "value")
+    j = interval_join(points, incidents, bucket_seconds=600)
+    return j.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _savg(F.col("value"), 5).alias("avg_value"),
+    )
+
+
+_SQL_INCIDENT_INTERVAL = f"""
+WITH i AS (
+  SELECT event_id AS incident_id, ts AS s, ts + INTERVAL 600 SECOND AS e
+  FROM events WHERE event_type = 'error'),
+p AS (SELECT ts, value FROM events WHERE event_type <> 'error')
+SELECT incident_id, count(*) AS n_events,
+       {_savg_sql('p.value', 5)} AS avg_value
+FROM p JOIN i ON p.ts >= i.s AND p.ts < i.e
+GROUP BY incident_id
+"""
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: deterministic coarse centroids
+    (vec_id % 50 = 0), map-side cell assignment, nprobe=3 probing — the
+    corpus never shuffles (similarity.ivf_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, centroid_stride=50, nprobe=3
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", _r(F.col("cos"), 5).alias("cos")
+    )
+
+
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+_SQL_KNN_IVF = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id % 50 = 0),
+corp AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ac AS (
+  SELECT nid, v, cid, {_COS_SQL.format(a='v', b='cv')} AS cs
+  FROM corp CROSS JOIN cent),
+assigned AS (
+  SELECT nid, v, cid AS cell FROM (
+    SELECT nid, v, cid,
+           row_number() OVER (PARTITION BY nid ORDER BY cs DESC, cid) AS rn
+    FROM ac) WHERE rn = 1),
+q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8),
+qc AS (
+  SELECT qid, qv, cid, {_COS_SQL.format(a='qv', b='cv')} AS cs
+  FROM q CROSS JOIN cent),
+probes AS (
+  SELECT qid, qv, cid AS cell FROM (
+    SELECT qid, qv, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn
+    FROM qc) WHERE rn <= 3),
+s AS (
+  SELECT qid, nid, {_COS_SQL.format(a='qv', b='v')} AS cos
+  FROM probes JOIN assigned USING (cell)
+  WHERE qid <> nid),
+r AS (
+  SELECT qid AS query_id, nid AS neighbor_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM s)
+SELECT query_id, neighbor_id, rank, round(cos, 5) AS cos FROM r WHERE rank <= 5
+"""
+
+
 def q_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-normalized time-series similarity top-3 per user (Pearson r over a
     shared 6-hour resample grid; r = cosine of the z-normalized series).
@@ -1652,6 +1777,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "trajectories": (q_trajectories, _SQL_TRAJECTORIES),
     "user_similarity_topk": (q_user_similarity, _SQL_USER_SIMILARITY),
     "stable_split": (q_stable_split, _SQL_STABLE_SPLIT),
+    "asof_latest_purchase": (q_asof_purchase, _SQL_ASOF_PURCHASE),
+    "incident_interval_join": (q_incident_interval, _SQL_INCIDENT_INTERVAL),
+    "knn_ivf_topk": (q_knn_ivf, _SQL_KNN_IVF),
     "approx_aggregates": (q_approx_aggregates, None),
     "fft_range_sum": (q_fft_range_sum, None),
 }
