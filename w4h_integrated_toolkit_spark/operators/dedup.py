@@ -5,13 +5,12 @@ Scale design notes (the point of each variant):
 - **exact_dedup** — one hash aggregate on an MD5 key: a single shuffle of
   (key, id) pairs, never of document bodies. At 100 TB, project the key+id
   first (column pruning keeps bodies out of the shuffle).
-- **shingle_rows** — the shared tokenize→shingle primitive, built as
-  posexplode + lead windows rather than array higher-order functions: HOF
-  lambdas (transform/aggregate) run interpreted per element in Spark, while
-  window lead/concat stays inside whole-stage codegen — measured 6-20x
-  faster and far more stable. Cost: one shuffle of the tokenized corpus on
-  doc_id; every downstream per-doc aggregate then reuses that partitioning
-  (no further exchange until the shingle-key shuffle).
+- **shingle_rows** — the shared tokenize→shingle primitive, assembled
+  map-side (slice + concat_ws per exploded position) so it costs NO
+  exchange: shingle rows are generated inside the scan stage and feed the
+  downstream aggregate's map-side partials directly. The rejected
+  alternative (posexplode + lead windows) shuffled and sorted the whole
+  tokenized corpus on (doc, pos) first — the dominant cost at fleet scale.
 - **ngram_jaccard_pairs** — one shuffle on shingle: groupBy(shingle) →
   in-bucket ordered pair generation (O(df²) confined to hot shingles, which
   ``max_doc_freq`` drops BEFORE pair explosion — the skew guard), then a
@@ -27,7 +26,7 @@ Scale design notes (the point of each variant):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import ROLLING_HASH_MOD, portable_hash31, portable_hash32
@@ -60,25 +59,27 @@ def shingle_rows(
 ) -> DataFrame:
     """(id, shingle) rows: word-level n-gram shingles, one row per position.
 
-    posexplode the word array, then assemble each shingle with n-1 lead
-    windows over (doc, position) — fully codegen'd, no interpreted lambdas
-    (see module scale notes). Documents shorter than n words produce no
-    rows. Duplicate shingles within a doc are KEPT (set semantics are the
+    Entirely map-side: keep the split word array on the row and explode one
+    assembled shingle per position via slice + concat_ws. The earlier
+    design (posexplode + n-1 lead windows) forced a shuffle AND sort of the
+    whole tokenized corpus on (doc, pos) just to see adjacent words; at
+    fleet scale that exchange dominates every shingle consumer. slice/
+    concat_ws evaluate inside the scan stage, so shingle rows flow straight
+    into the downstream aggregate's partial (map-side combine) with no
+    exchange of their own. Documents shorter than n words produce no rows
+    (explicit empty branch — Spark's sequence(1, 0) is DESCENDING, not
+    empty). Duplicate shingles within a doc are KEPT (set semantics are the
     consumer's choice: distinct() or collect_set).
     """
     words = F.split(F.trim(F.col(text)), r"\s+")
-    wrows = df.select(F.col(id_col), F.posexplode(words).alias("pos", "word"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("word", k).over(w) for k in range(1, n)]
-    complete = F.lead("word", n - 1).over(w).isNotNull() if n > 1 else F.lit(True)
-    return (
-        wrows.select(
-            F.col(id_col),
-            F.concat_ws(" ", F.col("word"), *leads).alias("shingle"),
-            complete.alias("_complete"),
-        )
-        .filter(F.col("_complete"))
-        .drop("_complete")
+    gen = (
+        f"explode(CASE WHEN size(_w) >= {n} THEN "
+        f"transform(sequence(1, size(_w) - {n - 1}), "
+        f"p -> concat_ws(' ', slice(_w, p, {n}))) "
+        f"ELSE array() END)"
+    )
+    return df.select(F.col(id_col), words.alias("_w")).select(
+        F.col(id_col), F.expr(gen).alias("shingle")
     )
 
 
@@ -130,19 +131,25 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by exact Jaccard over word n-gram shingle sets.
 
-    Plan: shingle rows (one doc_id shuffle) -> per-doc distinct sizes (reuses
-    the doc_id partitioning, no exchange) -> groupBy(shingle) with
-    collect_set (ONE index shuffle; set semantics for free) -> in-bucket
-    ordered pair generation -> pair counts -> broadcast size join ->
+    Plan: map-side shingle rows -> groupBy(shingle) + collect_set builds the
+    inverted index in ONE shuffle (set semantics for free); BOTH downstream
+    needs come from that same aggregate — per-doc set sizes by exploding the
+    index's doc-sets (each distinct (shingle, doc) once), and in-bucket
+    ordered pair generation from multi-doc entries. The two consumers share
+    a byte-identical exchange, so ReuseExchange tokenizes and shuffles the
+    corpus exactly once. Then pair counts -> broadcast size join ->
     jaccard = common / (|A| + |B| - common). Output (id_a < id_b, jaccard).
     """
     rows = shingle_rows(df, n, text, id_col)
-    sizes = rows.groupBy(id_col).agg(F.countDistinct("shingle").alias("set_size"))
-    buckets = (
-        rows.groupBy("shingle")
-        .agg(F.sort_array(F.collect_set(id_col)).alias("docs"))
-        .filter(F.size("docs") > 1)
+    idx = rows.groupBy("shingle").agg(
+        F.sort_array(F.collect_set(id_col)).alias("docs")
     )
+    sizes = (
+        idx.select(F.explode("docs").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("set_size"))
+    )
+    buckets = idx.filter(F.size("docs") > 1)
     if max_doc_freq is not None:
         buckets = buckets.filter(F.size("docs") <= max_doc_freq)
     common = (
