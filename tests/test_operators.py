@@ -564,3 +564,52 @@ def test_partitioned_layout_prunes(spark, tmp_path):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "dt" in pf[0]           # predicate prunes directories...
     assert scan.count() == 1              # ...and reads one day only
+
+
+def test_rollup_cascade_matches_direct_aggregation(spark):
+    """The cascade invariant: every coarser level, folded from finer
+    partials, equals aggregating the raw rows at that resolution
+    directly."""
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.timeseries import rollup_cascade
+
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    out = rollup_cascade(ev, [60, 3600, 86400], keys=["event_type"])
+    hour = out.filter(F.col("resolution_seconds") == 3600)
+    direct = (
+        ev.groupBy(
+            "event_type",
+            (F.floor(F.col("ts").cast("double") / 3600) * 3600)
+            .cast("long")
+            .alias("bucket_start_epoch"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+    )
+    got = {
+        (r["event_type"], r["bucket_start_epoch"]): (r["n"], r["vmin"], r["vmax"])
+        for r in hour.collect()
+    }
+    want = {
+        (r["event_type"], r["bucket_start_epoch"]): (r["n"], r["vmin"], r["vmax"])
+        for r in direct.collect()
+    }
+    assert got == want and len(got) > 0
+    # totals conserved across every resolution
+    n_by_res = {
+        r["resolution_seconds"]: r["total"]
+        for r in out.groupBy("resolution_seconds").agg(F.sum("n").alias("total")).collect()
+    }
+    assert len(set(n_by_res.values())) == 1
+
+
+def test_rollup_cascade_rejects_non_multiple_resolutions(spark):
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.timeseries import rollup_cascade
+
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    with pytest.raises(ValueError, match="not a multiple"):
+        rollup_cascade(ev, [60, 90])

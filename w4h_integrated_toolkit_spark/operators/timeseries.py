@@ -21,6 +21,7 @@ __all__ = [
     "activity_span",
     "stable_mean",
     "resample_mean",
+    "rollup_cascade",
     "calibrate",
     "calibrate_pandas",
     "gap_mask",
@@ -84,6 +85,87 @@ def resample_mean(
             F.col("w.start").alias("bucket_start"),
             "mean_value",
         )
+    )
+
+
+def rollup_cascade(
+    df: DataFrame,
+    resolutions_seconds: list[int] | None = None,
+    keys: list[str] | None = None,
+    ts: str = "ts",
+    value: str = "value",
+    decimals: int = 6,
+) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (continuous-aggregate
+    cascade): epoch-aligned buckets at each resolution, where every coarser
+    level is computed FROM the next finer level's partials — sum of sums,
+    sum of counts, min of mins, max of maxs — never from raw rows.
+
+    ``resolutions_seconds`` must be coarsening multiples (default minute →
+    hour → day). The raw table is scanned and shuffled ONCE (the finest
+    aggregate); each subsequent level aggregates the previous level's
+    output, whose cardinality is already ~rows/bucket_width smaller, so the
+    cascade's cost beyond level 0 is negligible at any scale. This is the
+    incremental-materialization shape: persist level 0 and refresh coarser
+    levels from it, instead of re-scanning 100 TB per resolution.
+
+    The mean is derived at the end from exact scaled-long sums
+    (see :func:`stable_mean`), so it is identical whether computed at the
+    fine or coarse level — float partial-mean averaging would not be.
+
+    Output: one row per (resolution_seconds, *keys, bucket_start_epoch)
+    with n, vsum (rounded back to ``decimals``), vmin, vmax, vavg.
+    """
+    resolutions = resolutions_seconds or [60, 3600, 86400]
+    for fine, coarse in zip(resolutions, resolutions[1:]):
+        if coarse % fine:
+            raise ValueError(f"{coarse}s is not a multiple of {fine}s")
+    keys = keys or []
+    scale = F.lit(float(10**decimals))
+    finest = resolutions[0]
+    level = (
+        df.groupBy(
+            *keys,
+            (F.floor(F.col(ts).cast("double") / finest) * finest)
+            .cast("long")
+            .alias("bucket_start_epoch"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col(value) * scale, 0).cast("long")).alias("_ssum"),
+            F.min(value).alias("vmin"),
+            F.max(value).alias("vmax"),
+        )
+    )
+    levels = [level.withColumn("resolution_seconds", F.lit(finest).cast("long"))]
+    for res in resolutions[1:]:
+        level = (
+            level.groupBy(
+                *keys,
+                (F.floor(F.col("bucket_start_epoch") / res) * res)
+                .cast("long")
+                .alias("bucket_start_epoch"),
+            )
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("_ssum").alias("_ssum"),
+                F.min("vmin").alias("vmin"),
+                F.max("vmax").alias("vmax"),
+            )
+        )
+        levels.append(level.withColumn("resolution_seconds", F.lit(res).cast("long")))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        "resolution_seconds",
+        *keys,
+        "bucket_start_epoch",
+        "n",
+        (F.col("_ssum").cast("double") / scale).alias("vsum"),
+        "vmin",
+        "vmax",
+        (F.col("_ssum").cast("double") / scale / F.col("n")).alias("vavg"),
     )
 
 

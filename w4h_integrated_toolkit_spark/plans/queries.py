@@ -1647,6 +1647,53 @@ SELECT query_id, neighbor_id, rank, round(cos, 5) AS cos FROM r WHERE rank <= 5
 """
 
 
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: minute/hour/day
+    rollups per event type, each coarser level folded from the finer one's
+    partials (sum-of-sums / min-of-mins), so raw rows are scanned and
+    shuffled exactly once (operators.timeseries.rollup_cascade)."""
+    ev = _t(spark, sf_dir, "events")
+    out = TS.rollup_cascade(
+        ev, [60, 3600, 86400], keys=["event_type"], ts="ts", value="value"
+    )
+    return out.select(
+        "resolution_seconds",
+        "event_type",
+        "bucket_start_epoch",
+        "n",
+        _r(F.col("vsum"), 5).alias("vsum"),
+        _r(F.col("vmin"), 5).alias("vmin"),
+        _r(F.col("vmax"), 5).alias("vmax"),
+        _r(F.col("vavg"), 5).alias("vavg"),
+    )
+
+
+_SQL_ROLLUP_CASCADE = """
+WITH l0 AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS b,
+         count(*) AS n, sum(CAST(round(value * 1e6) AS BIGINT)) AS ssum,
+         min(value) AS vmin, max(value) AS vmax
+  FROM events GROUP BY 1, 2),
+l1 AS (
+  SELECT event_type, CAST(floor(b / 3600.0) * 3600 AS BIGINT) AS b,
+         sum(n) AS n, sum(ssum) AS ssum, min(vmin) AS vmin, max(vmax) AS vmax
+  FROM l0 GROUP BY 1, 2),
+l2 AS (
+  SELECT event_type, CAST(floor(b / 86400.0) * 86400 AS BIGINT) AS b,
+         sum(n) AS n, sum(ssum) AS ssum, min(vmin) AS vmin, max(vmax) AS vmax
+  FROM l1 GROUP BY 1, 2),
+u AS (
+  SELECT CAST(60 AS BIGINT) AS resolution_seconds, * FROM l0
+  UNION ALL SELECT CAST(3600 AS BIGINT), * FROM l1
+  UNION ALL SELECT CAST(86400 AS BIGINT), * FROM l2)
+SELECT resolution_seconds, event_type, b AS bucket_start_epoch, n,
+       round(CAST(ssum AS DOUBLE) / 1e6, 5) AS vsum,
+       round(vmin, 5) AS vmin, round(vmax, 5) AS vmax,
+       round(CAST(ssum AS DOUBLE) / 1e6 / n, 5) AS vavg
+FROM u
+"""
+
+
 def q_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-normalized time-series similarity top-3 per user (Pearson r over a
     shared 6-hour resample grid; r = cosine of the z-normalized series).
@@ -1780,6 +1827,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "asof_latest_purchase": (q_asof_purchase, _SQL_ASOF_PURCHASE),
     "incident_interval_join": (q_incident_interval, _SQL_INCIDENT_INTERVAL),
     "knn_ivf_topk": (q_knn_ivf, _SQL_KNN_IVF),
+    "rollup_cascade": (q_rollup_cascade, _SQL_ROLLUP_CASCADE),
     "approx_aggregates": (q_approx_aggregates, None),
     "fft_range_sum": (q_fft_range_sum, None),
 }
