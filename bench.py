@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "byte_histogram",
     "text_stats",
     "language_id",
+    "asof_latest_purchase",
+    "incident_interval_join",
+    "knn_ivf_topk",
+    "rollup_cascade",
 ]
 
 
