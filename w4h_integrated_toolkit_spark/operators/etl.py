@@ -26,6 +26,7 @@ __all__ = [
     "upsert_users",
     "ingest_fact",
     "merge_upsert",
+    "stratified_sample",
 ]
 
 
@@ -159,3 +160,36 @@ def merge_upsert(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "w4h",
+) -> DataFrame:
+    """Deterministic stratified sample: top-``k`` rows per stratum by a
+    portable hash priority over (salt, id).
+
+    The reproducible-sampling idiom of training-data pipelines: membership
+    depends only on the row's id and the salt — never on partitioning, scan
+    order, engine, or run — so a pipeline re-run (or a different engine
+    entirely) selects the identical sample, and changing the salt redraws
+    it. Plan: one hash projection map-side, one shuffle on the strata for
+    the per-group top-k (rank via row_number; at extreme per-stratum
+    cardinality swap in a bounded per-partition pre-top-k before the final
+    window — partial top-k is associative, same answer).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions import portable_hash32
+
+    pri = portable_hash32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata).orderBy(pri.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

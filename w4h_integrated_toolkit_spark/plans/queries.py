@@ -1647,6 +1647,30 @@ SELECT query_id, neighbor_id, rank, round(cos, 5) AS cos FROM r WHERE rank <= 5
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: 10 docs per (lang, source) stratum
+    by portable hash priority — identical membership on every run, engine,
+    and partitioning (operators.etl.stratified_sample)."""
+    from ..operators.etl import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(docs, ["lang", "source"], k=10)
+
+
+_SQL_STRATIFIED_SAMPLE = """
+WITH p AS (
+  SELECT doc_id, lang, source,
+         CAST('0x' || substr(md5('w4h' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           AS pri
+  FROM documents),
+r AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source ORDER BY pri, doc_id) AS rn
+  FROM p)
+SELECT doc_id, lang, source FROM r WHERE rn <= 10
+"""
+
+
 def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous-aggregate cascade: minute/hour/day
     rollups per event type, each coarser level folded from the finer one's
@@ -1828,6 +1852,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "incident_interval_join": (q_incident_interval, _SQL_INCIDENT_INTERVAL),
     "knn_ivf_topk": (q_knn_ivf, _SQL_KNN_IVF),
     "rollup_cascade": (q_rollup_cascade, _SQL_ROLLUP_CASCADE),
+    "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
     "approx_aggregates": (q_approx_aggregates, None),
     "fft_range_sum": (q_fft_range_sum, None),
 }
