@@ -134,39 +134,52 @@ def ivf_topk(
 
     Centroids here are the deterministic subset ``id % centroid_stride == 0``
     (a k-means coarse quantizer would slot in identically — determinism is
-    what lets the SQL oracle reproduce the index). Scale shape: the
-    centroid table is tiny (K ~ sqrt(n)) and broadcast; cell assignment is
-    one map-side pass (the "index build" — persist it partitioned by cell
-    and the probe phase becomes a pruned scan of nprobe/K of the corpus);
-    probing is a broadcast join on cell, so the corpus never shuffles.
-    Ties break by centroid/neighbor id everywhere, so results are
-    deterministic and engine-reproducible.
+    what lets the SQL oracle reproduce the index). Scale shape: the coarse
+    quantizer is tiny by construction (K ~ sqrt(n)), so it is collected and
+    closure-captured in an Arrow-batched assignment UDF — cell assignment
+    is then a pure map-side pass over the corpus (the "index build";
+    persist it partitioned by cell and the probe phase becomes a pruned
+    scan of nprobe/K of the corpus). Probing joins broadcast query probes
+    on cell, so the corpus itself NEVER shuffles — only the candidate rows
+    inside probed cells move for the final per-query ranking. Ties break by
+    centroid/neighbor id everywhere, so results are deterministic and
+    engine-reproducible.
     """
-    cent = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    import numpy as np
 
-    def nearest_cells(df: DataFrame, vec: str, n: int, out: str) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cent)).withColumn(
-            "_cs", _cosine_batch(F.col(vec), F.col("cv"))
-        )
-        w = Window.partitionBy(df.columns[0]).orderBy(
-            F.col("_cs").desc(), F.col("cid").asc()
-        )
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= n)
-            .select(*df.columns, F.col("cid").alias(out))
-        )
+    cent_rows = sorted(
+        corpus.filter(F.col(id_col) % centroid_stride == 0)
+        .select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv"))
+        .collect(),
+        key=lambda r: r["cid"],
+    )
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
+    Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T  # (dim, K)
+
+    def top_cells(n: int):
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def _cells(vs: pd.Series) -> pd.Series:
+            V = np.stack(vs.to_numpy()).astype(np.float64)
+            S = (V / np.linalg.norm(V, axis=1, keepdims=True)) @ Cn  # (rows, K)
+            # centroid ids ascend with column index, so a stable argsort on
+            # -score breaks score ties by smaller cid — same order as the
+            # oracle's (cs DESC, cid) row_number
+            order = np.argsort(-S, axis=1, kind="stable")[:, :n]
+            return pd.Series(list(cids[order]))
+
+        return _cells
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
     )
-    assigned = nearest_cells(c, "nv", 1, "cell")
+    assigned = c.withColumn("cell", top_cells(1)(F.col("nv"))[0])
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    probes = nearest_cells(q, "qv", nprobe, "cell")
+    probes = q.withColumn(
+        "cell", F.explode(top_cells(nprobe)(F.col("qv")))
+    )
     scored = assigned.join(F.broadcast(probes), "cell").withColumn(
         "cos", _cosine_batch(F.col("qv"), F.col("nv"))
     )
