@@ -176,3 +176,50 @@ def test_streaming_alerts_match_batch(spark):
         for r in spark.table(name).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_session_windows_match_batch(spark):
+    """Native session windows through the streaming engine (state-store
+    window merging) equal the batch session_window aggregation on the same
+    data."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    path = "/root/testdata/sf0.001/events.parquet"
+
+    def sessions(df):
+        return (
+            df.groupBy("user_id", F.session_window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("s"),
+                "n_events",
+            )
+        )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(path)
+    batch = raw.withColumn("ts", F.timestamp_micros(F.expr("`ts` DIV 1000")))
+    expected = {
+        (r["user_id"], r["s"]): r["n_events"] for r in sessions(batch).collect()
+    }
+
+    stage = tempfile.mkdtemp(prefix="w4h_sess_")
+    os.symlink(path, os.path.join(stage, "events.parquet"))
+    stream = spark.readStream.schema(raw.schema).parquet(stage)
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("`ts` DIV 1000")))
+    out = sessions(stream.withWatermark("ts", "1 hour"))
+    name = "sess_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["s"]): r["n_events"] for r in spark.table(name).collect()
+    }
+    assert got == expected and len(got) > 0

@@ -1647,6 +1647,51 @@ SELECT query_id, neighbor_id, rank, round(cos, 5) AS cos FROM r WHERE rank <= 5
 """
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 1-hour gap): one row per
+    user session with start epoch, event count, and duration. This is the
+    engine primitive streaming sessionization runs on (state-store merged
+    windows); the batch oracle is the lag + cumulative-sum formulation.
+    Boundary semantics: a gap of EXACTLY the threshold starts a new session
+    (session_window merges only while next < prev + gap), hence >= in the
+    oracle — unlike `sessionize`, which uses strict >."""
+    ev = _t(spark, sf_dir, "events")
+    sw = ev.groupBy("user_id", F.session_window("ts", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("_first"),
+        F.max("ts").alias("_last"),
+    )
+    return sw.select(
+        "user_id",
+        F.floor(F.col("_first").cast("double")).cast("long").alias("session_start_epoch"),
+        "n_events",
+        F.floor(F.col("_last").cast("double") - F.col("_first").cast("double"))
+        .cast("long")
+        .alias("duration_secs"),
+    )
+
+
+_SQL_SESSION_WINDOWS = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w >= 3600.0
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+       count(*) AS n_events,
+       CAST(floor(epoch(max(ts)) - epoch(min(ts))) AS BIGINT) AS duration_secs
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: 10 docs per (lang, source) stratum
     by portable hash priority — identical membership on every run, engine,
@@ -1853,6 +1898,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "knn_ivf_topk": (q_knn_ivf, _SQL_KNN_IVF),
     "rollup_cascade": (q_rollup_cascade, _SQL_ROLLUP_CASCADE),
     "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
+    "session_windows": (q_session_windows, _SQL_SESSION_WINDOWS),
     "approx_aggregates": (q_approx_aggregates, None),
     "fft_range_sum": (q_fft_range_sum, None),
 }
