@@ -78,3 +78,36 @@ def test_pricing_summary_partial_agg_single_shuffle(spark):
 def test_mets_lookup_broadcasts_weights(spark):
     plan = plan_of(spark, "mets_broadcast_lookup")
     assert "BroadcastExchange" in plan
+
+
+def test_asof_join_single_exchange(spark):
+    plan = plan_of(spark, "asof_latest_purchase")
+    assert n_shuffles(plan) == 1, "as-of join must be one union+window exchange"
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_interval_join_no_cartesian(spark):
+    plan = plan_of(spark, "incident_interval_join")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, (
+        "bucket binning must turn the non-equi range join into an equi join"
+    )
+
+
+def test_ivf_corpus_never_shuffles(spark):
+    plan = plan_of(spark, "knn_ivf_topk")
+    # one exchange: the per-query ranking of probed candidates only
+    assert n_shuffles(plan) <= 1
+
+
+def test_rollup_cascade_levels_share_one_raw_aggregation(spark):
+    plan = plan_of(spark, "rollup_cascade")
+    # raw events are scanned once per physical plan branch, but every level
+    # groups on (event_type, bucket) — there must be no join, and the only
+    # exchanges are the per-level hash aggregations (3 levels)
+    assert "Join" not in plan
+    assert n_shuffles(plan) <= 3
+
+
+def test_stratified_sample_one_shuffle(spark):
+    plan = plan_of(spark, "stratified_sample")
+    assert n_shuffles(plan) == 1

@@ -102,12 +102,15 @@ def rollup_cascade(
     sum of counts, min of mins, max of maxs — never from raw rows.
 
     ``resolutions_seconds`` must be coarsening multiples (default minute →
-    hour → day). The raw table is scanned and shuffled ONCE (the finest
-    aggregate); each subsequent level aggregates the previous level's
-    output, whose cardinality is already ~rows/bucket_width smaller, so the
-    cascade's cost beyond level 0 is negligible at any scale. This is the
-    incremental-materialization shape: persist level 0 and refresh coarser
-    levels from it, instead of re-scanning 100 TB per resolution.
+    hour → day). The raw table is scanned and shuffled ONCE: each level is
+    materialized (eager localCheckpoint — persist level 0 and refresh
+    coarser levels from it is exactly the continuous-aggregate
+    discipline) before the next folds it, because the union otherwise
+    references every finer level's subtree once per coarser branch and
+    Spark re-plans the raw aggregation per branch (exchange reuse across
+    union arms is canonicalization-dependent — not something to bet a
+    100 TB scan on). Level cardinalities shrink ~bucket_width-fold per
+    step, so everything past level 0 is negligible.
 
     The mean is derived at the end from exact scaled-long sums
     (see :func:`stable_mean`), so it is identical whether computed at the
@@ -136,6 +139,7 @@ def rollup_cascade(
             F.min(value).alias("vmin"),
             F.max(value).alias("vmax"),
         )
+        .localCheckpoint(eager=True)
     )
     levels = [level.withColumn("resolution_seconds", F.lit(finest).cast("long"))]
     for res in resolutions[1:]:
@@ -152,6 +156,7 @@ def rollup_cascade(
                 F.min("vmin").alias("vmin"),
                 F.max("vmax").alias("vmax"),
             )
+            .localCheckpoint(eager=True)
         )
         levels.append(level.withColumn("resolution_seconds", F.lit(res).cast("long")))
     out = levels[0]
