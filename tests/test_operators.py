@@ -613,3 +613,17 @@ def test_rollup_cascade_rejects_non_multiple_resolutions(spark):
     ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
     with pytest.raises(ValueError, match="not a multiple"):
         rollup_cascade(ev, [60, 90])
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain (multi-round propagation), a 2-node island, and ties —
+    every node must label with the component's min id."""
+    from w4h_integrated_toolkit_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}

@@ -39,6 +39,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash32",
+    "connected_components",
 ]
 
 
@@ -331,3 +332,71 @@ def simhash32(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Data
     for t in bit_terms[1:]:
         total = total + t
     return votes.select(F.col(id_col), total.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every node
+    labeled with the smallest id reachable from it — the canonicalization
+    step that turns pairwise near-dup hits into dedup groups ("keep the
+    min-id doc per component").
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels, materialized per round (eager
+    localCheckpoint — iterative lineage otherwise grows exponentially and
+    re-executes every prior round per reference), stopping when a round
+    changes nothing. Rounds needed = component diameter, which for
+    near-dup graphs is tiny (clusters are dense blobs, not paths). For
+    adversarially long chains swap in large-star/small-star contraction
+    (O(log n) rounds, same per-round shape: one self-join on labels + one
+    min-aggregate — both on the (node, label) relation, never the corpus).
+
+    Returns (node, component) where component = min node id in the
+    component; isolated nodes never enter ``pairs`` and are absent.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("nbr_min"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("nbr_min")).alias("component"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1647,6 +1647,37 @@ SELECT query_id, neighbor_id, rank, round(cos, 5) AS cos FROM r WHERE rank <= 5
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: MinHash-LSH near-dup pairs -> connected components
+    (iterative min-label propagation, operators.dedup.connected_components)
+    -> one row per cluster with its canonical keeper (min doc id) and size.
+    The oracle replays the LSH pipeline in SQL and closes the pair graph
+    with a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, n=3, num_perm=8, bands=4, threshold=0.5)
+    comp = D.connected_components(pairs)
+    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_lsh_sql()})),
+e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+comp AS (
+  SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u)
+SELECT component AS cluster_id, count(*) AS n_docs FROM comp GROUP BY 1
+"""
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (F.session_window, 1-hour gap): one row per
     user session with start epoch, event count, and duration. This is the
@@ -1899,6 +1930,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "rollup_cascade": (q_rollup_cascade, _SQL_ROLLUP_CASCADE),
     "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
     "session_windows": (q_session_windows, _SQL_SESSION_WINDOWS),
+    "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "approx_aggregates": (q_approx_aggregates, None),
     "fft_range_sum": (q_fft_range_sum, None),
 }
