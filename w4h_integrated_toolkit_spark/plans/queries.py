@@ -1647,6 +1647,41 @@ SELECT query_id, neighbor_id, rank, round(cos, 5) AS cos FROM r WHERE rank <= 5
 """
 
 
+def q_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week, then
+    distinct active users per (cohort week, week offset) — the
+    cohort-vs-control generalization (SURVEY §2.3 J6) every analytics stack
+    needs. Plan: per-user min (one user shuffle) broadcast back, distinct +
+    count in one cascade."""
+    ev = _t(spark, sf_dir, "events")
+    wk = lambda c: F.floor(c.cast("double") / 604800).cast("long")  # noqa: E731
+    first = ev.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort_week"))
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (wk(F.col("ts")) - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+_SQL_RETENTION = """
+WITH f AS (
+  SELECT user_id, CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cohort_week
+  FROM events GROUP BY 1),
+a AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_week AS week_offset
+  FROM events e JOIN f USING (user_id))
+SELECT cohort_week, week_offset, count(*) AS n_active_users
+FROM a GROUP BY 1, 2
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: MinHash-LSH near-dup pairs -> connected components
     (iterative min-label propagation, operators.dedup.connected_components)
@@ -1931,6 +1966,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
     "session_windows": (q_session_windows, _SQL_SESSION_WINDOWS),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
+    "retention_matrix": (q_retention_matrix, _SQL_RETENTION),
     "approx_aggregates": (q_approx_aggregates, None),
     "fft_range_sum": (q_fft_range_sum, None),
 }
