@@ -1647,6 +1647,56 @@ SELECT query_id, neighbor_id, rank, round(cos, 5) AS cos FROM r WHERE rank <= 5
 """
 
 
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): aggregate lineitem once,
+    HAVING-filter to big orders, then join orders + customer. The lineitem
+    aggregate runs BEFORE any join (partial-agg reduces the fact table to
+    one row per order), and the filtered big-order set joins broadcast-side
+    into orders — never a fact-to-fact shuffle join. Top-20 by totalprice
+    with deterministic orderkey tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    j = (
+        orders.join(
+            F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"]
+        )
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+    )
+    return (
+        j.select(
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp(F.col("o_orderdate")).alias("orderdate_epoch"),
+            _r(F.col("o_totalprice"), 2).alias("total_price"),
+            _r(F.col("total_qty"), 2).alias("total_qty"),
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+_SQL_BIG_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200)
+SELECT c.c_name, o.o_orderkey,
+       CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_epoch,
+       round(o.o_totalprice, 2) AS total_price,
+       round(big.total_qty, 2) AS total_qty
+FROM orders o
+JOIN big ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY total_price DESC, o.o_orderkey ASC
+LIMIT 20
+"""
+
+
 def q_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users bucketed by first-activity week, then
     distinct active users per (cohort week, week offset) — the
@@ -1967,6 +2017,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "session_windows": (q_session_windows, _SQL_SESSION_WINDOWS),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "retention_matrix": (q_retention_matrix, _SQL_RETENTION),
+    "big_orders": (q_big_orders, _SQL_BIG_ORDERS),
     "approx_aggregates": (q_approx_aggregates, None),
     "fft_range_sum": (q_fft_range_sum, None),
 }
