@@ -72,38 +72,48 @@ _LANG_MARKERS: dict[str, list[str]] = {
 
 
 def _marker_hits(text: Column, words: list[str]) -> Column:
-    """Count of marker-word occurrences, via the length-difference trick
-    (portable to ANSI SQL: (len(s) - len(replace(s, w, ''))) / len(w))."""
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    total = F.lit(0).cast("long")
-    for w in words:
-        pat = f" {w} "
-        hits = (F.length(padded) - F.length(F.replace(padded, F.lit(pat)))) / len(pat)
-        total = total + hits.cast("long")
-    return total
+    """Count of tokens that are marker words: lowercase, whitespace-split,
+    filter by set membership (portable to SQL as
+    len(list_filter(split(...), w -> list_contains(markers, w)))).
+
+    Chosen over the replace/length-difference trick for two reasons: exact
+    token semantics (the replace trick consumes the shared space between
+    adjacent markers and undercounts), and a ~8x smaller generated-code
+    footprint — 20 replace chains made this the slowest-compiling
+    expression in the engine (seconds of Janino time per plan, magnified
+    under CPU contention), while one split + 4 membership filters compile
+    in milliseconds and run faster warm too."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    marker_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(marker_arr, x))).cast(
+        "long"
+    )
 
 
 def language_id(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic language ID: argmax of per-language stopword-marker hits,
     'und' (undetermined) when no marker occurs. Ties break by language code
-    order (deterministic)."""
+    order — earlier in _LANG_MARKERS wins (deterministic).
+
+    Argmax via array_max over (score, -order, lang) structs, so each score
+    expression appears ONCE in the plan. The greatest + when-chain
+    formulation inlined every score ~8x under projection collapse, and the
+    resulting tree took seconds of codegen compile per plan."""
     t = F.col(text)
-    scored = df.select(
+    entries = [
+        F.struct(
+            _marker_hits(t, ws).alias("score"),
+            F.lit(-i).alias("ord"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, (lang, ws) in enumerate(_LANG_MARKERS.items())
+    ]
+    best = F.array_max(F.array(*entries))
+    return df.select(
         id_col,
-        *[
-            _marker_hits(t, ws).alias(f"score_{lang}")
-            for lang, ws in _LANG_MARKERS.items()
-        ],
+        F.when(best["score"] > 0, best["lang"]).otherwise("und").alias("lang_pred"),
+        best["score"].alias("best_score"),
     )
-    langs = list(_LANG_MARKERS)
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    pred = F.lit("und")
-    # reversed: earlier languages win ties via later (outer) when-overwrite
-    for lang in reversed(langs):
-        pred = F.when(
-            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
-        ).otherwise(pred)
-    return scored.select(id_col, pred.alias("lang_pred"), best.alias("best_score"))
 
 
 def quality_score(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -659,24 +659,30 @@ FROM base
 """
 
 
+def _marker_hits_sql(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"CAST(len(list_filter(toks, x -> list_contains([{lst}], x))) AS BIGINT)"
+    )
+
+
 def _langid_sql() -> str:
     from ..operators.text import _LANG_MARKERS
 
-    score_exprs = []
-    for lang, words in _LANG_MARKERS.items():
-        parts = [
-            f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
-            for w in words
-        ]
-        score_exprs.append(" + ".join(parts) + f" AS score_{lang}")
+    score_exprs = [
+        _marker_hits_sql(words) + f" AS score_{lang}"
+        for lang, words in _LANG_MARKERS.items()
+    ]
     langs = list(_LANG_MARKERS)
     best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
     case = "CASE " + " ".join(
         f"WHEN score_{lang} = best AND best > 0 THEN '{lang}'" for lang in langs
     ) + " ELSE 'und' END"
-    return f"""
-WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
-scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM padded),
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM tok),
 ranked AS (SELECT doc_id, {best} AS best, * FROM scored)
 SELECT doc_id, {case} AS lang_pred, best AS best_score FROM ranked
 """
@@ -696,13 +702,11 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _quality_sql() -> str:
     from ..operators.text import _LANG_MARKERS
 
-    en_parts = " + ".join(
-        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
-        for w in _LANG_MARKERS["en"]
-    )
+    en_parts = _marker_hits_sql(_LANG_MARKERS["en"])
     return rf"""
 WITH base AS (
-  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
          length(text) AS n_chars,
          len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
          length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
