@@ -48,6 +48,11 @@ BENCH_QUERIES = [
     "incident_interval_join",
     "knn_ivf_topk",
     "rollup_cascade",
+    "user_similarity_topk",
+    "dedup_clusters",
+    "session_windows",
+    "retention_matrix",
+    "big_orders",
 ]
 
 

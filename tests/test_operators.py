@@ -617,13 +617,17 @@ def test_rollup_cascade_rejects_non_multiple_resolutions(spark):
 
 def test_connected_components_chain_and_islands(spark):
     """A 5-node chain (multi-round propagation), a 2-node island, and ties —
-    every node must label with the component's min id."""
+    every node must label with the component's min id, identically on the
+    driver union-find fast path and the distributed iteration."""
     from w4h_integrated_toolkit_spark.operators.dedup import connected_components
 
     pairs = spark.createDataFrame(
         [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
     )
-    got = {
-        r["node"]: r["component"] for r in connected_components(pairs).collect()
-    }
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+    for thresh in (100_000, 0):  # driver fast path, then forced distributed
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs, driver_threshold=thresh).collect()
+        }
+        assert got == want, f"threshold={thresh}"
