@@ -304,6 +304,20 @@ def test_frame_sample_every_k(spark):
     assert sorted((r["doc_id"], r["frame_idx"]) for r in rows) == [(1, 0), (2, 0), (2, 2)]
 
 
+def test_frame_sample_empty_payload(spark):
+    """n_frames=0 must yield zero frames, not a sequence(0,-1) runtime error."""
+    from pyspark.sql import Row
+
+    from w4h_integrated_toolkit_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=2, text="abcd")],
+        "doc_id long, text string",
+    )
+    rows = MM.frame_sample(MM.attach_payload(docs), every=1).collect()
+    assert sorted((r["doc_id"], r["frame_idx"]) for r in rows) == [(2, 0)]
+
+
 def test_byte_histogram_exact_counts(spark):
     MM, payloads = _mm_docs(spark)
     rows = MM.byte_histogram_features(payloads, n_buckets=16).collect()

@@ -170,8 +170,22 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
     ns_cols = ns_timestamp_columns(path)
     if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+        # The conf is consulted when the relation is created (schema
+        # conversion), not at action time, so restoring it immediately is
+        # safe — and keeps later direct spark.read.parquet calls in the same
+        # session on default semantics.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+    else:
+        df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
     return df

@@ -102,9 +102,15 @@ def frame_sample(
     only (no shuffle), JVM-side slicing. The last frame may be short
     (substring clamps) — same semantics as a tail video frame."""
     fb = F.col("meta.frame_bytes")
-    idx = F.explode(
-        F.sequence(F.lit(0).cast("long"), F.col("meta.n_frames") - 1, F.lit(every).cast("long"))
-    ).alias("frame_idx")
+    # zero-length payload -> n_frames=0 -> sequence(0,-1,+step) would throw;
+    # emit an empty array instead (explode then yields no rows)
+    seq = F.when(
+        F.col("meta.n_frames") > 0,
+        F.sequence(
+            F.lit(0).cast("long"), F.col("meta.n_frames") - 1, F.lit(every).cast("long")
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    idx = F.explode(seq).alias("frame_idx")
     return df.select(F.col(id_col), F.col("payload"), fb.alias("fb"), idx).select(
         F.col(id_col),
         F.col("frame_idx"),

@@ -207,8 +207,10 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_ANTI_JOIN = """
-SELECT c_custkey FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+-- NOT EXISTS (not NOT IN): matches Spark left_anti semantics even if the
+-- subquery key column ever contained NULLs
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 
@@ -1340,9 +1342,18 @@ def q_stream_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T9 alert thresholding (ALERT_TIMEOUT semantics, viz.py:38): 10-minute
     event-time windows where >50% of readings breach the mean±2σ safe band.
     Broadcast scalar band + one hash aggregate; the same operator runs on a
-    watermarked stream (safeband.alerts)."""
+    watermarked stream (safeband.alerts).
+
+    The band edges are rounded to 6 dp on BOTH engines before the unsafe
+    comparison: plain float avg/stddev are summation-order-dependent, so an
+    unrounded band classifies edge-adjacent readings differently across
+    engines (round-1 hash mismatch)."""
     ev = _t(spark, sf_dir, "events")
-    out = sb_alerts(ev, ts="ts", window_seconds=600, ratio_threshold=0.5)
+    band = ev.agg(
+        _r(F.avg("value") - 2 * F.stddev_samp("value"), 6).alias("band_lo"),
+        _r(F.avg("value") + 2 * F.stddev_samp("value"), 6).alias("band_hi"),
+    )
+    out = sb_alerts(ev, ts="ts", window_seconds=600, ratio_threshold=0.5, band=band)
     return out.select(
         "window_start_epoch",
         "n_total",
@@ -1353,8 +1364,8 @@ def q_stream_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_STREAM_ALERTS = """
 WITH band AS (
-  SELECT avg(value) - 2*stddev_samp(value) AS lo,
-         avg(value) + 2*stddev_samp(value) AS hi
+  SELECT round(avg(value) - 2*stddev_samp(value), 6) AS lo,
+         round(avg(value) + 2*stddev_samp(value), 6) AS hi
   FROM events),
 w AS (SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS window_start_epoch,
              count(*) AS n_total,
@@ -1482,8 +1493,10 @@ def q_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TRAJECTORIES = """
 WITH p AS (
   SELECT user_id,
-         (CAST(floor(value*100) AS BIGINT) % 360) || ' ' ||
-         (CAST(floor(value*100) AS BIGINT) % 180) AS pt,
+         -- ((x % m) + m) % m matches Spark's pmod (non-negative result) even
+         -- for negative values; DuckDB's plain % keeps the dividend's sign
+         (((CAST(floor(value*100) AS BIGINT) % 360) + 360) % 360) || ' ' ||
+         (((CAST(floor(value*100) AS BIGINT) % 180) + 180) % 180) AS pt,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events)
 SELECT user_id,
