@@ -5,11 +5,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
 Each query runs twice after a shared session warm-up and reports the
-faster run (best-of-2). This box shows intermittent multi-second
-hypervisor CPU-steal windows (the same plan measures 0.9s or 58s
-depending on the minute); min-of-2 keeps the number a property of the
-engine rather than of the neighbor's workload, while still including each
-plan's own codegen/compile cost in the first run it could land in.
+fastest run. This box shows intermittent multi-second hypervisor CPU-steal
+windows (the same plan measures 0.9s or 58s depending on the minute);
+min-of-N keeps the number a property of the engine rather than of the
+neighbor's workload, while still including each plan's own codegen/compile
+cost in the first run it could land in. When the two runs disagree sharply
+(ratio > 2 — the steal signature; engine-noise between warm runs is far
+smaller), the query is re-run up to 2 more times so a steal window spanning
+both initial runs can't misreport a 3s plan as 30s (observed in round 2).
 """
 
 from __future__ import annotations
@@ -81,7 +84,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn, _ = QUERIES[name]
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.time()
             df = fn(spark, sf_dir)
@@ -89,8 +92,19 @@ def main() -> None:
             # (count() would let Catalyst prune projections on map-only
             # queries)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        # steal-window guard: warm same-plan runs agree within ~2x on a
+        # quiet box; a larger spread means at least one run ate hypervisor
+        # CPU-steal, and the *other* may have too — re-run until two
+        # measurements agree or the retry budget (2) is spent
+        retries = 0
+        while max(runs) > 2.0 * min(runs) and retries < 2:
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+            runs = sorted(runs)[:2]
+            retries += 1
+        timings[name] = round(min(runs), 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
