@@ -85,16 +85,10 @@ def user_similarity_topk(
     from ..functions import portable_hash32
 
     g = resample_grid(df, ts, value, key, bucket_seconds)
-    lo, hi = g.agg(F.min("bucket"), F.max("bucket")).first()
-    if lo is None:
-        return g.sparkSession.createDataFrame(
-            [], "user_a long, user_b long, rank int, r double, n_common long"
-        )
-    width = int(hi - lo + 1)
     cells = g.select(
         (portable_hash32(F.col("k").cast("string")) % n_chunks).alias("chunk"),
         "k",
-        (F.col("bucket") - F.lit(int(lo))).cast("int").alias("b"),
+        F.col("bucket").alias("b"),
         "v",
     )
     others = df.sparkSession.range(n_chunks).select(F.col("id").alias("other"))
@@ -107,29 +101,39 @@ def user_similarity_topk(
         "v",
     )
 
-    def build(sub, w):
-        users = np.sort(sub["k"].unique())
-        uidx = {u: i for i, u in enumerate(users)}
-        M = np.zeros((len(users), w))
-        V = np.zeros((len(users), w))
-        rows = sub["k"].map(uidx).to_numpy()
-        cols = sub["b"].to_numpy()
-        M[rows, cols] = 1.0
-        V[rows, cols] = sub["v"].to_numpy()
-        return users, M, V
-
     def block(key_, pdf):
         ca, cb = key_
         empty = pd.DataFrame({"user_a": [], "user_b": [], "r": [], "n_common": []})
+        # densify the BLOCK's bucket set, not the global [min,max] span: a
+        # bucket absent from this block is an all-zero column in every
+        # operand, contributing nothing to any Gram product — so no global
+        # bounds pass is needed (the earlier min/max driver fetch executed
+        # the whole resample shuffle a second time), and matrix width is
+        # bounded by the block's own activity, not the corpus time span
+        _, colidx = np.unique(pdf["b"].to_numpy(), return_inverse=True)
+        w = int(colidx.max()) + 1 if len(colidx) else 0
+        pdf = pdf.assign(_c=colidx)
+
+        def build(sub):
+            users = np.sort(sub["k"].unique())
+            uidx = {u: i for i, u in enumerate(users)}
+            M = np.zeros((len(users), w))
+            V = np.zeros((len(users), w))
+            rows = sub["k"].map(uidx).to_numpy()
+            cols = sub["_c"].to_numpy()
+            M[rows, cols] = 1.0
+            V[rows, cols] = sub["v"].to_numpy()
+            return users, M, V
+
         if ca == cb:
-            ua, Ma, Va = build(pdf, width)
+            ua, Ma, Va = build(pdf)
             ub, Mb, Vb = ua, Ma, Va
         else:
             sa, sb = pdf[pdf["chunk"] == ca], pdf[pdf["chunk"] == cb]
             if not len(sa) or not len(sb):
                 return empty
-            ua, Ma, Va = build(sa, width)
-            ub, Mb, Vb = build(sb, width)
+            ua, Ma, Va = build(sa)
+            ub, Mb, Vb = build(sb)
         N = Ma @ Mb.T
         Sa = Va @ Mb.T
         Sb = Ma @ Vb.T
