@@ -304,6 +304,60 @@ def test_frame_sample_every_k(spark):
     assert sorted((r["doc_id"], r["frame_idx"]) for r in rows) == [(1, 0), (2, 0), (2, 2)]
 
 
+def test_repetition_ratio_known_values(spark):
+    from w4h_integrated_toolkit_spark.operators.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b a"),  # bigrams: ab ba ab ba -> 4 total, 2 distinct
+            Row(doc_id=2, text="x y z"),  # xy yz -> no dups
+            Row(doc_id=3, text="solo"),  # < n words -> 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_ratio(df, n=2).collect()}
+    assert (out[1]["n_grams"], out[1]["n_distinct"]) == (4, 2)
+    assert out[1]["dup_ratio"] == pytest.approx(0.5)
+    assert out[2]["dup_ratio"] == 0.0 and out[2]["n_grams"] == 2
+    assert (out[3]["n_grams"], out[3]["dup_ratio"]) == (0, 0.0)
+
+
+def test_contamination_counts_distinct_shared_grams(spark):
+    from w4h_integrated_toolkit_spark.operators.dedup import contamination
+
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares "the quick brown" and "quick brown fox"; the repeat of
+            # "the quick brown" must count ONCE (distinct grams per doc)
+            Row(doc_id=1, text="the quick brown fox the quick brown"),
+            Row(doc_id=2, text="totally unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_hits"] for r in contamination(corpus, bench, n=3).collect()}
+    # doc 1 distinct grams: {the quick brown, quick brown fox, brown fox the,
+    # fox the quick}; bench grams: {the quick brown, quick brown fox,
+    # brown fox jumps}; shared = 2. Doc 2 is clean and absent from output.
+    assert out == {1: 2}
+
+
+def test_pack_sequences_bins_by_cumulative_budget(spark):
+    from w4h_integrated_toolkit_spark.operators.text import pack_sequences
+
+    # one shard (n_shards=1): docs of 3,4,2 tokens, budget 5
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="a b c"), Row(doc_id=1, text="a b c d"), Row(doc_id=2, text="a b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(df, budget=5, n_shards=1).collect()}
+    # cum_before: 0, 3, 7 -> bins 0, 0, 1
+    assert [out[i]["bin"] for i in range(3)] == [0, 0, 1]
+    assert [out[i]["n_tokens"] for i in range(3)] == [3, 4, 2]
+
+
 def test_frame_sample_empty_payload(spark):
     """n_frames=0 must yield zero frames, not a sequence(0,-1) runtime error."""
     from pyspark.sql import Row

@@ -111,3 +111,24 @@ def test_rollup_cascade_levels_share_one_raw_aggregation(spark):
 def test_stratified_sample_one_shuffle(spark):
     plan = plan_of(spark, "stratified_sample")
     assert n_shuffles(plan) == 1
+
+
+def test_repetition_ratio_zero_shuffles(spark):
+    """Per-doc gram dedup is a map-side array_distinct — no exchange at all."""
+    assert n_shuffles(plan_of(spark, "repetition_ratio")) == 0
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    plan = plan_of(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan, "benchmark gram set must broadcast"
+    assert "SortMergeJoin" not in plan
+    # corpus side never shuffles pre-join (map-side array_distinct); the
+    # exchanges are the benchmark distinct + the final per-doc aggregate
+    assert n_shuffles(plan) <= 2
+
+
+def test_pack_sequences_single_shard_exchange(spark):
+    """Packing must be per-shard windows (parallel), one exchange — never a
+    global ordered cumsum."""
+    plan = plan_of(spark, "pack_sequences")
+    assert n_shuffles(plan) == 1

@@ -40,7 +40,21 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash32",
     "connected_components",
+    "contamination",
 ]
+
+
+def _gram_expr(n: int) -> str:
+    """SQL expression producing the word n-gram array from a ``_w`` word-array
+    column: one assembled shingle per position via slice + concat_ws, empty
+    array for documents shorter than n words (sequence(1, 0) is DESCENDING
+    in Spark, not empty — hence the explicit branch)."""
+    return (
+        f"CASE WHEN size(_w) >= {n} THEN "
+        f"transform(sequence(1, size(_w) - {n - 1}), "
+        f"p -> concat_ws(' ', slice(_w, p, {n}))) "
+        f"ELSE array() END"
+    )
 
 
 def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -73,14 +87,8 @@ def shingle_rows(
     consumer's choice: distinct() or collect_set).
     """
     words = F.split(F.trim(F.col(text)), r"\s+")
-    gen = (
-        f"explode(CASE WHEN size(_w) >= {n} THEN "
-        f"transform(sequence(1, size(_w) - {n - 1}), "
-        f"p -> concat_ws(' ', slice(_w, p, {n}))) "
-        f"ELSE array() END)"
-    )
     return df.select(F.col(id_col), words.alias("_w")).select(
-        F.col(id_col), F.expr(gen).alias("shingle")
+        F.col(id_col), F.expr(f"explode({_gram_expr(n)})").alias("shingle")
     )
 
 
@@ -297,6 +305,39 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the number of distinct
+    word n-grams it shares with ANY benchmark document — the standard
+    "remove eval-set overlap from training data" pass.
+
+    Plan shape (the 100 TB-relevant part): the benchmark side is tiny
+    relative to the corpus, so its distinct gram set BROADCASTS; the corpus
+    side's per-document distinct grams come from a map-side
+    ``array_distinct`` on the assembled gram array (each doc is one row —
+    no shuffle needed to dedup within a doc), so the join happens inside
+    the scan stage and the only exchange is the final per-document count
+    aggregate. Returns (id, n_hits) for contaminated documents only
+    (n_hits >= 1); clean documents are absent.
+    """
+    bench = shingle_rows(benchmark, n, text, id_col).select("shingle").distinct()
+    words = F.split(F.trim(F.col(text)), r"\s+")
+    corp = corpus.select(F.col(id_col), words.alias("_w")).select(
+        F.col(id_col),
+        F.expr(f"explode(array_distinct({_gram_expr(n)}))").alias("shingle"),
+    )
+    return (
+        corp.join(F.broadcast(bench), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )
 
 

@@ -19,6 +19,8 @@ __all__ = [
     "quality_score",
     "language_id",
     "fingerprint",
+    "repetition_ratio",
+    "pack_sequences",
 ]
 
 _WORD_RE = r"\s+"
@@ -137,6 +139,75 @@ def quality_score(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> 
     return j.select(
         id_col, F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)).alias("quality")
     )
+
+
+def repetition_ratio(
+    df: DataFrame, n: int = 2, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition: the fraction of word n-grams that are
+    duplicates of an earlier n-gram in the same document (the Gopher-style
+    repetition quality signal — high dup ratio flags boilerplate/spam).
+
+    Entirely map-side: the gram array is assembled per row (slice +
+    concat_ws), duplicates counted as ``1 - distinct/total`` via
+    ``array_distinct`` — ZERO shuffles, whole-stage codegen'd, cost linear
+    in input bytes regardless of cluster size. Documents shorter than n
+    words report 0 grams and ratio 0.0.
+
+    Returns (id, n_grams, n_distinct, dup_ratio).
+    """
+    from .dedup import _gram_expr
+
+    words = F.split(F.trim(F.col(text)), r"\s+")
+    g = df.select(F.col(id_col), words.alias("_w")).select(
+        F.col(id_col), F.expr(_gram_expr(n)).alias("_g")
+    )
+    total = F.size("_g").cast("long")
+    distinct = F.size(F.array_distinct("_g")).cast("long")
+    return g.select(
+        F.col(id_col),
+        total.alias("n_grams"),
+        distinct.alias("n_distinct"),
+        F.when(total > 0, 1.0 - distinct.cast("double") / total)
+        .otherwise(F.lit(0.0))
+        .alias("dup_ratio"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    n_shards: int = 8,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy contiguous sequence packing for pre-training batch assembly:
+    documents are concatenated in id order and each document is assigned to
+    the token-budget bin its first token falls in
+    (``bin = floor(cum_tokens_before / budget)``).
+
+    Scale shape: packing is per-shard (``shard = id % n_shards``), so the
+    running-sum window partitions by shard instead of requiring a single
+    global ordered cumsum — shards pack in parallel and the one exchange is
+    the shard repartition. Raise ``n_shards`` with the cluster; bins are
+    (shard, bin) pairs, deterministic regardless of parallelism.
+
+    Returns (id, shard, n_tokens, bin).
+    """
+    from pyspark.sql import Window
+
+    t = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).alias("shard"),
+        token_count(F.col(text)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.withColumn("bin", F.floor(cum_before / budget).cast("long"))
 
 
 def fingerprint(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -1948,6 +1948,84 @@ FROM documents
 """
 
 
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (duplicate word-bigram fraction, the
+    Gopher-style boilerplate/spam signal). Map-side only: gram array +
+    array_distinct per row — zero shuffles at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.repetition_ratio(docs, n=2)
+    return out.select(
+        "doc_id", "n_grams", "n_distinct", _r(F.col("dup_ratio"), 6).alias("dup_ratio")
+    )
+
+
+_SQL_REPETITION = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+              i -> array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 1), ' '))
+              ELSE [] END AS grams
+  FROM w)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       round(CASE WHEN len(grams) > 0
+                  THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                  ELSE 0.0 END, 6) AS dup_ratio
+FROM g
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 3-gram with
+    the held-out slice (doc_id % 100 == 0 stands in for an eval set).
+    Benchmark gram set broadcasts; corpus-side per-doc distinct grams are
+    map-side array_distinct (one row per doc — no shuffle to dedup); the
+    only exchange is the per-doc hit-count aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    corpus = docs.filter(F.col("doc_id") % 100 != 0)
+    return D.contamination(corpus, bench, n=3)
+
+
+_SQL_DECONTAMINATE = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 2), ' ') AS gram
+  FROM w, unnest(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+corpus AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 100 <> 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM corpus JOIN bench USING (gram) GROUP BY doc_id
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing (pre-training batch assembly):
+    each doc lands in the 512-token bin its first token falls in, packed
+    per shard (doc_id % 8) so the running sum is a per-shard window, not a
+    global ordered cumsum."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.pack_sequences(docs, budget=512, n_shards=8)
+
+
+_SQL_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0)
+            AS BIGINT) AS bin
+FROM t
+"""
+
+
 def q_fft_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 custom path: per-user FFT sketch (256 buckets -> 32 coefficients,
     ~8x compression) answering an approximate mid-January range sum without
@@ -2035,6 +2113,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "retention_matrix": (q_retention_matrix, _SQL_RETENTION),
     "big_orders": (q_big_orders, _SQL_BIG_ORDERS),
+    "repetition_ratio": (q_repetition_ratio, _SQL_REPETITION),
+    "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
+    "pack_sequences": (q_pack_sequences, _SQL_PACK_SEQUENCES),
     "approx_aggregates": (q_approx_aggregates, None),
     "fft_range_sum": (q_fft_range_sum, None),
 }
