@@ -92,6 +92,25 @@ def shingle_rows(
     )
 
 
+def distinct_shingle_rows(
+    df: DataFrame, n: int, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shingle) rows with within-document duplicates removed MAP-SIDE
+    (per-row ``array_distinct`` on the assembled gram array — each document
+    is one input row, so no exchange is needed to reach set semantics).
+
+    Feed this to set-semantics consumers (inverted index build, shingle-set
+    sizes, Jaccard verification): the dedup happens before any shuffle or
+    aggregate buffer, so repeated-boilerplate documents don't inflate
+    exchange volume. ``shingle_rows`` (dups kept) remains for multiset
+    consumers."""
+    words = F.split(F.trim(F.col(text)), r"\s+")
+    return df.select(F.col(id_col), words.alias("_w")).select(
+        F.col(id_col),
+        F.expr(f"explode(array_distinct({_gram_expr(n)}))").alias("shingle"),
+    )
+
+
 def shingle_index(
     df: DataFrame,
     n: int = 5,
@@ -103,7 +122,7 @@ def shingle_index(
     document-frequency cap that drops hot shingles before any join (skew
     control; changes candidate recall only for shingles shared by more than
     ``max_doc_freq`` docs, which contribute O(df²) join rows)."""
-    idx = shingle_rows(df, n, text, id_col).distinct()
+    idx = distinct_shingle_rows(df, n, text, id_col)
     if max_doc_freq is not None:
         hot = (
             idx.groupBy("shingle")
@@ -140,7 +159,9 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by exact Jaccard over word n-gram shingle sets.
 
-    Plan: map-side shingle rows -> groupBy(shingle) + collect_set builds the
+    Plan: map-side per-doc-distinct shingle rows (array_distinct before the
+    explode — repeated boilerplate never reaches the exchange) ->
+    groupBy(shingle) + collect_set builds the
     inverted index in ONE shuffle (set semantics for free); BOTH downstream
     needs come from that same aggregate — per-doc set sizes by exploding the
     index's doc-sets (each distinct (shingle, doc) once), and in-bucket
@@ -149,7 +170,7 @@ def ngram_jaccard_pairs(
     corpus exactly once. Then pair counts -> broadcast size join ->
     jaccard = common / (|A| + |B| - common). Output (id_a < id_b, jaccard).
     """
-    rows = shingle_rows(df, n, text, id_col)
+    rows = distinct_shingle_rows(df, n, text, id_col)
     idx = rows.groupBy("shingle").agg(
         F.sort_array(F.collect_set(id_col)).alias("docs")
     )
@@ -291,7 +312,7 @@ def minhash_lsh_pairs(
     )
     cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
     sets = (
-        shingle_rows(cand_docs, n, text, id_col)
+        distinct_shingle_rows(cand_docs, n, text, id_col)
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("shingles"))
     )
@@ -329,11 +350,7 @@ def contamination(
     (n_hits >= 1); clean documents are absent.
     """
     bench = shingle_rows(benchmark, n, text, id_col).select("shingle").distinct()
-    words = F.split(F.trim(F.col(text)), r"\s+")
-    corp = corpus.select(F.col(id_col), words.alias("_w")).select(
-        F.col(id_col),
-        F.expr(f"explode(array_distinct({_gram_expr(n)}))").alias("shingle"),
-    )
+    corp = distinct_shingle_rows(corpus, n, text, id_col)
     return (
         corp.join(F.broadcast(bench), "shingle")
         .groupBy(id_col)
