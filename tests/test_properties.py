@@ -100,3 +100,55 @@ def test_stable_mean_partition_invariant(spark, values):
         m = df.repartition(parts).agg(stable_mean("v").alias("m")).collect()[0]["m"]
         means.add(m)
     assert len(means) == 1  # bit-identical at any partitioning
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=6
+    )
+)
+def test_repetition_ratio_matches_python_model(spark, texts):
+    from w4h_integrated_toolkit_spark.operators.text import repetition_ratio
+
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_ratio(df, n=2).collect()}
+
+    for i, t in enumerate(texts):
+        # Spark split('\s+') of '' yields [''] (one empty token); of 'a b'
+        # yields the words — model both
+        toks = t.strip().split() if t.strip() else [""]
+        grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        assert got[i]["n_grams"] == len(grams)
+        assert got[i]["n_distinct"] == len(set(grams))
+        exp = 1.0 - len(set(grams)) / len(grams) if grams else 0.0
+        assert abs(got[i]["dup_ratio"] - exp) < 1e-9
+        assert 0 <= got[i]["dup_ratio"] < 1 or got[i]["n_grams"] == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(1, 40), min_size=1, max_size=20),  # tokens per doc
+    st.integers(2, 64),  # budget
+)
+def test_pack_sequences_bins_monotone_and_exact(spark, token_counts, budget):
+    from w4h_integrated_toolkit_spark.operators.text import pack_sequences
+
+    rows = [Row(doc_id=i, text=" ".join(["w"] * n)) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        pack_sequences(df, budget=budget, n_shards=3).collect(),
+        key=lambda r: (r["shard"], r["doc_id"]),
+    )
+    cums: dict[int, int] = {}
+    for r in out:
+        cum_before = cums.get(r["shard"], 0)
+        assert r["bin"] == cum_before // budget  # exact greedy assignment
+        cums[r["shard"]] = cum_before + r["n_tokens"]
+    # bins never decrease within a shard (contiguity)
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["bin"])
+    for bins in by_shard.values():
+        assert bins == sorted(bins)
