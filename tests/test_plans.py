@@ -132,3 +132,40 @@ def test_pack_sequences_single_shard_exchange(spark):
     global ordered cumsum."""
     plan = plan_of(spark, "pack_sequences")
     assert n_shuffles(plan) == 1
+
+
+def test_bucketed_join_and_agg_no_exchange(spark):
+    """Co-located bucketed tables: the fact-fact join AND the groupBy on the
+    bucket key must produce ZERO data exchanges — the shuffle was paid once
+    at write time (the 100 TB amortization pattern)."""
+    from pyspark.sql import functions as F
+
+    from w4h_integrated_toolkit_spark.catalog import read_parquet, write_bucketed
+
+    li = read_parquet(spark, f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = read_parquet(spark, f"{SF_DIR}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    write_bucketed(li, "b_li_test", "l_orderkey", n_buckets=4)
+    write_bucketed(od, "b_od_test", "l_orderkey", n_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table("b_li_test")
+            .join(spark.table("b_od_test"), "l_orderkey")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"), F.sum("o_totalprice").alias("t"))
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = j._jdf.queryExecution().explainString(mode)
+        assert n_shuffles(plan) == 0, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_li_test")
+        spark.sql("DROP TABLE IF EXISTS b_od_test")

@@ -231,3 +231,27 @@ def write_fact_table(df: DataFrame, path: str, mode: str = "append") -> None:
         .partitionBy("dt")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    key: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (co-located) table write — the 100 TB fact-fact join layout.
+
+    Tables bucketed on the same key with the same bucket count join and
+    aggregate on that key with NO exchange: the shuffle is paid once at
+    write time and amortized over every downstream join (Spark reads each
+    bucket pair task-locally). ``sort`` additionally orders rows within
+    each bucket file so merge joins skip their sort when bucket files are
+    single-filed. Registered via ``saveAsTable`` (bucketing metadata lives
+    in the catalog, not parquet), read back with ``spark.table(name)``.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(name)
