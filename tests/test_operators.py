@@ -358,6 +358,27 @@ def test_pack_sequences_bins_by_cumulative_budget(spark):
     assert [out[i]["n_tokens"] for i in range(3)] == [3, 4, 2]
 
 
+def test_mixture_sample_nested_deterministic(spark):
+    from w4h_integrated_toolkit_spark.operators.etl import mixture_sample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, g="a" if i % 2 else "b") for i in range(200)],
+        "doc_id long, g string",
+    )
+    lo = {r["doc_id"] for r in mixture_sample(df, "g", {"a": 0.3, "b": 0.1}).collect()}
+    hi = {r["doc_id"] for r in mixture_sample(df, "g", {"a": 0.6, "b": 0.5}).collect()}
+    assert lo <= hi  # raising rates strictly grows the sample (nested)
+    again = {r["doc_id"] for r in mixture_sample(df, "g", {"a": 0.3, "b": 0.1}).collect()}
+    assert lo == again  # membership is a pure function of (salt, id, rates)
+    assert mixture_sample(df, "g", {}).count() == 0  # default rate 0 drops all
+    # repartitioning must not change membership
+    reparted = {
+        r["doc_id"]
+        for r in mixture_sample(df.repartition(7), "g", {"a": 0.3, "b": 0.1}).collect()
+    }
+    assert reparted == lo
+
+
 def test_frame_sample_empty_payload(spark):
     """n_frames=0 must yield zero frames, not a sequence(0,-1) runtime error."""
     from pyspark.sql import Row

@@ -27,6 +27,7 @@ __all__ = [
     "ingest_fact",
     "merge_upsert",
     "stratified_sample",
+    "mixture_sample",
 ]
 
 
@@ -193,3 +194,35 @@ def stratified_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-group RATE sampling — the data-mixture rebalancing
+    primitive (keep 100% of group A, 25% of group B, ...) of training-data
+    pipelines.
+
+    A row survives iff ``portable_hash32(salt || id) % 1e6 < rate(group) *
+    1e6``: membership depends only on (salt, id, its group's rate), never
+    on partitioning, scan order, or engine — so re-runs and downstream
+    engines reproduce the identical subset, and raising a group's rate
+    strictly grows its sample (nested samples, the property that makes
+    mixture ablations comparable). Map-side filter only — ZERO shuffles at
+    any scale; unlike :func:`stratified_sample` (exact top-k per stratum,
+    one window shuffle) this trades exact counts for a fully parallel plan.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions import portable_hash32
+
+    rate = F.lit(float(default_rate))
+    for group, r in rates.items():
+        rate = F.when(F.col(key) == group, F.lit(float(r))).otherwise(rate)
+    pri = portable_hash32(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 1_000_000
+    return df.filter(pri < rate * 1_000_000.0)

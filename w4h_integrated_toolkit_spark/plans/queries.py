@@ -1948,6 +1948,38 @@ FROM documents
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing: deterministic per-group rate sampling
+    (keep 100% urgent / 50% high / 25% medium / 10% rest) by portable hash
+    — map-side filter, membership engine- and partitioning-independent;
+    the only exchange is the result count aggregate."""
+    from ..operators.etl import mixture_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    samp = mixture_sample(
+        orders,
+        "o_orderpriority",
+        {"1-URGENT": 1.0, "2-HIGH": 0.5, "3-MEDIUM": 0.25},
+        default_rate=0.1,
+        id_col="o_orderkey",
+        salt="mix",
+    )
+    return samp.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+_SQL_MIXTURE_SAMPLE = """
+WITH h AS (
+  SELECT o_orderpriority,
+         CAST('0x' || substr(md5('mix' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+           % 1000000 AS pri,
+         CASE o_orderpriority WHEN '1-URGENT' THEN 1.0 WHEN '2-HIGH' THEN 0.5
+              WHEN '3-MEDIUM' THEN 0.25 ELSE 0.1 END AS rate
+  FROM orders)
+SELECT o_orderpriority, count(*) AS n_kept
+FROM h WHERE pri < rate * 1000000.0 GROUP BY 1
+"""
+
+
 def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition (duplicate word-bigram fraction, the
     Gopher-style boilerplate/spam signal). Map-side only: gram array +
@@ -2113,6 +2145,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "retention_matrix": (q_retention_matrix, _SQL_RETENTION),
     "big_orders": (q_big_orders, _SQL_BIG_ORDERS),
+    "mixture_sample": (q_mixture_sample, _SQL_MIXTURE_SAMPLE),
     "repetition_ratio": (q_repetition_ratio, _SQL_REPETITION),
     "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
     "pack_sequences": (q_pack_sequences, _SQL_PACK_SEQUENCES),
