@@ -107,6 +107,44 @@ def test_stateful_running_user_stats(spark, tmp_path):
     assert res[2]["n"] == 1 and res[2]["total"] == 100.0
 
 
+def test_streaming_exact_dedup_emits_each_content_once(spark, tmp_path):
+    """Cross-micro-batch duplicate suppression: each distinct content
+    reaches the sink exactly once, whatever batch boundaries fall where."""
+    import hashlib
+
+    from w4h_integrated_toolkit_spark.streaming.stateful import streaming_exact_dedup
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(3, "aaa"), (1, "aaa"), (2, "bbb")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(4, "aaa"), (5, "ccc")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    sch = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sdedup_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("sdedup_t").collect()
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    keys = [r["content_key"] for r in rows]
+    assert sorted(keys) == sorted({md5("aaa"), md5("bbb"), md5("ccc")})
+    keep = {r["content_key"]: r["keep_id"] for r in rows}
+    assert keep[md5("bbb")] == 2 and keep[md5("ccc")] == 5
+    # 'aaa' keeper is the min id of whichever batch arrived first (1 or 4,
+    # depending on file discovery order) — never the later duplicate 3's batch min twice
+    assert keep[md5("aaa")] in (1, 4)
+
+
 def test_stateful_trajectory_tails(spark, tmp_path):
     from w4h_integrated_toolkit_spark.streaming.stateful import trajectory_tails
 

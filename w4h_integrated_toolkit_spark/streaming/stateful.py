@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_user_stats", "trajectory_tails"]
+__all__ = ["running_user_stats", "trajectory_tails", "streaming_exact_dedup"]
 
 _STATS_OUT = T.StructType(
     [
@@ -92,6 +92,70 @@ def running_user_stats(
         update,
         outputStructType=_STATS_OUT,
         stateStructType=_STATS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_DEDUP_OUT = T.StructType(
+    [
+        T.StructField("content_key", T.StringType()),
+        T.StructField("keep_id", T.LongType()),
+    ]
+)
+_DEDUP_STATE = T.StructType(
+    [
+        T.StructField("keep_id", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def streaming_exact_dedup(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming exact dedup: each distinct content is emitted exactly once,
+    on first arrival (ties within one micro-batch break to the min id) —
+    the incremental counterpart of :func:`..operators.dedup.exact_dedup`
+    for a continuously-ingested corpus.
+
+    Keyed state is ONE (keep_id, n_seen) row per distinct content — O(1)
+    per key however long the stream runs, hash-partitioned across
+    executors by the state store. Later duplicates update the counter and
+    emit nothing, so the sink only ever receives first-seen documents
+    (append semantics downstream).
+
+    The key is the content MD5, computed JVM-side before the state
+    operator, so the Python worker only ever sees (key, id) pairs — the
+    document bodies never cross into Python.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = docs.select(
+        F.md5(F.col(text)).alias("content_key"), F.col(id_col).alias("_id")
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        total, mn = 0, None
+        for pdf in pdfs:
+            total += len(pdf)
+            m = int(pdf["_id"].min())
+            mn = m if mn is None else min(mn, m)
+        if state.exists:
+            keep, n = state.get
+            state.update((keep, n + total))
+            return  # duplicate content: count it, emit nothing
+        state.update((mn, total))
+        yield pd.DataFrame({"content_key": [key[0]], "keep_id": [mn]})
+
+    return keyed.groupBy("content_key").applyInPandasWithState(
+        update,
+        outputStructType=_DEDUP_OUT,
+        stateStructType=_DEDUP_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
