@@ -654,6 +654,18 @@ def test_partitioned_layout_prunes(spark, tmp_path):
     assert pf and "dt" in pf[0]           # predicate prunes directories...
     assert scan.count() == 1              # ...and reads one day only
 
+    # files_per_day spreads a day over several writer tasks without
+    # changing the data (the 100 TB straggler/file-size knob)
+    path2 = str(tmp_path / "facts_spread")
+    many = spark.createDataFrame(
+        [(f"u{i}", days[0], float(i)) for i in range(20)],
+        "user_id string, timestamp timestamp, value double",
+    )
+    write_fact_table(many, path2, files_per_day=4)
+    back = spark.read.parquet(path2)
+    assert back.count() == 20
+    assert back.select("user_id").distinct().count() == 20
+
 
 def test_rollup_cascade_matches_direct_aggregation(spark):
     """The cascade invariant: every coarser level, folded from finer

@@ -211,7 +211,9 @@ def load_tables(
     return out
 
 
-def write_fact_table(df: DataFrame, path: str, mode: str = "append") -> None:
+def write_fact_table(
+    df: DataFrame, path: str, mode: str = "append", files_per_day: int = 1
+) -> None:
     """Scale-ready fact-table sink: date-partitioned, user/time-sorted parquet.
 
     Mirrors the reference's append path (w4h_db_utils.py:200) with the
@@ -219,13 +221,24 @@ def write_fact_table(df: DataFrame, path: str, mode: str = "append") -> None:
     layout chosen for the 100 TB case: ``dt`` partition pruning for the
     date-bounded scans (viz.py:140-153) and within-file clustering on
     ``(user_id, timestamp)`` for per-user windows.
+
+    ``files_per_day`` bounds file size AND write parallelism: with the
+    default 1, each date is a single task (fine for test volumes); at fleet
+    scale set it so one file ≈ a few hundred MB — the extra repartition key
+    is a user hash, so a day's users spread over ``files_per_day`` tasks
+    while every user's rows stay clustered in one file (per-user window
+    reads still touch one file per day).
     """
     from pyspark.sql import functions as F
 
+    staged = df.dropDuplicates(["user_id", "timestamp"]).withColumn(
+        "dt", F.to_date("timestamp")
+    )
+    part_cols = [F.col("dt")]
+    if files_per_day > 1:
+        part_cols.append(F.pmod(F.hash("user_id"), F.lit(files_per_day)))
     (
-        df.dropDuplicates(["user_id", "timestamp"])
-        .withColumn("dt", F.to_date("timestamp"))
-        .repartition("dt")
+        staged.repartition(*part_cols)
         .sortWithinPartitions("user_id", "timestamp")
         .write.mode(mode)
         .partitionBy("dt")
