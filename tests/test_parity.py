@@ -20,8 +20,10 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 and fold float32 artifacts
-        return round(v + 0.0, 9)
+        # collapse -0.0 but compare EXACT bits otherwise: the driver's
+        # correctness gate hashes exact values, and round-1's stream_alerts
+        # hash miss slipped past a 9dp-rounded local compare
+        return v + 0.0
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     return v
