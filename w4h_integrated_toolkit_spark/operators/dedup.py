@@ -41,6 +41,7 @@ __all__ = [
     "simhash32",
     "connected_components",
     "contamination",
+    "boilerplate_ngrams",
 ]
 
 
@@ -355,6 +356,32 @@ def contamination(
         corp.join(F.broadcast(bench), "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    min_doc_frac: float = 0.05,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate detection: word n-grams present in more than
+    ``min_doc_frac`` of all documents — the CCNet-style removal list
+    (headers, footers, license blurbs repeat across documents; content
+    doesn't).
+
+    Plan: per-doc-distinct gram rows map-side, ONE hash aggregate on the
+    gram for distinct-document frequency, corpus size broadcast as a
+    scalar. Returns (shingle, df) for hot grams only.
+    """
+    rows = distinct_shingle_rows(df, n, text, id_col)
+    total = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+    dfreq = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        dfreq.join(F.broadcast(total))
+        .filter(F.col("df") > F.col("_n_docs") * min_doc_frac)
+        .select("shingle", "df")
     )
 
 

@@ -1948,6 +1948,58 @@ FROM documents
 """
 
 
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate list: word bigrams in >5% of documents
+    (dedup.boilerplate_ngrams). One gram-df aggregate; corpus size
+    broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.boilerplate_ngrams(docs, n=2, min_doc_frac=0.05)
+
+
+_SQL_BOILERPLATE = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 1), ' ') AS gram
+  FROM w, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+tot AS (SELECT count(*) AS n FROM documents),
+dfq AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1)
+SELECT gram AS shingle, df FROM dfq WHERE df > 0.05 * (SELECT n FROM tot)
+"""
+
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card composition report over the documents table's lang/source
+    dimensions: doc and token counts per cell plus corpus-wide token share
+    (global total as a broadcast scalar — no single-partition window)."""
+    docs = _t(spark, sf_dir, "documents")
+    by = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count(F.col("text")).cast("long")).alias("n_tokens"),
+    )
+    total = by.agg(F.sum("n_tokens").alias("_tot"))
+    return by.join(F.broadcast(total)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        _r(F.col("n_tokens") / F.col("_tot"), 6).alias("token_share"),
+    )
+
+
+_SQL_CORPUS_MIXTURE = r"""
+WITH by_cell AS (
+  SELECT lang, source, count(*) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM by_cell)
+SELECT lang, source, n_docs, n_tokens,
+       round(n_tokens / (SELECT t FROM tot), 6) AS token_share
+FROM by_cell
+"""
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture rebalancing: deterministic per-group rate sampling
     (keep 100% urgent / 50% high / 25% medium / 10% rest) by portable hash
@@ -2145,6 +2197,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "retention_matrix": (q_retention_matrix, _SQL_RETENTION),
     "big_orders": (q_big_orders, _SQL_BIG_ORDERS),
+    "boilerplate_ngrams": (q_boilerplate_ngrams, _SQL_BOILERPLATE),
+    "corpus_mixture": (q_corpus_mixture, _SQL_CORPUS_MIXTURE),
     "mixture_sample": (q_mixture_sample, _SQL_MIXTURE_SAMPLE),
     "repetition_ratio": (q_repetition_ratio, _SQL_REPETITION),
     "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
