@@ -358,6 +358,23 @@ def test_pack_sequences_bins_by_cumulative_budget(spark):
     assert [out[i]["n_tokens"] for i in range(3)] == [3, 4, 2]
 
 
+def test_lsh_tiny_docs_never_pair(spark):
+    """Docs shorter than n words share the sentinel signature; they must be
+    excluded before banding (skew guard), and real near-dups still pair."""
+    from w4h_integrated_toolkit_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="ab") for i in range(10)]
+        + [
+            Row(doc_id=100, text="x y z w v u t s"),
+            Row(doc_id=101, text="x y z w v u t s"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, n=3, num_perm=8, bands=4, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(100, 101)}
+
+
 def test_mixture_sample_nested_deterministic(spark):
     from w4h_integrated_toolkit_spark.operators.etl import mixture_sample
 

@@ -220,6 +220,21 @@ def _perm_params(num_perm: int) -> list[tuple[int, int]]:
     return params
 
 
+def _signatures_inner(
+    df: DataFrame, n: int, num_perm: int, text: str, id_col: str
+) -> DataFrame:
+    """Signatures for documents with >= 1 shingle only (no sentinel rows)."""
+    rows = shingle_rows(df, n, text, id_col)
+    hashed = rows.select(F.col(id_col), portable_hash31(F.col("shingle")).alias("h"))
+    aggs = [
+        F.min((F.lit(pa) * F.col("h") + F.lit(pb)) % F.lit(ROLLING_HASH_MOD)).alias(
+            f"mh_{i}"
+        )
+        for i, (pa, pb) in enumerate(_perm_params(num_perm))
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame,
     n: int = 3,
@@ -236,15 +251,7 @@ def minhash_signatures(
     than n words) get the sentinel signature value p via a left join back to
     the id universe.
     """
-    rows = shingle_rows(df, n, text, id_col)
-    hashed = rows.select(F.col(id_col), portable_hash31(F.col("shingle")).alias("h"))
-    aggs = [
-        F.min((F.lit(pa) * F.col("h") + F.lit(pb)) % F.lit(ROLLING_HASH_MOD)).alias(
-            f"mh_{i}"
-        )
-        for i, (pa, pb) in enumerate(_perm_params(num_perm))
-    ]
-    sig = hashed.groupBy(id_col).agg(*aggs)
+    sig = _signatures_inner(df, n, num_perm, text, id_col)
     base = df.select(F.col(id_col))
     out_cols = [F.col(id_col)] + [
         F.coalesce(F.col(f"mh_{i}"), F.lit(ROLLING_HASH_MOD)).alias(f"mh_{i}")
@@ -275,7 +282,14 @@ def minhash_lsh_pairs(
     is the 100 TB-shaped plan: candidates ~ O(n·near dups), never O(n²), and
     the verification pass touches only candidate docs."""
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, n, num_perm, text, id_col)
+    # INNER signatures (no sentinel rows): documents shorter than n words
+    # would all share the identical all-sentinel signature, colliding into
+    # ONE band bucket — an O(m²) skew bomb when a corpus has many tiny
+    # docs. They can never verify (empty shingle sets -> NaN Jaccard, which
+    # the >= threshold filter drops), so excluding them BEFORE banding is
+    # output-identical and removes the hazard. The public
+    # minhash_signatures keeps sentinel rows for signature consumers.
+    sig = _signatures_inner(df, n, num_perm, text, id_col)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
