@@ -162,14 +162,27 @@ def ngram_jaccard_pairs(
 
     Plan: map-side per-doc-distinct shingle rows (array_distinct before the
     explode — repeated boilerplate never reaches the exchange) ->
-    groupBy(shingle) + collect_set builds the
-    inverted index in ONE shuffle (set semantics for free); BOTH downstream
-    needs come from that same aggregate — per-doc set sizes by exploding the
-    index's doc-sets (each distinct (shingle, doc) once), and in-bucket
-    ordered pair generation from multi-doc entries. The two consumers share
-    a byte-identical exchange, so ReuseExchange tokenizes and shuffles the
-    corpus exactly once. Then pair counts -> broadcast size join ->
-    jaccard = common / (|A| + |B| - common). Output (id_a < id_b, jaccard).
+    groupBy(shingle) + collect_set builds the inverted index in ONE shuffle;
+    BOTH downstream needs come from that same aggregate — per-doc set sizes
+    by exploding the index's doc-sets (each distinct (shingle, doc) once),
+    and in-bucket ordered pair generation from multi-doc entries -> pair
+    counts. jaccard = common / (|A| + |B| - common).
+    Output (id_a < id_b, jaccard).
+
+    Join direction is the 100 TB detail: the pair-count relation is
+    O(near-dup candidates) — tiny at any scale — so IT is the broadcast
+    side, streamed against the O(n_docs) sizes relation, once per pair
+    side. Rejected shapes, all measured at sf0.1 in-process A/B:
+    (a) broadcasting the SIZES side (the obvious formulation) — an
+    unbounded O(n_docs) broadcast at fleet scale; (b) carrying sizes
+    through the index shuffle as (id, size) structs — collect_set/
+    sort_array over structs leaves the primitive-array fast path, 4.5x
+    slower than the id-only aggregate; (c) materializing the pair list
+    with localCheckpoint and recomputing sizes map-side per join — splits
+    the plan into jobs that can't share the index exchange, 4x slower.
+    The single-query formulation keeps every consumer over ONE shingle
+    exchange (ReuseExchange, verified in executedPlan) at parity with (a)'s
+    local speed, without its broadcast hazard.
     """
     rows = distinct_shingle_rows(df, n, text, id_col)
     idx = rows.groupBy("shingle").agg(
@@ -189,12 +202,14 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    with_a = sizes.join(
+        F.broadcast(common), sizes[id_col] == common["id_a"]
+    ).select("id_a", "id_b", "n_common", F.col("set_size").alias("size_a"))
+    with_b = sizes.join(
+        F.broadcast(with_a), sizes[id_col] == with_a["id_b"]
+    ).select("id_a", "id_b", "n_common", "size_a", F.col("set_size").alias("size_b"))
     return (
-        common.join(F.broadcast(sz_a), "id_a")
-        .join(F.broadcast(sz_b), "id_b")
-        .withColumn(
+        with_b.withColumn(
             "jaccard",
             F.col("n_common")
             / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
@@ -330,6 +345,15 @@ def minhash_lsh_pairs(
         distinct_shingle_rows(cand_docs, n, text, id_col)
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("shingles"))
+        # second materialization barrier: ``sets`` feeds BOTH broadcast sides
+        # below, and each broadcast exchange evaluates its subtree
+        # independently — without this the executed plan contains TWO full
+        # corpus parquet scans (verified via executedPlan at sf0.01), i.e.
+        # the semi-join + shingle aggregate runs once per side. Local-mode
+        # sf0.1 wall time is job-overhead-bound so the barrier is ~neutral
+        # there; at fleet scale one corpus scan vs two dominates. Like
+        # ``cand`` the checkpointed relation is O(candidate docs).
+        .localCheckpoint(eager=True)
     )
     sets_a = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sets_b = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
