@@ -2128,6 +2128,246 @@ def q_fft_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders with at least one
+    lineitem shipped after the order date, counted per priority. The
+    EXISTS becomes a LEFT SEMI join on the order key with the non-equi
+    ship-after-order residual evaluated inside the join — the probe side
+    (lineitem) is never aggregated or deduplicated first, and each order
+    row emits at most once regardless of how many lineitems match. The
+    date filter on orders prunes the build side before the shuffle."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > orders["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_LATE_SHIPMENT = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): how many
+    customers placed exactly N orders, including N=0. Aggregate orders to
+    one row per customer FIRST (the fact table collapses to O(customers)
+    before any join), then a LEFT join from customer fills in the
+    zero-order customers via coalesce — the raw orders table never crosses
+    the join. Both relations are keyed by custkey, so at scale this is one
+    fact aggregate + one co-partitioned join + one tiny histogram
+    aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        cust.join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+        .orderBy(F.col("n_custs").desc(), F.col("c_count").desc())
+    )
+
+
+_SQL_CUSTOMER_ORDER_DIST = """
+WITH pc AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY 1)
+SELECT c_count, count(*) AS n_custs FROM pc
+GROUP BY 1 ORDER BY n_custs DESC, c_count DESC
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): promo revenue as a percentage of
+    all revenue for one ship-month. part broadcasts into the date-pruned
+    lineitem scan; the month predicate pushes to parquet. Both sums use the
+    exact scaled-integer pattern (round(rev*1e6) summed as BIGINT): per-row
+    doubles are IEEE-identical across engines and integer sums are
+    order-independent, so the ratio is bit-identical no matter the
+    partitioning — float sum() here would be summation-order-dependent and
+    can flip the last rounded digit between engines (the round-1
+    stream_alerts lesson)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-04-01"))
+        & (F.col("l_shipdate") < F.lit("1996-05-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    as_fixed = lambda c: F.round(c * 1e6, 0).cast("long")  # noqa: E731
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return j.agg(
+        _r(
+            F.lit(100.0)
+            * F.sum(
+                as_fixed(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+            ).cast("double")
+            / F.sum(as_fixed(rev)).cast("double"),
+            6,
+        ).alias("promo_share_pct")
+    )
+
+
+_SQL_PROMO_SHARE = """
+SELECT round(
+  100.0 * CAST(sum(CAST(round(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice*(1-l_discount) ELSE 0.0 END * 1e6) AS BIGINT)) AS DOUBLE)
+        / CAST(sum(CAST(round(l_extendedprice*(1-l_discount) * 1e6) AS BIGINT)) AS DOUBLE),
+  6) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-04-01' AND l_shipdate < TIMESTAMP '1996-05-01'
+"""
+
+
+def q_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct suppliers
+    able to ship each (brand, type, size) combination, excluding one brand
+    and one type family. The part filter evaluates BEFORE the broadcast
+    (only surviving parts ship to executors); count(DISTINCT) runs as
+    Spark's two-phase distinct aggregate — partial dedup of (group, supp)
+    map-side, so the exchange carries distinct pairs, not raw lineitem.
+    Top-20 with a total-order tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").startswith("MEDIUM"))
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand"),
+            F.col("p_type"),
+            F.col("p_size"),
+        )
+        .limit(20)
+    )
+
+
+_SQL_BRAND_SUPPLIER = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 20
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, OR-of-ANDs): revenue from three
+    disjoint (brand, quantity-range) clauses. The disjunction can't push
+    into the parquet scan whole, but its quantity envelope (1 <= qty <= 30)
+    is clause-independent and DOES push down, pruning the fact scan before
+    the broadcast-join against part; the full disjunction evaluates
+    post-join. Exact scaled-integer revenue sum (see
+    q_promo_revenue_share)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    part = _t(spark, sf_dir, "part")
+    clause = (
+        ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("l_quantity").between(20, 30))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(clause)
+        .agg(
+            _r(
+                F.sum(F.round(rev * 1e6, 0).cast("long")).cast("double") / F.lit(1e6),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+_SQL_DISJUNCTIVE_REVENUE = """
+SELECT round(CAST(sum(CAST(round(l_extendedprice*(1-l_discount) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6,
+             2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-customer-sales): customers with
+    above-average balance and no orders since 2000, per nation. The global
+    average-balance threshold is ONE row — computed with the exact
+    scaled-integer mean (order-independent, reproducible cross-engine at
+    the > comparison; a float avg() can straddle the threshold for a
+    balance within an ulp of it) and broadcast via crossJoin; the
+    no-recent-order predicate is a LEFT ANTI join on custkey against the
+    date-pruned orders scan. Per-nation balance sums use the same
+    fixed-point pattern."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
+    fixed = lambda c: F.round(c * 100, 0).cast("long")  # noqa: E731
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(fixed(F.col("c_acctbal"))).cast("double")
+                / F.lit(100.0)
+                / F.count(F.lit(1))
+            ).alias("_thr")
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("_thr"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            (
+                F.sum(fixed(F.col("c_acctbal"))).cast("double") / F.lit(100.0)
+            ).alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_SQL_IDLE_RICH = """
+WITH thr AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         / count(*) AS t
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, count(*) AS n_custs,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_bal
+FROM customer, thr
+WHERE c_acctbal > thr.t
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2205,6 +2445,15 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "pack_sequences": (q_pack_sequences, _SQL_PACK_SEQUENCES),
     "approx_aggregates": (q_approx_aggregates, None),
     "fft_range_sum": (q_fft_range_sum, None),
+    "late_shipment_priority": (q_late_shipment_priority, _SQL_LATE_SHIPMENT),
+    "customer_order_distribution": (
+        q_customer_order_distribution,
+        _SQL_CUSTOMER_ORDER_DIST,
+    ),
+    "promo_revenue_share": (q_promo_revenue_share, _SQL_PROMO_SHARE),
+    "brand_supplier_counts": (q_brand_supplier_counts, _SQL_BRAND_SUPPLIER),
+    "disjunctive_revenue": (q_disjunctive_revenue, _SQL_DISJUNCTIVE_REVENUE),
+    "idle_rich_customers": (q_idle_rich_customers, _SQL_IDLE_RICH),
 }
 
 
