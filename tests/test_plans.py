@@ -134,6 +134,58 @@ def test_pack_sequences_single_shard_exchange(spark):
     assert n_shuffles(plan) == 1
 
 
+def test_late_shipment_semi_join_with_residual(spark):
+    """The EXISTS compiles to a LEFT SEMI join (orders never widen), and the
+    order-date range reaches the orders parquet scan."""
+    plan = plan_of(spark, "late_shipment_priority")
+    assert "LeftSemi" in plan
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "o_orderdate" in pushed
+
+
+def test_customer_order_distribution_aggregates_fact_before_join(spark):
+    """Orders collapse to one row per customer (map-side partial_count)
+    BEFORE joining customer — the raw fact never crosses the join."""
+    plan = plan_of(spark, "customer_order_distribution")
+    assert "partial_count" in plan
+    assert n_shuffles(plan) <= 3  # fact agg, join align, histogram agg
+
+
+def test_scan_heavy_aggregates_single_exchange(spark):
+    """Broadcast dim + map-side partials: the only data exchange is the
+    single-row final aggregate."""
+    for name in ("promo_revenue_share", "disjunctive_revenue"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: part must broadcast"
+        assert "SortMergeJoin" not in plan, name
+        assert n_shuffles(plan) == 1, name
+
+
+def test_disjunctive_envelope_pushdown(spark):
+    """The OR-of-ANDs itself can't push whole, but its clause-independent
+    quantity envelope must reach the lineitem scan (and Catalyst derives
+    the brand disjunction for the part scan)."""
+    plan = plan_of(spark, "disjunctive_revenue")
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in pushed
+    assert "LessThanOrEqual(l_quantity,30.0)" in pushed
+
+
+def test_brand_supplier_counts_topk_no_global_sort(spark):
+    plan = plan_of(spark, "brand_supplier_counts")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_idle_rich_anti_join_date_pruned(spark):
+    """No-recent-order compiles to LEFT ANTI, with the date cutoff pushed
+    into the orders scan feeding the anti side."""
+    plan = plan_of(spark, "idle_rich_customers")
+    assert "LeftAnti" in plan
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "o_orderdate" in pushed
+
+
 def test_bucketed_join_and_agg_no_exchange(spark):
     """Co-located bucketed tables: the fact-fact join AND the groupBy on the
     bucket key must produce ZERO data exchanges — the shuffle was paid once
