@@ -749,3 +749,66 @@ def test_connected_components_chain_and_islands(spark):
             for r in connected_components(pairs, driver_threshold=thresh).collect()
         }
         assert got == want, f"threshold={thresh}"
+
+
+def test_hll_cube_estimate_within_sketch_error(spark):
+    """Sketch estimates must land within HLL error bounds of the exact
+    distinct count, and the exact n_rows rollup must match count(*)."""
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.sketches import hll_cube, hll_rollup
+
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    cube = hll_cube(ev, ["event_type"], "user_id", ts="ts", bucket="1 day")
+    roll = hll_rollup(cube, ["event_type"])
+    exact = {
+        r["event_type"]: (r["d"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("d"), F.count(F.lit(1)).alias("n")
+        )
+        .collect()
+    }
+    got = {r["event_type"]: (r["approx_distinct"], r["n_rows"]) for r in roll.collect()}
+    assert set(got) == set(exact)
+    for et, (approx, n_rows) in got.items():
+        d, n = exact[et]
+        assert n_rows == n, et
+        # lg_k=12 -> sigma ~1.6%; 5 sigma leaves no flake room at these counts
+        assert abs(approx - d) <= max(3, 0.08 * d), (et, approx, d)
+
+
+def test_hll_rollup_of_daily_cells_matches_untimed_cube(spark):
+    """Merge identity: union of per-day cell sketches must estimate the same
+    as one sketch built over the whole range — the property that makes the
+    cube answer arbitrary time slices without raw rescans."""
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.sketches import hll_cube, hll_rollup
+
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    daily = hll_rollup(
+        hll_cube(ev, ["event_type"], "user_id", ts="ts", bucket="1 day"),
+        ["event_type"],
+    )
+    whole = hll_rollup(hll_cube(ev, ["event_type"], "user_id", ts=None), ["event_type"])
+    a = {r["event_type"]: r["approx_distinct"] for r in daily.collect()}
+    b = {r["event_type"]: r["approx_distinct"] for r in whole.collect()}
+    assert set(a) == set(b)
+    for et in a:
+        # same lg_k registers merged by max: estimates agree to ~sketch noise
+        assert abs(a[et] - b[et]) <= max(2, 0.02 * b[et]), (et, a[et], b[et])
+
+
+def test_hll_cube_single_exchange(spark):
+    """The cube build is one hash aggregate: map-side partial sketches, one
+    exchange of partials — the same shape as any rollup build."""
+    import re
+
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.sketches import hll_cube
+
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    cube = hll_cube(ev, ["event_type"], "user_id", ts="ts", bucket="1 day")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = cube._jdf.queryExecution().explainString(mode)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert "partial_hll_sketch_agg" in plan

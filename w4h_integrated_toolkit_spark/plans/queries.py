@@ -31,6 +31,7 @@ from ..operators import dedup as D
 from ..operators import kpi as K
 from ..operators import multimodal as MM
 from ..operators import similarity as SIM
+from ..operators import sketches as SK
 from ..operators import text as TX
 from ..operators import timeseries as TS
 from ..operators.cohort import FilterSpec, cohort_anti_join, cohort_semi_join, filter_users
@@ -2368,6 +2369,20 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9's scale path: distinct users per event type over the first two
+    weeks, answered from a mergeable HLL sketch cube (one cell per
+    event_type × day) — the time filter prunes CELLS and the rollup merges
+    sketches; raw events are scanned once at cube-build, never at query
+    time. Approximate by nature (lg_k=12 → ~1.6% σ), so no SQL oracle; the
+    exact countDistinct twin is `distinct_counts` and unit tests bound the
+    error. n_rows is exact and rides the same cube."""
+    ev = _t(spark, sf_dir, "events")
+    cube = SK.hll_cube(ev, ["event_type"], "user_id", ts="ts", bucket="1 day")
+    jan = cube.filter(F.col("bucket_start") < F.lit("2024-01-15"))
+    return SK.hll_rollup(jan, ["event_type"]).orderBy("event_type")
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2454,6 +2469,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "brand_supplier_counts": (q_brand_supplier_counts, _SQL_BRAND_SUPPLIER),
     "disjunctive_revenue": (q_disjunctive_revenue, _SQL_DISJUNCTIVE_REVENUE),
     "idle_rich_customers": (q_idle_rich_customers, _SQL_IDLE_RICH),
+    "distinct_users_sketch": (q_distinct_users_sketch, None),
 }
 
 
