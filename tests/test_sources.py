@@ -112,3 +112,72 @@ def test_ddl_generation_and_instance(spark):
     for t in tables:
         spark.sql(f"DROP TABLE IF EXISTS w4h_test.{t}")
     spark.sql("DROP DATABASE IF EXISTS w4h_test")
+
+
+def test_write_sorted_files_have_disjoint_ranges(spark, tmp_path):
+    """Range-clustered layout: every output file must own a disjoint
+    sort-key range (tight non-overlapping footer min/max), which is what
+    makes range predicates prune at file granularity."""
+    import pyarrow.parquet as pq
+
+    from w4h_integrated_toolkit_spark.catalog import read_parquet, write_sorted
+
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    dest = str(tmp_path / "sorted")
+    write_sorted(ev, dest, "ts", n_files=8)
+    files = sorted(str(p) for p in (tmp_path / "sorted").glob("*.parquet"))
+    assert len(files) == 8
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("ts")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: {hi1} > {lo2}"
+    n = read_parquet(spark, dest).count()
+    assert n == ev.count()
+
+
+def test_compact_small_files_reduces_file_count(spark, tmp_path):
+    """Compaction must hit the byte-targeted file count and preserve rows."""
+    from w4h_integrated_toolkit_spark.catalog import compact_small_files, read_parquet
+
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "fragmented")
+    ev.repartition(50).write.parquet(src)
+    n_in = sum(1 for p in (tmp_path / "fragmented").glob("*.parquet"))
+    assert n_in == 50
+    dest = str(tmp_path / "compacted")
+    n_out = compact_small_files(spark, src, dest, target_file_mb=256)
+    assert n_out == 1  # sf0.001 events << 256 MB
+    assert read_parquet(spark, dest).count() == ev.count()
+
+
+def test_compact_with_sort_restores_clustering(spark, tmp_path):
+    """sort_col compaction routes through the range-sorted writer: output is
+    both compacted and range-clustered."""
+    import pyarrow.parquet as pq
+
+    from w4h_integrated_toolkit_spark.catalog import compact_small_files, read_parquet
+
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "frag2")
+    ev.repartition(20).write.parquet(src)
+    dest = str(tmp_path / "compact2")
+    n_out = compact_small_files(spark, src, dest, target_file_mb=256, sort_col="ts")
+    assert n_out == 1
+    f = next(str(p) for p in (tmp_path / "compact2").glob("*.parquet"))
+    md = pq.ParquetFile(f).metadata
+    idx = md.schema.names.index("ts")
+    prev_max = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if prev_max is not None:
+            assert st.min >= prev_max  # row groups internally ordered
+        prev_max = st.max

@@ -37,6 +37,8 @@ __all__ = [
     "GEO_SCHEMA",
     "load_tables",
     "write_fact_table",
+    "write_sorted",
+    "compact_small_files",
 ]
 
 # Tables the driver generates at each scale factor (TESTDATA.md).
@@ -243,6 +245,82 @@ def write_fact_table(
         .write.mode(mode)
         .partitionBy("dt")
         .parquet(path)
+    )
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout: globally range-partition on
+    ``sort_col`` (each output file owns a disjoint value range) and sort
+    within files. Parquet footers then carry tight, non-overlapping
+    min/max stats per file and per row group, so any range predicate on
+    ``sort_col`` prunes to the few files that can contain it — the layout
+    that turns "scan 100 TB" into "scan the queried slice". This is the
+    single-dimension complement to :func:`write_fact_table` (which
+    partitions by date for directory-level pruning); use this for the
+    within-partition clustering dimension, e.g. time inside a device
+    partition, or pure time-series tables queried only by range.
+
+    ``repartitionByRange`` samples the column to build balanced range
+    bounds, so skewed value distributions still yield even file sizes.
+    """
+    (
+        df.repartitionByRange(n_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_file_mb: int = 256,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    size-targeted files, returning the output file count.
+
+    Streaming sinks and fine-grained partitioned appends accumulate
+    thousands of tiny files; at fleet scale the scan's task-scheduling and
+    footer overhead then dominates IO, and the NameNode/object-store
+    listing itself becomes a bottleneck. Compaction reads the actual byte
+    size from the filesystem (not a row-count guess), targets
+    ``target_file_mb`` per output file, and rewrites in one job —
+    ``coalesce`` (no shuffle) when shrinking file count, with an optional
+    ``sort_col`` to restore range clustering (which forces the shuffle
+    path of :func:`write_sorted` instead).
+
+    Writes to ``dest`` rather than in place: an in-place rewrite that
+    fails midway destroys the source; callers swap directories after the
+    job succeeds (the same two-phase pattern every table format's compactor
+    uses).
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src)
+    fs = p.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(p).getLength()
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = read_parquet(spark, src)
+    if sort_col is not None:
+        write_sorted(df, dest, sort_col, n_files=n_files, mode=mode)
+    else:
+        df.coalesce(n_files).write.mode(mode).parquet(dest)
+    out = jvm.org.apache.hadoop.fs.Path(dest)
+    return sum(
+        1
+        for f in fs.listStatus(out)
+        if f.getPath().getName().endswith(".parquet")
     )
 
 

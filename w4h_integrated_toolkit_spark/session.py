@@ -48,6 +48,9 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # write timestamps as annotated INT64 (µs): INT96 is deprecated and
+        # carries no parquet stats, which kills min/max file pruning
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -65,4 +68,7 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # INT96 (the legacy default) writes NO footer min/max stats, silently
+    # disabling the file/row-group pruning write_sorted exists to provide
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     return spark
