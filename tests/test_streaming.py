@@ -261,3 +261,43 @@ def test_streaming_session_windows_match_batch(spark):
         (r["user_id"], r["s"]): r["n_events"] for r in spark.table(name).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """Duplicates across micro-batches within the horizon are suppressed;
+    each content reaches the append sink exactly once."""
+    import hashlib
+    from datetime import datetime
+
+    from w4h_integrated_toolkit_spark.streaming.stateful import (
+        streaming_dedup_within_watermark,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    src = str(tmp_path / "wsrc")
+    spark.createDataFrame(
+        [(1, t(0), "aaa"), (2, t(1), "bbb")],
+        "doc_id long, ts timestamp, text string",
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(3, t(2), "aaa"), (4, t(3), "ccc")],  # 'aaa' duplicate, 2 min later
+        "doc_id long, ts timestamp, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    sch = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_dedup_within_watermark(stream, horizon="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wdedup_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("wdedup_t").collect()
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    keys = sorted(r["content_key"] for r in rows)
+    assert keys == sorted({md5("aaa"), md5("bbb"), md5("ccc")})
+    ids = {r["content_key"]: r["doc_id"] for r in rows}
+    assert ids[md5("bbb")] == 2 and ids[md5("ccc")] == 4
+    assert ids[md5("aaa")] in (1, 3)  # first-arriving batch wins

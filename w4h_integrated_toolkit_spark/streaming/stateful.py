@@ -28,7 +28,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_user_stats", "trajectory_tails", "streaming_exact_dedup"]
+__all__ = [
+    "running_user_stats",
+    "trajectory_tails",
+    "streaming_exact_dedup",
+    "streaming_dedup_within_watermark",
+]
 
 _STATS_OUT = T.StructType(
     [
@@ -222,4 +227,40 @@ def trajectory_tails(
         stateStructType=_TRAJ_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_dedup_within_watermark(
+    docs: DataFrame,
+    event_time: str = "ts",
+    horizon: str = "1 hour",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming dedup with WATERMARK-BOUNDED state: duplicates arriving
+    within ``horizon`` of each other are suppressed; state for a key is
+    evicted once the watermark passes it.
+
+    The complement of :func:`streaming_exact_dedup`, whose state grows with
+    the number of distinct contents forever — correct, but on an unbounded
+    corpus the state store itself becomes a 100 TB problem. Ingestion
+    duplicates are overwhelmingly temporally close (at-least-once sources,
+    retries, replayed batches), so bounding the dedup window bounds state
+    at O(arrival rate x horizon) regardless of stream lifetime. Engine-
+    native (``dropDuplicatesWithinWatermark``): no Python in the path, and
+    the document body never leaves the JVM (the key is the MD5 computed in
+    the same projection).
+
+    Emits append-mode rows (content_key, doc id, event time); first
+    arrival wins within a micro-batch per Spark's dedup semantics.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = docs.select(
+        F.md5(F.col(text)).alias("content_key"),
+        F.col(id_col),
+        F.col(event_time),
+    )
+    return keyed.withWatermark(event_time, horizon).dropDuplicatesWithinWatermark(
+        ["content_key"]
     )
