@@ -193,6 +193,26 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Guard against pathologically under-partitioned scans feeding CPU-dense
+    operators (hashing/shingling), where one small single-row-group file
+    would serialize the whole map stage on one core.
+
+    No-op when the physical scan already has >= ``target`` partitions — the
+    normal case on a real cluster, where a 100 TB table is thousands of
+    splits and adding a round-robin exchange would only burn network. The
+    repartition fires ONLY for degenerate inputs (a few tiny files), where
+    the redistributed bytes are by construction small and the alternative is
+    a serial stage. ``target`` defaults to the session's default parallelism.
+    """
+    spark = df.sparkSession
+    if target is None:
+        target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,

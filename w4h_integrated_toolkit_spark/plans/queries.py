@@ -25,7 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import read_parquet
+from ..catalog import ensure_min_partitions, read_parquet
 from ..functions import time_of_day_between
 from ..operators import dedup as D
 from ..operators import kpi as K
@@ -48,6 +48,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     prepare_session(spark)
     return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table read for CPU-dense consumers (per-token hashing, shingling):
+    ``ensure_min_partitions`` redistributes a degenerate single-file scan so
+    the hash-heavy map stage uses every core; on a real cluster the scan is
+    already wide and this is a no-op (no exchange added)."""
+    return ensure_min_partitions(_t(spark, sf_dir, name))
 
 
 def _r(c, n):
@@ -693,7 +701,7 @@ SELECT doc_id, {case} AS lang_pred, best AS best_score FROM ranked
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic stopword-marker language ID."""
-    return TX.language_id(_t(spark, sf_dir, "documents"))
+    return TX.language_id(_tw(spark, sf_dir, "documents"))
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -735,7 +743,7 @@ FROM feat
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact Jaccard over word-5-gram shingles (inverted-
     index self-join; hot-shingle cap is OFF here for oracle equivalence)."""
-    out = D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=5, threshold=0.2)
+    out = D.ngram_jaccard_pairs(_tw(spark, sf_dir, "documents"), n=5, threshold=0.2)
     return out.select("id_a", "id_b", _r(F.col("jaccard"), 6).alias("jaccard"))
 
 
@@ -775,7 +783,7 @@ _MD5H31_IN_SQL = "(CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT) % 2147483647)"
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 perms over word-3-gram shingles) — the LSH
     dedup primitive, fully portable hash family."""
-    return D.minhash_signatures(_t(spark, sf_dir, "documents"), n=3, num_perm=8)
+    return D.minhash_signatures(_tw(spark, sf_dir, "documents"), n=3, num_perm=8)
 
 
 def _minhash_sql(num_perm: int = 8) -> str:
@@ -799,7 +807,7 @@ SELECT doc_id, {mh_cols} FROM h
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints from word MD5-prefix hashes."""
-    return D.simhash32(_t(spark, sf_dir, "documents"))
+    return D.simhash32(_tw(spark, sf_dir, "documents"))
 
 
 def _simhash_sql() -> str:
@@ -1205,7 +1213,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle replicates the full pipeline — portable hash family, banding,
     candidate join, exact-Jaccard verification — in DuckDB SQL."""
     return D.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), n=3, num_perm=8, bands=4, threshold=0.5
+        _tw(spark, sf_dir, "documents"), n=3, num_perm=8, bands=4, threshold=0.5
     ).select("id_a", "id_b", _r(F.col("jaccard"), 6).alias("jaccard"))
 
 
@@ -1756,7 +1764,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> one row per cluster with its canonical keeper (min doc id) and size.
     The oracle replays the LSH pipeline in SQL and closes the pair graph
     with a recursive CTE."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, n=3, num_perm=8, bands=4, threshold=0.5)
     comp = D.connected_components(pairs)
     return comp.groupBy(F.col("component").alias("cluster_id")).agg(
