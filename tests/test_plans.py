@@ -221,3 +221,79 @@ def test_bucketed_join_and_agg_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_li_test")
         spark.sql("DROP TABLE IF EXISTS b_od_test")
+
+
+def test_volume_shipping_nation_pair_prunes_at_scan(spark):
+    """Q7 shape: the two-nation filter reaches BOTH nation scans (In on
+    n_name), every dim side broadcasts, and no sort-merge join appears."""
+    plan = plan_of(spark, "volume_shipping")
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "In(n_name" in pushed
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert n_shuffles(plan) <= 2  # final agg + result sort
+
+
+def test_market_share_dim_filters_push_to_scans(spark):
+    """Q8 shape: p_type and r_name equality filters prune part/region at
+    the parquet scan; numerator and denominator share ONE aggregate (no
+    self-join => no extra exchange)."""
+    plan = plan_of(spark, "market_share")
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "EqualTo(p_type,PROMO)" in pushed
+    assert "EqualTo(r_name,ASIA)" in pushed
+    assert n_shuffles(plan) <= 2
+
+
+def test_product_profit_like_filter_pushes(spark):
+    """Q9 shape: the p_name LIKE filter pushes as StringContains; part
+    prunes lineitem via broadcast before any exchange."""
+    plan = plan_of(spark, "product_profit")
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "StringContains(p_name,widget)" in pushed
+    assert "BroadcastHashJoin" in plan
+    assert n_shuffles(plan) <= 2
+
+
+def test_returned_items_pruned_scans_and_topk(spark):
+    """Q10 shape: returnflag prunes lineitem and the quarter prunes orders
+    at their scans; top-20 compiles to TakeOrderedAndProject (per-partition
+    top-k merged on the driver), never a global sort exchange."""
+    plan = plan_of(spark, "returned_items")
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "EqualTo(l_returnflag,R)" in pushed
+    assert "o_orderdate" in pushed
+    assert "TakeOrderedAndProject" in plan
+    assert n_shuffles(plan) <= 1  # the customer-grain aggregate only
+
+
+def test_top_supplier_aggregates_before_supplier_join(spark):
+    """Q15 shape: revenue collapses to O(suppliers) rows map-side
+    (partial_sum) before supplier joins; the max is a broadcast, not a
+    window over a single partition."""
+    plan = plan_of(spark, "top_supplier")
+    assert "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_small_qty_threshold_join_broadcasts(spark):
+    """Q17 shape: the correlated-subquery rewrite broadcasts the per-part
+    aggregate (O(parts-of-one-brand)); the brand filter prunes BOTH part
+    scans; no sort-merge join."""
+    plan = plan_of(spark, "small_qty_revenue")
+    pushed = [l for l in plan.splitlines() if "EqualTo(p_brand,Brand#3)" in l]
+    assert len(pushed) >= 2
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_waiting_suppliers_single_fact_pass(spark):
+    """Q21 shape: the EXISTS/NOT-EXISTS triple self-join collapses to ONE
+    pass over lineitem — exactly one join with orders (plus the tiny
+    supplier broadcast), one per-order aggregate, one per-supplier
+    aggregate; top-k via TakeOrderedAndProject."""
+    plan = plan_of(spark, "waiting_suppliers")
+    # lineitem, orders, supplier: one scan node each (formatted explain
+    # prints every node twice — tree line + detail header — so count IDs)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 3
+    assert "TakeOrderedAndProject" in plan
+    assert n_shuffles(plan) <= 3

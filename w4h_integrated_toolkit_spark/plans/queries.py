@@ -2377,6 +2377,383 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade revenue between two
+    nations by ship year. The nation dimension filters to the TWO nations of
+    interest BEFORE broadcasting, so the supplier and customer broadcasts
+    carry only rows from those nations and prune lineitem/orders map-side;
+    the cross-pair residual ((A,B) or (B,A)) evaluates post-join. The only
+    shuffle is lineitem ⋈ orders on orderkey plus the final tiny aggregate.
+    Fixed-point revenue sums (order-independent, cross-engine exact)."""
+    n_pair = ("NATION_12", "NATION_11")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*n_pair))
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("_sn"),
+                                  F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("_sn"),
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("_cn"),
+                                  F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("_cn"),
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    a, b = n_pair
+    fixed = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6, 0
+    ).cast("long")
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .filter(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            (_r(F.sum(fixed).cast("double") / F.lit(1e6), 2)).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_SQL_VOLUME_SHIPPING = """
+WITH j AS (
+ SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        CAST(round(l_extendedprice*(1-l_discount)*1e6) AS BIGINT) AS f
+ FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+   JOIN supplier ON s_suppkey = l_suppkey
+   JOIN customer ON c_custkey = o_custkey
+   JOIN nation n1 ON s_nationkey = n1.n_nationkey
+   JOIN nation n2 ON c_nationkey = n2.n_nationkey
+ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+   AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11')
+     OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12')))
+SELECT supp_nation, cust_nation, l_year,
+       round(CAST(sum(f) AS DOUBLE)/1e6, 2) AS revenue
+FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one supplier nation's share
+    of PROMO-part revenue sold into one region, by order year. Eight-way
+    join where every dimension side broadcasts (region filters nation,
+    nation prunes customer — only in-region customers ship to executors);
+    numerator and denominator ride ONE aggregate over the joined fact as a
+    conditional fixed-point sum, so the share needs no second pass or
+    self-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_nation = (
+        nation.join(F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"])
+        .select(F.col("n_nationkey").alias("_cn"))
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("_sn"), F.col("n_name").alias("supp_nation")
+    )
+    fixed = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6, 0
+    ).cast("long")
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("_sn"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "customer").join(
+                    F.broadcast(cust_nation), F.col("c_nationkey") == F.col("_cn")
+                )
+            ),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            _r(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", fixed).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).cast("double")
+                / F.sum(fixed).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_SQL_MARKET_SHARE = """
+WITH j AS (
+ SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        n1.n_name AS supp_nation,
+        CAST(round(l_extendedprice*(1-l_discount)*1e6) AS BIGINT) AS f
+ FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+   JOIN part ON p_partkey = l_partkey
+   JOIN supplier ON s_suppkey = l_suppkey
+   JOIN customer ON c_custkey = o_custkey
+   JOIN nation n1 ON s_nationkey = n1.n_nationkey
+   JOIN nation n2 ON c_nationkey = n2.n_nationkey
+   JOIN region ON n2.n_regionkey = r_regionkey
+ WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN f ELSE 0 END) AS DOUBLE)
+             / CAST(sum(f) AS DOUBLE), 6) AS mkt_share
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit by supplier nation and
+    order year for one part family, with cost proxied by retail price (the
+    test schema has no partsupp/supplycost). The part name LIKE filter
+    evaluates before the broadcast; per-row profit is computed in ONE
+    arithmetic expression with a fixed left-to-right operation order so
+    both engines produce bit-identical doubles before the fixed-point
+    rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            _r(
+                F.sum(F.round(profit * 100, 0).cast("long")).cast("double")
+                / F.lit(100.0),
+                2,
+            ).alias("profit")
+        )
+        .orderBy(F.col("n_name"), F.col("o_year").desc())
+    )
+
+
+_SQL_PRODUCT_PROFIT = """
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CAST(round((l_extendedprice*(1-l_discount)
+                     - 0.6*p_retailprice*l_quantity)*100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS profit
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2 ORDER BY 1, 2 DESC
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by lost
+    revenue from returned lineitems in one quarter. The order-date filter
+    prunes the orders side before its shuffle join with lineitem; the
+    returnflag filter prunes lineitem at the scan (both push to parquet).
+    customer/nation broadcast. Revenue is a fixed-point sum, so the DESC
+    sort key is exact and the top-20 cut is deterministic cross-engine
+    (custkey tiebreak)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    fixed = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6, 0
+    ).cast("long")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            "c_custkey", "c_name",
+            _r(F.col("c_acctbal"), 2).alias("acctbal"), "n_name",
+        )
+        .agg(
+            _r(F.sum(fixed).cast("double") / F.lit(1e6), 2).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_SQL_RETURNED_ITEMS = """
+SELECT c_custkey, c_name,
+       round(CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*1e6) AS BIGINT)) AS DOUBLE)/1e6,
+             2) AS revenue,
+       round(c_acctbal, 2) AS acctbal, n_name
+FROM customer JOIN orders ON o_custkey = c_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND l_returnflag = 'R'
+GROUP BY 1, 2, 4, 5 ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): supplier(s) achieving the maximum
+    quarterly revenue, ties included. Revenue per supplier is ONE fact
+    aggregate; the global max is a 1-row broadcast crossJoin; the equality
+    compare happens on the exact scaled-long revenue, never the rounded
+    double (a float == at the max is the classic cross-engine tie bug).
+    supplier joins AFTER the aggregate, so it sees O(suppliers) rows, not
+    lineitem."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    fixed = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6, 0
+    ).cast("long")
+    rev = li.groupBy("l_suppkey").agg(F.sum(fixed).alias("_f"))
+    mx = rev.agg(F.max("_f").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("_f") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name",
+            _r(F.col("_f").cast("double") / F.lit(1e6), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_SQL_TOP_SUPPLIER = """
+WITH r AS (
+  SELECT l_suppkey, sum(CAST(round(l_extendedprice*(1-l_discount)*1e6) AS BIGINT)) AS f
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, round(CAST(f AS DOUBLE)/1e6, 2) AS total_revenue
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE f = (SELECT max(f) FROM r) ORDER BY s_suppkey
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): yearly-averaged
+    revenue from lineitems whose quantity is below 20% of their part's mean
+    quantity, for one brand. The correlated subquery becomes a broadcast
+    join against the per-part aggregate (O(parts-of-one-brand) rows). The
+    threshold compare is EXACT integer arithmetic — qty < 0.2·avg(qty)
+    rewritten as 5·qi·cnt < Σqi on centi-scaled longs — so no division and
+    no float threshold to straddle cross-engine."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    li = _t(spark, sf_dir, "lineitem")
+    f = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(
+            "l_partkey",
+            F.round(F.col("l_quantity") * 100, 0).cast("long").alias("_qi"),
+            "l_extendedprice",
+        )
+    )
+    t = f.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("_qi").alias("_s"), F.count(F.lit(1)).alias("_cnt")
+    )
+    return (
+        f.join(F.broadcast(t), f["l_partkey"] == t["_pk"])
+        .filter(F.col("_qi") * 5 * F.col("_cnt") < F.col("_s"))
+        .agg(
+            _r(
+                F.sum(F.round(F.col("l_extendedprice") * 1e6, 0).cast("long"))
+                .cast("double") / F.lit(1e6) / F.lit(7.0),
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+_SQL_SMALL_QTY = """
+WITH f AS (
+  SELECT l_partkey, CAST(round(l_quantity*100) AS BIGINT) AS qi, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_brand = 'Brand#3'),
+t AS (SELECT l_partkey, sum(qi) AS s, count(*) AS cnt FROM f GROUP BY 1)
+SELECT round(CAST(sum(CAST(round(l_extendedprice*1e6) AS BIGINT)) AS DOUBLE)/1e6/7.0,
+             2) AS avg_yearly
+FROM f JOIN t USING (l_partkey) WHERE qi*5*cnt < s
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to the
+    test schema (no commit/receipt dates): for finalized orders with
+    multiple suppliers where EXACTLY ONE supplier shipped late (>60 days
+    after the order date), count such orders per that sole late supplier.
+    The textbook triple self-join (EXISTS + NOT EXISTS over lineitem)
+    collapses into ONE per-order aggregate — distinct suppliers, distinct
+    late suppliers, and the sole late supplier via max(when) — so lineitem
+    is shuffled once on orderkey instead of three times."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_o = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(li["l_orderkey"])
+        .agg(
+            F.countDistinct("l_suppkey").alias("_ns"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("_nl"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("_sole"),
+        )
+        .filter((F.col("_ns") > 1) & (F.col("_nl") == 1))
+    )
+    return (
+        per_o.groupBy("_sole")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("_sole") == supp["s_suppkey"])
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+_SQL_WAITING_SUPPLIERS = """
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'),
+per_o AS (
+  SELECT l_orderkey, count(DISTINCT l_suppkey) AS ns,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nl,
+         max(CASE WHEN late THEN l_suppkey END) AS sole
+  FROM j GROUP BY 1)
+SELECT s_name, count(*) AS numwait
+FROM per_o JOIN supplier ON s_suppkey = sole
+WHERE ns > 1 AND nl = 1
+GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
 def q_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9's scale path: distinct users per event type over the first two
     weeks, answered from a mergeable HLL sketch cube (one cell per
@@ -2478,6 +2855,13 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "disjunctive_revenue": (q_disjunctive_revenue, _SQL_DISJUNCTIVE_REVENUE),
     "idle_rich_customers": (q_idle_rich_customers, _SQL_IDLE_RICH),
     "distinct_users_sketch": (q_distinct_users_sketch, None),
+    "volume_shipping": (q_volume_shipping, _SQL_VOLUME_SHIPPING),
+    "market_share": (q_market_share, _SQL_MARKET_SHARE),
+    "product_profit": (q_product_profit, _SQL_PRODUCT_PROFIT),
+    "returned_items": (q_returned_items, _SQL_RETURNED_ITEMS),
+    "top_supplier": (q_top_supplier, _SQL_TOP_SUPPLIER),
+    "small_qty_revenue": (q_small_qty_revenue, _SQL_SMALL_QTY),
+    "waiting_suppliers": (q_waiting_suppliers, _SQL_WAITING_SUPPLIERS),
 }
 
 
