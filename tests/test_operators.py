@@ -812,3 +812,139 @@ def test_hll_cube_single_exchange(spark):
     plan = cube._jdf.queryExecution().explainString(mode)
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
     assert "partial_hll_sketch_agg" in plan
+
+
+def test_kll_cube_quantiles_within_rank_error(spark):
+    """KLL rollup quantiles must be near exact percentiles: a k=200 sketch
+    has single-rank error ~1.65/sqrt(200) ≈ 1.2%; merged cells stay
+    bounded. Assert each estimated quantile's TRUE rank is within 5% of the
+    requested rank (rank error is the KLL guarantee — value error is not)."""
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.sketches import kll_cube, kll_rollup
+
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    cube = kll_cube(ev, ["event_type"], "value", ts="ts", bucket="1 day")
+    roll = kll_rollup(cube, ["event_type"], quantiles=(0.25, 0.5, 0.95))
+    vals = {
+        et: sorted(
+            r["value"]
+            for r in ev.filter(F.col("event_type") == et).select("value").collect()
+        )
+        for et in [r["event_type"] for r in roll.select("event_type").collect()]
+    }
+    import bisect
+
+    for r in roll.collect():
+        xs = vals[r["event_type"]]
+        assert r["n_rows"] == len(xs)
+        for q, col in ((0.25, "q_25"), (0.5, "q_5"), (0.95, "q_95")):
+            true_rank = bisect.bisect_right(xs, r[col]) / len(xs)
+            assert abs(true_rank - q) <= 0.05, (r["event_type"], q, r[col], true_rank)
+
+
+def test_kll_merged_daily_cells_match_untimed_sketch(spark):
+    """Merge identity: quantiles from merged per-day cells must agree with a
+    single whole-range sketch to within rank error — the property that lets
+    the cube answer arbitrary time slices."""
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.sketches import kll_cube, kll_rollup
+
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    daily = kll_rollup(
+        kll_cube(ev, ["event_type"], "value", ts="ts", bucket="1 day"),
+        ["event_type"], quantiles=(0.5,),
+    )
+    whole = kll_rollup(
+        kll_cube(ev, ["event_type"], "value", ts=None), ["event_type"],
+        quantiles=(0.5,),
+    )
+    a = {r["event_type"]: r["q_5"] for r in daily.collect()}
+    b = {r["event_type"]: r["q_5"] for r in whole.collect()}
+    assert set(a) == set(b)
+    spread = {
+        r["event_type"]: (r["mx"] - r["mn"])
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    for et in a:
+        # medians of near-uniform values: rank error ~2.4% maps to ~a few
+        # percent of the value range
+        assert abs(a[et] - b[et]) <= 0.1 * spread[et], (et, a[et], b[et])
+
+
+def test_theta_overlap_matches_exact_set_ops(spark):
+    """Theta intersection/difference estimates must land within sketch
+    error of the exact per-event-type week1/week2 user-set algebra."""
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.sketches import (
+        theta_cube,
+        theta_overlap,
+        theta_rollup,
+    )
+
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    cube = theta_cube(ev, ["event_type"], "user_id", ts="ts", bucket="1 day")
+    wk1c = F.col("bucket_start") < F.lit("2024-01-08")
+    wk2c = (F.col("bucket_start") >= F.lit("2024-01-08")) & (
+        F.col("bucket_start") < F.lit("2024-01-15")
+    )
+    got = {
+        r["event_type"]: r
+        for r in theta_overlap(
+            theta_rollup(cube.filter(wk1c), ["event_type"]),
+            theta_rollup(cube.filter(wk2c), ["event_type"]),
+            ["event_type"],
+        ).collect()
+    }
+    t1 = F.col("ts") < F.lit("2024-01-08")
+    t2 = (F.col("ts") >= F.lit("2024-01-08")) & (F.col("ts") < F.lit("2024-01-15"))
+    exact = {}
+    for r in (
+        ev.filter(t1 | t2)
+        .select(
+            "event_type", "user_id",
+            F.max(F.when(t1, 1).otherwise(0)).over(
+                __import__("pyspark").sql.Window.partitionBy("event_type", "user_id")
+            ).alias("in1"),
+            F.max(F.when(t2, 1).otherwise(0)).over(
+                __import__("pyspark").sql.Window.partitionBy("event_type", "user_id")
+            ).alias("in2"),
+        )
+        .distinct()
+        .groupBy("event_type")
+        .agg(
+            F.sum("in1").alias("n_a"),
+            F.sum("in2").alias("n_b"),
+            F.count(F.lit(1)).alias("n_union"),
+            F.sum(F.when((F.col("in1") == 1) & (F.col("in2") == 1), 1).otherwise(0)).alias("n_intersection"),
+        )
+        .collect()
+    ):
+        exact[r["event_type"]] = r
+    assert set(got) == set(exact)
+    for et, g in got.items():
+        e = exact[et]
+        for fld in ("n_a", "n_b", "n_union", "n_intersection"):
+            assert abs(g[fld] - e[fld]) <= max(3, 0.05 * e[fld]), (et, fld, g[fld], e[fld])
+        assert g["n_only_a"] == g["n_a"] - g["n_intersection"] or abs(
+            g["n_only_a"] - (e["n_a"] - e["n_intersection"])
+        ) <= max(3, 0.05 * max(1, e["n_a"] - e["n_intersection"]))
+
+
+def test_sketch_cubes_single_exchange(spark):
+    """KLL and Theta cube builds are one hash aggregate each: map-side
+    partial sketches, one exchange of partials."""
+    import re
+
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.sketches import kll_cube, theta_cube
+
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    for cube in (
+        kll_cube(ev, ["event_type"], "value", ts="ts", bucket="1 day"),
+        theta_cube(ev, ["event_type"], "user_id", ts="ts", bucket="1 day"),
+    ):
+        plan = cube._jdf.queryExecution().explainString(mode)
+        assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1

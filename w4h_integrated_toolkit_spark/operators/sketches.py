@@ -32,7 +32,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_cube", "hll_rollup"]
+__all__ = [
+    "hll_cube",
+    "hll_rollup",
+    "kll_cube",
+    "kll_rollup",
+    "theta_cube",
+    "theta_rollup",
+    "theta_overlap",
+]
 
 
 def hll_cube(
@@ -79,4 +87,124 @@ def hll_rollup(cube: DataFrame, group_cols: list[str]) -> DataFrame:
         *group_cols,
         F.hll_sketch_estimate(F.col("_merged")).alias("approx_distinct"),
         F.col("n_rows"),
+    )
+
+
+def kll_cube(
+    df: DataFrame,
+    dims: list[str],
+    value_col: str,
+    ts: str | None = "ts",
+    bucket: str = "1 day",
+    k: int = 200,
+) -> DataFrame:
+    """Mergeable QUANTILE sketch cube (KLL) — the scale path for the
+    reference's percentile dashboards (viz.py's distribution panels; the
+    exact twin is the ``percentiles`` registry query).
+
+    Exact percentiles need a sort (or at best ``percentile()``'s full value
+    shuffle) over every row in the slice, per query. The KLL cube pays one
+    aggregate at build time — the exchange carries O(k) sketch partials per
+    cell, not values — and then any (dimension slice × time range) quantile
+    question is a cell merge: ``kll_merge_agg_double`` is associative and
+    lossless-in-guarantee (rank error ~1.65/sqrt(k) stays bounded under
+    merge). Raw data is never re-read; new days append cells.
+    """
+    keys: list[Column | str] = list(dims)
+    if ts is not None:
+        keys.append(F.window(F.col(ts), bucket)["start"].alias("bucket_start"))
+    return df.groupBy(*keys).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k)).alias(
+            "sketch"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def kll_rollup(
+    cube: DataFrame,
+    group_cols: list[str],
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95, 0.99),
+) -> DataFrame:
+    """Answer quantile queries from the cube alone: merge cell sketches up
+    to ``group_cols`` and extract ``quantiles``. Time/dimension filters
+    applied to the cube BEFORE this call prune cells, never raw data.
+    Output: group_cols..., q_25/q_50/... (double), n_rows (exact)."""
+    merged = cube.groupBy(*group_cols).agg(
+        F.kll_merge_agg_double(F.col("sketch")).alias("_m"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    qcols = [
+        F.kll_sketch_get_quantile_double(F.col("_m"), F.lit(q)).alias(
+            f"q_{str(q).replace('0.', '')}"
+        )
+        for q in quantiles
+    ]
+    return merged.select(*group_cols, *qcols, F.col("n_rows"))
+
+
+def theta_cube(
+    df: DataFrame,
+    dims: list[str],
+    distinct_col: str,
+    ts: str | None = "ts",
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Theta sketch cube: like ``hll_cube`` but supporting full SET ALGEBRA
+    at query time. HLL only unions; Theta adds intersection and difference,
+    so questions like "how many users were active in BOTH week 1 and week 2"
+    (retention/overlap) are answerable from per-slice sketches without ever
+    joining raw key sets — at 100 TB the exact form of that question is two
+    distinct-aggregates plus a join of the key universes.
+    """
+    keys: list[Column | str] = list(dims)
+    if ts is not None:
+        keys.append(F.window(F.col(ts), bucket)["start"].alias("bucket_start"))
+    return df.groupBy(*keys).agg(
+        F.theta_sketch_agg(F.col(distinct_col)).alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def theta_rollup(cube: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge theta cells up to ``group_cols``, KEEPING the merged sketch so
+    callers can feed the result to ``theta_overlap``. Output: group_cols...,
+    sketch, approx_distinct, n_rows."""
+    merged = cube.groupBy(*group_cols).agg(
+        F.theta_union_agg(F.col("sketch")).alias("sketch"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    return merged.select(
+        *group_cols,
+        "sketch",
+        F.theta_sketch_estimate(F.col("sketch")).alias("approx_distinct"),
+        F.col("n_rows"),
+    )
+
+
+def theta_overlap(a: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:
+    """Set algebra between two sketch relations (each: on..., sketch —
+    the shape ``theta_rollup`` emits), joined on ``on``: per group, the
+    estimated |A|, |B|, |A∪B|, |A∩B|, |A\\B|, |B\\A|. Both inputs are
+    O(groups) relations of sketch bytes; the join is trivially
+    broadcast-able and raw data is never touched."""
+    left = a.select(*on, F.col("sketch").alias("_sa"))
+    right = b.select(*on, F.col("sketch").alias("_sb"))
+    j = left.join(right, on)
+    return j.select(
+        *on,
+        F.theta_sketch_estimate(F.col("_sa")).alias("n_a"),
+        F.theta_sketch_estimate(F.col("_sb")).alias("n_b"),
+        F.theta_sketch_estimate(F.theta_union(F.col("_sa"), F.col("_sb"))).alias(
+            "n_union"
+        ),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("_sa"), F.col("_sb"))
+        ).alias("n_intersection"),
+        F.theta_sketch_estimate(F.theta_difference(F.col("_sa"), F.col("_sb"))).alias(
+            "n_only_a"
+        ),
+        F.theta_sketch_estimate(F.theta_difference(F.col("_sb"), F.col("_sa"))).alias(
+            "n_only_b"
+        ),
     )

@@ -2768,6 +2768,42 @@ def q_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.hll_rollup(jan, ["event_type"]).orderBy("event_type")
 
 
+def q_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 scale path for percentiles: per-event-type value quantiles
+    answered from a mergeable KLL sketch cube (one cell per event_type ×
+    day). Any (slice × time range) quantile question is a cell merge —
+    exact `percentiles` needs a full value shuffle per query; the cube
+    reads raw data once at build. Approximate (rank error ~1.65/sqrt(k)),
+    so no SQL oracle; unit tests bound the error against exact
+    percentile()."""
+    ev = _t(spark, sf_dir, "events")
+    cube = SK.kll_cube(ev, ["event_type"], "value", ts="ts", bucket="1 day")
+    return SK.kll_rollup(cube, ["event_type"]).orderBy("event_type")
+
+
+def q_user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra: per event type, how many users were active
+    in week 1, week 2, both (intersection), and only one of the two —
+    answered entirely from per-day sketches. HLL can only union; Theta's
+    intersection/difference make retention/overlap questions cube-answerable
+    at 100 TB (the exact form joins two distinct key universes).
+    Approximate by nature, so no SQL oracle; unit tests bound the error
+    against exact set ops."""
+    ev = _t(spark, sf_dir, "events")
+    cube = SK.theta_cube(ev, ["event_type"], "user_id", ts="ts", bucket="1 day")
+    wk1 = SK.theta_rollup(
+        cube.filter(F.col("bucket_start") < F.lit("2024-01-08")), ["event_type"]
+    )
+    wk2 = SK.theta_rollup(
+        cube.filter(
+            (F.col("bucket_start") >= F.lit("2024-01-08"))
+            & (F.col("bucket_start") < F.lit("2024-01-15"))
+        ),
+        ["event_type"],
+    )
+    return SK.theta_overlap(wk1, wk2, ["event_type"]).orderBy("event_type")
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2855,6 +2891,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "disjunctive_revenue": (q_disjunctive_revenue, _SQL_DISJUNCTIVE_REVENUE),
     "idle_rich_customers": (q_idle_rich_customers, _SQL_IDLE_RICH),
     "distinct_users_sketch": (q_distinct_users_sketch, None),
+    "value_quantiles_sketch": (q_value_quantiles_sketch, None),
+    "user_overlap_sketch": (q_user_overlap_sketch, None),
     "volume_shipping": (q_volume_shipping, _SQL_VOLUME_SHIPPING),
     "market_share": (q_market_share, _SQL_MARKET_SHARE),
     "product_profit": (q_product_profit, _SQL_PRODUCT_PROFIT),
