@@ -948,3 +948,60 @@ def test_sketch_cubes_single_exchange(spark):
     ):
         plan = cube._jdf.queryExecution().explainString(mode)
         assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+
+
+def test_point_in_polygon_known_points(spark):
+    """Even-odd ring test against hand-checked points; open and closed
+    rings must classify identically (the wrap edge closes open rings)."""
+    from w4h_integrated_toolkit_spark.operators.geo import point_in_polygon
+
+    sq = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+    tri = [(20.0, 0.0), (30.0, 0.0), (25.0, 8.0)]
+    cases = [
+        (5.0, 5.0, sq, True),
+        (-1.0, 5.0, sq, False),
+        (15.0, 5.0, sq, False),
+        (25.0, 1.0, tri, True),
+        (24.5, 6.9, tri, True),   # just inside the left edge at y=6.9
+        (20.5, 7.0, tri, False),  # far outside the left edge (wrap-edge bug trap)
+        (25.0, 9.0, tri, False),  # above the apex
+    ]
+    for ring in (lambda r: r, lambda r: r + [r[0]]):  # open, closed
+        df = spark.createDataFrame(
+            [(lon, lat, ring(r), want) for lon, lat, r, want in cases],
+            "lon double, lat double, ring array<struct<lon double, lat double>>, want boolean",
+        )
+        got = df.select(
+            "want", point_in_polygon(F.col("lon"), F.col("lat"), F.col("ring")).alias("got")
+        ).collect()
+        assert all(r["got"] == r["want"] for r in got), got
+
+
+def test_geofence_join_broadcasts_cell_index(spark):
+    """The spatial join must be an EQUI broadcast hash join on the grid
+    cell — never a nested loop over (point, polygon) pairs — and the fact
+    side must reach it without an exchange."""
+    import re
+
+    from w4h_integrated_toolkit_spark.operators.geo import geofence_join
+
+    pts = spark.range(100).select(
+        (F.col("id") % 37).cast("double").alias("lon"),
+        (F.col("id") % 19).cast("double").alias("lat"),
+    )
+    polys = spark.createDataFrame(
+        [("sq", [(2.0, 2.0), (12.0, 2.0), (12.0, 12.0), (2.0, 12.0)])],
+        "polygon_id string, ring array<struct<lon double, lat double>>",
+    )
+    out = geofence_join(pts, polys, cell_deg=5.0)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0
+    # spot-check the membership itself (edge points may classify inside —
+    # even-odd boundary semantics are deterministic, not exclusive)
+    rows = out.select("lon", "lat").collect()
+    assert rows and all(
+        2.0 <= r["lon"] <= 12.0 and 2.0 <= r["lat"] <= 12.0 for r in rows
+    )

@@ -31,6 +31,8 @@ __all__ = [
     "wkb_hex_decode",
     "haversine_m",
     "trajectories",
+    "point_in_polygon",
+    "geofence_join",
 ]
 
 EARTH_RADIUS_M = 6371000.0  # viz.py:37 / augment_with_trajectories.ipynb cell 3
@@ -110,4 +112,97 @@ def trajectories(
         locations.groupBy(user)
         .agg(F.sort_array(F.collect_list(pt)).alias("pts"))
         .select(user, F.transform(F.col("pts"), lambda s: s["p"]).alias("path"))
+    )
+
+
+def point_in_polygon(lon: Column, lat: Column, ring: Column) -> Column:
+    """Even-odd-rule point-in-polygon test as pure Column math — no UDF.
+
+    ``ring`` is an ``array<struct<lon double, lat double>>`` of vertices
+    (open or closed; a closing duplicate vertex contributes a degenerate
+    edge that never crosses). The crossing count folds over the edge list
+    with ``F.aggregate`` — JVM-side, codegen-friendly, and usable inside
+    any join condition or filter. Points exactly on an edge land on
+    whichever side the ray count puts them — deterministic, and identical
+    in any engine evaluating the same IEEE expression (the oracle unrolls
+    the same edges).
+
+    The reference has no geofence operator (its maps only draw
+    trajectories, viz.py:814-821); this is the north-star spatial-join
+    primitive built the Spark-first way.
+    """
+    n = F.size(ring)
+    # wraparound edge (i -> (i+1) mod n) closes an open ring; on a closed
+    # ring the wrap edge is degenerate (a == b, never straddles) — harmless
+    ax = lambda i: F.element_at(ring, i + 1)["lon"]  # noqa: E731
+    ay = lambda i: F.element_at(ring, i + 1)["lat"]  # noqa: E731
+    bx = lambda i: F.element_at(ring, F.pmod(i + 1, n) + 1)["lon"]  # noqa: E731
+    by = lambda i: F.element_at(ring, F.pmod(i + 1, n) + 1)["lat"]  # noqa: E731
+
+    def crosses(i: Column) -> Column:
+        straddles = (ay(i) > lat) != (by(i) > lat)
+        xcross = ax(i) + (bx(i) - ax(i)) * (lat - ay(i)) / (by(i) - ay(i))
+        return F.when(straddles & (lon < xcross), F.lit(1)).otherwise(F.lit(0))
+
+    count = F.aggregate(
+        F.sequence(F.lit(0), n - 1), F.lit(0), lambda acc, i: acc + crosses(i)
+    )
+    return F.pmod(count, F.lit(2)) == 1
+
+
+def geofence_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    polygon_id: str = "polygon_id",
+    ring: str = "ring",
+    cell_deg: float = 1.0,
+) -> DataFrame:
+    """Spatial join: each point row paired with every polygon containing it.
+
+    Scale shape: polygons are FEW (geofences, regions — never fact-sized),
+    so their grid-cell index broadcasts. Each polygon explodes to the grid
+    cells covering its bounding box (computed from the ring, map-side);
+    each point computes its own cell (two floors); the join is EQUI on the
+    cell — broadcast hash, never a nested-loop over all (point, polygon)
+    pairs — and the exact even-odd test runs only on the candidates that
+    share a cell. The fact side never shuffles: cell assignment and the
+    ring test are map-side expressions over the broadcast index.
+
+    ``cell_deg`` trades index size against candidate precision; cells per
+    polygon ~ (bbox area / cell_deg²), so size it to the typical geofence.
+    """
+    xs = F.transform(F.col(ring), lambda v: v["lon"])
+    ys = F.transform(F.col(ring), lambda v: v["lat"])
+    cellify = lambda c: F.floor(c / F.lit(float(cell_deg))).cast("long")  # noqa: E731
+    fences = polygons.select(
+        polygon_id,
+        ring,
+        F.explode(
+            F.sequence(cellify(F.array_min(xs)), cellify(F.array_max(xs)))
+        ).alias("_cx"),
+        F.col(ring).alias("_r"),
+    ).select(
+        polygon_id,
+        ring,
+        "_cx",
+        F.explode(
+            F.sequence(
+                cellify(
+                    F.array_min(F.transform(F.col("_r"), lambda v: v["lat"]))
+                ),
+                cellify(
+                    F.array_max(F.transform(F.col("_r"), lambda v: v["lat"]))
+                ),
+            )
+        ).alias("_cy"),
+    )
+    pts = points.withColumn("_cx", cellify(F.col(lon))).withColumn(
+        "_cy", cellify(F.col(lat))
+    )
+    return (
+        pts.join(F.broadcast(fences), ["_cx", "_cy"])
+        .filter(point_in_polygon(F.col(lon), F.col(lat), F.col(ring)))
+        .drop("_cx", "_cy", ring)
     )

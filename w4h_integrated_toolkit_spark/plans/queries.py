@@ -2768,6 +2768,75 @@ def q_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.hll_rollup(jan, ["event_type"]).orderBy("event_type")
 
 
+# Geofence polygons for q_geofence_count (lon 0..359, lat 0..179 — the
+# integer grid q_trajectories derives from event values). The oracle SQL
+# unrolls the SAME vertices into the same even-odd crossing expression.
+_GEO_BOX = [(50.0, 20.0), (150.0, 20.0), (150.0, 80.0), (50.0, 80.0)]
+_GEO_PENT = [
+    (200.0, 30.0),
+    (260.0, 30.0),
+    (280.0, 90.0),
+    (230.0, 130.0),
+    (180.0, 90.0),
+]
+
+
+def q_geofence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial join (north-star; the reference only draws trajectories):
+    points-in-geofence counts via `geo.geofence_join` — grid-cell broadcast
+    index + JVM-side even-odd ring test (`F.aggregate` over the edge list,
+    no UDF). The fact side never shuffles: cell assignment and the ring
+    test are map-side against the broadcast cell index; the only exchange
+    is the final per-polygon count."""
+    from ..operators.geo import geofence_join
+
+    ev = _t(spark, sf_dir, "events")
+    m = F.floor(F.col("value") * 100).cast("long")
+    pts = ev.select(
+        F.pmod(m, F.lit(360)).cast("double").alias("lon"),
+        F.pmod(m, F.lit(180)).cast("double").alias("lat"),
+    )
+    polys = spark.createDataFrame(
+        [("box", _GEO_BOX), ("pent", _GEO_PENT)],
+        "polygon_id string, ring array<struct<lon double, lat double>>",
+    )
+    return (
+        geofence_join(pts, polys, cell_deg=20.0)
+        .groupBy("polygon_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("polygon_id")
+    )
+
+
+def _pip_sql(verts: list[tuple[float, float]]) -> str:
+    """Even-odd crossing test over fixed vertices, unrolled to SQL — the
+    identical IEEE expression `geo.point_in_polygon` folds with
+    F.aggregate, so the engines agree bit-for-bit."""
+    n = len(verts)
+    terms = []
+    for i in range(n):
+        ax, ay = verts[i]
+        bx, by = verts[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({ay} > lat) <> ({by} > lat)) "
+            f"AND lon < {ax} + ({bx} - {ax})*(lat - {ay})/({by} - {ay}) "
+            "THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2) = 1"
+
+
+_SQL_GEOFENCE = f"""
+WITH pts AS (
+  SELECT CAST(((CAST(floor(value*100) AS BIGINT) % 360) + 360) % 360 AS DOUBLE) AS lon,
+         CAST(((CAST(floor(value*100) AS BIGINT) % 180) + 180) % 180 AS DOUBLE) AS lat
+  FROM events)
+SELECT 'box' AS polygon_id, count(*) AS n_points FROM pts WHERE {_pip_sql(_GEO_BOX)}
+UNION ALL
+SELECT 'pent' AS polygon_id, count(*) AS n_points FROM pts WHERE {_pip_sql(_GEO_PENT)}
+ORDER BY polygon_id
+"""
+
+
 def q_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 scale path for percentiles: per-event-type value quantiles
     answered from a mergeable KLL sketch cube (one cell per event_type ×
@@ -2891,6 +2960,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "disjunctive_revenue": (q_disjunctive_revenue, _SQL_DISJUNCTIVE_REVENUE),
     "idle_rich_customers": (q_idle_rich_customers, _SQL_IDLE_RICH),
     "distinct_users_sketch": (q_distinct_users_sketch, None),
+    "geofence_count": (q_geofence_count, _SQL_GEOFENCE),
     "value_quantiles_sketch": (q_value_quantiles_sketch, None),
     "user_overlap_sketch": (q_user_overlap_sketch, None),
     "volume_shipping": (q_volume_shipping, _SQL_VOLUME_SHIPPING),
