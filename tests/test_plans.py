@@ -297,3 +297,48 @@ def test_waiting_suppliers_single_fact_pass(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 3
     assert "TakeOrderedAndProject" in plan
     assert n_shuffles(plan) <= 3
+
+
+def test_runtime_bloom_filter_prunes_fact_side_of_shuffle_join(spark):
+    """At fleet scale a selective dim filter should reach the FACT side of a
+    shuffle join before the exchange: Spark's runtime bloom-filter
+    optimization builds a bloom_filter_agg over the filtered build side and
+    plants might_contain() on the probe side's scan stage, cutting shuffle
+    volume by the filter's selectivity. Pinned here with broadcast off (the
+    shuffle-join regime where it matters) and the local-mode size
+    thresholds zeroed — on a real cluster the defaults trigger on their
+    own."""
+    from pyspark.sql import functions as F
+
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+
+    li = read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
+    od = read_parquet(spark, f"{SF_DIR}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = (
+            li.join(od, li["l_orderkey"] == od["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = j._jdf.queryExecution().explainString(mode)
+        assert "might_contain" in plan, "bloom filter must reach the fact side"
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
