@@ -161,8 +161,17 @@ def user_similarity_topk(
             out = pd.concat([out, rev[out.columns]], ignore_index=True)
         return out
 
-    pairs = tagged.groupBy("ca", "cb").applyInPandas(
-        block, "user_a long, user_b long, r double, n_common long"
+    # pin the kernel stage's parallelism to one task per block: AQE's
+    # byte-based partition coalescing sees small shuffle blocks and would
+    # serialize several BLAS kernels into one task — bytes are the wrong
+    # cost model for CPU-dense Python stages. An explicit column
+    # repartition with a fixed partition count is exempt from AQE
+    # coalescing, so all B(B+1)/2 blocks run concurrently.
+    n_blocks = n_chunks * (n_chunks + 1) // 2
+    pairs = (
+        tagged.repartition(n_blocks, "ca", "cb")
+        .groupBy("ca", "cb")
+        .applyInPandas(block, "user_a long, user_b long, r double, n_common long")
     )
     w = Window.partitionBy("user_a").orderBy(F.col("r").desc(), F.col("user_b"))
     return (
