@@ -1005,3 +1005,21 @@ def test_geofence_join_broadcasts_cell_index(spark):
     assert rows and all(
         2.0 <= r["lon"] <= 12.0 and 2.0 <= r["lat"] <= 12.0 for r in rows
     )
+
+
+def test_redact_pii_known_cases(spark):
+    from w4h_integrated_toolkit_spark.operators.text import redact_pii
+
+    cases = [
+        ("mail john.doe+spam@sub.domain.co now", "mail <EMAIL> now"),
+        ("server 192.168.1.254 port 80", "server <IP> port 80"),
+        ("call +1 (555) 010-9932 today", "call <PHONE> today"),
+        ("plain text stays untouched", "plain text stays untouched"),
+        # email host is not half-eaten by the IP rule (email runs first)
+        ("x 10.2.3.4@example.com y", "x <EMAIL> y"),
+    ]
+    df = spark.createDataFrame(cases, "t string, want string")
+    got = df.select("want", redact_pii(F.col("t")).alias("got")).collect()
+    assert all(r["got"] == r["want"] for r in got), [
+        (r["want"], r["got"]) for r in got if r["got"] != r["want"]
+    ]

@@ -21,6 +21,7 @@ __all__ = [
     "fingerprint",
     "repetition_ratio",
     "pack_sequences",
+    "redact_pii",
 ]
 
 _WORD_RE = r"\s+"
@@ -219,3 +220,23 @@ def fingerprint(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
         rolling_hash(F.col(text)).alias("rolling_fp"),
         portable_hash32(F.col(text)).alias("fp32"),
     )
+
+
+# PII patterns, written to the common subset of Java regex (Spark) and RE2
+# (DuckDB): no lookarounds, no backrefs — the oracle parity test IS the
+# cross-engine regex-equivalence check.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+_PII_PHONE = r"\+?[0-9][0-9().\- ]{6,}[0-9]"
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails, IPv4 addresses, and phone-like digit runs to typed
+    placeholder tokens — the standard pre-training privacy pass. Order
+    matters and is fixed (email → ip → phone: an IP inside a hostname must
+    not be half-eaten by the phone rule first); a single map-side
+    regexp_replace chain, zero shuffles, codegen'd end to end."""
+    out = F.regexp_replace(text, _PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, _PII_IPV4, "<IP>")
+    out = F.regexp_replace(out, _PII_PHONE, "<PHONE>")
+    return out

@@ -2768,6 +2768,41 @@ def q_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.hll_rollup(jan, ["event_type"]).orderBy("event_type")
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (north-star privacy pass): emails / IPv4 / phone-like
+    runs → typed placeholders, one map-side regexp_replace chain (zero
+    shuffles). The synthetic corpus has no PII, so the query PLANTS a
+    deterministic email+IP+phone per document from its id and redacts the
+    combined text — making the oracle a cross-engine regex-equivalence
+    check (patterns live in the Java∩RE2 common subset)."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".17 or +1 (555) 01"), (F.col("doc_id") % 90 + 10).cast("string"),
+    )
+    return docs.select(
+        "doc_id", TX.redact_pii(planted).alias("clean_text")
+    )
+
+
+_SQL_PII = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@mail.example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+             || '.17 or +1 (555) 01' || CAST(doc_id % 90 + 10 AS VARCHAR),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+    '\+?[0-9][0-9().\- ]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
+FROM documents
+"""
+
+
 # Geofence polygons for q_geofence_count (lon 0..359, lat 0..179 — the
 # integer grid q_trajectories derives from event values). The oracle SQL
 # unrolls the SAME vertices into the same even-odd crossing expression.
@@ -2961,6 +2996,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "idle_rich_customers": (q_idle_rich_customers, _SQL_IDLE_RICH),
     "distinct_users_sketch": (q_distinct_users_sketch, None),
     "geofence_count": (q_geofence_count, _SQL_GEOFENCE),
+    "pii_redaction": (q_pii_redaction, _SQL_PII),
     "value_quantiles_sketch": (q_value_quantiles_sketch, None),
     "user_overlap_sketch": (q_user_overlap_sketch, None),
     "volume_shipping": (q_volume_shipping, _SQL_VOLUME_SHIPPING),
