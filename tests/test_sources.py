@@ -181,3 +181,38 @@ def test_compact_with_sort_restores_clustering(spark, tmp_path):
         if prev_max is not None:
             assert st.min >= prev_max  # row groups internally ordered
         prev_max = st.max
+
+
+def test_geojson_feeds_geofence_join(spark, tmp_path):
+    """End-to-end: GeoJSON polygons -> geofence_join -> point membership.
+    The source's ring schema composes directly with the spatial join."""
+    from w4h_integrated_toolkit_spark.operators.geo import geofence_join
+
+    gj = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"name": "campus"},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [
+                        [[-118.30, 34.01], [-118.27, 34.01],
+                         [-118.27, 34.04], [-118.30, 34.04], [-118.30, 34.01]]
+                    ],
+                },
+            }
+        ],
+    }
+    p = tmp_path / "fence.geojson"
+    p.write_text(json.dumps(gj))
+    polys = read_geojson_polygons(spark, str(p)).select(
+        F.col("name").alias("polygon_id"), "ring"
+    )
+    pts = spark.createDataFrame(
+        [("inside", -118.285, 34.022), ("north", -118.285, 34.05),
+         ("east", -118.26, 34.02)],
+        "pid string, lon double, lat double",
+    )
+    got = {r["pid"] for r in geofence_join(pts, polys, cell_deg=0.05).collect()}
+    assert got == {"inside"}
