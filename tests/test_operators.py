@@ -1023,3 +1023,48 @@ def test_redact_pii_known_cases(spark):
     assert all(r["got"] == r["want"] for r in got), [
         (r["want"], r["got"]) for r in got if r["got"] != r["want"]
     ]
+
+
+def test_point_in_polygon_random_convex_vs_halfplane(spark):
+    """Randomized cross-validation on convex polygons: the even-odd fold
+    must agree with an INDEPENDENT algorithm (all-edges-same-side half-plane
+    test, computed in Python). Convex polygons make the reference exact;
+    points are kept away from edges (strict margin) so float tie-breaking
+    cannot flake."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for _ in range(60):
+        k = int(rng.integers(3, 9))
+        # convex polygon: random radii/angles sorted around the origin
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = rng.uniform(5, 10)
+        cx, cy = rng.uniform(-50, 50, 2)
+        verts = [(cx + rad * np.cos(a), cy + rad * np.sin(a)) for a in ang]
+        for _ in range(5):
+            px, py = cx + rng.uniform(-15, 15), cy + rng.uniform(-15, 15)
+            # half-plane reference: inside iff every edge cross product has
+            # the same sign (counter-clockwise vertex order)
+            crosses = []
+            for i in range(k):
+                ax, ay = verts[i]
+                bx, by = verts[(i + 1) % k]
+                crosses.append((bx - ax) * (py - ay) - (by - ay) * (px - ax))
+            margin = min(abs(c) for c in crosses)
+            if margin < 1e-6:  # too close to an edge: skip the tie case
+                continue
+            want = all(c > 0 for c in crosses)
+            rows.append((float(px), float(py), [(float(x), float(y)) for x, y in verts], bool(want)))
+    from w4h_integrated_toolkit_spark.operators.geo import point_in_polygon
+
+    df = spark.createDataFrame(
+        rows,
+        "lon double, lat double, ring array<struct<lon double, lat double>>, want boolean",
+    )
+    got = df.select(
+        "want",
+        point_in_polygon(F.col("lon"), F.col("lat"), F.col("ring")).alias("got"),
+    ).collect()
+    bad = [(r["want"], r["got"]) for r in got if r["got"] != r["want"]]
+    assert not bad, f"{len(bad)}/{len(got)} disagreements: {bad[:5]}"
