@@ -301,3 +301,40 @@ def test_streaming_dedup_within_watermark_bounded_state(spark, tmp_path):
     ids = {r["content_key"]: r["doc_id"] for r in rows}
     assert ids[md5("bbb")] == 2 and ids[md5("ccc")] == 4
     assert ids[md5("aaa")] in (1, 3)  # first-arriving batch wins
+
+
+def test_stream_static_control_join(spark, tmp_path):
+    """Stream-static join (SURVEY §7 step 4): the event stream joins a
+    STATIC dimension (per-user weight, the METs calibration pattern)
+    before a windowed aggregate. The static side re-broadcasts per
+    micro-batch — no state store involvement for the join itself — and
+    missing dimension rows fall back to the 70 kg default exactly as in
+    batch (viz.py:74 semantics)."""
+    rows = [(1, _ts(m), 10.0) for m in range(3)] + [(2, _ts(0), 10.0)]
+    stream = _file_stream(
+        spark, tmp_path, rows, "user_id long, ts timestamp, value double"
+    )
+    weights = spark.createDataFrame([(1, 50.0)], "user_id long, weight double")
+    joined = (
+        stream.join(F.broadcast(weights), "user_id", "left")
+        .withColumn("w", F.coalesce(F.col("weight"), F.lit(70.0)))
+        .withColumn("mets", F.col("value") * F.lit(4.186) / F.col("w"))
+    )
+    agg = joined.withWatermark("ts", "1 hour").groupBy(
+        F.window("ts", "1 hour"), "user_id"
+    ).agg(F.sum("mets").alias("total_mets"), F.count(F.lit(1)).alias("n"))
+    q = (
+        # update mode: emit running window results — append would hold the
+        # final window in state until a later watermark that never comes
+        # under availableNow
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ss_join_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = {(r["user_id"]): r for r in spark.table("ss_join_t").collect()}
+    assert res[1]["total_mets"] == pytest.approx(3 * 10.0 * 4.186 / 50.0)
+    assert res[2]["total_mets"] == pytest.approx(10.0 * 4.186 / 70.0)  # default weight
+    assert res[1]["n"] == 3 and res[2]["n"] == 1
