@@ -86,6 +86,26 @@ def _savg_sql(col: str, n: int) -> str:
     )
 
 
+def _fsum(c, n=2):
+    """Exact fixed-point sum: round each row to a µ-scaled long (the per-row
+    double is IEEE-identical across engines), sum as integers (order-
+    independent — a float sum() is partial-sum-order-dependent and can
+    straddle a rounding boundary between Spark's parallel and DuckDB's
+    serial fold), render back as a rounded double. Scaled-long range bounds
+    per-GROUP sums at ~9.2e12 in value units — far above any per-key group;
+    switch to sum(decimal) only for single-group planetary totals."""
+    return _r(
+        F.sum(F.round(c * F.lit(1e6), 0).cast("long")).cast("double") / F.lit(1e6), n
+    )
+
+
+def _fsum_sql(expr: str, n: int = 2) -> str:
+    """DuckDB twin of :func:`_fsum` (same scale, same rounding)."""
+    return (
+        f"round(CAST(sum(CAST(round(({expr})*1e6) AS BIGINT)) AS DOUBLE)/1e6, {n})"
+    )
+
+
 def _portable_round_sql(sql: str) -> str:
     """Rewrite every ``round(expr, n)`` in an oracle SQL string to the
     portable ``round((expr) * 1en) / 1en`` form (see :func:`_r`)."""
@@ -126,10 +146,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r(F.sum("l_quantity"), 2).alias("sum_qty"),
-            _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            _r(F.sum(disc), 2).alias("sum_disc_price"),
-            _r(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            _fsum(F.col("l_quantity")).alias("sum_qty"),
+            _fsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _fsum(disc).alias("sum_disc_price"),
+            _fsum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
             _savg("l_quantity", 6).alias("avg_qty"),
             _savg("l_extendedprice", 6).alias("avg_price"),
             _savg("l_discount", 6).alias("avg_disc"),
@@ -140,10 +160,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice*(1-l_discount)), 2)                    AS sum_disc_price,
-       round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2)          AS sum_charge,
+       round(CAST(sum(CAST(round((l_quantity)*1e6) AS BIGINT)) AS DOUBLE)/1e6, 2) AS sum_qty,
+       round(CAST(sum(CAST(round((l_extendedprice)*1e6) AS BIGINT)) AS DOUBLE)/1e6, 2) AS sum_base_price,
+       round(CAST(sum(CAST(round((l_extendedprice*(1-l_discount))*1e6) AS BIGINT)) AS DOUBLE)/1e6, 2) AS sum_disc_price,
+       round(CAST(sum(CAST(round((l_extendedprice*(1-l_discount)*(1+l_tax))*1e6) AS BIGINT)) AS DOUBLE)/1e6, 2) AS sum_charge,
        round(CAST(sum(CAST(round(l_quantity*1e6) AS BIGINT)) AS DOUBLE)/1e6 / count(l_quantity), 6) AS avg_qty,
        round(CAST(sum(CAST(round(l_extendedprice*1e6) AS BIGINT)) AS DOUBLE)/1e6 / count(l_extendedprice), 6) AS avg_price,
        round(CAST(sum(CAST(round(l_discount*1e6) AS BIGINT)) AS DOUBLE)/1e6 / count(l_discount), 6) AS avg_disc,
@@ -161,14 +181,14 @@ def q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        _r(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        _fsum(F.col("l_extendedprice")).alias("sum_price"),
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
     )
 
 
 _SQL_RANGE_SCAN = """
-SELECT count(*) AS n_rows, round(sum(l_extendedprice),2) AS sum_price,
+SELECT count(*) AS n_rows, round(CAST(sum(CAST(round((l_extendedprice)*1e6) AS BIGINT)) AS DOUBLE)/1e6, 2) AS sum_price,
        min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
 FROM lineitem
 WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
@@ -190,14 +210,14 @@ def q_cohort_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = cohort_semi_join(orders, cohort, "o_custkey")
     return facts.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        _r(F.sum("o_totalprice"), 2).alias("sum_total"),
+        _fsum(F.col("o_totalprice")).alias("sum_total"),
         _savg("o_totalprice", 6).alias("avg_total"),
     )
 
 
 _SQL_COHORT_KPI = """
 SELECT o_orderpriority, count(*) AS n_orders,
-       round(sum(o_totalprice),2) AS sum_total,
+       round(CAST(sum(CAST(round((o_totalprice)*1e6) AS BIGINT)) AS DOUBLE)/1e6, 2) AS sum_total,
        round(CAST(sum(CAST(round(o_totalprice*1e6) AS BIGINT)) AS DOUBLE)/1e6 / count(o_totalprice), 6) AS avg_total
 FROM orders
 WHERE o_custkey IN (
@@ -901,13 +921,13 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup hierarchy totals (orderstatus -> priority -> grand total)."""
     orders = _t(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"), _r(F.sum("o_totalprice"), 2).alias("sum_total")
+        F.count(F.lit(1)).alias("n"), _fsum(F.col("o_totalprice")).alias("sum_total")
     )
 
 
 _SQL_ROLLUP = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       round(sum(o_totalprice), 2) AS sum_total
+       round(CAST(sum(CAST(round((o_totalprice)*1e6) AS BIGINT)) AS DOUBLE)/1e6, 2) AS sum_total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
@@ -1401,7 +1421,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            _fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -1412,7 +1432,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_SHIPPING_PRIORITY = """
-SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue, o_orderdate
+SELECT l_orderkey, round(CAST(sum(CAST(round((l_extendedprice*(1-l_discount))*1e6) AS BIGINT)) AS DOUBLE)/1e6, 2) AS revenue, o_orderdate
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
@@ -1447,7 +1467,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            _fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -1455,7 +1475,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_LOCAL_SUPPLIER_VOLUME = """
-SELECT n_name, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+SELECT n_name, round(CAST(sum(CAST(round((l_extendedprice*(1-l_discount))*1e6) AS BIGINT)) AS DOUBLE)/1e6, 2) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
               JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
