@@ -837,7 +837,7 @@ def test_kll_cube_quantiles_within_rank_error(spark):
     for r in roll.collect():
         xs = vals[r["event_type"]]
         assert r["n_rows"] == len(xs)
-        for q, col in ((0.25, "q_25"), (0.5, "q_5"), (0.95, "q_95")):
+        for q, col in ((0.25, "q_250"), (0.5, "q_500"), (0.95, "q_950")):
             true_rank = bisect.bisect_right(xs, r[col]) / len(xs)
             assert abs(true_rank - q) <= 0.05, (r["event_type"], q, r[col], true_rank)
 
@@ -858,8 +858,8 @@ def test_kll_merged_daily_cells_match_untimed_sketch(spark):
         kll_cube(ev, ["event_type"], "value", ts=None), ["event_type"],
         quantiles=(0.5,),
     )
-    a = {r["event_type"]: r["q_5"] for r in daily.collect()}
-    b = {r["event_type"]: r["q_5"] for r in whole.collect()}
+    a = {r["event_type"]: r["q_500"] for r in daily.collect()}
+    b = {r["event_type"]: r["q_500"] for r in whole.collect()}
     assert set(a) == set(b)
     spread = {
         r["event_type"]: (r["mx"] - r["mn"])

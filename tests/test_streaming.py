@@ -195,10 +195,7 @@ def test_streaming_alerts_match_batch(spark):
 
     stage = tempfile.mkdtemp(prefix="w4h_alerts_")
     os.symlink(path, os.path.join(stage, "events.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(stage)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("`ts` DIV 1000")))
+    stream = spark.readStream.schema(ev.schema).parquet(stage)
     out = alerts(
         stream.withWatermark("ts", "1 hour"),
         ts="ts", window_seconds=600, ratio_threshold=0.5, band=band,
@@ -239,17 +236,16 @@ def test_streaming_session_windows_match_batch(spark):
             )
         )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(path)
-    batch = raw.withColumn("ts", F.timestamp_micros(F.expr("`ts` DIV 1000")))
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+
+    batch = read_parquet(spark, path)
     expected = {
         (r["user_id"], r["s"]): r["n_events"] for r in sessions(batch).collect()
     }
 
     stage = tempfile.mkdtemp(prefix="w4h_sess_")
     os.symlink(path, os.path.join(stage, "events.parquet"))
-    stream = spark.readStream.schema(raw.schema).parquet(stage)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("`ts` DIV 1000")))
+    stream = spark.readStream.schema(batch.schema).parquet(stage)
     out = sessions(stream.withWatermark("ts", "1 hour"))
     name = "sess_stream_" + uuid.uuid4().hex[:8]
     q = (

@@ -38,6 +38,7 @@ __all__ = [
     "load_tables",
     "write_fact_table",
     "write_sorted",
+    "write_bucketed",
     "compact_small_files",
 ]
 
@@ -204,6 +205,12 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     repartition fires ONLY for degenerate inputs (a few tiny files), where
     the redistributed bytes are by construction small and the alternative is
     a serial stage. ``target`` defaults to the session's default parallelism.
+
+    **Scan inputs only.** The partition probe is ``df.rdd.getNumPartitions()``,
+    which forces RDD conversion/physical planning and — for inputs that
+    contain shuffles under AQE — can eagerly materialize upstream stages.
+    That is safe and cheap for the plain file scans this wraps; do not apply
+    it to arbitrary derived DataFrames.
     """
     spark = df.sparkSession
     if target is None:

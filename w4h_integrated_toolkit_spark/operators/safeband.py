@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["safe_band", "breach_histogram", "alerts"]
+__all__ = ["safe_band", "fixed_point_band", "breach_histogram", "alerts"]
 
 
 def safe_band(df: DataFrame, value: str = "value", k: float = 2.0) -> DataFrame:
@@ -19,6 +19,47 @@ def safe_band(df: DataFrame, value: str = "value", k: float = 2.0) -> DataFrame:
     return df.agg(
         (F.avg(value) - k * F.stddev_samp(value)).alias("band_lo"),
         (F.avg(value) + k * F.stddev_samp(value)).alias("band_hi"),
+    )
+
+
+def fixed_point_band(
+    df: DataFrame, value: str = "value", k: float = 2.0, scale: float = 1e6
+) -> DataFrame:
+    """A8 band computed **bit-identically by construction** across engines.
+
+    A plain float ``avg``/``stddev`` is partial-sum-order-dependent: Spark's
+    parallel fold and a serial engine's fold can differ in the last ulp, and
+    a band edge that lands next to a reading then classifies that reading
+    differently — no amount of post-hoc rounding fixes a value that straddles
+    the rounding boundary itself. Instead we make every step deterministic:
+
+    1. per-row fixed-point quantize ``round(value*scale)`` (a correctly
+       rounded double op — identical everywhere),
+    2. exact integer sum S1 and sum-of-squares S2 (decimal(38,0) here,
+       HUGEINT in the DuckDB twin — order-independent by exactness),
+    3. one fixed sequence of correctly-rounded double ops:
+       ``mean = S1/n/scale``;
+       ``var = (n*S2 - S1²)/(n*(n-1))/scale²``;  ``band = mean ∓ k·sqrt(var)``.
+
+    IEEE-754 guarantees each individual op (cast, /, sqrt, *, -) is
+    correctly rounded, so identical inputs + identical op order ⇒ identical
+    bits on any engine. SQL twin: ``_SQL_BAND_CTE`` in plans/queries.py.
+    """
+    sv = F.round(F.col(value) * F.lit(scale), 0).cast("decimal(38,0)")
+    s = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(sv).alias("s1"),
+        F.sum(sv * sv).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n / F.lit(scale)
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.col("s2") - F.col("s1") * F.col("s1")
+    ).cast("double")
+    var = num / (n * (n - F.lit(1.0))) / F.lit(scale * scale)
+    std = F.sqrt(var)
+    return s.select(
+        (mean - k * std).alias("band_lo"), (mean + k * std).alias("band_hi")
     )
 
 

@@ -129,14 +129,15 @@ def kll_rollup(
     """Answer quantile queries from the cube alone: merge cell sketches up
     to ``group_cols`` and extract ``quantiles``. Time/dimension filters
     applied to the cube BEFORE this call prune cells, never raw data.
-    Output: group_cols..., q_25/q_50/... (double), n_rows (exact)."""
+    Output: group_cols..., fixed-width per-mille quantile columns
+    (0.25 -> q_250, 0.5 -> q_500, 0.99 -> q_990; double), n_rows (exact)."""
     merged = cube.groupBy(*group_cols).agg(
         F.kll_merge_agg_double(F.col("sketch")).alias("_m"),
         F.sum("n_rows").alias("n_rows"),
     )
     qcols = [
         F.kll_sketch_get_quantile_double(F.col("_m"), F.lit(q)).alias(
-            f"q_{str(q).replace('0.', '')}"
+            f"q_{int(round(q * 1000)):03d}"
         )
         for q in quantiles
     ]

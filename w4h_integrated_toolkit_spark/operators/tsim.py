@@ -92,9 +92,13 @@ def user_similarity_topk(
         "v",
     )
     others = df.sparkSession.range(n_chunks).select(F.col("id").alias("other"))
+    ca = F.least("chunk", "other")
+    cb = F.greatest("chunk", "other")
+    # dense block index in [0, B(B+1)/2) for ca<=cb: lower-triangle row-major
     tagged = cells.crossJoin(F.broadcast(others)).select(
-        F.least("chunk", "other").alias("ca"),
-        F.greatest("chunk", "other").alias("cb"),
+        (cb * (cb + 1) / 2 + ca).cast("long").alias("block_id"),
+        ca.alias("ca"),
+        cb.alias("cb"),
         "chunk",
         "k",
         "b",
@@ -102,7 +106,11 @@ def user_similarity_topk(
     )
 
     def block(key_, pdf):
-        ca, cb = key_
+        if not len(pdf):
+            return pd.DataFrame(
+                {"user_a": [], "user_b": [], "r": [], "n_common": []}
+            )
+        ca, cb = int(pdf["ca"].iat[0]), int(pdf["cb"].iat[0])
         empty = pd.DataFrame({"user_a": [], "user_b": [], "r": [], "n_common": []})
         # densify the BLOCK's bucket set, not the global [min,max] span: a
         # bucket absent from this block is an all-zero column in every
@@ -164,13 +172,18 @@ def user_similarity_topk(
     # pin the kernel stage's parallelism to one task per block: AQE's
     # byte-based partition coalescing sees small shuffle blocks and would
     # serialize several BLAS kernels into one task — bytes are the wrong
-    # cost model for CPU-dense Python stages. An explicit column
-    # repartition with a fixed partition count is exempt from AQE
-    # coalescing, so all B(B+1)/2 blocks run concurrently.
+    # cost model for CPU-dense Python stages. An explicit fixed-count
+    # repartition is exempt from AQE coalescing; RANGE partitioning on the
+    # dense block_id (not hash — hashing B(B+1)/2 keys into as many
+    # partitions leaves ~1/e of them empty to birthday collisions) puts
+    # each block in its own partition, and RangePartitioning satisfies the
+    # groupBy's clustered distribution so no second exchange is added.
+    # Boundary sampling could still co-locate two blocks; that only costs
+    # parallelism, never correctness.
     n_blocks = n_chunks * (n_chunks + 1) // 2
     pairs = (
-        tagged.repartition(n_blocks, "ca", "cb")
-        .groupBy("ca", "cb")
+        tagged.repartitionByRange(n_blocks, "block_id")
+        .groupBy("block_id")
         .applyInPandas(block, "user_a long, user_b long, r double, n_common long")
     )
     w = Window.partitionBy("user_a").orderBy(F.col("r").desc(), F.col("user_b"))

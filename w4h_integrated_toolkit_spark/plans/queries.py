@@ -40,6 +40,7 @@ from ..operators.etl import melt
 from ..operators.interval import asof_join, interval_join
 from ..operators.safeband import alerts as sb_alerts
 from ..operators.safeband import breach_histogram, safe_band
+from ..operators.safeband import fixed_point_band as sb_fixed_point_band
 from ..session import prepare_session
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1373,15 +1374,13 @@ def q_stream_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Broadcast scalar band + one hash aggregate; the same operator runs on a
     watermarked stream (safeband.alerts).
 
-    The band edges are rounded to 6 dp on BOTH engines before the unsafe
-    comparison: plain float avg/stddev are summation-order-dependent, so an
-    unrounded band classifies edge-adjacent readings differently across
-    engines (round-1 hash mismatch)."""
+    The band edges are computed bit-identically by construction
+    (safeband.fixed_point_band): exact integer sum + sum-of-squares, then one
+    fixed sequence of correctly-rounded double ops. Plain float avg/stddev
+    are summation-order-dependent, and post-hoc rounding cannot fix a value
+    that straddles the rounding boundary itself (round-1/2 hash mismatch)."""
     ev = _t(spark, sf_dir, "events")
-    band = ev.agg(
-        _r(F.avg("value") - 2 * F.stddev_samp("value"), 6).alias("band_lo"),
-        _r(F.avg("value") + 2 * F.stddev_samp("value"), 6).alias("band_hi"),
-    )
+    band = sb_fixed_point_band(ev, value="value", k=2.0)
     out = sb_alerts(ev, ts="ts", window_seconds=600, ratio_threshold=0.5, band=band)
     return out.select(
         "window_start_epoch",
@@ -1392,10 +1391,17 @@ def q_stream_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_STREAM_ALERTS = """
-WITH band AS (
-  SELECT round(avg(value) - 2*stddev_samp(value), 6) AS lo,
-         round(avg(value) + 2*stddev_samp(value), 6) AS hi
+WITH s AS (
+  SELECT count(*) AS n,
+         sum(CAST(round(value*1e6) AS HUGEINT)) AS s1,
+         sum(CAST(round(value*1e6) AS HUGEINT) * CAST(round(value*1e6) AS HUGEINT)) AS s2
   FROM events),
+band AS (
+  SELECT CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)/1e6
+           - 2*sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)/(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0))/1e12) AS lo,
+         CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)/1e6
+           + 2*sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)/(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0))/1e12) AS hi
+  FROM s),
 w AS (SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS window_start_epoch,
              count(*) AS n_total,
              sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS n_unsafe

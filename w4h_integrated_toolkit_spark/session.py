@@ -51,6 +51,10 @@ def get_spark(
         # write timestamps as annotated INT64 (µs): INT96 is deprecated and
         # carries no parquet stats, which kills min/max file pruning
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # naive parquet timestamps are instants in this data model (session
+        # tz pinned UTC above); NTZ inference would also break ts→double
+        # epoch math used by window/gap operators
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -71,4 +75,6 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     # INT96 (the legacy default) writes NO footer min/max stats, silently
     # disabling the file/row-group pruning write_sorted exists to provide
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    # treat naive parquet timestamps as UTC instants, not NTZ (see get_spark)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark
