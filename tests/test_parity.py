@@ -41,9 +41,20 @@ def test_oracle_parity(spark, ddb, name, fn, sql):
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 
-    res = ddb.execute(sql)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    rel = ddb.sql(sql)
+    d_cols = list(rel.columns)
+    # The driver's value hash is DTYPE-SENSITIVE: DuckDB's integer sum()
+    # returns HUGEINT (int128), which hashes differently from Spark's
+    # BIGINT even when every value is identical — that artifact kept
+    # stream_alerts red for three rounds. Oracles must cast to BIGINT.
+    hugeint_cols = [
+        c for c, t in zip(d_cols, rel.types) if "HUGEINT" in str(t).upper()
+    ]
+    assert not hugeint_cols, (
+        f"{name}: oracle emits HUGEINT column(s) {hugeint_cols}; "
+        "wrap in CAST(... AS BIGINT) — the driver hash is type-sensitive"
+    )
+    d_rows = rel.fetchall()
 
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
     assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} != {len(d_rows)}"
