@@ -342,3 +342,15 @@ def test_runtime_bloom_filter_prunes_fact_side_of_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_offset_batch_no_single_partition_window(spark):
+    """O3 at scale: pagination must NOT funnel the table through one task.
+    The native offset()+limit() keeps the sort range-partitioned with a
+    driver-side CollectLimit of offset+limit rows; a row_number() over an
+    unpartitioned Window (the old plan) would serialize the whole table."""
+    plan = plan_of(spark, "offset_batch")
+    assert "Window" not in plan, "pagination must not use a Window operator"
+    # offset+limit over a sort compiles to TakeOrderedAndProject: each
+    # partition keeps a 200-row heap, the driver drops the first 100
+    assert "TakeOrderedAndProject" in plan or "CollectLimit" in plan

@@ -1036,16 +1036,20 @@ SELECT user_id, rn, click_id, view_id FROM clicks JOIN views USING (user_id, rn)
 
 def q_offset_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3: offset/limit pagination over a total order (stream_sim.py:52-58's
-    cursor batching, batch analog)."""
-    from pyspark.sql import Window
+    cursor batching, batch analog).
 
+    Uses native offset()+limit() (Spark >=3.4): the sort stays
+    range-partitioned and only offset+limit rows reach the driver-side
+    CollectLimit. The previous row_number() over an unpartitioned Window
+    funneled the WHOLE table through one task — correct at sf0.01, fatal
+    at 100x (tests/test_plans.py asserts no partitionBy-less Window
+    remains in this plan)."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
     return (
         ev.select("event_id", "user_id", "event_type")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn").between(101, 200))
-        .drop("rn")
+        .orderBy("event_id")
+        .offset(100)
+        .limit(100)
     )
 
 
