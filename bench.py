@@ -4,15 +4,16 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query runs twice after a shared session warm-up and reports the
-fastest run. This box shows intermittent multi-second hypervisor CPU-steal
-windows (the same plan measures 0.9s or 58s depending on the minute);
-min-of-N keeps the number a property of the engine rather than of the
-neighbor's workload, while still including each plan's own codegen/compile
-cost in the first run it could land in. When the two runs disagree sharply
-(ratio > 2 — the steal signature; engine-noise between warm runs is far
-smaller), the query is re-run up to 2 more times so a steal window spanning
-both initial runs can't misreport a 3s plan as 30s (observed in round 2).
+Each query runs THREE times after a shared session warm-up and reports
+the MEDIAN ("runs": 3, "stat": "median" in the JSON). Round 3 reported a
+2.3x dedup_clusters "regression" that an A/B at sf0.1 showed to be pure
+first-run noise (cold run 4.7s, warm runs 2.4s, identical code) — median
+of 3 makes round-over-round comparison a property of the engine, not of
+which run a cold-codegen or hypervisor CPU-steal window landed in. When
+the three runs disagree sharply (spread > 2x — the steal signature;
+engine noise between warm runs is far smaller), the query is re-run up
+to 2 more times and the 3 fastest are kept, so a steal window can't
+misreport a 3s plan as 30s (observed in round 2).
 """
 
 from __future__ import annotations
@@ -85,7 +86,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn, _ = QUERIES[name]
         runs: list[float] = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             # noop sink: forces full computation of every output column
@@ -95,16 +96,17 @@ def main() -> None:
             runs.append(time.time() - t0)
         # steal-window guard: warm same-plan runs agree within ~2x on a
         # quiet box; a larger spread means at least one run ate hypervisor
-        # CPU-steal, and the *other* may have too — re-run until two
-        # measurements agree or the retry budget (2) is spent
+        # CPU-steal (or a one-off cold-codegen hit) — re-run up to 2 more
+        # times and keep the 3 fastest so one bad window can't skew the
+        # median
         retries = 0
         while max(runs) > 2.0 * min(runs) and retries < 2:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
-            runs = sorted(runs)[:2]
+            runs = sorted(runs)[:3]
             retries += 1
-        timings[name] = round(min(runs), 3)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -117,6 +119,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "runs": 3,
+                "stat": "median",
             }
         )
     )

@@ -216,3 +216,81 @@ def test_geojson_feeds_geofence_join(spark, tmp_path):
     )
     got = {r["pid"] for r in geofence_join(pts, polys, cell_deg=0.05).collect()}
     assert got == {"inside"}
+
+
+# ---------------------------------------------------------------------------
+# JDBC arm of S1/S7 (reference storage layer is PostgreSQL: viz.py:68 reads,
+# w4h_db_utils.py:173 appends). Exercised against Derby, the embedded JDBC
+# database Spark ships in its own jars — a real driver, real SQL round-trip.
+# ---------------------------------------------------------------------------
+
+DERBY_URL = "jdbc:derby:memory:w4htest;create=true"
+DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+def test_jdbc_roundtrip_and_pushdown(spark):
+    from w4h_integrated_toolkit_spark.catalog import read_jdbc, write_jdbc
+
+    df = spark.createDataFrame(
+        [("u1", 10.5), ("u2", 20.0), ("u3", 30.25)],
+        "user_id string, value double",
+    )
+    write_jdbc(
+        df, DERBY_URL, "readings", mode="overwrite", driver=DERBY_DRIVER,
+        num_partitions=1,
+    )
+    back = read_jdbc(spark, DERBY_URL, "readings", driver=DERBY_DRIVER)
+    got = back.filter(F.col("value") > 15.0)
+    # the filter must reach the JDBC source (server-side WHERE), not run
+    # as a Spark-side post-scan filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "value" in plan.split("PushedFilters")[1][:120]
+    assert sorted((r.user_id, r.value) for r in got.collect()) == [
+        ("u2", 20.0),
+        ("u3", 30.25),
+    ]
+
+
+def test_jdbc_predicate_partitioned_read(spark):
+    from w4h_integrated_toolkit_spark.catalog import read_jdbc, write_jdbc
+
+    df = spark.createDataFrame(
+        [("u%d" % i, float(i)) for i in range(10)], "user_id string, value double"
+    )
+    write_jdbc(
+        df, DERBY_URL, "readings2", mode="overwrite", driver=DERBY_DRIVER,
+        num_partitions=1,
+    )
+    back = read_jdbc(
+        spark,
+        DERBY_URL,
+        "readings2",
+        driver=DERBY_DRIVER,
+        # predicates are passed verbatim to the database, so they are
+        # written in ITS dialect — Derby needs quotes to match the
+        # lowercase column names Spark's writer created
+        predicates=['"value" < 5', '"value" >= 5'],
+    )
+    # one scan task per predicate — the parallel-read path for non-numeric
+    # strides (e.g. one day per task)
+    assert back.rdd.getNumPartitions() == 2
+    assert back.count() == 10
+
+
+def test_jdbc_options_range_partitioning():
+    from w4h_integrated_toolkit_spark.catalog import jdbc_options
+
+    opts = jdbc_options(
+        "jdbc:postgresql://host/db",
+        "heart_rates",
+        partition_column="user_id",
+        lower_bound=0,
+        upper_bound=100000,
+        num_partitions=64,
+        fetchsize=5000,
+    )
+    assert opts["partitionColumn"] == "user_id"
+    assert opts["numPartitions"] == "64"
+    assert opts["fetchsize"] == "5000"
+    with pytest.raises(ValueError):
+        jdbc_options("u", "t", partition_column="x")

@@ -36,6 +36,9 @@ __all__ = [
     "FACT_SCHEMA",
     "GEO_SCHEMA",
     "load_tables",
+    "jdbc_options",
+    "read_jdbc",
+    "write_jdbc",
     "write_fact_table",
     "write_sorted",
     "write_bucketed",
@@ -238,6 +241,132 @@ def load_tables(
             df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def jdbc_options(
+    url: str,
+    table: str,
+    *,
+    driver: str | None = None,
+    fetchsize: int | None = None,
+    batchsize: int | None = None,
+    partition_column: str | None = None,
+    lower_bound: Any | None = None,
+    upper_bound: Any | None = None,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Build the option map for Spark's JDBC source/sink (pure, testable).
+
+    ``table`` may be a bare table name or a parenthesized pushdown subquery
+    (``"(SELECT ... WHERE ...) t"``) — the reference's storage layer issues
+    exactly such server-side-filtered scans (viz.py:140-153).
+    """
+    opts: dict[str, str] = {"url": url, "dbtable": table}
+    if driver:
+        opts["driver"] = driver
+    if fetchsize is not None:
+        opts["fetchsize"] = str(fetchsize)
+    if batchsize is not None:
+        opts["batchsize"] = str(batchsize)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or num_partitions is None:
+            raise ValueError(
+                "partition_column requires lower_bound, upper_bound and "
+                "num_partitions"
+            )
+        opts["partitionColumn"] = partition_column
+        opts["lowerBound"] = str(lower_bound)
+        opts["upperBound"] = str(upper_bound)
+        opts["numPartitions"] = str(num_partitions)
+    if properties:
+        opts.update({k: str(v) for k, v in properties.items()})
+    return opts
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    predicates: list[str] | None = None,
+    driver: str | None = None,
+    fetchsize: int = 10_000,
+    partition_column: str | None = None,
+    lower_bound: Any | None = None,
+    upper_bound: Any | None = None,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """S1's real-database arm: scan a JDBC table as a DataFrame.
+
+    The reference's entire storage layer is PostgreSQL read via
+    ``pd.read_sql`` (viz.py:68; stream_sim.py:101-113) — single connection,
+    single cursor, whole result in client memory. This wrapper keeps that
+    capability but Spark-shaped:
+
+    - **Filter/projection pushdown is automatic**: ``.filter``/``.select``
+      on the returned DataFrame compile into the generated SQL (visible as
+      ``PushedFilters`` on the JDBCRelation scan node), so only matching
+      rows cross the wire — the reference's hand-written WHERE clauses
+      (viz.py:140-153) come free from Catalyst here.
+    - **Parallel scan**: pass ``partition_column``/bounds/``num_partitions``
+      for range-partitioned reads (one executor task per stride), or
+      ``predicates`` (one task per WHERE clause — e.g. one per day) when
+      the stride isn't numeric. Without either, JDBC reads are a SINGLE
+      task; at any real scale always provide one.
+    - ``fetchsize`` keeps the per-task cursor streaming instead of
+      buffering the whole partition (Postgres defaults to all-rows).
+    """
+    if predicates:
+        if partition_column is not None:
+            raise ValueError("predicates and partition_column are exclusive")
+        props = {"fetchsize": str(fetchsize), **(properties or {})}
+        if driver:
+            props["driver"] = driver
+        return spark.read.jdbc(url, table, predicates=predicates, properties=props)
+    opts = jdbc_options(
+        url,
+        table,
+        driver=driver,
+        fetchsize=fetchsize,
+        partition_column=partition_column,
+        lower_bound=lower_bound,
+        upper_bound=upper_bound,
+        num_partitions=num_partitions,
+        properties=properties,
+    )
+    return spark.read.format("jdbc").options(**opts).load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "append",
+    driver: str | None = None,
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """S7's real-database arm: append/overwrite a DataFrame to a JDBC table
+    (the reference's ``df.to_sql(..., if_exists='append')``,
+    w4h_db_utils.py:173,200,232).
+
+    Each task opens one connection and inserts its partition in
+    ``batchsize``-row batches; ``num_partitions`` caps write concurrency so
+    a wide cluster doesn't open thousands of connections against one
+    database (coalesce, not repartition — no shuffle to REDUCE parallelism).
+    Composite-PK dedup stays the caller's job (write_fact_table), exactly
+    as in the reference's ingest (w4h_db_utils.py:192).
+    """
+    if num_partitions is not None and df.rdd.getNumPartitions() > num_partitions:
+        df = df.coalesce(num_partitions)
+    opts = jdbc_options(
+        url, table, driver=driver, batchsize=batchsize, properties=properties
+    )
+    df.write.format("jdbc").options(**opts).mode(mode).save()
 
 
 def write_fact_table(
