@@ -1068,3 +1068,73 @@ def test_point_in_polygon_random_convex_vs_halfplane(spark):
     ).collect()
     bad = [(r["want"], r["got"]) for r in got if r["got"] != r["want"]]
     assert not bad, f"{len(bad)}/{len(got)} disagreements: {bad[:5]}"
+
+
+def test_fuzzy_token_sort_reordered_names():
+    """C9 fidelity: fuzzywuzzy's WRatio (the reference matcher,
+    import_hub_main.py:34-55) scores token-reordered names ~100 via its
+    token-sort arm; plain Levenshtein alone leaves 'rate heart bpm' vs
+    'heart rate bpm' near the 60 threshold. The reordered name must map
+    identically to the in-order one."""
+    from w4h_integrated_toolkit_spark.operators.etl import _ratio, fuzzy_map_columns
+
+    assert _ratio("rate heart bpm", "heart rate bpm") == 100.0
+    in_order = fuzzy_map_columns(
+        ["Heart Rate (bpm)"], {"heart_rates": "heart rate bpm"}, threshold=60.0
+    )
+    reordered = fuzzy_map_columns(
+        ["Rate Heart (bpm)"], {"heart_rates": "heart rate bpm"}, threshold=60.0
+    )
+    assert in_order["heart_rates"] == "Heart Rate (bpm)"
+    assert reordered["heart_rates"] == "Rate Heart (bpm)"
+
+
+def test_spec_from_nl_payload_roundtrip(spark):
+    """U4 plug point: the payload shape the reference's LLM prompt pins
+    (script/utils.py:112-133 — selected_users/_control, state, age/weight/
+    height ranges, start/end_date) maps onto compilable FilterSpecs."""
+    from w4h_integrated_toolkit_spark.operators.cohort import (
+        filter_users,
+        spec_from_nl_payload,
+    )
+
+    payload = {  # shape per the reference prompt's key list
+        "selected_users": [],
+        "selected_state_of_residence": ["CA", "WA"],
+        "selected_age_range": [30, 50],
+        "selected_weight_range": [60.0, 90.0],
+        "selected_height_range": None,
+        "selected_users_control": ["u9"],
+        "selected_state_of_residence_control": [],
+        "selected_age_range_control": [20, 80],
+        "selected_weight_range_control": None,
+        "selected_height_range_control": None,
+        "start_date": "2016-08-01",
+        "end_date": "2016-08-14",
+    }
+    spec = spec_from_nl_payload(payload)
+    assert spec.start_date == "2016-08-01" and spec.end_date == "2016-08-14"
+    # empty selected_users list -> "all" -> still a spec, compiles to TRUE
+    names = {(s.name, s.type) for s in spec.subject_filters}
+    assert ("state_of_residence", "string") in names
+    assert ("age", "int") in names and ("weight", "float") in names
+    # height_range None -> omitted entirely
+    assert not any(s.name == "height" for s in spec.subject_filters)
+
+    users = spark.createDataFrame(
+        [
+            ("u1", 40, 70.0, "CA"),
+            ("u2", 55, 70.0, "CA"),   # age out of range
+            ("u3", 40, 70.0, "TX"),   # state not selected
+            ("u4", None, None, None),  # null-tolerant: passes
+            ("u9", 25, 100.0, "NY"),
+        ],
+        "user_id string, age int, weight double, state_of_residence string",
+    )
+    subjects = filter_users(users, spec.subject_filters)
+    assert sorted(r.user_id for r in subjects.collect()) == ["u1", "u4"]
+    # u4's null age passes (null-tolerant), but its non-null user_id fails
+    # the explicit id-list membership — id selection is a hard filter
+    # (viz.py:619-639), unlike attribute filters
+    controls = filter_users(users, spec.control_filters)
+    assert sorted(r.user_id for r in controls.collect()) == ["u9"]

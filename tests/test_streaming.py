@@ -334,3 +334,13 @@ def test_stream_static_control_join(spark, tmp_path):
     assert res[1]["total_mets"] == pytest.approx(3 * 10.0 * 4.186 / 50.0)
     assert res[2]["total_mets"] == pytest.approx(10.0 * 4.186 / 70.0)  # default weight
     assert res[1]["n"] == 3 and res[2]["n"] == 1
+
+
+def test_replay_source_index_cap(spark, stream_df):
+    """The driver-side distinct-timestamp index is bounded: above
+    max_index_size the source refuses with guidance instead of collecting
+    an unbounded list onto the driver."""
+    import pytest
+
+    with pytest.raises(ValueError, match="distinct"):
+        ReplaySource(stream_df, max_index_size=2)

@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "FilterSpec",
+    "NLQuerySpec",
+    "spec_from_nl_payload",
     "compile_filter",
     "compile_filters",
     "filter_users",
@@ -47,6 +49,71 @@ class FilterSpec:
     type: str  # int | float | string | datetime | boolean
     value: Any = None
     ignore_nulls: bool = field(default=True)
+
+
+@dataclass
+class NLQuerySpec:
+    """A full cohort-vs-control query parsed from the NL payload (U4).
+
+    ``subject_filters``/``control_filters`` compile via
+    :func:`compile_filters`; ``start_date``/``end_date`` bound the fact-table
+    scans (S2's pushed-down range predicate)."""
+
+    subject_filters: list[FilterSpec]
+    control_filters: list[FilterSpec]
+    start_date: Any = None
+    end_date: Any = None
+
+
+# payload key -> (user-table column, FilterSpec type). The key set is fixed
+# by the reference's LLM prompt (script/utils.py:112-133): the model is
+# instructed to return ONLY these keys.
+_NL_ATTR_MAP: list[tuple[str, str, str]] = [
+    ("selected_users", "user_id", "string"),
+    ("selected_state_of_residence", "state_of_residence", "string"),
+    ("selected_age_range", "age", "int"),
+    ("selected_weight_range", "weight", "float"),
+    ("selected_height_range", "height", "float"),
+]
+
+
+def spec_from_nl_payload(payload: dict[str, Any]) -> NLQuerySpec:
+    """U4 plug point: the reference's NL→query flow prompts an LLM to fill a
+    JSON object (script/utils.py:105-176 ``parse_query``) whose keys are
+    ``selected_users``, ``selected_state_of_residence``,
+    ``selected_{age,weight,height}_range`` (plus ``_control`` twins) and
+    ``start_date``/``end_date``. This adapter maps that payload — produced
+    by ANY external parser; the LLM call itself stays outside the engine by
+    design (SURVEY §7) — onto compilable :class:`FilterSpec` lists.
+
+    Faithful to the widget semantics the payload feeds in the reference
+    (viz.py:619-639): an empty/None user or state list means "no
+    restriction" (viz.py:388-390), ranges are closed ``[lo, hi]``, and
+    filters stay null-tolerant (viz.py:417).
+    """
+
+    def _group(suffix: str) -> list[FilterSpec]:
+        specs: list[FilterSpec] = []
+        for key, col, typ in _NL_ATTR_MAP:
+            v = payload.get(key + suffix)
+            if v is None:
+                continue
+            if typ == "string":
+                vals = [str(x) for x in (v if isinstance(v, (list, tuple)) else [v])]
+                specs.append(FilterSpec(col, "string", vals))
+            else:
+                lo, hi = v
+                if lo is None or hi is None:
+                    continue
+                specs.append(FilterSpec(col, typ, (lo, hi)))
+        return specs
+
+    return NLQuerySpec(
+        subject_filters=_group(""),
+        control_filters=_group("_control"),
+        start_date=payload.get("start_date"),
+        end_date=payload.get("end_date"),
+    )
 
 
 def compile_filter(spec: FilterSpec) -> Column:

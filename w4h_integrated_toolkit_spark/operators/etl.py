@@ -66,16 +66,21 @@ def _lev(a: str, b: str) -> int:
 
 
 def _ratio(a: str, b: str) -> float:
-    """Fuzzy score in [0,100]: max of full Levenshtein ratio and a token-set
-    overlap (Sørensen) — approximates fuzzywuzzy's extractOne behavior, which
-    scores partial/token matches highly (import_hub_main.py:34-55 relies on
-    that for hint strings like 'time timestamp date')."""
+    """Fuzzy score in [0,100]: max of full Levenshtein ratio, token-SORT
+    ratio (Levenshtein over alphabetically-sorted tokens), and a token-set
+    overlap (Sørensen) — approximating fuzzywuzzy's default WRatio scorer
+    (import_hub_main.py:34-55 uses process.extractOne, whose token-sort arm
+    makes reordered names like 'rate heart' ≈ 'heart rate' score ~100;
+    plain Levenshtein alone lands such pairs near the 60 threshold and can
+    flip the mapping decision)."""
     if not a and not b:
         return 100.0
     full = 100.0 * (1 - _lev(a, b) / max(len(a), len(b)))
+    sa, sb = " ".join(sorted(a.split())), " ".join(sorted(b.split()))
+    tsort = 100.0 * (1 - _lev(sa, sb) / max(len(sa), len(sb))) if (sa or sb) else 0.0
     ta, tb = set(a.split()), set(b.split())
     tok = 100.0 * 2 * len(ta & tb) / (len(ta) + len(tb)) if (ta or tb) else 0.0
-    return max(full, tok)
+    return max(full, tsort, tok)
 
 
 def fuzzy_map_columns(

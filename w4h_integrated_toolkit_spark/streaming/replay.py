@@ -47,6 +47,14 @@ class ReplaySource:
     The distinct-timestamp index is collected once (timestamps only — tiny
     relative to the data); each batch is a range filter on the cached source
     so Spark prunes/pushes down per batch.
+
+    ``max_index_size`` bounds that driver-side collect: the simulator's
+    intended inputs have few distinct stamps (the reference's demo replays
+    13.5 days at 15 s cadence ≈ 78k stamps), but pointed at
+    high-resolution event-time data the index would be unbounded. Above
+    the cap we raise with the fix spelled out (coarsen the cursor with
+    ``date_trunc`` or drive the real streaming path, windowed_kpis_stream)
+    rather than silently OOM-ing the driver.
     """
 
     def __init__(
@@ -55,11 +63,20 @@ class ReplaySource:
         ts_col: str = "timestamp",
         batch_size: int = 1,
         loop: bool = False,
+        max_index_size: int = 1_000_000,
     ):
         self.df = df
         self.ts_col = ts_col
         self.batch_size = batch_size
         self.loop = loop
+        n = df.select(ts_col).distinct().limit(max_index_size + 1).count()
+        if n > max_index_size:
+            raise ValueError(
+                f"ReplaySource: >{max_index_size:,} distinct {ts_col!r} values; "
+                "the driver-side replay cursor is for simulator-scale data. "
+                "Coarsen the cursor (e.g. date_trunc('second', ts)) or use "
+                "the streaming path (windowed_kpis_stream) instead."
+            )
         rows = df.select(ts_col).distinct().orderBy(ts_col).collect()
         self._stamps: list[datetime] = [r[0] for r in rows]
         self._pos = 0
