@@ -1138,3 +1138,65 @@ def test_spec_from_nl_payload_roundtrip(spark):
     # (viz.py:619-639), unlike attribute filters
     controls = filter_users(users, spec.control_filters)
     assert sorted(r.user_id for r in controls.collect()) == ["u9"]
+
+
+def test_fixed_point_band_bit_equality_large_magnitudes(spark, tmp_path):
+    """The bit-identical-by-construction guarantee must hold where the
+    exact integer numerator n*S2-S1^2 exceeds 64 bits (here S2 alone
+    ~2.6e21 > 2^64): Spark converts decimal(38,0)->double via BigDecimal
+    (correctly rounded); DuckDB converts HUGEINT->double as
+    double(lower) + double(upper)*2^64 — a potential double-rounding.
+    Pin exact output bits so any 1-ulp divergence surfaces here, not as a
+    driver hash mismatch. NULL readings included: n must be count(value),
+    not count(*), in BOTH engines or mean/sigma deflate."""
+    import struct
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from w4h_integrated_toolkit_spark.operators.safeband import fixed_point_band
+
+    df = spark.range(150_000).select(
+        F.when(F.col("id") % 100 == 0, F.lit(None).cast("double"))
+        .otherwise(100.0 + (F.col("id") % 997) / 997.0 * 100.0)
+        .alias("value")
+    )
+    p = str(tmp_path / "vals")
+    df.coalesce(2).write.parquet(p)
+    sb = fixed_point_band(spark.read.parquet(p), "value").collect()[0]
+
+    band_sql = f"""
+    WITH s AS (
+      SELECT count(value) AS n,
+             sum(CAST(round(value*1e6) AS HUGEINT)) AS s1,
+             sum(CAST(round(value*1e6) AS HUGEINT)
+                 * CAST(round(value*1e6) AS HUGEINT)) AS s2
+      FROM read_parquet('{p}/*.parquet'))
+    SELECT CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)/1e6
+             - 2*sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)
+                      /(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0))/1e12),
+           CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)/1e6
+             + 2*sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)
+                      /(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0))/1e12)
+    FROM s
+    """
+    lo, hi = duckdb.connect().execute(band_sql).fetchone()
+    assert struct.pack("<d", sb.band_lo) == struct.pack("<d", lo), (
+        f"band_lo bits differ: spark {sb.band_lo!r} vs duckdb {lo!r}"
+    )
+    assert struct.pack("<d", sb.band_hi) == struct.pack("<d", hi), (
+        f"band_hi bits differ: spark {sb.band_hi!r} vs duckdb {hi!r}"
+    )
+
+
+def test_kll_rollup_rejects_colliding_quantile_names(spark):
+    """Per-mille quantile column naming (0.25 -> q_250) must refuse
+    quantiles that collide beyond 3 decimals instead of emitting duplicate
+    column names (0.25 and 0.2501 both -> q_250)."""
+    import pytest
+
+    from w4h_integrated_toolkit_spark.operators.sketches import kll_rollup
+
+    cube = spark.createDataFrame([], "g string, sketch binary, n_rows long")
+    with pytest.raises(ValueError, match="collide"):
+        kll_rollup(cube, ["g"], quantiles=(0.25, 0.2501))

@@ -46,8 +46,12 @@ def fixed_point_band(
     bits on any engine. SQL twin: ``_SQL_BAND_CTE`` in plans/queries.py.
     """
     sv = F.round(F.col(value) * F.lit(scale), 0).cast("decimal(38,0)")
+    # count(value), not count(*): the sums skip NULL readings, so n must
+    # count only the rows that contributed — count(*) would deflate both
+    # mean and sigma whenever NULLs exist (matching avg/stddev_samp's
+    # NULL-skipping, and count(value) in the SQL twin)
     s = df.agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count(F.col(value)).alias("n"),
         F.sum(sv).alias("s1"),
         F.sum(sv * sv).alias("s2"),
     )

@@ -131,15 +131,21 @@ def kll_rollup(
     applied to the cube BEFORE this call prune cells, never raw data.
     Output: group_cols..., fixed-width per-mille quantile columns
     (0.25 -> q_250, 0.5 -> q_500, 0.99 -> q_990; double), n_rows (exact)."""
+    names = [f"q_{int(round(q * 1000)):03d}" for q in quantiles]
+    if len(set(names)) != len(names):
+        # per-mille naming collides for quantiles closer than 1e-3
+        # (0.25 and 0.2501 would both become q_250) — duplicate output
+        # columns are a silent downstream hazard, so refuse
+        raise ValueError(
+            f"quantiles {quantiles} collide at per-mille precision: {names}"
+        )
     merged = cube.groupBy(*group_cols).agg(
         F.kll_merge_agg_double(F.col("sketch")).alias("_m"),
         F.sum("n_rows").alias("n_rows"),
     )
     qcols = [
-        F.kll_sketch_get_quantile_double(F.col("_m"), F.lit(q)).alias(
-            f"q_{int(round(q * 1000)):03d}"
-        )
-        for q in quantiles
+        F.kll_sketch_get_quantile_double(F.col("_m"), F.lit(q)).alias(name)
+        for q, name in zip(quantiles, names)
     ]
     return merged.select(*group_cols, *qcols, F.col("n_rows"))
 

@@ -1396,7 +1396,7 @@ def q_stream_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_STREAM_ALERTS = """
 WITH s AS (
-  SELECT count(*) AS n,
+  SELECT count(value) AS n,
          sum(CAST(round(value*1e6) AS HUGEINT)) AS s1,
          sum(CAST(round(value*1e6) AS HUGEINT) * CAST(round(value*1e6) AS HUGEINT)) AS s2
   FROM events),
