@@ -354,3 +354,49 @@ def test_offset_batch_no_single_partition_window(spark):
     # offset+limit over a sort compiles to TakeOrderedAndProject: each
     # partition keeps a 200-row heap, the driver drops the first 100
     assert "TakeOrderedAndProject" in plan or "CollectLimit" in plan
+
+
+# Queries whose plan intentionally contains a BroadcastNestedLoopJoin: each
+# cross-joins a broadcast SCALAR/tiny relation (safe band, span+bucket
+# scalars, corpus totals, query vectors, chunk grid, threshold rows) into a
+# fact scan — a 1-row (or few-row) broadcast, the correct shape at any
+# scale. Anything NOT listed here must stay free of nested-loop joins.
+BNLJ_SCALAR_BROADCAST_OK = {
+    "stream_alerts",          # safe band (1 row)
+    "breach_histogram",       # span + band scalars (1 row)
+    "cohort_compare",         # 1x1 KPI compare
+    "distinct_counts",        # scalar distinct-count frame
+    "trailing_window_kpis",   # max-ts scalar
+    "fft_range_sum",          # spectrum coefficient rows (k rows)
+    "knn_cosine_topk",        # broadcast query vectors (documented small)
+    "user_similarity_topk",   # chunk-boundary grid (B rows)
+    "boilerplate_ngrams",     # corpus-size scalar
+    "corpus_mixture",         # corpus totals scalar
+    "idle_rich_customers",    # avg-balance scalar subquery
+    "fuzzy_column_mapping",   # column-name relation (tiny)
+}
+
+
+def test_no_scale_killer_operators_anywhere(spark):
+    """Repo-wide physical-plan sweep: NO registered query may plan a
+    CartesianProduct or a Window with an empty partition spec (both funnel
+    unbounded data through one task); BroadcastNestedLoopJoin only on the
+    scalar-broadcast whitelist above. This is the guard that caught
+    offset_batch's single-task row_number pagination in round 4."""
+    import re as _re
+
+    offenders: dict[str, list[str]] = {}
+    for name, (fn, _sql) in QUERIES.items():
+        plan = plan_of(spark, name)
+        hits = []
+        for w in _re.findall(r"\(\d+\) Window\b.*?(?=\(\d+\) |\Z)", plan, _re.S):
+            arg = _re.search(r"Arguments:.*", w)
+            if arg and _re.search(r",\s*\[\](,|\s|$)", arg.group(0)):
+                hits.append("unpartitioned Window")
+        if "CartesianProduct" in plan:
+            hits.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_SCALAR_BROADCAST_OK:
+            hits.append("BroadcastNestedLoopJoin (not whitelisted)")
+        if hits:
+            offenders[name] = hits
+    assert not offenders, f"scale-killer plan shapes: {offenders}"

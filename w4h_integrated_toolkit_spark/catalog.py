@@ -361,7 +361,10 @@ def write_jdbc(
     Composite-PK dedup stays the caller's job (write_fact_table), exactly
     as in the reference's ingest (w4h_db_utils.py:192).
     """
-    if num_partitions is not None and df.rdd.getNumPartitions() > num_partitions:
+    if num_partitions is not None:
+        # coalesce never increases partition count, so no partition probe
+        # needed (df.rdd.getNumPartitions() would force physical planning
+        # on arbitrary derived DataFrames — see ensure_min_partitions)
         df = df.coalesce(num_partitions)
     opts = jdbc_options(
         url, table, driver=driver, batchsize=batchsize, properties=properties
