@@ -1200,3 +1200,49 @@ def test_kll_rollup_rejects_colliding_quantile_names(spark):
     cube = spark.createDataFrame([], "g string, sketch binary, n_rows long")
     with pytest.raises(ValueError, match="collide"):
         kll_rollup(cube, ["g"], quantiles=(0.25, 0.2501))
+
+
+def test_incremental_neardup_pairs(spark):
+    """Continuous-ingestion dedup: a new batch is checked against the
+    corpus only — corpus-corpus duplicates must NOT appear; a stored band
+    index (corpus_bands) must give identical results to re-hashing."""
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        lsh_band_rows,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),                      # near-dup target
+            (2, base + " again and again"), # corpus-corpus near-dup of 1
+            (3, "completely different text about spark physical plans and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    increment = spark.createDataFrame(
+        [
+            (10, base),  # exact dup of corpus doc 1 (and near 2)
+            (11, "unrelated fresh document with novel content entirely its own words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in incremental_neardup_pairs(
+            corpus, increment, n=3, num_perm=8, bands=4, threshold=0.5
+        ).collect()
+    }
+    assert (10, 1) in got and got[(10, 1)] == 1.0  # exact dup found
+    assert all(nid == 10 for nid, _ in got)        # 11 is a keeper
+    assert not any(a in (1, 2, 3) for a, _ in got)  # no corpus-corpus pairs
+
+    stored = lsh_band_rows(corpus, n=3, num_perm=8, bands=4)
+    via_index = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in incremental_neardup_pairs(
+            corpus, increment, n=3, num_perm=8, bands=4, threshold=0.5,
+            corpus_bands=stored,
+        ).collect()
+    }
+    assert via_index == got

@@ -38,6 +38,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "lsh_band_rows",
+    "incremental_neardup_pairs",
     "simhash32",
     "connected_components",
     "contamination",
@@ -365,6 +367,109 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def lsh_band_rows(
+    df: DataFrame,
+    n: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, key) LSH band rows — the unit of a persistable dedup
+    index. At fleet scale, compute these once per corpus snapshot and store
+    them (parquet partitioned by band); each new ingest batch then probes
+    the stored index instead of re-hashing petabytes
+    (:func:`incremental_neardup_pairs` accepts them via ``corpus_bands``).
+    """
+    rows_per_band = num_perm // bands
+    sig = _signatures_inner(df, n, num_perm, text, id_col)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *parts).alias("key"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def incremental_neardup_pairs(
+    corpus: DataFrame,
+    increment: DataFrame,
+    n: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text: str = "text",
+    id_col: str = "doc_id",
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Continuous-ingestion dedup: near-dup pairs between a NEW batch and an
+    EXISTING corpus — (new_id, corpus_id, jaccard) for every increment doc
+    whose exact Jaccard with some corpus doc reaches ``threshold``. Batch
+    docs matching nothing (the keepers) are the increment anti-joined on
+    ``new_id``.
+
+    The shape continuous training-data ingestion needs, and the one
+    :func:`minhash_lsh_pairs` (whole-corpus self-dedup) deliberately is not:
+
+    - **the corpus NEVER self-joins** — its band rows exist only as the
+      probe side of a broadcast join against the increment's band index,
+      so candidate cost is O(increment·bands), independent of corpus size;
+    - **the increment side broadcasts** (an ingest batch is small by
+      definition relative to the corpus);
+    - **corpus bodies never shuffle** — signature aggregation moves only
+      (id, num_perm ints) partials map-side-combined, and exact-Jaccard
+      verification re-reads text for CANDIDATE docs only (semi-join first);
+    - **the corpus pass is amortizable**: pass ``corpus_bands`` (stored
+      :func:`lsh_band_rows` output) and the corpus is touched only for
+      candidate verification.
+
+    Within-increment duplicates are a separate concern: run
+    :func:`minhash_lsh_pairs` over the (small) increment itself.
+    """
+    if corpus_bands is None:
+        corpus_bands = lsh_band_rows(corpus, n, num_perm, bands, text, id_col)
+    inc_bands = lsh_band_rows(increment, n, num_perm, bands, text, id_col)
+    cand = (
+        corpus_bands.withColumnRenamed(id_col, "corpus_id")
+        .join(
+            F.broadcast(inc_bands.withColumnRenamed(id_col, "new_id")),
+            ["band", "key"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+        # same barrier rationale as minhash_lsh_pairs: the candidate set
+        # feeds three consumers below; candidates are O(near-dups)
+        .localCheckpoint(eager=True)
+    )
+
+    def _sets(side: DataFrame, ids: DataFrame) -> DataFrame:
+        docs = side.join(F.broadcast(ids), id_col, "left_semi")
+        return (
+            distinct_shingle_rows(docs, n, text, id_col)
+            .groupBy(id_col)
+            .agg(F.collect_set("shingle").alias("shingles"))
+        )
+
+    inc_sets = _sets(
+        increment, cand.select(F.col("new_id").alias(id_col)).distinct()
+    ).select(F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_n"))
+    cor_sets = _sets(
+        corpus, cand.select(F.col("corpus_id").alias(id_col)).distinct()
+    ).select(F.col(id_col).alias("corpus_id"), F.col("shingles").alias("sh_c"))
+    inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_c")))
+    union = F.size(F.col("sh_n")) + F.size(F.col("sh_c")) - inter
+    return (
+        cand.join(F.broadcast(inc_sets), "new_id")
+        .join(F.broadcast(cor_sets), "corpus_id")
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
     )
 
 
