@@ -1246,3 +1246,34 @@ def test_incremental_neardup_pairs(spark):
         ).collect()
     }
     assert via_index == got
+
+
+def test_incremental_dedup_equals_cross_side_subset_of_full_lsh(spark):
+    """Equivalence law: incremental (corpus vs batch) pairs == the
+    cross-side subset of whole-corpus minhash_lsh_pairs over the union —
+    same candidates, same exact-Jaccard verification."""
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    increment = docs.filter(F.col("doc_id") % 5 == 0)
+
+    inc_pairs = {
+        (r.new_id, r.corpus_id): round(r.jaccard, 9)
+        for r in incremental_neardup_pairs(
+            corpus, increment, n=3, num_perm=8, bands=4, threshold=0.5
+        ).collect()
+    }
+    full = minhash_lsh_pairs(docs, n=3, num_perm=8, bands=4, threshold=0.5)
+    cross = {}
+    for r in full.collect():
+        a_inc, b_inc = r.id_a % 5 == 0, r.id_b % 5 == 0
+        if a_inc and not b_inc:
+            cross[(r.id_a, r.id_b)] = round(r.jaccard, 9)
+        elif b_inc and not a_inc:
+            cross[(r.id_b, r.id_a)] = round(r.jaccard, 9)
+    assert inc_pairs == cross and len(inc_pairs) > 0

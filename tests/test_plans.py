@@ -400,3 +400,12 @@ def test_no_scale_killer_operators_anywhere(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, f"scale-killer plan shapes: {offenders}"
+
+
+def test_incremental_dedup_broadcasts_batch_index(spark):
+    """The ingest batch's band index must broadcast (the corpus side is the
+    streamed probe); a sort-merge band join would shuffle corpus band rows
+    — the exact cost the incremental shape exists to avoid."""
+    plan = plan_of(spark, "incremental_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
