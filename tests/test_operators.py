@@ -1277,3 +1277,24 @@ def test_incremental_dedup_equals_cross_side_subset_of_full_lsh(spark):
         elif b_inc and not a_inc:
             cross[(r.id_b, r.id_a)] = round(r.jaccard, 9)
     assert inc_pairs == cross and len(inc_pairs) > 0
+
+
+def test_resize_frames_fake_codec_and_stub(spark):
+    """Resize transform: every-factor-th byte per frame (fake codec), one
+    row per frame, binary output with consistent size metadata; the real
+    codec is a documented stub."""
+    from w4h_integrated_toolkit_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh" * 32)], "doc_id long, text string"
+    )
+    payloads = MM.attach_payload(docs)
+    out = MM.resize_frames(payloads, factor=4, codec="fake").collect()
+    assert len(out) > 0
+    meta = payloads.select("meta.frame_bytes", "meta.n_frames").first()
+    assert len(out) == meta.n_frames
+    for r in out:
+        assert r.n_bytes == len(r.frame)
+        assert r.n_bytes <= -(-meta.frame_bytes // 4)  # ceil(fb/4)
+    with pytest.raises(NotImplementedError):
+        MM.resize_frames(payloads, codec="real")

@@ -43,6 +43,7 @@ __all__ = [
     "frame_sample",
     "byte_histogram_features",
     "decode_frames",
+    "resize_frames",
 ]
 
 META_TYPE = T.StructType(
@@ -158,6 +159,62 @@ def byte_histogram_features(
     return df.select(F.col(id_col), F.col("payload")).mapInPandas(
         featurize, schema=out_schema
     )
+
+
+def resize_frames(
+    df: DataFrame, factor: int = 4, codec: str = "real", id_col: str = "doc_id"
+) -> DataFrame:
+    """Resize (downsample) each frame, emitting new binary frames with
+    updated size metadata — the transform shape of a real image/video
+    resize stage (decode → scale → re-encode) in a training-data pipeline.
+
+    ``codec="real"`` is the integration point for actual resamplers
+    (PIL.Image.resize / av frame scaling) — unavailable in this
+    environment, so it raises NotImplementedError (clearly-marked stub).
+    ``codec="fake"`` keeps every Spark-side property real (schema,
+    mapInPandas Arrow batching, per-frame explosion, binary output column)
+    with a deterministic stand-in kernel: every ``factor``-th byte of the
+    frame. Output: (id, frame_idx, frame binary, n_bytes), one row per
+    frame — partitioning follows the input; no shuffle is introduced.
+    """
+    if codec != "fake":
+        raise NotImplementedError(
+            "real media codecs are unavailable in this environment; "
+            "use codec='fake' for the deterministic test resampler"
+        )
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("frame", T.BinaryType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame": [], "n_bytes": []}
+            for i, blob, fb, nf in zip(
+                pdf[id_col], pdf["payload"], pdf["frame_bytes"], pdf["n_frames"]
+            ):
+                data = np.frombuffer(bytes(blob), dtype=np.uint8)
+                for k in range(int(nf)):
+                    small = data[k * fb : (k + 1) * fb : factor]
+                    rows["doc_id"].append(i)
+                    rows["frame_idx"].append(k)
+                    rows["frame"].append(small.tobytes())
+                    rows["n_bytes"].append(len(small))
+            yield pd.DataFrame(rows)
+
+    flat = df.select(
+        F.col(id_col),
+        F.col("payload"),
+        F.col("meta.frame_bytes").alias("frame_bytes"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+    return flat.mapInPandas(resize, schema=out_schema)
 
 
 def decode_frames(
