@@ -353,3 +353,85 @@ def test_replay_source_index_cap(spark, stream_df):
 
     with pytest.raises(ValueError, match="distinct"):
         ReplaySource(stream_df, max_index_size=2)
+
+
+def test_rowwise_band_rows_match_batch(spark):
+    """The streaming path's row-local MinHash (array_min over the row's own
+    gram array) must produce IDENTICAL band rows to the batch groupBy-min
+    signature pipeline — same hash family, same permutation constants."""
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.dedup import lsh_band_rows
+    from w4h_integrated_toolkit_spark.streaming.dedup_stream import (
+        rowwise_band_rows,
+    )
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    batch = {
+        (r.doc_id, r.band, r.key)
+        for r in lsh_band_rows(docs, n=3, num_perm=8, bands=4).collect()
+    }
+    roww = {
+        (r.doc_id, r.band, r.key)
+        for r in rowwise_band_rows(docs, n=3, num_perm=8, bands=4).collect()
+    }
+    assert roww == batch and len(batch) > 0
+
+
+def test_streaming_neardup_matches_equal_batch_incremental(spark):
+    """Streaming ingest dedup end-to-end: docs stream in (availableNow),
+    probe the stored corpus index (band rows + shingle sets), and the
+    emitted matches equal the batch incremental operator's output on the
+    same corpus/batch split — stream-batch unification for the dedup gate."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        corpus_shingle_sets,
+        incremental_neardup_pairs,
+        lsh_band_rows,
+    )
+    from w4h_integrated_toolkit_spark.streaming.dedup_stream import (
+        streaming_neardup_matches,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = read_parquet(spark, path)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    expected = {
+        (r.new_id, r.corpus_id): round(r.jaccard, 9)
+        for r in incremental_neardup_pairs(
+            corpus, docs.filter(F.col("doc_id") % 5 == 0),
+            n=3, num_perm=8, bands=4, threshold=0.5,
+        ).collect()
+    }
+
+    # stored index (what the batch layer persists)
+    corpus_bands = lsh_band_rows(corpus, n=3, num_perm=8, bands=4)
+    corpus_sets = corpus_shingle_sets(corpus, n=3)
+
+    stage = tempfile.mkdtemp(prefix="w4h_dedup_stream_")
+    os.symlink(path, os.path.join(stage, "documents.parquet"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .parquet(stage)
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    out = streaming_neardup_matches(
+        stream, corpus_bands, corpus_sets,
+        n=3, num_perm=8, bands=4, threshold=0.5,
+    )
+    name = "neardup_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.new_id, r.corpus_id): round(r.jaccard, 9)
+        for r in spark.table(name).collect()
+    }
+    assert got == expected and len(got) > 0

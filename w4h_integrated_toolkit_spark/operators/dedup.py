@@ -39,6 +39,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "lsh_band_rows",
+    "corpus_shingle_sets",
     "incremental_neardup_pairs",
     "simhash32",
     "connected_components",
@@ -395,6 +396,20 @@ def lsh_band_rows(
     return sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def corpus_shingle_sets(
+    df: DataFrame, n: int = 3, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shingles) distinct shingle set per document — the verification
+    half of a stored dedup index (band rows generate candidates, shingle
+    sets verify exact Jaccard). Persist alongside :func:`lsh_band_rows`
+    partitioned/bucketed by id so candidate verification joins prune."""
+    return (
+        distinct_shingle_rows(df, n, text, id_col)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("shingles"))
+    )
 
 
 def incremental_neardup_pairs(

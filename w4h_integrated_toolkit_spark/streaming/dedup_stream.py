@@ -1,0 +1,153 @@
+"""Streaming ingest dedup against a stored corpus LSH index.
+
+The continuous form of :func:`..operators.dedup.incremental_neardup_pairs`:
+documents arrive as a STREAM, the corpus index (band rows + shingle sets,
+both produced once by the batch layer) is static, and every arriving doc
+that near-duplicates something already in the corpus is emitted as a match
+row — the gate a streaming training-data ingest pipeline puts in front of
+its sink.
+
+Why this composition is fully streaming-legal (and scale-shaped):
+
+- **Signatures are row-local.** MinHash over a document's own shingle set
+  needs no aggregation: per permutation, ``array_min(transform(grams,
+  s -> (a*hash(s)+b) % p))`` — pure Column math inside the scan stage, so
+  the stream needs no stateful signature operator at all (the batch path's
+  groupBy-min becomes an array fold over the row's gram array; equivalence
+  is pinned by test).
+- **Candidate generation is a stream-static equi join** on (band, key)
+  against the stored band index (`dedup.lsh_band_rows` output). At fleet
+  scale, store the index partitioned by band/key-prefix so the per-batch
+  join prunes; the stream side of any micro-batch is small by definition.
+- **Verification is map-side.** Each joined row carries the new doc's own
+  distinct gram array and joins the candidate's stored shingle set
+  (`dedup.corpus_shingle_sets`), so exact Jaccard is array math on the
+  row — no second pass, no state.
+- **The only state is pair dedup**: a doc matching a corpus doc in k bands
+  produces k identical candidate rows; ``dropDuplicates`` keeps one row
+  per EMITTED pair. Pass ``ts``/``watermark`` so that state is GC'd (the
+  reference's replay is in-order, but a real ingest bus is not).
+
+Reference anchor: this generalizes the ImportHub ingest path's composite-PK
+dedup-before-append (script/w4h_db_utils.py:192) from exact-key to
+near-duplicate semantics, as a standing query instead of a batch step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import ROLLING_HASH_MOD
+from ..operators.dedup import _gram_expr, _perm_params
+
+__all__ = ["rowwise_band_rows", "streaming_neardup_matches"]
+
+
+def _rowwise_minhash_cols(num_perm: int) -> list:
+    """mh_i columns from a ``_g`` gram-array column, computed row-locally:
+    min over the array of the permuted portable hash — identical values to
+    the batch groupBy-min (dedup._signatures_inner) by construction."""
+    h = (
+        "CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) % "
+        f"{ROLLING_HASH_MOD}"
+    )
+    return [
+        F.expr(
+            f"array_min(transform(_g, s -> ({pa} * ({h}) + {pb}) % "
+            f"{ROLLING_HASH_MOD}))"
+        ).alias(f"mh_{i}")
+        for i, (pa, pb) in enumerate(_perm_params(num_perm))
+    ]
+
+
+def rowwise_band_rows(
+    docs: DataFrame,
+    n: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+    text: str = "text",
+    id_col: str = "doc_id",
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """(id, band, key [, carry...]) LSH band rows WITHOUT aggregation —
+    streaming-legal, value-identical to ``dedup.lsh_band_rows``. ``carry``
+    columns ride along (the streaming path carries the doc's distinct gram
+    array and event time for downstream verification/watermarking).
+    Documents shorter than ``n`` words emit no rows (no shingles — same
+    exclusion as the batch inner-signature path)."""
+    rows_per_band = num_perm // bands
+    words = F.split(F.trim(F.col(text)), r"\s+")
+    with_g = (
+        docs.withColumn("_w", words)
+        .withColumn("_g", F.expr(_gram_expr(n)))
+        .filter(F.size("_g") > 0)
+    )
+    sig = with_g.select(
+        F.col(id_col), *(carry or []), *_rowwise_minhash_cols(num_perm)
+    )
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *parts).alias("key"))
+        )
+    return sig.select(
+        F.col(id_col),
+        *(carry or []),
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select(
+        id_col,
+        *(carry or []),
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+
+
+def streaming_neardup_matches(
+    stream_docs: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_sets: DataFrame,
+    n: int = 3,
+    bands: int = 4,
+    num_perm: int = 8,
+    threshold: float = 0.5,
+    text: str = "text",
+    id_col: str = "doc_id",
+    ts: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Standing near-dup gate: rows ``(new_id, corpus_id, jaccard)`` for
+    every streamed doc whose exact Jaccard with an indexed corpus doc
+    reaches ``threshold``. ``corpus_bands`` = stored
+    :func:`..operators.dedup.lsh_band_rows`; ``corpus_sets`` = stored
+    :func:`..operators.dedup.corpus_shingle_sets`. Pass the event-time
+    column via ``ts`` so pair-dedup state is watermark-bounded."""
+    words = F.split(F.trim(F.col(text)), r"\s+")
+    grams = F.expr(f"array_distinct({_gram_expr(n)})")
+    stream = stream_docs.withColumn("_w", words).withColumn("_sh_n", grams)
+    carry = ["_sh_n"] + ([ts] if ts else [])
+    if ts:
+        stream = stream.withWatermark(ts, watermark)
+    new_bands = rowwise_band_rows(
+        stream, n, num_perm, bands, text, id_col, carry=carry
+    ).withColumnRenamed(id_col, "new_id")
+    cand = new_bands.join(
+        corpus_bands.withColumnRenamed(id_col, "corpus_id"), ["band", "key"]
+    )
+    sets = corpus_sets.select(
+        F.col(id_col).alias("corpus_id"), F.col("shingles").alias("_sh_c")
+    )
+    inter = F.size(F.array_intersect(F.col("_sh_n"), F.col("_sh_c")))
+    union = F.size("_sh_n") + F.size("_sh_c") - inter
+    matches = (
+        cand.join(sets, "corpus_id")
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    # one row per pair, not per matching band; with ts the dedup state ages
+    # out at the watermark, without it this is test-scale only
+    dedup_cols = ["new_id", "corpus_id"] + ([ts] if ts else [])
+    return matches.dropDuplicates(dedup_cols).select(
+        "new_id", "corpus_id", "jaccard"
+    )
