@@ -435,3 +435,48 @@ def test_streaming_neardup_matches_equal_batch_incremental(spark):
         for r in spark.table(name).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_neardup_matches_watermarked(spark, tmp_path):
+    """The production configuration: event-time column + watermark so the
+    pair-dedup state is GC-able. Matches must still be found and emitted
+    exactly once per pair."""
+    from pyspark.sql import functions as F
+
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        corpus_shingle_sets,
+        lsh_band_rows,
+    )
+    from w4h_integrated_toolkit_spark.streaming.dedup_stream import (
+        streaming_neardup_matches,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "totally different corpus text about query planning")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(10, base, _ts(0)), (11, "novel unrelated words entirely", _ts(1))],
+        "doc_id long, text string, ingest_ts timestamp",
+    ).write.parquet(src)
+    sch = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(sch).parquet(src)
+    out = streaming_neardup_matches(
+        stream,
+        lsh_band_rows(corpus, n=3, num_perm=8, bands=4),
+        corpus_shingle_sets(corpus, n=3),
+        n=3, num_perm=8, bands=4, threshold=0.5,
+        ts="ingest_ts", watermark="10 minutes",
+    )
+    import uuid
+
+    name = "neardup_wm_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = [(r.new_id, r.corpus_id, r.jaccard) for r in spark.table(name).collect()]
+    assert rows == [(10, 1, 1.0)]
