@@ -294,3 +294,30 @@ def test_jdbc_options_range_partitioning():
     assert opts["fetchsize"] == "5000"
     with pytest.raises(ValueError):
         jdbc_options("u", "t", partition_column="x")
+
+
+def test_jdbc_range_partitioned_read(spark):
+    """The numeric-stride parallel read: partitionColumn/bounds/
+    numPartitions produce one task per stride against a real database."""
+    from w4h_integrated_toolkit_spark.catalog import read_jdbc, write_jdbc
+
+    df = spark.createDataFrame(
+        [(i, float(i) * 1.5) for i in range(20)], "id bigint, value double"
+    )
+    write_jdbc(
+        df, DERBY_URL, "readings3", mode="overwrite", driver=DERBY_DRIVER,
+        num_partitions=1,
+    )
+    back = read_jdbc(
+        spark,
+        DERBY_URL,
+        '(SELECT * FROM readings3) t',
+        driver=DERBY_DRIVER,
+        partition_column='"id"',
+        lower_bound=0,
+        upper_bound=20,
+        num_partitions=4,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 20
+    assert back.agg(F.sum("value")).first()[0] == sum(i * 1.5 for i in range(20))

@@ -69,15 +69,21 @@ class ReplaySource:
         self.ts_col = ts_col
         self.batch_size = batch_size
         self.loop = loop
-        n = df.select(ts_col).distinct().limit(max_index_size + 1).count()
-        if n > max_index_size:
+        # one job: the cap probe IS the index collect (limit cap+1 rows)
+        rows = (
+            df.select(ts_col)
+            .distinct()
+            .orderBy(ts_col)
+            .limit(max_index_size + 1)
+            .collect()
+        )
+        if len(rows) > max_index_size:
             raise ValueError(
                 f"ReplaySource: >{max_index_size:,} distinct {ts_col!r} values; "
                 "the driver-side replay cursor is for simulator-scale data. "
                 "Coarsen the cursor (e.g. date_trunc('second', ts)) or use "
                 "the streaming path (windowed_kpis_stream) instead."
             )
-        rows = df.select(ts_col).distinct().orderBy(ts_col).collect()
         self._stamps: list[datetime] = [r[0] for r in rows]
         self._pos = 0
 
