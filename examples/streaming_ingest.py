@@ -1,0 +1,102 @@
+"""SURVEY §3.2 + north-star — the streaming journey, engine-side.
+
+Two standing queries over a replayed document/event stream:
+
+1. the reference's real-time KPI flow (windowed aggregates with a
+   watermark, stream-batch unified), and
+2. the training-data ingest gate: streaming near-dup dedup of arriving
+   docs against a stored corpus LSH index.
+
+Run: python examples/streaming_ingest.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import datetime as dt
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from w4h_integrated_toolkit_spark.operators.dedup import (
+    corpus_shingle_sets,
+    lsh_band_rows,
+)
+from w4h_integrated_toolkit_spark.session import get_spark
+from w4h_integrated_toolkit_spark.streaming.dedup_stream import (
+    streaming_neardup_matches,
+)
+from w4h_integrated_toolkit_spark.streaming.replay import windowed_kpis_stream
+
+
+def main() -> None:
+    spark = get_spark("example-stream", cpus=4, shuffle_partitions=4)
+    t0 = dt.datetime(2016, 8, 1, 12, 0, 0)
+
+    # --- 1. windowed KPIs over a replayed event stream -------------------
+    events = [
+        ("u1", t0 + dt.timedelta(seconds=15 * i), 70.0 + i % 9) for i in range(240)
+    ]
+    src = tempfile.mkdtemp(prefix="w4h_ex_events_")
+    spark.createDataFrame(
+        events, "user_id string, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    kpis = windowed_kpis_stream(
+        stream, ts="ts", value="value", window="10 minutes", watermark="30 minutes"
+    )
+    q = (
+        kpis.writeStream.outputMode("complete").format("memory")
+        .queryName("ex_kpis").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    print("windowed KPIs:")
+    for r in spark.table("ex_kpis").orderBy("w").collect():
+        print(" ", r.w.start.time(), f"n={r.n} avg={float(r.avg_value):.3f}")
+
+    # --- 2. streaming ingest dedup against a stored corpus index ---------
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "an unrelated corpus document about spark plans")],
+        "doc_id long, text string",
+    )
+    # what the batch layer persists once per corpus snapshot:
+    stored_bands = lsh_band_rows(corpus, n=3, num_perm=8, bands=4)
+    sets = corpus_shingle_sets(corpus, n=3)
+
+    doc_src = tempfile.mkdtemp(prefix="w4h_ex_docs_")
+    spark.createDataFrame(
+        [
+            (10, base, t0),                                   # near-dup -> flag
+            (11, "fresh novel words entirely its own", t0),   # keeper
+        ],
+        "doc_id long, text string, ingest_ts timestamp",
+    ).write.mode("overwrite").parquet(doc_src)
+    doc_stream = spark.readStream.schema(
+        spark.read.parquet(doc_src).schema
+    ).parquet(doc_src)
+    matches = streaming_neardup_matches(
+        doc_stream, stored_bands, sets, n=3, num_perm=8, bands=4, threshold=0.5,
+        ts="ingest_ts", watermark="1 hour",
+    )
+    q2 = (
+        matches.writeStream.outputMode("append").format("memory")
+        .queryName("ex_dedup").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    flagged = spark.table("ex_dedup").collect()
+    print("near-dup matches (drop these from the ingest):")
+    for r in flagged:
+        print(f"  new doc {r.new_id} ~ corpus doc {r.corpus_id} (jaccard {r.jaccard:.2f})")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -321,3 +321,20 @@ def test_jdbc_range_partitioned_read(spark):
     assert back.rdd.getNumPartitions() == 4
     assert back.count() == 20
     assert back.agg(F.sum("value")).first()[0] == sum(i * 1.5 for i in range(20))
+
+
+def test_examples_importable():
+    """The examples/ scripts must at least import cleanly (API-name rot
+    guard); they are run end-to-end manually / in review, not per-suite,
+    to keep the suite fast."""
+    import importlib.util
+    import pathlib
+
+    ex_dir = pathlib.Path(__file__).parent.parent / "examples"
+    mods = sorted(ex_dir.glob("*.py"))
+    assert len(mods) >= 3
+    for p in mods:
+        spec = importlib.util.spec_from_file_location(f"example_{p.stem}", p)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        assert callable(getattr(mod, "main", None)), p.name
