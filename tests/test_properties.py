@@ -152,3 +152,95 @@ def test_pack_sequences_bins_monotone_and_exact(spark, token_counts, budget):
         by_shard.setdefault(r["shard"], []).append(r["bin"])
     for bins in by_shard.values():
         assert bins == sorted(bins)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(1, 30),   # table size
+    st.integers(1, 7),    # page size
+)
+def test_offset_limit_pages_partition_the_ordered_table(spark, n_rows, page):
+    """Pagination completeness: walking offset/limit pages reassembles the
+    ordered table exactly — no dropped, duplicated, or misordered rows
+    (the native offset()+limit() O3 plan, test_plans pins its shape)."""
+    df = spark.createDataFrame(
+        [(i * 7 % n_rows, i) for i in range(n_rows)], "k long, payload long"
+    )
+    seen = []
+    off = 0
+    while True:
+        rows = df.orderBy("k", "payload").offset(off).limit(page).collect()
+        if not rows:
+            break
+        seen.extend((r.k, r.payload) for r in rows)
+        off += page
+    assert seen == sorted(((i * 7 % n_rows, i) for i in range(n_rows)))
+
+
+_doc_text = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+    min_size=0, max_size=8,
+).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_doc_text, min_size=2, max_size=8))
+def test_incremental_dedup_equals_full_lsh_cross_side(spark, texts):
+    """Randomized form of the cross-side equivalence law: incremental
+    (corpus vs batch) == the corpus-batch subset of whole-corpus LSH, for
+    arbitrary tiny corpora including empty/short/duplicate docs."""
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = {
+        (r.new_id, r.corpus_id): round(r.jaccard, 9)
+        for r in incremental_neardup_pairs(
+            corpus, batch, n=2, num_perm=4, bands=2, threshold=0.4
+        ).collect()
+    }
+    cross = {}
+    for r in minhash_lsh_pairs(
+        docs, n=2, num_perm=4, bands=2, threshold=0.4
+    ).collect():
+        if r.id_a % 2 == 1 and r.id_b % 2 == 0:
+            cross[(r.id_a, r.id_b)] = round(r.jaccard, 9)
+        elif r.id_b % 2 == 1 and r.id_a % 2 == 0:
+            cross[(r.id_b, r.id_a)] = round(r.jaccard, 9)
+    assert inc == cross
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab x  ", min_size=0, max_size=25),  # messy whitespace
+        min_size=1, max_size=6,
+    )
+)
+def test_rowwise_bands_equal_batch_bands_random_text(spark, texts):
+    """The streaming path's row-local MinHash must equal the batch
+    groupBy-min signatures on adversarial inputs (empty docs, repeated
+    words, multi-space runs)."""
+    from w4h_integrated_toolkit_spark.operators.dedup import lsh_band_rows
+    from w4h_integrated_toolkit_spark.streaming.dedup_stream import (
+        rowwise_band_rows,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    batch = {
+        (r.doc_id, r.band, r.key)
+        for r in lsh_band_rows(docs, n=2, num_perm=4, bands=2).collect()
+    }
+    roww = {
+        (r.doc_id, r.band, r.key)
+        for r in rowwise_band_rows(docs, n=2, num_perm=4, bands=2).collect()
+    }
+    assert roww == batch
