@@ -19,9 +19,17 @@ Spark-native counterpart as a precomputed-sketch table (SURVEY §4.3 item 5):
   the reference's domain) compress extremely well.
 
 Both stages are distributed per key; nothing is collected to the driver.
-No DuckDB oracle by nature (sketch output is approximate); tests verify
-(a) exact reconstruction when the full spectrum is kept and (b) bounded
-relative error under truncation against the exact aggregate.
+
+Every answer carries a DETERMINISTIC error bound: the sketch stores the
+L2 norm of the dropped spectrum (``resid_l2`` = ‖x − x̂‖₂ by Parseval),
+and a range sum over W buckets reports ``err_bound = sqrt(|W|) ·
+resid_l2`` (Cauchy–Schwarz). The bound holds exactly for the
+bucket-aligned range the sketch answers, which is what makes the
+registry query (``fft_range_sum``) externally verifiable by a SQL
+oracle: the oracle recomputes the exact bucket-aligned sum and asserts
+the within-bound flag. Tests additionally verify (a) exact
+reconstruction when the full spectrum is kept and (b) bounded relative
+error under truncation against the exact aggregate.
 """
 
 from __future__ import annotations
@@ -85,6 +93,7 @@ def build_fft_sketch(
             T.StructField("idx", T.ArrayType(T.IntegerType())),
             T.StructField("re", T.ArrayType(T.DoubleType())),
             T.StructField("im", T.ArrayType(T.DoubleType())),
+            T.StructField("resid_l2", T.DoubleType()),
         ]
     )
 
@@ -95,6 +104,15 @@ def build_fft_sketch(
         m = min(n_coeffs, len(spec))
         top = np.argsort(-np.abs(spec))[:m]
         top.sort()
+        # Parseval: ||x - x̂||₂² = (1/n) Σ_dropped mult_k |c_k|², where
+        # mult is 2 except for the DC (and, n even, Nyquist) bins that
+        # appear once in the rfft half-spectrum
+        mult = np.full(len(spec), 2.0)
+        mult[0] = 1.0
+        if n_buckets % 2 == 0:
+            mult[-1] = 1.0
+        energy = mult * np.abs(spec) ** 2
+        resid_sq = float(energy.sum() - energy[top].sum()) / n_buckets
         return pd.DataFrame(
             {
                 "key": [int(pdf[key].iloc[0])],
@@ -104,6 +122,7 @@ def build_fft_sketch(
                 "idx": [top.astype("int32").tolist()],
                 "re": [spec[top].real.tolist()],
                 "im": [spec[top].imag.tolist()],
+                "resid_l2": [float(np.sqrt(max(resid_sq, 0.0)))],
             }
         )
 
@@ -117,7 +136,12 @@ def approx_range_sum(
     ENTIRELY from the sketch (the raw series is never scanned).
 
     Reconstruction is a sparse inverse rDFT: cost O(n_coeffs · n_buckets)
-    per key, map-side only. Returns (key, approx_sum).
+    per key, map-side only. Returns (key, approx_sum, err_bound) where
+    ``err_bound = sqrt(hi - lo) · resid_l2`` is a DETERMINISTIC
+    Cauchy–Schwarz bound on |approx_sum − exact bucket-aligned sum|: the
+    answered range is the bucket-aligned [t0 + lo·w, t0 + hi·w) cover of
+    [start, end), and the per-bucket reconstruction error vector has L2
+    norm resid_l2 (Parseval over the dropped spectrum).
     """
     import numpy as np
 
@@ -125,12 +149,13 @@ def approx_range_sum(
         [
             T.StructField("key", T.LongType()),
             T.StructField("approx_sum", T.DoubleType()),
+            T.StructField("err_bound", T.DoubleType()),
         ]
     )
 
     def reconstruct(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            keys, sums = [], []
+            keys, sums, bounds = [], [], []
             for row in pdf.itertuples(index=False):
                 nb = int(row.n_buckets)
                 spec = np.zeros(nb // 2 + 1, dtype=complex)
@@ -143,6 +168,11 @@ def approx_range_sum(
                 lo, hi = max(lo, 0), min(hi, nb)
                 keys.append(int(row.key))
                 sums.append(float(vec[lo:hi].sum()) if hi > lo else 0.0)
-            yield pd.DataFrame({"key": keys, "approx_sum": sums})
+                bounds.append(
+                    float(np.sqrt(max(hi - lo, 0)) * row.resid_l2)
+                )
+            yield pd.DataFrame(
+                {"key": keys, "approx_sum": sums, "err_bound": bounds}
+            )
 
     return sketch.mapInPandas(reconstruct, out_schema)

@@ -1196,15 +1196,50 @@ WHERE epoch(ts) >= (SELECT max(epoch(ts)) FROM events) - 86400.0
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13: approximate aggregates (approx_count_distinct/percentile_approx,
     the built-in counterparts of the reference's fft_approximate extension).
-    No SQL oracle: sketch algorithms are engine-specific by nature; the
-    exact counterparts are oracle-checked in q_distinct_counts and
-    q_percentiles."""
+
+    Driver-gatable shape: sketch ESTIMATES are engine-specific, so the row
+    emits the exact twin values (hashable in any engine) plus 1/0
+    within-bound flags computed Spark-side; the DuckDB oracle computes the
+    same exact values and asserts every flag is 1. A broken sketch flips a
+    flag to 0 and the driver hash goes red — the approximate path is now
+    externally verified, not just run-checked. Bounds: HLL++ default
+    rsd=0.05, flag at 3σ (15%); percentile_approx (accuracy 10⁴) must land
+    between the exact 45th and 55th percentiles."""
     ev = _t(spark, sf_dir, "events")
-    return ev.agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.approx_count_distinct("event_id").alias("approx_events"),
-        F.percentile_approx("value", 0.5).alias("approx_median"),
+    est = ev.agg(
+        F.approx_count_distinct("user_id").alias("_au"),
+        F.approx_count_distinct("event_id").alias("_ae"),
+        F.percentile_approx("value", 0.5).alias("_am"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("event_id").alias("exact_events"),
+        F.expr("percentile(value, 0.45)").alias("_lo"),
+        F.expr("percentile(value, 0.55)").alias("_hi"),
     )
+    def _within(e, x, tol):
+        return (F.abs(e - x) <= F.lit(tol) * x).cast("long")
+    return est.select(
+        "exact_users",
+        "exact_events",
+        _within(F.col("_au"), F.col("exact_users"), 0.15).alias(
+            "users_within_bound"
+        ),
+        _within(F.col("_ae"), F.col("exact_events"), 0.15).alias(
+            "events_within_bound"
+        ),
+        F.col("_am")
+        .between(F.col("_lo"), F.col("_hi"))
+        .cast("long")
+        .alias("median_within_bound"),
+    )
+
+
+_SQL_APPROX_AGGREGATES = """
+SELECT (SELECT count(DISTINCT user_id) FROM events) AS exact_users,
+       (SELECT count(DISTINCT event_id) FROM events) AS exact_events,
+       CAST(1 AS BIGINT) AS users_within_bound,
+       CAST(1 AS BIGINT) AS events_within_bound,
+       CAST(1 AS BIGINT) AS median_within_bound
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2222,19 +2257,73 @@ FROM t
 def q_fft_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 custom path: per-user FFT sketch (256 buckets -> 32 coefficients,
     ~8x compression) answering an approximate mid-January range sum without
-    rescanning the series. No SQL oracle by nature (approximate); the exact
-    counterpart is the oracle-checked trailing_window/range_scan family,
-    and unit tests bound the truncation error."""
+    rescanning the series.
+
+    Driver-gatable shape: every sketch answer carries its DETERMINISTIC
+    Cauchy–Schwarz error bound (``err_bound = sqrt(|W|)·resid_l2``, from
+    the Parseval norm of the dropped spectrum — see operators/approx.py),
+    valid for the bucket-aligned range the sketch actually answers. The
+    query recomputes the exact bucket-aligned per-user sum with the SAME
+    IEEE grid math (t0/w from min/max epoch, floor-bucketing with the
+    255-clamp), emits it fixed-point (hashable) plus a 1/0 flag asserting
+    |approx − exact| ≤ err_bound (+0.05 fixed-point slack); the DuckDB
+    oracle reproduces the identical grid arithmetic — both engines floor
+    the same doubles — and asserts flag=1. The mathematical guarantee of
+    the sketch, not a hand-tuned tolerance, is what the driver verifies."""
     from ..operators.approx import approx_range_sum, build_fft_sketch
 
     ev = _t(spark, sf_dir, "events")
-    sketch = build_fft_sketch(ev, ts="ts", key="user_id", n_buckets=256, n_coeffs=32)
+    nb = 256
+    sketch = build_fft_sketch(ev, ts="ts", key="user_id", n_buckets=nb, n_coeffs=32)
     # events span 2024-01-01..01-30 (TESTDATA, seed=42); query the middle third
     start = 1704067200.0 + 10 * 86400  # 2024-01-11
     end = 1704067200.0 + 20 * 86400  # 2024-01-21
-    return approx_range_sum(sketch, start, end).select(
-        F.col("key").alias("user_id"), _r(F.col("approx_sum"), 2).alias("approx_sum")
+    approx = approx_range_sum(sketch, start, end).select(
+        F.col("key").alias("user_id"), "approx_sum", "err_bound"
     )
+    e = F.col("ts").cast("double")
+    span = ev.agg(F.min(e).alias("t0"), F.max(e).alias("t1")).withColumn(
+        "w", (F.col("t1") - F.col("t0")) / nb + F.lit(1e-9)
+    )
+    b = F.least(F.floor((e - F.col("t0")) / F.col("w")).cast("int"), F.lit(nb - 1))
+    lo = F.greatest(
+        F.floor((F.lit(start) - F.col("t0")) / F.col("w")).cast("int"), F.lit(0)
+    )
+    hi = F.least(
+        F.ceil((F.lit(end) - F.col("t0")) / F.col("w")).cast("int"), F.lit(nb)
+    )
+    exact = (
+        ev.join(F.broadcast(span))
+        .filter((b >= lo) & (b < hi))
+        .groupBy("user_id")
+        .agg(_fsum(F.col("value"), 2).alias("exact_sum"))
+    )
+    return approx.join(exact, "user_id").select(
+        "user_id",
+        "exact_sum",
+        (
+            F.abs(F.col("approx_sum") - F.col("exact_sum"))
+            <= F.col("err_bound") + F.lit(0.05)
+        )
+        .cast("long")
+        .alias("within_bound"),
+    )
+
+
+_SQL_FFT_RANGE_SUM = f"""
+WITH g AS (SELECT min(epoch(ts)) AS t0, max(epoch(ts)) AS t1 FROM events),
+r AS (SELECT t0, w,
+             greatest(CAST(floor(({1704067200.0 + 10 * 86400!r} - t0)/w) AS INTEGER), 0) AS lo,
+             least(CAST(ceil(({1704067200.0 + 20 * 86400!r} - t0)/w) AS INTEGER), 256) AS hi
+      FROM (SELECT t0, (t1 - t0)/256 + 1e-9 AS w FROM g))
+SELECT user_id,
+       {_fsum_sql("value", 2)} AS exact_sum,
+       CAST(1 AS BIGINT) AS within_bound
+FROM events, r
+WHERE least(CAST(floor((epoch(ts) - r.t0)/r.w) AS INTEGER), 255) >= r.lo
+  AND least(CAST(floor((epoch(ts) - r.t0)/r.w) AS INTEGER), 255) < r.hi
+GROUP BY user_id
+"""
 
 
 def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2859,13 +2948,50 @@ def q_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     weeks, answered from a mergeable HLL sketch cube (one cell per
     event_type × day) — the time filter prunes CELLS and the rollup merges
     sketches; raw events are scanned once at cube-build, never at query
-    time. Approximate by nature (lg_k=12 → ~1.6% σ), so no SQL oracle; the
-    exact countDistinct twin is `distinct_counts` and unit tests bound the
-    error. n_rows is exact and rides the same cube."""
+    time.
+
+    Driver-gatable shape: the HLL estimate itself is engine-specific, so
+    the row emits the exact countDistinct twin (hashable) plus a 1/0
+    within-bound flag (lg_k=12 → ~1.6% σ; flag at 10%, ≥6σ) computed
+    Spark-side; the oracle computes the exact side and asserts flag=1.
+    n_rows is exact and rides the cube — it cross-checks that cell pruning
+    by bucket_start selects exactly the rows `ts < 2024-01-15` does (day
+    buckets align to UTC midnight; session tz pinned in prepare_session)."""
     ev = _t(spark, sf_dir, "events")
     cube = SK.hll_cube(ev, ["event_type"], "user_id", ts="ts", bucket="1 day")
     jan = cube.filter(F.col("bucket_start") < F.lit("2024-01-15"))
-    return SK.hll_rollup(jan, ["event_type"]).orderBy("event_type")
+    roll = SK.hll_rollup(jan, ["event_type"])
+    exact = (
+        ev.filter(F.col("ts") < F.lit("2024-01-15"))
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        roll.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "exact_users",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_users"))
+                <= F.lit(0.10) * F.col("exact_users")
+            )
+            .cast("long")
+            .alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_DISTINCT_USERS_SKETCH = """
+SELECT event_type,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS exact_users,
+       CAST(1 AS BIGINT) AS within_bound
+FROM events
+WHERE ts < TIMESTAMP '2024-01-15'
+GROUP BY event_type ORDER BY event_type
+"""
 
 
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2977,12 +3103,56 @@ def q_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     answered from a mergeable KLL sketch cube (one cell per event_type ×
     day). Any (slice × time range) quantile question is a cell merge —
     exact `percentiles` needs a full value shuffle per query; the cube
-    reads raw data once at build. Approximate (rank error ~1.65/sqrt(k)),
-    so no SQL oracle; unit tests bound the error against exact
-    percentile()."""
+    reads raw data once at build.
+
+    Driver-gatable shape: a KLL estimate is a RANK guarantee, so the flag
+    checks each sketch quantile q lands between the exact (q−0.05) and
+    (q+0.05) quantiles (k=200 → rank ε≈1.2% at 1σ; 0.05 is ≥4σ). The row
+    emits the exact interpolated median (the same portable-rounded form
+    `percentiles` hashes green with) plus n_rows and the 1/0 flag; the
+    oracle computes the exact side and asserts flag=1."""
     ev = _t(spark, sf_dir, "events")
     cube = SK.kll_cube(ev, ["event_type"], "value", ts="ts", bucket="1 day")
-    return SK.kll_rollup(cube, ["event_type"]).orderBy("event_type")
+    roll = SK.kll_rollup(cube, ["event_type"])  # q_250 q_500 q_750 q_950 q_990
+    eps = 0.05
+    qs = (0.25, 0.5, 0.75, 0.95, 0.99)
+    lo_hi = []
+    for q in qs:
+        name = f"q_{int(round(q * 1000)):03d}"
+        lo_hi.append(
+            F.expr(f"percentile(value, {max(q - eps, 0.0)})").alias(f"_lo_{name}")
+        )
+        lo_hi.append(
+            F.expr(f"percentile(value, {min(q + eps, 1.0)})").alias(f"_hi_{name}")
+        )
+    exact = ev.groupBy("event_type").agg(
+        _r(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"), *lo_hi
+    )
+    within = None
+    for q in qs:
+        name = f"q_{int(round(q * 1000)):03d}"
+        c = F.col(name).between(F.col(f"_lo_{name}"), F.col(f"_hi_{name}"))
+        within = c if within is None else (within & c)
+    return (
+        roll.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "exact_p50",
+            within.cast("long").alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_VALUE_QUANTILES_SKETCH = """
+SELECT event_type,
+       count(*) AS n_rows,
+       round(quantile_cont(value, 0.5), 4) AS exact_p50,
+       CAST(1 AS BIGINT) AS within_bound
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
 
 
 def q_user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2991,8 +3161,13 @@ def q_user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     answered entirely from per-day sketches. HLL can only union; Theta's
     intersection/difference make retention/overlap questions cube-answerable
     at 100 TB (the exact form joins two distinct key universes).
-    Approximate by nature, so no SQL oracle; unit tests bound the error
-    against exact set ops."""
+
+    Driver-gatable shape: the row emits the exact set-op twins (per-user
+    week flags → integer sums, engine-independent) plus a single 1/0 flag
+    asserting all six theta estimates (|A|, |B|, |A∪B|, |A∩B|, |A\\B|,
+    |B\\A|) land within rel 10% + abs 0.1·|A∪B| of their exact values
+    (intersection/difference error is relative to the UNION size in theta
+    sketches); the oracle computes the exact side and asserts flag=1."""
     ev = _t(spark, sf_dir, "events")
     cube = SK.theta_cube(ev, ["event_type"], "user_id", ts="ts", bucket="1 day")
     wk1 = SK.theta_rollup(
@@ -3005,7 +3180,67 @@ def q_user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["event_type"],
     )
-    return SK.theta_overlap(wk1, wk2, ["event_type"]).orderBy("event_type")
+    ov = SK.theta_overlap(wk1, wk2, ["event_type"])
+    flags = (
+        ev.filter(F.col("ts") < F.lit("2024-01-15"))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.max((F.col("ts") < F.lit("2024-01-08")).cast("int")).alias("_w1"),
+            F.max((F.col("ts") >= F.lit("2024-01-08")).cast("int")).alias("_w2"),
+        )
+    )
+    exact = flags.groupBy("event_type").agg(
+        F.sum("_w1").alias("exact_a"),
+        F.sum("_w2").alias("exact_b"),
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.col("_w1") * F.col("_w2")).alias("exact_both"),
+        F.sum(F.col("_w1") * (1 - F.col("_w2"))).alias("exact_only_a"),
+        F.sum(F.col("_w2") * (1 - F.col("_w1"))).alias("exact_only_b"),
+    )
+    j = ov.join(F.broadcast(exact), "event_type")
+    tol = F.lit(0.10) * F.col("exact_union") + F.lit(0.5)
+
+    def _ok(est, ex):
+        return F.abs(F.col(est) - F.col(ex)) <= tol
+
+    within = (
+        _ok("n_a", "exact_a")
+        & _ok("n_b", "exact_b")
+        & _ok("n_union", "exact_union")
+        & _ok("n_intersection", "exact_both")
+        & _ok("n_only_a", "exact_only_a")
+        & _ok("n_only_b", "exact_only_b")
+    )
+    return j.select(
+        "event_type",
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_both",
+        "exact_only_a",
+        "exact_only_b",
+        within.cast("long").alias("within_bound"),
+    ).orderBy("event_type")
+
+
+_SQL_USER_OVERLAP_SKETCH = """
+WITH f AS (
+  SELECT event_type, user_id,
+         max(CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS w1,
+         max(CASE WHEN ts >= TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS w2
+  FROM events
+  WHERE ts < TIMESTAMP '2024-01-15'
+  GROUP BY event_type, user_id)
+SELECT event_type,
+       CAST(sum(w1) AS BIGINT) AS exact_a,
+       CAST(sum(w2) AS BIGINT) AS exact_b,
+       count(*) AS exact_union,
+       CAST(sum(w1 * w2) AS BIGINT) AS exact_both,
+       CAST(sum(w1 * (1 - w2)) AS BIGINT) AS exact_only_a,
+       CAST(sum(w2 * (1 - w1)) AS BIGINT) AS exact_only_b,
+       CAST(1 AS BIGINT) AS within_bound
+FROM f GROUP BY event_type ORDER BY event_type
+"""
 
 
 # --------------------------------------------------------------------------
@@ -3013,18 +3248,78 @@ def q_user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
-# entries (dict insertion order). Rounds 1-3 always gated the same 50, so
-# the 35 oracled entries behind them never got a driver row. This order
-# front-loads those never-gated entries (plus round-4's new
-# incremental_dedup: 36 total), keeps `stream_alerts` inside the window
-# (to confirm the round-4 HUGEINT oracle fix), and retains the most
-# failure-prone previously-green queries (float-heavy windows, streaming,
-# LSH) as regression canaries — frame_sample, the 50th, sits just outside.
-# The trivially-green remainder (simple filters/aggregates, green since
-# round 1) moves behind the window, where tests/test_parity.py still
-# exact-bit checks every one of them.
+# entries (dict insertion order). Round-4 gated the 36 never-gated entries
+# (all green). This round-5 order completes the sweep: (a) the 5
+# approx/sketch queries — newly reshaped to emit exact twins + 1/0
+# within-bound flags, so they carry REAL oracles for the first time —
+# plus frame_sample (position 51 in r4, never gated), (b) the 35 entries
+# whose only driver rows are from r1 (longest-stale), (c) stream_alerts
+# kept in-window one more round to guard the r4 HUGEINT fix, (d) 8
+# failure-prone r4-green canaries (float-heavy windows, streaming, LSH,
+# BLAS kernels). After r5, every one of the 91 registry entries will have
+# a driver CORRECTNESS row, 85+ of them on current-era code. The r4-green
+# remainder moves behind the window, where tests/test_parity.py still
+# exact-bit checks every entry on current code.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
-    # --- never driver-gated before round 4 (35) ---
+    # --- never driver-gated: approx/sketch (first-ever oracles) + frame_sample ---
+    "approx_aggregates": (q_approx_aggregates, _SQL_APPROX_AGGREGATES),
+    "fft_range_sum": (q_fft_range_sum, _SQL_FFT_RANGE_SUM),
+    "distinct_users_sketch": (q_distinct_users_sketch, _SQL_DISTINCT_USERS_SKETCH),
+    "value_quantiles_sketch": (
+        q_value_quantiles_sketch,
+        _SQL_VALUE_QUANTILES_SKETCH,
+    ),
+    "user_overlap_sketch": (q_user_overlap_sketch, _SQL_USER_OVERLAP_SKETCH),
+    "frame_sample": (q_frame_sample, _SQL_FRAME_SAMPLE),
+    # --- longest-stale: only r1 driver rows (35) ---
+    "pricing_summary": (q_pricing_summary, _SQL_PRICING),
+    "range_scan": (q_range_scan, _SQL_RANGE_SCAN),
+    "anti_join_new_users": (q_anti_join, _SQL_ANTI_JOIN),
+    "mets_broadcast_lookup": (q_mets_lookup, _SQL_METS_LOOKUP),
+    "widget_domains": (q_widget_domains, _SQL_WIDGET_DOMAINS),
+    "like_filter": (q_like_filter, _SQL_LIKE_FILTER),
+    "set_ops": (q_set_ops, _SQL_SET_OPS),
+    "topk_orders": (q_topk_orders, _SQL_TOPK),
+    "first_per_user": (q_first_per_user, _SQL_FIRST_PER_USER),
+    "cohort_compare": (q_cohort_compare, _SQL_COHORT_COMPARE),
+    "activity_span": (q_activity_span, _SQL_ACTIVITY_SPAN),
+    "safe_band": (q_safe_band, _SQL_SAFE_BAND),
+    "time_of_day_overnight": (q_time_of_day, _SQL_TIME_OF_DAY),
+    "dedup_composite_key": (q_dedup_composite, _SQL_DEDUP_COMPOSITE),
+    "json_extract": (q_json_extract, _SQL_JSON_EXTRACT),
+    "melt_unpivot": (q_melt, _SQL_MELT),
+    "doc_fingerprint": (q_fingerprint, _SQL_FINGERPRINT),
+    "exact_dedup": (q_exact_dedup, _SQL_EXACT_DEDUP),
+    "text_stats": (q_text_stats, _SQL_TEXT_STATS),
+    "language_id": (q_language_id, _langid_sql()),
+    "quality_score": (q_quality_score, _quality_sql()),
+    "minhash_signatures": (q_minhash_signatures, _minhash_sql(8)),
+    "percentiles": (q_percentiles, _SQL_PERCENTILES),
+    "distinct_counts": (q_distinct_counts, _SQL_DISTINCT_COUNTS),
+    "rollup_totals": (q_rollup, _SQL_ROLLUP),
+    "pivot_event_types": (q_pivot, _SQL_PIVOT),
+    "sessionize": (q_sessionize, _SQL_SESSIONIZE),
+    "align_by_position": (q_align_by_position, _SQL_ALIGN),
+    "offset_batch": (q_offset_batch, _SQL_OFFSET_BATCH),
+    "string_normalize": (q_string_normalize, _SQL_STRING_NORMALIZE),
+    "fuzzy_column_mapping": (q_fuzzy_column_mapping, _SQL_FUZZY_MAPPING),
+    "value_tiers": (q_value_tiers, _SQL_VALUE_TIERS),
+    "trailing_window_kpis": (q_trailing_window_kpis, _SQL_TRAILING_WINDOW),
+    "shipping_priority": (q_shipping_priority, _SQL_SHIPPING_PRIORITY),
+    "local_supplier_volume": (q_local_supplier_volume, _SQL_LOCAL_SUPPLIER_VOLUME),
+    # --- r4 HUGEINT fix, kept in-window one more round ---
+    "stream_alerts": (q_stream_alerts, _SQL_STREAM_ALERTS),
+    # --- failure-prone r4-green canaries (8) ---
+    "calibration": (q_calibration, _SQL_CALIBRATION),
+    "gap_mask": (q_gap_mask, _SQL_GAP_MASK),
+    "resample_1min": (q_resample_1min, _SQL_RESAMPLE),
+    "sliding_window": (q_sliding_window, _SQL_SLIDING_WINDOW),
+    "stream_window_kpis": (q_stream_window_kpis, _SQL_STREAM_WINDOW),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, _minhash_lsh_sql()),
+    "knn_cosine_topk": (q_knn_cosine, _SQL_KNN),
+    "embedding_neardup_pairs": (q_embedding_neardup, _embedding_neardup_sql()),
+    # ---- driver window ends here (50 entries above) ----
+    # --- r4-green, guarded by local exact-bit parity on current code ---
     "byte_histogram": (q_byte_histogram, _SQL_BYTE_HISTOGRAM),
     "token_counts": (q_token_counts, _SQL_TOKEN_COUNTS),
     "trajectories": (q_trajectories, _SQL_TRAJECTORIES),
@@ -3064,66 +3359,11 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "top_supplier": (q_top_supplier, _SQL_TOP_SUPPLIER),
     "small_qty_revenue": (q_small_qty_revenue, _SQL_SMALL_QTY),
     "waiting_suppliers": (q_waiting_suppliers, _SQL_WAITING_SUPPLIERS),
-    # --- red in r1-r3 (HUGEINT oracle artifact, fixed this round) ---
-    "stream_alerts": (q_stream_alerts, _SQL_STREAM_ALERTS),
-    # --- previously-green regression canaries (14) ---
     "cohort_kpi": (q_cohort_kpi, _SQL_COHORT_KPI),
-    "calibration": (q_calibration, _SQL_CALIBRATION),
-    "gap_mask": (q_gap_mask, _SQL_GAP_MASK),
     "breach_histogram": (q_breach_histogram, _SQL_BREACH_HISTOGRAM),
-    "resample_1min": (q_resample_1min, _SQL_RESAMPLE),
-    "sliding_window": (q_sliding_window, _SQL_SLIDING_WINDOW),
-    "stream_window_kpis": (q_stream_window_kpis, _SQL_STREAM_WINDOW),
     "ngram_jaccard_pairs": (q_ngram_jaccard, _SQL_NGRAM_JACCARD),
-    "minhash_lsh_pairs": (q_minhash_lsh_pairs, _minhash_lsh_sql()),
     "simhash": (q_simhash, _simhash_sql()),
-    "knn_cosine_topk": (q_knn_cosine, _SQL_KNN),
-    "embedding_neardup_pairs": (q_embedding_neardup, _embedding_neardup_sql()),
     "multimodal_meta": (q_multimodal_meta, _SQL_MULTIMODAL_META),
-    "frame_sample": (q_frame_sample, _SQL_FRAME_SAMPLE),
-    # ---- driver window ends here (50 entries above) ----
-    # --- green since round 1, guarded by local exact-bit parity ---
-    "pricing_summary": (q_pricing_summary, _SQL_PRICING),
-    "range_scan": (q_range_scan, _SQL_RANGE_SCAN),
-    "anti_join_new_users": (q_anti_join, _SQL_ANTI_JOIN),
-    "mets_broadcast_lookup": (q_mets_lookup, _SQL_METS_LOOKUP),
-    "widget_domains": (q_widget_domains, _SQL_WIDGET_DOMAINS),
-    "like_filter": (q_like_filter, _SQL_LIKE_FILTER),
-    "set_ops": (q_set_ops, _SQL_SET_OPS),
-    "topk_orders": (q_topk_orders, _SQL_TOPK),
-    "first_per_user": (q_first_per_user, _SQL_FIRST_PER_USER),
-    "cohort_compare": (q_cohort_compare, _SQL_COHORT_COMPARE),
-    "activity_span": (q_activity_span, _SQL_ACTIVITY_SPAN),
-    "safe_band": (q_safe_band, _SQL_SAFE_BAND),
-    "time_of_day_overnight": (q_time_of_day, _SQL_TIME_OF_DAY),
-    "dedup_composite_key": (q_dedup_composite, _SQL_DEDUP_COMPOSITE),
-    "json_extract": (q_json_extract, _SQL_JSON_EXTRACT),
-    "melt_unpivot": (q_melt, _SQL_MELT),
-    "doc_fingerprint": (q_fingerprint, _SQL_FINGERPRINT),
-    "exact_dedup": (q_exact_dedup, _SQL_EXACT_DEDUP),
-    "text_stats": (q_text_stats, _SQL_TEXT_STATS),
-    "language_id": (q_language_id, _langid_sql()),
-    "quality_score": (q_quality_score, _quality_sql()),
-    "minhash_signatures": (q_minhash_signatures, _minhash_sql(8)),
-    "percentiles": (q_percentiles, _SQL_PERCENTILES),
-    "distinct_counts": (q_distinct_counts, _SQL_DISTINCT_COUNTS),
-    "rollup_totals": (q_rollup, _SQL_ROLLUP),
-    "pivot_event_types": (q_pivot, _SQL_PIVOT),
-    "sessionize": (q_sessionize, _SQL_SESSIONIZE),
-    "align_by_position": (q_align_by_position, _SQL_ALIGN),
-    "offset_batch": (q_offset_batch, _SQL_OFFSET_BATCH),
-    "string_normalize": (q_string_normalize, _SQL_STRING_NORMALIZE),
-    "fuzzy_column_mapping": (q_fuzzy_column_mapping, _SQL_FUZZY_MAPPING),
-    "value_tiers": (q_value_tiers, _SQL_VALUE_TIERS),
-    "trailing_window_kpis": (q_trailing_window_kpis, _SQL_TRAILING_WINDOW),
-    "shipping_priority": (q_shipping_priority, _SQL_SHIPPING_PRIORITY),
-    "local_supplier_volume": (q_local_supplier_volume, _SQL_LOCAL_SUPPLIER_VOLUME),
-    # --- approx-by-nature (no SQL oracle; driver rows-only check) ---
-    "approx_aggregates": (q_approx_aggregates, None),
-    "fft_range_sum": (q_fft_range_sum, None),
-    "distinct_users_sketch": (q_distinct_users_sketch, None),
-    "value_quantiles_sketch": (q_value_quantiles_sketch, None),
-    "user_overlap_sketch": (q_user_overlap_sketch, None),
 }
 
 
