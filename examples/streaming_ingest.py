@@ -24,8 +24,8 @@ import tempfile
 from pyspark.sql import functions as F
 
 from w4h_integrated_toolkit_spark.operators.dedup import (
-    corpus_shingle_sets,
-    lsh_band_rows,
+    load_corpus_index,
+    persist_corpus_index,
 )
 from w4h_integrated_toolkit_spark.session import get_spark
 from w4h_integrated_toolkit_spark.streaming.dedup_stream import (
@@ -67,9 +67,18 @@ def main() -> None:
         [(1, base), (2, "an unrelated corpus document about spark plans")],
         "doc_id long, text string",
     )
-    # what the batch layer persists once per corpus snapshot:
-    stored_bands = lsh_band_rows(corpus, n=3, num_perm=8, bands=4)
-    sets = corpus_shingle_sets(corpus, n=3)
+    # What the batch layer persists once per corpus snapshot: BUCKETED
+    # band/set tables ((band, key) / doc_id), so every micro-batch's
+    # candidate + verification joins are exchange-free on the corpus side.
+    # Refresh contract: the index is FROZEN at build time — docs appended
+    # to the corpus later are invisible to the gate until the snapshot is
+    # rebuilt (re-run persist_corpus_index, e.g. nightly); load_corpus_index
+    # validates the (n, num_perm, bands) hash-family params so a stale or
+    # mismatched index fails loudly instead of silently matching nothing.
+    persist_corpus_index(corpus, "ex_corpus_idx", n=3, num_perm=8, bands=4)
+    stored_bands, sets = load_corpus_index(
+        spark, "ex_corpus_idx", n=3, num_perm=8, bands=4
+    )
 
     doc_src = tempfile.mkdtemp(prefix="w4h_ex_docs_")
     spark.createDataFrame(

@@ -1298,3 +1298,108 @@ def test_resize_frames_fake_codec_and_stub(spark):
         assert r.n_bytes <= -(-meta.frame_bytes // 4)  # ceil(fb/4)
     with pytest.raises(NotImplementedError):
         MM.resize_frames(payloads, codec="real")
+
+
+# --------------------------------------------------------------------------
+# Real-codec import probe + injectable kernels (multimodal)
+# --------------------------------------------------------------------------
+
+class _FakeImg:
+    """Minimal stand-in for a decoded PIL image (size/resize/save/convert)."""
+
+    def __init__(self, raw: bytes):
+        self._raw = raw
+        self.size = (8, 4)
+
+    def resize(self, wh):
+        self._wh = wh
+        return self
+
+    def save(self, buf, format=None):
+        buf.write(b"PNG!" + bytes(self._wh))
+
+    def convert(self, mode):
+        import numpy as np
+
+        # deterministic "pixels": the frame's own bytes as one row
+        return np.frombuffer(self._raw, dtype=np.uint8).reshape(1, -1)
+
+
+class _FakeImageModule:
+    @staticmethod
+    def open(buf):
+        return _FakeImg(buf.read())
+
+
+def test_real_codec_probe_lights_up_with_pil(spark, monkeypatch):
+    """codec='real' must raise the actionable stub error only while PIL is
+    absent: with an importable PIL module the call-time probe passes and a
+    lazy DataFrame with the right schema comes back (the kernel itself is
+    exercised directly below — executors would re-import PIL)."""
+    import sys
+    import types
+
+    from w4h_integrated_toolkit_spark.operators import multimodal as MM
+
+    _, payloads = _mm_docs(spark)
+    with pytest.raises(NotImplementedError, match="[Pp]illow"):
+        MM.resize_frames(payloads, codec="real")
+    with pytest.raises(NotImplementedError, match="[Pp]illow"):
+        MM.decode_frames(payloads, codec="real")
+    with pytest.raises(ValueError, match="unknown codec"):
+        MM.decode_frames(payloads, codec="webp")
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = _FakeImageModule
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    rdf = MM.resize_frames(payloads, codec="real")
+    assert [f.name for f in rdf.schema.fields] == [
+        "doc_id", "frame_idx", "frame", "n_bytes",
+    ]
+    ddf = MM.decode_frames(payloads, codec="real")
+    assert [f.name for f in ddf.schema.fields] == [
+        "doc_id", "frame_idx", "mean_byte",
+    ]
+
+
+def test_real_codec_kernels_via_injected_module():
+    """The codec='real' kernels, driven directly with an injected image
+    module (what executors resolve as PIL.Image): resize halves dimensions
+    through resize()+save(), decode emits the grayscale mean."""
+    import pandas as pd
+
+    from w4h_integrated_toolkit_spark.operators.multimodal import (
+        _real_decode_rows,
+        _real_resize_rows,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "payload": [bytes(range(20, 28)) * 2],  # 2 frames x 8 bytes
+            "frame_bytes": [8],
+            "n_frames": [2],
+        }
+    )
+    out = _real_resize_rows(pdf, factor=2, id_col="doc_id", image_mod=_FakeImageModule)
+    assert list(out["frame_idx"]) == [0, 1]
+    # _FakeImg.size is (8, 4); factor 2 -> resize((4, 2)) -> b"PNG!\x04\x02"
+    assert list(out["frame"]) == [b"PNG!\x04\x02"] * 2
+    assert list(out["n_bytes"]) == [6, 6]
+
+    dec = _real_decode_rows(pdf, id_col="doc_id", image_mod=_FakeImageModule)
+    assert list(dec["frame_idx"]) == [0, 1]
+    assert dec["mean_byte"].tolist() == [23.5, 23.5]  # mean(20..27)
+
+
+def test_ivf_centroid_collect_cap(spark):
+    """An IVF quantizer larger than max_centroids must fail fast with the
+    actionable error (single limit-probe job), not materialize an
+    unbounded driver array."""
+    from tests.conftest import SF_DIR
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.similarity import ivf_topk
+
+    emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(ValueError, match="max_centroids"):
+        ivf_topk(emb, emb.limit(2), centroid_stride=1, max_centroids=10)

@@ -409,3 +409,60 @@ def test_incremental_dedup_broadcasts_batch_index(spark):
     plan = plan_of(spark, "incremental_dedup")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_corpus_index_bucketed_join_static_side_no_exchange(spark):
+    """The streaming dedup gate against a PERSISTED (bucketed) corpus index:
+    the candidate join on (band, key) and the verification join on the id
+    must read the corpus tables bucketed — no Exchange on the static side,
+    strictly fewer shuffles than probing unbucketed index DataFrames. This
+    is the per-micro-batch cost model at 100 TB: only the (small) stream
+    side shuffles."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        corpus_shingle_sets,
+        load_corpus_index,
+        lsh_band_rows,
+        persist_corpus_index,
+    )
+    from w4h_integrated_toolkit_spark.streaming.dedup_stream import (
+        streaming_neardup_matches,
+    )
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    probe = docs.filter(F.col("doc_id") % 5 == 0)
+    prefix = "cidx_plan_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    try:
+        persist_corpus_index(corpus, prefix, n=3, num_perm=8, bands=4, n_buckets=4)
+        bands_df, sets_df = load_corpus_index(spark, prefix, n=3, num_perm=8, bands=4)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bucketed = streaming_neardup_matches(
+            probe, bands_df, sets_df, n=3, num_perm=8, bands=4
+        )
+        b_plan = bucketed._jdf.queryExecution().explainString(mode)
+        unbucketed = streaming_neardup_matches(
+            probe,
+            lsh_band_rows(corpus, n=3, num_perm=8, bands=4),
+            corpus_shingle_sets(corpus, n=3),
+            n=3, num_perm=8, bands=4,
+        )
+        u_plan = unbucketed._jdf.queryExecution().explainString(mode)
+        # both corpus scans use the bucketed layout...
+        assert b_plan.count("Bucketed: true") == 2, b_plan
+        # ...and the shuffles saved are exactly the static-side exchanges
+        assert n_shuffles(b_plan) < n_shuffles(u_plan), (
+            f"bucketed {n_shuffles(b_plan)} vs unbucketed {n_shuffles(u_plan)}"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("bands", "sets", "params"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")

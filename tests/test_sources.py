@@ -338,3 +338,58 @@ def test_examples_importable():
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         assert callable(getattr(mod, "main", None)), p.name
+
+
+def test_jdbc_pushdown_through_both_parallel_arms(spark):
+    """Filter pushdown must survive BOTH parallel-read arms: a Catalyst
+    filter on a predicates= read and on a partitionColumn= ranged read
+    compiles into the external SQL (PushedFilters on the JDBC scan node),
+    so each task's query carries its stride AND the user's predicate —
+    only matching rows cross the wire."""
+    from w4h_integrated_toolkit_spark.catalog import read_jdbc, write_jdbc
+
+    df = spark.createDataFrame(
+        [(i, float(i) * 2.0) for i in range(12)], "id bigint, value double"
+    )
+    write_jdbc(
+        df, DERBY_URL, "readings4", mode="overwrite", driver=DERBY_DRIVER,
+        num_partitions=1,
+    )
+
+    pred = read_jdbc(
+        spark, DERBY_URL, "readings4", driver=DERBY_DRIVER,
+        predicates=['"id" < 6', '"id" >= 6'],
+    ).filter(F.col("value") > 10.0)
+    plan = pred._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan, plan
+    assert "value" in plan.split("PushedFilters")[1][:120], plan
+    assert pred.rdd.getNumPartitions() == 2
+    assert pred.count() == 6  # value>10 -> id in 6..11
+
+    ranged = read_jdbc(
+        spark, DERBY_URL, "(SELECT * FROM readings4) t", driver=DERBY_DRIVER,
+        partition_column='"id"', lower_bound=0, upper_bound=12, num_partitions=3,
+    ).filter(F.col("value") > 10.0)
+    plan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan, plan
+    assert "value" in plan.split("PushedFilters")[1][:120], plan
+    assert "numPartitions=3" in plan, plan
+    assert ranged.rdd.getNumPartitions() == 3
+    assert ranged.count() == 6
+
+
+def test_jdbc_isolated_write_roundtrip(spark):
+    """isolate_write=True takes the repartition (shuffle-barrier) path —
+    upstream parallelism is preserved while the write still runs at
+    num_partitions tasks; the written rows are identical."""
+    from w4h_integrated_toolkit_spark.catalog import read_jdbc, write_jdbc
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(8)], "id bigint, value double"
+    )
+    write_jdbc(
+        df, DERBY_URL, "readings5", mode="overwrite", driver=DERBY_DRIVER,
+        num_partitions=2, isolate_write=True,
+    )
+    back = read_jdbc(spark, DERBY_URL, "readings5", driver=DERBY_DRIVER)
+    assert sorted(r.id for r in back.collect()) == list(range(8))

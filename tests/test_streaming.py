@@ -423,6 +423,7 @@ def test_streaming_neardup_matches_equal_batch_incremental(spark):
     out = streaming_neardup_matches(
         stream, corpus_bands, corpus_sets,
         n=3, num_perm=8, bands=4, threshold=0.5,
+        allow_unbounded_state=True,  # bounded availableNow replay
     )
     name = "neardup_stream_" + uuid.uuid4().hex[:8]
     q = (
@@ -480,3 +481,108 @@ def test_streaming_neardup_matches_watermarked(spark, tmp_path):
     q.awaitTermination()
     rows = [(r.new_id, r.corpus_id, r.jaccard) for r in spark.table(name).collect()]
     assert rows == [(10, 1, 1.0)]
+
+
+def test_streaming_neardup_ts_none_raises_on_stream(spark, tmp_path):
+    """ts=None on a STREAMING input means unbounded dropDuplicates state;
+    that configuration must raise unless explicitly opted into — a
+    production stream can't silently run with ever-growing state."""
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        corpus_shingle_sets,
+        lsh_band_rows,
+    )
+    from w4h_integrated_toolkit_spark.streaming.dedup_stream import (
+        streaming_neardup_matches,
+    )
+
+    corpus = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(10, "a b c d e")], "doc_id long, text string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    with pytest.raises(ValueError, match="unbounded"):
+        streaming_neardup_matches(
+            stream,
+            lsh_band_rows(corpus, n=3, num_perm=8, bands=4),
+            corpus_shingle_sets(corpus, n=3),
+            n=3, num_perm=8, bands=4,
+        )
+
+
+def test_corpus_index_param_validation(spark):
+    """load_corpus_index must refuse an index built with different LSH
+    parameters (mismatched hash families probe to silently-empty
+    candidates), and incremental_neardup_pairs must refuse a corpus_bands
+    relation that isn't the lsh_band_rows layout."""
+    import uuid
+
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        load_corpus_index,
+        persist_corpus_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    prefix = "cidx_params_" + uuid.uuid4().hex[:8]
+    try:
+        persist_corpus_index(corpus, prefix, n=3, num_perm=8, bands=4, n_buckets=2)
+        bands_df, sets_df = load_corpus_index(spark, prefix, n=3, num_perm=8, bands=4)
+        assert bands_df.count() == 4 and sets_df.count() == 1
+        with pytest.raises(ValueError, match="built with"):
+            load_corpus_index(spark, prefix, n=3, num_perm=8, bands=2)
+        with pytest.raises(ValueError, match="lsh_band_rows layout"):
+            incremental_neardup_pairs(
+                corpus, corpus, corpus_bands=corpus.select("doc_id")
+            )
+    finally:
+        for t in ("bands", "sets", "params"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_corpus_index_refresh_contract(spark):
+    """The persisted index is a FROZEN snapshot: a corpus doc appended
+    after the snapshot is invisible (a near-dup of it sails through the
+    gate) until the index is rebuilt, after which it is caught. Both sides
+    of the contract, demonstrated."""
+    import uuid
+
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        load_corpus_index,
+        persist_corpus_index,
+    )
+    from w4h_integrated_toolkit_spark.streaming.dedup_stream import (
+        streaming_neardup_matches,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    v1 = spark.createDataFrame(
+        [(1, "completely unrelated corpus text about query planning")],
+        "doc_id long, text string",
+    )
+    v2 = v1.union(
+        spark.createDataFrame([(2, base)], "doc_id long, text string")
+    )
+    probe = spark.createDataFrame([(10, base)], "doc_id long, text string")
+    prefix = "cidx_refresh_" + uuid.uuid4().hex[:8]
+    try:
+        # snapshot of v1, then the corpus gains doc 2: stale index misses
+        persist_corpus_index(v1, prefix, n=3, num_perm=8, bands=4, n_buckets=2)
+        bands_df, sets_df = load_corpus_index(spark, prefix, n=3, num_perm=8, bands=4)
+        stale = streaming_neardup_matches(
+            probe, bands_df, sets_df, n=3, num_perm=8, bands=4, threshold=0.5
+        )
+        assert stale.count() == 0  # doc 2's duplicate passes the stale gate
+        # rebuild on v2: the same probe is caught
+        persist_corpus_index(v2, prefix, n=3, num_perm=8, bands=4, n_buckets=2)
+        bands_df, sets_df = load_corpus_index(spark, prefix, n=3, num_perm=8, bands=4)
+        fresh = streaming_neardup_matches(
+            probe, bands_df, sets_df, n=3, num_perm=8, bands=4, threshold=0.5
+        )
+        assert [(r.new_id, r.corpus_id) for r in fresh.collect()] == [(10, 2)]
+    finally:
+        for t in ("bands", "sets", "params"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")

@@ -349,6 +349,7 @@ def write_jdbc(
     batchsize: int = 10_000,
     num_partitions: int | None = None,
     properties: dict[str, str] | None = None,
+    isolate_write: bool = False,
 ) -> None:
     """S7's real-database arm: append/overwrite a DataFrame to a JDBC table
     (the reference's ``df.to_sql(..., if_exists='append')``,
@@ -357,15 +358,29 @@ def write_jdbc(
     Each task opens one connection and inserts its partition in
     ``batchsize``-row batches; ``num_partitions`` caps write concurrency so
     a wide cluster doesn't open thousands of connections against one
-    database (coalesce, not repartition — no shuffle to REDUCE parallelism).
-    Composite-PK dedup stays the caller's job (write_fact_table), exactly
-    as in the reference's ingest (w4h_db_utils.py:192).
+    database. Composite-PK dedup stays the caller's job (write_fact_table),
+    exactly as in the reference's ingest (w4h_db_utils.py:192).
+
+    CAUTION — ``num_partitions`` uses ``coalesce``, and coalesce PROPAGATES
+    UPSTREAM to the previous shuffle boundary: a small N doesn't just cap
+    the write, it collapses the whole preceding computation stage to N
+    tasks (num_partitions=1 → the entire upstream map stage runs on one
+    core). When the upstream computation is expensive, either cache/
+    checkpoint the DataFrame first, or pass ``isolate_write=True`` to
+    insert a ``repartition`` instead — one extra shuffle of the written
+    rows, in exchange for upstream stages keeping their full parallelism.
     """
     if num_partitions is not None:
-        # coalesce never increases partition count, so no partition probe
-        # needed (df.rdd.getNumPartitions() would force physical planning
-        # on arbitrary derived DataFrames — see ensure_min_partitions)
-        df = df.coalesce(num_partitions)
+        if isolate_write:
+            # shuffle barrier: upstream keeps its parallelism; only the
+            # written rows move to N output tasks
+            df = df.repartition(num_partitions)
+        else:
+            # coalesce never increases partition count, so no partition
+            # probe needed (df.rdd.getNumPartitions() would force physical
+            # planning on arbitrary derived DataFrames — see
+            # ensure_min_partitions); see the upstream-collapse caution
+            df = df.coalesce(num_partitions)
     opts = jdbc_options(
         url, table, driver=driver, batchsize=batchsize, properties=properties
     )
@@ -486,22 +501,25 @@ def compact_small_files(
 def write_bucketed(
     df: DataFrame,
     name: str,
-    key: str,
+    key: str | list[str],
     n_buckets: int = 32,
     sort: bool = True,
     mode: str = "overwrite",
 ) -> None:
     """Bucketed (co-located) table write — the 100 TB fact-fact join layout.
 
-    Tables bucketed on the same key with the same bucket count join and
-    aggregate on that key with NO exchange: the shuffle is paid once at
+    Tables bucketed on the same key(s) with the same bucket count join and
+    aggregate on those keys with NO exchange: the shuffle is paid once at
     write time and amortized over every downstream join (Spark reads each
-    bucket pair task-locally). ``sort`` additionally orders rows within
-    each bucket file so merge joins skip their sort when bucket files are
+    bucket pair task-locally). A compound ``key`` list buckets on the
+    column tuple — the layout for joins on composite keys like an LSH
+    index's (band, key). ``sort`` additionally orders rows within each
+    bucket file so merge joins skip their sort when bucket files are
     single-filed. Registered via ``saveAsTable`` (bucketing metadata lives
     in the catalog, not parquet), read back with ``spark.table(name)``.
     """
-    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, key)
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *keys)
     if sort:
-        w = w.sortBy(key)
+        w = w.sortBy(*keys)
     w.saveAsTable(name)

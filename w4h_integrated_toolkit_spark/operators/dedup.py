@@ -40,6 +40,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "lsh_band_rows",
     "corpus_shingle_sets",
+    "persist_corpus_index",
+    "load_corpus_index",
     "incremental_neardup_pairs",
     "simhash32",
     "connected_components",
@@ -412,6 +414,88 @@ def corpus_shingle_sets(
     )
 
 
+def persist_corpus_index(
+    corpus: DataFrame,
+    prefix: str,
+    n: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> tuple[str, str]:
+    """Build and persist the two halves of a corpus dedup index as BUCKETED
+    tables: ``{prefix}_bands`` (:func:`lsh_band_rows`, bucketed on
+    (band, key)) and ``{prefix}_sets`` (:func:`corpus_shingle_sets`,
+    bucketed on the id). Returns the two table names.
+
+    Bucketing is the 100 TB shape for the CONSUMERS of this index: the
+    per-micro-batch stream-static candidate join
+    (:func:`..streaming.dedup_stream.streaming_neardup_matches`) and the
+    per-ingest-batch probe (:func:`incremental_neardup_pairs`) join on
+    exactly the bucket keys, so the corpus side of those joins is
+    EXCHANGE-FREE — the index shuffle is paid once here, at snapshot build,
+    not on every batch against a 100 TB corpus.
+
+    The LSH parameters (n, num_perm, bands) are persisted alongside as
+    ``{prefix}_params``: an index probed with mismatched parameters yields
+    silently-empty candidates (different hash family → disjoint band
+    keys), so :func:`load_corpus_index` validates them and raises instead.
+
+    Snapshot-refresh contract: the index is FROZEN at build time. Corpus
+    docs appended after the snapshot are invisible to consumers until the
+    index is rebuilt (or their band/set rows are appended via the same
+    functions with ``mode='append'`` write semantics upstream) — see
+    tests/test_streaming.py::test_corpus_index_refresh_contract for both
+    sides of the contract.
+    """
+    from ..catalog import write_bucketed
+
+    spark = corpus.sparkSession
+    write_bucketed(
+        lsh_band_rows(corpus, n, num_perm, bands, text, id_col),
+        f"{prefix}_bands",
+        ["band", "key"],
+        n_buckets=n_buckets,
+    )
+    write_bucketed(
+        corpus_shingle_sets(corpus, n, text, id_col),
+        f"{prefix}_sets",
+        id_col,
+        n_buckets=n_buckets,
+    )
+    spark.createDataFrame(
+        [(int(n), int(num_perm), int(bands))],
+        "n int, num_perm int, bands int",
+    ).write.format("parquet").mode("overwrite").saveAsTable(f"{prefix}_params")
+    return f"{prefix}_bands", f"{prefix}_sets"
+
+
+def load_corpus_index(
+    spark,
+    prefix: str,
+    n: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted corpus index, VALIDATING that it was built with the
+    expected (n, num_perm, bands): a stale or mismatched index produces
+    silently empty/wrong candidates (disjoint hash families), so a
+    mismatch raises ValueError naming both parameter sets. Returns
+    (corpus_bands, corpus_sets) DataFrames whose bucketed layout makes the
+    downstream candidate joins exchange-free on the corpus side."""
+    stored = spark.table(f"{prefix}_params").collect()[0]
+    got = (stored["n"], stored["num_perm"], stored["bands"])
+    if got != (n, num_perm, bands):
+        raise ValueError(
+            f"corpus index '{prefix}' was built with (n, num_perm, bands)="
+            f"{got} but caller expects {(n, num_perm, bands)}; probing with "
+            "a mismatched hash family yields silently empty candidates — "
+            "rebuild the index (persist_corpus_index) or match its params"
+        )
+    return spark.table(f"{prefix}_bands"), spark.table(f"{prefix}_sets")
+
+
 def incremental_neardup_pairs(
     corpus: DataFrame,
     increment: DataFrame,
@@ -446,9 +530,24 @@ def incremental_neardup_pairs(
 
     Within-increment duplicates are a separate concern: run
     :func:`minhash_lsh_pairs` over the (small) increment itself.
+
+    A stored ``corpus_bands`` must have been built with THE SAME
+    (n, num_perm, bands) — a mismatched hash family produces silently
+    empty candidates. Schema is guarded here (metadata-only check);
+    parameter provenance is what :func:`load_corpus_index` validates —
+    prefer it over passing a bare DataFrame.
     """
     if corpus_bands is None:
         corpus_bands = lsh_band_rows(corpus, n, num_perm, bands, text, id_col)
+    else:
+        need = {id_col, "band", "key"}
+        if not need.issubset(set(corpus_bands.columns)):
+            raise ValueError(
+                f"corpus_bands must have columns {sorted(need)} (the "
+                f"lsh_band_rows layout), got {corpus_bands.columns}; build "
+                "it with lsh_band_rows/persist_corpus_index and load via "
+                "load_corpus_index so (n, num_perm, bands) are validated"
+            )
     inc_bands = lsh_band_rows(increment, n, num_perm, bands, text, id_col)
     cand = (
         corpus_bands.withColumnRenamed(id_col, "corpus_id")

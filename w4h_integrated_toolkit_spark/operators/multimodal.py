@@ -15,11 +15,14 @@ Spark:
   over Arrow record batches, NumPy-vectorized per batch. This is the
   template for real decode→featurize kernels; batches arrive
   partition-local, so the op scales linearly with executors.
-- **decode_frames** — the real-media decode kernel. Image/audio libraries
-  are not available in this environment, so ``codec="real"`` raises
-  NotImplementedError by design; ``codec="fake"`` runs the same
-  mapInPandas plumbing with a deterministic byte-mean "decoder" so schema,
-  batch shape, and partitioning are testable end-to-end.
+- **decode_frames / resize_frames** — the real-media kernels.
+  ``codec="real"`` IMPORT-PROBES ``PIL`` at call time: where Pillow is
+  installed (a real cluster image) the frames are decoded/resized through
+  it; where it isn't (this environment), the call fails fast with an
+  actionable NotImplementedError instead of dying inside an executor.
+  ``codec="fake"`` runs the same mapInPandas plumbing with a
+  deterministic byte-level kernel so schema, batch shape, and
+  partitioning are testable end-to-end without media libraries.
 
 Reference parity: the reference has no binary columns (geometry aside,
 SURVEY §2.7 C11); this module is a north-star extension (BASELINE.json
@@ -161,6 +164,56 @@ def byte_histogram_features(
     )
 
 
+def _probe_pil():
+    """Call-time import probe for the real image codec. Returns
+    ``PIL.Image`` or None. Probing on the driver turns a would-be
+    executor-side ImportError (a late, opaque task failure) into an
+    immediate, actionable error at plan time; on a cluster image with
+    Pillow installed the real arm lights up with no code change."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _pil_missing(op: str) -> NotImplementedError:
+    return NotImplementedError(
+        f"{op}(codec='real') needs Pillow (PIL) and it is not importable "
+        "in this environment; install pillow on the cluster image, or use "
+        "codec='fake' for the deterministic byte-level kernel"
+    )
+
+
+def _real_resize_rows(
+    pdf: pd.DataFrame, factor: int, id_col: str, image_mod
+) -> pd.DataFrame:
+    """codec='real' resize kernel: each frame is an ENCODED image — decode
+    with PIL, scale to 1/factor, re-encode PNG. The image module is
+    injected so the kernel is unit-testable where Pillow isn't installed
+    (tests pass a stub; executors pass the probed ``PIL.Image``)."""
+    import io
+
+    rows = {"doc_id": [], "frame_idx": [], "frame": [], "n_bytes": []}
+    for i, blob, fb, nf in zip(
+        pdf[id_col], pdf["payload"], pdf["frame_bytes"], pdf["n_frames"]
+    ):
+        data = bytes(blob)
+        for k in range(int(nf)):
+            img = image_mod.open(io.BytesIO(data[k * fb : (k + 1) * fb]))
+            w, h = img.size
+            small = img.resize((max(w // factor, 1), max(h // factor, 1)))
+            buf = io.BytesIO()
+            small.save(buf, format="PNG")
+            out = buf.getvalue()
+            rows["doc_id"].append(i)
+            rows["frame_idx"].append(k)
+            rows["frame"].append(out)
+            rows["n_bytes"].append(len(out))
+    return pd.DataFrame(rows)
+
+
 def resize_frames(
     df: DataFrame, factor: int = 4, codec: str = "real", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -168,20 +221,16 @@ def resize_frames(
     updated size metadata — the transform shape of a real image/video
     resize stage (decode → scale → re-encode) in a training-data pipeline.
 
-    ``codec="real"`` is the integration point for actual resamplers
-    (PIL.Image.resize / av frame scaling) — unavailable in this
-    environment, so it raises NotImplementedError (clearly-marked stub).
-    ``codec="fake"`` keeps every Spark-side property real (schema,
-    mapInPandas Arrow batching, per-frame explosion, binary output column)
-    with a deterministic stand-in kernel: every ``factor``-th byte of the
-    frame. Output: (id, frame_idx, frame binary, n_bytes), one row per
-    frame — partitioning follows the input; no shuffle is introduced.
+    ``codec="real"`` import-probes Pillow at call time: where it is
+    installed, frames are decoded/resized/re-encoded through PIL
+    (:func:`_real_resize_rows`); where it isn't, the call raises an
+    actionable NotImplementedError immediately. ``codec="fake"`` keeps
+    every Spark-side property real (schema, mapInPandas Arrow batching,
+    per-frame explosion, binary output column) with a deterministic
+    stand-in kernel: every ``factor``-th byte of the frame. Output:
+    (id, frame_idx, frame binary, n_bytes), one row per frame —
+    partitioning follows the input; no shuffle is introduced.
     """
-    if codec != "fake":
-        raise NotImplementedError(
-            "real media codecs are unavailable in this environment; "
-            "use codec='fake' for the deterministic test resampler"
-        )
     import numpy as np
 
     out_schema = T.StructType(
@@ -193,20 +242,35 @@ def resize_frames(
         ]
     )
 
-    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {"doc_id": [], "frame_idx": [], "frame": [], "n_bytes": []}
-            for i, blob, fb, nf in zip(
-                pdf[id_col], pdf["payload"], pdf["frame_bytes"], pdf["n_frames"]
-            ):
-                data = np.frombuffer(bytes(blob), dtype=np.uint8)
-                for k in range(int(nf)):
-                    small = data[k * fb : (k + 1) * fb : factor]
-                    rows["doc_id"].append(i)
-                    rows["frame_idx"].append(k)
-                    rows["frame"].append(small.tobytes())
-                    rows["n_bytes"].append(len(small))
-            yield pd.DataFrame(rows)
+    if codec == "real":
+        if _probe_pil() is None:
+            raise _pil_missing("resize_frames")
+
+        def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from PIL import Image  # resolved on the executor
+
+            for pdf in batches:
+                yield _real_resize_rows(pdf, factor, id_col, Image)
+
+    elif codec == "fake":
+
+        def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = {"doc_id": [], "frame_idx": [], "frame": [], "n_bytes": []}
+                for i, blob, fb, nf in zip(
+                    pdf[id_col], pdf["payload"], pdf["frame_bytes"], pdf["n_frames"]
+                ):
+                    data = np.frombuffer(bytes(blob), dtype=np.uint8)
+                    for k in range(int(nf)):
+                        small = data[k * fb : (k + 1) * fb : factor]
+                        rows["doc_id"].append(i)
+                        rows["frame_idx"].append(k)
+                        rows["frame"].append(small.tobytes())
+                        rows["n_bytes"].append(len(small))
+                yield pd.DataFrame(rows)
+
+    else:
+        raise ValueError(f"unknown codec {codec!r}; use 'real' or 'fake'")
 
     flat = df.select(
         F.col(id_col),
@@ -217,22 +281,40 @@ def resize_frames(
     return flat.mapInPandas(resize, schema=out_schema)
 
 
+def _real_decode_rows(
+    pdf: pd.DataFrame, id_col: str, image_mod
+) -> pd.DataFrame:
+    """codec='real' decode kernel: PIL-decode each encoded frame, convert
+    to grayscale, emit the mean pixel value. Image module injected for
+    testability without Pillow (see :func:`_real_resize_rows`)."""
+    import io
+
+    import numpy as np
+
+    rows = {"doc_id": [], "frame_idx": [], "mean_byte": []}
+    for i, blob, fb, nf in zip(
+        pdf[id_col], pdf["payload"], pdf["frame_bytes"], pdf["n_frames"]
+    ):
+        data = bytes(blob)
+        for k in range(int(nf)):
+            img = image_mod.open(io.BytesIO(data[k * fb : (k + 1) * fb]))
+            arr = np.asarray(img.convert("L"), dtype=np.float64)
+            rows["doc_id"].append(i)
+            rows["frame_idx"].append(k)
+            rows["mean_byte"].append(float(arr.mean()))
+    return pd.DataFrame(rows)
+
+
 def decode_frames(
     df: DataFrame, codec: str = "real", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Decode each sampled frame to a scalar feature (mean byte value).
+    """Decode each sampled frame to a scalar feature (mean pixel/byte value).
 
-    ``codec="real"`` is the integration point for actual image/audio
-    decoders (PIL/av/librosa) — NOT available in this environment, so it
-    raises NotImplementedError (clearly-marked stub, see module docstring).
-    ``codec="fake"`` exercises identical plumbing with a deterministic
-    byte-mean decoder.
+    ``codec="real"`` import-probes Pillow at call time (see module
+    docstring): present → PIL decode + grayscale mean per frame; absent →
+    immediate actionable NotImplementedError. ``codec="fake"`` exercises
+    identical plumbing with a deterministic byte-mean decoder.
     """
-    if codec != "fake":
-        raise NotImplementedError(
-            "real media codecs are unavailable in this environment; "
-            "use codec='fake' for the deterministic test decoder"
-        )
     import numpy as np
 
     out_schema = T.StructType(
@@ -243,19 +325,34 @@ def decode_frames(
         ]
     )
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {"doc_id": [], "frame_idx": [], "mean_byte": []}
-            for i, blob, fb, nf in zip(
-                pdf[id_col], pdf["payload"], pdf["frame_bytes"], pdf["n_frames"]
-            ):
-                data = np.frombuffer(bytes(blob), dtype=np.uint8)
-                for k in range(int(nf)):
-                    frame = data[k * fb : (k + 1) * fb]
-                    rows["doc_id"].append(i)
-                    rows["frame_idx"].append(k)
-                    rows["mean_byte"].append(float(frame.mean()))
-            yield pd.DataFrame(rows)
+    if codec == "real":
+        if _probe_pil() is None:
+            raise _pil_missing("decode_frames")
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from PIL import Image  # resolved on the executor
+
+            for pdf in batches:
+                yield _real_decode_rows(pdf, id_col, Image)
+
+    elif codec == "fake":
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = {"doc_id": [], "frame_idx": [], "mean_byte": []}
+                for i, blob, fb, nf in zip(
+                    pdf[id_col], pdf["payload"], pdf["frame_bytes"], pdf["n_frames"]
+                ):
+                    data = np.frombuffer(bytes(blob), dtype=np.uint8)
+                    for k in range(int(nf)):
+                        frame = data[k * fb : (k + 1) * fb]
+                        rows["doc_id"].append(i)
+                        rows["frame_idx"].append(k)
+                        rows["mean_byte"].append(float(frame.mean()))
+                yield pd.DataFrame(rows)
+
+    else:
+        raise ValueError(f"unknown codec {codec!r}; use 'real' or 'fake'")
 
     flat = df.select(
         F.col(id_col),

@@ -127,6 +127,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    max_centroids: int = 65536,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: corpus vectors
     are assigned to their nearest coarse centroid by cosine, and each query
@@ -144,15 +145,31 @@ def ivf_topk(
     inside probed cells move for the final per-query ranking. Ties break by
     centroid/neighbor id everywhere, so results are deterministic and
     engine-reproducible.
+
+    The centroid collect is CAPPED at ``max_centroids`` (the probe is a
+    single ``limit(cap+1)`` job, so an over-sized quantizer fails fast
+    with an actionable error instead of materializing an unbounded
+    driver-side array — the same guard shape as ReplaySource's timestamp
+    index). K ~ sqrt(n) means the default cap covers corpora to ~4e9
+    vectors; raise ``centroid_stride`` (fewer, coarser cells) before
+    raising the cap.
     """
     import numpy as np
 
     cent_rows = sorted(
         corpus.filter(F.col(id_col) % centroid_stride == 0)
         .select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv"))
+        .limit(max_centroids + 1)
         .collect(),
         key=lambda r: r["cid"],
     )
+    if len(cent_rows) > max_centroids:
+        raise ValueError(
+            f"IVF coarse quantizer exceeds max_centroids={max_centroids} "
+            f"(centroid_stride={centroid_stride} selects more than that from "
+            "this corpus); increase centroid_stride so K ~ sqrt(n) stays "
+            "driver-collectable, or raise max_centroids deliberately"
+        )
     cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
     C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
     Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T  # (dim, K)

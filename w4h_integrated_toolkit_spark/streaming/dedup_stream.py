@@ -116,13 +116,34 @@ def streaming_neardup_matches(
     id_col: str = "doc_id",
     ts: str | None = None,
     watermark: str = "1 hour",
+    allow_unbounded_state: bool = False,
 ) -> DataFrame:
     """Standing near-dup gate: rows ``(new_id, corpus_id, jaccard)`` for
     every streamed doc whose exact Jaccard with an indexed corpus doc
     reaches ``threshold``. ``corpus_bands`` = stored
     :func:`..operators.dedup.lsh_band_rows`; ``corpus_sets`` = stored
-    :func:`..operators.dedup.corpus_shingle_sets`. Pass the event-time
-    column via ``ts`` so pair-dedup state is watermark-bounded."""
+    :func:`..operators.dedup.corpus_shingle_sets`.
+
+    Pass the event-time column via ``ts`` so pair-dedup state is
+    watermark-bounded. On a STREAMING input, ``ts=None`` means the
+    ``dropDuplicates`` state grows forever — that configuration raises
+    unless ``allow_unbounded_state=True`` is set explicitly (tests and
+    bounded replays only); a production caller can't silently run with
+    ever-growing state.
+
+    Scale note: pass ``corpus_bands``/``corpus_sets`` read from the
+    BUCKETED tables :func:`..operators.dedup.persist_corpus_index` writes
+    ((band, key) / id bucketing) and the per-micro-batch candidate and
+    verification joins are EXCHANGE-FREE on the corpus side — the only
+    per-batch shuffle is the (small) stream side. The index is a frozen
+    snapshot; see persist_corpus_index for the refresh contract."""
+    if ts is None and stream_docs.isStreaming and not allow_unbounded_state:
+        raise ValueError(
+            "streaming_neardup_matches on a streaming input with ts=None "
+            "keeps unbounded pair-dedup state (no watermark to expire it); "
+            "pass the event-time column via ts=, or set "
+            "allow_unbounded_state=True for bounded test replays only"
+        )
     words = F.split(F.trim(F.col(text)), r"\s+")
     grams = F.expr(f"array_distinct({_gram_expr(n)})")
     stream = stream_docs.withColumn("_w", words).withColumn("_sh_n", grams)
