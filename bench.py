@@ -14,6 +14,12 @@ the three runs disagree sharply (spread > 2x — the steal signature;
 engine noise between warm runs is far smaller), the query is re-run up
 to 2 more times and the 3 fastest are kept, so a steal window can't
 misreport a 3s plan as 30s (observed in round 2).
+
+Round-5 adjudication for the record: a one-off bench run showed
+minhash_lsh_pairs at 3.09s vs 2.25s prior (+38%, unchanged code); a solo
+6x re-measure gave [10.6 cold, then 2.7 2.3 2.1 2.1 1.9] — warm median
+2.22s, i.e. the same cold-first-run artifact as round 3's dedup_clusters.
+Re-measure before chasing any single-bench delta on this box.
 """
 
 from __future__ import annotations
