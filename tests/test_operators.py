@@ -1403,3 +1403,42 @@ def test_ivf_centroid_collect_cap(spark):
     emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
     with pytest.raises(ValueError, match="max_centroids"):
         ivf_topk(emb, emb.limit(2), centroid_stride=1, max_centroids=10)
+
+
+def test_hll_cube_incremental_append_equals_rebuild(spark):
+    """The cube's incremental-maintenance contract: a daily ingest APPENDS
+    cells (built only from the new data) instead of rebuilding the cube —
+    and because hll_union_agg is associative, rollup over the appended
+    cube equals rollup over a full rebuild EXACTLY, even when the append
+    boundary falls mid-bucket (two partial cells for one (dims, day) —
+    the union merges them). This is what makes yesterday's 100 TB cube
+    reusable today."""
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.sketches import hll_cube, hll_rollup
+
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    # split mid-day (noon Jan 20): the Jan-20 bucket exists on BOTH sides
+    split = "2024-01-20 12:00:00"
+    old = ev.filter(F.col("ts") < split)
+    new = ev.filter(F.col("ts") >= split)
+    appended = hll_cube(old, ["event_type"], "user_id", ts="ts").union(
+        hll_cube(new, ["event_type"], "user_id", ts="ts")
+    )
+    # the appended cube really does carry duplicate (event_type, day) cells
+    dup = (
+        appended.groupBy("event_type", "bucket_start")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup > 0
+    rebuilt = hll_cube(ev, ["event_type"], "user_id", ts="ts")
+    a = {
+        r["event_type"]: (r["approx_distinct"], r["n_rows"])
+        for r in hll_rollup(appended, ["event_type"]).collect()
+    }
+    b = {
+        r["event_type"]: (r["approx_distinct"], r["n_rows"])
+        for r in hll_rollup(rebuilt, ["event_type"]).collect()
+    }
+    assert a == b  # exact equality: same registers, max-merged

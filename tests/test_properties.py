@@ -244,3 +244,55 @@ def test_rowwise_bands_equal_batch_bands_random_text(spark, texts):
         for r in rowwise_band_rows(docs, n=2, num_perm=4, bands=2).collect()
     }
     assert roww == batch
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5000),  # seconds offset
+            st.integers(-(10**4), 10**4).map(lambda c: c / 100.0),
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+    st.integers(1, 6),    # n_coeffs kept
+    st.floats(0.05, 0.9), # query start (fraction of span)
+    st.floats(0.05, 0.6), # query width (fraction of span)
+)
+def test_fft_err_bound_always_holds(spark, points, n_coeffs, f_start, f_width):
+    """The FFT sketch's DETERMINISTIC guarantee: for ANY series and ANY
+    truncation, |approx_range_sum − exact bucket-aligned sum| ≤ err_bound
+    (Parseval residual × sqrt(|W|), Cauchy–Schwarz). This is the property
+    the driver-gated fft_range_sum flag relies on."""
+    import numpy as np
+
+    from w4h_integrated_toolkit_spark.operators.approx import (
+        approx_range_sum,
+        build_fft_sketch,
+    )
+
+    nb = 16
+    base = dt.datetime(2016, 8, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        Row(user_id=1, ts=base + dt.timedelta(seconds=s), value=v)
+        for s, v in points
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    sketch = build_fft_sketch(df, n_buckets=nb, n_coeffs=n_coeffs)
+    t0 = min(s for s, _ in points) + base.timestamp()
+    t1 = max(s for s, _ in points) + base.timestamp()
+    start = t0 + f_start * (t1 - t0)
+    end = min(start + f_width * (t1 - t0), t1)
+    got = approx_range_sum(sketch, start, end).collect()[0]
+
+    # exact bucket-aligned sum, replicated with the sketch's own grid math
+    w = (t1 - t0) / nb + 1e-9
+    lo = max(int(np.floor((start - t0) / w)), 0)
+    hi = min(int(np.ceil((end - t0) / w)), nb)
+    exact = sum(
+        v
+        for s, v in points
+        if lo <= min(int(np.floor((s + base.timestamp() - t0) / w)), nb - 1) < hi
+    )
+    assert abs(got["approx_sum"] - exact) <= got["err_bound"] + 1e-6
