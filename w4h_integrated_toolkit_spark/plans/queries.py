@@ -1338,6 +1338,30 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("new_id", "corpus_id", _r(F.col("jaccard"), 6).alias("jaccard"))
 
 
+def q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ingest dedup gate through the REAL streaming engine
+    (file source -> row-local MinHash -> stream-static join against the
+    corpus index -> memory sink, availableNow). Same corpus/increment
+    split and threshold as `incremental_dedup`, and the SAME DuckDB oracle
+    — so the driver externally verifies stream == batch-incremental,
+    value-for-value (previously only a local equivalence test)."""
+    from ..streaming.dedup_stream import run_streaming_neardup_batchmode
+
+    prepare_session(spark)
+    out = run_streaming_neardup_batchmode(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        split_mod=5,
+        n=3,
+        num_perm=8,
+        bands=4,
+        threshold=0.5,
+    )
+    return out.select(
+        "new_id", "corpus_id", _r(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
 def _incremental_dedup_sql(
     num_perm: int = 8, bands: int = 4, threshold: float = 0.5
 ) -> str:
@@ -3364,6 +3388,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "ngram_jaccard_pairs": (q_ngram_jaccard, _SQL_NGRAM_JACCARD),
     "simhash": (q_simhash, _simhash_sql()),
     "multimodal_meta": (q_multimodal_meta, _SQL_MULTIMODAL_META),
+    # streaming gate == batch incremental: same split, same oracle (new in
+    # r5, behind the window this round; rotate it in next round)
+    "streaming_neardup": (q_streaming_neardup, _incremental_dedup_sql()),
 }
 
 

@@ -41,7 +41,11 @@ from pyspark.sql import functions as F
 from ..functions import ROLLING_HASH_MOD
 from ..operators.dedup import _gram_expr, _perm_params
 
-__all__ = ["rowwise_band_rows", "streaming_neardup_matches"]
+__all__ = [
+    "rowwise_band_rows",
+    "streaming_neardup_matches",
+    "run_streaming_neardup_batchmode",
+]
 
 
 def _rowwise_minhash_cols(num_perm: int) -> list:
@@ -172,3 +176,74 @@ def streaming_neardup_matches(
     return matches.dropDuplicates(dedup_cols).select(
         "new_id", "corpus_id", "jaccard"
     )
+
+
+def run_streaming_neardup_batchmode(
+    spark,
+    docs_path: str,
+    split_mod: int = 5,
+    n: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Execute the streaming near-dup gate end-to-end synchronously through
+    the REAL streaming engine: parquet file source (the ``doc_id %
+    split_mod == 0`` slice streams in) -> row-local MinHash -> stream-static
+    candidate join against the batch-built corpus index (the other slice)
+    -> exact-Jaccard verification -> memory sink (availableNow). Returns
+    the sink contents: (new_id, corpus_id, jaccard).
+
+    This is the registry entry point for `streaming_neardup`: its DuckDB
+    oracle is the SAME SQL as `incremental_dedup` (identical split and
+    threshold), so the driver externally verifies that the streaming path
+    and the batch incremental path agree value-for-value — stream-batch
+    unification as a gated claim, not just a local test.
+    ``allow_unbounded_state=True`` is correct here: an availableNow replay
+    of a finite slice is the flag's documented bounded-replay case (the
+    documents table carries no event time to watermark on).
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from ..catalog import read_parquet
+    from ..operators.dedup import corpus_shingle_sets, lsh_band_rows
+
+    docs = read_parquet(spark, docs_path)
+    corpus = docs.filter(F.col("doc_id") % split_mod != 0)
+    corpus_bands = lsh_band_rows(corpus, n, num_perm, bands)
+    corpus_sets = corpus_shingle_sets(corpus, n)
+
+    if os.path.isfile(docs_path):
+        stage = tempfile.mkdtemp(prefix="w4h_neardup_stream_")
+        os.symlink(docs_path, os.path.join(stage, os.path.basename(docs_path)))
+        source_dir = stage
+    else:
+        source_dir = docs_path
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .filter(F.col("doc_id") % split_mod == 0)
+    )
+    out = streaming_neardup_matches(
+        stream,
+        corpus_bands,
+        corpus_sets,
+        n=n,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
+        allow_unbounded_state=True,
+    )
+    name = "w4h_neardup_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
