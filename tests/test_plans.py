@@ -466,3 +466,53 @@ def test_corpus_index_bucketed_join_static_side_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in ("bands", "sets", "params"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_persisted_cube_partition_prunes(spark):
+    """A stored sketch cube is date-partitioned on its bucket day: a
+    time-sliced rollup's scan must show partition pruning (PartitionFilters
+    on dt with most partitions skipped) — the cube answers a narrow time
+    question without touching the rest of the cube, and the raw table not
+    at all."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.sketches import (
+        hll_cube,
+        hll_rollup,
+        persist_cube,
+    )
+
+    ev = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    name = "cube_prune_" + uuid.uuid4().hex[:8]
+    try:
+        persist_cube(
+            hll_cube(ev, ["event_type"], "user_id", ts="ts", bucket="1 day"), name
+        )
+        stored = spark.table(name)
+        n_days = stored.select("dt").distinct().count()
+        assert n_days > 20  # January span
+        sliced = stored.filter(
+            (F.col("dt") >= "2024-01-10") & (F.col("dt") < "2024-01-13")
+        )
+        plan = sliced._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters")[1][:200], plan
+        # the slice really prunes: only 3 of the days' files are read
+        assert sliced.select("dt").distinct().count() == 3
+        roll = hll_rollup(sliced, ["event_type"])
+        exact = (
+            ev.filter((F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-13"))
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("d"), F.count(F.lit(1)).alias("n"))
+        )
+        got = {r["event_type"]: (r["approx_distinct"], r["n_rows"]) for r in roll.collect()}
+        want = {r["event_type"]: (r["d"], r["n"]) for r in exact.collect()}
+        assert set(got) == set(want)
+        for et, (approx, n_rows) in got.items():
+            d, n = want[et]
+            assert n_rows == n
+            assert abs(approx - d) <= max(3, 0.08 * d)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

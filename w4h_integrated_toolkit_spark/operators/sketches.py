@@ -40,6 +40,7 @@ __all__ = [
     "theta_cube",
     "theta_rollup",
     "theta_overlap",
+    "persist_cube",
 ]
 
 
@@ -148,6 +149,31 @@ def kll_rollup(
         for q, name in zip(quantiles, names)
     ]
     return merged.select(*group_cols, *qcols, F.col("n_rows"))
+
+
+def persist_cube(
+    cube: DataFrame, name: str, mode: str = "overwrite"
+) -> None:
+    """Store a sketch cube (hll/kll/theta) as a date-partitioned table:
+    one partition per ``bucket_start`` day.
+
+    This is the cube's STORAGE half of the 100 TB contract. Build once,
+    then: (a) daily ingests append only the new day's cells
+    (``mode='append'`` — rollup merges duplicate cells correctly because
+    every sketch agg is associative, see
+    test_hll_cube_incremental_append_equals_rebuild); (b) time-sliced
+    rollups read back with a ``bucket_start`` filter PRUNE PARTITIONS at
+    the scan — a month's question over a year's cube touches ~1/12 of the
+    files (plan-asserted in test_persisted_cube_partition_prunes). The
+    raw fact table is never re-read by either path.
+    """
+    (
+        cube.withColumn("dt", F.to_date(F.col("bucket_start")))
+        .write.format("parquet")
+        .mode(mode)
+        .partitionBy("dt")
+        .saveAsTable(name)
+    )
 
 
 def theta_cube(
