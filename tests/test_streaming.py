@@ -586,3 +586,56 @@ def test_corpus_index_refresh_contract(spark):
     finally:
         for t in ("bands", "sets", "params"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_windowed_distinct_stream_matches_batch_exact(spark, tmp_path):
+    """Streaming distinct-users windows through the real engine: per-window
+    HLL estimates must equal the batch exact countDistinct at test
+    cardinalities (HLL is exact far below 2^lg_k), and the same code must
+    produce identical results on a batch frame (stream-batch
+    unification)."""
+    from w4h_integrated_toolkit_spark.streaming.replay import (
+        windowed_distinct_stream,
+    )
+
+    rows = []
+    for m in range(30):
+        for u in range(m % 5 + 1):  # varying per-window user sets
+            rows.append((f"u{u}", _ts(m), float(u)))
+    schema = "user_id string, ts timestamp, value double"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    batch = spark.read.parquet(src)
+    expected = {
+        r["w"]["start"]: (r["n"], r["d"])
+        for r in batch.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("d"),
+        )
+        .collect()
+    }
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = windowed_distinct_stream(stream, ts="ts", key="user_id")
+    import uuid
+
+    name = "wds_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        r["w"]["start"]: (r["n"], r["approx_distinct"])
+        for r in spark.table(name).collect()
+    }
+    assert got == expected and len(got) == 3
+
+    # same function on the batch frame: identical output
+    batch_got = {
+        r["w"]["start"]: (r["n"], r["approx_distinct"])
+        for r in windowed_distinct_stream(batch, ts="ts", key="user_id").collect()
+    }
+    assert batch_got == got

@@ -1268,6 +1268,80 @@ FROM events GROUP BY 1
 """
 
 
+def q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-users windows (the reference dashboard's "active
+    subjects" panel) through the REAL streaming engine: watermarked HLL
+    sketch aggregate per 1-hour window (exact countDistinct is illegal in
+    streaming — per-window state must stay bounded).
+
+    Driver-gatable via the within-bound pattern: the row carries the exact
+    per-window countDistinct twin (computed batch-side over the same
+    parquet) plus a 1/0 flag that the streaming sketch estimate lands
+    within max(3, 5%) of it; the oracle computes the exact side and
+    asserts flag=1."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..streaming.replay import windowed_distinct_stream
+
+    prepare_session(spark)
+    path = f"{sf_dir}/events.parquet"
+    ev = _t(spark, sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        stage = tempfile.mkdtemp(prefix="w4h_distinct_stream_")
+        os.symlink(path, os.path.join(stage, os.path.basename(path)))
+        src = stage
+    else:
+        src = path
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = windowed_distinct_stream(
+        stream, ts="ts", key="user_id", window="1 hour", watermark="2 hours"
+    )
+    name = "w4h_distinct_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name).select(
+        F.col("w.start").cast("long").alias("window_start_epoch"),
+        "n",
+        "approx_distinct",
+    )
+    exact = ev.groupBy(
+        F.window("ts", "1 hour")["start"].cast("long").alias("window_start_epoch")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return (
+        got.join(exact, "window_start_epoch")
+        .select(
+            "window_start_epoch",
+            "n",
+            "exact_users",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_users"))
+                <= F.greatest(F.lit(3.0), F.lit(0.05) * F.col("exact_users"))
+            )
+            .cast("long")
+            .alias("within_bound"),
+        )
+        .orderBy("window_start_epoch")
+    )
+
+
+_SQL_STREAM_DISTINCT_USERS = """
+SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start_epoch,
+       count(*) AS n,
+       count(DISTINCT user_id) AS exact_users,
+       CAST(1 AS BIGINT) AS within_bound
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs verified by exact Jaccard (threshold 0.5).
     Oracle replicates the full pipeline — portable hash family, banding,
@@ -3391,6 +3465,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # streaming gate == batch incremental: same split, same oracle (new in
     # r5, behind the window this round; rotate it in next round)
     "streaming_neardup": (q_streaming_neardup, _incremental_dedup_sql()),
+    # streaming distinct-users windows (HLL, within-bound pattern; new in
+    # r5 — rotate into the window next round alongside streaming_neardup)
+    "stream_distinct_users": (q_stream_distinct_users, _SQL_STREAM_DISTINCT_USERS),
 }
 
 

@@ -32,7 +32,12 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["ReplaySource", "windowed_kpis_stream", "run_windowed_kpis_batchmode"]
+__all__ = [
+    "ReplaySource",
+    "windowed_kpis_stream",
+    "windowed_distinct_stream",
+    "run_windowed_kpis_batchmode",
+]
 
 
 class ReplaySource:
@@ -151,6 +156,40 @@ def windowed_kpis_stream(
             F.min(value).alias("min_value"),
             F.max(value).alias("max_value"),
         )
+    )
+
+
+def windowed_distinct_stream(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "user_id",
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+    lg_k: int = 12,
+):
+    """Streaming distinct-cardinality windows: how many distinct ``key``
+    values were active per event-time window — the reference dashboard's
+    "active subjects right now" panel (stream_sim.py feeds per-batch user
+    sets to viz.py), as a standing watermarked aggregation.
+
+    Exact ``countDistinct`` is not supported in streaming aggregations
+    (per-window key sets would be unbounded state); the HLL sketch
+    aggregate IS streaming-legal — per-window state is one 2^lg_k-register
+    sketch regardless of key cardinality, merged incrementally across
+    micro-batches and GC'd by the watermark. Emits the window, the exact
+    row count, and the sketch estimate (``approx_distinct``). lg_k=12 →
+    ~1.6% σ, the same cube parameter as `operators.sketches.hll_cube`;
+    works identically on batch DataFrames (stream-batch unification,
+    pinned by test)."""
+    grouped = events.withWatermark(ts, watermark).groupBy(
+        F.window(ts, window, slide).alias("w")
+    )
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(key), F.lit(lg_k))
+        ).alias("approx_distinct"),
     )
 
 
