@@ -15,11 +15,13 @@ engine noise between warm runs is far smaller), the query is re-run up
 to 2 more times and the 3 fastest are kept, so a steal window can't
 misreport a 3s plan as 30s (observed in round 2).
 
-Round-5 adjudication for the record: a one-off bench run showed
-minhash_lsh_pairs at 3.09s vs 2.25s prior (+38%, unchanged code); a solo
-6x re-measure gave [10.6 cold, then 2.7 2.3 2.1 2.1 1.9] — warm median
-2.22s, i.e. the same cold-first-run artifact as round 3's dedup_clusters.
-Re-measure before chasing any single-bench delta on this box.
+Round-5 adjudication for the record: a bench run started right after the
+pytest suite showed minhash_lsh_pairs at 3.09s vs 2.25s prior (+38%,
+unchanged code); a solo 6x re-measure gave warm ~2.2s, and a bench on the
+fully idle box gave 1.82s (total 22.0s — the best same-stat total yet).
+Lesson: even *recently finished* heavy processes inflate timings here —
+bench only on an idle box, and re-measure before chasing any single-bench
+delta.
 """
 
 from __future__ import annotations
