@@ -448,10 +448,24 @@ def persist_corpus_index(
     functions with ``mode='append'`` write semantics upstream) — see
     tests/test_streaming.py::test_corpus_index_refresh_contract for both
     sides of the contract.
+
+    Refresh atomicity: the three tables cannot be swapped in one atomic
+    commit on a plain parquet catalog, so each refresh stamps a fresh
+    ``snapshot`` id (uuid) as a TBLPROPERTY on both halves (metadata-only
+    — no extra column, no scan cost) and writes ``{prefix}_params``
+    LAST, carrying the same id. :func:`load_corpus_index` cross-checks
+    all three: a consumer that catches a mid-refresh state (new bands
+    with old sets, or params from the previous build) sees mismatched
+    snapshot ids and gets a ValueError instead of silently wrong
+    candidates. Param validation alone cannot catch this — (n, num_perm,
+    bands) are typically unchanged across refreshes of the same family.
     """
+    import uuid
+
     from ..catalog import write_bucketed
 
     spark = corpus.sparkSession
+    snapshot = uuid.uuid4().hex
     write_bucketed(
         lsh_band_rows(corpus, n, num_perm, bands, text, id_col),
         f"{prefix}_bands",
@@ -464,11 +478,27 @@ def persist_corpus_index(
         id_col,
         n_buckets=n_buckets,
     )
+    for half in ("bands", "sets"):
+        spark.sql(
+            f"ALTER TABLE {prefix}_{half} "
+            f"SET TBLPROPERTIES ('w4h.index.snapshot' = '{snapshot}')"
+        )
+    # params last: its snapshot id certifies both halves above are committed
     spark.createDataFrame(
-        [(int(n), int(num_perm), int(bands))],
-        "n int, num_perm int, bands int",
+        [(int(n), int(num_perm), int(bands), snapshot)],
+        "n int, num_perm int, bands int, snapshot string",
     ).write.format("parquet").mode("overwrite").saveAsTable(f"{prefix}_params")
     return f"{prefix}_bands", f"{prefix}_sets"
+
+
+def _table_snapshot(spark, table: str) -> str | None:
+    """Read the ``w4h.index.snapshot`` TBLPROPERTY of ``table`` (None for
+    pre-snapshot indexes, so old indexes remain loadable)."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    for r in rows:
+        if r["key"] == "w4h.index.snapshot":
+            return r["value"]
+    return None
 
 
 def load_corpus_index(
@@ -478,10 +508,12 @@ def load_corpus_index(
     num_perm: int = 8,
     bands: int = 4,
 ) -> tuple[DataFrame, DataFrame]:
-    """Load a persisted corpus index, VALIDATING that it was built with the
-    expected (n, num_perm, bands): a stale or mismatched index produces
-    silently empty/wrong candidates (disjoint hash families), so a
-    mismatch raises ValueError naming both parameter sets. Returns
+    """Load a persisted corpus index, VALIDATING that (a) it was built with
+    the expected (n, num_perm, bands) — a mismatched index produces
+    silently empty/wrong candidates (disjoint hash families) — and (b) the
+    two halves plus params carry the SAME snapshot id, so a load that
+    races a concurrent :func:`persist_corpus_index` refresh (new bands
+    with old sets) raises instead of returning mismatched halves. Returns
     (corpus_bands, corpus_sets) DataFrames whose bucketed layout makes the
     downstream candidate joins exchange-free on the corpus side."""
     stored = spark.table(f"{prefix}_params").collect()[0]
@@ -493,6 +525,20 @@ def load_corpus_index(
             "a mismatched hash family yields silently empty candidates — "
             "rebuild the index (persist_corpus_index) or match its params"
         )
+    expected_snap = stored["snapshot"] if "snapshot" in stored.__fields__ else None
+    if expected_snap is not None:
+        halves = {
+            half: _table_snapshot(spark, f"{prefix}_{half}")
+            for half in ("bands", "sets")
+        }
+        if any(snap != expected_snap for snap in halves.values()):
+            raise ValueError(
+                f"corpus index '{prefix}' halves are from different "
+                f"snapshots (params={expected_snap}, bands="
+                f"{halves['bands']}, sets={halves['sets']}) — a refresh "
+                "is in flight or failed mid-write; retry the load after "
+                "persist_corpus_index completes"
+            )
     return spark.table(f"{prefix}_bands"), spark.table(f"{prefix}_sets")
 
 

@@ -205,7 +205,6 @@ def run_streaming_neardup_batchmode(
     """
     import os
     import tempfile
-    import uuid
 
     from ..catalog import read_parquet
     from ..operators.dedup import corpus_shingle_sets, lsh_band_rows
@@ -220,6 +219,7 @@ def run_streaming_neardup_batchmode(
         os.symlink(docs_path, os.path.join(stage, os.path.basename(docs_path)))
         source_dir = stage
     else:
+        stage = None
         source_dir = docs_path
     schema = spark.read.parquet(docs_path).schema
     stream = (
@@ -237,13 +237,11 @@ def run_streaming_neardup_batchmode(
         threshold=threshold,
         allow_unbounded_state=True,
     )
-    name = "w4h_neardup_stream_" + uuid.uuid4().hex[:8]
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    from .replay import drain_memory_sink
+
+    # drain localizes the (bounded: verified candidate pairs) sink and
+    # cleans up the temp view + staging dir — repeated gate/parity/bench
+    # invocations leave no per-run residue
+    return drain_memory_sink(
+        out, "append", name_prefix="w4h_neardup_stream_", stage_dir=stage
     )
-    q.awaitTermination()
-    return spark.table(name)

@@ -36,6 +36,7 @@ __all__ = [
     "ReplaySource",
     "windowed_kpis_stream",
     "windowed_distinct_stream",
+    "drain_memory_sink",
     "run_windowed_kpis_batchmode",
 ]
 
@@ -177,11 +178,18 @@ def windowed_distinct_stream(
     (per-window key sets would be unbounded state); the HLL sketch
     aggregate IS streaming-legal — per-window state is one 2^lg_k-register
     sketch regardless of key cardinality, merged incrementally across
-    micro-batches and GC'd by the watermark. Emits the window, the exact
-    row count, and the sketch estimate (``approx_distinct``). lg_k=12 →
-    ~1.6% σ, the same cube parameter as `operators.sketches.hll_cube`;
-    works identically on batch DataFrames (stream-batch unification,
-    pinned by test)."""
+    micro-batches. Emits the window, the exact row count, and the sketch
+    estimate (``approx_distinct``). lg_k=12 → ~1.6% σ, the same cube
+    parameter as `operators.sketches.hll_cube`; works identically on batch
+    DataFrames (stream-batch unification, pinned by test).
+
+    State-eviction caveat: Spark GCs window state via the watermark only
+    in ``append``/``update`` output modes — a standing production query
+    should use one of those. The registry entry
+    (``stream_distinct_users``) instead runs a bounded ``availableNow``
+    replay in ``complete`` mode (every window re-emitted at termination,
+    needed for the deterministic gate result); there, state is bounded by
+    the finite input, not by watermark eviction."""
     grouped = events.withWatermark(ts, watermark).groupBy(
         F.window(ts, window, slide).alias("w")
     )
@@ -191,6 +199,44 @@ def windowed_distinct_stream(
             F.hll_sketch_agg(F.col(key), F.lit(lg_k))
         ).alias("approx_distinct"),
     )
+
+
+def drain_memory_sink(
+    out: DataFrame,
+    output_mode: str,
+    name_prefix: str = "w4h_sink_",
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (``availableNow`` trigger)
+    through a memory sink and return the result LOCALIZED as a fresh batch
+    DataFrame, leaving no residue behind: the uuid-named sink temp view is
+    dropped and the optional symlink-staging dir removed before returning.
+    Without this, every invocation (driver gate, parity sweep, bench)
+    accumulated one in-memory sink table + one mkdtemp dir for the life of
+    the session. Memory-sink results are driver-sized by construction
+    (windowed aggregates / verified candidate pairs), so the collect is
+    bounded."""
+    import shutil
+
+    spark = out.sparkSession
+    name = name_prefix + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        sink = spark.table(name)
+        schema = sink.schema
+        rows = sink.collect()
+    finally:
+        spark.catalog.dropTempView(name)
+        if stage_dir is not None:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def run_windowed_kpis_batchmode(spark: SparkSession, events_path: str) -> DataFrame:
@@ -212,23 +258,17 @@ def run_windowed_kpis_batchmode(spark: SparkSession, events_path: str) -> DataFr
         os.symlink(events_path, os.path.join(stage, os.path.basename(events_path)))
         source_dir = stage
     else:
+        stage = None
         source_dir = events_path
     stream = spark.readStream.schema(schema).parquet(source_dir)
     for c in ns_cols:  # ns->µs truncation, same normalization as the batch reader
         stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
     agg = windowed_kpis_stream(stream, ts="ts", value="value", window="10 minutes")
-    name = "w4h_stream_kpis_" + uuid.uuid4().hex[:8]
     # complete mode so every window is emitted at termination (append would
     # hold back windows the final watermark hasn't passed yet)
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    out = drain_memory_sink(
+        agg, "complete", name_prefix="w4h_stream_kpis_", stage_dir=stage
     )
-    q.awaitTermination()
-    out = spark.table(name)
     scale = F.lit(1e6)
     return out.select(
         F.col("w.start").cast("long").alias("window_start_epoch"),
