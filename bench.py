@@ -22,6 +22,15 @@ fully idle box gave 1.82s (total 22.0s — the best same-stat total yet).
 Lesson: even *recently finished* heavy processes inflate timings here —
 bench only on an idle box, and re-measure before chasing any single-bench
 delta.
+
+Round-6 load guards (so the above adjudication never has to be repeated
+by hand): (1) pre-flight — if 1-min loadavg says the box is busy, wait up
+to PREFLIGHT_MAX_WAIT for it to drain before starting, and stamp the JSON
+with the loadavg actually seen; (2) a fixed-work CALIBRATION query with a
+known idle-box time runs before and after the timed loop — if it comes
+out slow, the whole bench ran on a contended box and the JSON says so
+("loaded_box": true). Readers should trust per-query deltas only when
+loaded_box is false and calibration_sec is near CALIBRATION_REF_SEC.
 """
 
 from __future__ import annotations
@@ -71,9 +80,50 @@ BENCH_QUERIES = [
 ]
 
 
+# 1-min loadavg above this → somebody else is using the 32-core box; the
+# idle floor observed across rounds is 0.0-1.5 (pytest drives it to 10-30)
+PREFLIGHT_LOAD_MAX = 4.0
+PREFLIGHT_MAX_WAIT = 240.0  # sec; bounded so the driver's timeout is safe
+# fixed-work calibration: JVM-side sum over a 2^29 range, 32 threads.
+# Idle-box warm time measured at round 6: ~0.25 s (see stderr of any
+# bench run); 2x that is well past engine noise and means contention.
+CALIBRATION_REF_SEC = 0.25
+
+
+def _loadavg() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError):
+        return -1.0
+
+
+def _calibration_sec(spark) -> float:
+    t0 = time.time()
+    spark.range(1 << 29).selectExpr("sum(id * 2 + 1) AS s").collect()
+    return time.time() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    # pre-flight: don't start timing on a box that is visibly mid-load
+    # (round-5 lost its regression signal to a bench started right after
+    # pytest); loadavg decays slowly, so cap the wait and record reality
+    load = _loadavg()
+    waited = 0.0
+    while load > PREFLIGHT_LOAD_MAX and waited < PREFLIGHT_MAX_WAIT:
+        print(
+            f"# pre-flight: loadavg {load:.2f} > {PREFLIGHT_LOAD_MAX} — "
+            f"waiting for the box to drain ({waited:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(20.0)
+        waited += 20.0
+        load = _loadavg()
+    loadavg_start = load
+
     spark = get_spark("w4h-bench", cpus=cpus, shuffle_partitions=cpus,
                       driver_memory="24g")
 
@@ -89,6 +139,12 @@ def main() -> None:
         ).mode("overwrite").save()
     warm = spark.range(cpus * 4).repartition(cpus)
     warm.groupBy("id").applyInPandas(lambda p: p, "id long").count()
+
+    # calibration before the timed loop (first run doubles as its warm-up)
+    _calibration_sec(spark)
+    cal_before = _calibration_sec(spark)
+    print(f"# calibration (before): {cal_before:.3f}s "
+          f"(idle ref {CALIBRATION_REF_SEC:.2f}s)", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -117,6 +173,21 @@ def main() -> None:
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # calibration after: if EITHER side ran slow, some timed queries very
+    # likely shared the box with another process — flag the whole JSON
+    cal_after = _calibration_sec(spark)
+    print(f"# calibration (after): {cal_after:.3f}s", file=sys.stderr)
+    loaded_box = (
+        max(cal_before, cal_after) > 2.0 * CALIBRATION_REF_SEC
+        or loadavg_start > PREFLIGHT_LOAD_MAX
+    )
+    if loaded_box:
+        print(
+            "# WARNING: bench ran on a contended box — treat per-query "
+            "deltas vs prior rounds as noise and re-measure solo",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
@@ -129,6 +200,14 @@ def main() -> None:
                 "sf": float(sf),
                 "runs": 3,
                 "stat": "median",
+                "loadavg_start": round(loadavg_start, 2),
+                "loadavg_end": round(_loadavg(), 2),
+                "calibration_sec": {
+                    "before": round(cal_before, 3),
+                    "after": round(cal_after, 3),
+                    "idle_ref": CALIBRATION_REF_SEC,
+                },
+                "loaded_box": loaded_box,
             }
         )
     )
