@@ -539,6 +539,61 @@ def test_query_history_roundtrip(spark, tmp_path):
     assert latest_specs(spark, path, "alice", "nope") is None
 
 
+def test_query_history_replay_end_to_end(spark, tmp_path):
+    """The reference's replay path (viz.py:1238-1241) re-executes a saved
+    session: the history store must round-trip a cohort query so that the
+    REPLAYED run produces bit-identical results to the original, not just
+    equal specs. Save the cohort_kpi filter specs, reload them through
+    latest_specs, re-compile and re-run the identical pipeline from the
+    reloaded specs, and compare full sorted result sets."""
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.cohort import (
+        cohort_semi_join,
+        filter_users,
+    )
+    from w4h_integrated_toolkit_spark.plans.history import (
+        latest_specs,
+        save_query,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+
+    def run_cohort_kpi(specs):
+        cohort = filter_users(cust, specs).select(
+            F.col("c_custkey").alias("o_custkey")
+        )
+        facts = cohort_semi_join(orders, cohort, "o_custkey")
+        return sorted(
+            (r["o_orderpriority"], r["n_orders"], r["sum_total"])
+            for r in facts.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+                .cast("double")
+                .alias("sum_total"),
+            )
+            .collect()
+        )
+
+    original_specs = [
+        FilterSpec("c_mktsegment", "string", ["BUILDING", "MACHINERY"]),
+        FilterSpec("c_acctbal", "float", (0.0, 5000.0)),
+    ]
+    original = run_cohort_kpi(original_specs)
+    assert original, "cohort query returned no rows — fixture data problem"
+
+    path = str(tmp_path / "history")
+    save_query(spark, path, "alice", "segment-kpi", original_specs,
+               extra={"sf_dir": sf_dir})
+    reloaded_specs, extra = latest_specs(spark, path, "alice", "segment-kpi")
+    assert extra == {"sf_dir": sf_dir}
+
+    replayed = run_cohort_kpi(reloaded_specs)
+    assert replayed == original
+
+
 # --------------------------------------------------------------------------
 # Skew utilities (salted agg / salted join)
 # --------------------------------------------------------------------------
