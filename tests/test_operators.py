@@ -1497,3 +1497,85 @@ def test_hll_cube_incremental_append_equals_rebuild(spark):
         for r in hll_rollup(rebuilt, ["event_type"]).collect()
     }
     assert a == b  # exact equality: same registers, max-merged
+
+
+# --------------------------------------------------------------------------
+# Ranked retrieval (BM25 / TF-IDF)
+# --------------------------------------------------------------------------
+
+def test_bm25_matches_hand_computed_score(spark):
+    """BM25 against the textbook formula computed in Python for a corpus
+    small enough to verify by hand; also pins the ranking invariants
+    (more matching occurrences => higher score; non-matching docs
+    absent)."""
+    import math
+
+    from w4h_integrated_toolkit_spark.operators.ranking import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),
+            (2, "spark engine engine engine"),
+            (3, "row table batch scan"),
+            (4, "spark data data window table"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bm25_topk(docs, ("spark", "data"), k=10).collect()}
+    assert 3 not in out  # no query term -> never scored
+    assert set(out) == {1, 2, 4}
+
+    # textbook recomputation
+    k1, b = 1.2, 0.75
+    n_docs, total_len = 4, 4 + 4 + 4 + 5
+    avgdl = total_len / n_docs
+    tf = {1: {"spark": 3}, 2: {"spark": 1}, 4: {"spark": 1, "data": 2}}
+    dl = {1: 4, 2: 4, 4: 5}
+    df = {"spark": 3, "data": 1}
+
+    def score(d):
+        s = 0
+        for t, f in tf[d].items():
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += round(
+                idf * (f * (k1 + 1.0)) / (f + k1 * (1 - b + b * dl[d] / avgdl)) * 1e9
+            )
+        return s / 1e9
+
+    for d in (1, 2, 4):
+        assert abs(out[d]["bm25"] - score(d)) < 1e-9, (d, out[d])
+    # doc 4 matches the rare term twice -> beats both spark-only docs
+    assert out[4]["bm25"] > out[1]["bm25"] > out[2]["bm25"]
+
+
+def test_tfidf_top_terms_and_persisted_df_table(spark):
+    """A term unique to one document must be its top TF-IDF term; terms
+    present in every document carry idf=ln(1)=0. Passing a persisted
+    doc-frequency table (the 100 TB probe-many shape) must give
+    bit-identical output to the inline two-pass plan."""
+    from w4h_integrated_toolkit_spark.operators.ranking import (
+        doc_frequencies,
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared shared unicorn shared"),
+            (2, "shared dragon dragon shared"),
+            (3, "shared griffin shared shared"),
+        ],
+        "doc_id long, text string",
+    )
+    inline = tfidf_top_terms(docs, top_n=2)
+    rows = {r["doc_id"]: r for r in inline.filter(F.col("rank") == 1).collect()}
+    assert rows[1]["term"] == "unicorn"
+    assert rows[2]["term"] == "dragon"
+    assert rows[3]["term"] == "griffin"
+    # 'shared' appears in all 3 docs: idf = ln(3/3) = 0 exactly
+    shared = [r for r in inline.collect() if r["term"] == "shared"]
+    assert shared and all(r["tfidf_scaled"] == 0 for r in shared)
+
+    persisted = tfidf_top_terms(docs, top_n=2, doc_freq=doc_frequencies(docs))
+    assert sorted(map(tuple, persisted.collect())) == sorted(
+        map(tuple, inline.collect())
+    )

@@ -374,6 +374,8 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "corpus_mixture",         # corpus totals scalar
     "idle_rich_customers",    # avg-balance scalar subquery
     "fuzzy_column_mapping",   # column-name relation (tiny)
+    "bm25_topk",              # corpus N/total-length scalar (1 row)
+    "tfidf_top_terms",        # corpus-size scalar (1 row)
 }
 
 

@@ -1,0 +1,190 @@
+"""Ranked retrieval over a document corpus: BM25 and TF-IDF.
+
+The reference has no search operator — its closest analogue is the
+keyword filter over saved queries (viz.py:413-430's substring match) —
+but a training-data pipeline at corpus scale needs relevance scoring for
+curation (query-targeted subset extraction, boilerplate down-ranking,
+decontamination probes by topic). These are the two standard primitives,
+expressed entirely in JVM-side built-ins:
+
+- :func:`bm25_scores` / :func:`bm25_topk` — Okapi BM25 for a disjunctive
+  term query. Per-term statistics (document frequency) and the two corpus
+  scalars (N, total token length) are broadcast; the only shuffle is the
+  (doc, term) aggregate RESTRICTED to query terms — the explode is
+  filtered map-side before it, so corpus tokens that match no query term
+  never enter an exchange. At 100 TB this is one filtered-shuffle pass,
+  no inverted index required; a standing corpus would persist the
+  doc-frequency table once and reuse it across queries.
+- :func:`tfidf_top_terms` — per-document top-n characteristic terms
+  (document fingerprinting / topic tagging). Two aggregates over the
+  exploded (doc, term) relation — term frequency by (doc, term), document
+  frequency by term — then a per-document window for the top-n. The df
+  join is left to AQE: at test scale it broadcasts, at 100 TB vocabulary
+  scale it becomes a shuffle join on term, which is the correct plan
+  (vocabulary tables outgrow broadcast). The tf relation here is
+  O(corpus tokens), so no checkpoint barrier is inserted (unlike BM25's
+  query-restricted tf): the explode is evaluated once per consumer. A
+  standing 100 TB corpus should instead persist the doc-frequency table
+  once per snapshot and pass it back in — the same
+  build-once/probe-many shape as ``persist_corpus_index``.
+
+Determinism contract (driver gate): float scores are summed in integer
+space — each per-term score is rounded at 1e-9 and CAST to long BEFORE
+the per-doc sum, so the result is independent of partitioning and
+micro-batch order (same pattern as the registry's ``stable_mean``), and
+ranking ties break on (scaled score desc, id asc) in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bm25_scores", "bm25_topk", "doc_frequencies", "tfidf_top_terms"]
+
+
+def _tokens(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    """(id, toks array, dl) — whitespace tokenization, lowercased."""
+    toks = F.split(F.lower(F.trim(F.col(text))), r"\s+")
+    return df.select(F.col(id_col), toks.alias("toks")).withColumn(
+        "dl", F.size("toks")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 score of every matching document for a disjunctive
+    ``query_terms`` query: sum over query terms of
+    ``idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` with the
+    ln(1 + (N-df+0.5)/(df+0.5)) idf. Returns (id, score_scaled, bm25)
+    where ``score_scaled`` is the order-independent integer-space sum
+    (1e-9 resolution) and ``bm25`` the float score derived from it —
+    rank/compare on ``score_scaled``, display ``bm25``."""
+    base = _tokens(docs, text, id_col)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    terms = base.select(F.col(id_col), F.col("dl"), F.explode("toks").alias("term"))
+    # map-side restriction BEFORE the aggregate's exchange: only query-term
+    # occurrences shuffle, the rest of the corpus token stream never leaves
+    # the scan stage
+    hits = terms.filter(F.col("term").isin(list(query_terms)))
+    tf = (
+        hits.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+        # materialization barrier: ``tf`` feeds both the df aggregate and
+        # the scoring join; without it Spark evaluates the corpus
+        # explode+filter subtree once per consumer (no common-subplan
+        # sharing) — i.e. TWO full corpus scans. tf is bounded by
+        # (matching docs × |query|), so the checkpoint is tiny.
+        .localCheckpoint(eager=True)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    avgdl = F.col("total_len") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl
+    )
+    score = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    per_term = scored.select(
+        F.col(id_col),
+        F.round(score * F.lit(1e9)).cast("long").alias("score_scaled"),
+    )
+    return (
+        per_term.groupBy(id_col)
+        .agg(F.sum("score_scaled").cast("long").alias("score_scaled"))
+        .withColumn("bm25", F.col("score_scaled") / F.lit(1e9))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by BM25 — distributed TakeOrdered (orderBy+limit),
+    never a single-partition global window; ties break on the scaled
+    integer score then id, so the k-set is deterministic."""
+    return (
+        bm25_scores(docs, query_terms, k1, b, text, id_col)
+        .orderBy(F.col("score_scaled").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def doc_frequencies(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(term, df) document frequencies — the build-once half of TF-IDF at
+    corpus scale: persist this per corpus snapshot (plain parquet, or
+    bucketed on term via ``catalog.write_bucketed`` so the scoring join
+    is exchange-free) and pass it to :func:`tfidf_top_terms` instead of
+    recomputing it per query."""
+    base = _tokens(docs, text, id_col)
+    terms = base.select(F.col(id_col), F.explode("toks").alias("term"))
+    return (
+        terms.groupBy(id_col, "term")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_n: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+    doc_freq: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document top-n terms by TF-IDF (``tf * ln(N/df)``) — the
+    document-fingerprinting / topic-tagging primitive. Emits
+    (id, term, rank, tfidf_scaled) with rank 1..top_n per document from a
+    per-document window (partitioned — never global). Pass a persisted
+    ``doc_freq`` (from :func:`doc_frequencies`) to skip the second
+    corpus pass — the probe-many shape for a standing corpus."""
+    base = _tokens(docs, text, id_col)
+    terms = base.select(F.col(id_col), F.explode("toks").alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        doc_freq
+        if doc_freq is not None
+        else tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    stats = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(stats)).select(
+        F.col(id_col),
+        F.col("term"),
+        F.round(
+            F.col("tf")
+            * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("tfidf_scaled"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf_scaled").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "term", "rank", "tfidf_scaled")
+    )

@@ -30,6 +30,7 @@ from ..functions import time_of_day_between
 from ..operators import dedup as D
 from ..operators import kpi as K
 from ..operators import multimodal as MM
+from ..operators import ranking as RK
 from ..operators import similarity as SIM
 from ..operators import sketches as SK
 from ..operators import text as TX
@@ -2016,6 +2017,158 @@ SELECT component AS cluster_id, count(*) AS n_docs FROM comp GROUP BY 1
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: the step after dedup clustering in a
+    training-data pipeline — per near-dup cluster, KEEP the
+    highest-quality member (not the min-id one): LSH pairs -> connected
+    components -> join quality_score -> per-cluster argmax by
+    (quality, id). Ties and float stability: ranking runs on the
+    1e-6-scaled integer quality (the same resolution the quality_score
+    entry is gated at), tie-broken by doc id. The reference's pipeline
+    has no analogue; this is the `dedup_clusters` -> curation handoff."""
+    from pyspark.sql import Window
+
+    docs = _tw(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, n=3, num_perm=8, bands=4, threshold=0.5)
+    comp = D.connected_components(pairs)
+    qual = TX.quality_score(docs).select(
+        F.col("doc_id").alias("node"),
+        F.round(F.col("quality") * F.lit(1e6)).cast("long").alias("qs"),
+    )
+    j = comp.join(qual, "node")
+    w = Window.partitionBy("component").orderBy(F.col("qs").desc(), F.col("node"))
+    ranked = j.select(
+        "component",
+        "node",
+        "qs",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("component")).alias("n_docs"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        F.col("component").alias("cluster_id"),
+        F.col("node").alias("keep_doc_id"),
+        "n_docs",
+        (F.col("qs") / F.lit(1e6)).alias("keep_quality"),
+    )
+
+
+def _dedup_keep_best_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_lsh_sql()})),
+e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+comp AS (
+  SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u),
+qual AS (
+  SELECT doc_id AS node, CAST(round(quality * 1e6) AS BIGINT) AS qs
+  FROM ({_quality_sql()})),
+ranked AS (
+  SELECT c.component, c.node, q.qs,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.qs DESC, c.node) AS rn,
+         count(*) OVER (PARTITION BY c.component) AS n_docs
+  FROM comp c JOIN qual q USING (node))
+SELECT component AS cluster_id, node AS keep_doc_id, n_docs,
+       qs / 1e6 AS keep_quality
+FROM ranked WHERE rn = 1
+"""
+
+
+# query terms drawn from the synthetic documents' vocabulary so every sf
+# has matches; disjunctive query, k=10
+_BM25_TERMS = ("spark", "data", "window")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a 3-term disjunctive query (ranked retrieval
+    for corpus curation). Plan: map-side term filter before the only
+    (doc, term) shuffle; df/N/avgdl broadcast. Scores are summed in
+    integer space (1e-9) so the result is partitioning-independent; the
+    oracle replicates the identical IEEE arithmetic."""
+    out = RK.bm25_topk(_tw(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+    return out.select(
+        "doc_id", _r(F.col("score_scaled") / F.lit(1e9), 6).alias("bm25")
+    )
+
+
+def _bm25_sql(terms: tuple[str, ...] = _BM25_TERMS, k: int = 10) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+hits AS (
+  SELECT doc_id, unnest(toks) AS term FROM base),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM hits
+  WHERE term IN ({in_list}) GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl
+                             / (CAST(s.total_len AS DOUBLE) / s.n_docs)))
+           * 1e9) AS BIGINT) AS score_scaled
+  FROM tf
+  JOIN dfreq f USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s),
+agg AS (
+  SELECT doc_id, CAST(sum(score_scaled) AS BIGINT) AS score_scaled
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, round(score_scaled / 1e9, 6) AS bm25
+FROM agg ORDER BY score_scaled DESC, doc_id LIMIT {k}
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (document fingerprinting / topic
+    tagging). The per-doc window is PARTITIONED (never global); scores
+    rank on the 1e-9-scaled integer."""
+    out = RK.tfidf_top_terms(_tw(spark, sf_dir, "documents"), top_n=3)
+    return out.select(
+        "doc_id",
+        "term",
+        F.col("rank").cast("long").alias("rank"),
+        _r(F.col("tfidf_scaled") / F.lit(1e9), 6).alias("tfidf"),
+    )
+
+
+_SQL_TFIDF_TOP_TERMS = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM base),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*) AS n_docs FROM base),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(round(tf.tf * ln(CAST(s.n_docs AS DOUBLE) / f.df) * 1e9)
+              AS BIGINT) AS tfidf_scaled
+  FROM tf JOIN dfreq f USING (term) CROSS JOIN stats s),
+ranked AS (
+  SELECT doc_id, term, tfidf_scaled,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_scaled DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, term, CAST(rank AS BIGINT) AS rank,
+       round(tfidf_scaled / 1e9, 6) AS tfidf
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (F.session_window, 1-hour gap): one row per
     user session with start epoch, event count, and duration. This is the
@@ -3357,10 +3510,12 @@ FROM f GROUP BY event_type ORDER BY event_type
 # (stream_alerts HUGEINT guard, fft_range_sum theory bound,
 # user_overlap_sketch tolerance-doc fix, calibration grouped-map,
 # minhash_lsh_pairs banding, frame_sample sampling, stream_window_kpis
-# watermark). After r6, every one of the 93 registry entries has a driver
-# row from r5 or r6. The 43 r5-green entries move behind the window,
-# where tests/test_parity.py still exact-bit checks every entry on
-# current code each test run.
+# watermark). After r6, every one of the 93 pre-r6 registry entries has a
+# driver row from r5 or r6; the 3 entries ADDED in r6 (bm25_topk,
+# tfidf_top_terms, dedup_keep_best — appended at the end) are behind the
+# window and rotate in next round. The 43 r5-green entries also move
+# behind the window, where tests/test_parity.py still exact-bit checks
+# every entry (now 96) on current code each test run.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-gated: the two r5 streaming entries (real streaming
     # jobs; gate == batch twin, equality is test-asserted) ---
@@ -3467,6 +3622,11 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "sliding_window": (q_sliding_window, _SQL_SLIDING_WINDOW),
     "knn_cosine_topk": (q_knn_cosine, _SQL_KNN),
     "embedding_neardup_pairs": (q_embedding_neardup, _embedding_neardup_sql()),
+    # --- new in r6 (ranked retrieval + cluster curation) — behind the
+    # window this round, parity-swept now, rotate into the r7 gate ---
+    "bm25_topk": (q_bm25_topk, _bm25_sql()),
+    "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
+    "dedup_keep_best": (q_dedup_keep_best, _dedup_keep_best_sql()),
 }
 
 
