@@ -2169,6 +2169,77 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long format (label, dim, n,
+    centroid) — the corpus-statistics primitive behind cluster quality
+    checks, IVF coarse-quantizer seeding, and per-source drift
+    monitoring. Plan: posexplode to (label, dim, val) then ONE hash
+    aggregate; partial map-side combine collapses the x64 explode
+    blow-up to labels x dims rows per partition before the exchange, so
+    the shuffle is tiny at any corpus size. Means use the scaled-integer
+    stable pattern (order-independent, engine-exact)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+    return e.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        _savg(F.col("val").cast("double"), 6).alias("centroid"),
+    )
+
+
+_SQL_EMBEDDING_CENTROIDS = f"""
+WITH e AS (
+  SELECT label, unnest(embedding) AS val,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings)
+SELECT label, dim, count(*) AS n, {_savg_sql("val", 6)} AS centroid
+FROM e GROUP BY label, dim
+"""
+
+
+def q_quality_filter_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quality curation: KEEP the top half of documents per
+    language by quality score (rn <= ceil(n/2) — rank math on the
+    1e-6-scaled integer quality, so the kept set is deterministic and
+    engine-exact; quantile thresholds via percentile_approx would be
+    neither). The per-language window is partitioned — never global."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    qual = TX.quality_score(docs).select(
+        "doc_id", F.round(F.col("quality") * F.lit(1e6)).cast("long").alias("qs")
+    )
+    j = docs.select("doc_id", "lang").join(qual, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.col("qs").desc(), F.col("doc_id"))
+    ranked = j.select(
+        "doc_id",
+        "lang",
+        "qs",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("cnt"),
+    )
+    return ranked.filter(F.col("rn") * 2 <= F.col("cnt") + 1).select(
+        "doc_id", "lang", (F.col("qs") / F.lit(1e6)).alias("quality")
+    )
+
+
+def _quality_filter_sql() -> str:
+    return f"""
+WITH qual AS (
+  SELECT doc_id, CAST(round(quality * 1e6) AS BIGINT) AS qs
+  FROM ({_quality_sql()})),
+j AS (
+  SELECT d.doc_id, d.lang, q.qs
+  FROM documents d JOIN qual q USING (doc_id)),
+ranked AS (
+  SELECT doc_id, lang, qs,
+         row_number() OVER (PARTITION BY lang ORDER BY qs DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM j)
+SELECT doc_id, lang, qs / 1e6 AS quality
+FROM ranked WHERE 2 * rn <= cnt + 1
+"""
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (F.session_window, 1-hour gap): one row per
     user session with start epoch, event count, and duration. This is the
@@ -3511,11 +3582,12 @@ FROM f GROUP BY event_type ORDER BY event_type
 # user_overlap_sketch tolerance-doc fix, calibration grouped-map,
 # minhash_lsh_pairs banding, frame_sample sampling, stream_window_kpis
 # watermark). After r6, every one of the 93 pre-r6 registry entries has a
-# driver row from r5 or r6; the 3 entries ADDED in r6 (bm25_topk,
-# tfidf_top_terms, dedup_keep_best — appended at the end) are behind the
-# window and rotate in next round. The 43 r5-green entries also move
-# behind the window, where tests/test_parity.py still exact-bit checks
-# every entry (now 96) on current code each test run.
+# driver row from r5 or r6; the 5 entries ADDED in r6 (bm25_topk,
+# tfidf_top_terms, dedup_keep_best, embedding_centroids,
+# quality_filter_per_lang — appended at the end) are behind the window
+# and rotate in next round. The 43 r5-green entries also move behind the
+# window, where tests/test_parity.py still exact-bit checks every entry
+# (now 98) on current code each test run.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-gated: the two r5 streaming entries (real streaming
     # jobs; gate == batch twin, equality is test-asserted) ---
@@ -3622,11 +3694,13 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "sliding_window": (q_sliding_window, _SQL_SLIDING_WINDOW),
     "knn_cosine_topk": (q_knn_cosine, _SQL_KNN),
     "embedding_neardup_pairs": (q_embedding_neardup, _embedding_neardup_sql()),
-    # --- new in r6 (ranked retrieval + cluster curation) — behind the
-    # window this round, parity-swept now, rotate into the r7 gate ---
+    # --- new in r6 (ranked retrieval + curation + embedding stats) —
+    # behind the window this round, parity-swept now, rotate into r7 ---
     "bm25_topk": (q_bm25_topk, _bm25_sql()),
     "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
     "dedup_keep_best": (q_dedup_keep_best, _dedup_keep_best_sql()),
+    "embedding_centroids": (q_embedding_centroids, _SQL_EMBEDDING_CENTROIDS),
+    "quality_filter_per_lang": (q_quality_filter_per_lang, _quality_filter_sql()),
 }
 
 
