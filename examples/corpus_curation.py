@@ -1,0 +1,103 @@
+"""The training-data curation journey — the engine's beyond-reference
+layer, end-to-end on one corpus.
+
+No reference analogue (the reference is a health-dashboard stack); this
+is the pipeline a 100 TB pretraining corpus runs nightly:
+
+  1. quality gate   — per-language rank filter (keep top half by score)
+  2. dedup          — MinHash-LSH pairs -> connected components -> keep
+                      the highest-quality member of each near-dup cluster
+  3. topic slice    — BM25 selection of query-relevant survivors
+  4. fingerprints   — per-doc TF-IDF top terms for the data card
+  5. batch assembly — token-budget sequence packing of the final cut
+
+Every step is a registry-gated operator; this script just chains them.
+Run: python examples/corpus_curation.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from w4h_integrated_toolkit_spark.catalog import read_parquet
+from w4h_integrated_toolkit_spark.operators.dedup import (
+    connected_components,
+    minhash_lsh_pairs,
+)
+from w4h_integrated_toolkit_spark.operators.ranking import (
+    bm25_topk,
+    tfidf_top_terms,
+)
+from w4h_integrated_toolkit_spark.operators.text import pack_sequences, quality_score
+from w4h_integrated_toolkit_spark.session import get_spark
+
+SF_DIR = os.environ.get("W4H_EXAMPLE_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_spark("corpus-curation", cpus=4, shuffle_partitions=4,
+                      driver_memory="4g")
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. quality gate: top half per language by scaled quality rank
+    from pyspark.sql import Window
+
+    qual = quality_score(docs).select(
+        "doc_id", F.round(F.col("quality") * F.lit(1e6)).cast("long").alias("qs")
+    )
+    ranked = docs.join(qual, "doc_id").select(
+        docs["*"],
+        "qs",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy(F.col("qs").desc(), "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("cnt"),
+    )
+    kept = ranked.filter(F.col("rn") * 2 <= F.col("cnt") + 1).drop("rn", "cnt")
+    n1 = kept.count()
+
+    # 2. dedup: drop every near-dup-cluster member EXCEPT the best one
+    pairs = minhash_lsh_pairs(kept, n=3, num_perm=8, bands=4, threshold=0.5)
+    comp = connected_components(pairs)
+    best = (
+        comp.join(kept.select(F.col("doc_id").alias("node"), "qs"), "node")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(F.col("qs").desc(), "node")
+            ),
+        )
+    )
+    drop = best.filter(F.col("rn") > 1).select(F.col("node").alias("doc_id"))
+    deduped = kept.join(drop, "doc_id", "left_anti")
+    n2 = deduped.count()
+
+    # 3. topic slice: BM25-ranked survivors for the target query
+    topical = bm25_topk(deduped, ("spark", "data", "window"), k=20)
+
+    # 4. data-card fingerprints for the final cut
+    prints = tfidf_top_terms(deduped, top_n=2)
+
+    # 5. batch assembly: pack to a 256-token budget
+    packed = pack_sequences(deduped, budget=256)
+
+    print(f"corpus: {n0} docs -> quality gate: {n1} -> dedup: {n2}")
+    print("top BM25 hits:")
+    for r in topical.limit(5).collect():
+        print(f"  doc {r['doc_id']}: {r['bm25']:.4f}")
+    print("sample fingerprints:")
+    for r in prints.filter(F.col("rank") == 1).limit(5).collect():
+        print(f"  doc {r['doc_id']}: {r['term']}")
+    n_bins = packed.select("shard", "bin").distinct().count()
+    print(f"packed {n2} docs into {n_bins} bins (budget 256 tokens)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

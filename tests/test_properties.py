@@ -355,3 +355,32 @@ def test_lsh_banding_skewed_corpus_no_straggler(spark):
     assert max(nonempty) <= 4 * median, (
         f"straggler partition after the skewed-bucket explosion: {sizes}"
     )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="xy z", min_size=0, max_size=40), min_size=2, max_size=8
+    )
+)
+def test_ranking_scores_partition_invariant(spark, texts):
+    """The driver gate hashes exact values, so BM25 and TF-IDF must be
+    bit-identical at any partitioning — the property their integer-space
+    score summation exists to guarantee (a float sum would drift with
+    partial-aggregation order)."""
+    from w4h_integrated_toolkit_spark.operators.ranking import (
+        bm25_scores,
+        tfidf_top_terms,
+    )
+
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bm25_sets, tfidf_sets = set(), set()
+    for parts in (1, 5):
+        d = df.repartition(parts)
+        bm25_sets.add(
+            tuple(sorted(map(tuple, bm25_scores(d, ("x", "xy", "z")).collect())))
+        )
+        tfidf_sets.add(tuple(sorted(map(tuple, tfidf_top_terms(d, 2).collect()))))
+    assert len(bm25_sets) == 1
+    assert len(tfidf_sets) == 1
