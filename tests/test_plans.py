@@ -518,3 +518,59 @@ def test_persisted_cube_partition_prunes(spark):
             assert abs(approx - d) <= max(3, 0.08 * d)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bm25_plan_shape(spark, monkeypatch):
+    """BM25's scale contract: doc-frequency joins by broadcast (never
+    sort-merge), the global top-k is a distributed TakeOrdered (not a
+    sort), and the query-term filter is present map-side (pre-aggregate —
+    corpus tokens matching no query term never shuffle). The registry
+    plan hides the pre-checkpoint subtree (the tf barrier executes at
+    construction), so the filter assertion disables the checkpoint."""
+    plan = plan_of(spark, "bm25_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.ranking import bm25_topk
+
+    try:  # Spark 4: sessions return the classic subclass, which overrides it
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # Spark 3 layout
+        from pyspark.sql import DataFrame
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    full = bm25_topk(
+        read_parquet(spark, f"{SF_DIR}/documents.parquet"), ("spark", "data")
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    fplan = full._jdf.queryExecution().explainString(mode)
+    assert re.search(r"term#\d+ IN \(", fplan), "term filter missing from plan"
+    assert "SortMergeJoin" not in fplan and "CartesianProduct" not in fplan
+
+
+def test_embedding_centroids_single_aggregate_plan(spark):
+    """The x64 posexplode blow-up must collapse in ONE partial+final hash
+    aggregate pair around a single exchange — no extra shuffles, no
+    window, no join."""
+    plan = plan_of(spark, "embedding_centroids")
+    assert n_shuffles(plan) == 1
+    # two distinct nodes: partial + final (formatted mode prints each node
+    # in both the tree and the details section, so count unique ids)
+    assert len(set(re.findall(r"\((\d+)\) HashAggregate", plan))) == 2
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_quality_filter_windows_are_partitioned(spark):
+    """Both windows (rank, per-lang count) must partition by lang — the
+    global-window scale killer is asserted away repo-wide, but pin the
+    specific shape here too: every Window's partition spec is non-empty."""
+    plan = plan_of(spark, "quality_filter_per_lang")
+    assert "Window" in plan
+    for w in re.findall(r"\(\d+\) Window\b.*?(?=\(\d+\) |\Z)", plan, re.S):
+        arg = re.search(r"Arguments:.*", w)
+        assert arg and not re.search(r",\s*\[\](,|\s|$)", arg.group(0))
