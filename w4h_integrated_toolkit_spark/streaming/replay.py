@@ -220,20 +220,25 @@ def drain_memory_sink(
 
     spark = out.sparkSession
     name = name_prefix + uuid.uuid4().hex[:8]
-    q = (
-        out.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     try:
+        q = (
+            out.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
         sink = spark.table(name)
         schema = sink.schema
         rows = sink.collect()
     finally:
-        spark.catalog.dropTempView(name)
+        # cleanup also on a failed start/replay — a crashing stream must
+        # not leak its staging dir or half-registered sink view either
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
         if stage_dir is not None:
             shutil.rmtree(stage_dir, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
