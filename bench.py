@@ -92,6 +92,7 @@ EXTRA_BENCH_QUERIES = [
     "dedup_keep_best",
     "embedding_centroids",
     "quality_filter_per_lang",
+    "corpus_drift",
 ]
 
 

@@ -1579,3 +1579,42 @@ def test_tfidf_top_terms_and_persisted_df_table(spark):
     assert sorted(map(tuple, persisted.collect())) == sorted(
         map(tuple, inline.collect())
     )
+
+
+def test_term_drift_matches_hand_computed_kl(spark):
+    """KL(A||B) per-term contributions against the textbook add-one
+    formula on a corpus small enough to verify by hand; the full-vocab
+    contribution sum must be non-negative (Gibbs' inequality) and a term
+    over-represented in A must carry positive drift."""
+    import math
+
+    from w4h_integrated_toolkit_spark.operators.ranking import term_drift
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "spark spark spark table"),
+            (2, "en", "spark table row"),
+            (3, "de", "zeile tabelle table"),
+            (4, "de", "tabelle tabelle row row"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r["term"]: r
+        for r in term_drift(docs, F.col("lang") == "en", top_n=100).collect()
+    }
+
+    ca = {"spark": 4, "table": 2, "row": 1, "zeile": 0, "tabelle": 0}
+    cb = {"spark": 0, "table": 1, "row": 2, "zeile": 1, "tabelle": 3}
+    ta, tb, v = sum(ca.values()), sum(cb.values()), len(ca)
+
+    total = 0.0
+    for t in ca:
+        pa = (ca[t] + 1) / (ta + v)
+        pb = (cb[t] + 1) / (tb + v)
+        expected = round(pa * math.log(pa / pb) * 1e12)
+        assert out[t]["ca"] == ca[t] and out[t]["cb"] == cb[t]
+        assert out[t]["drift_scaled"] == expected, (t, out[t])
+        total += expected / 1e12
+    assert total >= 0.0  # Gibbs
+    assert out["spark"]["drift_scaled"] > 0 > out["tabelle"]["drift_scaled"]

@@ -376,6 +376,7 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "fuzzy_column_mapping",   # column-name relation (tiny)
     "bm25_topk",              # corpus N/total-length scalar (1 row)
     "tfidf_top_terms",        # corpus-size scalar (1 row)
+    "corpus_drift",           # side totals + vocab scalar (1 row)
 }
 
 

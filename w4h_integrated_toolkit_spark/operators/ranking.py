@@ -42,7 +42,13 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_scores", "bm25_topk", "doc_frequencies", "tfidf_top_terms"]
+__all__ = [
+    "bm25_scores",
+    "bm25_topk",
+    "doc_frequencies",
+    "term_drift",
+    "tfidf_top_terms",
+]
 
 
 def _tokens(df: DataFrame, text: str, id_col: str) -> DataFrame:
@@ -127,6 +133,57 @@ def bm25_topk(
         .orderBy(F.col("score_scaled").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def term_drift(
+    docs: DataFrame,
+    side_a,
+    top_n: int = 10,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distribution-shift report between two corpus slices: per-term
+    contributions to KL(A ‖ B) over add-one-smoothed term distributions,
+    top-n by |contribution| — the drift monitor a curation pipeline runs
+    between corpus snapshots (did this ingest change what the corpus is
+    made of?) or between a subset and its parent (is the filtered set
+    biased?). ``side_a`` is a boolean Column selecting slice A; rows
+    where it is NULL count toward neither side (identical three-valued
+    semantics in the SQL oracle).
+
+    Plan: ONE conditional aggregate over the exploded term stream (both
+    sides counted in the same pass — never two scans + a join), then the
+    vocabulary-sized result joins a broadcast one-row totals relation;
+    top-n via distributed TakeOrdered. Smoothed probabilities are exact
+    integer ratios and the per-term contribution is rounded into a
+    1e-12-scaled long, so ordering and values are engine-exact. Returns
+    (term, ca, cb, drift_scaled)."""
+    toks = F.split(F.lower(F.trim(F.col(text))), r"\s+")
+    base = docs.select(
+        F.explode(toks).alias("term"), side_a.alias("in_a")
+    )
+    counts = base.groupBy("term").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    stats = counts.agg(
+        F.sum("ca").cast("long").alias("ta"),
+        F.sum("cb").cast("long").alias("tb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    pa = (F.col("ca") + F.lit(1)) / (F.col("ta") + F.col("v"))
+    pb = (F.col("cb") + F.lit(1)) / (F.col("tb") + F.col("v"))
+    scored = counts.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "ca",
+        "cb",
+        F.round(pa * F.log(pa / pb) * F.lit(1e12))
+        .cast("long")
+        .alias("drift_scaled"),
+    )
+    return scored.orderBy(
+        F.abs(F.col("drift_scaled")).desc(), F.col("term")
+    ).limit(top_n)
 
 
 def doc_frequencies(

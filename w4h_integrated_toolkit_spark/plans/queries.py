@@ -2240,6 +2240,44 @@ FROM ranked WHERE 2 * rn <= cnt + 1
 """
 
 
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift report: top-10 terms by |KL(A ‖ B) contribution|
+    between the English slice and the rest of the corpus (add-one
+    smoothing; one conditional aggregate — both sides counted in a single
+    corpus pass). The curation drift monitor between corpus snapshots."""
+    out = RK.term_drift(
+        _tw(spark, sf_dir, "documents"), F.col("lang") == "en", top_n=10
+    )
+    return out.select(
+        "term", "ca", "cb", _r(F.col("drift_scaled") / F.lit(1e12), 9).alias("kl_term")
+    )
+
+
+_SQL_CORPUS_DRIFT = r"""
+WITH toks AS (
+  SELECT (lang = 'en') AS in_a,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents),
+counts AS (
+  SELECT term,
+         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM toks GROUP BY term),
+stats AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb,
+         count(*) AS v
+  FROM counts),
+scored AS (
+  SELECT term, ca, cb,
+         CAST(round(((ca + 1) / (s.ta + s.v))
+                    * ln(((ca + 1) / (s.ta + s.v)) / ((cb + 1) / (s.tb + s.v)))
+                    * 1e12) AS BIGINT) AS drift_scaled
+  FROM counts CROSS JOIN stats s)
+SELECT term, ca, cb, round(drift_scaled / 1e12, 9) AS kl_term
+FROM scored ORDER BY abs(drift_scaled) DESC, term LIMIT 10
+"""
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (F.session_window, 1-hour gap): one row per
     user session with start epoch, event count, and duration. This is the
@@ -3582,12 +3620,12 @@ FROM f GROUP BY event_type ORDER BY event_type
 # user_overlap_sketch tolerance-doc fix, calibration grouped-map,
 # minhash_lsh_pairs banding, frame_sample sampling, stream_window_kpis
 # watermark). After r6, every one of the 93 pre-r6 registry entries has a
-# driver row from r5 or r6; the 5 entries ADDED in r6 (bm25_topk,
+# driver row from r5 or r6; the 6 entries ADDED in r6 (bm25_topk,
 # tfidf_top_terms, dedup_keep_best, embedding_centroids,
-# quality_filter_per_lang — appended at the end) are behind the window
-# and rotate in next round. The 43 r5-green entries also move behind the
-# window, where tests/test_parity.py still exact-bit checks every entry
-# (now 98) on current code each test run.
+# quality_filter_per_lang, corpus_drift — appended at the end) are behind
+# the window and rotate in next round. The 43 r5-green entries also move
+# behind the window, where tests/test_parity.py still exact-bit checks
+# every entry (now 99) on current code each test run.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-gated: the two r5 streaming entries (real streaming
     # jobs; gate == batch twin, equality is test-asserted) ---
@@ -3701,6 +3739,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_keep_best": (q_dedup_keep_best, _dedup_keep_best_sql()),
     "embedding_centroids": (q_embedding_centroids, _SQL_EMBEDDING_CENTROIDS),
     "quality_filter_per_lang": (q_quality_filter_per_lang, _quality_filter_sql()),
+    "corpus_drift": (q_corpus_drift, _SQL_CORPUS_DRIFT),
 }
 
 
