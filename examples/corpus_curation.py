@@ -10,6 +10,8 @@ is the pipeline a 100 TB pretraining corpus runs nightly:
   3. topic slice    — BM25 selection of query-relevant survivors
   4. fingerprints   — per-doc TF-IDF top terms for the data card
   5. batch assembly — token-budget sequence packing of the final cut
+  6. drift check    — KL term drift of the kept set vs the raw corpus
+                      (did curation bias what the corpus is made of?)
 
 Every step is a registry-gated operator; this script just chains them.
 Run: python examples/corpus_curation.py
@@ -31,6 +33,7 @@ from w4h_integrated_toolkit_spark.operators.dedup import (
 )
 from w4h_integrated_toolkit_spark.operators.ranking import (
     bm25_topk,
+    term_drift,
     tfidf_top_terms,
 )
 from w4h_integrated_toolkit_spark.operators.text import pack_sequences, quality_score
@@ -87,6 +90,14 @@ def main() -> None:
     # 5. batch assembly: pack to a 256-token budget
     packed = pack_sequences(deduped, budget=256)
 
+    # 6. drift check: kept set vs the raw corpus (side A = kept)
+    kept_ids = deduped.select("doc_id")
+    drift = term_drift(
+        docs.join(kept_ids.withColumn("_kept", F.lit(True)), "doc_id", "left"),
+        F.coalesce(F.col("_kept"), F.lit(False)),
+        top_n=5,
+    )
+
     print(f"corpus: {n0} docs -> quality gate: {n1} -> dedup: {n2}")
     print("top BM25 hits:")
     for r in topical.limit(5).collect():
@@ -96,6 +107,9 @@ def main() -> None:
         print(f"  doc {r['doc_id']}: {r['term']}")
     n_bins = packed.select("shard", "bin").distinct().count()
     print(f"packed {n2} docs into {n_bins} bins (budget 256 tokens)")
+    print("largest term drifts, kept vs raw (expect ~0 if curation is unbiased):")
+    for r in drift.collect():
+        print(f"  {r['term']}: {r['drift_scaled'] / 1e12:+.6f}")
     spark.stop()
 
 
