@@ -101,9 +101,14 @@ EXTRA_BENCH_QUERIES = [
 PREFLIGHT_LOAD_MAX = 4.0
 PREFLIGHT_MAX_WAIT = 240.0  # sec; bounded so the driver's timeout is safe
 # fixed-work calibration: JVM-side sum over a 2^29 range, 32 threads.
-# Idle-box warm time measured at round 6: ~0.25 s (see stderr of any
-# bench run); 2x that is well past engine noise and means contention.
+# Idle-box warm time measured at round 6: 0.257-0.311 s across runs.
+# Threshold 1.4x: a bench started ~60 s after the test suite finished
+# (residual load, 1-min loadavg already back to 0.77) inflated the
+# headline total +34% while calibration read only 0.335/0.373 — a 2x
+# threshold misses exactly that uniformly-inflated window, 1.4x (0.35 s)
+# catches it while idle-run variance (max observed 0.311) stays clear.
 CALIBRATION_REF_SEC = 0.25
+CALIBRATION_LOADED_FACTOR = 1.4
 
 
 def _loadavg() -> float:
@@ -197,7 +202,7 @@ def main() -> None:
     cal_after = _calibration_sec(spark)
     print(f"# calibration (after): {cal_after:.3f}s", file=sys.stderr)
     loaded_box = (
-        max(cal_before, cal_after) > 2.0 * CALIBRATION_REF_SEC
+        max(cal_before, cal_after) > CALIBRATION_LOADED_FACTOR * CALIBRATION_REF_SEC
         or loadavg_start > PREFLIGHT_LOAD_MAX
     )
     if loaded_box:
