@@ -617,3 +617,21 @@ def test_tfidf_bucketed_doc_freq_join_no_static_exchange(spark):
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bench_query_lists_resolve_against_registry():
+    """A renamed or mistyped entry in bench.py's query lists would crash
+    the external driver's bench run and lose a round of perf signal —
+    validate every name (headline + extra) against the live registry, and
+    that the two lists don't overlap (an entry in both would double-count
+    wall time)."""
+    import bench
+
+    missing = [
+        n
+        for n in bench.BENCH_QUERIES + bench.EXTRA_BENCH_QUERIES
+        if n not in QUERIES
+    ]
+    assert not missing, f"bench names not in registry: {missing}"
+    overlap = set(bench.BENCH_QUERIES) & set(bench.EXTRA_BENCH_QUERIES)
+    assert not overlap, f"queries in both bench lists: {overlap}"
