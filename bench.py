@@ -93,6 +93,7 @@ EXTRA_BENCH_QUERIES = [
     "embedding_centroids",
     "quality_filter_per_lang",
     "corpus_drift",
+    "gap_fill",
 ]
 
 

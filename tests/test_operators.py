@@ -1618,3 +1618,39 @@ def test_term_drift_matches_hand_computed_kl(spark):
         total += expected / 1e12
     assert total >= 0.0  # Gibbs
     assert out["spark"]["drift_scaled"] > 0 > out["tabelle"]["drift_scaled"]
+
+
+def test_gap_fill_minutes_hand_model(spark):
+    """Explicit-gap fixture: minutes 0,1,4 observed (minute 1 has TWO
+    readings -> stable mean), minutes 2-3 forward-filled from minute 1,
+    grid ends at the last observed minute, second user independent."""
+    import datetime as dt
+
+    from w4h_integrated_toolkit_spark.operators.timeseries import gap_fill_minutes
+
+    t0 = dt.datetime(2024, 1, 5, 0, 0, 0)
+
+    def at(minute, sec=0):
+        return t0 + dt.timedelta(minutes=minute, seconds=sec)
+
+    rows = [
+        (1, at(0), 10.0),
+        (1, at(1, 10), 20.0),
+        (1, at(1, 50), 21.0),  # same minute -> mean 20.5
+        (1, at(4), 40.0),
+        (2, at(7), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["minute_epoch"]): (r["filled_value"], r["is_observed"])
+        for r in gap_fill_minutes(df).collect()
+    }
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert got == {
+        (1, base + 0 * 60): (10.0, 1),
+        (1, base + 1 * 60): (20.5, 1),
+        (1, base + 2 * 60): (20.5, 0),  # filled
+        (1, base + 3 * 60): (20.5, 0),  # filled
+        (1, base + 4 * 60): (40.0, 1),
+        (2, base + 7 * 60): (7.0, 1),
+    }

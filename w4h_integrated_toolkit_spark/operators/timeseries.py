@@ -24,6 +24,7 @@ __all__ = [
     "rollup_cascade",
     "calibrate",
     "calibrate_pandas",
+    "gap_fill_minutes",
     "gap_mask",
 ]
 
@@ -85,6 +86,60 @@ def resample_mean(
             F.col("w.start").alias("bucket_start"),
             "mean_value",
         )
+    )
+
+
+def gap_fill_minutes(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    key: str = "user_id",
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Dense per-key minute grid with forward-filled gaps — the sensor
+    gap-filling step a dashboard or model-feature pipeline runs before
+    anything that assumes regular sampling (the reference instead lets
+    pandas reindex per request, viz.py's resample path; here the grid is
+    computed once, distributed).
+
+    Per key: every minute from the key's first to last observed minute;
+    observed minutes carry the stable (order-independent) mean of their
+    readings, missing minutes the last observed mean (LOCF). Emits
+    (key, minute_epoch, filled_value, is_observed). The first grid minute
+    is observed by construction, so filled_value is never null.
+
+    Plan shape: one (key, minute) aggregate, a bounds aggregate feeding a
+    per-key ``sequence`` explode (grid rows are generated distributed,
+    never collected), a left join back, and ONE partitioned window for
+    the fill — all keyed exchanges, no global ordering anywhere. The
+    grid's size is bounded by key-activity spans, so callers slice the
+    time range FIRST (predicate pushes into the scan) rather than
+    gridding unbounded history."""
+    from pyspark.sql import Window
+
+    minute = F.floor(F.col(ts).cast("double") / F.lit(60.0)).cast("long")
+    mean = stable_mean(value, 6)
+    if round_decimals is not None:
+        scale = F.lit(float(10**round_decimals))
+        mean = F.round(mean * scale, 0) / scale
+    mm = (
+        df.select(F.col(key), minute.alias("m"), F.col(value).alias(value))
+        .groupBy(key, "m")
+        .agg(mean.alias("v"))
+    )
+    bounds = mm.groupBy(key).agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+    grid = bounds.select(F.col(key), F.explode(F.sequence("lo", "hi")).alias("m"))
+    j = grid.join(mm, [key, "m"], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        F.col(key),
+        (F.col("m") * F.lit(60)).alias("minute_epoch"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("v").isNotNull().cast("long").alias("is_observed"),
     )
 
 

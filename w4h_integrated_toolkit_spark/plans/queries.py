@@ -2240,6 +2240,45 @@ FROM ranked WHERE 2 * rn <= cnt + 1
 """
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user minute grid with LOCF forward fill over one day of
+    events for a 1-in-10 user sample (the slice bounds the grid: gridding
+    unbounded history is the anti-pattern the operator docstring warns
+    about — the day predicate pushes into the scan). Missing minutes
+    carry the last observed stable minute-mean; is_observed separates
+    real readings from fill."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-06 00:00:00").cast("timestamp"))
+        & (F.col("user_id") % 10 == 0)
+    )
+    return TS.gap_fill_minutes(ev, ts="ts", value="value", key="user_id")
+
+
+_SQL_GAP_FILL = """
+WITH ev AS (
+  SELECT user_id, ts, value FROM events
+  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-06 00:00:00'
+    AND user_id % 10 = 0),
+mm AS (
+  SELECT user_id, CAST(floor(epoch(ts)/60.0) AS BIGINT) AS m,
+         round(CAST(sum(CAST(round(value*1e6) AS BIGINT)) AS DOUBLE)/1e6 / count(value), 6) AS v
+  FROM ev GROUP BY 1, 2),
+bounds AS (SELECT user_id, min(m) AS lo, max(m) AS hi FROM mm GROUP BY 1),
+grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS m FROM bounds),
+j AS (
+  SELECT g.user_id, g.m, mm.v
+  FROM grid g LEFT JOIN mm ON mm.user_id = g.user_id AND mm.m = g.m)
+SELECT user_id, m * 60 AS minute_epoch,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY m
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       CAST(v IS NOT NULL AS BIGINT) AS is_observed
+FROM j
+"""
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shift report: top-10 terms by |KL(A ‖ B) contribution|
     between the English slice and the rest of the corpus (add-one
@@ -3620,12 +3659,12 @@ FROM f GROUP BY event_type ORDER BY event_type
 # user_overlap_sketch tolerance-doc fix, calibration grouped-map,
 # minhash_lsh_pairs banding, frame_sample sampling, stream_window_kpis
 # watermark). After r6, every one of the 93 pre-r6 registry entries has a
-# driver row from r5 or r6; the 6 entries ADDED in r6 (bm25_topk,
+# driver row from r5 or r6; the 7 entries ADDED in r6 (bm25_topk,
 # tfidf_top_terms, dedup_keep_best, embedding_centroids,
-# quality_filter_per_lang, corpus_drift — appended at the end) are behind
-# the window and rotate in next round. The 43 r5-green entries also move
-# behind the window, where tests/test_parity.py still exact-bit checks
-# every entry (now 99) on current code each test run.
+# quality_filter_per_lang, corpus_drift, gap_fill — appended at the end)
+# are behind the window and rotate in next round. The 43 r5-green entries
+# also move behind the window, where tests/test_parity.py still
+# exact-bit checks every entry (now 100) on current code each test run.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-gated: the two r5 streaming entries (real streaming
     # jobs; gate == batch twin, equality is test-asserted) ---
@@ -3740,6 +3779,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_centroids": (q_embedding_centroids, _SQL_EMBEDDING_CENTROIDS),
     "quality_filter_per_lang": (q_quality_filter_per_lang, _quality_filter_sql()),
     "corpus_drift": (q_corpus_drift, _SQL_CORPUS_DRIFT),
+    "gap_fill": (q_gap_fill, _SQL_GAP_FILL),
 }
 
 
