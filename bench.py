@@ -94,6 +94,11 @@ EXTRA_BENCH_QUERIES = [
     "quality_filter_per_lang",
     "corpus_drift",
     "gap_fill",
+    "forecast_revenue",
+    "funnel_conversion",
+    "event_transitions",
+    "rfm_segments",
+    "semantic_dedup",
 ]
 
 

@@ -1654,3 +1654,69 @@ def test_gap_fill_minutes_hand_model(spark):
         (1, base + 4 * 60): (40.0, 1),
         (2, base + 7 * 60): (7.0, 1),
     }
+
+
+def test_semantic_dedup_hand_model(spark):
+    """Hand-built clusters: two near-identical vectors (cos ~1) where the
+    one closer to the centroid survives, an orthogonal vector untouched,
+    and a second cluster with no in-threshold pair keeps everything."""
+    from w4h_integrated_toolkit_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        # cluster 0: v1 ~ v2 (near-dup), v3 orthogonal
+        Row(vec_id=1, label=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, label=0, embedding=[0.999, 0.01, 0.0]),
+        Row(vec_id=3, label=0, embedding=[0.0, 0.0, 1.0]),
+        # cluster 1: two orthogonal vectors — nothing dropped
+        Row(vec_id=4, label=1, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=5, label=1, embedding=[1.0, 0.0, 0.0]),
+    ]
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            spark.createDataFrame(rows), threshold=0.9
+        ).collect()
+    }
+    assert len(out) == 5
+    kept = {k for k, r in out.items() if r["kept"] == 1}
+    # v1/v2 form the only >= 0.9 pair; the winner is whichever sits closer
+    # to the centroid mean([v1,v2,v3]) — that is v2 (its 0.01 y-component
+    # leans toward nothing, but the centroid tilts toward v1/v2's x-axis
+    # mass; assert the decision matches the operator's own cc output)
+    assert (out[1]["kept"], out[2]["kept"]).count(1) == 1
+    winner = 1 if out[1]["kept"] else 2
+    loser = 2 if winner == 1 else 1
+    assert (out[winner]["cc"], -winner) > (out[loser]["cc"], -loser)
+    assert {3, 4, 5} <= kept
+
+
+def test_semantic_dedup_no_surviving_neardup_pair(spark):
+    """Pair-level invariant on the real corpus: no two KEPT vectors in the
+    same cluster may meet the threshold, and every cluster's
+    closest-to-centroid vector is always kept."""
+    import itertools
+
+    import numpy as np
+
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.similarity import semantic_dedup
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    out = semantic_dedup(emb, threshold=0.3).collect()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    by_label: dict[int, list] = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(r)
+    for label, rows in by_label.items():
+        best = max(rows, key=lambda r: (r["cc"], -r["vec_id"]))
+        assert best["kept"] == 1, f"cluster {label}: centroid-closest dropped"
+        kept = [r for r in rows if r["kept"] == 1]
+        for a, b in itertools.combinations(kept, 2):
+            va, vb = vecs[a["vec_id"]], vecs[b["vec_id"]]
+            cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            assert round(cos, 6) < 0.3, (
+                f"kept near-dup pair {a['vec_id']},{b['vec_id']} cos={cos}"
+            )

@@ -377,6 +377,7 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "bm25_topk",              # corpus N/total-length scalar (1 row)
     "tfidf_top_terms",        # corpus-size scalar (1 row)
     "corpus_drift",           # side totals + vocab scalar (1 row)
+    "rfm_segments",           # quartile-cut scalars (1 row)
 }
 
 
@@ -617,6 +618,61 @@ def test_tfidf_bucketed_doc_freq_join_no_static_exchange(spark):
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_forecast_revenue_pure_scan_aggregate(spark):
+    """TPC-H Q6 shape: every predicate reaches the parquet scan and the
+    plan has no join and no data shuffle besides the 1-row partial-agg
+    merge — the cheapest plan shape in the registry."""
+    plan = plan_of(spark, "forecast_revenue")
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    assert "l_discount" in pushed
+    assert "Join" not in plan
+    schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in schema and "l_returnflag" not in schema
+
+
+def test_funnel_conversion_single_user_exchange(spark):
+    """The three chained step windows must share ONE hashpartitioning on
+    user_id — funnel depth must not multiply shuffles. (The only other
+    exchange is the 1-row global-agg merge.)"""
+    import re as _re
+
+    plan = plan_of(spark, "funnel_conversion")
+    user_exchanges = len(
+        _re.findall(r"Arguments: hashpartitioning\(user_id", plan)
+    )
+    assert user_exchanges == 1, plan[:800]
+
+
+def test_event_transitions_lag_window_partitioned(spark):
+    """The bigram lag runs partitioned by user_id; normalization windows
+    run on the |types|^2 aggregate — no unpartitioned window anywhere
+    (the repo-wide sweep also asserts this; here we pin the exchange
+    count: user lag + (src,dst) count + src normalize = 3)."""
+    plan = plan_of(spark, "event_transitions")
+    assert n_shuffles(plan) <= 3, plan[:800]
+
+
+def test_rfm_segments_no_ntile_window_on_customers(spark):
+    """Quantile scoring must use broadcast value cuts, NOT ntile(): a
+    global-order ntile window would funnel every customer through one
+    task. The only windowless shuffles: custkey agg, 1-row percentile
+    merge, segment agg."""
+    plan = plan_of(spark, "rfm_segments")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row cuts relation
+
+
+def test_semantic_dedup_one_cluster_exchange_arrow_kernel(spark):
+    """SemDeDup plan: ONE shuffle on the cluster key feeding a grouped
+    Arrow kernel (FlatMapGroupsInPandas) — vectors cross Arrow exactly
+    once; no pair join materializes O(b^2) vector copies."""
+    plan = plan_of(spark, "semantic_dedup")
+    assert "FlatMapGroupsInPandas" in plan
+    assert n_shuffles(plan) == 1, plan[:800]
+    assert "Join" not in plan
 
 
 def test_bench_query_lists_resolve_against_registry():

@@ -37,6 +37,7 @@ __all__ = [
     "ivf_topk",
     "lsh_topk",
     "neardup_pairs",
+    "semantic_dedup",
     "hyperplanes",
     "sign_bucket_key",
 ]
@@ -320,3 +321,81 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.3,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): within
+    each cluster, vectors whose pairwise cosine meets ``threshold`` form
+    near-duplicate groups; every member loses to the group-mate closest to
+    the cluster centroid (ties: smaller id wins). Output is one row per
+    input vector — (id, cluster, cc = cosine-to-centroid, kept 1/0) — so
+    both the keep and the drop side of the decision are verifiable.
+
+    Scale shape: identical to :func:`neardup_pairs` — ONE shuffle on the
+    cluster key, then a per-cluster Arrow kernel does the O(b²·d) Gram
+    work in BLAS with each vector crossing Arrow exactly once. The paper's
+    clusters come from a k-means pass whose k is chosen to bound cluster
+    size (b ~ n/k rows), so the quadratic term is bounded by design; here
+    the precomputed ``cluster_col`` plays that role (any coarse quantizer
+    — the IVF assignment above, sign-LSH buckets, or a label — slots in).
+    Skewed/giant clusters: cap with sub-bucketing (extra LSH bits inside
+    the kernel key) exactly as the LSH hot-shingle cap does.
+
+    Determinism: the centroid is a scaled-integer mean (order-independent,
+    engine-exact), and all comparisons — the pair threshold and the
+    closer-to-centroid contest — happen on half-away-from-zero µ-rounded
+    integers, so an SQL oracle reproduces every keep/drop decision.
+    """
+    import numpy as np
+
+    thr_i = int(np.floor(abs(threshold) * 1e6 + 0.5)) * (
+        1 if threshold >= 0 else -1
+    )
+
+    def _away(x):
+        # half-away-from-zero (np.rint/np.round are banker's; SQL round is not)
+        return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+    ctype = dict(df.dtypes)[cluster_col]
+    out_schema = f"{id_col} long, {cluster_col} {ctype}, cc double, kept long"
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_vid"].to_numpy()
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        n = len(ids)
+        # scaled-integer centroid: exact in any engine, any summation order
+        cent = _away(V * 1e6).astype(np.int64).sum(axis=0) / (1e6 * n)
+        Nv = V / np.linalg.norm(V, axis=1, keepdims=True)
+        cn = cent / np.linalg.norm(cent)
+        cci = _away(Nv @ cn * 1e6).astype(np.int64)
+        if n > 1:
+            G = Nv @ Nv.T
+            M = _away(G * 1e6).astype(np.int64) >= thr_i
+            np.fill_diagonal(M, False)
+            beats = (cci[:, None] > cci[None, :]) | (
+                (cci[:, None] == cci[None, :]) & (ids[:, None] < ids[None, :])
+            )
+            dropped = (M & beats).any(axis=0)
+        else:
+            dropped = np.zeros(1, dtype=bool)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                cluster_col: pdf["_c"].to_numpy(),
+                "cc": cci / 1e6,
+                "kept": (~dropped).astype(np.int64),
+            }
+        )
+
+    b = df.select(
+        F.col(id_col).alias("_vid"),
+        F.col(cluster_col).alias("_c"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    )
+    return b.groupBy("_c").applyInPandas(block, out_schema)

@@ -3640,6 +3640,279 @@ FROM f GROUP BY event_type ORDER BY event_type
 
 
 # --------------------------------------------------------------------------
+# 4g. Round-6 wave 2: funnel / transitions / RFM / Q6 / semantic dedup
+# --------------------------------------------------------------------------
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): ONE scan-aggregate, no
+    join, no groupBy — all four predicates (shipdate year, discount band,
+    quantity cap) push into the parquet scan and the per-row
+    extendedprice*discount product folds map-side into a single
+    fixed-point sum. The cheapest possible plan at any scale: the only
+    exchange is the final 1-row partial-agg merge."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(_fsum(F.col("l_extendedprice") * F.col("l_discount"), 2).alias("revenue"))
+
+
+_SQL_FORECAST_REVENUE = f"""
+SELECT {_fsum_sql("l_extendedprice * l_discount", 2)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (signup → click → purchase): per user, the
+    first signup, the first click at-or-after it, and the first purchase
+    at-or-after that; the summary row counts users surviving each step
+    plus step-to-step conversion rates. The reference's cohort dashboards
+    answer "how many subjects progressed" with pandas passes per stage
+    (viz.py garmin funnels); here the three chained conditional mins are
+    window aggregates over ONE hash partitioning on user_id — a single
+    exchange however many steps the funnel has, then a 1-row global agg."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    e = (
+        ev.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    n1 = F.countDistinct(F.when(F.col("t1").isNotNull(), F.col("user_id")))
+    n2 = F.countDistinct(F.when(F.col("t2").isNotNull(), F.col("user_id")))
+    n3 = F.countDistinct(F.when(F.col("t3").isNotNull(), F.col("user_id")))
+    return e.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        n1.alias("n_signup"),
+        n2.alias("n_signup_click"),
+        n3.alias("n_full_funnel"),
+        F.when(n1 > 0, _r(n2.cast("double") / n1, 6)).alias("click_rate"),
+        F.when(n2 > 0, _r(n3.cast("double") / n2, 6)).alias("purchase_rate"),
+    )
+
+
+_SQL_FUNNEL_CONVERSION = """
+WITH w1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events),
+w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM w1),
+w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM w2),
+agg AS (
+  SELECT count(DISTINCT user_id) AS n_users,
+         count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n_signup,
+         count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n_signup_click,
+         count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n_full_funnel
+  FROM w3)
+SELECT n_users, n_signup, n_signup_click, n_full_funnel,
+       CASE WHEN n_signup > 0
+            THEN round(CAST(n_signup_click AS DOUBLE) / n_signup, 6) END AS click_rate,
+       CASE WHEN n_signup_click > 0
+            THEN round(CAST(n_full_funnel AS DOUBLE) / n_signup_click, 6) END AS purchase_rate
+FROM agg
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (Markov bigrams): for each
+    consecutive (prev → next) pair inside a user's timeline, the count and
+    the per-source transition probability. Lag over (user, ts, event_id) —
+    the event_id tiebreak makes simultaneous events deterministic — is ONE
+    exchange on user_id; the bigram count and the per-source normalizing
+    window both run on the tiny |types|² aggregate."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).filter(F.col("src").isNotNull())
+    c = s.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    wsrc = Window.partitionBy("src")
+    return c.withColumn(
+        "p", _r(F.col("n").cast("double") / F.sum("n").over(wsrc), 6)
+    )
+
+
+_SQL_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_type AS dst,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+  FROM events),
+c AS (
+  SELECT src, dst, count(*) AS n
+  FROM s WHERE src IS NOT NULL GROUP BY src, dst)
+SELECT src, dst, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS p
+FROM c
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency (last order epoch) /
+    frequency (order count) / monetary (fixed-point spend), each scored
+    1-4 against its own quartile cut points, then segment-level counts and
+    average spend. Scale shape: one groupBy(custkey) pass, one 1-row exact
+    percentile aggregate (swap in approx_percentile at petabyte counts)
+    broadcast back as literals, scoring map-side, final agg over ≤64
+    segments. NO global-order window — quantile scoring via value cuts
+    keeps every stage partition-parallel, where ntile() would funnel all
+    customers through one partition. Cuts are µ-rounded so the engines'
+    percentile interpolations agree bit-for-bit (recency/frequency cuts
+    interpolate exact integers and are error-free; monetary at 1e-11)."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("double")).alias("rec"),
+        F.count(F.lit(1)).alias("freq"),
+        _fsum(F.col("o_totalprice"), 2).alias("mon"),
+    )
+    cuts = per.agg(
+        *[
+            _r(F.expr(f"percentile({m}, {q})"), 6).alias(f"{m}_c{i}")
+            for m in ("rec", "freq", "mon")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def score(m: str):
+        s = F.lit(1)
+        for i in (1, 2, 3):
+            s = s + (F.col(m) > F.col(f"{m}_c{i}")).cast("int")
+        return s.cast("long").alias(f"{m[0]}_score")
+
+    scored = per.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey", "mon", score("rec"), score("freq"), score("mon")
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _savg(F.col("mon"), 2).alias("avg_monetary"),
+    )
+
+
+_SQL_RFM_SEGMENTS = f"""
+WITH per AS (
+  SELECT o_custkey, epoch(max(o_orderdate)) AS rec,
+         count(*) AS freq,
+         {_fsum_sql("o_totalprice", 2)} AS mon
+  FROM orders GROUP BY o_custkey),
+cuts AS (
+  SELECT round(quantile_cont(rec, 0.25), 6) AS rec_c1,
+         round(quantile_cont(rec, 0.5), 6)  AS rec_c2,
+         round(quantile_cont(rec, 0.75), 6) AS rec_c3,
+         round(quantile_cont(freq, 0.25), 6) AS freq_c1,
+         round(quantile_cont(freq, 0.5), 6)  AS freq_c2,
+         round(quantile_cont(freq, 0.75), 6) AS freq_c3,
+         round(quantile_cont(mon, 0.25), 6) AS mon_c1,
+         round(quantile_cont(mon, 0.5), 6)  AS mon_c2,
+         round(quantile_cont(mon, 0.75), 6) AS mon_c3
+  FROM per),
+scored AS (
+  SELECT o_custkey, mon,
+         CAST(1 + (rec > rec_c1)::INT + (rec > rec_c2)::INT
+                + (rec > rec_c3)::INT AS BIGINT) AS r_score,
+         CAST(1 + (freq > freq_c1)::INT + (freq > freq_c2)::INT
+                + (freq > freq_c3)::INT AS BIGINT) AS f_score,
+         CAST(1 + (mon > mon_c1)::INT + (mon > mon_c2)::INT
+                + (mon > mon_c3)::INT AS BIGINT) AS m_score
+  FROM per CROSS JOIN cuts)
+SELECT r_score, f_score, m_score, count(*) AS n_customers,
+       {_savg_sql("mon", 2)} AS avg_monetary
+FROM scored GROUP BY r_score, f_score, m_score
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus: within each label cluster, every
+    ≥0.30-cosine near-duplicate group keeps only its member closest to the
+    cluster centroid (the synthetic corpus' top ~1%% similarity tail; real
+    pipelines run ≥0.9 on k-means cells). One cluster-key shuffle, BLAS
+    Gram kernel per cluster — see operators.similarity.semantic_dedup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.semantic_dedup(emb, threshold=0.3)
+    return out.select("vec_id", "label", _r(F.col("cc"), 6).alias("cc"), "kept")
+
+
+def _semantic_dedup_sql(threshold: float = 0.3) -> str:
+    """Oracle for q_semantic_dedup: same scaled-integer centroid, same
+    µ-rounded cosine comparisons, same closer-to-centroid keep rule."""
+    thr_i = int(round(threshold * 1e6))
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+e AS (
+  SELECT vec_id, label, unnest(ev) AS val,
+         generate_subscripts(ev, 1) AS dim
+  FROM v),
+cent AS (
+  SELECT label, dim,
+         CAST(sum(CAST(round(val*1e6) AS BIGINT)) AS DOUBLE) / (1e6 * count(*)) AS c
+  FROM e GROUP BY label, dim),
+carr AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
+cc AS (
+  SELECT v.vec_id, v.label,
+         CAST(round(list_dot_product(ev, cv)
+              / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(cv, cv)))
+              * 1e6) AS BIGINT) AS cci
+  FROM v JOIN carr USING (label)),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+  WHERE round(list_dot_product(a.ev, b.ev)
+              / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev)))
+              * 1e6) >= {thr_i}),
+dropped AS (
+  SELECT DISTINCT p.ib AS vec_id
+  FROM pairs p
+  JOIN cc ca ON ca.vec_id = p.ia
+  JOIN cc cb ON cb.vec_id = p.ib
+  WHERE ca.cci > cb.cci OR (ca.cci = cb.cci AND ca.vec_id < cb.vec_id))
+SELECT c.vec_id, c.label, round(c.cci / 1e6, 6) AS cc,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM cc c LEFT JOIN dropped d ON d.vec_id = c.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3780,6 +4053,13 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "quality_filter_per_lang": (q_quality_filter_per_lang, _quality_filter_sql()),
     "corpus_drift": (q_corpus_drift, _SQL_CORPUS_DRIFT),
     "gap_fill": (q_gap_fill, _SQL_GAP_FILL),
+    # --- new in r6 wave 2 (funnel / transitions / RFM / Q6 / SemDeDup) —
+    # behind the window this round, parity-swept now, rotate into r7 ---
+    "forecast_revenue": (q_forecast_revenue, _SQL_FORECAST_REVENUE),
+    "funnel_conversion": (q_funnel_conversion, _SQL_FUNNEL_CONVERSION),
+    "event_transitions": (q_event_transitions, _SQL_EVENT_TRANSITIONS),
+    "rfm_segments": (q_rfm_segments, _SQL_RFM_SEGMENTS),
+    "semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
 }
 
 
