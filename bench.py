@@ -100,6 +100,10 @@ EXTRA_BENCH_QUERIES = [
     "event_transitions",
     "rfm_segments",
     "semantic_dedup",
+    "time_weighted_avg",
+    "rolling_zscore",
+    "unigram_nll",
+    "source_overlap",
 ]
 
 

@@ -1720,3 +1720,139 @@ def test_semantic_dedup_no_surviving_neardup_pair(spark):
             assert round(cos, 6) < 0.3, (
                 f"kept near-dup pair {a['vec_id']},{b['vec_id']} cos={cos}"
             )
+
+
+def test_time_weighted_avg_hand_model(spark):
+    """Known trapezoids: uneven sampling where the plain mean and the TWA
+    disagree, a midnight-crossing segment that must NOT contribute, and a
+    simultaneous-sample tie whose pairing is fixed by the tiebreak."""
+    from w4h_integrated_toolkit_spark.operators.timeseries import time_weighted_avg
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def row(i, minutes, v, uid=1):
+        return Row(
+            user_id=uid, event_id=i,
+            ts=t0 + dt.timedelta(minutes=minutes), value=float(v),
+        )
+
+    rows = [
+        # day 1 segments: 600s@avg10, 600s@avg30, 48900s@avg75
+        row(1, 0, 10.0), row(2, 10, 10.0), row(3, 20, 50.0),
+        # late-night sample whose successor is next day: excluded segment
+        row(4, 13 * 60 + 55, 100.0),        # 23:55
+        row(5, 14 * 60 + 10, 200.0),        # next day 00:10 — crosses midnight
+    ]
+    out = {
+        (r["user_id"], r["bucket_epoch"]): r
+        for r in time_weighted_avg(spark.createDataFrame(rows)).collect()
+    }
+    day1 = (1, int(dt.datetime(2024, 3, 1).timestamp()))
+    assert set(out) == {day1}  # the midnight-crossing pair contributes nowhere
+    assert out[day1]["n_segments"] == 3
+    # trapezoids: (600*10 + 600*30 + 48900*75) / (600+600+48900) — the long
+    # 10:20→23:55 stretch dominates; a plain mean of the 4 day-1 samples
+    # (42.5) badly under-weights it
+    assert out[day1]["twa"] == round((600 * 10 + 600 * 30 + 48900 * 75) / 50100, 6)
+
+
+def test_time_weighted_avg_tie_pairing_deterministic(spark):
+    """Two samples at the SAME timestamp: the event_id tiebreak decides
+    which one chains to the successor — permuting input row order must not
+    change the answer."""
+    from w4h_integrated_toolkit_spark.operators.timeseries import time_weighted_avg
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        Row(user_id=1, event_id=1, ts=t0, value=0.0),
+        Row(user_id=1, event_id=2, ts=t0, value=100.0),  # tie on ts
+        Row(user_id=1, event_id=3, ts=t0 + dt.timedelta(minutes=10), value=100.0),
+    ]
+    a = time_weighted_avg(spark.createDataFrame(rows)).collect()
+    b = time_weighted_avg(spark.createDataFrame(rows[::-1])).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # order by event_id: 1→2 zero-width, then 2→3 at avg 100
+    assert a[0]["twa"] == 100.0
+
+
+def test_rolling_zscore_hand_model(spark):
+    """A spike after a stable baseline is flagged; the same spike after a
+    CONSTANT baseline is not (zero-variance guard), and early rows with
+    fewer than min_periods predecessors never flag."""
+    from w4h_integrated_toolkit_spark.operators.timeseries import rolling_zscore
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def series(uid, vals):
+        return [
+            Row(user_id=uid, event_id=i, ts=t0 + dt.timedelta(minutes=i),
+                value=float(v))
+            for i, v in enumerate(vals)
+        ]
+
+    # user 1: mild variation then a huge spike; user 2: constant then spike
+    rows = series(1, [10, 11, 9, 10, 11, 9, 10, 500]) + series(
+        2, [10, 10, 10, 10, 10, 10, 10, 500]
+    )
+    out = rolling_zscore(
+        spark.createDataFrame(rows), lookback=20, min_periods=5, threshold=3.0
+    ).collect()
+    flagged = {(r["user_id"], r["event_id"]) for r in out}
+    assert (1, 7) in flagged          # spike against a live baseline
+    assert all(u != 2 for u, _ in flagged)  # zero variance never flags
+    assert all(e >= 5 for _, e in flagged)  # warm-up rows never flag
+    z = [r["z"] for r in out if r["user_id"] == 1][0]
+    assert z > 100  # (500 - 10) / std(~0.8)
+
+
+def test_unigram_nll_hand_model_and_frozen_model(spark):
+    """Two-doc corpus checked against a hand-computed smoothed unigram
+    NLL, plus the frozen-model path: scoring against persisted counts
+    must equal the self-model when the counts are the same."""
+    import math as m
+
+    from w4h_integrated_toolkit_spark.operators.ranking import unigram_nll
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a a b"), Row(doc_id=2, text="b c")]
+    )
+    out = {r["doc_id"]: r for r in unigram_nll(docs).collect()}
+    # counts: a=2 b=2 c=1, T=5, V=3 → p(a)=3/8, p(b)=3/8, p(c)=2/8
+    lp = {t: round(m.log(p) * 1e9) for t, p in (("a", 3 / 8), ("b", 3 / 8), ("c", 1 / 4))}
+    nll1 = -(2 * lp["a"] + lp["b"]) / 1e9 / 3
+    nll2 = -(lp["b"] + lp["c"]) / 1e9 / 2
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+    assert abs(out[1]["nll"] - nll1) < 1e-6
+    assert abs(out[2]["nll"] - nll2) < 1e-6
+    # frozen-model path
+    counts = spark.createDataFrame(
+        [Row(term="a", c=2), Row(term="b", c=2), Row(term="c", c=1)]
+    )
+    frozen = {r["doc_id"]: r for r in unigram_nll(docs, term_counts=counts).collect()}
+    assert frozen[1]["nll"] == out[1]["nll"]
+    assert frozen[2]["nll"] == out[2]["nll"]
+
+
+def test_source_ngram_overlap_hand_model(spark):
+    """Three tiny slices with known bigram sets: exact intersection /
+    union / Jaccard, pair orientation (a < b), and absence of
+    zero-intersection pairs."""
+    from w4h_integrated_toolkit_spark.operators.dedup import source_ngram_overlap
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="s1", text="x y z"),      # {x y, y z}
+            Row(doc_id=2, source="s1", text="x y"),        # dup gram within slice
+            Row(doc_id=3, source="s2", text="y z w"),      # {y z, z w}
+            Row(doc_id=4, source="s3", text="p q"),        # {p q} — disjoint
+        ]
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_ngram_overlap(docs, n=2).collect()
+    }
+    assert set(out) == {("s1", "s2")}  # s3 shares nothing → no row
+    r = out[("s1", "s2")]
+    assert r["inter_grams"] == 1        # {y z}
+    assert r["union_grams"] == 3        # {x y, y z, z w}
+    assert abs(r["jaccard"] - round(1 / 3, 6)) < 1e-9

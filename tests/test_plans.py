@@ -378,6 +378,7 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "tfidf_top_terms",        # corpus-size scalar (1 row)
     "corpus_drift",           # side totals + vocab scalar (1 row)
     "rfm_segments",           # quartile-cut scalars (1 row)
+    "unigram_nll",            # model totals T/V scalar (1 row)
 }
 
 
@@ -640,8 +641,11 @@ def test_funnel_conversion_single_user_exchange(spark):
     import re as _re
 
     plan = plan_of(spark, "funnel_conversion")
+    # single-column hashpartitioning(user_id#N, P) ONLY — the
+    # distinct-aggregate Expand exchange also lists user_id but always
+    # alongside the step CASE expressions
     user_exchanges = len(
-        _re.findall(r"Arguments: hashpartitioning\(user_id", plan)
+        _re.findall(r"Arguments: hashpartitioning\(user_id#\d+L?, \d+\)", plan)
     )
     assert user_exchanges == 1, plan[:800]
 
@@ -673,6 +677,53 @@ def test_semantic_dedup_one_cluster_exchange_arrow_kernel(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert n_shuffles(plan) == 1, plan[:800]
     assert "Join" not in plan
+
+
+def test_time_weighted_avg_single_exchange(spark):
+    """The lead() window and the (key, bucket) aggregate share ONE
+    exchange on the key — HashPartitioning(user_id) satisfies the
+    aggregate's (user_id, bucket) clustering, so bucketing granularity
+    never adds a shuffle."""
+    plan = plan_of(spark, "time_weighted_avg")
+    assert n_shuffles(plan) == 1, plan[:800]
+
+
+def test_rolling_zscore_single_exchange(spark):
+    """Baseline sums, counts, and the z filter all ride the one user_id
+    window exchange."""
+    plan = plan_of(spark, "rolling_zscore")
+    assert n_shuffles(plan) == 1, plan[:800]
+
+
+def test_unigram_nll_no_sort_merge_and_single_explode_branch(spark):
+    """Model counts fold the tf aggregate (vocab-bounded) — the raw token
+    explosion must not run once per model consumer; and the term join
+    must not degrade to sort-merge at this size."""
+    import re as _re
+
+    plan = plan_of(spark, "unigram_nll")
+    assert "SortMergeJoin" not in plan
+    # the static plan repeats the tf subtree once per consumer (join,
+    # model, totals) — 3 Generate branches, NOT a 4th independent
+    # instance-stream explosion for the counts
+    assert len(_re.findall(r"\(\d+\) Generate\b", plan)) <= 3, plan[:800]
+    # ...and at runtime AQE collapses the repeats into ONE executed
+    # explosion+aggregate via exchange reuse
+    fn, _ = QUERIES["unigram_nll"]
+    df = fn(spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed or "ReusedQueryStage" in executed, (
+        executed[:800]
+    )
+
+
+def test_source_overlap_broadcast_sizes_no_sort_merge(spark):
+    """Slice sizes join as broadcasts; the gram self-join stays a hash
+    join (bounded per-gram fan-out, no sort-merge, no nested loop)."""
+    plan = plan_of(spark, "source_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_bench_query_lists_resolve_against_registry():

@@ -47,6 +47,7 @@ __all__ = [
     "connected_components",
     "contamination",
     "boilerplate_ngrams",
+    "source_ngram_overlap",
 ]
 
 
@@ -825,3 +826,61 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def source_ngram_overlap(
+    docs: DataFrame,
+    n: int = 2,
+    text: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Pairwise content overlap between corpus slices: exact Jaccard of
+    the distinct word n-gram sets of every pair of ``group_col`` values —
+    the provenance question behind mixture design ("are these two crawls
+    the same content?") and leakage checks between pipeline stages, at
+    slice granularity where doc-level near-dup (MinHash/SimHash above)
+    is too fine.
+
+    Plan: per-doc-distinct gram rows map-side (no boilerplate
+    inflation), ONE aggregate to slice-level gram sets, set sizes as a
+    broadcast side, and the pair intersection via a gram-keyed self-join
+    — per-gram work is bounded by C(slices-present, 2), so the join
+    explodes by at most slices² per gram, never by corpus size. At many
+    thousands of slices, cap ubiquitous grams first (the hot-shingle cap
+    in :func:`shingle_index`) — a gram in EVERY slice contributes
+    nothing to ranking overlaps but dominates the join."""
+    rows = (
+        distinct_shingle_rows(docs, n, text, id_col=group_col)
+        .groupBy(group_col, "shingle")
+        .agg(F.lit(1).alias("_one"))
+    )
+    sizes = rows.groupBy(group_col).agg(F.count(F.lit(1)).alias("_sz"))
+    a = rows.select(F.col(group_col).alias("source_a"), "shingle")
+    b = rows.select(F.col(group_col).alias("source_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("inter_grams"))
+    )
+    sa = sizes.select(F.col(group_col).alias("source_a"), F.col("_sz").alias("_na"))
+    sb = sizes.select(F.col(group_col).alias("source_b"), F.col("_sz").alias("_nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "inter_grams",
+            (F.col("_na") + F.col("_nb") - F.col("inter_grams")).alias("union_grams"),
+            (
+                F.round(
+                    F.col("inter_grams").cast("double")
+                    / (F.col("_na") + F.col("_nb") - F.col("inter_grams")).cast("double")
+                    * 1e6,
+                    0,
+                )
+                / 1e6
+            ).alias("jaccard"),
+        )
+    )

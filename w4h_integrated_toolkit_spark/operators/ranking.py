@@ -48,6 +48,7 @@ __all__ = [
     "doc_frequencies",
     "term_drift",
     "tfidf_top_terms",
+    "unigram_nll",
 ]
 
 
@@ -244,4 +245,64 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_n)
         .select(id_col, "term", "rank", "tfidf_scaled")
+    )
+
+
+def unigram_nll(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    term_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus'
+    add-one-smoothed unigram model — the cheap end of the KenLM-style
+    perplexity quality filter every large text pipeline runs (documents
+    made of globally rare tokens score high = surprising; boilerplate
+    scores low). Pass a persisted ``term_counts`` (term, c) relation to
+    score a batch against a FROZEN reference model (the production shape:
+    build the model on the trusted snapshot once, score every new ingest
+    against it); default builds the model from ``docs`` itself.
+
+    Plan: one (doc, term) tf aggregate over the exploded token stream, a
+    vocab-sized model relation with per-term ln p pre-rounded into
+    1e9-scaled longs (ln runs once per TERM, not per instance), a
+    term-keyed join, one per-doc aggregate — tf·ln p products and sums
+    stay in integer space, so scores are partition-invariant and
+    engine-exact. Totals (T, V) broadcast as a 1-row relation."""
+    base = _tokens(docs, text, id_col)
+    inst = base.select(F.col(id_col), F.explode("toks").alias("term"))
+    tf = inst.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # the self-model folds the tf aggregate (vocab-bounded) rather than
+    # re-exploding the instance stream — the raw token explosion happens
+    # exactly once however the model is sourced
+    counts = (
+        term_counts
+        if term_counts is not None
+        else tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
+    )
+    stats = counts.agg(
+        F.sum("c").cast("long").alias("_t"), F.count(F.lit(1)).alias("_v")
+    )
+    model = counts.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(
+            F.log((F.col("c") + F.lit(1)) / (F.col("_t") + F.col("_v"))) * F.lit(1e9),
+            0,
+        )
+        .cast("long")
+        .alias("_lnp"),
+    )
+    scored = tf.join(model, "term").groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("_lnp")).alias("_s"),
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        (
+            F.round(
+                -F.col("_s").cast("double") / F.lit(1e9) / F.col("n_tokens") * 1e6, 0
+            )
+            / 1e6
+        ).alias("nll"),
     )

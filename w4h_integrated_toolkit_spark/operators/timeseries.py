@@ -26,6 +26,8 @@ __all__ = [
     "calibrate_pandas",
     "gap_fill_minutes",
     "gap_mask",
+    "time_weighted_avg",
+    "rolling_zscore",
 ]
 
 
@@ -308,4 +310,138 @@ def gap_mask(
     gap = F.lead(F.col(ts).cast("double"), 1).over(w) - F.col(ts).cast("double")
     return df.withColumn(
         out, F.when(gap > gap_seconds, F.lit(None)).otherwise(F.col(value))
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    key: str = "user_id",
+    order_tiebreak: str = "event_id",
+    bucket: str = "day",
+) -> DataFrame:
+    """Time-weighted average over irregularly sampled readings: per
+    (key, bucket), the trapezoidal integral of the value between
+    consecutive samples divided by the covered time span — the correct
+    "average heart rate today" when samples arrive at uneven intervals
+    (a plain mean over-weights burst periods; the reference's pandas
+    dashboards resample to a grid first, viz.py, which distorts exactly
+    this). Segments are consecutive same-key sample pairs whose BOTH
+    endpoints fall in the same bucket; boundary-crossing segments are
+    excluded (so a bucket's answer never depends on a neighbor's data —
+    the property that makes the computation embarrassingly parallel).
+
+    Plan: ONE exchange on the key for the lead() window, then a hash
+    aggregate on (key, bucket) — segment contributions are fixed-point
+    µ-scaled longs (each segment's trapezoid area is an IEEE-identical
+    per-row product in any engine; the SUM is integer-exact in any
+    order), so results are partition-count-invariant and
+    oracle-reproducible. Buckets with zero covered span (all samples
+    simultaneous, or a single sample) produce no row.
+    """
+    # the explicit tiebreak makes simultaneous samples pair deterministically
+    # — ties are NOT harmless here: which neighbor a tied sample pairs with
+    # changes the trapezoid endpoints, not just a zero-width segment
+    w = Window.partitionBy(key).orderBy(ts, order_tiebreak)
+    e1 = F.col(ts).cast("double")
+    seg = (
+        df.select(
+            key,
+            F.col(ts),
+            F.col(value).alias("_v1"),
+            F.lead(ts).over(w).alias("_ts2"),
+            F.lead(value).over(w).alias("_v2"),
+        )
+        .filter(
+            F.col("_ts2").isNotNull()
+            & (F.date_trunc(bucket, ts) == F.date_trunc(bucket, "_ts2"))
+        )
+        .select(
+            key,
+            F.date_trunc(bucket, ts).cast("double").cast("long").alias("bucket_epoch"),
+            F.round(
+                (F.col("_ts2").cast("double") - e1)
+                * (F.col("_v1") + F.col("_v2"))
+                / F.lit(2.0)
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("_num"),
+            F.round((F.col("_ts2").cast("double") - e1) * F.lit(1e6), 0)
+            .cast("long")
+            .alias("_den"),
+        )
+    )
+    g = seg.groupBy(key, "bucket_epoch").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("_num").alias("_sn"),
+        F.sum("_den").alias("_sd"),
+    )
+    return g.filter(F.col("_sd") > 0).select(
+        key,
+        "bucket_epoch",
+        "n_segments",
+        (F.round(F.col("_sn").cast("double") / F.col("_sd").cast("double") * 1e6, 0) / 1e6).alias("twa"),
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    key: str = "user_id",
+    order_tiebreak: str = "event_id",
+    lookback: int = 20,
+    min_periods: int = 5,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window anomaly detection: flag readings whose z-score
+    against the PRECEDING ``lookback`` same-key samples exceeds
+    ``threshold`` — the streaming-friendly "is this value abnormal for
+    this subject" check (the current row is excluded from its own
+    baseline, so a spike can't mask itself). Rows with fewer than
+    ``min_periods`` predecessors or a degenerate (zero-variance) baseline
+    are never flagged.
+
+    Plan: ONE exchange on the key; mean/variance come from integer
+    window sums of milli-scaled values (sum and sum-of-squares over the
+    frame), so the baseline is bit-identical in any engine and any
+    partitioning — including the strict variance>0 guard, which is an
+    INTEGER comparison (n·Σv² > (Σv)²) immune to float cancellation.
+    The z expression itself is then a fixed sequence of IEEE ops over
+    integer-exact inputs. Scaling bounds: |value| ≤ ~9e6 at milli
+    precision before Σv² risks int64 overflow at lookback 20 — far above
+    any physiological or telemetry signal this targets.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, order_tiebreak)
+        .rowsBetween(-lookback, -1)
+    )
+    vi = F.round(F.col(value) * 1e3, 0).cast("long")
+    base = df.filter(F.col(value).isNotNull()).select(
+        key,
+        order_tiebreak,
+        ts,
+        value,
+        F.sum(vi).over(w).alias("_s1"),
+        F.sum(vi * vi).over(w).alias("_s2"),
+        F.count(vi).over(w).alias("_n"),
+    )
+    s1d = F.col("_s1").cast("double")
+    s2d = F.col("_s2").cast("double")
+    nd = F.col("_n").cast("double")
+    mean = s1d / (F.lit(1e3) * nd)
+    std = F.sqrt((s2d - s1d * s1d / nd) / (nd - F.lit(1.0))) / F.lit(1e3)
+    z = (F.col(value) - mean) / std
+    return (
+        base.filter(
+            (F.col("_n") >= min_periods)
+            & (F.col("_n") * F.col("_s2") > F.col("_s1") * F.col("_s1"))
+        )
+        .withColumn("z", F.round(z * F.lit(1e4), 0) / F.lit(1e4))
+        .filter(F.abs(F.col("z")) > threshold)
+        .select(key, order_tiebreak, ts, value, "z", F.col("_n").alias("n_baseline"))
     )

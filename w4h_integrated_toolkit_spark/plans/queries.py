@@ -3913,6 +3913,140 @@ FROM cc c LEFT JOIN dropped d ON d.vec_id = c.vec_id
 
 
 # --------------------------------------------------------------------------
+# 4h. Round-6 wave 3: time-weighted avg / anomaly z / unigram NLL / overlap
+# --------------------------------------------------------------------------
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user per-day time-weighted average of the sensor value
+    (trapezoidal over consecutive same-day samples) — the correct daily
+    average for irregular sampling; see
+    operators.timeseries.time_weighted_avg."""
+    ev = _t(spark, sf_dir, "events")
+    return TS.time_weighted_avg(
+        ev, ts="ts", value="value", key="user_id", order_tiebreak="event_id"
+    )
+
+
+_SQL_TIME_WEIGHTED_AVG = """
+WITH seg AS (
+  SELECT user_id, ts, value AS v1,
+         lead(ts) OVER w AS ts2, lead(value) OVER w AS v2
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+f AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS bucket_epoch,
+         CAST(round((epoch(ts2) - epoch(ts)) * (v1 + v2) / 2.0 * 1e6) AS BIGINT) AS num,
+         CAST(round((epoch(ts2) - epoch(ts)) * 1e6) AS BIGINT) AS den
+  FROM seg
+  WHERE ts2 IS NOT NULL AND date_trunc('day', ts) = date_trunc('day', ts2)),
+g AS (
+  SELECT user_id, bucket_epoch, count(*) AS n_segments,
+         CAST(sum(num) AS BIGINT) AS sn, CAST(sum(den) AS BIGINT) AS sd
+  FROM f GROUP BY user_id, bucket_epoch)
+SELECT user_id, bucket_epoch, n_segments,
+       round(CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE), 6) AS twa
+FROM g WHERE sd > 0
+"""
+
+
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-20-sample anomaly flags (|z| > 3 against the per-user
+    preceding baseline, min 5 predecessors) — see
+    operators.timeseries.rolling_zscore for the integer-exact baseline
+    construction."""
+    ev = _t(spark, sf_dir, "events")
+    return TS.rolling_zscore(
+        ev, lookback=20, min_periods=5, threshold=3.0
+    )
+
+
+_SQL_ROLLING_ZSCORE = """
+WITH s AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(round(value * 1e3) AS BIGINT) AS vi
+  FROM events WHERE value IS NOT NULL),
+w AS (
+  SELECT user_id, event_id, ts, value,
+         sum(vi) OVER win AS s1, sum(vi * vi) OVER win AS s2,
+         count(vi) OVER win AS n
+  FROM s
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT user_id, event_id, ts, value, CAST(n AS BIGINT) AS n_baseline,
+         round((value - CAST(s1 AS DOUBLE) / (1e3 * CAST(n AS DOUBLE)))
+               / (sqrt((CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1.0)) / 1e3), 4) AS z
+  FROM w WHERE n >= 5 AND n * s2 > s1 * s1)
+SELECT user_id, event_id, ts, value, z, n_baseline
+FROM z WHERE abs(z) > 3.0
+"""
+
+
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus'
+    add-one-smoothed unigram model (self-model here; production scores
+    ingests against a frozen snapshot model) — the perplexity-style
+    quality score; see operators.ranking.unigram_nll."""
+    docs = _tw(spark, sf_dir, "documents")
+    return RK.unigram_nll(docs)
+
+
+_SQL_UNIGRAM_NLL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+counts AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+stats AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM counts),
+model AS (
+  SELECT term, CAST(round(ln((c + 1) / (s.t + s.v)) * 1e9) AS BIGINT) AS lnp
+  FROM counts CROSS JOIN stats s),
+sc AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(sum(tf * lnp) AS BIGINT) AS ss
+  FROM tf JOIN model USING (term) GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       round(-CAST(ss AS DOUBLE) / 1e9 / n_tokens, 6) AS nll
+FROM sc
+"""
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise word-bigram Jaccard between the 20 document sources —
+    slice-level content-overlap matrix for mixture design and leakage
+    checks; see operators.dedup.source_ngram_overlap."""
+    docs = _tw(spark, sf_dir, "documents")
+    return D.source_ngram_overlap(docs, n=2)
+
+
+_SQL_SOURCE_OVERLAP = r"""
+WITH w AS (
+  SELECT source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+g AS (
+  SELECT DISTINCT source,
+         array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 1), ' ') AS shingle
+  FROM w, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS inter_grams
+  FROM g a JOIN g b USING (shingle) WHERE a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT source_a, source_b, inter_grams,
+       sa.n + sb.n - inter_grams AS union_grams,
+       round(CAST(inter_grams AS DOUBLE)
+             / CAST(sa.n + sb.n - inter_grams AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.source = inter.source_a
+JOIN sz sb ON sb.source = inter.source_b
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4060,6 +4194,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "event_transitions": (q_event_transitions, _SQL_EVENT_TRANSITIONS),
     "rfm_segments": (q_rfm_segments, _SQL_RFM_SEGMENTS),
     "semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
+    "time_weighted_avg": (q_time_weighted_avg, _SQL_TIME_WEIGHTED_AVG),
+    "rolling_zscore": (q_rolling_zscore, _SQL_ROLLING_ZSCORE),
+    "unigram_nll": (q_unigram_nll, _SQL_UNIGRAM_NLL),
+    "source_overlap": (q_source_overlap, _SQL_SOURCE_OVERLAP),
 }
 
 
