@@ -104,6 +104,9 @@ EXTRA_BENCH_QUERIES = [
     "rolling_zscore",
     "unigram_nll",
     "source_overlap",
+    "shipping_latency",
+    "daily_value_bands",
+    "streaming_anomaly",
 ]
 
 

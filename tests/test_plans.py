@@ -726,6 +726,23 @@ def test_source_overlap_broadcast_sizes_no_sort_merge(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_shipping_latency_joins_on_key_with_partial_aggs(spark):
+    """The big-big order-key join must stay an equi join (no nested loop /
+    cartesian — the sweep also guards this) and the per-priority aggregate
+    must combine map-side before its exchange."""
+    plan = plan_of(spark, "shipping_latency")
+    assert "Join" in plan and "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_daily_value_bands_single_exchange(spark):
+    """One grouped aggregate over the scan: exactly one data exchange of
+    (event_type, day) partials."""
+    plan = plan_of(spark, "daily_value_bands")
+    assert n_shuffles(plan) == 1, plan[:800]
+    assert "Join" not in plan
+
+
 def test_bench_query_lists_resolve_against_registry():
     """A renamed or mistyped entry in bench.py's query lists would crash
     the external driver's bench run and lose a round of perf signal —

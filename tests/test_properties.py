@@ -384,3 +384,26 @@ def test_ranking_scores_partition_invariant(spark, texts):
         tfidf_sets.add(tuple(sorted(map(tuple, tfidf_top_terms(d, 2).collect()))))
     assert len(bm25_sets) == 1
     assert len(tfidf_sets) == 1
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.just(None))
+def test_twa_and_zscore_partition_invariant(spark, _):
+    """The integer-sum determinism claim, tested: time_weighted_avg and
+    rolling_zscore produce bit-identical results at 1 partition and at 7
+    — the property that makes their answers stable when cluster
+    parallelism changes."""
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.timeseries import (
+        rolling_zscore,
+        time_weighted_avg,
+    )
+
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    for op in (
+        lambda d: time_weighted_avg(d),
+        lambda d: rolling_zscore(d, lookback=20, min_periods=5, threshold=3.0),
+    ):
+        one = sorted(map(tuple, op(ev.repartition(1)).collect()))
+        many = sorted(map(tuple, op(ev.repartition(7, "user_id")).collect()))
+        assert one == many and one

@@ -427,7 +427,8 @@ def test_streaming_gate_entries_fit_latency_budget(spark):
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
-    for name in ("streaming_neardup", "stream_distinct_users"):
+    for name in ("streaming_neardup", "stream_distinct_users",
+                 "streaming_anomaly"):
         t0 = time.time()
         assert qs[name](spark, "/root/testdata/sf0.01").count() > 0
         elapsed = time.time() - t0
@@ -732,3 +733,45 @@ def test_windowed_distinct_stream_matches_batch_exact(spark, tmp_path):
         for r in windowed_distinct_stream(batch, ts="ts", key="user_id").collect()
     }
     assert batch_got == got
+
+
+def test_streaming_anomaly_matches_batch_exact(spark, tmp_path):
+    """Equality law: the stateful streaming anomaly detector emits exactly
+    the batch rolling_zscore flags — including across a micro-batch
+    boundary, where the trailing baseline must stitch the persisted tail
+    to the new batch's rows (maxFilesPerTrigger=1 over two time-split
+    files forces the two-batch path)."""
+    from w4h_integrated_toolkit_spark.operators.timeseries import rolling_zscore
+    from w4h_integrated_toolkit_spark.streaming.stateful import (
+        streaming_anomaly_flags,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cut = "2024-01-15 00:00:00"
+    src = str(tmp_path / "src")
+    # two files, time-split, so per-key order holds across batches
+    ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(src)
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+
+    expected = sorted(
+        map(tuple, rolling_zscore(ev, lookback=20, min_periods=5,
+                                  threshold=3.0).collect())
+    )
+    assert expected, "fixture must flag at least one anomaly"
+
+    import uuid
+
+    for opts in ({}, {"maxFilesPerTrigger": 1}):
+        stream = spark.readStream.schema(ev.schema).options(**opts).parquet(src)
+        out = streaming_anomaly_flags(
+            stream, lookback=20, min_periods=5, threshold=3.0
+        )
+        name = "anom_" + uuid.uuid4().hex[:8]
+        q = (
+            out.writeStream.outputMode("append").format("memory")
+            .queryName(name).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = sorted(map(tuple, spark.table(name).collect()))
+        spark.catalog.dropTempView(name)
+        assert got == expected, f"streaming != batch with options {opts}"

@@ -4047,6 +4047,110 @@ JOIN sz sb ON sb.source = inter.source_b
 
 
 # --------------------------------------------------------------------------
+# 4i. Round-6 wave 4: shipping latency / daily bands / streaming anomalies
+# --------------------------------------------------------------------------
+
+
+def q_shipping_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: count, mean,
+    and exact p50/p90 of (l_shipdate − o_orderdate) in days. The honest
+    BIG-BIG join shape (lineitem ⋈ orders on the order key — no tiny
+    side); at warehouse scale both sides bucket on the order key
+    (catalog.write_bucketed) and the join is exchange-free — here the
+    plan is whatever AQE picks for the sizes at hand. Day lags are exact
+    integers, so the mean is an integer ratio and the engine-pair
+    percentile interpolation is error-free."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("_lag"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _r(F.sum("_lag").cast("double") / F.count(F.lit(1)), 6).alias("mean_days"),
+        _r(F.expr("percentile(_lag, 0.5)"), 4).alias("p50_days"),
+        _r(F.expr("percentile(_lag, 0.9)"), 4).alias("p90_days"),
+    )
+
+
+_SQL_SHIPPING_LATENCY = """
+WITH j AS (
+  SELECT o.o_orderpriority,
+         datediff('day', o.o_orderdate, l.l_shipdate) AS lag
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT o_orderpriority, count(*) AS n_items,
+       round(CAST(CAST(sum(lag) AS BIGINT) AS DOUBLE) / count(*), 6) AS mean_days,
+       round(quantile_cont(lag, 0.5), 4) AS p50_days,
+       round(quantile_cont(lag, 0.9), 4) AS p90_days
+FROM j GROUP BY o_orderpriority
+"""
+
+
+def q_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) P50/P95 bands of the sensor value — the
+    dashboard ribbon behind every "normal range" plot (the reference
+    draws safe bands from static config, safeband.py; these are the
+    empirical ones). One grouped aggregate; exact percentiles swap for
+    approx_percentile at petabyte group sizes."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("double").cast("long").alias("day_epoch"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _savg(F.col("value"), 4).alias("mean_value"),
+        _r(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        _r(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
+_SQL_DAILY_VALUE_BANDS = f"""
+SELECT event_type,
+       CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+       count(*) AS n,
+       {_savg_sql("value", 4)} AS mean_value,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95
+FROM events GROUP BY event_type, date_trunc('day', ts)
+"""
+
+
+def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rolling z-score anomaly detector through the REAL streaming
+    engine: applyInPandasWithState keeps each user's trailing-20 tail as
+    bounded keyed state and emits flags as readings arrive. Oracled by
+    the BATCH formulation's SQL — on this availableNow replay the
+    streaming output equals the batch operator exactly (the equality law
+    tests/test_streaming.py asserts directly)."""
+    import os
+    import tempfile
+
+    from ..streaming.replay import drain_memory_sink
+    from ..streaming.stateful import streaming_anomaly_flags
+
+    prepare_session(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        stage = tempfile.mkdtemp(prefix="w4h_anomaly_stream_")
+        os.symlink(path, os.path.join(stage, os.path.basename(path)))
+        src = stage
+    else:
+        stage = None
+        src = path
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_anomaly_flags(
+        stream, lookback=20, min_periods=5, threshold=3.0
+    )
+    return drain_memory_sink(
+        out, "append", name_prefix="w4h_anomaly_stream_", stage_dir=stage
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4198,6 +4302,11 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "rolling_zscore": (q_rolling_zscore, _SQL_ROLLING_ZSCORE),
     "unigram_nll": (q_unigram_nll, _SQL_UNIGRAM_NLL),
     "source_overlap": (q_source_overlap, _SQL_SOURCE_OVERLAP),
+    "shipping_latency": (q_shipping_latency, _SQL_SHIPPING_LATENCY),
+    "daily_value_bands": (q_daily_value_bands, _SQL_DAILY_VALUE_BANDS),
+    # streaming twin gated by the batch formulation's oracle (equality law
+    # asserted in tests/test_streaming.py)
+    "streaming_anomaly": (q_streaming_anomaly, _SQL_ROLLING_ZSCORE),
 }
 
 

@@ -33,6 +33,7 @@ __all__ = [
     "trajectory_tails",
     "streaming_exact_dedup",
     "streaming_dedup_within_watermark",
+    "streaming_anomaly_flags",
 ]
 
 _STATS_OUT = T.StructType(
@@ -263,4 +264,117 @@ def streaming_dedup_within_watermark(
     )
     return keyed.withWatermark(event_time, horizon).dropDuplicatesWithinWatermark(
         ["content_key"]
+    )
+
+
+_ANOM_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("z", T.DoubleType()),
+        T.StructField("n_baseline", T.LongType()),
+    ]
+)
+_ANOM_STATE = T.StructType([T.StructField("tail", T.ArrayType(T.LongType()))])
+
+
+def streaming_anomaly_flags(
+    events: DataFrame,
+    user: str = "user_id",
+    value: str = "value",
+    ts: str = "ts",
+    order_tiebreak: str = "event_id",
+    lookback: int = 20,
+    min_periods: int = 5,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.timeseries.rolling_zscore`: flag
+    readings whose z-score against the key's trailing ``lookback`` samples
+    exceeds ``threshold``, as rows arrive — the live "abnormal reading"
+    alert the reference recomputes from full client-side frames each tick
+    (viz.py:737-821). Per-key state is ONE bounded array (the last
+    ``lookback`` milli-scaled values), not the history.
+
+    Equality law (tested): on a per-key time-ordered replay the emitted
+    flags equal the batch operator's exactly — the baseline sums are
+    integer arithmetic over the same tail, and the z expression is the
+    SAME IEEE op sequence (including the half-away-from-zero 1e-4
+    rounding; Python's round() is banker's and is avoided). Ordering
+    caveat: state sees rows batch-by-batch; rows are sorted within each
+    batch, so cross-batch equality holds when the source replays in key
+    order (availableNow over a sorted file, or ReplaySource) — the same
+    contract trajectory_tails documents.
+    """
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def _away(x, scale):
+            return np.sign(x) * np.floor(np.abs(x) * scale + 0.5)
+
+        tail = (
+            np.asarray(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(0, dtype=np.int64)
+        )
+        frames: list[pd.DataFrame] = []
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=[value]).sort_values([ts, order_tiebreak])
+            if not len(pdf):
+                continue
+            v = pdf[value].to_numpy(dtype=np.float64)
+            vi = _away(v, 1e3).astype(np.int64)
+            comb = np.concatenate([tail, vi])
+            # prefix sums in int64: bounded by lookback·|v·1e3|² per step and
+            # batch-length·|v·1e3|² overall (~3e16 at 1e5 rows of |v|≤561 —
+            # far inside int64; re-derive if values exceed ~1e6)
+            cs1 = np.concatenate([[0], np.cumsum(comb)])
+            cs2 = np.concatenate([[0], np.cumsum(comb * comb)])
+            pos = np.arange(len(tail), len(comb))
+            lo = np.maximum(0, pos - lookback)
+            n = pos - lo
+            s1 = cs1[pos] - cs1[lo]
+            s2 = cs2[pos] - cs2[lo]
+            ok = (n >= min_periods) & (n * s2 > s1 * s1)
+            if ok.any():
+                nd = n[ok].astype(np.float64)
+                s1d = s1[ok].astype(np.float64)
+                s2d = s2[ok].astype(np.float64)
+                # the batch operator's EXACT IEEE op sequence (incl. the
+                # half-away-from-zero 1e-4 rounding; np.round is banker's)
+                mean = s1d / (1e3 * nd)
+                std = np.sqrt((s2d - s1d * s1d / nd) / (nd - 1.0)) / 1e3
+                z = (v[ok] - mean) / std
+                z = _away(z, 1e4) / 1e4
+                flag = np.abs(z) > threshold
+                if flag.any():
+                    sel = pdf.iloc[np.flatnonzero(ok)[flag]]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "user_id": key[0],
+                                "event_id": sel[order_tiebreak].to_numpy(),
+                                "ts": sel[ts].to_numpy(),
+                                "value": v[ok][flag],
+                                "z": z[flag],
+                                "n_baseline": n[ok][flag],
+                            }
+                        )
+                    )
+            tail = comb[-lookback:] if len(comb) > lookback else comb
+        state.update(([int(x) for x in tail],))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    return events.groupBy(user).applyInPandasWithState(
+        update,
+        outputStructType=_ANOM_OUT,
+        stateStructType=_ANOM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
