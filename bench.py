@@ -107,6 +107,7 @@ EXTRA_BENCH_QUERIES = [
     "shipping_latency",
     "daily_value_bands",
     "streaming_anomaly",
+    "knn_lsh_topk",
 ]
 
 

@@ -1856,3 +1856,41 @@ def test_source_ngram_overlap_hand_model(spark):
     assert r["inter_grams"] == 1        # {y z}
     assert r["union_grams"] == 3        # {x y, y z, z w}
     assert abs(r["jaccard"] - round(1 / 3, 6)) < 1e-9
+
+
+def test_lsh_topk_finds_planted_neighbors_and_bounds_candidates(spark):
+    """Planted near-duplicates (no hyperplane separates a tight pair at
+    these magnitudes) must be each other's rank-1 LSH neighbor, and every
+    returned neighbor must share the query's sign bucket — the candidate
+    set really is bucket-bounded."""
+    import numpy as np
+
+    from w4h_integrated_toolkit_spark.operators.similarity import (
+        hyperplanes,
+        lsh_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+        # planted near-dup: tiny perturbation of vector i
+        rows.append(
+            Row(vec_id=100 + i, embedding=[float(x) for x in v + 1e-6])
+        )
+    emb = spark.createDataFrame(rows)
+    out = lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=1, n_planes=4)
+    got = {r["query_id"]: r["neighbor_id"] for r in out.collect()}
+    assert got == {i: 100 + i for i in range(20)}
+    # bucket-bounded: neighbors share the query's bucket by construction
+    planes = hyperplanes(64, 4, 42)
+    vecs = {r["vec_id"]: np.asarray(r["embedding"]) for r in rows}
+
+    def bucket(v):
+        return "".join(
+            "1" if float(v @ np.asarray(p)) >= 0 else "0" for p in planes
+        )
+
+    for q, n in got.items():
+        assert bucket(vecs[q]) == bucket(vecs[n])

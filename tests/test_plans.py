@@ -743,6 +743,16 @@ def test_daily_value_bands_single_exchange(spark):
     assert "Join" not in plan
 
 
+def test_knn_lsh_probe_broadcasts_queries(spark):
+    """LSH ANN: the corpus buckets map-side and the (tiny) query probes
+    broadcast — the corpus itself never shuffles; the only data exchange
+    is the per-query candidate ranking."""
+    plan = plan_of(spark, "knn_lsh_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert n_shuffles(plan) <= 1, plan[:800]
+
+
 def test_bench_query_lists_resolve_against_registry():
     """A renamed or mistyped entry in bench.py's query lists would crash
     the external driver's bench run and lose a round of perf signal —

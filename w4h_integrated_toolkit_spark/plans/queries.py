@@ -4150,6 +4150,42 @@ def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 cosine neighbors via sign-LSH bucketing (the
+    third ANN arm next to brute-force `knn_cosine_topk` and inverted-file
+    `knn_ivf_topk`): queries probe ONE bucket instead of the corpus.
+    Recall < 1 by design; the deterministic seeded hyperplanes make the
+    index — and therefore the whole answer — oracle-reproducible."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, n_planes=4)
+    return out.select(
+        "query_id", "neighbor_id", "rank", _r(F.col("cos"), 5).alias("cos")
+    )
+
+
+def _knn_lsh_sql(dim: int = 64, n_planes: int = 4, seed: int = 42) -> str:
+    """Oracle for q_knn_lsh: identical inlined hyperplane literals, same
+    bucket/probe/rank plan."""
+    planes = SIM.hyperplanes(dim, n_planes, seed)
+    bit = "(CASE WHEN list_dot_product(ev, [{p}]) >= 0 THEN '1' ELSE '0' END)"
+    bucket = " || ".join(
+        bit.format(p=", ".join(repr(x) for x in plane)) for plane in planes
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+b AS (SELECT vec_id, ev, {bucket} AS bucket FROM v),
+s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.ev, c.ev) /
+             (sqrt(list_dot_product(q.ev, q.ev)) * sqrt(list_dot_product(c.ev, c.ev))) AS cos
+      FROM b q JOIN b c USING (bucket)
+      WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+r AS (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, rank, round(cos, 5) AS cos FROM r WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4307,6 +4343,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # streaming twin gated by the batch formulation's oracle (equality law
     # asserted in tests/test_streaming.py)
     "streaming_anomaly": (q_streaming_anomaly, _SQL_ROLLING_ZSCORE),
+    "knn_lsh_topk": (q_knn_lsh, _knn_lsh_sql()),
 }
 
 
