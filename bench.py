@@ -108,6 +108,9 @@ EXTRA_BENCH_QUERIES = [
     "daily_value_bands",
     "streaming_anomaly",
     "knn_lsh_topk",
+    "fk_integrity",
+    "table_profile",
+    "cube_totals",
 ]
 
 

@@ -753,6 +753,36 @@ def test_knn_lsh_probe_broadcasts_queries(spark):
     assert n_shuffles(plan) <= 1, plan[:800]
 
 
+def test_fk_integrity_aggregates_before_full_outer_join(spark):
+    """Both fact tables collapse to per-key counts BEFORE the full outer
+    join — raw rows never cross it."""
+    plan = plan_of(spark, "fk_integrity")
+    assert "FullOuter" in plan
+    assert "partial_count" in plan
+
+
+def test_table_profile_single_scan_per_column_branch(spark):
+    """Profiling N columns must not multiply table scans: the stack()
+    unpivot is map-side over ONE scan branch (Spark folds the generator
+    into the scan's project)."""
+    import re as _re
+
+    plan = plan_of(spark, "table_profile")
+    scans = len(_re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans == 1, plan[:800]
+
+
+def test_cube_totals_expand_single_exchange(spark):
+    """CUBE compiles to Expand (4 grouping sets from one scan) + one
+    aggregate exchange — never one scan per grouping set."""
+    import re as _re
+
+    plan = plan_of(spark, "cube_totals")
+    assert "Expand" in plan
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert n_shuffles(plan) == 1
+
+
 def test_bench_query_lists_resolve_against_registry():
     """A renamed or mistyped entry in bench.py's query lists would crash
     the external driver's bench run and lose a round of perf signal —

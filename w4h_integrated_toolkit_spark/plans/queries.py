@@ -4186,6 +4186,101 @@ SELECT query_id, neighbor_id, rank, round(cos, 5) AS cos FROM r WHERE rank <= 5
 """
 
 
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (the ETL validation gate, J4 as a
+    runnable report): lineitems whose order key has no parent order
+    (orphans — must be 0 on healthy data, and the count PROVES the scan
+    ran), orders with no lineitems (childless — legitimate, counted),
+    plus the total parent/child row counts for context. One pass over
+    each table: the childless/orphan sides are a single full outer join
+    of the two key aggregates."""
+    li = _t(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_items"))
+    o = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    j = li.join(o, "k", "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("n_orders").isNull(), F.col("n_items"))
+              .otherwise(F.lit(0))).cast("long").alias("orphan_lineitems"),
+        F.sum(F.when(F.col("n_items").isNull(), 1).otherwise(0))
+        .cast("long").alias("childless_orders"),
+        F.sum(F.coalesce(F.col("n_items"), F.lit(0))).cast("long").alias("n_lineitems"),
+        F.sum(F.coalesce(F.col("n_orders"), F.lit(0))).cast("long").alias("n_orders"),
+    )
+
+
+_SQL_FK_INTEGRITY = """
+WITH li AS (SELECT l_orderkey AS k, count(*) AS n_items FROM lineitem GROUP BY 1),
+o AS (SELECT o_orderkey AS k, count(*) AS n_orders FROM orders GROUP BY 1),
+j AS (SELECT li.n_items, o.n_orders FROM li FULL OUTER JOIN o USING (k))
+SELECT CAST(sum(CASE WHEN n_orders IS NULL THEN n_items ELSE 0 END) AS BIGINT) AS orphan_lineitems,
+       CAST(sum(CASE WHEN n_items IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS childless_orders,
+       CAST(sum(coalesce(n_items, 0)) AS BIGINT) AS n_lineitems,
+       CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS n_orders
+FROM j
+"""
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric column profiling of the events table (the data-import
+    validation report: row counts, null rates, cardinalities, ranges —
+    what the reference's import flow eyeballs per upload). Long format
+    via a map-side stack (unpivot) feeding ONE grouped aggregate — the
+    table is scanned once however many columns are profiled."""
+    ev = _t(spark, sf_dir, "events")
+    stacked = ev.select(
+        F.expr(
+            "stack(3, 'event_id', CAST(event_id AS DOUBLE), "
+            "'user_id', CAST(user_id AS DOUBLE), "
+            "'value', CAST(value AS DOUBLE)) AS (col_name, v)"
+        )
+    )
+    return stacked.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_null"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+    )
+
+
+_SQL_TABLE_PROFILE = """
+WITH stacked AS (
+  SELECT 'event_id' AS col_name, CAST(event_id AS DOUBLE) AS v FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(user_id AS DOUBLE) FROM events
+  UNION ALL
+  SELECT 'value', CAST(value AS DOUBLE) FROM events)
+SELECT col_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       count(DISTINCT v) AS n_distinct,
+       min(v) AS min_val, max(v) AS max_val
+FROM stacked GROUP BY col_name
+"""
+
+
+def q_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, priority): all four grouping-set levels in
+    one pass (rollup's sibling — `rollup_totals` pins the hierarchy
+    direction, this pins the full lattice). Spark's Expand produces every
+    grouping set from a single scan + one exchange."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        _fsum(F.col("o_totalprice")).alias("sum_total"),
+    )
+
+
+_SQL_CUBE_TOTALS = f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       {_fsum_sql("o_totalprice", 2)} AS sum_total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4344,6 +4439,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # asserted in tests/test_streaming.py)
     "streaming_anomaly": (q_streaming_anomaly, _SQL_ROLLING_ZSCORE),
     "knn_lsh_topk": (q_knn_lsh, _knn_lsh_sql()),
+    "fk_integrity": (q_fk_integrity, _SQL_FK_INTEGRITY),
+    "table_profile": (q_table_profile, _SQL_TABLE_PROFILE),
+    "cube_totals": (q_cube_totals, _SQL_CUBE_TOTALS),
 }
 
 
