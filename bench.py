@@ -111,6 +111,7 @@ EXTRA_BENCH_QUERIES = [
     "fk_integrity",
     "table_profile",
     "cube_totals",
+    "streaming_sessions",
 ]
 
 

@@ -428,7 +428,7 @@ def test_streaming_gate_entries_fit_latency_budget(spark):
 
     qs = entry_mod.queries()
     for name in ("streaming_neardup", "stream_distinct_users",
-                 "streaming_anomaly"):
+                 "streaming_anomaly", "streaming_sessions"):
         t0 = time.time()
         assert qs[name](spark, "/root/testdata/sf0.01").count() > 0
         elapsed = time.time() - t0
@@ -775,3 +775,50 @@ def test_streaming_anomaly_matches_batch_exact(spark, tmp_path):
         got = sorted(map(tuple, spark.table(name).collect()))
         spark.catalog.dropTempView(name)
         assert got == expected, f"streaming != batch with options {opts}"
+
+
+def test_streaming_sessions_match_batch_exact(spark, tmp_path):
+    """Native streaming session windows drained complete-mode on a bounded
+    replay equal the batch session_window computation exactly — including
+    sessions whose events straddle a micro-batch boundary (the state
+    store must MERGE the partial windows, forced via maxFilesPerTrigger)."""
+    from w4h_integrated_toolkit_spark.streaming.replay import sessionized_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "src")
+    cut = "2024-01-15 00:00:00"
+    ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(src)
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+
+    expected = sorted(
+        map(
+            tuple,
+            ev.groupBy("user_id", F.session_window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("user_id", F.col("w.start"), F.col("w.end"), "n")
+            .collect(),
+        )
+    )
+    assert expected
+
+    import uuid
+
+    for opts in ({}, {"maxFilesPerTrigger": 1}):
+        stream = spark.readStream.schema(ev.schema).options(**opts).parquet(src)
+        out = sessionized_stream(stream, ts="ts", key="user_id", gap="1 hour")
+        name = "sess_" + uuid.uuid4().hex[:8]
+        q = (
+            out.writeStream.outputMode("complete").format("memory")
+            .queryName(name).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            map(
+                tuple,
+                spark.table(name)
+                .select("user_id", F.col("w.start"), F.col("w.end"), "n_events")
+                .collect(),
+            )
+        )
+        spark.catalog.dropTempView(name)
+        assert got == expected, f"streaming sessions != batch with {opts}"

@@ -4281,6 +4281,42 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sessionization (state-store merged session
+    windows) through the REAL engine, drained complete-mode on a bounded
+    replay — emits exactly the batch `session_windows` rows, so the same
+    lag+cumsum SQL oracles both (see streaming.replay.sessionized_stream
+    for the append-mode finalization caveat)."""
+    import os
+    import tempfile
+
+    from ..streaming.replay import drain_memory_sink, sessionized_stream
+
+    prepare_session(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        stage = tempfile.mkdtemp(prefix="w4h_sessions_stream_")
+        os.symlink(path, os.path.join(stage, os.path.basename(path)))
+        src = stage
+    else:
+        stage = None
+        src = path
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = sessionized_stream(stream, ts="ts", key="user_id", gap="1 hour")
+    got = drain_memory_sink(
+        out, "complete", name_prefix="w4h_sessions_stream_", stage_dir=stage
+    )
+    return got.select(
+        "user_id",
+        F.floor(F.col("_first").cast("double")).cast("long").alias("session_start_epoch"),
+        "n_events",
+        F.floor(F.col("_last").cast("double") - F.col("_first").cast("double"))
+        .cast("long")
+        .alias("duration_secs"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4295,18 +4331,19 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 # (streaming_neardup, stream_distinct_users) — both run real streaming
 # jobs (availableNow replay, memory sink) inside the gate; (b) all 41
 # entries whose latest driver row is from r4 (cohort_kpi, breach_histogram,
-# the dedup/ANN block, the TPC-H shapes, ...); (c) 7 r5-green canaries
-# held in-window to guard this round's edits and the most fragile oracles
-# (stream_alerts HUGEINT guard, fft_range_sum theory bound,
-# user_overlap_sketch tolerance-doc fix, calibration grouped-map,
-# minhash_lsh_pairs banding, frame_sample sampling, stream_window_kpis
-# watermark). After r6, every one of the 93 pre-r6 registry entries has a
-# driver row from r5 or r6; the 7 entries ADDED in r6 (bm25_topk,
-# tfidf_top_terms, dedup_keep_best, embedding_centroids,
-# quality_filter_per_lang, corpus_drift, gap_fill — appended at the end)
-# are behind the window and rotate in next round. The 43 r5-green entries
-# also move behind the window, where tests/test_parity.py still
-# exact-bit checks every entry (now 100) on current code each test run.
+# the dedup/ANN block, the TPC-H shapes, ...); (c) 3 r5-green canaries
+# guarding the most fragile oracle patterns (stream_alerts HUGEINT guard,
+# fft_range_sum theory bound, user_overlap_sketch tolerance bound); (d)
+# the 4 RISKIEST of the 23 entries added in r6 (streaming_anomaly —
+# stateful streaming, semantic_dedup — BLAS float boundaries,
+# rfm_segments — percentile interpolation, time_weighted_avg — epoch
+# trapezoids). After r6, every pre-r6 entry has a driver row from r5 or
+# r6 and the riskiest new code is externally hashed; the remaining 19
+# r6 additions (bm25_topk ... cube_totals) plus the 4 canaries rotated
+# out mid-round (calibration, minhash_lsh_pairs, frame_sample,
+# stream_window_kpis) sit behind the window, where tests/test_parity.py
+# still exact-bit checks every entry (now 116) on current code each run;
+# rotate them into the r7 window.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-gated: the two r5 streaming entries (real streaming
     # jobs; gate == batch twin, equality is test-asserted) ---
@@ -4361,10 +4398,13 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "stream_alerts": (q_stream_alerts, _SQL_STREAM_ALERTS),
     "fft_range_sum": (q_fft_range_sum, _SQL_FFT_RANGE_SUM),
     "user_overlap_sketch": (q_user_overlap_sketch, _SQL_USER_OVERLAP_SKETCH),
-    "calibration": (q_calibration, _SQL_CALIBRATION),
-    "minhash_lsh_pairs": (q_minhash_lsh_pairs, _minhash_lsh_sql()),
-    "frame_sample": (q_frame_sample, _SQL_FRAME_SAMPLE),
-    "stream_window_kpis": (q_stream_window_kpis, _SQL_STREAM_WINDOW),
+    # --- riskiest r6 additions, swapped into the window in place of four
+    # r5-green canaries (stateful streaming, BLAS float boundaries,
+    # percentile interpolation, epoch trapezoids) ---
+    "streaming_anomaly": (q_streaming_anomaly, _SQL_ROLLING_ZSCORE),
+    "semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
+    "rfm_segments": (q_rfm_segments, _SQL_RFM_SEGMENTS),
+    "time_weighted_avg": (q_time_weighted_avg, _SQL_TIME_WEIGHTED_AVG),
     # ---- driver window ends here (50 entries above) ----
     # --- r5-green, guarded by local exact-bit parity on current code ---
     "approx_aggregates": (q_approx_aggregates, _SQL_APPROX_AGGREGATES),
@@ -4413,6 +4453,12 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "sliding_window": (q_sliding_window, _SQL_SLIDING_WINDOW),
     "knn_cosine_topk": (q_knn_cosine, _SQL_KNN),
     "embedding_neardup_pairs": (q_embedding_neardup, _embedding_neardup_sql()),
+    # --- r5-green canaries rotated out mid-r6 to make window room for the
+    # four riskiest new entries (local parity still exact-bit checks them) ---
+    "calibration": (q_calibration, _SQL_CALIBRATION),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, _minhash_lsh_sql()),
+    "frame_sample": (q_frame_sample, _SQL_FRAME_SAMPLE),
+    "stream_window_kpis": (q_stream_window_kpis, _SQL_STREAM_WINDOW),
     # --- new in r6 (ranked retrieval + curation + embedding stats) —
     # behind the window this round, parity-swept now, rotate into r7 ---
     "bm25_topk": (q_bm25_topk, _bm25_sql()),
@@ -4427,21 +4473,19 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "forecast_revenue": (q_forecast_revenue, _SQL_FORECAST_REVENUE),
     "funnel_conversion": (q_funnel_conversion, _SQL_FUNNEL_CONVERSION),
     "event_transitions": (q_event_transitions, _SQL_EVENT_TRANSITIONS),
-    "rfm_segments": (q_rfm_segments, _SQL_RFM_SEGMENTS),
-    "semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
-    "time_weighted_avg": (q_time_weighted_avg, _SQL_TIME_WEIGHTED_AVG),
     "rolling_zscore": (q_rolling_zscore, _SQL_ROLLING_ZSCORE),
     "unigram_nll": (q_unigram_nll, _SQL_UNIGRAM_NLL),
     "source_overlap": (q_source_overlap, _SQL_SOURCE_OVERLAP),
     "shipping_latency": (q_shipping_latency, _SQL_SHIPPING_LATENCY),
     "daily_value_bands": (q_daily_value_bands, _SQL_DAILY_VALUE_BANDS),
-    # streaming twin gated by the batch formulation's oracle (equality law
-    # asserted in tests/test_streaming.py)
-    "streaming_anomaly": (q_streaming_anomaly, _SQL_ROLLING_ZSCORE),
     "knn_lsh_topk": (q_knn_lsh, _knn_lsh_sql()),
     "fk_integrity": (q_fk_integrity, _SQL_FK_INTEGRITY),
     "table_profile": (q_table_profile, _SQL_TABLE_PROFILE),
     "cube_totals": (q_cube_totals, _SQL_CUBE_TOTALS),
+    # native streaming sessionization, gated by the batch formulation's
+    # oracle (complete-mode drain == batch exactly; equality law in
+    # tests/test_streaming.py)
+    "streaming_sessions": (q_streaming_sessions, _SQL_SESSION_WINDOWS),
 }
 
 

@@ -36,6 +36,7 @@ __all__ = [
     "ReplaySource",
     "windowed_kpis_stream",
     "windowed_distinct_stream",
+    "sessionized_stream",
     "drain_memory_sink",
     "run_windowed_kpis_batchmode",
 ]
@@ -281,4 +282,40 @@ def run_windowed_kpis_batchmode(spark: SparkSession, events_path: str) -> DataFr
         (F.round(F.col("avg_value") * scale, 0) / scale).alias("avg_value"),
         F.col("min_value"),
         F.col("max_value"),
+    )
+
+
+def sessionized_stream(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "user_id",
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization via the engine's native session windows:
+    ``F.session_window`` merges per-key state-store windows as events
+    arrive — the streaming twin of the batch `session_windows` entry
+    (same gap semantics: a gap of EXACTLY the threshold starts a new
+    session), one row per finalized (key, session).
+
+    Output-mode semantics (same caveat family as
+    :func:`windowed_distinct_stream`): in ``append`` mode a session is
+    emitted only once the watermark passes its close — on a bounded
+    availableNow replay the last sessions per key are never finalized
+    and stay in state. The registry entry therefore drains in
+    ``complete`` mode, where the bounded input (not watermark eviction)
+    bounds state and the emitted set equals the batch computation
+    exactly. A standing production query would run append mode and
+    accept close-delayed emission.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(key, F.session_window(ts, gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts).alias("_first"),
+            F.max(ts).alias("_last"),
+        )
     )
