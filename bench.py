@@ -112,6 +112,7 @@ EXTRA_BENCH_QUERIES = [
     "table_profile",
     "cube_totals",
     "streaming_sessions",
+    "heavy_hitters_sketch",
 ]
 
 

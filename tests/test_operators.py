@@ -1894,3 +1894,44 @@ def test_lsh_topk_finds_planted_neighbors_and_bounds_candidates(spark):
 
     for q, n in got.items():
         assert bucket(vecs[q]) == bucket(vecs[n])
+
+
+def test_count_min_guarantees_on_wide_domain(spark):
+    """CM one-sided guarantee under real collision pressure: sketch the
+    1.5k-value user_id domain at a coarse eps so counters DO collide —
+    every estimate must be >= the exact count, and the (eps·N,
+    confidence) overshoot bound must hold for at least `confidence` of
+    the values. Also: a watchlist `candidates` relation restricts output,
+    and an unbounded domain trips the cap with an actionable error."""
+    import math
+
+    import pytest as _pytest
+
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.sketches import (
+        count_min_estimates,
+    )
+
+    ev = read_parquet(spark, "/root/testdata/sf0.01/events.parquet")
+    n_total = ev.count()
+    eps = 0.01  # width ~ e/eps ≈ 272 counters << 1.5k keys → collisions
+    est = {
+        r["user_id"]: r["estimate"]
+        for r in count_min_estimates(ev, "user_id", eps=eps).collect()
+    }
+    exact = {r["user_id"]: r["n"] for r in
+             ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact), "CM must never undercount"
+    slack = math.ceil(eps * n_total)
+    frac_ok = sum(est[k] <= exact[k] + slack for k in exact) / len(exact)
+    assert frac_ok >= 0.99  # the confidence parameter's bound
+
+    # watchlist candidates restrict the interrogated set
+    watch = ev.select("user_id").distinct().limit(5)
+    got = count_min_estimates(ev, "user_id", candidates=watch).collect()
+    assert len(got) == 5
+
+    # unbounded domain trips the cap fast
+    with _pytest.raises(ValueError, match="max_candidates"):
+        count_min_estimates(ev, "event_id", max_candidates=100)

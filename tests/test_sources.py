@@ -393,3 +393,37 @@ def test_jdbc_isolated_write_roundtrip(spark):
     )
     back = read_jdbc(spark, DERBY_URL, "readings5", driver=DERBY_DRIVER)
     assert sorted(r.id for r in back.collect()) == list(range(8))
+
+
+def test_orc_source_roundtrip_with_pushdown(spark, tmp_path):
+    """S-family format arm: the same relational pipeline over ORC (bundled
+    with Spark) — write events out as ORC, read back, and verify both the
+    values (vs the parquet original) and that predicates reach the ORC
+    scan (PushedFilters), i.e. the engine treats the format as a
+    first-class pushdown source."""
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    dst = str(tmp_path / "events_orc")
+    ev.write.orc(dst)
+    back = spark.read.orc(dst)
+
+    agg = lambda df: sorted(
+        map(
+            tuple,
+            df.filter(F.col("value") > 10.0)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("value") * 1e6, 0).cast("long")).alias("sv"))
+            .collect(),
+        )
+    )
+    assert agg(back) == agg(ev)
+
+    plan = (
+        back.filter(F.col("value") > 10.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "value" in plan

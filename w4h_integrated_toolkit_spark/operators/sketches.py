@@ -40,6 +40,7 @@ __all__ = [
     "theta_cube",
     "theta_rollup",
     "theta_overlap",
+    "count_min_estimates",
     "persist_cube",
 ]
 
@@ -240,4 +241,58 @@ def theta_overlap(a: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:
         F.theta_sketch_estimate(F.theta_difference(F.col("_sb"), F.col("_sa"))).alias(
             "n_only_b"
         ),
+    )
+
+
+def count_min_estimates(
+    df: DataFrame,
+    col: str,
+    candidates: DataFrame | None = None,
+    eps: float = 1e-3,
+    confidence: float = 0.99,
+    seed: int = 42,
+    max_candidates: int = 65536,
+) -> DataFrame:
+    """Count-Min frequency estimates — the heavy-hitters side of the
+    sketch family (HLL answers "how many distinct", KLL "what quantile",
+    Theta "what overlap"; CM answers "how often does THIS value occur"
+    in sub-linear space). One JVM-side mergeable aggregate builds the
+    sketch (map-side partials, order/partition-invariant by counter
+    additivity — Spark's native ``count_min_sketch``); the candidate
+    values to interrogate come from ``candidates`` (production: a cheap
+    sampled/grouped pass or a known watchlist), defaulting to
+    ``distinct(col)`` CAPPED at ``max_candidates`` via a limit-probe that
+    fails fast with an actionable error (same guard shape as the IVF
+    centroid collect — CM is for when the DOMAIN is huge but the
+    interrogated set is small; an unbounded distinct defeats it).
+
+    Guarantee (one-sided): estimate ≥ true count always, and
+    estimate ≤ true + ⌈eps·N⌉ with probability ≥ confidence. Returns
+    (value, estimate) with the sketch deserialized ONCE driver-side —
+    O(candidates) work, no per-row driver loop.
+    """
+    sk_row = df.agg(
+        F.count_min_sketch(
+            col, F.lit(float(eps)), F.lit(float(confidence)), F.lit(seed)
+        ).alias("sk")
+    ).first()
+    cand_src = candidates if candidates is not None else df.select(col).distinct()
+    cand_rows = cand_src.limit(max_candidates + 1).collect()
+    if len(cand_rows) > max_candidates:
+        raise ValueError(
+            f"count_min_estimates: more than max_candidates={max_candidates} "
+            "distinct values to interrogate; pass an explicit bounded "
+            "`candidates` relation (a watchlist or sampled top set) — "
+            "querying a CM sketch for an unbounded domain defeats its "
+            "sub-linear purpose"
+        )
+    spark = df.sparkSession
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sk_row["sk"]))
+    )
+    vals = sorted(r[0] for r in cand_rows)
+    return spark.createDataFrame(
+        [(v, int(cms.estimateCount(v))) for v in vals],
+        f"{col} {dict(df.dtypes)[col]}, estimate long",
     )

@@ -4317,6 +4317,40 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over event types, driver-gated via the
+    within-bound pattern: the row carries the CM estimate, the exact
+    count twin, and flags for the CM guarantees (never under; over by at
+    most ceil(eps*N) — here eps*N is sub-1 so estimates are EXACT). The
+    oracle computes the exact side and asserts both flags."""
+    ev = _t(spark, sf_dir, "events")
+    est = SK.count_min_estimates(ev, "event_type", eps=1e-3, confidence=0.99)
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    n_total = ev.count()
+    import math
+
+    slack = int(math.ceil(1e-3 * n_total))
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "estimate",
+        "exact_n",
+        (F.col("estimate") >= F.col("exact_n")).cast("long").alias("never_under"),
+        (F.col("estimate") <= F.col("exact_n") + F.lit(slack))
+        .cast("long")
+        .alias("within_bound"),
+    )
+
+
+_SQL_HEAVY_HITTERS = """
+SELECT event_type,
+       count(*) AS estimate,
+       count(*) AS exact_n,
+       CAST(1 AS BIGINT) AS never_under,
+       CAST(1 AS BIGINT) AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4486,6 +4520,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # oracle (complete-mode drain == batch exactly; equality law in
     # tests/test_streaming.py)
     "streaming_sessions": (q_streaming_sessions, _SQL_SESSION_WINDOWS),
+    "heavy_hitters_sketch": (q_heavy_hitters_sketch, _SQL_HEAVY_HITTERS),
 }
 
 
