@@ -9,6 +9,12 @@ from .csv_io import read_csv, write_csv
 from .ddl import create_instance, ddl_for_config, list_tables
 from .geojson import read_geojson_polygons
 from .json_io import SENSOR_BATCH_SCHEMA, sensor_batch_from_json
+from .versioned import (
+    list_versions,
+    read_versioned,
+    upsert_parquet,
+    vacuum_versions,
+)
 
 __all__ = [
     "read_csv",
@@ -19,4 +25,8 @@ __all__ = [
     "ddl_for_config",
     "create_instance",
     "list_tables",
+    "upsert_parquet",
+    "read_versioned",
+    "list_versions",
+    "vacuum_versions",
 ]
