@@ -130,3 +130,35 @@ def test_ivf_probes_bound_candidates(spark):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_merge_intervals_overlap_abut_and_gap(spark):
+    """Hand model: overlap merges, exact abutment merges, a 1µs gap does
+    not; islands are per-key."""
+    from w4h_integrated_toolkit_spark.operators.interval import (
+        interval_coverage,
+        merge_intervals,
+    )
+
+    iv = spark.createDataFrame(
+        [
+            (1, 0, 10),     # island A
+            (1, 5, 20),     # overlaps -> A
+            (1, 20, 30),    # abuts A's end exactly -> A
+            (1, 31, 40),    # 1µs gap -> island B
+            (1, 2, 3),      # fully contained -> A
+            (2, 0, 1),      # other key
+        ],
+        "user_id long, start_us long, end_us long",
+    )
+    got = {
+        (r["user_id"], r["start_us"], r["end_us"])
+        for r in merge_intervals(iv, "user_id").collect()
+    }
+    assert got == {(1, 0, 30), (1, 31, 40), (2, 0, 1)}
+
+    cov = {
+        r["user_id"]: (r["n_islands"], r["covered_us"])
+        for r in interval_coverage(iv, "user_id").collect()
+    }
+    assert cov == {1: (2, 39), 2: (1, 1)}

@@ -1935,3 +1935,132 @@ def test_count_min_guarantees_on_wide_domain(spark):
     # unbounded domain trips the cap fast
     with _pytest.raises(ValueError, match="max_candidates"):
         count_min_estimates(ev, "event_id", max_candidates=100)
+
+
+def test_cusum_changepoint_hand_model(spark):
+    """A clean level shift: 4 samples at 10 then 4 at 20. The CUSUM peak
+    sits at the last pre-shift sample: C_k = k*10 - k*15 = -5k for k<=4,
+    so |C| peaks at k=4 with value 20 -> cusum_max = 20/n... verified
+    against the exact closed form |D_4|/(n*1e3) with n=8:
+    D_4 = 8*40000 - 4*120000 = -160000 -> 160000/8000 = 20.0."""
+    import datetime as _dt
+
+    from w4h_integrated_toolkit_spark.operators.timeseries import cusum_changepoint
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        (1, i, t0 + _dt.timedelta(minutes=i), 10.0 if i < 4 else 20.0)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = cusum_changepoint(df, min_samples=8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_samples"] == 8
+    assert r["cusum_max"] == 20.0
+    # peak attained first at k=4 -> the 4th sample (minute 3)
+    want_us = int((t0 + _dt.timedelta(minutes=3)).timestamp() * 1e6)
+    assert r["changepoint_epoch_us"] == want_us
+
+    # below min_samples: no row
+    assert cusum_changepoint(df, min_samples=9).count() == 0
+
+
+def test_chunk_documents_hand_model(spark):
+    """10 tokens, chunk 4 / stride 3 -> 3 chunks at starts 0/3/6; every
+    token covered; the tail chunk is ragged (4 tokens: t7..t10). A doc
+    shorter than one window yields exactly one chunk."""
+    import pytest as _pytest
+
+    from w4h_integrated_toolkit_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(1, 11))), (2, "a b")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [(r["chunk_start"], r["n_chunk_tokens"]) for r in c1] == [
+        (0, 4),
+        (3, 4),
+        (6, 4),
+    ]
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 2
+    # identical chunk text -> identical fingerprint (t7..t10 vs a twin doc)
+    fps = {r["chunk_start"]: r["chunk_fp"] for r in c1}
+    assert len(set(fps.values())) == 3  # all distinct here
+
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, chunk_tokens=4, stride=5)
+
+
+def test_gram_bloom_no_false_negatives_and_param_guards(spark):
+    """Bloom contract on real data: every exact contamination hit is
+    bloom-flagged with at least the exact hit count; mismatched
+    (bitmap, m_bits) and oversize/ragged m_bits raise."""
+    import pytest as _pytest
+
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators import dedup as D
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    m, k = 1 << 16, 4
+    bitmap = D.gram_bloom_bitmap(bench, n=3, m_bits=m, k=k)
+    bloom = {
+        r["doc_id"]: r["n_bloom_hits"]
+        for r in D.bloom_contamination(corpus, bitmap, m, k=k, n=3).collect()
+    }
+    exact = {
+        r["doc_id"]: r["n_hits"]
+        for r in D.contamination(corpus, bench, n=3).collect()
+    }
+    assert exact, "test split must actually contaminate something"
+    for did, n_hits in exact.items():
+        assert bloom.get(did, 0) >= n_hits, f"false negative on doc {did}"
+
+    with _pytest.raises(ValueError, match="m_bits"):
+        D.gram_bloom_bitmap(bench, m_bits=100)  # not a multiple of 64
+    with _pytest.raises(ValueError, match="same"):
+        D.bloom_contamination(corpus, bitmap, m_bits=1 << 17, k=k)
+
+
+def test_quantize_int8_and_recall(spark):
+    """Quantization invariants: values within [-127,127], zero vector
+    stays zero with scale 1, reconstruction error <= scale/2 per
+    component; quantized top-k recall vs the exact float path is high on
+    the real embedding table."""
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.similarity import (
+        cosine_topk,
+        quantize_int8,
+        quantized_topk,
+    )
+
+    toy = spark.createDataFrame(
+        [(1, [3.0, -1.5, 0.75]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = {r["vec_id"]: r for r in quantize_int8(toy).collect()}
+    assert q[1]["qvec"] == [127, -64, 32]  # scale = 3/127
+    assert q[2]["qvec"] == [0, 0, 0] and q[2]["q_scale"] == 1.0
+    assert all(abs(v) <= 127 for r in q.values() for v in r["qvec"])
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in quantized_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"int8 recall collapsed: {recall}"

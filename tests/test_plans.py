@@ -799,3 +799,65 @@ def test_bench_query_lists_resolve_against_registry():
     assert not missing, f"bench names not in registry: {missing}"
     overlap = set(bench.BENCH_QUERIES) & set(bench.EXTRA_BENCH_QUERIES)
     assert not overlap, f"queries in both bench lists: {overlap}"
+
+
+def test_interval_coverage_single_exchange(spark):
+    """Both gaps-and-islands window passes, the (key, island) aggregate,
+    and the per-key rollup all ride ONE hash(user_id) exchange —
+    HashPartitioning(user_id) satisfies every coarser clustering in the
+    chain, so the merge never pays a second shuffle."""
+    plan = plan_of(spark, "interval_coverage")
+    assert n_shuffles(plan) == 1, plan[:800]
+
+
+def test_cusum_single_exchange_and_no_join_back(spark):
+    """Prefix-sum window, whole-partition total windows, and the per-key
+    argmax aggregate share the one key exchange; the argmax is a
+    max-of-struct — a second scan or a join-back to locate the peak row
+    would double the pass count."""
+    plan = plan_of(spark, "cusum_changepoint")
+    assert n_shuffles(plan) == 1, plan[:800]
+    assert "Join" not in plan, "argmax must be one-pass, not a join-back"
+
+
+def test_doc_chunks_map_side_only(spark):
+    """Chunking is split→sequence→explode→slice in one codegen'd map
+    stage: no join, no window, no aggregate; the only permissible
+    exchange is the degenerate-single-file-scan widening repartition
+    (a no-op on a wide cluster scan)."""
+    plan = plan_of(spark, "doc_chunks")
+    assert "Join" not in plan and "Window" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert n_shuffles(plan) <= 1, plan[:800]
+
+
+def test_bloom_probe_stage_joinless(spark):
+    """The Bloom probe must be pure map-side bit math against the
+    plan-embedded bitmap literal — NO join anywhere (that's the whole
+    point vs contamination()'s broadcast gram join); the only exchange
+    is the per-doc hit-count aggregate."""
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators import dedup as D
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    bench = docs.filter(docs.doc_id % 100 == 0)
+    bitmap = D.gram_bloom_bitmap(bench, n=3, m_bits=1 << 14, k=4)
+    out = D.bloom_contamination(
+        docs.filter(docs.doc_id % 100 != 0), bitmap, 1 << 14, k=4, n=3
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "Join" not in plan, plan[:800]
+    assert n_shuffles(plan) == 1, plan[:800]
+
+
+def test_quantized_knn_no_sort_merge_broadcast_throughout(spark):
+    """Corpus scans once per ANN pass with queries broadcast (nested-loop
+    over the broadcast query batch); the recall stitch joins k·|queries|
+    rows — broadcast by construction, never a shuffle off row-count
+    guesses."""
+    plan = plan_of(spark, "quantized_knn_recall")
+    assert "SortMergeJoin" not in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" in plan

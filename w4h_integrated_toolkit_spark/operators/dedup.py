@@ -46,6 +46,8 @@ __all__ = [
     "simhash32",
     "connected_components",
     "contamination",
+    "gram_bloom_bitmap",
+    "bloom_contamination",
     "boilerplate_ngrams",
     "source_ngram_overlap",
 ]
@@ -660,6 +662,132 @@ def contamination(
         corp.join(F.broadcast(bench), "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+# Bloom bitmaps above this size would embed a multi-MB literal in the plan;
+# at that point the benchmark gram set is large enough that the plain
+# broadcast-join of :func:`contamination` is the right tool anyway.
+_BLOOM_MAX_BITS = 1 << 24
+
+
+def _bloom_positions(gram: Column, m_bits: int, k: int) -> list[Column]:
+    """The k bit positions of a gram: independent salted MD5-prefix hashes
+    (portable_hash31 with per-probe salt prefixes), mod the bitmap size.
+    Deterministic and engine-portable — an oracle CAN re-derive the whole
+    filter, though registry entries verify via the cheaper no-false-negative
+    bound instead."""
+    from ..functions import portable_hash31
+
+    return [
+        portable_hash31(F.concat(F.lit(f"bloom{i}|"), gram)) % F.lit(m_bits)
+        for i in range(k)
+    ]
+
+
+def gram_bloom_bitmap(
+    benchmark: DataFrame,
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> list[int]:
+    """Build a Bloom-filter bitmap over the benchmark's distinct word
+    n-grams, returned as a dense ``m_bits/64``-long list of int64 words.
+
+    The scale story vs :func:`contamination`'s broadcast gram set: the
+    bitmap is ``m_bits/8`` bytes REGARDLESS of gram count (1 Mbit ≈ 128 KB
+    vs tens of MB of raw gram strings at ~1% false-positive rate when
+    m_bits ≳ 10·grams, k=4), and the corpus probe becomes pure map-side
+    bit math — no join at all, not even a broadcast hash table, so the
+    probe stage stays in one codegen span. Guarantee: NO false negatives
+    (every truly contaminated doc is flagged); false positives are the
+    rent, bounded by the classic (1-e^(-kn/m))^k.
+
+    Build plan: one distinct-gram pass + one hash aggregate on the word
+    index (≤ m_bits/64 groups); the collect is bounded by the bitmap size
+    (cap enforced), the same bounded-collect pattern as the IVF centroid
+    cap. For benchmark sets big enough to breach the cap, use
+    :func:`contamination` — by then the broadcast join is the better plan.
+    """
+    if m_bits % 64 != 0 or m_bits <= 0 or m_bits > _BLOOM_MAX_BITS:
+        raise ValueError(
+            f"m_bits must be a positive multiple of 64 <= {_BLOOM_MAX_BITS}, "
+            f"got {m_bits}"
+        )
+    grams = shingle_rows(benchmark, n, text, id_col).select("shingle").distinct()
+    pos = F.explode(F.array(*_bloom_positions(F.col("shingle"), m_bits, k)))
+    words = (
+        grams.select(pos.alias("_p"))
+        .select(
+            (F.col("_p") / 64).cast("int").alias("_word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))").alias(
+                "_bit"
+            ),
+        )
+        .groupBy("_word")
+        .agg(F.bit_or("_bit").alias("_bits"))
+        .collect()
+    )
+    bitmap = [0] * (m_bits // 64)
+    for r in words:
+        bitmap[r["_word"]] = r["_bits"]
+    return bitmap
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    bitmap: list[int],
+    m_bits: int,
+    k: int = 4,
+    n: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probe side of Bloom decontamination: per corpus document, the number
+    of distinct word n-grams whose k Bloom bits are ALL set in ``bitmap``
+    (built by :func:`gram_bloom_bitmap` with the SAME (n, m_bits, k) —
+    mismatched parameters silently probe garbage, so pass them together).
+
+    Superset semantics: result ⊇ :func:`contamination`'s on the same
+    split (no false negatives); each flagged doc still costs a re-check
+    against the real benchmark if exactness matters — the filter's job is
+    to shrink that candidate set by ~the clean fraction.
+
+    Plan: entirely map-side — shingle assembly, k salted hashes, and the
+    bitmap test are one codegen'd expression over a plan-embedded
+    constant array; the ONLY exchange is the final per-doc count, same as
+    :func:`contamination` but with zero build-side broadcast.
+    """
+    if len(bitmap) * 64 != m_bits:
+        raise ValueError(
+            f"bitmap has {len(bitmap)} words but m_bits={m_bits} needs "
+            f"{m_bits // 64} — (bitmap, m_bits, k) must come from the same "
+            "gram_bloom_bitmap call"
+        )
+
+    def _probe_sql(i: int) -> str:
+        # SQL twin of _bloom_positions (same salt, same MD5-prefix hash),
+        # inlined so the per-probe variable shift amounts — which the
+        # PySpark shiftleft/shiftright wrappers only accept as literals —
+        # stay expressible
+        pos = (
+            f"(CAST(conv(substring(md5(concat('bloom{i}|', shingle)), 1, 8), "
+            f"16, 10) AS BIGINT) % 2147483647) % {m_bits}"
+        )
+        return (
+            f"(shiftright(element_at(_bm, CAST(({pos}) / 64 AS INT) + 1), "
+            f"CAST(({pos}) % 64 AS INT)) & 1) = 1"
+        )
+
+    all_set = F.expr(" AND ".join(f"({_probe_sql(i)})" for i in range(k)))
+    return (
+        distinct_shingle_rows(corpus, n, text, id_col)
+        .withColumn("_bm", F.lit(bitmap))
+        .filter(all_set)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
     )
 
 

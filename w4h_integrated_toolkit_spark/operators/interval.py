@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join"]
+__all__ = ["asof_join", "interval_join", "merge_intervals", "interval_coverage"]
 
 
 def asof_join(
@@ -124,4 +124,77 @@ def interval_join(
         p.join(iv, ["_bucket", *equi_keys])
         .filter(cond)
         .drop("_bucket")
+    )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key: str = "user_id",
+    start: str = "start_us",
+    end: str = "end_us",
+) -> DataFrame:
+    """Merge overlapping/touching per-key intervals into maximal islands
+    (gaps-and-islands): intervals sharing a point, or abutting exactly
+    (``next.start == prev.end``), coalesce. ``start``/``end`` must be
+    integer columns (epoch µs longs — exact, so "touching" is well-defined;
+    float endpoints would make the island boundary an ulp lottery).
+
+    Returns one row per island: (key, island start, island end).
+
+    Plan: ONE exchange+sort on (key, start, end) shared by both window
+    passes (running max-end lookback → new-island flag → running island
+    ordinal) and by the final (key, island) aggregate — hash(key)
+    clustering satisfies the coarser grouping, so Spark plans a single
+    shuffle for the whole operator (the classic SQL-engine shape; at
+    warehouse scale with (key, ts)-sorted storage the exchange vanishes).
+    The per-key running state is O(1) per row — no interval self-join,
+    no O(n²) overlap probe.
+    """
+    w = Window.partitionBy(key).orderBy(start, end)
+    prev_max_end = F.max(end).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.select(
+        key,
+        F.col(start),
+        F.col(end),
+        F.when(
+            prev_max_end.isNull() | (F.col(start) > prev_max_end), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("_new_island"),
+    )
+    island = F.sum("_new_island").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("_island", island)
+        .groupBy(key, "_island")
+        .agg(F.min(start).alias(start), F.max(end).alias(end))
+        .drop("_island")
+    )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key: str = "user_id",
+    start: str = "start_us",
+    end: str = "end_us",
+) -> DataFrame:
+    """Per-key coverage summary of a set of (possibly overlapping)
+    intervals: how many disjoint islands they merge into and the total
+    covered span — "how much wall-clock was this subject active, counting
+    concurrent sessions once" (the reference's dashboards sum raw session
+    lengths, double-counting overlaps; cf. viz.py activity panels). Exact
+    integer µs in, exact integer µs out: no float ever enters, so the
+    result is partition- and engine-invariant by construction.
+
+    Same single-exchange plan as :func:`merge_intervals` (which it
+    composes); the final per-key rollup again reuses the hash(key)
+    clustering.
+    """
+    islands = merge_intervals(df, key, start, end)
+    return islands.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col(end) - F.col(start)).alias("covered_us"),
     )

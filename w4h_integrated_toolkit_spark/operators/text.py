@@ -22,6 +22,7 @@ __all__ = [
     "repetition_ratio",
     "pack_sequences",
     "redact_pii",
+    "chunk_documents",
 ]
 
 _WORD_RE = r"\s+"
@@ -240,3 +241,58 @@ def redact_pii(text: Column) -> Column:
     out = F.regexp_replace(out, _PII_IPV4, "<IP>")
     out = F.regexp_replace(out, _PII_PHONE, "<PHONE>")
     return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    whitespace-token windows of ``chunk_tokens`` advancing by ``stride``
+    (overlap = chunk_tokens − stride) — the standard context-window prep
+    for embedding/pre-training pipelines. Every token lands in ≥1 chunk;
+    the final window is the ragged tail. A document shorter than one
+    window yields exactly one chunk.
+
+    Returns (id, chunk_idx, chunk_start token offset, n_chunk_tokens,
+    chunk_fp) — the chunk body travels as a 32-bit MD5-prefix
+    fingerprint, not as text, so downstream chunk-level dedup/joins move
+    8-byte keys instead of kilobyte strings (re-materialize text on
+    demand by re-slicing the parent doc: the (id, chunk_start, n) triple
+    is the address).
+
+    Plan: split → sequence → explode → slice, all map-side built-ins in
+    one codegen'd stage — ZERO shuffles regardless of corpus size; output
+    rows ≈ input tokens / stride. Fan-out is bounded per row (a
+    pathological giant doc emits len/stride rows from its own partition —
+    at 100 TB pair with a pre-filter on n_tokens or a repartition after
+    if single-doc gigarows are possible).
+    """
+    if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
+        raise ValueError(
+            f"need 0 < stride <= chunk_tokens, got {stride=} {chunk_tokens=}"
+        )
+    toks = F.split(F.trim(F.col(text)), _WORD_RE)
+    n = F.size(toks)
+    # number of windows: 1 + ceil(max(0, n - chunk) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(chunk_tokens), F.lit(0)).cast("double")
+        / F.lit(float(stride))
+    ).cast("int")
+    t = df.select(
+        id_col,
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * F.lit(stride)
+    chunk = F.slice(F.col("_toks"), start + F.lit(1), chunk_tokens)
+    return t.select(
+        id_col,
+        "chunk_idx",
+        start.alias("chunk_start"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        portable_hash32(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )

@@ -445,3 +445,78 @@ def rolling_zscore(
         .filter(F.abs(F.col("z")) > threshold)
         .select(key, order_tiebreak, ts, value, "z", F.col("_n").alias("n_baseline"))
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    key: str = "user_id",
+    order_tiebreak: str = "event_id",
+    min_samples: int = 8,
+) -> DataFrame:
+    """Single most likely mean-shift changepoint per key, by the classic
+    CUSUM statistic: with per-key samples v_1..v_n (time order) and mean
+    m, the cumulative deviation path C_k = Σ_{i<=k}(v_i - m) returns to 0
+    at k=n; a sustained level shift makes |C_k| peak at the shift point.
+    Emits per key the peak magnitude (mean absolute deviation units,
+    ``cusum_max``) and the timestamp of the FIRST sample attaining it.
+
+    Exactness: work in the integer domain D_k = n·P_k − k·S (P_k =
+    prefix sum of milli-scaled values, S = their total) — equal to
+    n·1000·C_k, so argmax/ties/comparisons are integer-exact in any
+    engine and any partitioning; the only float op is the final
+    normalization D_max/(n·1000), rounded portably. Overflow bound:
+    |D_k| ≤ 2·n·Σ|v_i|·10³, safe in int64 up to ~n²·v̄ ≈ 9·10¹⁵ —
+    ~3·10⁶ samples per key at v̄~10³; beyond that, switch the two
+    products to decimal(38,0).
+
+    Plan: ONE exchange on the key — the ordered prefix-sum window, the
+    unbounded total/count windows, and the final per-key argmax aggregate
+    all share hash(key) clustering. The argmax is a one-pass
+    max-of-struct (peak, earliest-ts) — no second scan, no join-back.
+    """
+    w = Window.partitionBy(key).orderBy(ts, order_tiebreak)
+    wall = Window.partitionBy(key)
+    vi = F.round(F.col(value) * 1e3, 0).cast("long")
+    rows = df.filter(F.col(value).isNotNull()).select(
+        key,
+        F.col(ts),
+        F.sum(vi).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_p"),
+        F.row_number().over(w).alias("_k"),
+        F.sum(vi).over(wall).alias("_s"),
+        F.count(vi).over(wall).alias("_n"),
+    )
+    d = F.col("_n") * F.col("_p") - F.col("_k") * F.col("_s")
+    scored = rows.filter(F.col("_n") >= min_samples).select(
+        key,
+        F.col(ts),
+        F.col("_n"),
+        F.abs(d).alias("_absd"),
+    )
+    # max struct: largest |D|, then earliest ts (negated µs so max = first)
+    peak = F.max(
+        F.struct(
+            F.col("_absd"),
+            (-F.round(F.col(ts).cast("double") * 1e6, 0).cast("long")).alias(
+                "_neg_ts"
+            ),
+        )
+    )
+    g = scored.groupBy(key).agg(
+        peak.alias("_peak"), F.max("_n").alias("n_samples")
+    )
+    return g.select(
+        key,
+        "n_samples",
+        (
+            F.round(
+                F.col("_peak._absd").cast("double")
+                / (F.col("n_samples").cast("double") * F.lit(1e3))
+                * F.lit(1e4),
+                0,
+            )
+            / F.lit(1e4)
+        ).alias("cusum_max"),
+        (-F.col("_peak._neg_ts")).alias("changepoint_epoch_us"),
+    )

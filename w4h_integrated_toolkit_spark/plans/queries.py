@@ -4351,6 +4351,236 @@ FROM events GROUP BY event_type
 """
 
 
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands coverage: each event opens a 10-minute activity
+    interval; overlapping intervals merge so concurrent activity counts
+    once (the double-counting the reference's summed session lengths
+    suffer from, viz.py activity panels). Exact integer µs end to end;
+    one (user, start) exchange drives both window passes and both
+    rollups (see operators/interval.py merge_intervals)."""
+    from ..operators.interval import interval_coverage
+
+    ev = _t(spark, sf_dir, "events")
+    s = F.round(F.col("ts").cast("double") * 1e6, 0).cast("long")
+    iv = ev.select(
+        "user_id",
+        s.alias("start_us"),
+        (s + F.lit(600_000_000)).alias("end_us"),
+    )
+    return interval_coverage(iv, key="user_id", start="start_us", end="end_us")
+
+
+_SQL_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id, CAST(round(epoch(ts)*1e6) AS BIGINT) AS s,
+         CAST(round(epoch(ts)*1e6) AS BIGINT) + 600000000 AS e
+  FROM events),
+m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv),
+fl AS (
+  SELECT user_id, s, e,
+         CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni
+  FROM m),
+isl AS (
+  SELECT user_id, s, e,
+         sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS island
+  FROM fl),
+g AS (SELECT user_id, island, min(s) AS i_s, max(e) AS i_e
+      FROM isl GROUP BY user_id, island)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(i_e - i_s) AS BIGINT) AS covered_us
+FROM g GROUP BY user_id
+"""
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM mean-shift detection: the peak of the cumulative
+    deviation path and the first timestamp attaining it, via the
+    integer-domain statistic n·P_k − k·S (see operators/timeseries.py
+    cusum_changepoint — argmax and ties are integer-exact, so DuckDB
+    reproduces the full row including the changepoint timestamp)."""
+    ev = _t(spark, sf_dir, "events")
+    return TS.cusum_changepoint(
+        ev, ts="ts", value="value", key="user_id", order_tiebreak="event_id"
+    )
+
+
+_SQL_CUSUM = """
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value*1e3) AS BIGINT) AS vi,
+         CAST(round(epoch(ts)*1e6) AS BIGINT) AS tus
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT user_id, tus,
+         sum(vi) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS p,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k,
+         sum(vi) OVER (PARTITION BY user_id) AS s,
+         count(vi) OVER (PARTITION BY user_id) AS n
+  FROM v),
+d AS (SELECT user_id, tus, n, abs(n*p - k*s) AS absd FROM r WHERE n >= 8),
+mx AS (SELECT user_id, max(absd) AS mabs, max(n) AS ns FROM d GROUP BY user_id)
+SELECT d.user_id, CAST(mx.ns AS BIGINT) AS n_samples,
+       round(CAST(mx.mabs AS DOUBLE) / (CAST(mx.ns AS DOUBLE) * 1e3), 4)
+         AS cusum_max,
+       CAST(min(d.tus) AS BIGINT) AS changepoint_epoch_us
+FROM d JOIN mx ON d.user_id = mx.user_id AND d.absd = mx.mabs
+GROUP BY d.user_id, mx.ns, mx.mabs
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, stride 48) with
+    MD5-prefix chunk fingerprints — the context-window prep pass; all
+    map-side, zero shuffles (operators/text.py chunk_documents)."""
+    docs = _tw(spark, sf_dir, "documents")
+    return TX.chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
+_SQL_DOC_CHUNKS = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+c AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx, w
+  FROM w, unnest(range(0,
+       1 + CAST(ceil(greatest(len(w) - 64, 0) / 48.0) AS BIGINT))) AS t(i)),
+s AS (
+  SELECT doc_id, chunk_idx, chunk_idx * 48 AS chunk_start,
+         list_slice(w, chunk_idx * 48 + 1, chunk_idx * 48 + 64) AS chunk
+  FROM c)
+SELECT doc_id, chunk_idx, chunk_start,
+       CAST(len(chunk) AS INT) AS n_chunk_tokens,
+       CAST('0x' || substr(md5(array_to_string(chunk, ' ')), 1, 8) AS BIGINT)
+         AS chunk_fp
+FROM s
+"""
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (the plan that scales past broadcast
+    gram sets): benchmark grams fold into a 1 Mbit bitmap, corpus probes
+    it with pure map-side bit math — no join in the probe stage at all.
+    Driver-gatable via the within-bound pattern: the row carries the
+    exact-side twins (corpus size, exact contaminated-doc count — DuckDB
+    recomputes both) plus flags asserting the Bloom filter's contract on
+    this data: zero false negatives (superset of the exact result,
+    per-doc counts included) and a false-positive rate within 10x the
+    theoretical (1-e^(-kn/m))^k headroom."""
+    docs = _tw(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    corpus = docs.filter(F.col("doc_id") % 100 != 0)
+    m_bits, k = 1 << 20, 4
+    bitmap = D.gram_bloom_bitmap(bench, n=3, m_bits=m_bits, k=k)
+    bloom = D.bloom_contamination(corpus, bitmap, m_bits, k=k, n=3)
+    exact = D.contamination(corpus, bench, n=3)
+    viol = (
+        exact.join(bloom, "doc_id", "left")
+        .filter(
+            F.col("n_bloom_hits").isNull()
+            | (F.col("n_bloom_hits") < F.col("n_hits"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_viol"))
+    )
+    counts = (
+        corpus.agg(F.count_distinct("doc_id").alias("n_corpus_docs"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact_contaminated")))
+        .crossJoin(bloom.agg(F.count(F.lit(1)).alias("_n_flagged")))
+        .crossJoin(viol)
+    )
+    clean = F.col("n_corpus_docs") - F.col("n_exact_contaminated")
+    fp_allow = F.greatest(F.lit(10).cast("long"), (clean / 10).cast("long"))
+    return counts.select(
+        "n_corpus_docs",
+        "n_exact_contaminated",
+        (F.col("n_viol") == 0).cast("long").alias("no_false_negatives"),
+        (
+            (F.col("_n_flagged") - F.col("n_exact_contaminated")) <= fp_allow
+        )
+        .cast("long")
+        .alias("fp_bound_ok"),
+    )
+
+
+_SQL_BLOOM_DECONTAMINATE = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 2), ' ') AS gram
+  FROM w, unnest(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+corpus AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 100 <> 0),
+hits AS (SELECT DISTINCT doc_id FROM corpus JOIN bench USING (gram))
+SELECT
+  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents
+   WHERE doc_id % 100 <> 0) AS n_corpus_docs,
+  (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_exact_contaminated,
+  CAST(1 AS BIGINT) AS no_false_negatives,
+  CAST(1 AS BIGINT) AS fp_bound_ok
+"""
+
+
+def q_quantized_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized brute-force kNN, gated against the exact float path
+    (within-bound pattern): per query the row carries the exact top-5
+    neighbor list (rank order, DuckDB recomputes it with the same
+    score-then-id tiebreak as the green knn_cosine_topk entry) plus a
+    flag that quantized recall@5 ≥ 0.6 — int8 cosine on real embedding
+    distributions loses ≲1/254 per component, so sub-0.6 recall means
+    the quantizer, not the data, broke."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = SIM.cosine_topk(emb, queries, k=5)
+    quant = SIM.quantized_topk(emb, queries, k=5)
+    # both top-k outputs are k·|queries| rows by construction — broadcast
+    # so the recall join never plans a shuffle off row-count guesses
+    hits = (
+        exact.join(F.broadcast(quant), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    per_q = exact.groupBy("query_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rank", "neighbor_id"))
+                ),
+                lambda x: x.neighbor_id.cast("string"),
+            ),
+            ",",
+        ).alias("exact_neighbors")
+    )
+    return per_q.join(F.broadcast(hits), "query_id", "left").select(
+        "query_id",
+        "exact_neighbors",
+        (F.coalesce(F.col("_hits"), F.lit(0)) >= 3).cast("long").alias("recall_ok"),
+    )
+
+
+_SQL_QUANT_RECALL = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+s AS (SELECT qid, nid,
+             list_dot_product(qv, cv) /
+             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+      FROM q CROSS JOIN c WHERE qid <> nid),
+r AS (SELECT qid AS query_id, nid AS neighbor_id,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      FROM s)
+SELECT query_id,
+       string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY rank)
+         AS exact_neighbors,
+       CAST(1 AS BIGINT) AS recall_ok
+FROM r WHERE rank <= 5 GROUP BY query_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4372,12 +4602,12 @@ FROM events GROUP BY event_type
 # stateful streaming, semantic_dedup — BLAS float boundaries,
 # rfm_segments — percentile interpolation, time_weighted_avg — epoch
 # trapezoids). After r6, every pre-r6 entry has a driver row from r5 or
-# r6 and the riskiest new code is externally hashed; the remaining 19
-# r6 additions (bm25_topk ... cube_totals) plus the 4 canaries rotated
-# out mid-round (calibration, minhash_lsh_pairs, frame_sample,
+# r6 and the riskiest new code is externally hashed; the remaining
+# r6 additions (bm25_topk ... quantized_knn_recall) plus the 4 canaries
+# rotated out mid-round (calibration, minhash_lsh_pairs, frame_sample,
 # stream_window_kpis) sit behind the window, where tests/test_parity.py
-# still exact-bit checks every entry (now 116) on current code each run;
-# rotate them into the r7 window.
+# still exact-bit checks every entry (len(QUERIES) is the live count) on
+# current code each run; rotate them into the r7 window.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-gated: the two r5 streaming entries (real streaming
     # jobs; gate == batch twin, equality is test-asserted) ---
@@ -4521,6 +4751,14 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # tests/test_streaming.py)
     "streaming_sessions": (q_streaming_sessions, _SQL_SESSION_WINDOWS),
     "heavy_hitters_sketch": (q_heavy_hitters_sketch, _SQL_HEAVY_HITTERS),
+    # --- new in r6 wave 3 (coverage islands / CUSUM / chunking / Bloom
+    # decontamination / int8 ANN) — behind the window this round,
+    # parity-swept now, rotate into r7 ---
+    "interval_coverage": (q_interval_coverage, _SQL_INTERVAL_COVERAGE),
+    "cusum_changepoint": (q_cusum_changepoint, _SQL_CUSUM),
+    "doc_chunks": (q_doc_chunks, _SQL_DOC_CHUNKS),
+    "bloom_decontaminate": (q_bloom_decontaminate, _SQL_BLOOM_DECONTAMINATE),
+    "quantized_knn_recall": (q_quantized_knn_recall, _SQL_QUANT_RECALL),
 }
 
 
