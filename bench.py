@@ -125,6 +125,11 @@ EXTRA_BENCH_QUERIES = [
     "cube_totals",
     "streaming_sessions",
     "heavy_hitters_sketch",
+    "interval_coverage",
+    "cusum_changepoint",
+    "doc_chunks",
+    "bloom_decontaminate",
+    "quantized_knn_recall",
 ]
 
 
