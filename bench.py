@@ -130,6 +130,8 @@ EXTRA_BENCH_QUERIES = [
     "doc_chunks",
     "bloom_decontaminate",
     "quantized_knn_recall",
+    "spearman_trend",
+    "dow_hour_heatmap",
 ]
 
 

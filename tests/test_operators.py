@@ -2064,3 +2064,30 @@ def test_quantize_int8_and_recall(spark):
     }
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.8, f"int8 recall collapsed: {recall}"
+
+
+def test_spearman_trend_hand_model(spark):
+    """Closed forms: strictly rising -> rho=1, strictly falling -> -1,
+    tie-heavy series matches the hand-computed average-rank value, and a
+    constant (zero-variance) series is excluded."""
+    import datetime as _dt
+
+    from w4h_integrated_toolkit_spark.operators.timeseries import spearman_trend
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(8):
+        rows.append((1, t0 + _dt.timedelta(minutes=i), float(i)))        # rising
+        rows.append((2, t0 + _dt.timedelta(minutes=i), float(-i)))       # falling
+        rows.append((3, t0 + _dt.timedelta(minutes=i), 5.0))             # constant
+        # ties: 0,0,1,1,2,2,3,3 -> still perfectly monotone in avg-rank
+        rows.append((4, t0 + _dt.timedelta(minutes=i), float(i // 2)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r["user_id"]: r["spearman_rho"] for r in spearman_trend(df).collect()}
+    assert got[1] == 1.0
+    assert got[2] == -1.0
+    assert 3 not in got, "zero rank variance must be excluded, not NaN"
+    # hand value for the tied series: ranks x=(1..8)*2-ish, y avg-ranks
+    # (1.5,1.5,3.5,3.5,5.5,5.5,7.5,7.5) -> rho = 12*sum((x-4.5)(y-4.5)) ...
+    # computed offline = 0.97590 at 5dp
+    assert abs(got[4] - 0.9759) < 1e-3

@@ -861,3 +861,19 @@ def test_quantized_knn_no_sort_merge_broadcast_throughout(spark):
     plan = plan_of(spark, "quantized_knn_recall")
     assert "SortMergeJoin" not in plan, plan[:800]
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_spearman_single_exchange(spark):
+    """Four rank windows (two sort orders x rank/tie-count) and the
+    moment aggregate all share the one hash(user_id) exchange — the
+    tie-count windows cluster on (key, col), which hash(key) satisfies."""
+    plan = plan_of(spark, "spearman_trend")
+    assert n_shuffles(plan) == 1, plan[:800]
+
+
+def test_dow_hour_heatmap_single_aggregate(spark):
+    """7x24-cell result: one map-side-combined aggregate, one exchange,
+    no window/join."""
+    plan = plan_of(spark, "dow_hour_heatmap")
+    assert n_shuffles(plan) == 1, plan[:800]
+    assert "Join" not in plan and "Window" not in plan

@@ -28,6 +28,8 @@ __all__ = [
     "gap_mask",
     "time_weighted_avg",
     "rolling_zscore",
+    "cusum_changepoint",
+    "spearman_trend",
 ]
 
 
@@ -519,4 +521,76 @@ def cusum_changepoint(
             / F.lit(1e4)
         ).alias("cusum_max"),
         (-F.col("_peak._neg_ts")).alias("changepoint_epoch_us"),
+    )
+
+
+def spearman_trend(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    key: str = "user_id",
+    min_samples: int = 8,
+    decimals: int = 5,
+) -> DataFrame:
+    """Per-key Spearman rank correlation between time and value — the
+    robust "is this subject's signal drifting monotonically" detector
+    (rho ~ +1 sustained rise, ~ -1 decline, ~0 stationary; unlike Pearson
+    it ignores the drift's shape and any outlier magnitude).
+
+    Exactness: average ranks are kept in the INTEGER domain as
+    2·avgrank = 2·rank + ties − 1, so every rank, tie split, and moment
+    sum (Sx, Sy, Sxx, Syy, Sxy) is integer-exact in any engine/
+    partitioning; rho then evaluates as one fixed IEEE expression over
+    those exact integers, rounded portably. Degenerate keys (all values
+    tied — zero rank variance) are excluded by a denominator>0 guard
+    that is itself deterministic (0.0 exactly when degenerate).
+    Overflow bound: Σ(2r)² ≤ 4n³ per key — int64-safe to ~10⁶ samples
+    per key; switch the moment sums to decimal(38,0) beyond.
+
+    Plan: ONE exchange on the key; the four rank windows (two orders ×
+    rank/tie-count) re-sort within the same hash(key) partitioning —
+    tie-count windows cluster on (key, x) which hash(key) satisfies —
+    and the final moment aggregate rides the same exchange.
+    """
+    kx = Window.partitionBy(key)
+    tus = F.round(F.col(ts).cast("double") * 1e6, 0).cast("long")
+    base = df.filter(F.col(value).isNotNull()).select(
+        key, tus.alias("_x"), F.col(value).alias("_y")
+    )
+    def r2(col):
+        rnk = F.rank().over(Window.partitionBy(key).orderBy(col))
+        ties = F.count(F.lit(1)).over(Window.partitionBy(key, col))
+        return 2 * rnk + ties - 1
+
+    ranked = base.select(
+        key, r2(F.col("_x")).alias("_rx"), r2(F.col("_y")).alias("_ry")
+    )
+    g = ranked.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("_rx").alias("_sx"),
+        F.sum("_ry").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"),
+    )
+    nd = F.col("n_samples").cast("double")
+    num = nd * F.col("_sxy").cast("double") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sy").cast("double")
+    dx = nd * F.col("_sxx").cast("double") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sx").cast("double")
+    dy = nd * F.col("_syy").cast("double") - F.col("_sy").cast(
+        "double"
+    ) * F.col("_sy").cast("double")
+    scale = F.lit(float(10**decimals))
+    return (
+        g.filter((F.col("n_samples") >= min_samples) & (dx > 0) & (dy > 0))
+        .select(
+            key,
+            "n_samples",
+            (F.round(num / (F.sqrt(dx) * F.sqrt(dy)) * scale, 0) / scale).alias(
+                "spearman_rho"
+            ),
+        )
     )

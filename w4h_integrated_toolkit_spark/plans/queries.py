@@ -4581,6 +4581,84 @@ FROM r WHERE rank <= 5 GROUP BY query_id
 """
 
 
+def q_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user monotonic-drift detection: Spearman rank correlation of
+    value against time, with integer-exact average ranks (2·avgrank =
+    2·rank + ties − 1) so DuckDB reproduces every rank, tie split, and
+    moment sum bit-for-bit (operators/timeseries.py spearman_trend)."""
+    ev = _t(spark, sf_dir, "events")
+    return TS.spearman_trend(ev, ts="ts", value="value", key="user_id")
+
+
+_SQL_SPEARMAN = """
+WITH b AS (
+  SELECT user_id, CAST(round(epoch(ts)*1e6) AS BIGINT) AS x, value AS y
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT user_id,
+         2*rank() OVER (PARTITION BY user_id ORDER BY x)
+           + count(*) OVER (PARTITION BY user_id, x) - 1 AS rx,
+         2*rank() OVER (PARTITION BY user_id ORDER BY y)
+           + count(*) OVER (PARTITION BY user_id, y) - 1 AS ry
+  FROM b),
+g AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+         CAST(sum(rx*rx) AS BIGINT) AS sxx, CAST(sum(ry*ry) AS BIGINT) AS syy,
+         CAST(sum(rx*ry) AS BIGINT) AS sxy
+  FROM r GROUP BY user_id),
+d AS (
+  SELECT user_id, n_samples,
+         CAST(n_samples AS DOUBLE)*CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+         CAST(n_samples AS DOUBLE)*CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS dx,
+         CAST(n_samples AS DOUBLE)*CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS dy
+  FROM g)
+SELECT user_id, n_samples,
+       round(num / (sqrt(dx) * sqrt(dy)), 5) AS spearman_rho
+FROM d WHERE n_samples >= 8 AND dx > 0 AND dy > 0
+"""
+
+
+def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap (the reference's dashboard
+    heatmap panels as one grouped aggregate). Day-of-week comes from
+    engine-neutral epoch arithmetic — floor(epoch/86400 + 4) % 7, Sunday
+    = 0 — rather than each engine's dayofweek() convention (Spark is
+    1-based Sunday, DuckDB 0-based: the classic silent off-by-one).
+    One exchange; at scale the 7×24-cell result makes this the textbook
+    map-side-combine aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    ep = F.col("ts").cast("double")
+    day = F.floor(ep / F.lit(86400.0)).cast("long")
+    return (
+        ev.groupBy(
+            ((day + F.lit(4)) % F.lit(7)).alias("dow"),
+            F.floor((ep - day * F.lit(86400.0)) / F.lit(3600.0))
+            .cast("long")
+            .alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _savg(F.col("value"), 5).alias("avg_value"),
+        )
+    )
+
+
+_SQL_DOW_HOUR = f"""
+WITH b AS (
+  SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, epoch(ts) AS ep, value
+  FROM events)
+SELECT (day + 4) % 7 AS dow,
+       CAST(floor((ep - day*86400.0)/3600.0) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {_savg_sql("value", 5)} AS avg_value
+FROM b GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4759,6 +4837,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "doc_chunks": (q_doc_chunks, _SQL_DOC_CHUNKS),
     "bloom_decontaminate": (q_bloom_decontaminate, _SQL_BLOOM_DECONTAMINATE),
     "quantized_knn_recall": (q_quantized_knn_recall, _SQL_QUANT_RECALL),
+    "spearman_trend": (q_spearman_trend, _SQL_SPEARMAN),
+    "dow_hour_heatmap": (q_dow_hour_heatmap, _SQL_DOW_HOUR),
 }
 
 
