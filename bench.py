@@ -132,6 +132,7 @@ EXTRA_BENCH_QUERIES = [
     "quantized_knn_recall",
     "spearman_trend",
     "dow_hour_heatmap",
+    "stream_stream_join",
 ]
 
 

@@ -428,7 +428,8 @@ def test_streaming_gate_entries_fit_latency_budget(spark):
 
     qs = entry_mod.queries()
     for name in ("streaming_neardup", "stream_distinct_users",
-                 "streaming_anomaly", "streaming_sessions"):
+                 "streaming_anomaly", "streaming_sessions",
+                 "stream_stream_join"):
         t0 = time.time()
         assert qs[name](spark, "/root/testdata/sf0.01").count() > 0
         elapsed = time.time() - t0
@@ -822,3 +823,75 @@ def test_streaming_sessions_match_batch_exact(spark, tmp_path):
         )
         spark.catalog.dropTempView(name)
         assert got == expected, f"streaming sessions != batch with {opts}"
+
+
+def test_stream_stream_join_matches_batch_exact(spark, tmp_path):
+    """The watermarked stream-stream interval self-join equals the batch
+    range join exactly — including pairs whose two sides arrive in
+    DIFFERENT micro-batches (the right row must find the buffered left
+    row in the join state store, forced via maxFilesPerTrigger=1 on a
+    time-split source)."""
+    import uuid
+
+    from w4h_integrated_toolkit_spark.streaming.replay import interval_pair_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "src")
+    cut = "2024-01-15 00:00:00"
+    ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(src)
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+
+    expected = sorted(
+        map(tuple, interval_pair_stream(ev).collect())
+    )
+
+    for opts in ({}, {"maxFilesPerTrigger": 1}):
+        stream = spark.readStream.schema(ev.schema).options(**opts).parquet(src)
+        out = interval_pair_stream(stream)
+        name = "pairs_" + uuid.uuid4().hex[:8]
+        q = (
+            out.writeStream.outputMode("append").format("memory")
+            .queryName(name).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = sorted(map(tuple, spark.table(name).collect()))
+        spark.catalog.dropTempView(name)
+        assert got == expected, f"stream-stream join != batch with {opts}"
+
+
+def test_stream_stream_join_cross_batch_pair_exists(spark, tmp_path):
+    """Regression guard for the state-store claim itself: a synthetic
+    view/purchase pair split across two micro-batches (view in batch 1,
+    purchase in batch 2) MUST be emitted — if the join buffer dropped
+    batch-1 state this returns empty and the equality test above could
+    pass vacuously on data with no cross-batch pairs."""
+    import datetime as _dt
+    import uuid
+
+    from w4h_integrated_toolkit_spark.streaming.replay import interval_pair_stream
+
+    t0 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    src = str(tmp_path / "src2")
+    b1 = spark.createDataFrame([(1, t0, 7, "view")], schema)
+    b2 = spark.createDataFrame(
+        [(2, t0 + _dt.timedelta(minutes=30), 7, "purchase")], schema
+    )
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = interval_pair_stream(stream)
+    name = "xpair_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = [tuple(r) for r in spark.table(name).collect()]
+    spark.catalog.dropTempView(name)
+    assert got == [(7, 1, 2, 30 * 60 * 1_000_000)]

@@ -4659,6 +4659,34 @@ FROM b GROUP BY 1, 2
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join as an actual Structured Streaming
+    job: view events paired with same-user purchases within 2 hours,
+    watermarked on both sides so the join buffers evict (see
+    streaming/replay.py interval_pair_stream). Oracle-checked: the
+    streaming matches must equal the batch range join exactly (INNER
+    stream-stream joins emit on match, so the bounded availableNow replay
+    emits every pair)."""
+    from ..streaming.replay import run_interval_pair_batchmode
+
+    prepare_session(spark)
+    return run_interval_pair_batchmode(spark, f"{sf_dir}/events.parquet")
+
+
+_SQL_STREAM_STREAM_JOIN = """
+SELECT l.user_id,
+       l.event_id AS left_event_id,
+       r.event_id AS right_event_id,
+       CAST(round(epoch(r.ts)*1e6) AS BIGINT)
+         - CAST(round(epoch(l.ts)*1e6) AS BIGINT) AS lag_us
+FROM events l
+JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
+WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4839,6 +4867,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "quantized_knn_recall": (q_quantized_knn_recall, _SQL_QUANT_RECALL),
     "spearman_trend": (q_spearman_trend, _SQL_SPEARMAN),
     "dow_hour_heatmap": (q_dow_hour_heatmap, _SQL_DOW_HOUR),
+    # real streaming job (stream-stream watermarked self-join), gated by
+    # the batch range-join oracle; equality law in tests/test_streaming.py
+    "stream_stream_join": (q_stream_stream_join, _SQL_STREAM_STREAM_JOIN),
 }
 
 

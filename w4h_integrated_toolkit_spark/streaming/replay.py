@@ -39,6 +39,9 @@ __all__ = [
     "sessionized_stream",
     "drain_memory_sink",
     "run_windowed_kpis_batchmode",
+    "file_stream",
+    "interval_pair_stream",
+    "run_interval_pair_batchmode",
 ]
 
 
@@ -319,3 +322,101 @@ def sessionized_stream(
             F.max(ts).alias("_last"),
         )
     )
+
+
+def file_stream(
+    spark: SparkSession, path: str, prefix: str = "w4h_stream_"
+) -> tuple[DataFrame, str | None]:
+    """Open a parquet file/dir as a file-source stream with the same
+    normalization as the batch reader (ns->µs truncation), staging a bare
+    file behind a symlink dir (the file source requires a directory).
+    Returns (stream, stage_dir) — pass stage_dir to
+    :func:`drain_memory_sink` so it is removed even on failure."""
+    import os
+    import tempfile
+
+    from ..catalog import ns_timestamp_columns
+
+    ns_cols = ns_timestamp_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        stage = tempfile.mkdtemp(prefix=prefix)
+        os.symlink(path, os.path.join(stage, os.path.basename(path)))
+        source_dir = stage
+    else:
+        stage = None
+        source_dir = path
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return stream, stage
+
+
+def interval_pair_stream(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "user_id",
+    type_col: str = "event_type",
+    left_type: str = "view",
+    right_type: str = "purchase",
+    max_lag: str = "2 hours",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Stream-stream interval self-join (T-surface extension): pair each
+    ``left_type`` event with every same-key ``right_type`` event landing
+    in ``[left.ts, left.ts + max_lag]`` — attribution / conversion-lag
+    matching as a STANDING query (the reference recomputes such funnels
+    per dashboard request over the full history; viz.py funnel panels).
+
+    State story (the part that matters for an unbounded run): both sides
+    carry a watermark and the join condition bounds event-time distance,
+    so Spark derives a state watermark and evicts both join buffers —
+    state is O(events inside the lag+watermark horizon), not O(history).
+    INNER join results emit as soon as they match (append mode; no
+    watermark-close wait — that caveat applies to outer joins only).
+
+    Works identically on batch inputs (the oracle/equality twin: one
+    key-equi range join, broadcast/shuffle chosen by the planner).
+    """
+    is_stream = events.isStreaming
+    l = events.filter(F.col(type_col) == left_type).select(
+        F.col(key).alias("l_key"),
+        F.col(ts).alias("l_ts"),
+        F.col("event_id").alias("left_event_id"),
+    )
+    r = events.filter(F.col(type_col) == right_type).select(
+        F.col(key).alias("r_key"),
+        F.col(ts).alias("r_ts"),
+        F.col("event_id").alias("right_event_id"),
+    )
+    if is_stream:
+        l = l.withWatermark("l_ts", watermark)
+        r = r.withWatermark("r_ts", watermark)
+    joined = l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_lag}")),
+        "inner",
+    )
+    lag_us = (
+        F.round(F.col("r_ts").cast("double") * 1e6, 0).cast("long")
+        - F.round(F.col("l_ts").cast("double") * 1e6, 0).cast("long")
+    )
+    return joined.select(
+        F.col("l_key").alias(key),
+        "left_event_id",
+        "right_event_id",
+        lag_us.alias("lag_us"),
+    )
+
+
+def run_interval_pair_batchmode(spark: SparkSession, events_path: str) -> DataFrame:
+    """Execute the stream-stream pair join end-to-end synchronously
+    (file source -> watermarked self-join -> append-mode memory sink,
+    availableNow) and return the localized matches."""
+    stream, stage = file_stream(spark, events_path, prefix="w4h_pairjoin_")
+    out = interval_pair_stream(stream)
+    return drain_memory_sink(out, "append", name_prefix="w4h_pairs_", stage_dir=stage)
