@@ -133,6 +133,8 @@ EXTRA_BENCH_QUERIES = [
     "spearman_trend",
     "dow_hour_heatmap",
     "stream_stream_join",
+    "containment_pairs",
+    "zorder_layout",
 ]
 
 

@@ -2091,3 +2091,91 @@ def test_spearman_trend_hand_model(spark):
     # (1.5,1.5,3.5,3.5,5.5,5.5,7.5,7.5) -> rho = 12*sum((x-4.5)(y-4.5)) ...
     # computed offline = 0.97590 at 5dp
     assert abs(got[4] - 0.9759) < 1e-3
+
+
+def test_containment_vs_jaccard_semantics(spark):
+    """A short doc quoted verbatim inside a long doc: containment ~1,
+    Jaccard far below — the semantic split that justifies the second
+    metric."""
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    snippet = " ".join(f"s{i}" for i in range(10))
+    filler = " ".join(f"f{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, snippet), (2, filler + " " + snippet)],
+        "doc_id long, text string",
+    )
+    cont = ngram_containment_pairs(docs, n=5, threshold=0.8).collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    jac = ngram_jaccard_pairs(docs, n=5, threshold=0.2).collect()
+    assert jac == [], "Jaccard must NOT flag the snippet-inclusion pair"
+
+
+def test_zorder_key_interleave_and_layout_prunes_both_dims(spark, tmp_path):
+    """Bit-exact interleave check (x=10, y=6, 4 bits -> 108), then the
+    physical claim on a square 256x256 grid: with file-level min/max
+    stats, a point predicate on EITHER dimension skips most z-ordered
+    files, while the x-sorted layout can prune only on x — every file
+    spans the full y domain. (Area alone is the wrong metric: on a
+    skewed-aspect domain a 1-D sort matches z-order's box area while
+    still being unprunable on y.)"""
+    from w4h_integrated_toolkit_spark.catalog import write_zordered, zorder_key
+
+    df = spark.createDataFrame([(10, 6)], "x long, y long")
+    assert df.select(zorder_key(F.col("x"), F.col("y"), 4).alias("z")).head()["z"] == 108
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y")
+    )
+
+    def hit_fractions(path):
+        files = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("x").alias("x0"), F.max("x").alias("x1"),
+                F.min("y").alias("y0"), F.max("y").alias("y1"),
+            )
+            .collect()
+        )
+        assert len(files) > 8, "layout must actually produce multiple files"
+        probes = [32, 96, 160, 224]
+        fx = sum(
+            sum(1 for r in files if r["x0"] <= p <= r["x1"]) for p in probes
+        ) / (len(probes) * len(files))
+        fy = sum(
+            sum(1 for r in files if r["y0"] <= p <= r["y1"]) for p in probes
+        ) / (len(probes) * len(files))
+        return fx, fy
+
+    zpath = str(tmp_path / "zorder")
+    npath = str(tmp_path / "natural")
+    write_zordered(grid, zpath, "x", "y", bits=8, n_files=16)
+    (
+        grid.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(npath)
+    )
+    zfx, zfy = hit_fractions(zpath)
+    nfx, nfy = hit_fractions(npath)
+    assert nfy > 0.99, f"x-sorted layout should be unprunable on y ({nfy})"
+    # z-order: a point predicate on either dimension must skip >=40% of files
+    assert zfx <= 0.6 and zfy <= 0.6, (zfx, zfy, nfx, nfy)
+
+
+def test_zorder_buckets_are_quad_cells(spark):
+    """Each coarse z-bucket (top 6 interleaved bits of the 16-bit key)
+    fixes the top 3 bits of BOTH cell coordinates — so every bucket's
+    bounding box is at most 32 cells wide in each dimension. This is the
+    pruning invariant the registry entry's numbers exhibit."""
+    from w4h_integrated_toolkit_spark.plans import QUERIES
+
+    fn, _ = QUERIES["zorder_layout"]
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 8, "grid must spread across multiple buckets"
+    for r in rows:
+        assert r["max_cx"] - r["min_cx"] < 32, r
+        assert r["max_cy"] - r["min_cy"] < 32, r

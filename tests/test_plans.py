@@ -379,6 +379,9 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "corpus_drift",           # side totals + vocab scalar (1 row)
     "rfm_segments",           # quartile-cut scalars (1 row)
     "unigram_nll",            # model totals T/V scalar (1 row)
+    "bloom_decontaminate",    # 1-row count aggregates cross-joined for the flag row
+    "quantized_knn_recall",   # broadcast query vectors (same shape as knn_cosine_topk)
+    "zorder_layout",          # per-dim max scalars (1 row) for cell quantization
 }
 
 

@@ -523,3 +523,63 @@ def write_bucketed(
     if sort:
         w = w.sortBy(*keys)
     w.saveAsTable(name)
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Morton / Z-order key: interleave the low ``bits`` of two
+    non-negative integer columns (x bits at even positions, y at odd) —
+    the multi-dimensional clustering complement of :func:`write_sorted`:
+    range-clustering BY the z-key gives every file a tight bounding box
+    in BOTH dimensions simultaneously, so parquet min/max stats prune
+    scans for predicates on x alone, y alone, or both (one dimension's
+    sort order is not sacrificed to the other — the Delta/Iceberg
+    OPTIMIZE ZORDER technique, re-derived as a pure column expression).
+
+    Pure JVM bit math (shift/and/or terms, 2·bits of them) in one
+    codegen'd expression; engine-portable (DuckDB reproduces it with the
+    same shifts — see the registry oracle). Inputs must be in
+    [0, 2^bits); callers quantize first (e.g. ``value % (1<<bits)`` or a
+    range-scaled cell index).
+    """
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    xi = x.cast("long")
+    yi = y.cast("long")
+    for b in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(xi, b).bitwiseAND(F.lit(1)), 2 * b)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(yi, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    bits: int = 16,
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Two-dimensional data-skipping layout: cluster files by the Morton
+    key of (x, y). Files own disjoint z-ranges; because a z-range is a
+    union of quad-tree cells, each file's (x, y) bounding box is tight —
+    a selective predicate on EITHER column prunes most files (verified
+    file-by-file in tests/test_sources.py). ``repartitionByRange``
+    samples the z-key for balanced file sizes under skew; the helper
+    column is dropped before writing so the layout is invisible to
+    readers."""
+    from pyspark.sql import functions as F
+
+    zk = zorder_key(F.col(x), F.col(y), bits)
+    (
+        df.withColumn("_zk", zk)
+        .repartitionByRange(n_files, "_zk")
+        .sortWithinPartitions("_zk")
+        .drop("_zk")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -50,6 +50,7 @@ __all__ = [
     "bloom_contamination",
     "boilerplate_ngrams",
     "source_ngram_overlap",
+    "ngram_containment_pairs",
 ]
 
 
@@ -1011,4 +1012,63 @@ def source_ngram_overlap(
                 / 1e6
             ).alias("jaccard"),
         )
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    n: int = 5,
+    threshold: float = 0.8,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Containment near-duplicates: pairs where the SMALLER document's
+    shingle set is (mostly) a subset of the larger's — containment =
+    |A∩B| / min(|A|, |B|). The metric Jaccard misses by design: a tweet
+    quoted inside a long article scores ~0 Jaccard (union dominated by
+    the article) but ~1 containment — the snippet-inclusion /
+    quote-extraction dedup semantic (cf. Broder's resemblance vs
+    containment distinction).
+
+    Same single-shingle-exchange shape as :func:`ngram_jaccard_pairs`
+    (per-doc-distinct rows -> ONE inverted-index aggregate feeding both
+    set sizes and in-bucket pair counts; the O(candidates) pair relation
+    broadcasts against the O(docs) sizes relation, never the reverse) —
+    kept as a separate function rather than a metric flag so the gated
+    Jaccard path stays untouched; the duplication is the ~15 plan lines,
+    the rationale lives there.
+    """
+    rows = distinct_shingle_rows(df, n, text, id_col)
+    idx = rows.groupBy("shingle").agg(
+        F.sort_array(F.collect_set(id_col)).alias("docs")
+    )
+    sizes = (
+        idx.select(F.explode("docs").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("set_size"))
+    )
+    buckets = idx.filter(F.size("docs") > 1)
+    if max_doc_freq is not None:
+        buckets = buckets.filter(F.size("docs") <= max_doc_freq)
+    common = (
+        buckets.select(F.explode(_ordered_pairs(F.col("docs"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    with_a = sizes.join(
+        F.broadcast(common), sizes[id_col] == common["id_a"]
+    ).select("id_a", "id_b", "n_common", F.col("set_size").alias("size_a"))
+    with_b = sizes.join(
+        F.broadcast(with_a), sizes[id_col] == with_a["id_b"]
+    ).select("id_a", "id_b", "n_common", "size_a", F.col("set_size").alias("size_b"))
+    return (
+        with_b.withColumn(
+            "containment",
+            F.col("n_common")
+            / F.least(F.col("size_a"), F.col("size_b")).cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
     )

@@ -4687,6 +4687,107 @@ WHERE l.event_type = 'view' AND r.event_type = 'purchase'
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dups over word-5-gram shingles: |A∩B|/min(|A|,|B|)
+    — the snippet-inclusion semantic Jaccard misses (a short doc quoted
+    inside a long one scores ~0 Jaccard, ~1 containment). Same
+    one-shingle-exchange plan as the Jaccard entry
+    (operators/dedup.py ngram_containment_pairs)."""
+    out = D.ngram_containment_pairs(
+        _tw(spark, sf_dir, "documents"), n=5, threshold=0.5
+    )
+    return out.select(
+        "id_a", "id_b", _r(F.col("containment"), 6).alias("containment")
+    )
+
+
+_SQL_CONTAINMENT = r"""
+WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)])) AS shingle
+  FROM words WHERE len(w) >= 5),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_common / CAST(least(sa.set_size, sb.set_size) AS DOUBLE), 6) AS containment
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / CAST(least(sa.set_size, sb.set_size) AS DOUBLE) >= 0.5
+"""
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit: quantize (l_partkey, l_suppkey) to a
+    256×256 cell grid (max-relative, so the grid fills at EVERY sf),
+    Morton-interleave the cells, split the 16-bit z-space into 64 coarse
+    buckets, and report each bucket's row count and per-dimension cell
+    bounding box — each bucket is a quad-tree cell (top 3 bits of each
+    dim fixed), so both cell ranges are ≤32-wide: the property that
+    makes z-clustered files prunable on EITHER dimension.
+    catalog.zorder_key / write_zordered apply the same key as a physical
+    file layout (file-level pruning test in test_operators.py)."""
+    from ..catalog import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    mx = li.agg(
+        F.max("l_partkey").alias("_mx"), F.max("l_suppkey").alias("_my")
+    )
+
+    def cell(col, mcol):
+        return F.least(
+            F.floor(col.cast("double") * 256.0 / (mcol + F.lit(1)).cast("double")),
+            F.lit(255),
+        ).cast("long")
+
+    cells = li.crossJoin(F.broadcast(mx)).select(
+        cell(F.col("l_partkey"), F.col("_mx")).alias("cx"),
+        cell(F.col("l_suppkey"), F.col("_my")).alias("cy"),
+    )
+    zk = zorder_key(F.col("cx"), F.col("cy"), 8)
+    return (
+        cells.groupBy(F.shiftright(zk, 10).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cx").alias("min_cx"),
+            F.max("cx").alias("max_cx"),
+            F.min("cy").alias("min_cy"),
+            F.max("cy").alias("max_cy"),
+        )
+    )
+
+
+def _zorder_sql_expr(x: str, y: str, bits: int = 16) -> str:
+    """DuckDB twin of catalog.zorder_key: identical shift/and bit
+    interleave (disjoint bit positions, so OR == sum)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+_SQL_ZORDER = f"""
+WITH m AS (SELECT max(l_partkey) AS mx, max(l_suppkey) AS my FROM lineitem),
+c AS (
+  SELECT CAST(least(floor(CAST(l_partkey AS DOUBLE) * 256.0
+                          / CAST(mx + 1 AS DOUBLE)), 255) AS BIGINT) AS cx,
+         CAST(least(floor(CAST(l_suppkey AS DOUBLE) * 256.0
+                          / CAST(my + 1 AS DOUBLE)), 255) AS BIGINT) AS cy
+  FROM lineitem, m)
+SELECT (({_zorder_sql_expr("cx", "cy", 8)}) >> 10) AS z_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(cx) AS min_cx, max(cx) AS max_cx,
+       min(cy) AS min_cy, max(cy) AS max_cy
+FROM c GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4870,6 +4971,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # real streaming job (stream-stream watermarked self-join), gated by
     # the batch range-join oracle; equality law in tests/test_streaming.py
     "stream_stream_join": (q_stream_stream_join, _SQL_STREAM_STREAM_JOIN),
+    "containment_pairs": (q_containment_pairs, _SQL_CONTAINMENT),
+    "zorder_layout": (q_zorder_layout, _SQL_ZORDER),
 }
 
 
