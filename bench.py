@@ -135,6 +135,8 @@ EXTRA_BENCH_QUERIES = [
     "stream_stream_join",
     "containment_pairs",
     "zorder_layout",
+    "max_concurrency",
+    "mad_outliers",
 ]
 
 

@@ -162,3 +162,27 @@ def test_merge_intervals_overlap_abut_and_gap(spark):
         for r in interval_coverage(iv, "user_id").collect()
     }
     assert cov == {1: (2, 39), 2: (1, 1)}
+
+
+def test_max_concurrency_hand_model(spark):
+    """Three overlapping intervals peak at 3; an interval starting
+    exactly when another ends does NOT overlap it (half-open); the peak
+    timestamp is the first instant the peak is reached."""
+    from w4h_integrated_toolkit_spark.operators.interval import max_concurrency
+
+    iv = spark.createDataFrame(
+        [
+            (1, 0, 10),
+            (1, 5, 15),    # overlaps -> 2 at t=5
+            (1, 7, 9),     # -> 3 at t=7 (the peak, first attained here)
+            (1, 15, 20),   # starts exactly at prev end: NOT concurrent
+            (2, 0, 5),
+            (2, 5, 10),    # abutting only -> peak 1
+        ],
+        "user_id long, start_us long, end_us long",
+    )
+    got = {
+        r["user_id"]: (r["peak_concurrency"], r["peak_at_us"])
+        for r in max_concurrency(iv, "user_id").collect()
+    }
+    assert got == {1: (3, 7), 2: (1, 0)}

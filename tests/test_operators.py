@@ -2179,3 +2179,38 @@ def test_zorder_buckets_are_quad_cells(spark):
     for r in rows:
         assert r["max_cx"] - r["min_cx"] < 32, r
         assert r["max_cy"] - r["min_cy"] < 32, r
+
+
+def test_mad_outliers_hand_model(spark):
+    """Known series 1..9 plus a wild 1000: median 5.5, MAD 2.5 (within
+    the clean points), and only the wild point exceeds 3 MADs — the
+    robustness property (mean±3σ would be dragged by the outlier)."""
+    import datetime as _dt
+
+    from w4h_integrated_toolkit_spark.plans.queries import q_mad_outliers
+
+    # hand check via the registry fn requires parquet; model the math
+    # directly instead with the same expression pipeline
+    vals = [float(v) for v in range(1, 10)] + [1000.0]
+    df = spark.createDataFrame(
+        [("a", v) for v in vals], "event_type string, value double"
+    )
+    med = df.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    row = (
+        df.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+        .head()
+    )
+    assert row["med"] == 5.5 and row["mad"] == 2.5
+    n_out = (
+        df.join(F.broadcast(med), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > 3 * 2.5)
+        .count()
+    )
+    assert n_out == 1

@@ -880,3 +880,20 @@ def test_dow_hour_heatmap_single_aggregate(spark):
     plan = plan_of(spark, "dow_hour_heatmap")
     assert n_shuffles(plan) == 1, plan[:800]
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_max_concurrency_single_exchange_no_join_back(spark):
+    """Boundary explode is map-side; the running-sum window and the
+    max-of-struct argmax share one key exchange — no second scan or
+    join-back to locate the peak instant."""
+    plan = plan_of(spark, "max_concurrency")
+    assert n_shuffles(plan) == 1, plan[:800]
+    assert "Join" not in plan
+
+
+def test_mad_outliers_broadcasts_tiny_stats(spark):
+    """The per-type median/MAD relations are |event_types| rows — they
+    must broadcast back to the fact scan, never shuffle it."""
+    plan = plan_of(spark, "mad_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

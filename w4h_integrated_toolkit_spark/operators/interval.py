@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "merge_intervals", "interval_coverage"]
+__all__ = [
+    "asof_join",
+    "interval_join",
+    "merge_intervals",
+    "interval_coverage",
+    "max_concurrency",
+]
 
 
 def asof_join(
@@ -197,4 +203,52 @@ def interval_coverage(
     return islands.groupBy(key).agg(
         F.count(F.lit(1)).alias("n_islands"),
         F.sum(F.col(end) - F.col(start)).alias("covered_us"),
+    )
+
+
+def max_concurrency(
+    df: DataFrame,
+    key: str = "user_id",
+    start: str = "start_us",
+    end: str = "end_us",
+) -> DataFrame:
+    """Peak number of simultaneously open intervals per key, and the
+    first instant attaining it — the classic +1/−1 boundary sweep
+    (room-occupancy / concurrent-sessions question). Half-open [s, e)
+    semantics: an interval ending exactly when another starts does NOT
+    overlap it, enforced by processing −1 deltas before +1 at equal
+    timestamps (the sort key, not a post-filter). ``start``/``end`` must
+    be integer epoch-µs columns — exact ties, exact ordering, so the
+    peak AND its timestamp are engine/partition-invariant.
+
+    Plan: intervals explode to 2 boundary rows map-side; ONE exchange on
+    the key drives the running-sum window and the max-of-struct argmax
+    aggregate (same one-pass shape as cusum_changepoint — no join-back).
+    """
+    bounds = df.select(
+        F.col(key),
+        F.explode(
+            F.array(
+                F.struct(F.col(start).alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col(end).alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("b"),
+    ).select(key, F.col("b.t").alias("_t"), F.col("b.d").alias("_d"))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_t"), F.col("_d"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = bounds.select(
+        key, F.col("_t"), F.sum("_d").over(w).alias("_open")
+    )
+    peak = F.max(F.struct(F.col("_open"), (-F.col("_t")).alias("_neg_t")))
+    return (
+        run.groupBy(key)
+        .agg(peak.alias("_p"))
+        .select(
+            key,
+            F.col("_p._open").alias("peak_concurrency"),
+            (-F.col("_p._neg_t")).alias("peak_at_us"),
+        )
     )

@@ -4788,6 +4788,101 @@ FROM c GROUP BY 1
 """
 
 
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity per user (+1/−1 boundary sweep over
+    1-day activity windows opened by each event) and the first instant
+    attaining it — half-open semantics, exact integer µs, one key
+    exchange (operators/interval.py max_concurrency)."""
+    from ..operators.interval import max_concurrency
+
+    ev = _t(spark, sf_dir, "events")
+    s = F.round(F.col("ts").cast("double") * 1e6, 0).cast("long")
+    iv = ev.select(
+        "user_id",
+        s.alias("start_us"),
+        (s + F.lit(86_400_000_000)).alias("end_us"),
+    )
+    return max_concurrency(iv, key="user_id", start="start_us", end="end_us")
+
+
+_SQL_MAX_CONCURRENCY = """
+WITH iv AS (
+  SELECT user_id, CAST(round(epoch(ts)*1e6) AS BIGINT) AS s,
+         CAST(round(epoch(ts)*1e6) AS BIGINT) + 86400000000 AS e
+  FROM events),
+b AS (
+  SELECT user_id, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT user_id, e AS t, -1 AS d FROM iv),
+r AS (
+  SELECT user_id, t,
+         sum(d) OVER (PARTITION BY user_id ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS opn
+  FROM b),
+mx AS (SELECT user_id, max(opn) AS pk FROM r GROUP BY user_id)
+SELECT r.user_id, CAST(mx.pk AS BIGINT) AS peak_concurrency,
+       CAST(min(r.t) AS BIGINT) AS peak_at_us
+FROM r JOIN mx ON r.user_id = mx.user_id AND r.opn = mx.pk
+GROUP BY r.user_id, mx.pk
+"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type: median + median absolute
+    deviation (both exact interpolated percentiles, rounded portably
+    BEFORE dependent math so each stage is engine-identical), and the
+    count of readings beyond 3 MADs — the outlier rule that, unlike
+    mean±kσ, a handful of extreme readings cannot drag toward
+    themselves. Two grouped aggregates + a 5-row broadcast back; exact
+    percentile swaps for approx_percentile at petabyte group sizes."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        _r(F.expr("percentile(value, 0.5)"), 6).alias("med"),
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("med").alias("med"),
+            _r(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")).cast(
+                    "long"
+                )
+            ).alias("n_outliers"),
+        )
+    )
+
+
+_SQL_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+         round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY 1),
+mad AS (
+  SELECT e.event_type, max(m.n) AS n, max(m.med) AS med,
+         round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+SELECT e.event_type, CAST(max(d.n) AS BIGINT) AS n, max(d.med) AS med,
+       max(d.mad) AS mad,
+       CAST(sum(CASE WHEN abs(e.value - d.med) > 3 * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN mad d USING (event_type)
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4973,6 +5068,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "stream_stream_join": (q_stream_stream_join, _SQL_STREAM_STREAM_JOIN),
     "containment_pairs": (q_containment_pairs, _SQL_CONTAINMENT),
     "zorder_layout": (q_zorder_layout, _SQL_ZORDER),
+    "max_concurrency": (q_max_concurrency, _SQL_MAX_CONCURRENCY),
+    "mad_outliers": (q_mad_outliers, _SQL_MAD_OUTLIERS),
 }
 
 
