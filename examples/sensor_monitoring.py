@@ -10,7 +10,12 @@ as one pipeline on the events table:
 3. gap-filled minute grids with LOCF for one subject-day,
 4. trailing z-score anomaly flags, batch...
 5. ...and the SAME detector as a standing streaming query over a
-   replayed event stream (bounded per-key state, exact batch equality).
+   replayed event stream (bounded per-key state, exact batch equality),
+6. double-count-free activity coverage + peak concurrency per subject
+   (gaps-and-islands merge and the +1/−1 boundary sweep),
+7. CUSUM mean-shift changepoints and Spearman monotonic-drift scores
+   (which subjects' baselines moved, and when),
+8. a MAD robust-outlier census per signal type.
 
 Run: python examples/sensor_monitoring.py
 """
@@ -102,6 +107,49 @@ def main() -> None:
     print("streaming anomaly flags:", len(stream_flags))
     assert stream_flags == batch_flags, "stream/batch detectors diverged"
     print("stream == batch: exact")
+
+    # --- 6. activity coverage + peak concurrency -------------------------
+    from w4h_integrated_toolkit_spark.operators.interval import (
+        interval_coverage,
+        max_concurrency,
+    )
+
+    s_us = F.round(F.col("ts").cast("double") * 1e6, 0).cast("long")
+    iv = ev.select(
+        "user_id",
+        s_us.alias("start_us"),
+        (s_us + F.lit(600_000_000)).alias("end_us"),
+    )
+    cov = interval_coverage(iv).orderBy(F.desc("covered_us")).first()
+    peak = max_concurrency(iv).orderBy(F.desc("peak_concurrency")).first()
+    print(
+        f"most active subject {cov['user_id']}: "
+        f"{cov['covered_us'] / 3.6e9:.1f}h across {cov['n_islands']} bouts; "
+        f"max concurrency {peak['peak_concurrency']} (subject {peak['user_id']})"
+    )
+
+    # --- 7. changepoints + monotonic drift -------------------------------
+    from w4h_integrated_toolkit_spark.operators.timeseries import (
+        cusum_changepoint,
+        spearman_trend,
+    )
+
+    cp = cusum_changepoint(ev).orderBy(F.desc("cusum_max")).first()
+    tr = spearman_trend(ev).orderBy(F.desc(F.abs(F.col("spearman_rho")))).first()
+    print(
+        f"strongest mean shift: subject {cp['user_id']} "
+        f"(CUSUM {cp['cusum_max']}); strongest drift: subject "
+        f"{tr['user_id']} (rho {tr['spearman_rho']})"
+    )
+
+    # --- 8. robust outlier census ----------------------------------------
+    from w4h_integrated_toolkit_spark.plans.queries import q_mad_outliers
+
+    for r in q_mad_outliers(spark, SF_DIR).orderBy("event_type").collect():
+        print(
+            f"  {r['event_type']}: med={r['med']} mad={r['mad']} "
+            f"outliers={r['n_outliers']}/{r['n']}"
+        )
 
     spark.stop()
 

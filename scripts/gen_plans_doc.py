@@ -71,6 +71,22 @@ GALLERY = [
      "the scan's project."),
     ("cube_totals", "CUBE lattice: Expand emits all four grouping sets "
      "from a single scan; one aggregate exchange."),
+    ("interval_coverage", "Gaps-and-islands merge: both window passes "
+     "(running max-end, island ordinal), the (key, island) aggregate, "
+     "and the per-key rollup ride ONE hashpartitioning(user_id) "
+     "exchange — O(1) running state per row, no interval self-join."),
+    ("cusum_changepoint", "CUSUM peak + first-attaining timestamp in one "
+     "pass: prefix-sum and whole-partition windows plus a max-of-struct "
+     "argmax aggregate share the single key exchange — no join-back to "
+     "locate the peak row."),
+    ("doc_chunks", "Sliding-window chunking: split → sequence → explode "
+     "→ slice entirely inside one codegen'd map stage — zero data "
+     "exchanges at any corpus size (the only Exchange is the "
+     "degenerate-scan widening repartition, a no-op on a wide cluster "
+     "scan)."),
+    ("zorder_layout", "Z-order audit: the Morton key is pure bit math in "
+     "the scan's project (32 shift/and/or terms, whole-stage codegen); "
+     "one aggregate exchange for the 64-bucket bounding-box report."),
 ]
 
 
