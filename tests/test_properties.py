@@ -407,3 +407,109 @@ def test_twa_and_zscore_partition_invariant(spark, _):
         one = sorted(map(tuple, op(ev.repartition(1)).collect()))
         many = sorted(map(tuple, op(ev.repartition(7, "user_id")).collect()))
         assert one == many and one
+
+
+# ---- wave-3 operator invariants (Spark-side, few examples) ---------------
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(1, 40)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_interval_coverage_and_concurrency_invariants(spark, ivs):
+    """For any interval set: islands are disjoint and ordered, coverage
+    <= sum of lengths (equality iff no overlaps), coverage >= longest
+    single interval, and peak concurrency is within [1, per-key count]."""
+    from w4h_integrated_toolkit_spark.operators.interval import (
+        interval_coverage,
+        max_concurrency,
+        merge_intervals,
+    )
+
+    rows = [(k, s, s + l) for k, s, l in ivs]
+    df = spark.createDataFrame(rows, "user_id long, start_us long, end_us long")
+
+    islands = {}
+    for r in merge_intervals(df).collect():
+        islands.setdefault(r["user_id"], []).append((r["start_us"], r["end_us"]))
+    for k, spans in islands.items():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 < s2, f"islands overlap/abut for key {k}: {spans}"
+
+    per_key_rows = {}
+    for k, s, l in ivs:
+        per_key_rows.setdefault(k, []).append((s, s + l))
+    cov = {r["user_id"]: r["covered_us"] for r in interval_coverage(df).collect()}
+    for k, spans in per_key_rows.items():
+        total_len = sum(e - s for s, e in spans)
+        longest = max(e - s for s, e in spans)
+        assert longest <= cov[k] <= total_len
+
+    pk = {r["user_id"]: r["peak_concurrency"] for r in max_concurrency(df).collect()}
+    for k, spans in per_key_rows.items():
+        assert 1 <= pk[k] <= len(spans)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.floats(-100, 100, allow_nan=False), min_size=8, max_size=30),
+    st.integers(2, 5),
+)
+def test_chunking_covers_every_token_once_per_window(spark, vals, stride):
+    """Chunk starts advance by exactly stride; the union of [start,
+    start+size) windows covers [0, n); every chunk except possibly the
+    last is full."""
+    from w4h_integrated_toolkit_spark.operators.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(len(vals)))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    size = stride + 2
+    chunks = sorted(
+        (r["chunk_start"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, chunk_tokens=size, stride=stride).collect()
+    )
+    n = len(vals)
+    starts = [c[0] for c in chunks]
+    assert starts == list(range(0, starts[-1] + 1, stride))
+    assert starts[-1] + chunks[-1][1] == n, "tail must end exactly at n"
+    for s, ln in chunks[:-1]:
+        assert ln == size
+    covered = set()
+    for s, ln in chunks:
+        covered.update(range(s, s + ln))
+    assert covered == set(range(n))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.floats(-1000, 1000, allow_nan=False), min_size=8, max_size=40)
+)
+def test_spearman_bounds_and_monotone_invariance(spark, vals):
+    """rho ∈ [-1, 1]; applying a strictly increasing transform to the
+    values leaves Spearman unchanged (it sees only ranks)."""
+    import datetime as _dt
+
+    from w4h_integrated_toolkit_spark.operators.timeseries import spearman_trend
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + _dt.timedelta(minutes=i), float(v)) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = spearman_trend(df).collect()
+    # strictly increasing transform that is EXACT in float arithmetic:
+    # scaling by a power of two only bumps the exponent, so distinct
+    # doubles stay distinct and ties stay ties (an affine v*3+7 is NOT
+    # safe — hypothesis found subnormals absorbed by the +7)
+    rows2 = [(u, t, v * 4.0) for u, t, v in rows]
+    df2 = spark.createDataFrame(rows2, "user_id long, ts timestamp, value double")
+    got2 = spearman_trend(df2).collect()
+    assert len(got) == len(got2)
+    if got:
+        r1, r2 = got[0]["spearman_rho"], got2[0]["spearman_rho"]
+        assert -1.0 <= r1 <= 1.0
+        assert r1 == r2, "Spearman must be invariant under affine value maps"
