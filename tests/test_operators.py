@@ -2214,3 +2214,32 @@ def test_mad_outliers_hand_model(spark):
         .count()
     )
     assert n_out == 1
+
+
+def test_chunk_address_rematerializes_text(spark):
+    """The (doc_id, chunk_start, n_chunk_tokens) triple is a real
+    address: re-slicing the parent document's tokens at it reproduces
+    the exact chunk fingerprint — the contract that lets chunk rows
+    travel fingerprint-only."""
+    from w4h_integrated_toolkit_spark.functions import portable_hash32
+    from w4h_integrated_toolkit_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(7, " ".join(f"w{i}" for i in range(100)))], "doc_id long, text string"
+    )
+    chunks = chunk_documents(docs, chunk_tokens=16, stride=12)
+    re_sliced = chunks.join(docs, "doc_id").select(
+        "chunk_fp",
+        portable_hash32(
+            F.array_join(
+                F.slice(
+                    F.split(F.trim(F.col("text")), r"\s+"),
+                    F.col("chunk_start") + 1,
+                    F.col("n_chunk_tokens"),
+                ),
+                " ",
+            )
+        ).alias("refp"),
+    )
+    rows = re_sliced.collect()
+    assert rows and all(r["chunk_fp"] == r["refp"] for r in rows)
