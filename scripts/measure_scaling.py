@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Scaling-linearity harness: replicate the sf0.1 documents table 1x/2x/4x
+with every token prefixed by the replica id (so shingles are replica-local
+and no cross-replica near-dup pairs exist — exact copies would create
+quadratically many TRUE pairs and pollute the measurement), then time the
+dedup operators in isolation. Near-linear (or sublinear, overhead-
+amortizing) growth is the empirical check that the single-exchange plan
+shapes hold as data grows.
+
+Run: python scripts/measure_scaling.py   (prints one JSON line)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from w4h_integrated_toolkit_spark.catalog import ensure_min_partitions, read_parquet
+from w4h_integrated_toolkit_spark.operators import dedup as D
+from w4h_integrated_toolkit_spark.session import get_spark
+
+SF_DIR = os.environ.get("W4H_SCALE_SF_DIR", "/root/testdata/sf0.1")
+FACTORS = (1, 2, 4)
+
+
+def replicate(df, factor):
+    parts = []
+    for i in range(factor):
+        parts.append(
+            df.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+            .withColumn(
+                "text", F.regexp_replace(F.col("text"), r"(\S+)", f"r{i}$1")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    s = get_spark("scaling", cpus=32, shuffle_partitions=32, driver_memory="16g")
+    docs = ensure_min_partitions(read_parquet(s, f"{SF_DIR}/documents.parquet"))
+    frames = {f: replicate(docs, f).localCheckpoint(eager=True) for f in FACTORS}
+    ops = {
+        "minhash_lsh": lambda d: D.minhash_lsh_pairs(d).count(),
+        "ngram_jaccard": lambda d: D.ngram_jaccard_pairs(d, n=5, threshold=0.2).count(),
+        "simhash": lambda d: D.simhash32(d).count(),
+        "exact_dedup": lambda d: D.exact_dedup(d).count(),
+    }
+    results = {
+        f: {
+            "docs_rows": frames[f].count(),
+            "pairs": D.minhash_lsh_pairs(frames[f]).count(),
+        }
+        for f in FACTORS
+    }
+    for op, fn in ops.items():
+        for f in FACTORS:
+            fn(frames[f])  # warm
+            ts = []
+            for _ in range(2):
+                t0 = time.time()
+                fn(frames[f])
+                ts.append(time.time() - t0)
+            results[f][op] = round(min(ts), 2)
+    print(json.dumps({f"{k}x": v for k, v in results.items()}))
+    s.stop()
+
+
+if __name__ == "__main__":
+    main()
