@@ -137,6 +137,7 @@ EXTRA_BENCH_QUERIES = [
     "zorder_layout",
     "max_concurrency",
     "mad_outliers",
+    "stream_heavy_hitters",
 ]
 
 

@@ -429,7 +429,7 @@ def test_streaming_gate_entries_fit_latency_budget(spark):
     qs = entry_mod.queries()
     for name in ("streaming_neardup", "stream_distinct_users",
                  "streaming_anomaly", "streaming_sessions",
-                 "stream_stream_join"):
+                 "stream_stream_join", "stream_heavy_hitters"):
         t0 = time.time()
         assert qs[name](spark, "/root/testdata/sf0.01").count() > 0
         elapsed = time.time() - t0
@@ -895,3 +895,57 @@ def test_stream_stream_join_cross_batch_pair_exists(spark, tmp_path):
     got = [tuple(r) for r in spark.table(name).collect()]
     spark.catalog.dropTempView(name)
     assert got == [(7, 1, 2, 30 * 60 * 1_000_000)]
+
+
+def test_stream_heavy_hitters_merge_invariance_and_bounds(spark, tmp_path):
+    """Count-Min counter additivity in the stream: per-window estimates
+    are IDENTICAL whether the source replays as one micro-batch or file
+    -by-file (state-store sketch merge == single-shot sketch), and the
+    one-sided bound holds (estimate never below the exact count)."""
+    import uuid
+
+    from w4h_integrated_toolkit_spark.streaming.replay import (
+        windowed_heavy_hitters_stream,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "src")
+    cut = "2024-01-15 00:00:00"
+    ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(src)
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+
+    def run(opts):
+        stream = spark.readStream.schema(ev.schema).options(**opts).parquet(src)
+        agg = windowed_heavy_hitters_stream(stream)
+        name = "cm_" + uuid.uuid4().hex[:8]
+        q = (
+            agg.writeStream.outputMode("complete").format("memory")
+            .queryName(name).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        rows = spark.table(name).collect()
+        spark.catalog.dropTempView(name)
+        jvm = spark._jvm
+        out = {}
+        for r in rows:
+            cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+                jvm.java.io.ByteArrayInputStream(bytes(r["sk"]))
+            )
+            out[r["w"].start] = {
+                c: int(cms.estimateCount(c)) for c in range(8)
+            }
+        return out
+
+    one = run({})
+    split = run({"maxFilesPerTrigger": 1})
+    assert one == split, "micro-batch sketch merge must equal single-shot"
+
+    exact = {
+        (r["w"], r["user_id"]): r["n"]
+        for r in ev.filter(F.col("user_id") < 8)
+        .groupBy(F.window("ts", "1 hour")["start"].alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for (w, u), n in exact.items():
+        assert one[w][u] >= n, "CM must never undercount"

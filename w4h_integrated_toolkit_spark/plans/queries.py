@@ -4883,6 +4883,31 @@ GROUP BY 1
 """
 
 
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour heavy-hitter sketches as an actual streaming job: one
+    mergeable Count-Min sketch per window (bounded state however many
+    distinct users a window sees), drained and interrogated for a
+    bounded watchlist (user_id < 8). Within-bound gate: the row carries
+    the exact per-(window, user) count (DuckDB recomputes it) plus the
+    CM contract flag — estimate never under, over by at most
+    max(1, ⌈eps·N_window⌉) (deterministic given the fixed seed)."""
+    from ..streaming.replay import run_windowed_heavy_hitters_batchmode
+
+    prepare_session(spark)
+    return run_windowed_heavy_hitters_batchmode(
+        spark, f"{sf_dir}/events.parquet", candidates=list(range(8))
+    )
+
+
+_SQL_STREAM_HEAVY_HITTERS = """
+SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start_epoch,
+       user_id, CAST(count(*) AS BIGINT) AS exact_n,
+       CAST(1 AS BIGINT) AS within_bound
+FROM events WHERE user_id < 8
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5070,6 +5095,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "zorder_layout": (q_zorder_layout, _SQL_ZORDER),
     "max_concurrency": (q_max_concurrency, _SQL_MAX_CONCURRENCY),
     "mad_outliers": (q_mad_outliers, _SQL_MAD_OUTLIERS),
+    # real streaming job (windowed Count-Min), within-bound oracle
+    "stream_heavy_hitters": (q_stream_heavy_hitters, _SQL_STREAM_HEAVY_HITTERS),
 }
 
 

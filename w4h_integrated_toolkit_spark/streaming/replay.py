@@ -42,6 +42,8 @@ __all__ = [
     "file_stream",
     "interval_pair_stream",
     "run_interval_pair_batchmode",
+    "windowed_heavy_hitters_stream",
+    "run_windowed_heavy_hitters_batchmode",
 ]
 
 
@@ -420,3 +422,102 @@ def run_interval_pair_batchmode(spark: SparkSession, events_path: str) -> DataFr
     stream, stage = file_stream(spark, events_path, prefix="w4h_pairjoin_")
     out = interval_pair_stream(stream)
     return drain_memory_sink(out, "append", name_prefix="w4h_pairs_", stage_dir=stage)
+
+
+def windowed_heavy_hitters_stream(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    eps: float = 0.01,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-window Count-Min sketches as a standing query — "who are the
+    heavy users this hour" over an unbounded stream with BOUNDED state:
+    one mergeable CM sketch (width ~2/eps counters) + one count per
+    window, regardless of how many distinct keys the window saw (the
+    exact windowed groupBy(key) alternative holds keys×windows state).
+    Same output-mode caveat family as windowed_distinct_stream: the
+    registry's bounded availableNow replay drains in ``complete`` mode;
+    a standing append-mode query relies on the watermark for state GC.
+    Interrogate the emitted sketches downstream against a bounded
+    watchlist (see run_windowed_heavy_hitters_batchmode)."""
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.window(ts, window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_min_sketch(
+                key, F.lit(float(eps)), F.lit(float(confidence)), F.lit(seed)
+            ).alias("sk"),
+        )
+    )
+
+
+def run_windowed_heavy_hitters_batchmode(
+    spark: SparkSession,
+    events_path: str,
+    candidates: list,
+    key: str = "user_id",
+    eps: float = 0.01,
+) -> DataFrame:
+    """Execute the windowed CM stream synchronously and interrogate each
+    window's sketch for the (bounded) candidate watchlist. Returns one
+    row per (window, candidate) that actually occurred, carrying the
+    exact batch count as the oracle twin and a flag asserting the CM
+    contract on this data: estimate ≥ exact (never under — counter
+    additivity) and ≤ exact + max(1, ⌈eps·N_window⌉). Driver work is
+    O(windows × candidates) sketch probes — bounded by construction."""
+    stream, stage = file_stream(spark, events_path, prefix="w4h_cm_stream_")
+    agg = windowed_heavy_hitters_stream(stream, key=key, eps=eps)
+    sk_rows = drain_memory_sink(
+        agg, "complete", name_prefix="w4h_cm_", stage_dir=stage
+    ).collect()
+
+    from datetime import timezone
+
+    jvm = spark._jvm
+    est_rows = []
+    for r in sk_rows:
+        cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            jvm.java.io.ByteArrayInputStream(bytes(r["sk"]))
+        )
+        # naive datetimes from the UTC-pinned session are UTC wall times;
+        # force the zone so the host's local tz can't shift the epoch
+        w_epoch = int(r["w"].start.replace(tzinfo=timezone.utc).timestamp())
+        for c in candidates:
+            est_rows.append((w_epoch, c, int(cms.estimateCount(c)), int(r["n"])))
+    est = spark.createDataFrame(
+        est_rows, f"window_start_epoch long, {key} long, est long, n_window long"
+    )
+
+    from ..catalog import read_parquet
+
+    ev = read_parquet(spark, events_path)
+    exact = (
+        ev.filter(F.col(key).isin([int(c) for c in candidates]))
+        .groupBy(
+            F.window("ts", "1 hour")["start"]
+            .cast("long")
+            .alias("window_start_epoch"),
+            key,
+        )
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    slack = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("n_window") * F.lit(float(eps))).cast("long"),
+    )
+    return exact.join(F.broadcast(est), ["window_start_epoch", key]).select(
+        "window_start_epoch",
+        key,
+        "exact_n",
+        (
+            (F.col("est") >= F.col("exact_n"))
+            & (F.col("est") <= F.col("exact_n") + slack)
+        )
+        .cast("long")
+        .alias("within_bound"),
+    )
