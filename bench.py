@@ -138,6 +138,8 @@ EXTRA_BENCH_QUERIES = [
     "max_concurrency",
     "mad_outliers",
     "stream_heavy_hitters",
+    "ratio_to_report",
+    "benford_audit",
 ]
 
 

@@ -897,3 +897,24 @@ def test_mad_outliers_broadcasts_tiny_stats(spark):
     plan = plan_of(spark, "mad_outliers")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ratio_to_report_window_on_aggregate_not_fact(spark):
+    """The share window must run over the 25-row (region, nation)
+    aggregate — never the raw fact: the plan's Window sits above the
+    final HashAggregate, all dims broadcast, and the fact pays exactly
+    one exchange (its grouped aggregate) plus the tiny window exchange."""
+    plan = plan_of(spark, "ratio_to_report")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert n_shuffles(plan) <= 2, plan[:800]
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert 0 < agg_pos and 0 < win_pos, "both operators must appear"
+
+
+def test_benford_audit_single_aggregate(spark):
+    """Digit extraction is map-side string math (no float log in the
+    hot path); one 9-row aggregate, no join."""
+    plan = plan_of(spark, "benford_audit")
+    assert n_shuffles(plan) == 1, plan[:800]
+    assert "Join" not in plan

@@ -4908,6 +4908,133 @@ GROUP BY 1, 2
 """
 
 
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total analytics (Oracle's RATIO_TO_REPORT, as a
+    partitioned window over a pre-aggregated relation): each nation's
+    revenue share within its region. The window runs on the
+    25-row nation aggregate, never the raw fact — the fact pays one
+    grouped aggregate (map-side partials) and the share math is free.
+    Fixed-point sums keep the shares engine-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.round(
+                    li["l_extendedprice"] * (1 - li["l_discount"]) * 1e6, 0
+                ).cast("long")
+            ).alias("_rev_u")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    total = F.sum("_rev_u").over(W.partitionBy("r_name"))
+    return rev.select(
+        "r_name",
+        "n_name",
+        _r(F.col("_rev_u").cast("double") / 1e6, 2).alias("revenue"),
+        _r(F.col("_rev_u").cast("double") / total.cast("double"), 6).alias(
+            "share"
+        ),
+    )
+
+
+_SQL_RATIO_TO_REPORT = """
+WITH rev AS (
+  SELECT r_name, n_name,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT))
+           AS rev_u
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2)
+SELECT r_name, n_name,
+       round(CAST(rev_u AS DOUBLE) / 1e6, 2) AS revenue,
+       round(CAST(rev_u AS DOUBLE) /
+             CAST(sum(rev_u) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share
+FROM rev
+"""
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (data-quality family, alongside
+    fk_integrity/table_profile): the leading-digit distribution of
+    order totals vs Benford's log10(1+1/d) expectation, with a flag on
+    digits whose observed share deviates >5 percentage points —
+    fabricated or unit-mangled numeric columns jump out here before
+    they poison a pipeline. One map-side digit extraction (string, not
+    float log — exact) + one 9-row aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.substring(
+        F.regexp_replace(
+            F.format_number(F.abs(F.col("o_totalprice")), 10), r"[0.,]", ""
+        ),
+        1,
+        1,
+    ).cast("int")
+    n_tot = orders.count()
+    import math
+
+    benford = {dd: math.log10(1 + 1 / dd) for dd in range(1, 10)}
+    bmap = F.create_map(
+        *[x for dd, p in benford.items() for x in (F.lit(dd), F.lit(round(p, 6)))]
+    )
+    return (
+        orders.select(d.alias("digit"))
+        .filter(F.col("digit") >= 1)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "digit",
+            "n",
+            _r(F.col("n").cast("double") / F.lit(float(n_tot)), 6).alias(
+                "observed"
+            ),
+            bmap[F.col("digit")].alias("expected"),
+            (
+                F.abs(
+                    F.col("n").cast("double") / F.lit(float(n_tot))
+                    - bmap[F.col("digit")]
+                )
+                > 0.05
+            )
+            .cast("long")
+            .alias("deviates"),
+        )
+    )
+
+
+def _benford_sql() -> str:
+    import math
+
+    cases = " ".join(
+        f"WHEN {d} THEN {round(math.log10(1 + 1 / d), 6)!r}" for d in range(1, 10)
+    )
+    return f"""
+WITH t AS (SELECT CAST(count(*) AS DOUBLE) AS n_tot FROM orders),
+d AS (
+  SELECT CAST(substr(regexp_replace(format('{{:.10f}}', abs(o_totalprice)),
+                                    '[0.,]', '', 'g'), 1, 1) AS INT) AS digit
+  FROM orders),
+g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d
+      WHERE digit >= 1 GROUP BY 1)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / n_tot, 6) AS observed,
+       CAST(CASE digit {cases} END AS DOUBLE) AS expected,
+       CAST(CASE WHEN abs(CAST(n AS DOUBLE) / n_tot -
+                          CAST(CASE digit {cases} END AS DOUBLE)) > 0.05
+                 THEN 1 ELSE 0 END AS BIGINT) AS deviates
+FROM g, t
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5097,6 +5224,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "mad_outliers": (q_mad_outliers, _SQL_MAD_OUTLIERS),
     # real streaming job (windowed Count-Min), within-bound oracle
     "stream_heavy_hitters": (q_stream_heavy_hitters, _SQL_STREAM_HEAVY_HITTERS),
+    "ratio_to_report": (q_ratio_to_report, _SQL_RATIO_TO_REPORT),
+    "benford_audit": (q_benford_audit, _benford_sql()),
 }
 
 
