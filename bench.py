@@ -140,6 +140,7 @@ EXTRA_BENCH_QUERIES = [
     "stream_heavy_hitters",
     "ratio_to_report",
     "benford_audit",
+    "key_skew_report",
 ]
 
 

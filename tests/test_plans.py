@@ -382,6 +382,7 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "bloom_decontaminate",    # 1-row count aggregates cross-joined for the flag row
     "quantized_knn_recall",   # broadcast query vectors (same shape as knn_cosine_topk)
     "zorder_layout",          # per-dim max scalars (1 row) for cell quantization
+    "key_skew_report",        # 1-row totals x 1-row top10 sums per audited key
 }
 
 
@@ -918,3 +919,13 @@ def test_benford_audit_single_aggregate(spark):
     plan = plan_of(spark, "benford_audit")
     assert n_shuffles(plan) == 1, plan[:800]
     assert "Join" not in plan
+
+
+def test_key_skew_report_no_global_sort_or_window(spark):
+    """Concentration must come from order-free aggregates (HHI) and
+    TakeOrdered top-k — a Gini-style global-order window would funnel
+    every key's count through one task."""
+    plan = plan_of(spark, "key_skew_report")
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert not __import__("re").search(r"\(\d+\) Sort\b", plan), plan[:800]

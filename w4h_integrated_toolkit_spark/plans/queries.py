@@ -5035,6 +5035,79 @@ FROM g, t
 """
 
 
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit (the planning input for salting / AQE skew
+    thresholds at scale): per candidate join key, the key cardinality,
+    top-1 / top-10 frequency shares (via TakeOrdered, never a global
+    sort or unpartitioned window), and the Herfindahl concentration
+    index Σ(cᵢ/N)² — chosen over Gini precisely because it needs NO
+    ordering (one aggregate over integer counts: Σc² / (Σc)²), so the
+    whole report is per-key aggregates + scalar math. HHI ~ 1/n_keys
+    means uniform; a key whose HHI ≫ 1/n_keys needs skew handling
+    before it anchors a shuffle join."""
+    reports = []
+    for table, keycol in (
+        ("orders", "o_custkey"),
+        ("lineitem", "l_partkey"),
+        ("events", "user_id"),
+    ):
+        counts = (
+            _t(spark, sf_dir, table)
+            .groupBy(F.col(keycol).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        totals = counts.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.sum(F.col("c") * F.col("c")).alias("_sum_c2"),
+            F.max("c").alias("_top1"),
+        )
+        top10 = (
+            counts.orderBy(F.desc("c"), F.asc("k"))
+            .limit(10)
+            .agg(F.sum("c").alias("_top10"))
+        )
+        nd = F.col("n_rows").cast("double")
+        reports.append(
+            totals.crossJoin(F.broadcast(top10)).select(
+                F.lit(f"{table}.{keycol}").alias("key"),
+                "n_keys",
+                "n_rows",
+                _r(F.col("_top1").cast("double") / nd, 6).alias("top1_share"),
+                _r(F.col("_top10").cast("double") / nd, 6).alias("top10_share"),
+                _r(F.col("_sum_c2").cast("double") / (nd * nd), 6).alias("hhi"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _key_skew_sql() -> str:
+    parts = []
+    for table, keycol in (
+        ("orders", "o_custkey"),
+        ("lineitem", "l_partkey"),
+        ("events", "user_id"),
+    ):
+        parts.append(f"""
+SELECT '{table}.{keycol}' AS key,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top1_share,
+       round((SELECT CAST(sum(c) AS DOUBLE) FROM
+                (SELECT c FROM (SELECT {keycol} AS k, count(*) AS c
+                                FROM {table} GROUP BY 1)
+                 ORDER BY c DESC, k LIMIT 10))
+             / CAST(sum(c) AS DOUBLE), 6) AS top10_share,
+       round(CAST(sum(c*c) AS DOUBLE) /
+             (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 6) AS hhi
+FROM (SELECT {keycol} AS k, count(*) AS c FROM {table} GROUP BY 1)
+""")
+    return " UNION ALL ".join(parts)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5226,6 +5299,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "stream_heavy_hitters": (q_stream_heavy_hitters, _SQL_STREAM_HEAVY_HITTERS),
     "ratio_to_report": (q_ratio_to_report, _SQL_RATIO_TO_REPORT),
     "benford_audit": (q_benford_audit, _benford_sql()),
+    "key_skew_report": (q_key_skew_report, _key_skew_sql()),
 }
 
 
