@@ -949,3 +949,48 @@ def test_stream_heavy_hitters_merge_invariance_and_bounds(spark, tmp_path):
     }
     for (w, u), n in exact.items():
         assert one[w][u] >= n, "CM must never undercount"
+
+
+def test_stream_restart_exactly_once_with_checkpoint(spark, tmp_path):
+    """Exactly-once across restarts: run the stream-stream pair join to a
+    parquet sink with a checkpoint, STOP, append new source data, run a
+    SECOND independent query instance against the same checkpoint+sink.
+    The sink must equal the batch result over all data — every pair once,
+    none lost, none duplicated — because the checkpoint replays only
+    unprocessed files and the parquet sink's _spark_metadata commits
+    atomically. This is the recovery contract a production deployment
+    leans on; nothing else in the suite exercised a cold restart."""
+    from w4h_integrated_toolkit_spark.streaming.replay import interval_pair_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    cut = "2024-01-15 00:00:00"
+    ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            interval_pair_stream(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # first life: only pre-cut data
+    n_first = spark.read.parquet(sink).count()
+    # crash/redeploy: new data lands, a NEW query instance resumes
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+    run_once()  # second life: must process ONLY the new file
+
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    expected = sorted(map(tuple, interval_pair_stream(ev).collect()))
+    assert got == expected, (
+        f"restart broke exactly-once: {len(got)} rows vs {len(expected)}"
+    )
+    assert n_first < len(expected), "the split must actually span the restart"
