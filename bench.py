@@ -232,10 +232,10 @@ def main() -> None:
     cal_before = _calibration_sec(spark)
     print(f"# calibration (before): {cal_before:.3f}s", file=sys.stderr)
 
-    def timed_median(name: str) -> float:
+    def timed_median(name: str, n_runs: int = 3) -> float:
         fn, _ = QUERIES[name]
         runs: list[float] = []
-        for _ in range(3):
+        for _ in range(n_runs):
             t0 = time.time()
             df = fn(spark, sf_dir)
             # noop sink: forces full computation of every output column
@@ -243,6 +243,10 @@ def main() -> None:
             # queries)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
+        if n_runs == 1:
+            med = round(runs[0], 3)
+            print(f"# {name}: {med:.3f}s (1 run)", file=sys.stderr)
+            return med
         # steal-window guard: warm same-plan runs agree within ~2x on a
         # quiet box; a larger spread means at least one run ate hypervisor
         # CPU-steal (or a one-off cold-codegen hit) — re-run up to 2 more
@@ -269,7 +273,13 @@ def main() -> None:
     probes: list[float] = []
     results: dict[str, float] = {}
     for name in all_names:
-        results[name] = timed_median(name)
+        # extras are informational (not the comparable headline total) and
+        # the list keeps growing — a single timed run each keeps the whole
+        # bench comfortably inside the driver's timeout; headline queries
+        # keep median-of-3 (their totals are compared round-over-round)
+        results[name] = timed_median(
+            name, n_runs=3 if name in BENCH_QUERIES else 1
+        )
         if name in probe_at:
             probes.append(round(_calibration_sec(spark), 3))
             print(f"# calibration probe after {name}: {probes[-1]:.3f}s",
@@ -304,6 +314,7 @@ def main() -> None:
                 "sf": float(sf),
                 "runs": 3,
                 "stat": "median",
+                "extra_runs": 1,
                 "loadavg_start": round(loadavg_start, 2),
                 "loadavg_end": round(_loadavg(), 2),
                 "calibration_sec": {
