@@ -141,6 +141,7 @@ EXTRA_BENCH_QUERIES = [
     "ratio_to_report",
     "benford_audit",
     "key_skew_report",
+    "seasonal_anomalies",
 ]
 
 

@@ -929,3 +929,11 @@ def test_key_skew_report_no_global_sort_or_window(spark):
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
     assert not __import__("re").search(r"\(\d+\) Sort\b", plan), plan[:800]
+
+
+def test_seasonal_anomalies_single_exchange(spark):
+    """The partition-only moment windows and the (user, hour) rollup
+    share one exchange — hash(user, hour) satisfies its own grouping."""
+    plan = plan_of(spark, "seasonal_anomalies")
+    assert n_shuffles(plan) == 1, plan[:800]
+    assert "Join" not in plan

@@ -5110,6 +5110,100 @@ FROM (SELECT {keycol} AS k, count(*) AS c FROM {table} GROUP BY 1)
     return " UNION ALL ".join(parts)
 
 
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deseasonalized anomaly census: a reading is judged against ITS
+    OWN (user, hour-of-day) slice — "abnormal for this subject at this
+    time of day" — the circadian-aware check neither the trailing
+    z-score (recent history, any hour) nor the MAD census (whole-type
+    distribution) makes. Per slice: integer moment sums via a
+    partition-only window, the same n·Σv² > (Σv)² integer variance
+    guard as rolling_zscore, flag at mean±2σ, then ONE (user, hour)
+    exchange serves both the window and the final rollup
+    (hash(user, hour) satisfies its own grouping). Hour comes from
+    engine-neutral epoch math (see dow_hour_heatmap)."""
+    ev = _t(spark, sf_dir, "events")
+    ep = F.col("ts").cast("double")
+    hour = (
+        F.floor((ep - F.floor(ep / F.lit(86400.0)) * F.lit(86400.0)) / F.lit(3600.0))
+        .cast("long")
+        .alias("hour")
+    )
+    vi = F.round(F.col("value") * 1e3, 0).cast("long")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id", "hour")
+    b = ev.filter(F.col("value").isNotNull()).select(
+        "user_id", hour, "value", vi.alias("_vi")
+    )
+    base = b.select(
+        "user_id",
+        "hour",
+        "value",
+        F.sum("_vi").over(w).alias("_s1"),
+        F.sum(F.col("_vi") * F.col("_vi")).over(w).alias("_s2"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+    )
+    s1d = F.col("_s1").cast("double")
+    s2d = F.col("_s2").cast("double")
+    nd = F.col("_n").cast("double")
+    dev = F.abs(F.col("value") - s1d / (F.lit(1e3) * nd))
+    band = F.lit(2.0) * (
+        F.sqrt((s2d - s1d * s1d / nd) / (nd - F.lit(1.0))) / F.lit(1e3)
+    )
+    flag = (
+        (F.col("_n") >= 5)
+        & (F.col("_n") * F.col("_s2") > F.col("_s1") * F.col("_s1"))
+        & (dev > band)
+    )
+    return (
+        base.groupBy("user_id", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("_s1").alias("_ms1"),
+            F.max("_n").alias("_mn"),
+            F.sum(flag.cast("long")).alias("n_anomalies"),
+        )
+        .select(
+            "user_id",
+            "hour",
+            "n",
+            _r(
+                F.col("_ms1").cast("double")
+                / (F.lit(1e3) * F.col("_mn").cast("double")),
+                5,
+            ).alias("baseline"),
+            "n_anomalies",
+        )
+    )
+
+
+_SQL_SEASONAL_ANOMALIES = """
+WITH b AS (
+  SELECT user_id,
+         CAST(floor((epoch(ts) - floor(epoch(ts)/86400)*86400)/3600) AS BIGINT)
+           AS hour,
+         value, CAST(round(value*1e3) AS BIGINT) AS vi
+  FROM events WHERE value IS NOT NULL),
+w AS (
+  SELECT user_id, hour, value,
+         sum(vi) OVER (PARTITION BY user_id, hour) AS s1,
+         sum(vi*vi) OVER (PARTITION BY user_id, hour) AS s2,
+         count(*) OVER (PARTITION BY user_id, hour) AS n
+  FROM b)
+SELECT user_id, hour, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(max(s1) AS DOUBLE) / (1e3 * CAST(max(n) AS DOUBLE)), 5)
+         AS baseline,
+       CAST(sum(CASE WHEN n >= 5 AND n*s2 > s1*s1
+                AND abs(value - CAST(s1 AS DOUBLE)/(1e3 * CAST(n AS DOUBLE)))
+                    > 2 * (sqrt((CAST(s2 AS DOUBLE)
+                                 - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)
+                                   / CAST(n AS DOUBLE))
+                                / (CAST(n AS DOUBLE) - 1)) / 1e3)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM w GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5132,11 +5226,24 @@ FROM (SELECT {keycol} AS k, count(*) AS c FROM {table} GROUP BY 1)
 # rfm_segments — percentile interpolation, time_weighted_avg — epoch
 # trapezoids). After r6, every pre-r6 entry has a driver row from r5 or
 # r6 and the riskiest new code is externally hashed; the remaining
-# r6 additions (bm25_topk ... quantized_knn_recall) plus the 4 canaries
+# r6 additions (bm25_topk ... key_skew_report) plus the 4 canaries
 # rotated out mid-round (calibration, minhash_lsh_pairs, frame_sample,
 # stream_window_kpis) sit behind the window, where tests/test_parity.py
 # still exact-bit checks every entry (len(QUERIES) is the live count) on
-# current code each run; rotate them into the r7 window.
+# current code each run.
+#
+# R7 WINDOW PLAN (execute at r7 start): after r6 gates, the never-
+# externally-hashed set is exactly the r6 additions NOT in the r6 window
+# (the 37 entries from "bm25_topk" through "key_skew_report" in the tail
+# sections below, minus streaming_anomaly/semantic_dedup/rfm_segments/
+# time_weighted_avg which the r6 window covers). Front-load all ~37, then
+# fill to 50 with the stalest r5-gated rows (approx_aggregates,
+# distinct_users_sketch, value_quantiles_sketch, pricing_summary,
+# range_scan, ... in current behind-window order) so no entry's driver
+# row goes >2 rounds stale. Keep the 5 streaming entries' combined gate
+# wall (~35 s cold at sf0.01) in mind — they all fit the ~30 s/entry
+# envelope individually (test-pinned) but front-load them early in the
+# window in case the driver budgets the gate globally.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-gated: the two r5 streaming entries (real streaming
     # jobs; gate == batch twin, equality is test-asserted) ---
@@ -5302,6 +5409,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "ratio_to_report": (q_ratio_to_report, _SQL_RATIO_TO_REPORT),
     "benford_audit": (q_benford_audit, _benford_sql()),
     "key_skew_report": (q_key_skew_report, _key_skew_sql()),
+    "seasonal_anomalies": (q_seasonal_anomalies, _SQL_SEASONAL_ANOMALIES),
 }
 
 
