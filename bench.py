@@ -142,6 +142,7 @@ EXTRA_BENCH_QUERIES = [
     "benford_audit",
     "key_skew_report",
     "seasonal_anomalies",
+    "chi2_independence",
 ]
 
 

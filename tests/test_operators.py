@@ -2243,3 +2243,33 @@ def test_chunk_address_rematerializes_text(spark):
     )
     rows = re_sliced.collect()
     assert rows and all(r["chunk_fp"] == r["refp"] for r in rows)
+
+
+def test_chi2_independence_hand_model(spark, tmp_path):
+    """Closed forms: a perfectly independent 2x2 table gives chi2 = 0;
+    a perfectly dependent one (diagonal) gives chi2 = N."""
+    import shutil
+
+    from w4h_integrated_toolkit_spark.plans.queries import q_chi2_independence
+
+    def run(rows):
+        d = str(tmp_path / "ev")
+        shutil.rmtree(d, ignore_errors=True)
+        spark.createDataFrame(
+            rows, "event_type string, value double, ts timestamp, user_id long, event_id long, props string"
+        ).write.parquet(d + "/events.parquet")
+        return q_chi2_independence(spark, d).head()
+
+    # independent: each type has the same low/high mix (value 10 vs 200)
+    ind = []
+    for t in ("a", "b"):
+        ind += [(t, 10.0, None, 1, 1, "")] * 4 + [(t, 200.0, None, 1, 1, "")] * 4
+    r = run(ind)
+    assert r["chi2"] == 0.0 and r["dof"] == 1 and r["n_cells"] == 4
+
+    # fully dependent: type determines tier -> chi2 == N (=16 here)
+    dep = [("a", 10.0, None, 1, 1, "")] * 8 + [("b", 200.0, None, 1, 1, "")] * 8
+    r = run(dep)
+    # the empty (a,high)/(b,low) cells MUST contribute their E each —
+    # n_cells is the full 2x2 grid, not just observed combos
+    assert r["chi2"] == 16.0 and r["dof"] == 1 and r["n_cells"] == 4

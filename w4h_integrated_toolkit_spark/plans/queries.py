@@ -5204,6 +5204,99 @@ FROM w GROUP BY 1, 2
 """
 
 
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between event type and value tier
+    (do event types draw from different value distributions?): the
+    contingency table is one grouped aggregate over the fact; margins
+    and N are |types|- and |tiers|-row relations broadcast back onto
+    the ≤15-cell table, so everything after the first aggregate is
+    driver-trivial. Per-cell (O−E)²/E contributions are nano-scaled
+    longs before the final sum — a float sum over cells would be
+    partial-order-dependent and engine-divergent at the last ulp.
+    Emits the statistic, dof = (r−1)(c−1), and cell count."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    tier = (
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 150, "mid")
+        .otherwise("high")
+    )
+    observed = ev.groupBy(
+        F.col("event_type"), tier.alias("tier")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rowt = observed.groupBy("event_type").agg(F.sum("o").alias("row_n"))
+    colt = observed.groupBy("tier").agg(F.sum("o").alias("col_n"))
+    tot = observed.agg(F.sum("o").alias("n_tot"))
+    # the FULL r x c grid: a groupBy only materializes observed combos,
+    # and a missing cell's (0-E)^2/E = E contribution is NOT zero —
+    # dropping empty cells silently understates the statistic (caught by
+    # the perfectly-dependent 2x2 hand model, chi2 8 instead of N=16)
+    cells = (
+        rowt.select("event_type")
+        .crossJoin(colt.select("tier"))
+        .join(observed, ["event_type", "tier"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0).cast("long")))
+    )
+    e = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n_tot").cast("double")
+    )
+    contrib = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    j = (
+        cells.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "tier")
+        .crossJoin(F.broadcast(tot))
+    )
+    return j.agg(
+        (
+            F.round(
+                F.sum(F.round(contrib * F.lit(1e9), 0).cast("long")).cast("double")
+                / F.lit(1e9)
+                * F.lit(1e4),
+                0,
+            )
+            / F.lit(1e4)
+        ).alias("chi2"),
+        (
+            (F.count_distinct("event_type") - 1)
+            * (F.count_distinct("tier") - 1)
+        ).alias("dof"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+
+
+_SQL_CHI2 = """
+WITH observed AS (
+  SELECT event_type,
+         CASE WHEN value < 50 THEN 'low'
+              WHEN value < 150 THEN 'mid' ELSE 'high' END AS tier,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+rowt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS row_n
+         FROM observed GROUP BY 1),
+colt AS (SELECT tier, CAST(sum(o) AS BIGINT) AS col_n FROM observed GROUP BY 1),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n_tot FROM observed),
+cells AS (
+  SELECT r.event_type, c.tier, coalesce(ob.o, 0) AS o
+  FROM (SELECT event_type FROM rowt) r
+  CROSS JOIN (SELECT tier FROM colt) c
+  LEFT JOIN observed ob USING (event_type, tier)),
+j AS (
+  SELECT o,
+         CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+           / CAST(n_tot AS DOUBLE) AS e,
+         event_type, tier
+  FROM cells JOIN rowt USING (event_type) JOIN colt USING (tier), tot)
+SELECT round(CAST(sum(CAST(round((CAST(o AS DOUBLE) - e)
+                                 * (CAST(o AS DOUBLE) - e) / e * 1e9)
+                          AS BIGINT)) AS DOUBLE) / 1e9, 4) AS chi2,
+       CAST((count(DISTINCT event_type) - 1)
+            * (count(DISTINCT tier) - 1) AS BIGINT) AS dof,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM j
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5410,6 +5503,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "benford_audit": (q_benford_audit, _benford_sql()),
     "key_skew_report": (q_key_skew_report, _key_skew_sql()),
     "seasonal_anomalies": (q_seasonal_anomalies, _SQL_SEASONAL_ANOMALIES),
+    "chi2_independence": (q_chi2_independence, _SQL_CHI2),
 }
 
 
