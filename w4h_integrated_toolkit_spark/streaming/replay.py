@@ -254,26 +254,7 @@ def run_windowed_kpis_batchmode(spark: SparkSession, events_path: str) -> DataFr
     """Execute the streaming windowed-KPI query end-to-end synchronously:
     parquet file source -> watermark -> window agg -> memory sink
     (availableNow). Returns the sink contents as a DataFrame."""
-    import os
-    import tempfile
-
-    from ..catalog import ns_timestamp_columns
-
-    ns_cols = ns_timestamp_columns(events_path)
-    if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
-    # the file stream source requires a directory; stage the file via symlink
-    if os.path.isfile(events_path):
-        stage = tempfile.mkdtemp(prefix="w4h_stream_")
-        os.symlink(events_path, os.path.join(stage, os.path.basename(events_path)))
-        source_dir = stage
-    else:
-        stage = None
-        source_dir = events_path
-    stream = spark.readStream.schema(schema).parquet(source_dir)
-    for c in ns_cols:  # ns->µs truncation, same normalization as the batch reader
-        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    stream, stage = file_stream(spark, events_path)
     agg = windowed_kpis_stream(stream, ts="ts", value="value", window="10 minutes")
     # complete mode so every window is emitted at termination (append would
     # hold back windows the final watermark hasn't passed yet)
