@@ -2273,3 +2273,32 @@ def test_chi2_independence_hand_model(spark, tmp_path):
     # the empty (a,high)/(b,low) cells MUST contribute their E each —
     # n_cells is the full 2x2 grid, not just observed combos
     assert r["chi2"] == 16.0 and r["dof"] == 1 and r["n_cells"] == 4
+
+
+def test_wave3_entries_tolerate_empty_tables(spark, tmp_path):
+    """Degenerate-input contract: every wave-3 registry entry must run
+    (not crash) against schema-correct but EMPTY tables — fresh
+    deployments, fully-filtered partitions, and cold ingest directories
+    all present exactly this shape. Outputs may be empty or carry
+    null/zero audit rows; raising is the only failure."""
+    from w4h_integrated_toolkit_spark.catalog import TESTDATA_TABLES
+    from w4h_integrated_toolkit_spark.plans import QUERIES
+
+    d = str(tmp_path / "empty_sf")
+    for t in TESTDATA_TABLES:
+        (
+            spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+            .limit(0)
+            .write.parquet(f"{d}/{t}.parquet")
+        )
+    wave3 = [
+        "interval_coverage", "cusum_changepoint", "doc_chunks",
+        "bloom_decontaminate", "quantized_knn_recall", "spearman_trend",
+        "dow_hour_heatmap", "stream_stream_join", "containment_pairs",
+        "zorder_layout", "max_concurrency", "mad_outliers",
+        "stream_heavy_hitters", "ratio_to_report", "benford_audit",
+        "key_skew_report", "seasonal_anomalies", "chi2_independence",
+    ]
+    for name in wave3:
+        fn, _ = QUERIES[name]
+        assert fn(spark, d).count() >= 0, name
