@@ -672,20 +672,42 @@ def contamination(
 _BLOOM_MAX_BITS = 1 << 24
 
 
+_BLOOM_MAX_K = 64
+_H31_MASK = (1 << 31) - 1
+
+
 def _bloom_positions(gram: Column, m_bits: int, k: int) -> list[Column]:
     """The k bit positions of a gram via Kirsch-Mitzenmacher double
-    hashing: pos_i = (h1 + i·h2) mod m from TWO salted MD5-prefix hashes
-    (h2 forced odd) — same asymptotic false-positive rate as k
-    independent hashes (Kirsch & Mitzenmacher 2006) at half the hash
-    cost, which dominates the probe stage (measured ~2x at corpus
-    scale: MD5 per gram is the expensive term, the LCG arithmetic is
-    free). Deterministic and engine-portable; build and probe MUST both
-    come from this one family. Overflow-safe: h1 + (k−1)·h2 < 2^34."""
-    from ..functions import portable_hash31
-
-    h1 = portable_hash31(F.concat(F.lit("bloomA|"), gram))
-    h2 = portable_hash31(F.concat(F.lit("bloomB|"), gram)) * F.lit(2) + F.lit(1)
+    hashing: pos_i = (h1 + i·h2) mod m from TWO seeded xxhash64 hashes
+    masked to 31 bits (h2 forced odd) — same asymptotic false-positive
+    rate as k independent hashes (Kirsch & Mitzenmacher 2006) at half
+    the hash cost. xxhash64 is JVM-native inside whole-stage codegen;
+    the r6 MD5-prefix family cost ~3x more per gram and bought nothing:
+    no oracle ever recomputes bloom positions (the gate checks exact
+    twins + contract flags), so engine portability is not required here
+    — build and probe just MUST both come from this one function.
+    Overflow-safe for the validated k range: h1 + (k−1)·h2 ≤
+    2^31 + 63·2^32 < 2^38."""
+    h1 = F.xxhash64(gram, F.lit(0x5BA1)).bitwiseAND(F.lit(_H31_MASK))
+    h2 = (
+        F.xxhash64(gram, F.lit(0xB10B)).bitwiseAND(F.lit(_H31_MASK))
+        * F.lit(2)
+        + F.lit(1)
+    )
     return [(h1 + F.lit(i) * h2) % F.lit(m_bits) for i in range(k)]
+
+
+def _validate_bloom_params(m_bits: int, k: int) -> None:
+    if m_bits % 64 != 0 or m_bits <= 0 or m_bits > _BLOOM_MAX_BITS:
+        raise ValueError(
+            f"m_bits must be a positive multiple of 64 <= {_BLOOM_MAX_BITS}, "
+            f"got {m_bits}"
+        )
+    # k bounds keep the Kirsch-Mitzenmacher position arithmetic inside
+    # int64 (see _bloom_positions) — uncapped k would overflow before
+    # the mod and probe garbage positions
+    if not 1 <= k <= _BLOOM_MAX_K:
+        raise ValueError(f"k must be in [1, {_BLOOM_MAX_K}], got {k}")
 
 
 def gram_bloom_bitmap(
@@ -714,11 +736,7 @@ def gram_bloom_bitmap(
     cap. For benchmark sets big enough to breach the cap, use
     :func:`contamination` — by then the broadcast join is the better plan.
     """
-    if m_bits % 64 != 0 or m_bits <= 0 or m_bits > _BLOOM_MAX_BITS:
-        raise ValueError(
-            f"m_bits must be a positive multiple of 64 <= {_BLOOM_MAX_BITS}, "
-            f"got {m_bits}"
-        )
+    _validate_bloom_params(m_bits, k)
     grams = shingle_rows(benchmark, n, text, id_col).select("shingle").distinct()
     pos = F.explode(F.array(*_bloom_positions(F.col("shingle"), m_bits, k)))
     words = (
@@ -758,30 +776,41 @@ def bloom_contamination(
     against the real benchmark if exactness matters — the filter's job is
     to shrink that candidate set by ~the clean fraction.
 
-    Plan: entirely map-side — shingle assembly, k salted hashes, and the
+    Plan: entirely map-side — shingle assembly, k seeded hashes, and the
     bitmap test are one codegen'd expression over a plan-embedded
-    constant array; the ONLY exchange is the final per-doc count, same as
+    constant; the ONLY exchange is the final per-doc count, same as
     :func:`contamination` but with zero build-side broadcast.
+
+    The bitmap travels as ONE binary literal (m_bits/8 bytes, int64
+    words packed little-endian so global bit p lives at byte p/8, bit
+    p%8). The r6 shape embedded it as a 16K-element array literal —
+    Catalyst spent ~6 s ANALYZING the 16K-child CreateArray on every
+    fresh plan construction (measured sf0.1: 9.8 s fresh vs 3.3 s
+    pre-built plan, identical execution). A single binary literal is
+    O(1) to analyze at any m_bits.
     """
+    _validate_bloom_params(m_bits, k)
     if len(bitmap) * 64 != m_bits:
         raise ValueError(
             f"bitmap has {len(bitmap)} words but m_bits={m_bits} needs "
             f"{m_bits // 64} — (bitmap, m_bits, k) must come from the same "
             "gram_bloom_bitmap call"
         )
-    # materialize the k positions ONCE into an array column (the two MD5s
-    # evaluate once each), then test bits with a forall over it — the
-    # variable shift amounts live in an expr because the PySpark
-    # shiftleft/shiftright wrappers only accept literal shift counts
+    packed = b"".join(w.to_bytes(8, "little", signed=True) for w in bitmap)
+    # materialize the k positions ONCE into an array column (the two
+    # hashes evaluate once each), then test bits with a forall over it —
+    # byte fetch is substring-on-binary + hex/conv (no direct binary
+    # bit_get in Spark); variable shift amounts live in an expr because
+    # the PySpark shift wrappers only accept literal shift counts
     all_set = F.expr(
         "forall(_pos, p -> "
-        "(shiftright(element_at(_bm, CAST(p / 64 AS INT) + 1), "
-        "CAST(p % 64 AS INT)) & 1) = 1)"
+        "(shiftright(CAST(conv(hex(substring(_bm, CAST(p / 8 AS INT) + 1, 1)), "
+        "16, 10) AS INT), CAST(p % 8 AS INT)) & 1) = 1)"
     )
     return (
         distinct_shingle_rows(corpus, n, text, id_col)
         .withColumn("_pos", F.array(*_bloom_positions(F.col("shingle"), m_bits, k)))
-        .withColumn("_bm", F.lit(bitmap))
+        .withColumn("_bm", F.lit(packed))
         .filter(all_set)
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
