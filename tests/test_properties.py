@@ -513,3 +513,121 @@ def test_spearman_bounds_and_monotone_invariance(spark, vals):
         r1, r2 = got[0]["spearman_rho"], got2[0]["spearman_rho"]
         assert -1.0 <= r1 <= 1.0
         assert r1 == r2, "Spearman must be invariant under affine value maps"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 2),      # key
+            st.integers(0, 6),      # start
+            st.integers(0, 5),      # length (0 = empty half-open interval)
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_max_concurrency_matches_instant_model_under_ties(spark, triples):
+    """Adversarial-tie law for max_concurrency: against a brute-force
+    instant model c(t) = #{i: s_i <= t < e_i} evaluated at every start,
+    the operator must report peak = max c(t) and the FIRST start
+    attaining it — for arbitrary tiny inputs dense with exact ties
+    (end == start handoffs, duplicate intervals, empty [s, s)), and
+    invariantly under input-row permutation (the half-open tie rule is
+    a sort key, not an input-order accident)."""
+    from w4h_integrated_toolkit_spark.operators.interval import max_concurrency
+
+    rows = [(k, s, s + ln) for k, s, ln in triples]
+    expected = {}
+    for k in {r[0] for r in rows}:
+        mine = [(s, e) for kk, s, e in rows if kk == k]
+        counts = [
+            (t, sum(1 for s, e in mine if s <= t < e))
+            for t in sorted({s for s, _ in mine})
+        ]
+        peak = max(c for _, c in counts)
+        first = min(t for t, c in counts if c == peak)
+        expected[k] = (peak, first)
+
+    for ordering in (rows, rows[::-1]):
+        df = spark.createDataFrame(
+            ordering, "user_id long, start_us long, end_us long"
+        )
+        got = {
+            r["user_id"]: (r["peak_concurrency"], r["peak_at_us"])
+            for r in max_concurrency(df, "user_id").collect()
+        }
+        assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(-3, 3), min_size=1, max_size=12),
+)
+def test_cusum_changepoint_argmax_ties_break_to_earliest(spark, vals):
+    """Adversarial-tie law for cusum_changepoint: against the exact
+    integer model D_k = n*P_k - k*S, the operator must report
+    max|D_k|/(n*1000) and the EARLIEST timestamp attaining the max —
+    small symmetric value lists tie |D| at multiple k constantly (e.g.
+    [0,1,0] ties k=1 and k=2), and the answer must survive input-row
+    permutation."""
+    from w4h_integrated_toolkit_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=i), i, float(v))
+        for i, v in enumerate(vals)
+    ]
+    vi = [round(v * 1000) for _, _, _, v in rows]
+    n, s = len(vi), sum(vi)
+    absd, best_k = [], None
+    p = 0
+    for k0, v in enumerate(vi):
+        p += v
+        absd.append(abs(n * p - (k0 + 1) * s))
+    peak = max(absd)
+    best_k = absd.index(peak)  # earliest index attaining the max
+    exp_max = round(peak / (n * 1e3) * 1e4) / 1e4
+    exp_ts_us = int(
+        (t0 + dt.timedelta(minutes=best_k))
+        .replace(tzinfo=dt.timezone.utc)
+        .timestamp()
+        * 1e6
+    )
+
+    for ordering in (rows, rows[::-1]):
+        df = spark.createDataFrame(
+            ordering, "user_id long, ts timestamp, event_id long, value double"
+        )
+        got = cusum_changepoint(df, min_samples=1).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r["n_samples"] == n
+        assert r["cusum_max"] == exp_max
+        assert r["changepoint_epoch_us"] == exp_ts_us
+
+
+def test_inverted_intervals_raise_instead_of_corrupting(spark):
+    """merge_intervals / interval_coverage / max_concurrency reject
+    start > end at execution time (per-row codegen check riding on the
+    start value) instead of emitting negative coverage or phantom
+    concurrency drops."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from w4h_integrated_toolkit_spark.operators.interval import (
+        interval_coverage,
+        max_concurrency,
+        merge_intervals,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, 10, 5)], "user_id long, start_us long, end_us long"
+    )
+    for op in (merge_intervals, interval_coverage, max_concurrency):
+        with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
+            op(bad, "user_id").collect()
+        assert "inverted interval" in str(ei.value)

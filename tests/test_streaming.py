@@ -994,3 +994,19 @@ def test_stream_restart_exactly_once_with_checkpoint(spark, tmp_path):
         f"restart broke exactly-once: {len(got)} rows vs {len(expected)}"
     )
     assert n_first < len(expected), "the split must actually span the restart"
+
+
+def test_interval_pair_stream_id_col_configurable(spark):
+    """interval_pair_stream honors id_col for schemas without an
+    event_id column, consistent with its other column parameters."""
+    from w4h_integrated_toolkit_spark.streaming.replay import interval_pair_stream
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumnRenamed("event_id", "eid")
+    )
+    renamed = sorted(map(tuple, interval_pair_stream(ev, id_col="eid").collect()))
+    ev0 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    default = sorted(map(tuple, interval_pair_stream(ev0).collect()))
+    assert renamed == default
+    assert len(renamed) > 0

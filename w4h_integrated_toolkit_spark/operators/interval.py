@@ -23,7 +23,7 @@ Flink interval join) re-expressed in shuffle-aware Spark plans:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -133,6 +133,30 @@ def interval_join(
     )
 
 
+def _checked_start(start: str, end: str) -> Column:
+    """``start``, verified ``start <= end`` row-by-row inside codegen.
+
+    The check rides on the start VALUE (when/otherwise, not a detached
+    assert column) so column pruning can never optimize it away; an
+    inverted interval fails the job with a clear message instead of
+    producing negative coverage or phantom concurrency drops.
+    """
+    return (
+        F.when(F.col(start) <= F.col(end), F.col(start))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"inverted interval: {start}="),
+                    F.col(start).cast("string"),
+                    F.lit(f" > {end}="),
+                    F.col(end).cast("string"),
+                )
+            )
+        )
+        .alias(start)
+    )
+
+
 def merge_intervals(
     df: DataFrame,
     key: str = "user_id",
@@ -155,6 +179,12 @@ def merge_intervals(
     warehouse scale with (key, ts)-sorted storage the exchange vanishes).
     The per-key running state is O(1) per row — no interval self-join,
     no O(n²) overlap probe.
+
+    Precondition: ``start <= end`` per row (half-open empty intervals are
+    fine; inverted ones would silently corrupt island boundaries and
+    yield negative covered spans). Enforced per row inside the scan
+    stage: an inverted interval raises at execution time rather than
+    flowing through as a phantom island.
     """
     w = Window.partitionBy(key).orderBy(start, end)
     prev_max_end = F.max(end).over(
@@ -162,7 +192,7 @@ def merge_intervals(
     )
     flagged = df.select(
         key,
-        F.col(start),
+        _checked_start(start, end),
         F.col(end),
         F.when(
             prev_max_end.isNull() | (F.col(start) > prev_max_end), F.lit(1)
@@ -224,12 +254,18 @@ def max_concurrency(
     Plan: intervals explode to 2 boundary rows map-side; ONE exchange on
     the key drives the running-sum window and the max-of-struct argmax
     aggregate (same one-pass shape as cusum_changepoint — no join-back).
+
+    Precondition: ``start <= end`` per row, enforced like
+    :func:`merge_intervals` — an inverted interval would close before it
+    opens and silently depress the concurrency count.
     """
     bounds = df.select(
         F.col(key),
         F.explode(
             F.array(
-                F.struct(F.col(start).alias("t"), F.lit(1).alias("d")),
+                F.struct(
+                    _checked_start(start, end).alias("t"), F.lit(1).alias("d")
+                ),
                 F.struct(F.col(end).alias("t"), F.lit(-1).alias("d")),
             )
         ).alias("b"),
