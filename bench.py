@@ -1,11 +1,21 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "extra_queries": {name: sec, ...}, "sf": ...}.
-"value" totals only "queries" (the frozen round-5 headline set);
-"extra_queries" times newer operators without perturbing the
-round-over-round total.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {headline name: sec, ...}, "sf": ..., "loaded_box": ...}.
+"value" totals only the headline set. The FULL per-query detail —
+extra_queries, calibration probes, loadavg — is written to
+BENCH_DETAIL.json in the repo root instead of the stdout line: round 6's
+line grew past 4 KB (74 queries) and overflowed the driver's output
+capture, so BENCH_r06.json recorded "parsed": null — a compact line the
+driver can always parse beats a complete one it can't.
+
+ROUND-7 BASELINE RESET (see BASELINE.md): the headline set is the frozen
+round-5 thirty PLUS the five heaviest wave-2/3 graduates (bm25_topk,
+semantic_dedup, streaming_sessions, bloom_decontaminate,
+quantized_knn_recall) = 35 queries. Round-over-round totals compare
+against the r7 baseline row in BASELINE.md from this round forward;
+r5/r6 totals (30-query basis) are NOT comparable to r7+ totals.
 
 Each query runs THREE times after a shared session warm-up and reports
 the MEDIAN ("runs": 3, "stat": "median" in the JSON). Round 3 reported a
@@ -62,6 +72,10 @@ from w4h_integrated_toolkit_spark.plans import QUERIES
 from w4h_integrated_toolkit_spark.session import get_spark
 
 # Headline set: the relational spine + the heavy training-data ops.
+# r7 reset: the last five entries graduated from extras (the heaviest
+# wave-2/3 operators — ranked retrieval, semantic dedup, native
+# streaming sessionization, Bloom decontamination, int8 ANN); the first
+# thirty are the frozen r5 set, unchanged.
 BENCH_QUERIES = [
     "pricing_summary",
     "range_scan",
@@ -93,14 +107,20 @@ BENCH_QUERIES = [
     "session_windows",
     "retention_matrix",
     "big_orders",
+    # --- r7 graduates (documented baseline reset, BASELINE.md) ---
+    "bm25_topk",
+    "semantic_dedup",
+    "streaming_sessions",
+    "bloom_decontaminate",
+    "quantized_knn_recall",
 ]
 
-# Measured and reported under "extra_queries" but EXCLUDED from the
-# headline total so round-over-round totals stay comparable (the headline
-# set is frozen as of round 5). New heavy operators land here first and
-# graduate into BENCH_QUERIES only at a documented reset of the baseline.
+# Measured and written to BENCH_DETAIL.json under "extra_queries" but
+# EXCLUDED from the headline total so round-over-round totals stay
+# comparable (headline frozen as of the r7 reset). New heavy operators
+# land here first and graduate into BENCH_QUERIES only at a documented
+# reset of the baseline in BASELINE.md.
 EXTRA_BENCH_QUERIES = [
-    "bm25_topk",
     "tfidf_top_terms",
     "dedup_keep_best",
     "embedding_centroids",
@@ -111,7 +131,6 @@ EXTRA_BENCH_QUERIES = [
     "funnel_conversion",
     "event_transitions",
     "rfm_segments",
-    "semantic_dedup",
     "time_weighted_avg",
     "rolling_zscore",
     "unigram_nll",
@@ -123,13 +142,10 @@ EXTRA_BENCH_QUERIES = [
     "fk_integrity",
     "table_profile",
     "cube_totals",
-    "streaming_sessions",
     "heavy_hitters_sketch",
     "interval_coverage",
     "cusum_changepoint",
     "doc_chunks",
-    "bloom_decontaminate",
-    "quantized_knn_recall",
     "spearman_trend",
     "dow_hour_heatmap",
     "stream_stream_join",
@@ -211,8 +227,12 @@ def main() -> None:
         load = _loadavg()
     loadavg_start = load
 
+    # no console progress bars: the driver parses the tail of combined
+    # output, and \r-progress spam is what squeezed the r6 JSON line out
+    # of its capture window
     spark = get_spark("w4h-bench", cpus=cpus, shuffle_partitions=cpus,
-                      driver_memory="24g")
+                      driver_memory="24g",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
 
     # warm-up: JVM/codegen, parquet data + footer page cache for every bench
     # table, and the Python/Arrow worker pool (we measure the engine, not
@@ -305,30 +325,52 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extra_queries": extra,
-                "sf": float(sf),
-                "runs": 3,
-                "stat": "median",
-                "extra_runs": 1,
-                "loadavg_start": round(loadavg_start, 2),
-                "loadavg_end": round(_loadavg(), 2),
-                "calibration_sec": {
-                    "before": round(cal_before, 3),
-                    "probes": probes,
-                    "warm_ref": CALIBRATION_WARM_REF_SEC,
-                },
-                "loaded_box": loaded_box,
-            }
-        )
-    )
+    # full detail goes to a FILE (unbounded size, judge-readable);
+    # stdout gets one compact line the driver's capture can't truncate
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extra_queries": extra,
+        "sf": float(sf),
+        "runs": 3,
+        "stat": "median",
+        "extra_runs": 1,
+        "loadavg_start": round(loadavg_start, 2),
+        "loadavg_end": round(_loadavg(), 2),
+        "calibration_sec": {
+            "before": round(cal_before, 3),
+            "probes": probes,
+            "warm_ref": CALIBRATION_WARM_REF_SEC,
+        },
+        "loaded_box": loaded_box,
+        "baseline": "r7 reset: 35 headline queries (BASELINE.md)",
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
+        "w",
+    ) as f:
+        json.dump(detail, f, indent=1)
+    # stop BEFORE printing so no late executor/JVM stderr lands after the
+    # JSON line in the driver's combined-output tail
     spark.stop()
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+            "runs": 3,
+            "stat": "median",
+            "loaded_box": loaded_box,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 2048, f"bench JSON line grew to {len(line)}B — trim it"
+    print(line)
 
 
 if __name__ == "__main__":

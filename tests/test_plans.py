@@ -951,3 +951,15 @@ def test_every_registry_entry_documented_in_coverage():
         cov = f.read()
     missing = [n for n in entry_mod.queries() if f"`{n}`" not in cov]
     assert not missing, f"registry entries absent from COVERAGE.md: {missing}"
+
+    # README quotes the registry size in prose — keep that single number
+    # tied to the live registry so future waves can't silently drift it
+    import re
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "README.md")) as f:
+        m = re.search(r"\((\d+) queries", f.read())
+    assert m, "README.md no longer states the registry query count"
+    assert int(m.group(1)) == len(entry_mod.queries()), (
+        f"README says {m.group(1)} queries, registry has "
+        f"{len(entry_mod.queries())} — update README.md"
+    )
