@@ -159,6 +159,16 @@ EXTRA_BENCH_QUERIES = [
     "key_skew_report",
     "seasonal_anomalies",
     "chi2_independence",
+    # --- r7 wave 4 ---
+    "token_entropy",
+    "weighted_sample",
+    "debounce_events",
+    "streaming_debounce",
+    "name_match_pairs",
+    "ewma_smooth",
+    "event_type_pagerank",
+    "grid_density",
+    "conversion_lag_daily",
 ]
 
 

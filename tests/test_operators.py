@@ -2302,3 +2302,188 @@ def test_wave3_entries_tolerate_empty_tables(spark, tmp_path):
     for name in wave3:
         fn, _ = QUERIES[name]
         assert fn(spark, d).count() >= 0, name
+
+
+# ---------------------------------------------------------------------------
+# wave 4 (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_token_entropy_hand_model(spark):
+    """Closed form: "a a b" -> n=3, distinct=2, H = log2(3) - (2*1)/3
+    (only the c=2 term contributes c*log2(c)); uniform text -> H=log2(n);
+    single-token and empty docs behave (empty excluded entirely)."""
+    import math
+
+    from w4h_integrated_toolkit_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "x y z w"), (3, "same"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["n_tokens"], got[1]["n_distinct_tokens"]) == (3, 2)
+    assert abs(got[1]["token_entropy"] - (math.log2(3) - 2.0 / 3)) < 1e-6
+    assert abs(got[2]["token_entropy"] - 2.0) < 1e-12  # uniform: log2(4)
+    assert got[3]["token_entropy"] == 0.0
+
+
+def test_weighted_priority_sample_monotone_and_partition_invariant(spark):
+    """A row with overwhelming weight is always selected; zero/negative
+    weights are excluded; the selected set is identical at 1 and 8
+    partitions (priority depends only on (salt, id, weight))."""
+    import pytest
+
+    from w4h_integrated_toolkit_spark.operators.etl import (
+        weighted_priority_sample,
+    )
+
+    rows = [(i, 10) for i in range(50)] + [(99, 10_000_000), (100, 0), (101, -5)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    sel = {r["doc_id"] for r in weighted_priority_sample(df, "w", 10).collect()}
+    assert 99 in sel, "heaviest row must win a slot"
+    assert 100 not in sel and 101 not in sel
+    sel8 = {
+        r["doc_id"]
+        for r in weighted_priority_sample(df.repartition(8), "w", 10).collect()
+    }
+    assert sel == sel8
+    with pytest.raises(ValueError):
+        weighted_priority_sample(df, "w", 0)
+
+
+def test_debounce_events_burst_hand_model(spark):
+    """A 4-event burst 1s apart collapses to its first event; an event
+    exactly cooldown after the previous one is KEPT (>= boundary); other
+    (user, type) groups are independent."""
+    import datetime as dt
+
+    from w4h_integrated_toolkit_spark.operators.etl import debounce_events
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "click", t0),
+        (2, 1, "click", t0 + dt.timedelta(seconds=1)),
+        (3, 1, "click", t0 + dt.timedelta(seconds=2)),
+        (4, 1, "click", t0 + dt.timedelta(seconds=3)),
+        (5, 1, "click", t0 + dt.timedelta(seconds=303)),   # 300s after #4
+        (6, 1, "view", t0 + dt.timedelta(seconds=1)),      # other type
+        (7, 2, "click", t0 + dt.timedelta(seconds=2)),     # other user
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    kept = {r["event_id"] for r in debounce_events(df, cooldown_seconds=300).collect()}
+    assert kept == {1, 5, 6, 7}
+
+
+def test_blocked_edit_distance_pairs_blocking_and_threshold(spark):
+    """Pairs form only within a block (same last token); the distance
+    threshold filters; duplicates of the same name never self-pair."""
+    from w4h_integrated_toolkit_spark.operators.etl import (
+        blocked_edit_distance_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "red bolt"),
+            (2, "red bolt"),       # duplicate name: one distinct node
+            (3, "old bolt"),       # lev("red bolt","old bolt")=2 <= 2
+            (4, "red gear"),       # different block: never compared
+            (5, "crimson bolt"),   # lev to "red bolt" = 6 > 2
+        ],
+        "id long, nm string",
+    )
+    got = {
+        (r["name_a"], r["name_b"]): r["edit_dist"]
+        for r in blocked_edit_distance_pairs(df, "nm", max_dist=2).collect()
+    }
+    assert got == {("old bolt", "red bolt"): 2}
+
+
+def test_ewma_smooth_hand_model_and_null_renormalization(spark):
+    """Closed form at horizon 2: first row -> x1 (weights renormalize),
+    second -> (x2*0.5 + x1*0.25)/0.75; a NULL current value yields the
+    lagged contribution only."""
+    import datetime as dt
+
+    from w4h_integrated_toolkit_spark.operators.timeseries import ewma_smooth
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, 8.0),
+        (1, t0 + dt.timedelta(minutes=1), 2, 4.0),
+        (1, t0 + dt.timedelta(minutes=2), 3, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    got = {r["event_id"]: r["ewma"] for r in ewma_smooth(df, horizon=2).collect()}
+    assert got[1] == 8.0
+    assert abs(got[2] - (4.0 * 0.5 + 8.0 * 0.25) / 0.75) < 1e-12
+    assert abs(got[3] - 4.0) < 1e-12  # only lag-1 weight present
+    import pytest
+
+    with pytest.raises(ValueError):
+        ewma_smooth(df, horizon=0)
+
+
+def test_pagerank_fixed_point_two_node_closed_form(spark):
+    """2-node cycle a->b, b->a, 1 iteration from uniform start: each node
+    receives exactly its teleport + 85% of the other's full rank (single
+    out-edge). Integer model computed by hand at scale 1e12."""
+    from w4h_integrated_toolkit_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)], "src string, dst string, weight long"
+    )
+    got = {r["node"]: r["rank_fp"] for r in pagerank_fixed_point(e, iterations=1).collect()}
+    scale = 10**12
+    tele = (15 * scale // 100) // 2
+    r0 = scale // 2
+    expected = tele + (85 * (r0 * 1 // 1)) // 100
+    assert got == {"a": expected, "b": expected}
+    # 3 iterations conserve the <= scale bound (mass never grows)
+    got3 = {r["node"]: r["rank_fp"] for r in pagerank_fixed_point(e, iterations=3).collect()}
+    assert all(0 < v <= scale for v in got3.values())
+
+
+def test_pagerank_rejects_overflowing_weights(spark):
+    import pytest
+
+    from w4h_integrated_toolkit_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b", 2**62), ("b", "a", 1)], "src string, dst string, weight long"
+    )
+    with pytest.raises(Exception) as ei:
+        pagerank_fixed_point(e, iterations=1).collect()
+    assert "overflow" in str(ei.value)
+
+
+def test_grid_density_hand_model(spark):
+    """Cells bucket by floor(coord/cell); ranking is count-desc with
+    deterministic tie order; extra aggregates ride the same pass."""
+    import pyspark.sql.functions as F
+
+    from w4h_integrated_toolkit_spark.operators.geo import grid_density
+
+    pts = spark.createDataFrame(
+        [(5.0, 5.0, 1), (9.9, 3.0, 2), (15.0, 5.0, 1), (-0.1, 0.0, 3)],
+        "lon double, lat double, user_id long",
+    )
+    got = [
+        (r["cell_x"], r["cell_y"], r["n_points"], r["n_users"])
+        for r in grid_density(
+            pts, cell_deg=10.0, k=2,
+            extra_aggs={"n_users": F.count_distinct("user_id")},
+        ).collect()
+    ]
+    # cell (0,0) holds 2 points/2 users; (-1,0) and (1,0) hold 1 — tie
+    # breaks to the smaller cell_x
+    assert got == [(0, 0, 2, 2), (-1, 0, 1, 1)]

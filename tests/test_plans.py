@@ -384,6 +384,7 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "zorder_layout",          # per-dim max scalars (1 row) for cell quantization
     "key_skew_report",        # 1-row totals x 1-row top10 sums per audited key
     "chi2_independence",      # r x c grid cross of |types| x |tiers| rows + 1-row N
+    "event_type_pagerank",    # 1-row teleport/r0 scalars crossed onto the node set
 }
 
 

@@ -429,7 +429,8 @@ def test_streaming_gate_entries_fit_latency_budget(spark):
     qs = entry_mod.queries()
     for name in ("streaming_neardup", "stream_distinct_users",
                  "streaming_anomaly", "streaming_sessions",
-                 "stream_stream_join", "stream_heavy_hitters"):
+                 "stream_stream_join", "stream_heavy_hitters",
+                 "streaming_debounce"):
         t0 = time.time()
         assert qs[name](spark, "/root/testdata/sf0.01").count() > 0
         elapsed = time.time() - t0
@@ -1010,3 +1011,36 @@ def test_interval_pair_stream_id_col_configurable(spark):
     default = sorted(map(tuple, interval_pair_stream(ev0).collect()))
     assert renamed == default
     assert len(renamed) > 0
+
+
+def test_streaming_debounce_equals_batch_lag_rule(spark, tmp_path):
+    """The stateful streaming debounce emits exactly the batch lag-rule
+    kept set — including keys whose events span micro-batches (the second
+    batch must read the last-seen ts from the state store), forced via a
+    time-split two-file source with maxFilesPerTrigger=1."""
+    from w4h_integrated_toolkit_spark.operators.etl import debounce_events
+    from w4h_integrated_toolkit_spark.streaming.stateful import streaming_debounce
+    from w4h_integrated_toolkit_spark.streaming.replay import (
+        drain_memory_sink,
+        file_stream,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    expected = sorted(
+        (r["event_id"], r["user_id"], r["event_type"])
+        for r in debounce_events(ev, cooldown_seconds=300).collect()
+    )
+
+    src = str(tmp_path / "src")
+    cut = "2024-01-15 00:00:00"
+    ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(src)
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+
+    for opts in ({}, {"maxFilesPerTrigger": 1}):
+        stream = spark.readStream.schema(ev.schema).options(**opts).parquet(src)
+        out = streaming_debounce(stream, cooldown_seconds=300)
+        got = drain_memory_sink(out, "update", name_prefix="w4h_deb_test_")
+        got_rows = sorted(
+            (r["event_id"], r["user_id"], r["event_type"]) for r in got.collect()
+        )
+        assert got_rows == expected, f"opts={opts}"

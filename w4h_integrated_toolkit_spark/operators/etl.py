@@ -28,6 +28,9 @@ __all__ = [
     "merge_upsert",
     "stratified_sample",
     "mixture_sample",
+    "weighted_priority_sample",
+    "debounce_events",
+    "blocked_edit_distance_pairs",
 ]
 
 
@@ -231,3 +234,121 @@ def mixture_sample(
         rate = F.when(F.col(key) == group, F.lit(float(r))).otherwise(rate)
     pri = portable_hash32(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 1_000_000
     return df.filter(pri < rate * 1_000_000.0)
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    weight: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weight-proportional top-k sample: each row gets
+    priority ``portable_hash31(salt || id) / weight`` and the k smallest
+    priorities win — heavier rows draw smaller priorities more often, so
+    selection probability grows with weight (the quality-weighted corpus
+    subsampling primitive; cf. mixture_sample, which is per-GROUP rates,
+    not per-ROW weights).
+
+    Determinism across engines: the hash is integer, and IEEE division
+    is correctly rounded, so hash/weight is the bit-identical double in
+    any engine — unlike the classic A-Res key ``u^(1/w)`` whose pow/log
+    are libm-dependent. Ties (identical priority) break by id.
+
+    Plan: priority is map-side; the global k-smallest is
+    TakeOrderedAndProject (per-partition top-k heaps + one k-row merge
+    on the driver — no global sort, no single-task window), the same
+    shape Spark plans for ORDER BY .. LIMIT. Rows with weight <= 0 or
+    NULL are excluded (they'd divide to infinity/undefined).
+    """
+    from ..functions import portable_hash31
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    pri = portable_hash31(
+        F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
+    ).cast("double") / F.col(weight).cast("double")
+    return (
+        df.filter(F.col(weight).isNotNull() & (F.col(weight) > 0))
+        .withColumn("priority", pri)
+        .orderBy("priority", id_col)
+        .limit(k)
+    )
+
+
+def debounce_events(
+    df: DataFrame,
+    ts: str = "ts",
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    cooldown_seconds: int = 300,
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Event debouncing: keep a row iff it is the first of its key group
+    or at least ``cooldown_seconds`` after the PREVIOUS event of that
+    group (lag rule) — the duplicate-burst suppressor for click storms /
+    sensor chatter / retry floods.
+
+    The rule is deliberately "gap from previous EVENT", not "gap from
+    previous KEPT event": the lag formulation is order-theoretically
+    identical in any engine (one window lag), needs O(1) state per key
+    when run streaming (last seen ts — see streaming.stateful), and both
+    formulations drop the same sustained bursts; the kept-anchor variant
+    additionally drops stragglers of bursts LONGER than the cooldown,
+    which for suppression purposes is a tuning difference, not a
+    correctness one.
+
+    Exact integer µs comparison; ties at identical ts order by
+    ``order_tiebreak``. Plan: ONE exchange on the keys for the lag
+    window; the filter is map-side after it.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(ts, order_tiebreak)
+    t_us = F.round(F.col(ts).cast("double") * 1e6, 0).cast("long")
+    prev_us = F.lag(t_us).over(w)
+    return (
+        df.withColumn("_gap_ok", prev_us.isNull()
+                      | (t_us - prev_us >= int(cooldown_seconds) * 1_000_000))
+        .filter(F.col("_gap_ok"))
+        .drop("_gap_ok")
+    )
+
+
+def blocked_edit_distance_pairs(
+    df: DataFrame,
+    name: str,
+    max_dist: int = 3,
+    block=None,
+) -> DataFrame:
+    """Record-linkage candidate pairs: distinct names whose edit distance
+    is <= ``max_dist``, compared only WITHIN a blocking key (default: the
+    last whitespace token — for "adjective noun"-style names, candidates
+    share the noun). Blocking is part of the contract, not an
+    optimization hint: cross-block near-matches are by definition not
+    candidates, which is what makes the operator scale — the self-join is
+    per-block, never corpus x corpus.
+
+    Plan: distinct names once (one agg), then a per-block self-join
+    (one exchange on the block key; AQE handles block skew) with the
+    JVM levenshtein in the join filter; ``a < b`` halves the pairs and
+    drops self-matches. Output (name_a, name_b, edit_dist).
+    """
+    if block is None:
+        block = F.element_at(F.split(F.trim(F.col(name)), r"\s+"), -1)
+    # block is evaluated against the ORIGINAL frame (it references the
+    # name column); _b is a pure function of _n so the distinct dedups
+    # names, not (name, block) combinations
+    names = (
+        df.filter(F.col(name).isNotNull())
+        .select(F.col(name).alias("_n"), block.alias("_b"))
+        .distinct()
+    )
+    # reuse one distinct pass for both sides; the optimizer dedups the scan
+    a = names.select(F.col("_b"), F.col("_n").alias("name_a"))
+    b = names.select(F.col("_b").alias("_b2"), F.col("_n").alias("name_b"))
+    return (
+        a.join(b, (F.col("_b") == F.col("_b2")) & (F.col("name_a") < F.col("name_b")))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= int(max_dist))
+        .select("name_a", "name_b", "edit_dist")
+    )

@@ -33,6 +33,7 @@ __all__ = [
     "trajectories",
     "point_in_polygon",
     "geofence_join",
+    "grid_density",
 ]
 
 EARTH_RADIUS_M = 6371000.0  # viz.py:37 / augment_with_trajectories.ipynb cell 3
@@ -205,4 +206,39 @@ def geofence_join(
         pts.join(F.broadcast(fences), ["_cx", "_cy"])
         .filter(point_in_polygon(F.col(lon), F.col(lat), F.col(ring)))
         .drop("_cx", "_cy", ring)
+    )
+
+
+def grid_density(
+    points: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    cell_deg: float = 10.0,
+    k: int = 20,
+    extra_aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Spatial density grid: bucket points into ``cell_deg``-degree cells
+    and rank the k densest — the heatmap/hotspot aggregation behind the
+    reference's map panels (viz.py density layers draw per-viewport; this
+    is the precomputed global version a tile server would read).
+
+    Cells are integer (floor(lon/cell), floor(lat/cell)) pairs — pure
+    integer keys, so counts and ordering are engine-exact. Plan: ONE hash
+    aggregate on the cell key (map-side partials absorb the density
+    skew that motivates the query in the first place), then global top-k
+    via TakeOrderedAndProject — no global sort, no window.
+
+    ``extra_aggs`` adds named aggregate expressions (e.g. distinct
+    users) computed in the same single aggregate pass.
+    """
+    cx = F.floor(F.col(lon) / F.lit(float(cell_deg))).cast("long")
+    cy = F.floor(F.col(lat) / F.lit(float(cell_deg))).cast("long")
+    aggs = [F.count(F.lit(1)).alias("n_points")]
+    for name, expr in (extra_aggs or {}).items():
+        aggs.append(expr.alias(name))
+    return (
+        points.groupBy(cx.alias("cell_x"), cy.alias("cell_y"))
+        .agg(*aggs)
+        .orderBy(F.desc("n_points"), "cell_x", "cell_y")
+        .limit(k)
     )

@@ -23,6 +23,7 @@ __all__ = [
     "pack_sequences",
     "redact_pii",
     "chunk_documents",
+    "token_entropy",
 ]
 
 _WORD_RE = r"\s+"
@@ -295,4 +296,51 @@ def chunk_documents(
         start.alias("chunk_start"),
         F.size(chunk).alias("n_chunk_tokens"),
         portable_hash32(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )
+
+
+def token_entropy(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the unigram token distribution —
+    the information-density quality signal (low entropy = repetitive /
+    boilerplate / keyword-stuffed text; cf. repetition_ratio, which
+    measures adjacent-duplication only). H = log2(n) − Σ c·log2(c) / n
+    over whitespace-token counts c; emitted alongside the raw counts so
+    the gate pins the integers exactly and the float only through
+    portable rounding. Empty/whitespace-only documents are excluded
+    (entropy of an empty distribution is undefined, not zero).
+
+    Plan: explode to (doc, token) rows map-side, ONE hash aggregate on
+    (doc, token) for counts, then a per-doc rollup that AQE keeps on the
+    same hash(doc) clustering — partial aggregation absorbs the heavy
+    duplicate-token traffic before the exchange. No UDF, no collect;
+    scales with corpus bytes like the other text ops.
+    """
+    toks = df.filter(F.trim(F.col(text)) != "").select(
+        id_col,
+        F.explode(F.split(F.trim(F.col(text)), _WORD_RE)).alias("_tok"),
+    )
+    counts = toks.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_c"))
+    n = F.sum("_c")
+    # Σ c·log2(c) as a µ-scaled integer sum: each term's double is
+    # IEEE-identical everywhere, and the integer fold is associative —
+    # so the entropy is partition- and engine-deterministic (a float
+    # sum's partial-aggregation order is not); c=2^k terms are exact
+    s_scaled = F.sum(
+        F.round(
+            F.col("_c").cast("double")
+            * F.log2(F.col("_c").cast("double"))
+            * F.lit(1e6),
+            0,
+        ).cast("long")
+    )
+    ent = (
+        F.log2(n.cast("double"))
+        - (s_scaled.cast("double") / F.lit(1e6)) / n.cast("double")
+    )
+    return counts.groupBy(id_col).agg(
+        n.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+        ent.alias("token_entropy"),
     )

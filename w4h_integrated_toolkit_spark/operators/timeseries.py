@@ -30,6 +30,7 @@ __all__ = [
     "rolling_zscore",
     "cusum_changepoint",
     "spearman_trend",
+    "ewma_smooth",
 ]
 
 
@@ -593,4 +594,50 @@ def spearman_trend(
                 "spearman_rho"
             ),
         )
+    )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    key: str = "user_id",
+    horizon: int = 8,
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Finite-horizon exponentially-weighted moving average (α = 1/2) per
+    key in event order: ewma_t = Σ_{i<horizon} 2^{-(i+1)} · x_{t−i},
+    renormalized over the weights actually present (sequence starts and
+    null samples contribute nothing rather than dragging toward 0).
+
+    α is FIXED at 1/2 by design, not a parameter: dyadic weights are
+    exact in binary floating point (each term is an exponent shift of
+    x), the Σ w·x fold is written as one fixed left-to-right chain, and
+    the final renormalizing division is IEEE-exact — so the smoothed
+    value is bit-identical in any engine, which is what lets the gate
+    hash it. An arbitrary α (or the classic recursive EWMA) reintroduces
+    libm/associativity drift; the infinite-tail mass beyond ``horizon``
+    is ≤ 2^-horizon of the total (0.4% at 8), i.e. the truncation is
+    smaller than sensor noise.
+
+    Plan: ONE exchange on the key; the ``horizon`` lags share the same
+    window sort, the weighted fold is a map-side expression after it.
+    """
+    if not 1 <= horizon <= 32:
+        raise ValueError(f"horizon must be in [1, 32], got {horizon}")
+    w = Window.partitionBy(key).orderBy(ts, order_tiebreak)
+    v = F.col(value).cast("double")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for i in range(horizon):
+        x = v if i == 0 else F.lag(v, i).over(w)
+        weight = 2.0 ** -(i + 1)
+        num = num + F.coalesce(x * F.lit(weight), F.lit(0.0))
+        den = den + F.when(x.isNotNull(), F.lit(weight)).otherwise(F.lit(0.0))
+    return df.select(
+        key,
+        F.col(ts),
+        F.col(order_tiebreak),
+        v.alias(value),
+        F.when(den > 0, num / den).alias("ewma"),
     )

@@ -35,9 +35,15 @@ from ..operators import similarity as SIM
 from ..operators import sketches as SK
 from ..operators import text as TX
 from ..operators import timeseries as TS
+from ..operators import graph as G
 from ..operators.cohort import FilterSpec, cohort_anti_join, cohort_semi_join, filter_users
 from ..operators.dedup import _perm_params
-from ..operators.etl import melt
+from ..operators.etl import (
+    blocked_edit_distance_pairs,
+    debounce_events,
+    melt,
+    weighted_priority_sample,
+)
 from ..operators.interval import asof_join, interval_join
 from ..operators.safeband import alerts as sb_alerts
 from ..operators.safeband import breach_histogram, safe_band
@@ -5311,6 +5317,332 @@ FROM j
 
 
 # --------------------------------------------------------------------------
+# 9. Wave 4 (round 7): linkage / weighted sampling / debounce / entropy /
+#    fixed-point PageRank / spatial grid / EWMA / conversion lag
+# --------------------------------------------------------------------------
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram Shannon entropy (information-density quality
+    signal; complements repetition_ratio's adjacency-only view). The
+    Σ c·log2(c) core is a µ-scaled integer sum inside the operator, so
+    the value is partition/engine-deterministic; gate rounds at 4 dp."""
+    docs = _tw(spark, sf_dir, "documents")
+    out = TX.token_entropy(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        _r(F.col("token_entropy"), 4).alias("token_entropy"),
+    )
+
+
+_SQL_TOKEN_ENTROPY = r"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''),
+c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+       round(log2(CAST(sum(c) AS DOUBLE))
+             - (CAST(sum(CAST(round(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
+                                    * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+               / CAST(sum(c) AS DOUBLE), 4) AS token_entropy
+FROM c GROUP BY doc_id
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional top-100 corpus sample (per-ROW
+    weights = n_chars; cf. mixture_sample's per-group rates). Priority is
+    integer-hash / weight — IEEE division is correctly rounded, so the
+    ranking is bit-identical in any engine, unlike pow/log A-Res keys."""
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_priority_sample(docs, "n_chars", 100)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        _r(F.col("priority"), 6).alias("priority"),
+    )
+
+
+_SQL_WEIGHTED_SAMPLE = """
+WITH w AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         CAST(CAST('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)),
+                        1, 8) AS BIGINT) % 2147483647 AS DOUBLE)
+           / CAST(n_chars AS DOUBLE) AS pri
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+SELECT doc_id, weight, round(pri, 6) AS priority
+FROM w ORDER BY pri, doc_id LIMIT 100
+"""
+
+
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event debouncing (burst suppression): keep first-of-key or >=300s
+    after the previous event of the same (user, type) — one lag window,
+    exact integer-µs gaps."""
+    ev = _t(spark, sf_dir, "events")
+    kept = debounce_events(ev, cooldown_seconds=300)
+    return kept.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("ts").cast("double") * 1e6, 0).cast("long").alias("ts_us"),
+    )
+
+
+_SQL_DEBOUNCE = """
+WITH x AS (
+  SELECT event_id, user_id, event_type,
+         CAST(round(epoch(ts) * 1e6) AS BIGINT) AS t_us,
+         lag(CAST(round(epoch(ts) * 1e6) AS BIGINT)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS p
+  FROM events)
+SELECT event_id, user_id, event_type, t_us AS ts_us
+FROM x WHERE p IS NULL OR t_us - p >= 300000000
+"""
+
+
+def q_streaming_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The debounce rule as a REAL stateful streaming job
+    (applyInPandasWithState, O(1) state: last seen ts per key; availableNow
+    + update-mode memory sink). Same oracle as the batch entry — the
+    streaming/batch equality law is test-asserted."""
+    from ..streaming.replay import run_debounce_batchmode
+
+    prepare_session(spark)
+    return run_debounce_batchmode(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "ts_us"
+    )
+
+
+def q_name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage candidate pairs: distinct part names within a
+    blocking key (last token — the noun of 'adjective noun' names) at
+    Levenshtein distance <= 3. Blocking is the contract, not a hint:
+    the self-join is per-block, never corpus x corpus."""
+    part = _t(spark, sf_dir, "part")
+    return blocked_edit_distance_pairs(part, "p_name", max_dist=3).select(
+        "name_a", "name_b", F.col("edit_dist").cast("long").alias("edit_dist")
+    )
+
+
+_SQL_NAME_MATCH = r"""
+WITH n AS (SELECT DISTINCT p_name AS nm FROM part WHERE p_name IS NOT NULL),
+b AS (
+  SELECT nm,
+         list_extract(regexp_split_to_array(trim(nm), '\s+'),
+                      len(regexp_split_to_array(trim(nm), '\s+'))) AS blk
+  FROM n)
+SELECT a.nm AS name_a, c.nm AS name_b,
+       CAST(levenshtein(a.nm, c.nm) AS BIGINT) AS edit_dist
+FROM b a JOIN b c ON a.blk = c.blk AND a.nm < c.nm
+WHERE levenshtein(a.nm, c.nm) <= 3
+"""
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-horizon EWMA (alpha=1/2, 8 lags) per user in event order —
+    dyadic weights and a fixed fold order make the smoothed value
+    bit-identical across engines (see operators.timeseries.ewma_smooth)."""
+    ev = _t(spark, sf_dir, "events")
+    out = TS.ewma_smooth(ev, horizon=8)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("ts").cast("double") * 1e6, 0).cast("long").alias("ts_us"),
+        "value",
+        _r(F.col("ewma"), 6).alias("ewma"),
+    )
+
+
+def _ewma_sql(horizon: int = 8) -> str:
+    num = ["0.0"]
+    den = ["0.0"]
+    for i in range(horizon):
+        x = "value" if i == 0 else f"lag(value, {i}) OVER w"
+        wgt = repr(2.0 ** -(i + 1))
+        num.append(f"coalesce(({x}) * {wgt}, 0.0)")
+        den.append(f"CASE WHEN ({x}) IS NOT NULL THEN {wgt} ELSE 0.0 END")
+    ns = " + ".join(num)
+    ds = " + ".join(den)
+    return f"""
+SELECT user_id, event_id,
+       CAST(round(epoch(ts) * 1e6) AS BIGINT) AS ts_us, value,
+       CASE WHEN ({ds}) > 0 THEN round(({ns}) / ({ds}), 6) END AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph by 3 unrolled power
+    iterations in INTEGER fixed point (scale 1e12) — associative integer
+    arithmetic end-to-end, so the iterative result is exactly oracle-able
+    (a float power iteration's partial-sum order is not)."""
+    ev = _t(spark, sf_dir, "events")
+    edges = G.edges_from_event_sequence(ev)
+    return (
+        G.pagerank_fixed_point(edges, iterations=3)
+        .select(F.col("node").alias("event_type"), "rank_fp")
+    )
+
+
+def _pagerank_sql(iterations: int = 3) -> str:
+    head = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS src,
+         event_type AS dst
+  FROM events),
+e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+      FROM pairs WHERE src IS NOT NULL GROUP BY src, dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+o AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src),
+c AS (SELECT count(*) AS n FROM nodes),
+i0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS r,
+              CAST(150000000000 // n AS BIGINT) AS tele
+       FROM nodes, c)"""
+    steps = []
+    for k in range(1, iterations + 1):
+        prev = f"i{k - 1}"
+        steps.append(f"""
+i{k} AS (
+  SELECT {prev}.node, {prev}.tele,
+         CAST({prev}.tele + (85 * coalesce(x.cin, 0)) // 100 AS BIGINT) AS r
+  FROM {prev} LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum((p.r * e.w) // o.outw) AS BIGINT) AS cin
+    FROM e JOIN o ON e.src = o.src JOIN {prev} p ON p.node = e.src
+    GROUP BY e.dst) x ON x.node = {prev}.node)""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"\nSELECT node AS event_type, r AS rank_fp FROM i{iterations}"
+    )
+
+
+def q_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial hotspot grid: synthesize lon/lat the same way the geofence
+    entry does, bucket into 10-degree cells, top-20 densest with distinct
+    users — one hash aggregate + TakeOrderedAndProject, integer keys."""
+    from ..operators.geo import grid_density
+
+    ev = _t(spark, sf_dir, "events")
+    m = F.floor(F.col("value") * 100).cast("long")
+    pts = ev.select(
+        (F.pmod(m, F.lit(360)) - F.lit(180)).cast("double").alias("lon"),
+        (F.pmod(F.col("user_id") * F.lit(37), F.lit(180)) - F.lit(90))
+        .cast("double")
+        .alias("lat"),
+        "user_id",
+    )
+    return grid_density(
+        pts,
+        cell_deg=10.0,
+        k=20,
+        extra_aggs={"n_users": F.count_distinct("user_id")},
+    ).select("cell_x", "cell_y", "n_points", "n_users")
+
+
+_SQL_GRID_DENSITY = """
+WITH p AS (
+  SELECT ((CAST(floor(value * 100) AS BIGINT) % 360 + 360) % 360) - 180
+           AS lon,
+         ((user_id * 37) % 180 + 180) % 180 - 90 AS lat,
+         user_id
+  FROM events),
+g AS (SELECT CAST(floor(lon / 10.0) AS BIGINT) AS cell_x,
+             CAST(floor(lat / 10.0) AS BIGINT) AS cell_y,
+             CAST(count(*) AS BIGINT) AS n_points,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM p GROUP BY 1, 2)
+SELECT cell_x, cell_y, n_points, n_users
+FROM g ORDER BY n_points DESC, cell_x, cell_y LIMIT 20
+"""
+
+
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: per purchase, the µs since the user's most recent
+    prior 'view'; per purchase-day, exact discrete p50/p90 of that lag.
+    Percentiles via rank-at-ceil(p*n) — a DAY-partitioned window, never a
+    global sort, and integer µs so the quantile is engine-exact."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    t_us = F.round(F.col("ts").cast("double") * 1e6, 0).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        t_us.alias("t_us"),
+        F.last(
+            F.when(F.col("event_type") == "view", t_us), ignorenulls=True
+        )
+        .over(w)
+        .alias("lv"),
+    )
+    p = base.filter(
+        (F.col("event_type") == "purchase") & F.col("lv").isNotNull()
+    ).select(
+        (F.expr("t_us DIV 86400000000") * F.lit(86400)).alias("day_epoch"),
+        "event_id",
+        (F.col("t_us") - F.col("lv")).alias("lag_us"),
+    )
+    wd = Window.partitionBy("day_epoch").orderBy("lag_us", "event_id")
+    wn = Window.partitionBy("day_epoch")
+    r = p.select(
+        "day_epoch",
+        "lag_us",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("day_epoch").agg(
+        F.max("n").alias("n_pairs"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("lag_us"))
+        ).alias("p50_lag_us"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(9 * n + 9) DIV 10"), F.col("lag_us"))
+        ).alias("p90_lag_us"),
+    )
+
+
+_SQL_CONVERSION_LAG = """
+WITH b AS (
+  SELECT user_id, event_type, event_id,
+         CAST(round(epoch(ts) * 1e6) AS BIGINT) AS t_us,
+         last_value(CASE WHEN event_type = 'view'
+                         THEN CAST(round(epoch(ts) * 1e6) AS BIGINT) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+  FROM events),
+p AS (SELECT (t_us // 86400000000) * 86400 AS day_epoch, event_id,
+             t_us - lv AS lag_us
+      FROM b WHERE event_type = 'purchase' AND lv IS NOT NULL),
+r AS (SELECT day_epoch, lag_us,
+             row_number() OVER (PARTITION BY day_epoch
+                                ORDER BY lag_us, event_id) AS rn,
+             count(*) OVER (PARTITION BY day_epoch) AS n
+      FROM p)
+SELECT day_epoch, CAST(max(n) AS BIGINT) AS n_pairs,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN lag_us END) AS BIGINT)
+         AS p50_lag_us,
+       CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN lag_us END) AS BIGINT)
+         AS p90_lag_us
+FROM r GROUP BY day_epoch
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -5337,10 +5669,12 @@ FROM j
 # (cohort_compare, activity_span, safe_band, ..., calibration,
 # minhash_lsh_pairs, frame_sample, stream_window_kpis — everything whose
 # latest row is still r5 after this window) MUST be front-loaded — they
-# will be 3 rounds stale otherwise. Fill the remaining 14 slots with the
+# will be 3 rounds stale otherwise. Next come the 9 never-hashed r7
+# wave-4 entries (token_entropy ... conversion_lag_daily, streaming
+# entry streaming_debounce early). Fill the remaining 5 slots with the
 # oldest r6 rows in r6-window order (streaming_neardup,
-# stream_distinct_users, byte_histogram, token_counts, trajectories, ...)
-# so the one-full-sweep-every-two-rounds policy holds.
+# stream_distinct_users, byte_histogram, token_counts, trajectories) so
+# the one-full-sweep-every-two-rounds policy holds.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-gated: the two r5 streaming entries (real streaming
     # jobs; gate == batch twin, equality is test-asserted) ---
@@ -5508,6 +5842,21 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "key_skew_report": (q_key_skew_report, _key_skew_sql()),
     "seasonal_anomalies": (q_seasonal_anomalies, _SQL_SEASONAL_ANOMALIES),
     "chi2_independence": (q_chi2_independence, _SQL_CHI2),
+    # --- new in r7 wave 4 (linkage / weighted sampling / debounce /
+    # entropy / fixed-point PageRank / spatial grid / EWMA / conversion
+    # lag) — behind the window this round, parity-swept now, front of the
+    # r8 window per the plan above ---
+    "token_entropy": (q_token_entropy, _SQL_TOKEN_ENTROPY),
+    "weighted_sample": (q_weighted_sample, _SQL_WEIGHTED_SAMPLE),
+    "debounce_events": (q_debounce, _SQL_DEBOUNCE),
+    # real stateful streaming job (applyInPandasWithState debounce);
+    # oracle = the batch lag rule, equality law in tests/test_streaming.py
+    "streaming_debounce": (q_streaming_debounce, _SQL_DEBOUNCE),
+    "name_match_pairs": (q_name_match_pairs, _SQL_NAME_MATCH),
+    "ewma_smooth": (q_ewma_smooth, _ewma_sql(8)),
+    "event_type_pagerank": (q_event_type_pagerank, _pagerank_sql(3)),
+    "grid_density": (q_grid_density, _SQL_GRID_DENSITY),
+    "conversion_lag_daily": (q_conversion_lag, _SQL_CONVERSION_LAG),
 }
 
 

@@ -44,6 +44,7 @@ __all__ = [
     "run_interval_pair_batchmode",
     "windowed_heavy_hitters_stream",
     "run_windowed_heavy_hitters_batchmode",
+    "run_debounce_batchmode",
 ]
 
 
@@ -509,4 +510,22 @@ def run_windowed_heavy_hitters_batchmode(
         )
         .cast("long")
         .alias("within_bound"),
+    )
+
+
+def run_debounce_batchmode(
+    spark: SparkSession,
+    events_path: str,
+    cooldown_seconds: int = 300,
+) -> DataFrame:
+    """Execute the stateful streaming debounce end-to-end synchronously
+    (file source -> applyInPandasWithState -> update-mode memory sink,
+    availableNow) and return the kept events. Oracle twin: the batch lag
+    rule (operators.etl.debounce_events) — equality is test-asserted."""
+    from .stateful import streaming_debounce
+
+    stream, stage = file_stream(spark, events_path, prefix="w4h_debounce_")
+    out = streaming_debounce(stream, cooldown_seconds=cooldown_seconds)
+    return drain_memory_sink(
+        out, "update", name_prefix="w4h_debounced_", stage_dir=stage
     )

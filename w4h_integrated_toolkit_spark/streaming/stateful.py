@@ -34,6 +34,7 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_dedup_within_watermark",
     "streaming_anomaly_flags",
+    "streaming_debounce",
 ]
 
 _STATS_OUT = T.StructType(
@@ -376,5 +377,75 @@ def streaming_anomaly_flags(
         outputStructType=_ANOM_OUT,
         stateStructType=_ANOM_STATE,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_DEBOUNCE_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+_DEBOUNCE_STATE = T.StructType([T.StructField("last_us", T.LongType())])
+
+
+def streaming_debounce(
+    events: DataFrame,
+    cooldown_seconds: int = 300,
+    user: str = "user_id",
+    type_col: str = "event_type",
+    ts: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of :func:`..operators.etl.debounce_events`: emit an
+    event iff it is the first of its (user, type) group or at least
+    ``cooldown_seconds`` after the PREVIOUS event of that group — burst
+    suppression as a standing query. Per-key state is ONE int64 (the last
+    seen event-time µs), the O(1)-state payoff of the lag formulation
+    over "gap from last KEPT" (which needs the same single int64, but
+    diverges from the batch window twin; see the batch docstring).
+
+    Equality law (tested): on a per-key time-ordered replay the kept set
+    equals the batch operator's exactly — the gap comparison is the same
+    integer µs arithmetic, applied in the same (ts, tiebreak) order
+    (rows are sorted within each micro-batch; cross-batch order is the
+    replay contract documented on trajectory_tails).
+    """
+    from pyspark.sql import functions as F
+
+    cooldown_us = int(cooldown_seconds) * 1_000_000
+    keyed = events.select(
+        F.col(user).alias("user_id"),
+        F.col(type_col).alias("event_type"),
+        F.col(order_tiebreak).alias("event_id"),
+        F.round(F.col(ts).cast("double") * 1e6, 0).cast("long").alias("ts_us"),
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
+        prev = state.get[0] if state.exists else None
+        keep = []
+        for t in pdf["ts_us"]:
+            keep.append(prev is None or t - prev >= cooldown_us)
+            prev = int(t)  # gap measures from the previous EVENT, kept or not
+        state.update((prev,))
+        out = pdf[pd.Series(keep, index=pdf.index)]
+        if len(out):
+            yield out
+    return keyed.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=_DEBOUNCE_OUT,
+        stateStructType=_DEBOUNCE_STATE,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
