@@ -964,3 +964,45 @@ def test_every_registry_entry_documented_in_coverage():
         f"README says {m.group(1)} queries, registry has "
         f"{len(entry_mod.queries())} — update README.md"
     )
+
+
+def test_wave4_plan_shapes(spark):
+    """Back the COVERAGE.md plan claims for the r7 wave-4 entries:
+    exchange budgets, no unpartitioned windows (global sweep catches
+    those too), broadcast-only joins where promised."""
+    p = plan_of(spark, "token_entropy")
+    # (doc,token) agg + doc rollup = 2 keyed exchanges; +1 deliberate
+    # ensure_min_partitions redistribute of the degenerate single-file scan
+    assert n_shuffles(p) <= 3, p[:600]
+    assert "Join" not in p
+
+    p = plan_of(spark, "debounce_events")
+    assert n_shuffles(p) == 1, p[:600]
+    assert "Join" not in p
+
+    p = plan_of(spark, "ewma_smooth")
+    assert n_shuffles(p) == 1, p[:600]
+    assert "Join" not in p
+
+    p = plan_of(spark, "grid_density")
+    # cell agg + the second phase exact count_distinct needs = 2
+    assert n_shuffles(p) <= 2, p[:600]
+    assert "Window" not in p and "Join" not in p
+    assert "TakeOrderedAndProject" in p, "top-k must not be a global Sort"
+
+    p = plan_of(spark, "weighted_sample")
+    assert "TakeOrderedAndProject" in p, "top-k must not be a global Sort"
+    assert "Window" not in p and "Join" not in p
+
+    p = plan_of(spark, "conversion_lag_daily")
+    # two partitioned windows (user lookback, day rank) + final agg
+    assert "Sort [day_epoch" in p or "day_epoch" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    p = plan_of(spark, "name_match_pairs")
+    # per-block self-join: an equi join on the block key, never cartesian
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    p = plan_of(spark, "event_type_pagerank")
+    # rank frames broadcast; the edge frame must never sort-merge
+    assert "SortMergeJoin" not in p, p[:800]

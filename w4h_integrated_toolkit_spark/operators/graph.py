@@ -134,7 +134,8 @@ def pagerank_fixed_point(
         )
         ranks = (
             ranks.select("node", "_teleport")
-            .join(contrib, "node", "left")
+            # contrib is <= one row per node — broadcast by contract
+            .join(F.broadcast(contrib), "node", "left")
             .select(
                 "node",
                 (
