@@ -169,6 +169,13 @@ EXTRA_BENCH_QUERIES = [
     "event_type_pagerank",
     "grid_density",
     "conversion_lag_daily",
+    # --- r7 wave 5 ---
+    "table_diff",
+    "scd2_intervals",
+    "golden_record",
+    "value_percentile_rank",
+    "pmi_pairs",
+    "kmeans_iteration",
 ]
 
 

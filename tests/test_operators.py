@@ -2487,3 +2487,164 @@ def test_grid_density_hand_model(spark):
     # cell (0,0) holds 2 points/2 users; (-1,0) and (1,0) hold 1 — tie
     # breaks to the smaller cell_x
     assert got == [(0, 0, 2, 2), (-1, 0, 1, 1)]
+
+
+# ---------------------------------------------------------------------------
+# wave 5 (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_table_diff_hand_model(spark):
+    """added/removed/changed classification with null-safe semantics:
+    NULL->value and value->NULL are changes, NULL->NULL is not; unchanged
+    keys are absent from the output."""
+    from w4h_integrated_toolkit_spark.operators.etl import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (4, None, 41.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    got = {
+        r["k"]: (r["change_type"], r["n_changed_cols"], r["changed_cols"])
+        for r in table_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert got == {
+        2: ("changed", 1, "v"),     # NULL -> 20.0 is a change
+        3: ("removed", 0, None),
+        4: ("changed", 1, "v"),     # s: NULL -> NULL is NOT a change
+        5: ("added", 0, None),
+    }
+    import pytest
+
+    with pytest.raises(ValueError):
+        table_diff(old, new, [], ["v"])
+
+
+def test_scd2_intervals_hand_model(spark):
+    """Consecutive same values collapse into one version; a change opens
+    a new interval starting at the changing event; the last version is
+    open (NULL valid_to); A->B->A yields three versions."""
+    import datetime as dt
+
+    from w4h_integrated_toolkit_spark.operators.etl import scd2_intervals
+
+    t0 = dt.datetime(2024, 1, 1)
+    us = lambda m: int((t0 + dt.timedelta(minutes=m)).replace(
+        tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    rows = [
+        (1, t0, 1, "A"),
+        (1, t0 + dt.timedelta(minutes=1), 2, "A"),
+        (1, t0 + dt.timedelta(minutes=2), 3, "B"),
+        (1, t0 + dt.timedelta(minutes=3), 4, "A"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, status string"
+    )
+    got = sorted(
+        (r["version"], r["status"], r["valid_from_us"], r["valid_to_us"])
+        for r in scd2_intervals(df, "user_id", "status").collect()
+    )
+    assert got == [
+        (1, "A", us(0), us(2)),
+        (2, "B", us(2), us(3)),
+        (3, "A", us(3), None),
+    ]
+
+
+def test_golden_record_election_deterministic(spark):
+    """Highest rank column wins; rank ties break to LOWEST id; cluster
+    stats cover all members."""
+    from w4h_integrated_toolkit_spark.operators.dedup import golden_record
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text", 10),
+            (2, "same text", 30),
+            (3, "same text", 30),   # ties doc 2 on n_chars -> 2 wins (lower id)
+            (4, "other", 5),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {
+        r["golden_id"]: (r["n_members"], r["min_id"], r["max_id"], r["n_chars"])
+        for r in golden_record(df).collect()
+    }
+    assert got == {2: (3, 1, 3, 30), 4: (1, 4, 4, 5)}
+
+
+def test_pmi_pairs_hand_model(spark):
+    """Tokens always co-occurring get PMI = log2(N/df) relative to their
+    marginals; pair generation is bounded to the vocabulary and a < b."""
+    import math
+
+    from w4h_integrated_toolkit_spark.operators.ranking import pmi_pairs
+
+    # x and y co-occur in all 4 docs; z appears alone in 2 of 8 docs
+    docs = [(i, "x y") for i in range(4)] + [(i + 4, "z") for i in range(2)]
+    docs += [(6, "x q1 q2"), (7, "y q3 q4")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): (r["d_ab"], r["d_a"], r["d_b"], r["pmi"])
+        for r in pmi_pairs(df, vocab_size=4, min_cooc=2, k=10).collect()
+    }
+    d_ab, d_a, d_b, pmi = got[("x", "y")]
+    assert (d_ab, d_a, d_b) == (4, 5, 5)
+    assert abs(pmi - (math.log2(4) + math.log2(8) - 2 * math.log2(5))) < 1e-9
+    assert all(a < b for (a, b) in got)
+
+
+def test_kmeans_iteration_hand_model(spark):
+    """Two well-separated 1-D-ish clusters: vectors assign to the nearby
+    seed, updated centroid = floor mean of member components (including
+    the seed itself); negative component floors toward -inf."""
+    from w4h_integrated_toolkit_spark.operators.similarity import (
+        kmeans_iteration,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [10.0, 10.0]),
+            (2, [0.1, -0.1]),     # -> centroid 0
+            (3, [9.9, 10.1]),     # -> centroid 1
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    seeds = vecs.filter("vec_id < 2")
+    got = {
+        (r["centroid_id"], r["dim"]): (r["q_value"], r["n_members"])
+        for r in kmeans_iteration(vecs, seeds).collect()
+    }
+    # cluster 0: members {0, 2}; dim0 mean = (0 + 100000)/2, dim1 =
+    # (0 - 100000)/2 = -50000 exactly
+    assert got[(0, 0)] == (50000, 2)
+    assert got[(0, 1)] == (-50000, 2)
+    # cluster 1: members {1, 3}; dim0 = (10000000 + 9900000)/2
+    assert got[(1, 0)] == (9950000, 2)
+    assert got[(1, 1)] == (10050000, 2)
+
+
+def test_kmeans_iteration_floor_division_negative(spark):
+    """Floor (not truncate-toward-zero) on a negative odd sum: members
+    -1.0 and -2.0 within one cluster -> mean q = floor(-3e6/2) = -1500000
+    exactly; with a truncating DIV it would be -1500000 too — use a sum
+    that is odd in quantized space to expose the difference."""
+    from w4h_integrated_toolkit_spark.operators.similarity import (
+        kmeans_iteration,
+    )
+
+    vecs = spark.createDataFrame(
+        [(0, [-1.0]), (1, [-2.000001])],
+        "vec_id long, embedding array<float>",
+    )
+    seeds = vecs.filter("vec_id < 1")
+    got = {
+        (r["centroid_id"], r["dim"]): r["q_value"]
+        for r in kmeans_iteration(vecs, seeds).collect()
+    }
+    # sum = -(1000000 + 2000001) = -3000001; floor(-3000001/2) = -1500001
+    assert got[(0, 0)] == -1500001

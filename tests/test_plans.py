@@ -385,6 +385,8 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "key_skew_report",        # 1-row totals x 1-row top10 sums per audited key
     "chi2_independence",      # r x c grid cross of |types| x |tiers| rows + 1-row N
     "event_type_pagerank",    # 1-row teleport/r0 scalars crossed onto the node set
+    "pmi_pairs",              # 1-row corpus-size scalar cross onto vocab² pairs
+    "kmeans_iteration",       # k-row centroid frame broadcast-crossed (k-means contract)
 }
 
 

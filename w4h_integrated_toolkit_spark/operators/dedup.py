@@ -51,6 +51,7 @@ __all__ = [
     "boilerplate_ngrams",
     "source_ngram_overlap",
     "ngram_containment_pairs",
+    "golden_record",
 ]
 
 
@@ -1096,4 +1097,55 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
+    )
+
+
+def golden_record(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    rank_cols: tuple[str, ...] = ("n_chars",),
+) -> DataFrame:
+    """Survivorship merge over exact-duplicate clusters: group documents
+    by content hash and elect one golden row per cluster — the step after
+    dedup DETECTION that record-linkage pipelines actually ship. Election
+    is deterministic: highest ``rank_cols`` (in order), then LOWEST id —
+    never "whichever partition answered first".
+
+    Emits (content_key, golden_id, n_members, min_id, max_id) plus the
+    winning row's rank columns. Plan: ONE exchange on the content hash
+    shared by the window election and the membership aggregate (same
+    clustering), no join-back — the classic argmax-without-self-join
+    shape used throughout this engine.
+    """
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        F.md5(F.col(text)).alias("content_key"),
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in rank_cols],
+    )
+    w = Window.partitionBy("content_key").orderBy(
+        *[F.desc(c) for c in rank_cols], F.asc("_id")
+    )
+    wall = Window.partitionBy("content_key")
+    return (
+        keyed.select(
+            "content_key",
+            "_id",
+            *rank_cols,
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wall).alias("n_members"),
+            F.min("_id").over(wall).alias("min_id"),
+            F.max("_id").over(wall).alias("max_id"),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "content_key",
+            F.col("_id").alias("golden_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            "min_id",
+            "max_id",
+            *rank_cols,
+        )
     )

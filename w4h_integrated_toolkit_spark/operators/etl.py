@@ -31,6 +31,8 @@ __all__ = [
     "weighted_priority_sample",
     "debounce_events",
     "blocked_edit_distance_pairs",
+    "table_diff",
+    "scd2_intervals",
 ]
 
 
@@ -351,4 +353,120 @@ def blocked_edit_distance_pairs(
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("edit_dist") <= int(max_dist))
         .select("name_a", "name_b", "edit_dist")
+    )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot reconciliation (CDC-style diff): per key, whether it was
+    added, removed, or changed between two table versions, with the list
+    of changed columns — the audit pass before promoting a rebuilt table
+    or accepting an upstream refresh.
+
+    Null-safe comparison (``<=>``): NULL -> value and value -> NULL are
+    changes, NULL -> NULL is not. Unchanged keys are absent from the
+    output, so the result is |churn|-sized, not |table|-sized.
+
+    Plan: ONE full-outer equi join on the keys (the two scans' only
+    exchange; with both snapshots bucketed on the keys even that
+    disappears); the per-column flags and the changed-column list are
+    map-side expressions after it. The raw non-key payload crosses the
+    join once — there is no per-column join or repeated scan however
+    many columns are compared.
+    """
+    if not keys or not compare_cols:
+        raise ValueError("keys and compare_cols must be non-empty")
+    o = old.select(*keys, *compare_cols)
+    n = new.select(*keys, *compare_cols)
+    o = o.select(
+        *[F.col(k).alias(f"_ko_{k}") for k in keys],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = n.select(
+        *[F.col(k).alias(f"_kn_{k}") for k in keys],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"_ko_{k}") == F.col(f"_kn_{k}")
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"_ko_{keys[0]}").isNotNull()
+    in_new = F.col(f"_kn_{keys[0]}").isNotNull()
+    changed_flags = [
+        F.when(
+            ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)
+        )
+        for c in compare_cols
+    ]
+    changed_arr = F.array_sort(
+        F.filter(F.array(*changed_flags), lambda x: x.isNotNull())
+    )
+    change_type = (
+        F.when(in_old & ~in_new, F.lit("removed"))
+        .when(~in_old & in_new, F.lit("added"))
+        .when(F.size(changed_arr) > 0, F.lit("changed"))
+    )
+    key_out = [
+        F.coalesce(F.col(f"_ko_{k}"), F.col(f"_kn_{k}")).alias(k) for k in keys
+    ]
+    return (
+        j.select(
+            *key_out,
+            change_type.alias("change_type"),
+            F.when(in_old & in_new, F.size(changed_arr))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_changed_cols"),
+            F.when(
+                in_old & in_new, F.array_join(changed_arr, ",")
+            ).alias("changed_cols"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str,
+    attr: str,
+    ts: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: collapse a
+    per-key attribute event stream into validity intervals — one row per
+    CONSECUTIVE run of the same attribute value, [valid_from, valid_to)
+    with NULL valid_to on the current (open) version, plus a per-key
+    version ordinal. The warehouse history table a point-in-time join
+    (asof_join) then reads.
+
+    Plan: ONE exchange on the key shared by the change-detection lag,
+    the open-interval lead, and the version cumsum (same single-window
+    discipline as merge_intervals). Exact integer µs boundaries.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts, order_tiebreak)
+    t_us = F.round(F.col(ts).cast("double") * 1e6, 0).cast("long")
+    prev = F.lag(F.col(attr)).over(w)
+    flagged = df.select(
+        key,
+        F.col(attr),
+        t_us.alias("_t_us"),
+        F.col(order_tiebreak),
+        (prev.isNull() | ~prev.eqNullSafe(F.col(attr)))
+        .cast("int")
+        .alias("_chg"),
+    ).filter(F.col("_chg") == 1)
+    w2 = Window.partitionBy(key).orderBy("_t_us", order_tiebreak)
+    return flagged.select(
+        key,
+        F.col(attr),
+        F.col("_t_us").alias("valid_from_us"),
+        F.lead("_t_us").over(w2).alias("valid_to_us"),
+        F.row_number().over(w2).cast("long").alias("version"),
     )

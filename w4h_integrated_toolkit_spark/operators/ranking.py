@@ -49,6 +49,7 @@ __all__ = [
     "term_drift",
     "tfidf_top_terms",
     "unigram_nll",
+    "pmi_pairs",
 ]
 
 
@@ -305,4 +306,83 @@ def unigram_nll(
             )
             / 1e6
         ).alias("nll"),
+    )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    vocab_size: int = 32,
+    min_cooc: int = 5,
+    k: int = 50,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top co-occurring token pairs by document-level PMI over a bounded
+    vocabulary — the collocation/topic-signal pass (which terms travel
+    together across the corpus). PMI(a,b) = log2(d_ab·N / (d_a·d_b))
+    over document frequencies.
+
+    The vocabulary bound is the scale contract: pairs are generated ONLY
+    within the top ``vocab_size`` tokens by document frequency (ties
+    break alphabetically), so per-document pair expansion is
+    <= vocab_size²/2 regardless of document length, and the pair
+    aggregate is bounded by vocab² keys. Plan: one df aggregate for the
+    vocab (TakeOrdered, broadcast back), map-side per-doc
+    vocab-intersection + pair explode, ONE pair aggregate, broadcast df
+    joins for d_a/d_b, N as a 1-row broadcast. Ranking by integer
+    (d_ab DESC, a, b) — deterministic without float ordering.
+    """
+    toks = df.select(
+        id_col,
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text)), r"\s+"))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfreq.orderBy(F.desc("df"), "tok").limit(int(vocab_size))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    in_vocab = toks.join(F.broadcast(vocab.select("tok")), "tok")
+    per_doc = in_vocab.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("tok")).alias("_vt")
+    )
+    # ordered pairs (a < b) from the sorted per-doc vocab hits, map-side
+    pairs = per_doc.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_vt"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("_vt"),
+                            i + 2,
+                            F.greatest(
+                                F.size(F.col("_vt")) - i - 1, F.lit(0)
+                            ),
+                        ),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    cooc = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("d_ab"))
+    da = vocab.select(F.col("tok").alias("a"), F.col("df").alias("d_a"))
+    db = vocab.select(F.col("tok").alias("b"), F.col("df").alias("d_b"))
+    out = (
+        cooc.filter(F.col("d_ab") >= int(min_cooc))
+        .join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .crossJoin(F.broadcast(n_docs))
+    )
+    pmi = (
+        F.log2(F.col("d_ab").cast("double"))
+        + F.log2(F.col("n_docs").cast("double"))
+        - F.log2(F.col("d_a").cast("double"))
+        - F.log2(F.col("d_b").cast("double"))
+    )
+    return (
+        out.select("a", "b", "d_ab", "d_a", "d_b", pmi.alias("pmi"))
+        .orderBy(F.desc("d_ab"), "a", "b")
+        .limit(int(k))
     )

@@ -42,6 +42,7 @@ __all__ = [
     "sign_bucket_key",
     "quantize_int8",
     "quantized_topk",
+    "kmeans_iteration",
 ]
 
 
@@ -490,4 +491,77 @@ def quantized_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "qcos")
+    )
+
+
+def kmeans_iteration(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """One Lloyd iteration of k-means in INTEGER fixed point: quantize
+    every component to ``round(x·scale)``, assign each vector to the
+    centroid minimizing the exact integer squared distance (ties break
+    to the lowest centroid id), and emit the updated centroids as
+    per-dimension floor-divided integer means — the same
+    deterministic-iteration discipline as graph.pagerank_fixed_point,
+    which is what makes an ITERATIVE ML primitive exactly oracle-able
+    (float Lloyd steps diverge across engines in both the argmin ties
+    and the mean's summation order).
+
+    Returns (centroid_id, dim, q_value, n_members): the quantized updated
+    centroid components. Chain iterations by turning that back into an
+    array frame; at convergence-check time compare integer components —
+    no epsilon needed.
+
+    Plan: centroids are broadcast (k rows — the k-means contract); the
+    distance/argmin runs in ONE codegen'd zip_with/aggregate expression
+    per (vector, centroid) pair from a broadcast join, the argmin is a
+    vec_id aggregate, and the centroid update is a (centroid, dim)
+    aggregate over posexploded quantized components. The corpus never
+    shuffles except as (id, small-struct) aggregate traffic.
+
+    Overflow: |q| <= scale·max|x|; per-dim diff² <= (2·scale·max|x|)²
+    — at the default scale and unit-normish embeddings that is ~4e12
+    per dim, 2.6e14 over 64 dims, comfortably int64.
+    """
+    q = F.transform(
+        F.col(vec_col), lambda x: F.round(x * F.lit(float(scale)), 0).cast("long")
+    )
+    vq = vectors.select(F.col(id_col).alias("_vid"), q.alias("_q"))
+    cq = centroids.select(F.col(id_col).alias("_cid"), q.alias("_cq"))
+    dist = F.aggregate(
+        F.zip_with("_q", "_cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        vq.join(F.broadcast(cq))
+        .select("_vid", "_q", F.struct(dist.alias("d"), F.col("_cid")).alias("_dc"))
+        .groupBy("_vid")
+        .agg(F.min("_dc").alias("_best"), F.first("_q").alias("_q"))
+        .select("_vid", F.col("_best._cid").alias("_cid"), "_q")
+    )
+    comp = assigned.select(
+        "_cid", F.posexplode("_q").alias("dim", "_qi")
+    )
+    return (
+        comp.groupBy("_cid", "dim")
+        .agg(
+            F.expr("CAST(sum(_qi) AS BIGINT)").alias("_s"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            F.col("_cid").alias("centroid_id"),
+            F.col("dim").cast("long").alias("dim"),
+            F.expr(
+                # floor division toward -inf for negative sums: int DIV
+                # truncates toward zero, so adjust when signs differ
+                "CAST(CASE WHEN _s >= 0 THEN _s DIV n_members "
+                "ELSE -((-_s + n_members - 1) DIV n_members) END AS BIGINT)"
+            ).alias("q_value"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
     )

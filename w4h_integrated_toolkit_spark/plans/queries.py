@@ -42,6 +42,8 @@ from ..operators.etl import (
     blocked_edit_distance_pairs,
     debounce_events,
     melt,
+    scd2_intervals,
+    table_diff,
     weighted_priority_sample,
 )
 from ..operators.interval import asof_join, interval_join
@@ -5643,6 +5645,227 @@ FROM r GROUP BY day_epoch
 
 
 # --------------------------------------------------------------------------
+# 10. Wave 5 (round 7): snapshot diff / SCD2 / survivorship / percentile
+#     rank / PMI collocations / fixed-point k-means
+# --------------------------------------------------------------------------
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot reconciliation summary: orders vs a
+    deterministically-churned copy (keys %97 removed, %53 price-bumped,
+    %89 re-keyed as additions) — per change_type key counts and total
+    column changes. The operator's full-outer diff is |churn|-sized."""
+    old = _t(spark, sf_dir, "orders")
+    base = old.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    new = (
+        base.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 53 == 0, F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 89 == 0).select(
+                (F.col("o_orderkey") + F.lit(1_000_000_000)).alias(
+                    "o_orderkey"
+                ),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    d = table_diff(
+        base, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    return (
+        d.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n_changed_cols").alias("n_col_changes"),
+        )
+        .orderBy("change_type")
+    )
+
+
+_SQL_TABLE_DIFF = """
+WITH newt AS (
+  SELECT o_orderkey, o_orderstatus,
+         o_totalprice + CASE WHEN o_orderkey % 53 = 0 THEN 1.0 ELSE 0.0 END
+           AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 89 = 0),
+d AS (
+  SELECT CASE WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                THEN 'changed' END AS change_type,
+         CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+              THEN CAST(o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                        AS INT)
+                 + CAST(o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                        AS INT)
+              ELSE 0 END AS nc
+  FROM orders o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey)
+SELECT change_type, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(nc) AS BIGINT) AS n_col_changes
+FROM d WHERE change_type IS NOT NULL
+GROUP BY change_type
+"""
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: per-user event_type runs collapsed to
+    [valid_from, valid_to) validity intervals with version ordinals —
+    one key exchange for change-detection lag + interval lead + cumsum."""
+    ev = _t(spark, sf_dir, "events")
+    return scd2_intervals(ev, "user_id", "event_type")
+
+
+_SQL_SCD2 = """
+WITH x AS (
+  SELECT user_id, event_type, event_id,
+         CAST(round(epoch(ts) * 1e6) AS BIGINT) AS t_us,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+c AS (SELECT user_id, event_type, t_us, event_id FROM x
+      WHERE prev IS NULL OR prev IS DISTINCT FROM event_type)
+SELECT user_id, event_type, t_us AS valid_from_us,
+       lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+         AS valid_to_us,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+            AS BIGINT) AS version
+FROM c
+"""
+
+
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge: per exact-duplicate content cluster, elect the
+    golden row (longest text, then lowest id) plus membership stats —
+    one content-hash exchange, window election, no join-back."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.golden_record(docs, rank_cols=("n_chars",))
+
+
+_SQL_GOLDEN_RECORD = """
+WITH k AS (SELECT md5(text) AS content_key, doc_id, n_chars FROM documents),
+r AS (SELECT content_key, doc_id, n_chars,
+             row_number() OVER (PARTITION BY content_key
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY content_key) AS nm,
+             min(doc_id) OVER (PARTITION BY content_key) AS mn,
+             max(doc_id) OVER (PARTITION BY content_key) AS mx
+      FROM k)
+SELECT content_key, doc_id AS golden_id, CAST(nm AS BIGINT) AS n_members,
+       mn AS min_id, mx AS max_id, n_chars
+FROM r WHERE rn = 1
+"""
+
+
+def q_value_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-group empirical CDF: percent_rank of each reading against
+    its event_type's distribution — (rank−1)/(n−1) is pure integer math
+    divided once, so it is engine-exact; the window is TYPE-partitioned,
+    never global."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        _r(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+_SQL_PCT_RANK = """
+SELECT event_id, event_type, value,
+       round(percent_rank() OVER (
+         PARTITION BY event_type ORDER BY value), 6) AS pct_rank
+FROM events
+"""
+
+
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by document-level PMI over the top-32 vocabulary
+    (bounded pair expansion — the scale contract); integer (d_ab, a, b)
+    ranking, PMI itself portably rounded."""
+    docs = _tw(spark, sf_dir, "documents")
+    out = RK.pmi_pairs(docs, vocab_size=32, min_cooc=5, k=50)
+    return out.select(
+        "a", "b", "d_ab", "d_a", "d_b", _r(F.col("pmi"), 4).alias("pmi")
+    )
+
+
+_SQL_PMI = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents) WHERE tok <> ''),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY tok),
+vocab AS (SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT 32),
+iv AS (SELECT t.doc_id, t.tok FROM toks t JOIN vocab v ON t.tok = v.tok),
+pr AS (SELECT a.tok AS a, b.tok AS b
+       FROM iv a JOIN iv b ON a.doc_id = b.doc_id AND a.tok < b.tok),
+cooc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS d_ab FROM pr GROUP BY a, b),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT a, b, d_ab, va.df AS d_a, vb.df AS d_b,
+       round(log2(CAST(d_ab AS DOUBLE)) + log2(CAST(n_docs AS DOUBLE))
+             - log2(CAST(va.df AS DOUBLE)) - log2(CAST(vb.df AS DOUBLE)), 4)
+         AS pmi
+FROM cooc
+JOIN vocab va ON cooc.a = va.tok
+JOIN vocab vb ON cooc.b = vb.tok
+CROSS JOIN n
+WHERE d_ab >= 5
+ORDER BY d_ab DESC, a, b LIMIT 50
+"""
+
+
+def q_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One integer fixed-point Lloyd step: first 8 vectors seed the
+    centroids, every vector assigns by exact integer squared distance
+    (ties to lowest centroid id), updated centroids emitted as
+    floor-divided per-dimension integer means — an ITERATIVE ML
+    primitive the gate can hash exactly (see similarity.kmeans_iteration
+    for why float Lloyd steps cannot be)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 8)
+    return SIM.kmeans_iteration(emb, seeds)
+
+
+_SQL_KMEANS = """
+WITH u AS (
+  SELECT vec_id,
+         CAST(round(embedding[CAST(i AS INT)] * 1e6) AS BIGINT) AS qi,
+         CAST(i - 1 AS BIGINT) AS dim
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+c AS (SELECT vec_id AS cid, qi, dim FROM u WHERE vec_id < 8),
+d AS (SELECT u.vec_id, c.cid, sum((u.qi - c.qi) * (u.qi - c.qi)) AS dist
+      FROM u JOIN c ON u.dim = c.dim GROUP BY u.vec_id, c.cid),
+a AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d) WHERE rn = 1),
+m AS (SELECT a.cid, u.dim, CAST(sum(u.qi) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM u JOIN a ON u.vec_id = a.vec_id GROUP BY a.cid, u.dim)
+SELECT cid AS centroid_id, dim,
+       CAST(CASE WHEN s >= 0 THEN s // n
+                 ELSE -((-s + n - 1) // n) END AS BIGINT) AS q_value,
+       n AS n_members
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -5669,12 +5892,14 @@ FROM r GROUP BY day_epoch
 # (cohort_compare, activity_span, safe_band, ..., calibration,
 # minhash_lsh_pairs, frame_sample, stream_window_kpis — everything whose
 # latest row is still r5 after this window) MUST be front-loaded — they
-# will be 3 rounds stale otherwise. Next come the 9 never-hashed r7
-# wave-4 entries (token_entropy ... conversion_lag_daily, streaming
-# entry streaming_debounce early). Fill the remaining 5 slots with the
-# oldest r6 rows in r6-window order (streaming_neardup,
-# stream_distinct_users, byte_histogram, token_counts, trajectories) so
-# the one-full-sweep-every-two-rounds policy holds.
+# will be 3 rounds stale otherwise. Next come 14 of the 15 never-hashed
+# r7 additions (wave 4: token_entropy ... conversion_lag_daily with the
+# streaming_debounce entry early; wave 5: table_diff, scd2_intervals,
+# golden_record, pmi_pairs, kmeans_iteration) — hold back
+# value_percentile_rank (pure integer window math, the lowest-risk one)
+# for the r9 window alongside the r6 rotation (streaming_neardup,
+# stream_distinct_users, byte_histogram, ... in r6-window order), which
+# keeps the one-full-sweep-every-two-rounds policy intact.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-gated: the two r5 streaming entries (real streaming
     # jobs; gate == batch twin, equality is test-asserted) ---
@@ -5857,6 +6082,14 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "event_type_pagerank": (q_event_type_pagerank, _pagerank_sql(3)),
     "grid_density": (q_grid_density, _SQL_GRID_DENSITY),
     "conversion_lag_daily": (q_conversion_lag, _SQL_CONVERSION_LAG),
+    # --- new in r7 wave 5 (snapshot diff / SCD2 / survivorship /
+    # percentile rank / PMI / fixed-point k-means) ---
+    "table_diff": (q_table_diff, _SQL_TABLE_DIFF),
+    "scd2_intervals": (q_scd2_intervals, _SQL_SCD2),
+    "golden_record": (q_golden_record, _SQL_GOLDEN_RECORD),
+    "value_percentile_rank": (q_value_percentile_rank, _SQL_PCT_RANK),
+    "pmi_pairs": (q_pmi_pairs, _SQL_PMI),
+    "kmeans_iteration": (q_kmeans_iteration, _SQL_KMEANS),
 }
 
 
