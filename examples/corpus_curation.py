@@ -4,12 +4,18 @@ layer, end-to-end on one corpus.
 No reference analogue (the reference is a health-dashboard stack); this
 is the pipeline a 100 TB pretraining corpus runs nightly:
 
-  1. quality gate   — per-language rank filter (keep top half by score)
+  0. exact collapse — golden-record survivorship over byte-identical
+                      duplicates (longest text wins, deterministic ties)
+  1. quality gate   — per-language rank filter (keep top half by score),
+                      cross-checked against token entropy (low-entropy
+                      survivors are flagged, not silently kept)
   2. dedup          — MinHash-LSH pairs -> connected components -> keep
                       the highest-quality member of each near-dup cluster
   3. topic slice    — BM25 selection of query-relevant survivors
   4. fingerprints   — per-doc TF-IDF top terms for the data card
-  5. batch assembly — token-budget sequence packing of the final cut
+  5. batch assembly — weight-proportional subsample (n_chars-weighted,
+                      engine-reproducible) -> token-budget sequence
+                      packing of the final cut
   6. drift check    — KL term drift of the kept set vs the raw corpus
                       (did curation bias what the corpus is made of?)
 
@@ -29,14 +35,20 @@ from pyspark.sql import functions as F
 from w4h_integrated_toolkit_spark.catalog import read_parquet
 from w4h_integrated_toolkit_spark.operators.dedup import (
     connected_components,
+    golden_record,
     minhash_lsh_pairs,
 )
+from w4h_integrated_toolkit_spark.operators.etl import weighted_priority_sample
 from w4h_integrated_toolkit_spark.operators.ranking import (
     bm25_topk,
     term_drift,
     tfidf_top_terms,
 )
-from w4h_integrated_toolkit_spark.operators.text import pack_sequences, quality_score
+from w4h_integrated_toolkit_spark.operators.text import (
+    pack_sequences,
+    quality_score,
+    token_entropy,
+)
 from w4h_integrated_toolkit_spark.session import get_spark
 
 SF_DIR = os.environ.get("W4H_EXAMPLE_SF_DIR", "/root/testdata/sf0.001")
@@ -45,8 +57,15 @@ SF_DIR = os.environ.get("W4H_EXAMPLE_SF_DIR", "/root/testdata/sf0.001")
 def main() -> None:
     spark = get_spark("corpus-curation", cpus=4, shuffle_partitions=4,
                       driver_memory="4g")
-    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet")
-    n0 = docs.count()
+    raw = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    n0 = raw.count()
+
+    # 0. exact collapse: one golden row per byte-identical cluster
+    golden = golden_record(raw, rank_cols=("n_chars",)).select(
+        F.col("golden_id").alias("doc_id")
+    )
+    docs = raw.join(golden, "doc_id", "left_semi")
+    n_exact = docs.count()
 
     # 1. quality gate: top half per language by scaled quality rank
     from pyspark.sql import Window
@@ -64,6 +83,9 @@ def main() -> None:
     )
     kept = ranked.filter(F.col("rn") * 2 <= F.col("cnt") + 1).drop("rn", "cnt")
     n1 = kept.count()
+    low_entropy = (
+        token_entropy(kept).filter(F.col("token_entropy") < 1.0).count()
+    )
 
     # 2. dedup: drop every near-dup-cluster member EXCEPT the best one
     pairs = minhash_lsh_pairs(kept, n=3, num_perm=8, bands=4, threshold=0.5)
@@ -87,8 +109,13 @@ def main() -> None:
     # 4. data-card fingerprints for the final cut
     prints = tfidf_top_terms(deduped, top_n=2)
 
-    # 5. batch assembly: pack to a 256-token budget
-    packed = pack_sequences(deduped, budget=256)
+    # 5. batch assembly: weight-proportional subsample, then pack to a
+    # 256-token budget (the subsample is hash-deterministic, so a re-run
+    # or another engine reproduces the identical batch set)
+    subsample = weighted_priority_sample(
+        deduped, "n_chars", k=max(1, n2 * 3 // 4)
+    ).drop("priority")
+    packed = pack_sequences(subsample, budget=256)
 
     # 6. drift check: kept set vs the raw corpus (side A = kept)
     kept_ids = deduped.select("doc_id")
@@ -98,15 +125,23 @@ def main() -> None:
         top_n=5,
     )
 
-    print(f"corpus: {n0} docs -> quality gate: {n1} -> dedup: {n2}")
+    print(
+        f"corpus: {n0} docs -> exact collapse: {n_exact} -> "
+        f"quality gate: {n1} ({low_entropy} low-entropy flagged) -> "
+        f"dedup: {n2}"
+    )
     print("top BM25 hits:")
     for r in topical.limit(5).collect():
         print(f"  doc {r['doc_id']}: {r['bm25']:.4f}")
     print("sample fingerprints:")
     for r in prints.filter(F.col("rank") == 1).limit(5).collect():
         print(f"  doc {r['doc_id']}: {r['term']}")
+    n_sub = subsample.count()
     n_bins = packed.select("shard", "bin").distinct().count()
-    print(f"packed {n2} docs into {n_bins} bins (budget 256 tokens)")
+    print(
+        f"subsampled {n2} -> {n_sub} docs (n_chars-weighted), packed into "
+        f"{n_bins} bins (budget 256 tokens)"
+    )
     print("largest term drifts, kept vs raw (expect ~0 if curation is unbiased):")
     for r in drift.collect():
         print(f"  {r['term']}: {r['drift_scaled'] / 1e12:+.6f}")
