@@ -47,11 +47,24 @@ def main() -> None:
     s = get_spark("scaling", cpus=32, shuffle_partitions=32, driver_memory="16g")
     docs = ensure_min_partitions(read_parquet(s, f"{SF_DIR}/documents.parquet"))
     frames = {f: replicate(docs, f).localCheckpoint(eager=True) for f in FACTORS}
+    from w4h_integrated_toolkit_spark.operators import ranking as RK
+    from w4h_integrated_toolkit_spark.operators import text as TX
+    from w4h_integrated_toolkit_spark.operators.etl import (
+        weighted_priority_sample,
+    )
+
     ops = {
         "minhash_lsh": lambda d: D.minhash_lsh_pairs(d).count(),
         "ngram_jaccard": lambda d: D.ngram_jaccard_pairs(d, n=5, threshold=0.2).count(),
         "simhash": lambda d: D.simhash32(d).count(),
         "exact_dedup": lambda d: D.exact_dedup(d).count(),
+        # r7 wave-4/5 text/curation ops (same replicated frames)
+        "token_entropy": lambda d: TX.token_entropy(d).count(),
+        "pmi_pairs": lambda d: RK.pmi_pairs(d, vocab_size=32, min_cooc=5).count(),
+        "golden_record": lambda d: D.golden_record(d).count(),
+        "weighted_sample": lambda d: weighted_priority_sample(
+            d.withColumn("n_chars", F.length("text")), "n_chars", 100
+        ).count(),
     }
     results = {
         f: {
