@@ -176,6 +176,11 @@ EXTRA_BENCH_QUERIES = [
     "value_percentile_rank",
     "pmi_pairs",
     "kmeans_iteration",
+    # --- r7 wave 6 ---
+    "salted_hot_key_agg",
+    "event_paths",
+    "windowed_funnel",
+    "brand_top_parts",
 ]
 
 

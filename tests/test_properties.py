@@ -631,3 +631,104 @@ def test_inverted_intervals_raise_instead_of_corrupting(spark):
         with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
             op(bad, "user_id").collect()
         assert "inverted interval" in str(ei.value)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 3), st.booleans()),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_table_diff_matches_set_model(spark, rows):
+    """table_diff against a pure-Python set model for random old/new
+    snapshots (keys 0-9, values with NULLs): classification and changed
+    count agree, and diff(df, df) is always empty."""
+    from w4h_integrated_toolkit_spark.operators.etl import table_diff
+
+    old = {k: (v if flag else None) for k, v, flag in rows[: len(rows) // 2]}
+    new = {k: (v if flag else None) for k, v, flag in rows[len(rows) // 2 :]}
+    mk = lambda d: spark.createDataFrame(
+        [(k, v) for k, v in d.items()] or [(None, None)], "k long, v long"
+    ).filter(F.col("k").isNotNull())
+    got = {
+        r["k"]: (r["change_type"], r["n_changed_cols"])
+        for r in table_diff(mk(old), mk(new), ["k"], ["v"]).collect()
+    }
+    expected = {}
+    for k in set(old) | set(new):
+        if k in old and k not in new:
+            expected[k] = ("removed", 0)
+        elif k not in old and k in new:
+            expected[k] = ("added", 0)
+        elif old[k] != new[k]:
+            expected[k] = ("changed", 1)
+    assert got == expected
+    assert table_diff(mk(old), mk(old), ["k"], ["v"]).count() == 0
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.sampled_from(["A", "B", "C"]), min_size=1, max_size=12))
+def test_scd2_intervals_partition_timeline(spark, statuses):
+    """SCD2 law: versions are contiguous 1..k; each valid_to equals the
+    next version's valid_from; the last is open; concatenating the
+    versions' values equals the run-length-collapsed input sequence."""
+    from w4h_integrated_toolkit_spark.operators.etl import scd2_intervals
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=i), i, s) for i, s in enumerate(statuses)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, status string"
+    )
+    got = sorted(
+        (
+            (r["version"], r["status"], r["valid_from_us"], r["valid_to_us"])
+            for r in scd2_intervals(df, "user_id", "status").collect()
+        )
+    )
+    collapsed = [s for i, s in enumerate(statuses) if i == 0 or statuses[i - 1] != s]
+    assert [v for v, _, _, _ in got] == list(range(1, len(collapsed) + 1))
+    assert [s for _, s, _, _ in got] == collapsed
+    for (_, _, _, to_us), (_, _, frm_us, _) in zip(got, got[1:]):
+        assert to_us == frm_us
+    assert got[-1][3] is None
+
+
+def test_windowed_funnel_is_monotone_and_bounded_by_unconstrained(spark):
+    """Step survivals never increase along the funnel, and the
+    24h-constrained counts never exceed the unconstrained funnel's
+    equivalents on the same data (view-started arms compared)."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    r = qs["windowed_funnel"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert (
+        r["n_users"]
+        >= r["n_view"]
+        >= r["n_view_click_24h"]
+        >= r["n_full_funnel_24h"]
+        >= 0
+    )
+
+
+def test_brand_top_parts_keeps_ties(spark):
+    """dense_rank semantics: every part whose revenue ties a top-2 value
+    survives; ranks are 1 or 2; within a brand all rank-1 revenues are
+    >= all rank-2 revenues."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    rows = qs["brand_top_parts"](spark, "/root/testdata/sf0.001").collect()
+    by_brand = {}
+    for r in rows:
+        by_brand.setdefault(r["p_brand"], []).append((r["rnk"], r["rev_us"]))
+    for brand, rs in by_brand.items():
+        assert all(rnk in (1, 2) for rnk, _ in rs)
+        r1 = [v for k, v in rs if k == 1]
+        r2 = [v for k, v in rs if k == 2]
+        assert len(set(r1)) == 1
+        if r2:
+            assert len(set(r2)) == 1 and max(r2) < min(r1)

@@ -5866,6 +5866,215 @@ FROM m
 
 
 # --------------------------------------------------------------------------
+# 11. Wave 6 (round 7): skew-safe aggregation / journey paths /
+#     time-constrained funnel / dense-rank group top-k
+# --------------------------------------------------------------------------
+
+
+def q_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation on an EXTREMELY skewed key (5 event
+    types over the whole table — the pathological case where a plain
+    groupBy funnels each hot key through one reducer). Results are
+    identical to the plain aggregate by construction (operators.skew
+    two_stage_agg: decomposable aggs only), which is exactly what the
+    oracle asserts: the plain SQL GROUP BY. Value sums run in µ-scaled
+    integers so the two-stage merge order cannot move a float bit."""
+    ev = _t(spark, sf_dir, "events")
+    from ..operators.skew import two_stage_agg
+
+    scaled = ev.withColumn(
+        "v_us", F.round(F.col("value") * 1e6, 0).cast("long")
+    )
+    out = two_stage_agg(
+        scaled,
+        ["event_type"],
+        [
+            ("v_us", "sum", "sum_v_us"),
+            ("v_us", "count", "n"),
+            ("value", "min", "min_v"),
+            ("value", "max", "max_v"),
+        ],
+        salt=32,
+    )
+    return out.select(
+        "event_type",
+        F.col("sum_v_us").cast("long").alias("sum_v_us"),
+        F.col("n").cast("long").alias("n"),
+        "min_v",
+        "max_v",
+    )
+
+
+_SQL_SALTED_AGG = """
+SELECT event_type,
+       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_v_us,
+       CAST(count(value) AS BIGINT) AS n,
+       min(value) AS min_v, max(value) AS max_v
+FROM events GROUP BY event_type
+"""
+
+
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top journey trigrams: the 10 most frequent 3-step event_type
+    paths across per-user timelines — ONE key exchange for the two lag
+    windows, one path aggregate, TakeOrdered top-k with integer-then-
+    lexicographic tie order."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        F.lag("event_type", 2).over(w).alias("_a"),
+        F.lag("event_type", 1).over(w).alias("_b"),
+        F.col("event_type").alias("_c"),
+    ).filter(F.col("_a").isNotNull())
+    return (
+        p.groupBy(
+            F.concat_ws(">", "_a", "_b", "_c").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
+
+
+_SQL_EVENT_PATHS = """
+WITH p AS (
+  SELECT lag(event_type, 2) OVER w AS a,
+         lag(event_type, 1) OVER w AS b,
+         event_type AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT a || '>' || b || '>' || c AS path, CAST(count(*) AS BIGINT) AS n
+FROM p WHERE a IS NOT NULL
+GROUP BY path ORDER BY n DESC, path LIMIT 10
+"""
+
+
+def q_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel (view → click → purchase, each step
+    within 24h of the previous): the chained conditional-min windows of
+    funnel_conversion plus per-step deadlines, all in exact integer µs —
+    still ONE user_id exchange however many steps, then a 1-row agg."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    day_us = 24 * 3600 * 1_000_000
+    w = Window.partitionBy("user_id")
+    t_us = F.round(F.col("ts").cast("double") * 1e6, 0).cast("long")
+    e = ev.select("user_id", "event_type", t_us.alias("t_us"))
+    e = e.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("t_us"))).over(w),
+    )
+    e = e.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("t_us") >= F.col("t1"))
+                & (F.col("t_us") <= F.col("t1") + F.lit(day_us)),
+                F.col("t_us"),
+            )
+        ).over(w),
+    )
+    e = e.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("t_us") >= F.col("t2"))
+                & (F.col("t_us") <= F.col("t2") + F.lit(day_us)),
+                F.col("t_us"),
+            )
+        ).over(w),
+    )
+    n = F.countDistinct("user_id")
+    n1 = F.countDistinct(F.when(F.col("t1").isNotNull(), F.col("user_id")))
+    n2 = F.countDistinct(F.when(F.col("t2").isNotNull(), F.col("user_id")))
+    n3 = F.countDistinct(F.when(F.col("t3").isNotNull(), F.col("user_id")))
+    return e.agg(
+        n.alias("n_users"),
+        n1.alias("n_view"),
+        n2.alias("n_view_click_24h"),
+        n3.alias("n_full_funnel_24h"),
+    )
+
+
+_SQL_WINDOWED_FUNNEL = """
+WITH b AS (
+  SELECT user_id, event_type,
+         CAST(round(epoch(ts) * 1e6) AS BIGINT) AS t_us
+  FROM events),
+s1 AS (SELECT *,
+         min(CASE WHEN event_type = 'view' THEN t_us END)
+           OVER (PARTITION BY user_id) AS t1
+       FROM b),
+s2 AS (SELECT *,
+         min(CASE WHEN event_type = 'click' AND t_us >= t1
+                   AND t_us <= t1 + 86400000000 THEN t_us END)
+           OVER (PARTITION BY user_id) AS t2
+       FROM s1),
+s3 AS (SELECT *,
+         min(CASE WHEN event_type = 'purchase' AND t_us >= t2
+                   AND t_us <= t2 + 86400000000 THEN t_us END)
+           OVER (PARTITION BY user_id) AS t3
+       FROM s2)
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END)
+            AS BIGINT) AS n_view,
+       CAST(count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END)
+            AS BIGINT) AS n_view_click_24h,
+       CAST(count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END)
+            AS BIGINT) AS n_full_funnel_24h
+FROM s3
+"""
+
+
+def q_brand_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand revenue top-2 with dense_rank TIES KEPT (the rank-based
+    sibling of the row_number top-k entries: equal-revenue parts share a
+    rank and all survive). Revenue in exact µ-scaled integers so rank
+    ties are engine-identical; broadcast dim join, one brand-partitioned
+    window over the pre-aggregated (brand, part) frame — never the raw
+    fact."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev_us = F.sum(
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6, 0
+        ).cast("long")
+    )
+    per = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(rev_us.alias("rev_us"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("rev_us"))
+    return (
+        per.withColumn("rnk", F.dense_rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 2)
+        .select("p_brand", "p_partkey", "rev_us", "rnk")
+    )
+
+
+_SQL_BRAND_TOP_PARTS = """
+WITH per AS (
+  SELECT p_brand, p_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6)
+                       AS BIGINT)) AS BIGINT) AS rev_us
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey)
+SELECT p_brand, p_partkey, rev_us,
+       CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY rev_us DESC)
+            AS BIGINT) AS rnk
+FROM per QUALIFY rnk <= 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -5892,14 +6101,17 @@ FROM m
 # (cohort_compare, activity_span, safe_band, ..., calibration,
 # minhash_lsh_pairs, frame_sample, stream_window_kpis — everything whose
 # latest row is still r5 after this window) MUST be front-loaded — they
-# will be 3 rounds stale otherwise. Next come 14 of the 15 never-hashed
-# r7 additions (wave 4: token_entropy ... conversion_lag_daily with the
-# streaming_debounce entry early; wave 5: table_diff, scd2_intervals,
-# golden_record, pmi_pairs, kmeans_iteration) — hold back
-# value_percentile_rank (pure integer window math, the lowest-risk one)
-# for the r9 window alongside the r6 rotation (streaming_neardup,
-# stream_distinct_users, byte_histogram, ... in r6-window order), which
-# keeps the one-full-sweep-every-two-rounds policy intact.
+# will be 3 rounds stale otherwise. Fill the remaining 14 slots with the
+# highest-risk of the 19 never-hashed r7 additions: streaming_debounce
+# (stateful streaming) early, then kmeans_iteration, event_type_pagerank,
+# pmi_pairs, table_diff, scd2_intervals, golden_record, token_entropy,
+# weighted_sample, debounce_events, name_match_pairs, ewma_smooth,
+# conversion_lag_daily, windowed_funnel. Hold the 5 lowest-risk
+# (value_percentile_rank, grid_density, salted_hot_key_agg, event_paths,
+# brand_top_parts — plain integer window/agg math) for the r9 window
+# alongside the r6 rotation (streaming_neardup, stream_distinct_users,
+# byte_histogram, ... in r6-window order), which keeps the
+# one-full-sweep-every-two-rounds policy intact.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-gated: the two r5 streaming entries (real streaming
     # jobs; gate == batch twin, equality is test-asserted) ---
@@ -6090,6 +6302,12 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "value_percentile_rank": (q_value_percentile_rank, _SQL_PCT_RANK),
     "pmi_pairs": (q_pmi_pairs, _SQL_PMI),
     "kmeans_iteration": (q_kmeans_iteration, _SQL_KMEANS),
+    # --- new in r7 wave 6 (skew-safe agg / journey paths / 24h funnel /
+    # dense-rank group top-k) ---
+    "salted_hot_key_agg": (q_salted_hot_key_agg, _SQL_SALTED_AGG),
+    "event_paths": (q_event_paths, _SQL_EVENT_PATHS),
+    "windowed_funnel": (q_windowed_funnel, _SQL_WINDOWED_FUNNEL),
+    "brand_top_parts": (q_brand_top_parts, _SQL_BRAND_TOP_PARTS),
 }
 
 
