@@ -105,6 +105,14 @@ def pagerank_fixed_point(
     e = edges.select("src", "dst", checked_w.alias("weight")).join(
         F.broadcast(out), "src"
     )
+    if iterations > 1:
+        # every unrolled iteration references the edge frame; without a
+        # materialization Spark re-derives the whole upstream build
+        # (e.g. the per-key lag window over raw events) once per
+        # iteration. Checkpoint the EDGE AGGREGATE — edge-sized, not
+        # event-sized — the same eager-materialization discipline as
+        # timeseries.rollup_cascade's level cascade.
+        e = e.localCheckpoint(eager=True)
 
     n_expr = (
         F.lit(int(n_nodes)) if n_nodes is not None else F.count(F.lit(1))
