@@ -84,6 +84,23 @@ GALLERY = [
      "exchanges at any corpus size (the only Exchange is the "
      "degenerate-scan widening repartition, a no-op on a wide cluster "
      "scan)."),
+    ("debounce_events", "Event debouncing: ONE key exchange for the lag "
+     "window; the cooldown filter is map-side after it — integer-µs gap "
+     "math inside WholeStageCodegen."),
+    ("event_type_pagerank", "Fixed-point PageRank: the edge aggregate is "
+     "checkpointed once; each unrolled iteration is a BroadcastHashJoin of "
+     "the node-sized rank frame plus one dst aggregate — no sort-merge "
+     "join, no cartesian beyond the whitelisted 1-row scalar cross."),
+    ("kmeans_iteration", "Integer Lloyd step: centroids broadcast (k rows); "
+     "distance/argmin in one codegen'd zip_with/aggregate expression; the "
+     "corpus crosses only as (id, struct) aggregate traffic."),
+    ("pmi_pairs", "Bounded-vocab PMI: vocabulary TakeOrdered + broadcast "
+     "back; per-doc pair explode map-side (<= vocab^2/2 per doc); ONE pair "
+     "aggregate; marginals broadcast — corpus size cannot grow the pair "
+     "key space."),
+    ("table_diff", "Snapshot diff: ONE full-outer equi join — the payload "
+     "crosses once regardless of compared-column count; per-column "
+     "null-safe flags are map-side projections after the join."),
     ("zorder_layout", "Z-order audit: the Morton key is pure bit math in "
      "the scan's project (32 shift/and/or terms, whole-stage codegen); "
      "one aggregate exchange for the 64-bucket bounding-box report."),
