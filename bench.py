@@ -181,6 +181,7 @@ EXTRA_BENCH_QUERIES = [
     "event_paths",
     "windowed_funnel",
     "brand_top_parts",
+    "streaming_ewma",
 ]
 
 

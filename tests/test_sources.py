@@ -529,3 +529,35 @@ def test_versioned_vacuum_keeps_retained_versions_working(spark, tmp_path):
     # v3/v4 share d0/d1 dirs first written in v1/v2 — those must survive
     data_dirs = os.listdir(os.path.join(t, "data"))
     assert len(data_dirs) >= 2
+
+
+def test_compact_parquet_merges_small_files_and_preserves_data(spark, tmp_path):
+    """20 tiny files compact to the size-targeted count; row set is
+    byte-identical before/after; re-running on the compacted table is a
+    no-op-sized rewrite; empty dir and bad target raise."""
+    import pytest
+
+    from w4h_integrated_toolkit_spark.sources.maintenance import (
+        compact_parquet,
+        parquet_file_stats,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(2000).selectExpr("id", "id * 2 AS v")
+    df.repartition(20).write.parquet(path)
+    assert parquet_file_stats(path)["n_files"] == 20
+    before = sorted((r["id"], r["v"]) for r in spark.read.parquet(path).collect())
+
+    report = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert report["files_before"] == 20
+    assert report["files_after"] == 1 == report["target_files"]
+    after = sorted((r["id"], r["v"]) for r in spark.read.parquet(path).collect())
+    assert after == before
+    # idempotent: a second pass keeps the single file
+    report2 = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert report2["files_after"] == 1
+
+    with pytest.raises(ValueError):
+        compact_parquet(spark, path, target_file_bytes=0)
+    with pytest.raises(ValueError):
+        compact_parquet(spark, str(tmp_path / "missing"))

@@ -430,7 +430,7 @@ def test_streaming_gate_entries_fit_latency_budget(spark):
     for name in ("streaming_neardup", "stream_distinct_users",
                  "streaming_anomaly", "streaming_sessions",
                  "stream_stream_join", "stream_heavy_hitters",
-                 "streaming_debounce"):
+                 "streaming_debounce", "streaming_ewma"):
         t0 = time.time()
         assert qs[name](spark, "/root/testdata/sf0.01").count() > 0
         elapsed = time.time() - t0
@@ -1042,5 +1042,40 @@ def test_streaming_debounce_equals_batch_lag_rule(spark, tmp_path):
         got = drain_memory_sink(out, "update", name_prefix="w4h_deb_test_")
         got_rows = sorted(
             (r["event_id"], r["user_id"], r["event_type"]) for r in got.collect()
+        )
+        assert got_rows == expected, f"opts={opts}"
+
+
+def test_streaming_ewma_equals_batch_bit_exact(spark, tmp_path):
+    """The stateful streaming EWMA emits bit-identical rows to the batch
+    lag formulation — including keys whose samples span micro-batches
+    (the trailing-value state must stitch), forced via a time-split
+    two-file source with maxFilesPerTrigger=1."""
+    from w4h_integrated_toolkit_spark.operators.timeseries import ewma_smooth
+    from w4h_integrated_toolkit_spark.streaming.replay import (
+        drain_memory_sink,
+        file_stream,
+    )
+    from w4h_integrated_toolkit_spark.streaming.stateful import streaming_ewma
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    expected = sorted(
+        (r["user_id"], r["event_id"], r["ewma"])
+        for r in ewma_smooth(ev, horizon=8).collect()
+    )
+
+    src = str(tmp_path / "src")
+    cut = "2024-01-15 00:00:00"
+    ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(src)
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+
+    for opts in ({}, {"maxFilesPerTrigger": 1}):
+        stream = spark.readStream.schema(ev.schema).options(**opts).parquet(src)
+        got = drain_memory_sink(
+            streaming_ewma(stream, horizon=8), "update",
+            name_prefix="w4h_ewma_test_",
+        )
+        got_rows = sorted(
+            (r["user_id"], r["event_id"], r["ewma"]) for r in got.collect()
         )
         assert got_rows == expected, f"opts={opts}"

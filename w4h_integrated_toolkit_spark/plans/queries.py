@@ -5479,6 +5479,27 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dyadic EWMA as a REAL stateful streaming job
+    (applyInPandasWithState; O(horizon) state = trailing values per key;
+    availableNow + update-mode memory sink). Same oracle as the batch
+    entry — the stream==batch equality is BIT-exact and test-asserted
+    (dyadic weights, identical IEEE fold order)."""
+    from ..streaming.replay import run_streaming_ewma_batchmode
+
+    prepare_session(spark)
+    out = run_streaming_ewma_batchmode(
+        spark, f"{sf_dir}/events.parquet", horizon=8
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "value",
+        _r(F.col("ewma"), 6).alias("ewma"),
+    )
+
+
 def q_event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the event-type transition graph by 3 unrolled power
     iterations in INTEGER fixed point (scale 1e12) — associative integer
@@ -6305,6 +6326,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- new in r7 wave 6 (skew-safe agg / journey paths / 24h funnel /
     # dense-rank group top-k) ---
     "salted_hot_key_agg": (q_salted_hot_key_agg, _SQL_SALTED_AGG),
+    # real stateful streaming job (applyInPandasWithState EWMA); oracle =
+    # the batch dyadic-lag SQL, bit-exact equality law in
+    # tests/test_streaming.py
+    "streaming_ewma": (q_streaming_ewma, _ewma_sql(8)),
     "event_paths": (q_event_paths, _SQL_EVENT_PATHS),
     "windowed_funnel": (q_windowed_funnel, _SQL_WINDOWED_FUNNEL),
     "brand_top_parts": (q_brand_top_parts, _SQL_BRAND_TOP_PARTS),

@@ -45,6 +45,7 @@ __all__ = [
     "windowed_heavy_hitters_stream",
     "run_windowed_heavy_hitters_batchmode",
     "run_debounce_batchmode",
+    "run_streaming_ewma_batchmode",
 ]
 
 
@@ -528,4 +529,23 @@ def run_debounce_batchmode(
     out = streaming_debounce(stream, cooldown_seconds=cooldown_seconds)
     return drain_memory_sink(
         out, "update", name_prefix="w4h_debounced_", stage_dir=stage
+    )
+
+
+def run_streaming_ewma_batchmode(
+    spark: SparkSession,
+    events_path: str,
+    horizon: int = 8,
+) -> DataFrame:
+    """Execute the stateful streaming EWMA end-to-end synchronously
+    (file source -> applyInPandasWithState -> update-mode memory sink,
+    availableNow). Oracle twin: the batch dyadic-weight lag formulation
+    (operators.timeseries.ewma_smooth) — bit-exact equality is
+    test-asserted."""
+    from .stateful import streaming_ewma
+
+    stream, stage = file_stream(spark, events_path, prefix="w4h_ewma_")
+    out = streaming_ewma(stream, horizon=horizon)
+    return drain_memory_sink(
+        out, "update", name_prefix="w4h_ewma_out_", stage_dir=stage
     )

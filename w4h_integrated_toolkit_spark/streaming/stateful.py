@@ -35,6 +35,7 @@ __all__ = [
     "streaming_dedup_within_watermark",
     "streaming_anomaly_flags",
     "streaming_debounce",
+    "streaming_ewma",
 ]
 
 _STATS_OUT = T.StructType(
@@ -446,6 +447,90 @@ def streaming_debounce(
         update,
         outputStructType=_DEBOUNCE_OUT,
         stateStructType=_DEBOUNCE_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_EWMA_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+_EWMA_STATE = T.StructType(
+    [T.StructField("tail", T.ArrayType(T.DoubleType()))]
+)
+
+
+def streaming_ewma(
+    events: DataFrame,
+    horizon: int = 8,
+    user: str = "user_id",
+    value: str = "value",
+    ts: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of :func:`..operators.timeseries.ewma_smooth`
+    (α = 1/2, finite horizon): per arriving row, the renormalized dyadic
+    EWMA over the key's last ``horizon`` samples. Per-key state is ONE
+    bounded array (the trailing ``horizon − 1`` values, nulls included
+    as placeholders so gaps renormalize identically to the batch lag
+    formulation) — O(horizon) however long the stream runs.
+
+    Equality law (tested): on a per-key time-ordered replay the emitted
+    rows equal the batch operator's exactly — the weighted fold is the
+    SAME IEEE op sequence (dyadic weights, fixed left-to-right order),
+    so not even a float bit differs (same contract as
+    streaming_anomaly_flags vs rolling_zscore).
+    """
+    from pyspark.sql import functions as F
+
+    if not 1 <= horizon <= 32:
+        raise ValueError(f"horizon must be in [1, 32], got {horizon}")
+    keyed = events.select(
+        F.col(user).alias("user_id"),
+        F.col(order_tiebreak).alias("event_id"),
+        F.round(F.col(ts).cast("double") * 1e6, 0).cast("long").alias("ts_us"),
+        F.col(value).cast("double").alias("value"),
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
+        tail: list = list(state.get[0]) if state.exists else []
+        out = []
+        for v in pdf["value"]:
+            x = None if pd.isna(v) else float(v)
+            # identical fold order to the batch operator: lag 0 first
+            window = [x] + tail[::-1][: horizon - 1]
+            num, den = 0.0, 0.0
+            for i, xi in enumerate(window):
+                w = 2.0 ** -(i + 1)
+                if xi is not None:
+                    num = num + xi * w
+                    den = den + w
+            out.append(num / den if den > 0 else None)
+            tail.append(x)
+            if len(tail) > horizon - 1:
+                tail = tail[-(horizon - 1):] if horizon > 1 else []
+        state.update((tail,))
+        res = pdf.copy()
+        res["ewma"] = out
+        yield res
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_EWMA_OUT,
+        stateStructType=_EWMA_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
