@@ -1,11 +1,15 @@
 """SURVEY §3.2 + north-star — the streaming journey, engine-side.
 
-Two standing queries over a replayed document/event stream:
+Four standing queries over a replayed document/event stream:
 
 1. the reference's real-time KPI flow (windowed aggregates with a
-   watermark, stream-batch unified), and
+   watermark, stream-batch unified),
 2. the training-data ingest gate: streaming near-dup dedup of arriving
-   docs against a stored corpus LSH index.
+   docs against a stored corpus LSH index,
+3. burst suppression: the stateful debounce (O(1) state per key —
+   exactly the batch lag rule), and
+4. live smoothing: the stateful dyadic EWMA (bit-exact with the batch
+   operator).
 
 Run: python examples/streaming_ingest.py
 """
@@ -75,6 +79,18 @@ def main() -> None:
     # rebuilt (re-run persist_corpus_index, e.g. nightly); load_corpus_index
     # validates the (n, num_perm, bands) hash-family params so a stale or
     # mismatched index fails loudly instead of silently matching nothing.
+    # idempotent re-run: drop any previous snapshot's tables AND their
+    # warehouse locations (an in-memory catalog forgets the tables between
+    # runs, but the managed locations persist and collide)
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in ("ex_corpus_idx_bands", "ex_corpus_idx_sets",
+              "ex_corpus_idx_params"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     persist_corpus_index(corpus, "ex_corpus_idx", n=3, num_perm=8, bands=4)
     stored_bands, sets = load_corpus_index(
         spark, "ex_corpus_idx", n=3, num_perm=8, bands=4
@@ -104,6 +120,30 @@ def main() -> None:
     print("near-dup matches (drop these from the ingest):")
     for r in flagged:
         print(f"  new doc {r.new_id} ~ corpus doc {r.corpus_id} (jaccard {r.jaccard:.2f})")
+
+    # 3 + 4: stateful debounce and EWMA over the replayed event table —
+    # both emit exactly what their batch twins would (equality laws are
+    # test-pinned), so the dashboards they feed agree with any backfill
+    from w4h_integrated_toolkit_spark.streaming.replay import (
+        run_debounce_batchmode,
+        run_streaming_ewma_batchmode,
+    )
+
+    events_path = os.path.join(
+        os.environ.get("W4H_EXAMPLE_SF_DIR", "/root/testdata/sf0.001"),
+        "events.parquet",
+    )
+    kept = run_debounce_batchmode(spark, events_path, cooldown_seconds=300)
+    total = spark.read.parquet(events_path).count()
+    n_kept = kept.count()
+    print(f"debounce: {total} events -> {n_kept} kept "
+          f"({total - n_kept} suppressed within 300s bursts)")
+    sm = run_streaming_ewma_batchmode(spark, events_path)
+    r = sm.orderBy("user_id", "ts_us").limit(3).collect()
+    print("streaming EWMA (first rows):")
+    for x in r:
+        print(f"  user {x.user_id} t={x.ts_us} value={x.value:.3f} "
+              f"ewma={x.ewma:.3f}")
     spark.stop()
 
 
