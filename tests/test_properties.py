@@ -732,3 +732,58 @@ def test_brand_top_parts_keeps_ties(spark):
         assert len(set(r1)) == 1
         if r2:
             assert len(set(r2)) == 1 and max(r2) < min(r1)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(1, 600)),  # (user, gap min)
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_conversion_lag_percentiles_match_sorted_model(spark, pairs):
+    """The rank-at-⌈p·n⌉ discrete percentile in conversion_lag_daily
+    equals the sorted-list model exactly for arbitrary tie-heavy lag
+    multisets: generate view→purchase pairs with known gaps, group by
+    purchase day, and check p50/p90 against sorted(lags)[ceil(p*n)-1]."""
+    import math
+
+    from w4h_integrated_toolkit_spark.plans.queries import q_conversion_lag
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    model = {}
+    for i, (u, gap_min) in enumerate(pairs):
+        # each synthetic user does exactly one view then one purchase
+        uid = i * 10 + u
+        view = t0 + dt.timedelta(hours=i % 5)
+        buy = view + dt.timedelta(minutes=gap_min)
+        rows.append((eid, view, uid, "view", 1.0, "{}")); eid += 1
+        rows.append((eid, buy, uid, "purchase", 1.0, "{}")); eid += 1
+        day = int(buy.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6
+                  ) // 86_400_000_000 * 86400
+        model.setdefault(day, []).append(gap_min * 60_000_000)
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="w4h_convlag_") as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = {
+            r["day_epoch"]: (r["n_pairs"], r["p50_lag_us"], r["p90_lag_us"])
+            for r in q_conversion_lag(spark, d).collect()
+        }
+    expected = {}
+    for day, lags in model.items():
+        s_ = sorted(lags)
+        n = len(s_)
+        expected[day] = (
+            n,
+            s_[math.ceil(0.5 * n) - 1],
+            s_[math.ceil(0.9 * n) - 1],
+        )
+    assert got == expected
