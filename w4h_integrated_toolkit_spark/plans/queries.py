@@ -6107,32 +6107,30 @@ FROM per QUALIFY rnk <= 2
 # 41 r4-stale rows, 3 canaries, and the 4 riskiest r6 additions — after
 # r6 the latest-round histogram was exactly {r6: 50, r5: 47, older: 0}.
 #
-# ROUND-7 WINDOW (executed below via _R7_WINDOW — the dict literal keeps
-# its semantic grouping; the reorder after the literal is what the driver
-# sees): (a) the 3 real-streaming never-hashed entries first
-# (streaming_sessions, stream_stream_join, stream_heavy_hitters) in case
-# the driver budgets the gate globally; (b) the remaining 36 entries the
-# driver has NEVER hashed (the full r6 wave-2/3 tail: bm25_topk ...
-# chi2_independence — 39 total with the streaming three, verified against
-# CORRECTNESS_r01..r06 at r7 start); (c) 11 slots filled with the stalest
-# r5-gated rows in behind-window order (approx_aggregates ...
-# topk_orders). After r7 gates green: histogram {r7: 50, r6: 50, r5: 36}.
+# r7 gated (a) the 3 real-streaming never-hashed entries first, (b) the
+# remaining 36 never-hashed r6 wave-2/3 entries, (c) 11 stalest r5 rows.
+# All 50 green → histogram after r7: {r7: 50, r6: 50, r5: 36}.
 #
-# R8 WINDOW PLAN (execute at r8 start): the 36 remaining r5-stale rows
-# (cohort_compare, activity_span, safe_band, ..., calibration,
-# minhash_lsh_pairs, frame_sample, stream_window_kpis — everything whose
-# latest row is still r5 after this window) MUST be front-loaded — they
-# will be 3 rounds stale otherwise. Fill the remaining 14 slots with the
-# highest-risk of the 19 never-hashed r7 additions: streaming_debounce
-# (stateful streaming) early, then kmeans_iteration, event_type_pagerank,
-# pmi_pairs, table_diff, scd2_intervals, golden_record, token_entropy,
-# weighted_sample, debounce_events, name_match_pairs, ewma_smooth,
-# conversion_lag_daily, windowed_funnel. Hold the 5 lowest-risk
-# (value_percentile_rank, grid_density, salted_hot_key_agg, event_paths,
-# brand_top_parts — plain integer window/agg math) for the r9 window
-# alongside the r6 rotation (streaming_neardup, stream_distinct_users,
-# byte_histogram, ... in r6-window order), which keeps the
-# one-full-sweep-every-two-rounds policy intact.
+# ROUND-8 WINDOW (executed below via _R8_WINDOW — the dict literal keeps
+# its semantic grouping; the reorder after the literal is what the driver
+# sees): (a) the 14 highest-risk of the 20 never-driver-hashed r7
+# additions, `streaming_debounce` first (stateful streaming job, heaviest
+# never-gated entry) in case the driver budgets the gate globally —
+# never-externally-verified entries outrank stale-but-previously-green
+# rows if the gate is cut short; (b) all 36 r5-stale rows (verified
+# against CORRECTNESS_r01..r07 at r8 start — exactly the set whose latest
+# driver row is r5). After r8 gates green: histogram {r8: 50, r7: 50,
+# r6: 50, never: 6} — no entry older than r6.
+#
+# R9 WINDOW PLAN (execute at r9 start): the 6 remaining never-gated
+# entries first (streaming_ewma — stateful streaming, gate it before the
+# batch twin rotates out again — then value_percentile_rank,
+# grid_density, salted_hot_key_agg, event_paths, brand_top_parts), plus
+# any new wave-7 entries added in r8 (salted_join_equiv etc.), then fill
+# the remaining slots with the stalest r6 rows in r6-window order
+# (streaming_neardup, stream_distinct_users, byte_histogram, ...).
+# Any r6 rows that don't fit must lead the r10 window alongside the
+# r7-stale rotation — that keeps every entry's driver row ≤2 rounds old.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-gated: the two r5 streaming entries (real streaming
     # jobs; gate == batch twin, equality is test-asserted) ---
@@ -6336,70 +6334,70 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-# Round-7 driver window: the first 50 names the gate will hash this round
-# (see the ROUND-7 WINDOW note above). The literal above keeps its
+# Round-8 driver window: the first 50 names the gate will hash this round
+# (see the ROUND-8 WINDOW note above). The literal above keeps its
 # semantic grouping; this list is the authoritative gate order.
-_R7_WINDOW = [
-    # real streaming jobs first — never driver-hashed, heaviest gate wall
-    "streaming_sessions",
-    "stream_stream_join",
-    "stream_heavy_hitters",
-    # remaining 36 never-driver-hashed r6 wave-2/3 entries
-    "bm25_topk",
-    "tfidf_top_terms",
-    "dedup_keep_best",
-    "embedding_centroids",
-    "quality_filter_per_lang",
-    "corpus_drift",
-    "gap_fill",
-    "forecast_revenue",
-    "funnel_conversion",
-    "event_transitions",
-    "rolling_zscore",
-    "unigram_nll",
-    "source_overlap",
-    "shipping_latency",
-    "daily_value_bands",
-    "knn_lsh_topk",
-    "fk_integrity",
-    "table_profile",
-    "cube_totals",
-    "heavy_hitters_sketch",
-    "interval_coverage",
-    "cusum_changepoint",
-    "doc_chunks",
-    "bloom_decontaminate",
-    "quantized_knn_recall",
-    "spearman_trend",
-    "dow_hour_heatmap",
-    "containment_pairs",
-    "zorder_layout",
-    "max_concurrency",
-    "mad_outliers",
-    "ratio_to_report",
-    "benford_audit",
-    "key_skew_report",
-    "seasonal_anomalies",
-    "chi2_independence",
-    # 11 stalest r5-gated rows (behind-window order) to fill the window
-    "approx_aggregates",
-    "distinct_users_sketch",
-    "value_quantiles_sketch",
-    "pricing_summary",
-    "range_scan",
-    "anti_join_new_users",
-    "mets_broadcast_lookup",
-    "widget_domains",
-    "like_filter",
-    "set_ops",
-    "topk_orders",
+_R8_WINDOW = [
+    # 14 highest-risk never-driver-hashed r7 additions; the stateful
+    # streaming job first (heaviest gate wall, never externally verified)
+    "streaming_debounce",
+    "debounce_events",
+    "ewma_smooth",
+    "kmeans_iteration",
+    "event_type_pagerank",
+    "pmi_pairs",
+    "table_diff",
+    "scd2_intervals",
+    "golden_record",
+    "token_entropy",
+    "weighted_sample",
+    "name_match_pairs",
+    "conversion_lag_daily",
+    "windowed_funnel",
+    # all 36 r5-stale rows (latest driver row = r5), behind-window order
+    "first_per_user",
+    "cohort_compare",
+    "activity_span",
+    "safe_band",
+    "time_of_day_overnight",
+    "dedup_composite_key",
+    "json_extract",
+    "melt_unpivot",
+    "doc_fingerprint",
+    "exact_dedup",
+    "text_stats",
+    "language_id",
+    "quality_score",
+    "minhash_signatures",
+    "percentiles",
+    "distinct_counts",
+    "rollup_totals",
+    "pivot_event_types",
+    "sessionize",
+    "align_by_position",
+    "offset_batch",
+    "string_normalize",
+    "fuzzy_column_mapping",
+    "value_tiers",
+    "trailing_window_kpis",
+    "shipping_priority",
+    "local_supplier_volume",
+    "gap_mask",
+    "resample_1min",
+    "sliding_window",
+    "knn_cosine_topk",
+    "embedding_neardup_pairs",
+    "calibration",
+    "minhash_lsh_pairs",
+    "frame_sample",
+    "stream_window_kpis",
 ]
 
-assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
-assert len(set(_R7_WINDOW)) == 50
-assert set(_R7_WINDOW) <= set(QUERIES), set(_R7_WINDOW) - set(QUERIES)
-QUERIES = {name: QUERIES[name] for name in _R7_WINDOW} | {
-    name: spec for name, spec in QUERIES.items() if name not in set(_R7_WINDOW)
+assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
+assert len(set(_R8_WINDOW)) == 50
+assert set(_R8_WINDOW) <= set(QUERIES), set(_R8_WINDOW) - set(QUERIES)
+QUERIES = {name: QUERIES[name] for name in _R8_WINDOW} | {
+    name: spec for name, spec in QUERIES.items() if name not in set(_R8_WINDOW)
 }
 
 
