@@ -13,7 +13,7 @@ is the pipeline a 100 TB pretraining corpus runs nightly:
                       the highest-quality member of each near-dup cluster
   3. topic slice    — BM25 selection of query-relevant survivors
   4. fingerprints   — per-doc TF-IDF top terms for the data card
-  5. batch assembly — weight-proportional subsample (n_chars-weighted,
+  5. batch assembly — weight-biased subsample (n_chars-weighted,
                       engine-reproducible) -> token-budget sequence
                       packing of the final cut
   6. drift check    — KL term drift of the kept set vs the raw corpus
@@ -109,7 +109,7 @@ def main() -> None:
     # 4. data-card fingerprints for the final cut
     prints = tfidf_top_terms(deduped, top_n=2)
 
-    # 5. batch assembly: weight-proportional subsample, then pack to a
+    # 5. batch assembly: weight-biased subsample, then pack to a
     # 256-token budget (the subsample is hash-deterministic, so a re-run
     # or another engine reproduces the identical batch set)
     subsample = weighted_priority_sample(

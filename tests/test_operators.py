@@ -2524,6 +2524,42 @@ def test_table_diff_hand_model(spark):
         table_diff(old, new, [], ["v"])
 
 
+def test_table_diff_null_keys(spark):
+    """A NULL key component is an ordinary key value: NULL-keyed rows
+    match across snapshots (null-safe join) and classify as
+    added/removed/changed — never as a phantom 'changed' row with a
+    missing side."""
+    from w4h_integrated_toolkit_spark.operators.etl import table_diff
+
+    old = spark.createDataFrame(
+        [(None, "x", 1.0), (1, "a", 10.0)], "k long, s string, v double"
+    )
+    # NULL key changed on one column
+    new = spark.createDataFrame(
+        [(None, "x", 2.0), (1, "a", 10.0)], "k long, s string, v double"
+    )
+    got = {
+        r["k"]: (r["change_type"], r["n_changed_cols"], r["changed_cols"])
+        for r in table_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert got == {None: ("changed", 1, "v")}
+
+    # NULL key present only in old -> removed (not 'changed')
+    new2 = spark.createDataFrame([(1, "a", 10.0)], "k long, s string, v double")
+    got2 = {
+        r["k"]: (r["change_type"], r["n_changed_cols"])
+        for r in table_diff(old, new2, ["k"], ["s", "v"]).collect()
+    }
+    assert got2 == {None: ("removed", 0)}
+
+    # NULL key present only in new -> added
+    got3 = {
+        r["k"]: (r["change_type"], r["n_changed_cols"])
+        for r in table_diff(new2, old, ["k"], ["s", "v"]).collect()
+    }
+    assert got3 == {None: ("added", 0)}
+
+
 def test_scd2_intervals_hand_model(spark):
     """Consecutive same values collapse into one version; a change opens
     a new interval starting at the changing event; the last version is
@@ -2574,6 +2610,31 @@ def test_golden_record_election_deterministic(spark):
         for r in golden_record(df).collect()
     }
     assert got == {2: (3, 1, 3, 30), 4: (1, 4, 4, 5)}
+
+
+def test_golden_record_null_text_singletons(spark):
+    """Rows with NULL text never cluster together: each passes through as
+    its own singleton (content_key NULL, n_members 1) instead of one
+    being elected golden over unrelated contentless documents."""
+    from w4h_integrated_toolkit_spark.operators.dedup import golden_record
+
+    df = spark.createDataFrame(
+        [
+            (1, None, 0),
+            (2, None, 0),
+            (3, "real", 4),
+            (4, "real", 4),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    rows = golden_record(df).collect()
+    got = {
+        r["golden_id"]: (r["content_key"], r["n_members"]) for r in rows
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (None, 1)
+    assert got[2] == (None, 1)
+    assert got[3][1] == 2          # the real duplicates still cluster
 
 
 def test_pmi_pairs_hand_model(spark):

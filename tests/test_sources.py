@@ -561,3 +561,35 @@ def test_compact_parquet_merges_small_files_and_preserves_data(spark, tmp_path):
         compact_parquet(spark, path, target_file_bytes=0)
     with pytest.raises(ValueError):
         compact_parquet(spark, str(tmp_path / "missing"))
+
+
+def test_compact_parquet_crash_recovery_and_uri_guard(spark, tmp_path):
+    """A crash between the two rename swaps (data parked in
+    .__compact_old__, nothing at `path`) is repaired on the next run; a
+    remote URI scheme is rejected up front."""
+    import pytest
+
+    from w4h_integrated_toolkit_spark.sources.maintenance import (
+        compact_parquet,
+        parquet_file_stats,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(500).selectExpr("id", "id * 3 AS v").repartition(
+        8
+    ).write.parquet(path)
+    before = sorted((r["id"], r["v"]) for r in spark.read.parquet(path).collect())
+
+    # simulate the crash window: old moved aside, tmp never moved in
+    os.rename(path, path + ".__compact_old__")
+    assert not os.path.exists(path)
+
+    report = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert report["files_before"] == 8 and report["files_after"] == 1
+    assert not os.path.exists(path + ".__compact_old__")
+    after = sorted((r["id"], r["v"]) for r in spark.read.parquet(path).collect())
+    assert after == before
+    assert parquet_file_stats(path)["n_files"] == 1
+
+    with pytest.raises(ValueError, match="local paths"):
+        compact_parquet(spark, "s3://bucket/table")

@@ -1079,3 +1079,44 @@ def test_streaming_ewma_equals_batch_bit_exact(spark, tmp_path):
             (r["user_id"], r["event_id"], r["ewma"]) for r in got.collect()
         )
         assert got_rows == expected, f"opts={opts}"
+
+
+def test_ewma_nan_treated_as_null_stream_and_batch(spark, tmp_path):
+    """NaN samples are skipped by the renormalizing fold on BOTH sides
+    (batch nanvl guard == streaming pd.isna guard) — the equality law
+    holds on NaN-bearing input, and no NaN ever reaches the output."""
+    import math
+
+    from w4h_integrated_toolkit_spark.operators.timeseries import ewma_smooth
+    from w4h_integrated_toolkit_spark.streaming.replay import drain_memory_sink
+    from w4h_integrated_toolkit_spark.streaming.stateful import streaming_ewma
+
+    rows = [
+        (7, 1, "2024-01-01 00:00:01", 4.0),
+        (7, 2, "2024-01-01 00:00:02", float("nan")),
+        (7, 3, "2024-01-01 00:00:03", 8.0),
+        (7, 4, "2024-01-01 00:00:04", None),
+        (7, 5, "2024-01-01 00:00:05", 2.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_s string, value double"
+    ).select("user_id", "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+
+    batch = {
+        r["event_id"]: r["ewma"] for r in ewma_smooth(ev, horizon=8).collect()
+    }
+    # NaN at t2 must act exactly like the NULL at t4: skipped + renormalized
+    assert batch[1] == 4.0
+    assert batch[2] == 4.0          # only the lag-1 sample carries weight
+    assert batch[3] == (8.0 / 2 + 4.0 / 8) / (0.5 + 0.125)
+    assert all(v is None or not math.isnan(v) for v in batch.values())
+
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    got = drain_memory_sink(
+        streaming_ewma(stream, horizon=8), "update",
+        name_prefix="w4h_ewma_nan_test_",
+    )
+    stream_rows = {r["event_id"]: r["ewma"] for r in got.collect()}
+    assert stream_rows == batch

@@ -1117,18 +1117,33 @@ def golden_record(
     shared by the window election and the membership aggregate (same
     clustering), no join-back — the classic argmax-without-self-join
     shape used throughout this engine.
+
+    NULL-text rows pass through as singleton clusters (content_key NULL,
+    n_members 1) rather than hashing to a shared NULL key — grouping
+    them would elect one "golden" row among unrelated contentless
+    documents and mark the rest duplicates, the same trap
+    ``exact_duplicates`` guards against. A synthetic per-row grouping
+    key (the id) isolates them while keeping the single exchange.
     """
     from pyspark.sql import Window
 
     keyed = df.select(
         F.md5(F.col(text)).alias("content_key"),
+        # NULL text must not cluster together: group those rows by their
+        # own id so each is its own singleton cluster.
+        F.when(
+            F.col(text).isNull(),
+            F.concat(F.lit("\x00null\x00"), F.col(id_col).cast("string")),
+        )
+        .otherwise(F.md5(F.col(text)))
+        .alias("_grp"),
         F.col(id_col).alias("_id"),
         *[F.col(c) for c in rank_cols],
     )
-    w = Window.partitionBy("content_key").orderBy(
+    w = Window.partitionBy("_grp").orderBy(
         *[F.desc(c) for c in rank_cols], F.asc("_id")
     )
-    wall = Window.partitionBy("content_key")
+    wall = Window.partitionBy("_grp")
     return (
         keyed.select(
             "content_key",

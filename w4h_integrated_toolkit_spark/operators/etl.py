@@ -245,12 +245,15 @@ def weighted_priority_sample(
     id_col: str = "doc_id",
     salt: str = "wsample",
 ) -> DataFrame:
-    """Deterministic weight-proportional top-k sample: each row gets
-    priority ``portable_hash31(salt || id) / weight`` and the k smallest
+    """Deterministic weight-biased top-k sample: each row gets priority
+    ``portable_hash31(salt || id) / weight`` and the k smallest
     priorities win — heavier rows draw smaller priorities more often, so
-    selection probability grows with weight (the quality-weighted corpus
-    subsampling primitive; cf. mixture_sample, which is per-GROUP rates,
-    not per-ROW weights).
+    selection probability is MONOTONE in weight but not proportional to
+    it (a uniform u/w priority gives weights 2:1 a ~0.75 pick rate for
+    k=1, not 2/3; true A-Res proportionality needs ``u^(1/w)``, whose
+    pow/log would break cross-engine determinism). The
+    quality-weighted corpus subsampling primitive; cf. mixture_sample,
+    which is per-GROUP rates, not per-ROW weights.
 
     Determinism across engines: the hash is integer, and IEEE division
     is correctly rounded, so hash/weight is the bit-identical double in
@@ -371,6 +374,13 @@ def table_diff(
     changes, NULL -> NULL is not. Unchanged keys are absent from the
     output, so the result is |churn|-sized, not |table|-sized.
 
+    NULL key components are treated as ordinary key values: the join is
+    null-safe (``<=>``) and presence on each side is tracked with literal
+    markers, so a NULL-keyed row matches its NULL-keyed counterpart and
+    is classified added/removed/changed exactly like any other key
+    (rather than silently falling through the equi join as a phantom
+    "changed" row with no matching side).
+
     Plan: ONE full-outer equi join on the keys (the two scans' only
     exchange; with both snapshots bucketed on the keys even that
     disappears); the per-column flags and the changed-column list are
@@ -385,18 +395,20 @@ def table_diff(
     o = o.select(
         *[F.col(k).alias(f"_ko_{k}") for k in keys],
         *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
     )
     n = n.select(
         *[F.col(k).alias(f"_kn_{k}") for k in keys],
         *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
     )
     cond = None
     for k in keys:
-        c = F.col(f"_ko_{k}") == F.col(f"_kn_{k}")
+        c = F.col(f"_ko_{k}").eqNullSafe(F.col(f"_kn_{k}"))
         cond = c if cond is None else (cond & c)
     j = o.join(n, cond, "full_outer")
-    in_old = F.col(f"_ko_{keys[0]}").isNotNull()
-    in_new = F.col(f"_kn_{keys[0]}").isNotNull()
+    in_old = F.coalesce(F.col("_in_old"), F.lit(False))
+    in_new = F.coalesce(F.col("_in_new"), F.lit(False))
     changed_flags = [
         F.when(
             ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)

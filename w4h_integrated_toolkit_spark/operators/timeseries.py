@@ -610,6 +610,13 @@ def ewma_smooth(
     renormalized over the weights actually present (sequence starts and
     null samples contribute nothing rather than dragging toward 0).
 
+    NaN samples are normalized to NULL up front (``nanvl``) and thus
+    skipped by the renormalizing fold exactly like NULLs — the same
+    convention the streaming twin applies via ``pd.isna`` (whose Arrow
+    round-trip also surfaces NaN as NULL), so the stream==batch
+    bit-equality law holds on NaN-bearing inputs too instead of the
+    batch side silently poisoning the window with NaN arithmetic.
+
     α is FIXED at 1/2 by design, not a parameter: dyadic weights are
     exact in binary floating point (each term is an exponent shift of
     x), the Σ w·x fold is written as one fixed left-to-right chain, and
@@ -626,7 +633,7 @@ def ewma_smooth(
     if not 1 <= horizon <= 32:
         raise ValueError(f"horizon must be in [1, 32], got {horizon}")
     w = Window.partitionBy(key).orderBy(ts, order_tiebreak)
-    v = F.col(value).cast("double")
+    v = F.nanvl(F.col(value).cast("double"), F.lit(None).cast("double"))
     num = F.lit(0.0)
     den = F.lit(0.0)
     for i in range(horizon):

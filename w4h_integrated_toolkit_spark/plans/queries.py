@@ -5356,7 +5356,7 @@ FROM c GROUP BY doc_id
 
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weight-proportional top-100 corpus sample (per-ROW
+    """Deterministic weight-biased top-100 corpus sample (per-ROW
     weights = n_chars; cf. mixture_sample's per-group rates). Priority is
     integer-hash / weight — IEEE division is correctly rounded, so the
     ranking is bit-identical in any engine, unlike pow/log A-Res keys."""

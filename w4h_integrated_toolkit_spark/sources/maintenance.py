@@ -54,11 +54,28 @@ def compact_parquet(
 
     Returns a report dict: files/bytes before and after, and the target
     file count. The swap is rename-based (write to a sibling tmp dir,
-    move the old dir away, move tmp in, drop the old) — crash-safe to
-    re-run but NOT atomic for concurrent readers (see module note).
+    move the old dir away, move tmp in, drop the old). A crash between
+    the two renames leaves the data parked in ``.__compact_old__`` with
+    no directory at ``path``; on entry that state is detected and the
+    old directory restored before proceeding, so a re-run after any
+    crash point completes the compaction. NOT atomic for concurrent
+    readers (see module note). Local-filesystem paths only — the rename
+    swap cannot span remote URI schemes, so those are rejected up front.
     """
     if target_file_bytes <= 0:
         raise ValueError(f"target_file_bytes must be positive, got {target_file_bytes}")
+    if "://" in path:
+        raise ValueError(
+            f"compact_parquet swaps directories with os.rename and only "
+            f"supports plain local paths; got URI {path!r}. Use a "
+            f"log-backed table format (Delta/Iceberg) for remote stores."
+        )
+    base = path.rstrip("/")
+    stale_old = base + ".__compact_old__"
+    # crash recovery: a previous run that died between its two renames
+    # left the original data in .__compact_old__ and nothing at `path`.
+    if os.path.isdir(stale_old) and not os.path.exists(base):
+        os.rename(stale_old, base)
     before = parquet_file_stats(path)
     if before["n_files"] == 0:
         raise ValueError(f"no parquet files under {path}")
