@@ -6120,7 +6120,11 @@ FROM per QUALIFY rnk <= 2
 # rows if the gate is cut short; (b) all 36 r5-stale rows (verified
 # against CORRECTNESS_r01..r07 at r8 start — exactly the set whose latest
 # driver row is r5). After r8 gates green: histogram {r8: 50, r7: 50,
-# r6: 50, never: 6} — no entry older than r6.
+# r6: 50, never: 6} — no entry older than r6. Measured gate wall for
+# this exact 50-entry window (sf0.01, 4 cpus, cold session, r8 start):
+# 31.2 s total; slowest entry streaming_debounce 8.8 s, everything else
+# ≤2.2 s — comfortably inside the ~30 s/entry envelope and under half
+# the r7 window's 54 s wall.
 #
 # R9 WINDOW PLAN (execute at r9 start): the 6 remaining never-gated
 # entries first (streaming_ewma — stateful streaming, gate it before the
