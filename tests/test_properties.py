@@ -787,3 +787,138 @@ def test_conversion_lag_percentiles_match_sorted_model(spark, pairs):
             s_[math.ceil(0.9 * n) - 1],
         )
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),      # src node
+            st.integers(0, 4),      # dst node (self-loops allowed)
+            st.integers(1, 50),     # weight
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_pagerank_fixed_point_matches_integer_model(spark, edges):
+    """pagerank_fixed_point against a pure-Python replica of the exact
+    integer recurrence — for random tiny graphs dense with the
+    adversarial shapes: dangling nodes (dst with no out-edges, mass
+    dropped by contract), self-loops, duplicate edges, and input-row
+    permutation. The integer fixed point makes bit-equality the only
+    acceptable outcome."""
+    from w4h_integrated_toolkit_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    scale = 10**12
+    damping = 85
+    iters = 3
+    # collapse duplicate (src, dst) pairs like edges_from_event_sequence
+    agg: dict = {}
+    for s_, d_, w_ in edges:
+        agg[(s_, d_)] = agg.get((s_, d_), 0) + w_
+    rows = [(f"n{s_}", f"n{d_}", w_) for (s_, d_), w_ in agg.items()]
+
+    nodes = sorted({r[0] for r in rows} | {r[1] for r in rows})
+    n = len(nodes)
+    out = {}
+    for s_, _d, w_ in rows:
+        out[s_] = out.get(s_, 0) + w_
+    teleport = ((100 - damping) * scale // 100) // n
+    rank = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        incoming = {v: 0 for v in nodes}
+        for s_, d_, w_ in rows:
+            incoming[d_] += (rank[s_] * w_) // out[s_]
+        rank = {
+            v: teleport + (damping * incoming[v]) // 100 for v in nodes
+        }
+
+    for ordering in (rows, rows[::-1]):
+        df = spark.createDataFrame(ordering, "src string, dst string, weight long")
+        got = {
+            r["node"]: r["rank_fp"]
+            for r in pagerank_fixed_point(df, iterations=iters).collect()
+        }
+        assert got == rank
+
+
+def test_pagerank_overflow_guard_boundary(spark):
+    """A weight AT the documented bound passes; one past it raises the
+    overflow guard instead of silently wrapping int64."""
+    import pytest
+
+    from w4h_integrated_toolkit_spark.operators.graph import (
+        PAGERANK_SCALE,
+        pagerank_fixed_point,
+    )
+
+    max_w = (2**63 - 1) // (2 * PAGERANK_SCALE)
+    ok = spark.createDataFrame(
+        [("a", "b", max_w)], "src string, dst string, weight long"
+    )
+    assert pagerank_fixed_point(ok, iterations=1).count() == 2
+
+    bad = spark.createDataFrame(
+        [("a", "b", max_w + 1)], "src string, dst string, weight long"
+    )
+    with pytest.raises(Exception, match="overflow|pre-scale"):
+        pagerank_fixed_point(bad, iterations=1).collect()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        # half-unit coordinates: q = x * 1e6 is exact, so quantization
+        # has no rounding-mode ambiguity and ties are dense
+        st.tuples(st.integers(-4, 4), st.integers(-4, 4)),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_kmeans_iteration_matches_integer_model(spark, pts):
+    """kmeans_iteration against a pure-Python replica of the integer
+    Lloyd step — equidistant ties must break to the LOWEST centroid id,
+    empty clusters must vanish from the output (not emit zero rows),
+    negative component sums must floor toward -inf, and the result must
+    be invariant under input-row permutation."""
+    from w4h_integrated_toolkit_spark.operators.similarity import (
+        kmeans_iteration,
+    )
+
+    scale = 10**6
+    vec_rows = [
+        (i, [x / 2.0, y / 2.0]) for i, (x, y) in enumerate(pts)
+    ]
+    cents = [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [0.0, 1.0])]
+
+    def q(x):
+        return round(x * scale)
+
+    assigned: dict = {}
+    for vid, v in vec_rows:
+        best = None
+        for cid, c in cents:
+            d = sum((q(a) - q(b)) ** 2 for a, b in zip(v, c))
+            if best is None or (d, cid) < best[:2]:
+                best = (d, cid)
+        assigned.setdefault(best[1], []).append([q(a) for a in v])
+    expected = {}
+    for cid, members in assigned.items():
+        nm = len(members)
+        for dim in range(2):
+            s_ = sum(m[dim] for m in members)
+            expected[(cid, dim)] = (s_ // nm, nm)   # python // floors
+
+    for ordering in (vec_rows, vec_rows[::-1]):
+        vdf = spark.createDataFrame(
+            ordering, "vec_id long, embedding array<double>"
+        )
+        cdf = spark.createDataFrame(cents, "vec_id long, embedding array<double>")
+        got = {
+            (r["centroid_id"], r["dim"]): (r["q_value"], r["n_members"])
+            for r in kmeans_iteration(vdf, cdf).collect()
+        }
+        assert got == expected
