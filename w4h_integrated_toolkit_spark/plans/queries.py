@@ -5935,6 +5935,41 @@ FROM events GROUP BY event_type
 """
 
 
+def q_salted_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted large⋈large equi-join (operators.skew.salted_join, salt=8:
+    build side replicated map-side, probe side salt-routed) proving the
+    equivalence contract the operator documents: the output is
+    row-identical to the plain join — which is exactly what the oracle
+    asserts via the unsalted SQL JOIN. Post-join aggregate keeps the
+    gate row-count bounded; quantity sums are integer-exact."""
+    from ..operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_join(li, orders, on="o_orderkey", salt=8)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("qty").alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_SALTED_JOIN = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top journey trigrams: the 10 most frequent 3-step event_type
     paths across per-user timelines — ONE key exchange for the two lag
@@ -6335,6 +6370,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "event_paths": (q_event_paths, _SQL_EVENT_PATHS),
     "windowed_funnel": (q_windowed_funnel, _SQL_WINDOWED_FUNNEL),
     "brand_top_parts": (q_brand_top_parts, _SQL_BRAND_TOP_PARTS),
+    # --- new in r8 wave 7 ---
+    # salted_join equivalence contract: oracle = the UNSALTED join
+    "salted_join_equiv": (q_salted_join_equiv, _SQL_SALTED_JOIN),
 }
 
 
