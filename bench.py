@@ -182,6 +182,17 @@ EXTRA_BENCH_QUERIES = [
     "windowed_funnel",
     "brand_top_parts",
     "streaming_ewma",
+    # --- r8 wave 7 ---
+    "salted_join_equiv",
+    "embedding_gram",
+    "embedding_dim_stats",
+    "feature_hash_histogram",
+    "bigram_nll",
+    "vocab_oov_rate",
+    "rolling_median",
+    "equi_depth_bins",
+    "class_balance",
+    "stream_window_dedup",
 ]
 
 

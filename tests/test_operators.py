@@ -2709,3 +2709,176 @@ def test_kmeans_iteration_floor_division_negative(spark):
     }
     # sum = -(1000000 + 2000001) = -3000001; floor(-3000001/2) = -1500001
     assert got[(0, 0)] == -1500001
+
+
+# ---------------------------------------------------------------------------
+# wave 7 (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_gram_hand_model(spark):
+    """2-vector, 3-dim hand model: G = q1 q1ᵀ + q2 q2ᵀ exactly, upper
+    triangle only, invariant under repartitioning (integer partials
+    merge associatively)."""
+    from w4h_integrated_toolkit_spark.operators.linalg import embedding_gram
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 3.0, -1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    s = 10**6
+    q1 = [1 * s, -2 * s, s // 2]
+    q2 = [0, 3 * s, -1 * s]
+    expected = {
+        (i, j): q1[i] * q1[j] + q2[i] * q2[j]
+        for i in range(3)
+        for j in range(3)
+        if i <= j
+    }
+    for parts in (1, 7):
+        got = {
+            (r["i"], r["j"]): r["g"]
+            for r in embedding_gram(df.repartition(parts)).collect()
+        }
+        assert got == expected
+
+
+def test_embedding_dim_stats_negative_floor(spark):
+    """mean_q floors toward -inf for negative sums (−3/2 → −2, not −1);
+    min/max/sum are the exact quantized integers."""
+    from w4h_integrated_toolkit_spark.operators.linalg import (
+        embedding_dim_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [-1.0, 2.0]), (2, [-2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["dim"]: (r["n"], r["min_q"], r["max_q"], r["sum_q"], r["mean_q"])
+        for r in embedding_dim_stats(df, scale=1).collect()
+    }
+    assert got == {
+        0: (2, -2, -1, -3, -2),   # -3 DIV 2 floors to -2
+        1: (2, 2, 3, 5, 2),
+    }
+
+
+def test_feature_hashing_matches_python_replica(spark):
+    """Bucket assignment equals the portable MD5 hash family computed in
+    pure Python; per-(doc, bucket) counts aggregate token multiplicity."""
+    import hashlib
+
+    from w4h_integrated_toolkit_spark.operators.text import feature_hashing
+
+    def bucket(tok, n=8):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 2147483647
+        return h % n
+
+    docs = [(1, "a b a"), (2, "b  c")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    expected = {}
+    for did, text in docs:
+        for t in text.lower().split():
+            k = (did, bucket(t))
+            expected[k] = expected.get(k, 0) + 1
+    got = {
+        (r["doc_id"], r["bucket"]): r["cnt"]
+        for r in feature_hashing(df, n_buckets=8).collect()
+    }
+    assert got == expected
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        feature_hashing(df, n_buckets=0)
+
+
+def test_bigram_nll_hand_model(spark):
+    """Tiny corpus where the bigram model is computable by hand: scores
+    match the add-one-smoothed P(b|a) = (c(a,b)+1)/(c(a·)+V) fold to the
+    rounding convention; sub-2-token docs are absent."""
+    import math
+
+    from w4h_integrated_toolkit_spark.operators.ranking import bigram_nll
+
+    # bigrams: d1: (x,y), (y,x); d2: (x,y); d3 has none
+    df = spark.createDataFrame(
+        [(1, "x y x"), (2, "x y"), (3, "z")], "doc_id long, text string"
+    )
+    # c(x,y)=2, c(y,x)=1; c(x·)=2, c(y·)=1; V = |{x,y,z}| = 3
+    def lnp(cab, ca):
+        return round(math.log((cab + 1) / (ca + 3)) * 1e9)
+
+    s1 = lnp(2, 2) + lnp(1, 1)          # doc1: one (x,y) + one (y,x)
+    s2 = lnp(2, 2)                      # doc2: one (x,y)
+    exp = {
+        1: (2, round(-s1 / 1e9 / 2 * 1e6) / 1e6),
+        2: (1, round(-s2 / 1e9 / 1 * 1e6) / 1e6),
+    }
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll"])
+        for r in bigram_nll(df).collect()
+    }
+    assert got == exp
+
+
+def test_vocab_oov_rate_hand_model(spark):
+    """Top-k vocab is (count DESC, token ASC) deterministic; OOV ppm is
+    exact integer math; ties at the k-th slot resolve alphabetically."""
+    from w4h_integrated_toolkit_spark.operators.ranking import vocab_oov_rate
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b b c", "s1"),
+            (2, "a b z", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    # counts: a=4, b=3, c=1, z=1 -> vocab_k=3 keeps a, b, c (tie c<z)
+    got = {
+        r["source"]: (r["n_tokens"], r["n_oov"], r["oov_ppm"])
+        for r in vocab_oov_rate(df, vocab_k=3).collect()
+    }
+    assert got == {
+        "s1": (6, 0, 0),
+        "s2": (3, 1, 333333),
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        vocab_oov_rate(df, vocab_k=0)
+
+
+def test_rolling_median_hand_model(spark):
+    """Discrete lower median over the trailing-k window; NULL samples
+    shrink the window; k guard enforced."""
+    import pytest
+
+    from w4h_integrated_toolkit_spark.operators.timeseries import (
+        rolling_median,
+    )
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:01", 5.0),
+        (1, 2, "2024-01-01 00:00:02", 1.0),
+        (1, 3, "2024-01-01 00:00:03", None),
+        (1, 4, "2024-01-01 00:00:04", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_s string, value double"
+    ).select("user_id", "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    got = {
+        r["event_id"]: (r["n_in_window"], r["median_us"])
+        for r in rolling_median(df, k=3).collect()
+    }
+    assert got == {
+        1: (1, 5_000_000),
+        2: (2, 1_000_000),          # lower median of {1, 5}
+        3: (2, 1_000_000),          # NULL drops out, window = {5, 1}
+        4: (2, 1_000_000),          # window rows 2..4 -> {1, 9}
+    }
+
+    with pytest.raises(ValueError):
+        rolling_median(df, k=0)

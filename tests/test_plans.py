@@ -387,6 +387,8 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "event_type_pagerank",    # 1-row teleport/r0 scalars crossed onto the node set
     "pmi_pairs",              # 1-row corpus-size scalar cross onto vocab² pairs
     "kmeans_iteration",       # k-row centroid frame broadcast-crossed (k-means contract)
+    "bigram_nll",             # 1-row vocab-size scalar crossed onto the bigram model
+    "class_balance",          # 1-row corpus-total scalar crossed onto per-lang counts
 }
 
 

@@ -430,7 +430,8 @@ def test_streaming_gate_entries_fit_latency_budget(spark):
     for name in ("streaming_neardup", "stream_distinct_users",
                  "streaming_anomaly", "streaming_sessions",
                  "stream_stream_join", "stream_heavy_hitters",
-                 "streaming_debounce", "streaming_ewma"):
+                 "streaming_debounce", "streaming_ewma",
+                 "stream_window_dedup"):
         t0 = time.time()
         assert qs[name](spark, "/root/testdata/sf0.01").count() > 0
         elapsed = time.time() - t0

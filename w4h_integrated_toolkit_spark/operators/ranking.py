@@ -49,7 +49,9 @@ __all__ = [
     "term_drift",
     "tfidf_top_terms",
     "unigram_nll",
+    "bigram_nll",
     "pmi_pairs",
+    "vocab_oov_rate",
 ]
 
 
@@ -385,4 +387,137 @@ def pmi_pairs(
         out.select("a", "b", "d_ab", "d_a", "d_b", pmi.alias("pmi"))
         .orderBy(F.desc("d_ab"), "a", "b")
         .limit(int(k))
+    )
+
+
+def bigram_nll(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus'
+    add-one-smoothed BIGRAM model P(b|a) = (c(a,b)+1)/(c(a·)+V) — one
+    step up the n-gram ladder from :func:`unigram_nll` toward the
+    KenLM-style perplexity filter (a document of individually common
+    but never-adjacent tokens scores high here and low there; word-salad
+    spam is exactly that).
+
+    Same engine-exactness discipline as unigram_nll: ln p is computed
+    once per DISTINCT bigram, pre-rounded into a 1e9-scaled long, and
+    every tf·ln p product and per-doc sum runs in integer space — the
+    score is partition-invariant and bit-identical across engines.
+    Documents with fewer than 2 tokens have no bigrams and are absent.
+
+    Plan: the bigram stream is a map-side slice/zip/explode (no window —
+    adjacency is intra-row in the token array); then one (doc, bigram)
+    tf aggregate, two model aggregates over the DISTINCT-bigram frame
+    (vocab-bounded, never the instance stream), a bigram-keyed model
+    join, one per-doc rollup. V (distinct unigrams) broadcasts as a
+    1-row relation.
+    """
+    base = _tokens(docs, text, id_col).filter(F.size("toks") >= 2)
+    bi = (
+        base.withColumn("_prev", F.expr("slice(toks, 1, size(toks) - 1)"))
+        .withColumn("_next", F.expr("slice(toks, 2, size(toks) - 1)"))
+        .select(id_col, F.explode(F.arrays_zip("_prev", "_next")).alias("_bg"))
+        .select(
+            id_col,
+            F.col("_bg._prev").alias("_a"),
+            F.col("_bg._next").alias("_b"),
+        )
+    )
+    tf = bi.groupBy(id_col, "_a", "_b").agg(F.count(F.lit(1)).alias("tf"))
+    cab = tf.groupBy("_a", "_b").agg(F.sum("tf").cast("long").alias("_cab"))
+    ca = cab.groupBy("_a").agg(F.sum("_cab").cast("long").alias("_ca"))
+    vocab = (
+        _tokens(docs, text, id_col)
+        .select(F.explode("toks").alias("_t"))
+        .agg(F.count_distinct("_t").alias("_v"))
+    )
+    model = (
+        cab.join(ca, "_a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "_a",
+            "_b",
+            F.round(
+                F.log(
+                    (F.col("_cab") + F.lit(1))
+                    / (F.col("_ca") + F.col("_v")).cast("double")
+                )
+                * F.lit(1e9),
+                0,
+            )
+            .cast("long")
+            .alias("_lnp"),
+        )
+    )
+    scored = tf.join(model, ["_a", "_b"]).groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.sum(F.col("tf") * F.col("_lnp")).alias("_s"),
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        (
+            F.round(
+                -F.col("_s").cast("double") / F.lit(1e9) / F.col("n_bigrams") * 1e6,
+                0,
+            )
+            / 1e6
+        ).alias("nll"),
+    )
+
+
+def vocab_oov_rate(
+    docs: DataFrame,
+    vocab_k: int = 500,
+    text: str = "text",
+    id_col: str = "doc_id",
+    group: str = "source",
+) -> DataFrame:
+    """Out-of-vocabulary rate per corpus slice against the corpus' own
+    top-``vocab_k`` token vocabulary — the tokenizer-fit signal a
+    training pipeline checks before committing a vocab (a slice with
+    high OOV under the global vocabulary is under-served by it: wrong
+    language mix, heavy jargon, or encoding rot).
+
+    The vocabulary is deterministic: top-k by (count DESC, token ASC) —
+    the tie order is total, so the kept set is engine-exact; the rate is
+    integer ppm (n_oov·10⁶ DIV n_tokens).
+
+    Plan: one (token) count aggregate (map-side partials), a k-row
+    TakeOrdered for the vocab (no global sort), then the vocab broadcast
+    back over the token stream as a membership flag folded into ONE
+    (group) aggregate. The instance stream is exploded exactly once.
+    """
+    if vocab_k <= 0:
+        raise ValueError(f"vocab_k must be positive, got {vocab_k}")
+    inst = docs.select(
+        F.col(group).alias("_grp"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text))), r"\s+")
+        ).alias("_t"),
+    ).filter(F.col("_t") != "")
+    counts = inst.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    vocab = counts.orderBy(F.desc("_c"), F.asc("_t")).limit(vocab_k).select(
+        "_t", F.lit(True).alias("_in_vocab")
+    )
+    flagged = inst.join(F.broadcast(vocab), "_t", "left")
+    return (
+        flagged.groupBy("_grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            F.col("_grp").alias(group),
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 1000000 DIV n_tokens").alias("oov_ppm"),
+        )
     )

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import rolling_hash, portable_hash32
+from ..functions import rolling_hash, portable_hash31, portable_hash32
 
 __all__ = [
     "token_count",
@@ -24,6 +24,7 @@ __all__ = [
     "redact_pii",
     "chunk_documents",
     "token_entropy",
+    "feature_hashing",
 ]
 
 _WORD_RE = r"\s+"
@@ -343,4 +344,40 @@ def token_entropy(
         n.cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
         ent.alias("token_entropy"),
+    )
+
+
+def feature_hashing(
+    df: DataFrame,
+    n_buckets: int = 1024,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick featurization: each whitespace token maps to bucket
+    ``portable_hash31(token) % n_buckets`` and the per-document sparse
+    feature vector is the (bucket, count) rows — the fixed-width,
+    vocabulary-free text featurizer (Weinberger et al.'s hashing trick)
+    used for linear probes and fast classifiers over web-scale corpora.
+    The hash is the engine-portable MD5-based family, so the exact
+    bucket assignment is reproducible anywhere (Spark's native ``hash``
+    and DuckDB's are engine-specific and would never cross-verify).
+
+    Emits (doc_id, bucket, cnt) sparse rows — collect to an
+    ``array<struct>`` per doc downstream if a dense handoff is needed.
+
+    Plan: tokenize/explode/hash are one codegen'd map stage; the ONLY
+    exchange is the (doc, bucket) hash aggregate, with map-side partial
+    aggregation absorbing repeated tokens. Scales with corpus bytes.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    toks = df.filter(F.trim(F.col(text)) != "").select(
+        id_col,
+        F.explode(F.split(F.lower(F.trim(F.col(text))), _WORD_RE)).alias("_tok"),
+    )
+    bucket = (portable_hash31(F.col("_tok")) % F.lit(n_buckets)).cast("long")
+    return (
+        toks.select(id_col, bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )

@@ -6133,6 +6133,285 @@ FROM per QUALIFY rnk <= 2
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
+# wave 7 (round 8): dense linear algebra, n-gram LM, hashing-trick
+# features, vocab fit, robust rolling stats, equal-frequency binning,
+# label balance, engine-native streaming dedup
+# --------------------------------------------------------------------------
+
+
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized upper-triangular Gram matrix XᵀX of the corpus
+    embeddings — the PCA/whitening/covariance seed aggregate; see
+    operators.linalg.embedding_gram (per-Arrow-batch exact int64 BLAS
+    partials, one d²/2-row merge exchange; the corpus never shuffles)."""
+    from ..operators.linalg import embedding_gram
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_gram(emb)
+
+
+_SQL_EMBEDDING_GRAM = """
+WITH q AS (
+  SELECT vec_id,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS qx,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings)
+SELECT a.i AS i, b.i AS j, CAST(sum(a.qx * b.qx) AS BIGINT) AS g
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quantized min/max/sum/mean of the embedding corpus —
+    the feature-normalization statistics pass; see
+    operators.linalg.embedding_dim_stats (ONE decomposable dim-keyed
+    aggregate, floor-toward−inf integer mean)."""
+    from ..operators.linalg import embedding_dim_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dim_stats(emb)
+
+
+_SQL_EMBEDDING_DIM_STATS = """
+WITH q AS (
+  SELECT CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS qx,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings)
+SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       min(qx) AS min_q, max(qx) AS max_q,
+       CAST(sum(qx) AS BIGINT) AS sum_q,
+       CAST(CASE WHEN sum(qx) >= 0 THEN sum(qx) // count(*)
+                 ELSE -((-sum(qx) + count(*) - 1) // count(*)) END
+            AS BIGINT) AS mean_q
+FROM q GROUP BY dim
+"""
+
+
+def q_feature_hash_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (operators.text.feature_hashing,
+    256 buckets over the portable MD5 hash family) rolled up to the
+    bucket histogram: how many documents and token instances each
+    feature bucket carries — the collision-load check run before
+    committing a hashed feature width."""
+    from ..operators.text import feature_hashing
+
+    docs = _tw(spark, sf_dir, "documents")
+    feats = feature_hashing(docs, n_buckets=256)
+    return feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("cnt").cast("long").alias("total_cnt"),
+    )
+
+
+_SQL_FEATURE_HASH = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+  FROM documents WHERE trim(text) <> ''),
+b AS (SELECT doc_id,
+             {_MD5H31_IN_SQL.format(s="t")} % 256 AS bucket
+      FROM toks),
+pb AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY doc_id, bucket)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(cnt) AS BIGINT) AS total_cnt
+FROM pb GROUP BY bucket
+"""
+
+
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean NLL under the corpus' add-one-smoothed bigram
+    model — the next rung of the perplexity quality-filter ladder above
+    unigram_nll; see operators.ranking.bigram_nll (ln p once per
+    DISTINCT bigram into 1e9-scaled longs; integer folds throughout)."""
+    docs = _tw(spark, sf_dir, "documents")
+    return RK.bigram_nll(docs)
+
+
+_SQL_BIGRAM_NLL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS l
+  FROM documents),
+bi AS (
+  SELECT doc_id, unnest(l[1:len(l)-1]) AS a, unnest(l[2:len(l)]) AS b
+  FROM toks WHERE len(l) >= 2),
+tf AS (SELECT doc_id, a, b, count(*) AS tf FROM bi GROUP BY doc_id, a, b),
+cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bi GROUP BY a, b),
+ca AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a),
+v AS (SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(l) AS t FROM toks)),
+model AS (
+  SELECT cab.a, cab.b,
+         CAST(round(ln((c_ab + 1) / CAST(c_a + v.v AS DOUBLE)) * 1e9)
+              AS BIGINT) AS lnp
+  FROM cab JOIN ca ON cab.a = ca.a CROSS JOIN v),
+sc AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         CAST(sum(tf * lnp) AS BIGINT) AS ss
+  FROM tf JOIN model ON tf.a = model.a AND tf.b = model.b
+  GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+       round(-CAST(ss AS DOUBLE) / 1e9 / n_bigrams, 6) AS nll
+FROM sc
+"""
+
+
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus' own top-500
+    token vocabulary (deterministic count-then-token tie order) — the
+    tokenizer-fit signal; see operators.ranking.vocab_oov_rate (one
+    token aggregate, k-row TakeOrdered vocab broadcast back, one group
+    aggregate; integer ppm)."""
+    docs = _tw(spark, sf_dir, "documents")
+    return RK.vocab_oov_rate(docs, vocab_k=500)
+
+
+_SQL_VOCAB_OOV = r"""
+WITH inst AS (
+  SELECT source AS grp,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+  FROM documents),
+inst2 AS (SELECT * FROM inst WHERE t <> ''),
+counts AS (SELECT t, count(*) AS c FROM inst2 GROUP BY t),
+vocab AS (SELECT t, TRUE AS in_vocab FROM counts ORDER BY c DESC, t LIMIT 500)
+SELECT grp AS source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST((sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS oov_ppm
+FROM inst2 LEFT JOIN vocab USING (t)
+GROUP BY grp
+"""
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-5 rolling median of each user's readings (discrete
+    lower-median on µ-scaled longs — robust denoising, engine-exact);
+    see operators.timeseries.rolling_median (one key exchange, O(k)
+    rows-bounded window state)."""
+    from ..operators.timeseries import rolling_median
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_median(ev, k=5)
+    return out.select(
+        "user_id",
+        "event_id",
+        "n_in_window",
+        "median_us",
+    )
+
+
+_SQL_ROLLING_MEDIAN = """
+WITH v AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 1e6) AS BIGINT) AS v_us
+  FROM events),
+w AS (
+  SELECT user_id, event_id,
+         list_filter(
+           list(v_us) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           x -> x IS NOT NULL) AS vals
+  FROM v)
+SELECT user_id, event_id,
+       CAST(len(vals) AS BIGINT) AS n_in_window,
+       list_sort(vals)[(len(vals) + 1) // 2] AS median_us
+FROM w
+"""
+
+
+def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency quartile binning of readings per event_type
+    (feature bucketing / monotone binning for model inputs): ntile(4)
+    over the TOTAL (value, event_id) order — deterministic bin edges,
+    engine-identical remainder distribution. The window is
+    TYPE-partitioned (same shape precedent as value_percentile_rank),
+    never global; bin summaries are one decomposable aggregate after."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    v_us = F.round(F.col("value") * 1e6, 0).cast("long")
+    b = ev.select(
+        "event_type",
+        F.ntile(4).over(w).alias("bin"),
+        v_us.alias("v_us"),
+    )
+    return b.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("v_us").alias("lo_us"),
+        F.max("v_us").alias("hi_us"),
+    ).select("event_type", F.col("bin").cast("long").alias("bin"), "n", "lo_us", "hi_us")
+
+
+_SQL_EQUI_DEPTH_BINS = """
+WITH b AS (
+  SELECT event_type,
+         ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS bin,
+         CAST(round(value * 1e6) AS BIGINT) AS v_us
+  FROM events)
+SELECT event_type, CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       min(v_us) AS lo_us, max(v_us) AS hi_us
+FROM b GROUP BY event_type, bin
+"""
+
+
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-balance report over the document corpus: per-language count,
+    integer-ppm share, and 1e9-scaled surprisal −ln(share) — the class
+    imbalance audit before sampling weights are chosen. One decomposable
+    aggregate plus a broadcast 1-row total; integer share math."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    total = per.agg(F.sum("_n").alias("_t"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "lang",
+        F.col("_n").cast("long").alias("n_docs"),
+        F.expr("_n * 1000000 DIV _t").alias("share_ppm"),
+        F.round(
+            F.log(F.col("_t").cast("double") / F.col("_n").cast("double"))
+            * F.lit(1e9),
+            0,
+        )
+        .cast("long")
+        .alias("surprisal_1e9"),
+    )
+
+
+_SQL_CLASS_BALANCE = """
+WITH per AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM per)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       CAST((n * 1000000) // t.t AS BIGINT) AS share_ppm,
+       CAST(round(ln(CAST(t.t AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9)
+            AS BIGINT) AS surprisal_1e9
+FROM per CROSS JOIN t
+"""
+
+
+def q_stream_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native streaming exact dedup through the REAL streaming
+    engine (file source → md5 key → dropDuplicatesWithinWatermark →
+    append memory sink, availableNow): the emitted distinct content-key
+    set equals SELECT DISTINCT md5(text) — which is the oracle. See
+    streaming.dedup_stream.run_streaming_window_dedup_batchmode."""
+    from ..streaming.dedup_stream import run_streaming_window_dedup_batchmode
+
+    prepare_session(spark)
+    return run_streaming_window_dedup_batchmode(
+        spark, f"{sf_dir}/documents.parquet"
+    )
+
+
+_SQL_STREAM_WINDOW_DEDUP = """
+SELECT DISTINCT md5(text) AS content_key FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
 # entries (dict insertion order); rotation policy is one full sweep every
@@ -6161,15 +6440,19 @@ FROM per QUALIFY rnk <= 2
 # ≤2.2 s — comfortably inside the ~30 s/entry envelope and under half
 # the r7 window's 54 s wall.
 #
-# R9 WINDOW PLAN (execute at r9 start): the 6 remaining never-gated
-# entries first (streaming_ewma — stateful streaming, gate it before the
-# batch twin rotates out again — then value_percentile_rank,
-# grid_density, salted_hot_key_agg, event_paths, brand_top_parts), plus
-# any new wave-7 entries added in r8 (salted_join_equiv etc.), then fill
-# the remaining slots with the stalest r6 rows in r6-window order
-# (streaming_neardup, stream_distinct_users, byte_histogram, ...).
-# Any r6 rows that don't fit must lead the r10 window alongside the
-# r7-stale rotation — that keeps every entry's driver row ≤2 rounds old.
+# R9 WINDOW PLAN (execute at r9 start): the 16 never-gated entries
+# first — the 6 r7 leftovers (streaming_ewma — stateful streaming, gate
+# it before the batch twin rotates out again — then
+# value_percentile_rank, grid_density, salted_hot_key_agg, event_paths,
+# brand_top_parts) plus the 10 r8 wave-7 additions (stream_window_dedup
+# early — real streaming job — then salted_join_equiv, embedding_gram,
+# embedding_dim_stats, feature_hash_histogram, bigram_nll,
+# vocab_oov_rate, rolling_median, equi_depth_bins, class_balance) —
+# then fill the remaining 34 slots with the stalest r6 rows in
+# r6-window order (streaming_neardup, stream_distinct_users,
+# byte_histogram, ...). The ~16 r6 rows that don't fit must lead the
+# r10 window alongside the r7-stale rotation — that keeps every entry's
+# driver row ≤2 rounds old.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-gated: the two r5 streaming entries (real streaming
     # jobs; gate == batch twin, equality is test-asserted) ---
@@ -6370,9 +6653,23 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "event_paths": (q_event_paths, _SQL_EVENT_PATHS),
     "windowed_funnel": (q_windowed_funnel, _SQL_WINDOWED_FUNNEL),
     "brand_top_parts": (q_brand_top_parts, _SQL_BRAND_TOP_PARTS),
-    # --- new in r8 wave 7 ---
+    # --- new in r8 wave 7 (dense linalg / n-gram LM / hashed features /
+    # vocab fit / robust rolling stats / equal-frequency bins / label
+    # balance / native streaming dedup) — behind the window this round,
+    # parity-swept now, front of the r9 window per the plan above ---
     # salted_join equivalence contract: oracle = the UNSALTED join
     "salted_join_equiv": (q_salted_join_equiv, _SQL_SALTED_JOIN),
+    "embedding_gram": (q_embedding_gram, _SQL_EMBEDDING_GRAM),
+    "embedding_dim_stats": (q_embedding_dim_stats, _SQL_EMBEDDING_DIM_STATS),
+    "feature_hash_histogram": (q_feature_hash_histogram, _SQL_FEATURE_HASH),
+    "bigram_nll": (q_bigram_nll, _SQL_BIGRAM_NLL),
+    "vocab_oov_rate": (q_vocab_oov_rate, _SQL_VOCAB_OOV),
+    "rolling_median": (q_rolling_median, _SQL_ROLLING_MEDIAN),
+    "equi_depth_bins": (q_equi_depth_bins, _SQL_EQUI_DEPTH_BINS),
+    "class_balance": (q_class_balance, _SQL_CLASS_BALANCE),
+    # real streaming job (engine-native dropDuplicatesWithinWatermark);
+    # oracle = DISTINCT md5(text) — the emitted key SET is deterministic
+    "stream_window_dedup": (q_stream_window_dedup, _SQL_STREAM_WINDOW_DEDUP),
 }
 
 

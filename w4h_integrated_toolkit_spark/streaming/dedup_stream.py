@@ -45,6 +45,7 @@ __all__ = [
     "rowwise_band_rows",
     "streaming_neardup_matches",
     "run_streaming_neardup_batchmode",
+    "run_streaming_window_dedup_batchmode",
 ]
 
 
@@ -245,3 +246,56 @@ def run_streaming_neardup_batchmode(
     return drain_memory_sink(
         out, "append", name_prefix="w4h_neardup_stream_", stage_dir=stage
     )
+
+
+def run_streaming_window_dedup_batchmode(
+    spark,
+    docs_path: str,
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Execute the ENGINE-NATIVE streaming exact-dedup gate end-to-end
+    through the real streaming engine: parquet file source → MD5 content
+    key → ``dropDuplicatesWithinWatermark`` (watermark-bounded state, no
+    Python in the path; see ``stateful.streaming_dedup_within_watermark``)
+    → append memory sink (availableNow). Returns the emitted DISTINCT
+    content keys.
+
+    The registry entry point for `stream_window_dedup`. Emission is one
+    row per distinct content within the horizon; WHICH duplicate row wins
+    is micro-batch-order-dependent, so the gate projects the content_key
+    column alone — the emitted KEY SET is deterministic and equals
+    ``SELECT DISTINCT md5(text)``, which is exactly the DuckDB oracle.
+    Event time is synthesized from doc_id (the documents table carries no
+    timestamp) with all arrivals inside one horizon, so the suppression
+    window unambiguously covers every duplicate pair.
+    """
+    import os
+    import tempfile
+
+    from .stateful import streaming_dedup_within_watermark
+
+    if os.path.isfile(docs_path):
+        stage = tempfile.mkdtemp(prefix="w4h_windedup_stream_")
+        os.symlink(docs_path, os.path.join(stage, os.path.basename(docs_path)))
+        source_dir = stage
+    else:
+        stage = None
+        source_dir = docs_path
+    schema = spark.read.parquet(docs_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir).select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(
+            F.lit(1_704_067_200) + F.col("doc_id") % 600
+        ).alias("event_time"),
+    )
+    out = streaming_dedup_within_watermark(
+        stream, event_time="event_time", horizon=horizon
+    )
+
+    from .replay import drain_memory_sink
+
+    drained = drain_memory_sink(
+        out, "append", name_prefix="w4h_windedup_stream_", stage_dir=stage
+    )
+    return drained.select("content_key").distinct()
