@@ -65,6 +65,12 @@ def main() -> None:
         "weighted_sample": lambda d: weighted_priority_sample(
             d.withColumn("n_chars", F.length("text")), "n_chars", 100
         ).count(),
+        # r8 wave-7 text/LM ops (same replicated frames)
+        "feature_hashing": lambda d: TX.feature_hashing(d, 256).count(),
+        "bigram_nll": lambda d: RK.bigram_nll(d).count(),
+        "vocab_oov_rate": lambda d: RK.vocab_oov_rate(
+            d.withColumn("source", (F.col("doc_id") % 20).cast("string"))
+        ).count(),
     }
     results = {
         f: {
@@ -82,6 +88,43 @@ def main() -> None:
                 fn(frames[f])
                 ts.append(time.time() - t0)
             results[f][op] = round(min(ts), 2)
+
+    # wave-7 non-document ops: embeddings (Gram) and events (rolling
+    # median) replicate by id offset — values may repeat, neither op's
+    # cost depends on content collisions
+    from w4h_integrated_toolkit_spark.operators.linalg import embedding_gram
+    from w4h_integrated_toolkit_spark.operators.timeseries import (
+        rolling_median,
+    )
+
+    emb = read_parquet(s, f"{SF_DIR}/embeddings.parquet")
+    ev = read_parquet(s, f"{SF_DIR}/events.parquet")
+    for f in FACTORS:
+        e_f = ensure_min_partitions(
+            emb.withColumn(
+                "_rep", F.explode(F.array(*[F.lit(i) for i in range(f)]))
+            ).withColumn(
+                "vec_id", F.col("vec_id") + F.col("_rep") * 10_000_000
+            ).drop("_rep")
+        ).localCheckpoint(eager=True)
+        v_f = ev.withColumn(
+            "_rep", F.explode(F.array(*[F.lit(i) for i in range(f)]))
+        ).withColumn(
+            "user_id", F.col("user_id") + F.col("_rep") * 10_000_000
+        ).drop("_rep").localCheckpoint(eager=True)
+        for op, fn in {
+            "embedding_gram": lambda: embedding_gram(e_f).count(),
+            "rolling_median": lambda: rolling_median(v_f, k=5).count(),
+        }.items():
+            fn()  # warm
+            ts = []
+            for _ in range(2):
+                t0 = time.time()
+                fn()
+                ts.append(time.time() - t0)
+            results[f][op] = round(min(ts), 2)
+        e_f.unpersist()
+        v_f.unpersist()
     print(json.dumps({f"{k}x": v for k, v in results.items()}))
     s.stop()
 
