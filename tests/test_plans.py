@@ -1010,3 +1010,50 @@ def test_wave4_plan_shapes(spark):
     p = plan_of(spark, "event_type_pagerank")
     # rank frames broadcast; the edge frame must never sort-merge
     assert "SortMergeJoin" not in p, p[:800]
+
+
+def test_wave7_plan_shapes(spark):
+    """Back the COVERAGE.md plan claims for the r8 wave-7 entries:
+    exchange budgets, map-side-only where promised, TakeOrdered for the
+    vocab top-k, no raw-corpus shuffles in the Gram merge."""
+    p = plan_of(spark, "embedding_gram")
+    # ONE merge exchange of the (i, j) partials; the corpus itself never
+    # shuffles (quantization + mapInPandas are in the scan stage)
+    assert n_shuffles(p) <= 1, p[:800]
+    assert "Join" not in p and "Window" not in p
+
+    p = plan_of(spark, "embedding_dim_stats")
+    # one decomposable dim-keyed aggregate
+    assert n_shuffles(p) <= 1, p[:800]
+    assert "Join" not in p and "Window" not in p
+
+    p = plan_of(spark, "feature_hash_histogram")
+    # (doc,bucket) agg + bucket rollup (+1 ensure_min_partitions
+    # redistribute of the degenerate single-file scan)
+    assert n_shuffles(p) <= 3, p[:800]
+    assert "Join" not in p
+
+    p = plan_of(spark, "vocab_oov_rate")
+    assert "TakeOrderedAndProject" in p, "vocab top-k must not globally sort"
+    # the vocab flag must come back as a broadcast, not a shuffled join
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+    p = plan_of(spark, "rolling_median")
+    # ONE key exchange for the rows-bounded window
+    assert n_shuffles(p) == 1, p[:800]
+    assert "Join" not in p
+
+    p = plan_of(spark, "equi_depth_bins")
+    # type-partitioned ntile window + bin aggregate on the same clustering
+    assert n_shuffles(p) <= 2, p[:800]
+    assert "Join" not in p
+
+    p = plan_of(spark, "bigram_nll")
+    # bigrams are intra-row slice/zip — NO window anywhere
+    assert "Window" not in p, p[:800]
+
+    p = plan_of(spark, "salted_join_equiv")
+    # the salted join must still be a hash/sort equi join, never a
+    # nested-loop over the replicated build side
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
