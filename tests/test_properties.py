@@ -922,3 +922,89 @@ def test_kmeans_iteration_matches_integer_model(spark, pts):
             for r in kmeans_iteration(vdf, cdf).collect()
         }
         assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(-5, 5)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_rolling_median_matches_brute_force(spark, vals):
+    """rolling_median against a brute-force sorted-window model for
+    NULL-dense random series — the discrete lower median of the non-null
+    values in the trailing-k frame, invariant under input-row
+    permutation (the (ts, event_id) order is total)."""
+    from w4h_integrated_toolkit_spark.operators.timeseries import (
+        rolling_median,
+    )
+
+    k = 3
+    rows = [
+        (1, i, f"2024-01-01 00:00:{i:02d}", None if v is None else float(v))
+        for i, v in enumerate(vals)
+    ]
+    expected = {}
+    for i in range(len(vals)):
+        window = [
+            v for v in vals[max(0, i - k + 1): i + 1] if v is not None
+        ]
+        sw = sorted(v * 1_000_000 for v in window)
+        expected[i] = (
+            len(sw),
+            sw[(len(sw) + 1) // 2 - 1] if sw else None,
+        )
+
+    for ordering in (rows, rows[::-1]):
+        df = spark.createDataFrame(
+            ordering, "user_id long, event_id long, ts_s string, value double"
+        ).select(
+            "user_id",
+            "event_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "value",
+        )
+        got = {
+            r["event_id"]: (r["n_in_window"], r["median_us"])
+            for r in rolling_median(df, k=k).collect()
+        }
+        assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 20), min_size=4, max_size=24),
+)
+def test_equi_depth_bins_ntile_contract(spark, vals):
+    """ntile's SQL contract, pinned: bin sizes differ by at most 1, the
+    larger bins come first, and bin value ranges are non-overlapping and
+    ordered (under the total (value, id) order)."""
+    from w4h_integrated_toolkit_spark.plans.queries import q_equi_depth_bins
+
+    import tempfile
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1), 7, "t", float(v), "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory(prefix="w4h_bins_") as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = sorted(
+            (r["bin"], r["n"], r["lo_us"], r["hi_us"])
+            for r in q_equi_depth_bins(spark, d).collect()
+        )
+    n = len(vals)
+    base, rem = divmod(n, 4)
+    expected_sizes = [base + (1 if b < rem else 0) for b in range(4)]
+    expected_sizes = [s for s in expected_sizes if s > 0]
+    assert [g[1] for g in got] == expected_sizes
+    # ranges ordered and non-overlapping under the total order
+    for (b1, _n1, _lo1, hi1), (b2, _n2, lo2, _hi2) in zip(got, got[1:]):
+        assert b1 < b2 and hi1 <= lo2

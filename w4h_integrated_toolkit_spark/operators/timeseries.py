@@ -685,7 +685,9 @@ def rolling_median(
     v_us = F.round(F.col(value).cast("double") * 1e6, 0).cast("long")
     arr = F.array_sort(F.collect_list(v_us).over(w))
     n = F.size(arr)
-    med = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    # an all-NULL window leaves an empty array — element_at(_, 0) raises,
+    # so the median must gate on n (the documented NULL-window contract)
+    med = F.when(n > 0, F.element_at(arr, ((n + 1) / 2).cast("int")))
     return df.select(
         key,
         F.col(order_tiebreak),
