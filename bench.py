@@ -193,6 +193,11 @@ EXTRA_BENCH_QUERIES = [
     "equi_depth_bins",
     "class_balance",
     "stream_window_dedup",
+    # --- r8 wave 8 ---
+    "acf_lags",
+    "kfold_report",
+    "quality_top_p",
+    "dataset_card",
 ]
 
 

@@ -1057,3 +1057,25 @@ def test_wave7_plan_shapes(spark):
     # the salted join must still be a hash/sort equi join, never a
     # nested-loop over the replicated build side
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_wave8_plan_shapes(spark):
+    """Back the COVERAGE.md plan claims for the r8 wave-8 entries."""
+    p = plan_of(spark, "acf_lags")
+    # minute aggregate + lag equi join + (key, lag) aggregate — the lag
+    # join must be an equi hash/sort join, never a range/nested loop
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p
+
+    p = plan_of(spark, "kfold_report")
+    # hash fold is map-side; one (fold, lang) aggregate
+    assert n_shuffles(p) <= 1, p[:800]
+    assert "Join" not in p and "Window" not in p
+
+    p = plan_of(spark, "dataset_card")
+    # decomposable global aggregate (distinct counts expand, still no join)
+    assert "Join" not in p and "Window" not in p
+
+    p = plan_of(spark, "quality_top_p")
+    # windows must all be SOURCE-partitioned (global sweep double-checks)
+    assert "CartesianProduct" not in p

@@ -33,6 +33,7 @@ __all__ = [
     "blocked_edit_distance_pairs",
     "table_diff",
     "scd2_intervals",
+    "kfold_assignment",
 ]
 
 
@@ -482,3 +483,32 @@ def scd2_intervals(
         F.lead("_t_us").over(w2).alias("valid_to_us"),
         F.row_number().over(w2).cast("long").alias("version"),
     )
+
+
+def kfold_assignment(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    salt: str = "kfold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    ``portable_hash32(salt || id) % k`` — the same portable-hash
+    membership family as :func:`stratified_sample` / `stable_split`, so
+    the fold of a row is a pure function of its id: stable across runs,
+    engines, partitionings, and corpus growth (new rows never move old
+    rows between folds, unlike ntile/row_number folds). Change ``salt``
+    to draw an independent fold assignment.
+
+    Returns the input with a ``fold`` column appended (map-side only —
+    callers filter ``fold != i`` / ``fold == i`` for train/eval; both
+    predicates push into the scan when the assignment is materialized).
+    """
+    from ..functions import portable_hash32
+
+    if k <= 1:
+        raise ValueError(f"k must be >= 2, got {k}")
+    fold = (
+        portable_hash32(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+        % F.lit(k)
+    ).cast("long")
+    return df.withColumn("fold", fold)

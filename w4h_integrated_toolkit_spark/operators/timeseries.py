@@ -32,6 +32,7 @@ __all__ = [
     "spearman_trend",
     "ewma_smooth",
     "rolling_median",
+    "autocorrelation",
 ]
 
 
@@ -694,4 +695,74 @@ def rolling_median(
         F.col(ts),
         n.cast("long").alias("n_in_window"),
         med.alias("median_us"),
+    )
+
+
+def autocorrelation(
+    series: DataFrame,
+    lags: tuple[int, ...] = (1, 2, 3),
+    key: str = "event_type",
+    idx: str = "m",
+    value: str = "x",
+) -> DataFrame:
+    """Pearson autocorrelation of a regular integer series at the given
+    lags, per key — the seasonality probe (strong ACF at lag 60/1440
+    minutes = hourly/daily structure) a pipeline runs before choosing
+    window sizes or seasonal baselines. ``series`` must carry an integer
+    grid index ``idx`` and an INTEGER-QUANTIZED value ``value`` (the
+    registry entry feeds floor-mean per-minute aggregates; any exact
+    integer series works).
+
+    Engine-exactness: all six sufficient statistics (n, Σx, Σy, Σxy,
+    Σx², Σy²) are exact int64 sums over the lag pairs; the final r
+    combines them in DOUBLE as a fixed sequence of correctly-rounded
+    ops on identical integers, so both engines compute the identical
+    float. Overflow bound: requires n·max(x)² < 2⁶³ — at milli-scaled
+    values ≤1e6 that allows ~9·10⁶ grid points per key (document the
+    coarser quantization escape hatch beyond that, same convention as
+    linalg.embedding_gram).
+
+    Plan: the lag set explodes the left side ×|lags| map-side, then ONE
+    equi join on (key, idx+lag) — never a non-equi range join — and one
+    (key, lag) aggregate. Keys with fewer than 2 pairs or zero variance
+    emit NULL r (undefined, not 0).
+    """
+    if not lags or any(l <= 0 for l in lags):
+        raise ValueError(f"lags must be positive, got {lags}")
+    a = series.select(
+        F.col(key).alias("_k"),
+        F.col(idx).alias("_m"),
+        F.col(value).cast("long").alias("_x"),
+        F.explode(F.array(*[F.lit(int(l)) for l in lags])).alias("lag"),
+    ).withColumn("_mj", F.col("_m") + F.col("lag"))
+    b = series.select(
+        F.col(key).alias("_k"),
+        F.col(idx).alias("_mj"),
+        F.col(value).cast("long").alias("_y"),
+    )
+    pairs = a.join(b, ["_k", "_mj"])
+    agg = pairs.groupBy("_k", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    r = F.when((F.col("n") >= 2) & (vx > 0) & (vy > 0), num / F.sqrt(vx * vy))
+    return agg.select(
+        F.col("_k").alias(key),
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        r.alias("acf"),
     )

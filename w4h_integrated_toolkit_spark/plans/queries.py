@@ -6412,6 +6412,179 @@ SELECT DISTINCT md5(text) AS content_key FROM documents
 
 
 # --------------------------------------------------------------------------
+# wave 8 (round 8): autocorrelation, k-fold CV assignment, top-p quality
+# selection, dataset card
+# --------------------------------------------------------------------------
+
+
+def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson autocorrelation at lags 1-3 minutes of each event_type's
+    per-minute floor-mean series — the seasonality probe; see
+    operators.timeseries.autocorrelation (exact int64 sufficient
+    statistics over ONE equi lag join; the final r is a fixed double
+    sequence over identical integers, so it is engine-exact)."""
+    from ..operators.timeseries import autocorrelation
+
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("double") / 60).cast("long").alias("m"),
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(value * 1e3) AS BIGINT)) DIV count(*) "
+            "AS BIGINT)"
+        ).alias("x")
+    )
+    out = autocorrelation(m, lags=(1, 2, 3))
+    return out.select(
+        "event_type", "lag", "n_pairs", _r(F.col("acf"), 9).alias("acf")
+    )
+
+
+_SQL_ACF_LAGS = """
+WITH m AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 60) AS BIGINT) AS m,
+         CAST(CAST(sum(CAST(round(value * 1e3) AS BIGINT)) AS BIGINT)
+              // count(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, 2),
+p AS (
+  SELECT a.event_type, l.lag, a.x AS x, b.x AS y
+  FROM m a
+  CROSS JOIN (VALUES (1), (2), (3)) l(lag)
+  JOIN m b ON b.event_type = a.event_type AND b.m = a.m + l.lag),
+s AS (
+  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM p GROUP BY event_type, lag)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+       round(CASE WHEN n >= 2
+                   AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                   AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+             THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             END, 9) AS acf
+FROM s
+"""
+
+
+def q_kfold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold CV assignment (portable-hash fold per doc —
+    stable across runs/engines/corpus growth; see
+    operators.etl.kfold_assignment) rolled up per (fold, lang): the
+    balance check run before trusting a split."""
+    from ..operators.etl import kfold_assignment
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        kfold_assignment(docs, k=5)
+        .groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+_SQL_KFOLD = """
+SELECT CAST('0x' || substr(md5('kfold|' || CAST(doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % 5 AS fold,
+       lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_quality_top_p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus-style) quality selection per source: keep the
+    highest-quality documents until the kept set holds half the source's
+    total quality mass — the mass-targeted sibling of the count-targeted
+    quality_filter_per_lang. All membership math is integer (µ-scaled
+    quality, strict cum-before < total/2), so the kept set is
+    deterministic and engine-exact; windows are SOURCE-partitioned."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    qual = TX.quality_score(docs).select(
+        "doc_id", F.round(F.col("quality") * F.lit(1e6)).cast("long").alias("qs")
+    )
+    j = docs.select("doc_id", "source").join(qual, "doc_id")
+    w = Window.partitionBy("source").orderBy(F.col("qs").desc(), F.col("doc_id"))
+    ranked = j.select(
+        "source",
+        "doc_id",
+        "qs",
+        F.sum("qs").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("qs").over(Window.partitionBy("source")).alias("tot"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("cnt"),
+    )
+    kept_flag = (F.col("cum") - F.col("qs")) * 2 < F.col("tot")
+    return ranked.groupBy("source").agg(
+        F.max("cnt").cast("long").alias("n_docs"),
+        F.sum(F.when(kept_flag, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.expr(
+            "CAST(sum(CASE WHEN (cum - qs) * 2 < tot THEN qs ELSE 0 END) "
+            "* 1000000 DIV max(tot) AS BIGINT)"
+        ).alias("kept_mass_ppm"),
+    )
+
+
+def _quality_top_p_sql() -> str:
+    return f"""
+WITH qual AS (
+  SELECT doc_id, CAST(round(quality * 1e6) AS BIGINT) AS qs
+  FROM ({_quality_sql()})),
+j AS (
+  SELECT d.doc_id, d.source, q.qs
+  FROM documents d JOIN qual q USING (doc_id)),
+rw AS (
+  SELECT source, doc_id, qs,
+         sum(qs) OVER (PARTITION BY source ORDER BY qs DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(qs) OVER (PARTITION BY source) AS tot,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM j)
+SELECT source, CAST(max(cnt) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN (cum - qs) * 2 < tot THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(CAST(sum(CASE WHEN (cum - qs) * 2 < tot THEN qs ELSE 0 END)
+                 AS BIGINT) * 1000000 // CAST(max(tot) AS BIGINT)
+            AS BIGINT) AS kept_mass_ppm
+FROM rw GROUP BY source
+"""
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: corpus size, label/source cardinalities,
+    token and character totals — the header block of a data card, as one
+    decomposable aggregate over the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.sum(TX.token_count(F.col("text"))).cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+_SQL_DATASET_CARD = r"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+         AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
 # entries (dict insertion order); rotation policy is one full sweep every
@@ -6440,17 +6613,18 @@ SELECT DISTINCT md5(text) AS content_key FROM documents
 # ≤2.2 s — comfortably inside the ~30 s/entry envelope and under half
 # the r7 window's 54 s wall.
 #
-# R9 WINDOW PLAN (execute at r9 start): the 16 never-gated entries
+# R9 WINDOW PLAN (execute at r9 start): the 20 never-gated entries
 # first — the 6 r7 leftovers (streaming_ewma — stateful streaming, gate
 # it before the batch twin rotates out again — then
 # value_percentile_rank, grid_density, salted_hot_key_agg, event_paths,
-# brand_top_parts) plus the 10 r8 wave-7 additions (stream_window_dedup
+# brand_top_parts), the 10 r8 wave-7 additions (stream_window_dedup
 # early — real streaming job — then salted_join_equiv, embedding_gram,
 # embedding_dim_stats, feature_hash_histogram, bigram_nll,
-# vocab_oov_rate, rolling_median, equi_depth_bins, class_balance) —
-# then fill the remaining 34 slots with the stalest r6 rows in
-# r6-window order (streaming_neardup, stream_distinct_users,
-# byte_histogram, ...). The ~16 r6 rows that don't fit must lead the
+# vocab_oov_rate, rolling_median, equi_depth_bins, class_balance), and
+# the 4 r8 wave-8 additions (acf_lags, kfold_report, quality_top_p,
+# dataset_card) — then fill the remaining 30 slots with the stalest r6
+# rows in r6-window order (streaming_neardup, stream_distinct_users,
+# byte_histogram, ...). The ~20 r6 rows that don't fit must lead the
 # r10 window alongside the r7-stale rotation — that keeps every entry's
 # driver row ≤2 rounds old.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
@@ -6670,6 +6844,11 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # real streaming job (engine-native dropDuplicatesWithinWatermark);
     # oracle = DISTINCT md5(text) — the emitted key SET is deterministic
     "stream_window_dedup": (q_stream_window_dedup, _SQL_STREAM_WINDOW_DEDUP),
+    # --- new in r8 wave 8 (ACF / CV folds / top-p selection / data card)
+    "acf_lags": (q_acf_lags, _SQL_ACF_LAGS),
+    "kfold_report": (q_kfold_report, _SQL_KFOLD),
+    "quality_top_p": (q_quality_top_p, _quality_top_p_sql()),
+    "dataset_card": (q_dataset_card, _SQL_DATASET_CARD),
 }
 
 
