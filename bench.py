@@ -198,6 +198,9 @@ EXTRA_BENCH_QUERIES = [
     "kfold_report",
     "quality_top_p",
     "dataset_card",
+    # --- r8 wave 9 ---
+    "basket_affinity",
+    "shrunk_group_means",
 ]
 
 

@@ -2969,3 +2969,70 @@ def test_quality_top_p_keeps_half_the_mass(spark):
     assert r["n_docs"] == 4
     assert 1 <= r["n_kept"] <= 4
     assert r["kept_mass_ppm"] >= 500_000      # at least half the mass kept
+
+
+def test_basket_affinity_hand_model(spark):
+    """Closed-form lift on 3 hand baskets: always-together pair has
+    lift = N/(s_a·s_b)·s_ab computed exactly; never-together pairs are
+    absent (support 0 rows are not emitted)."""
+    import datetime as dt
+    import tempfile
+
+    from w4h_integrated_toolkit_spark.plans.queries import q_basket_affinity
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # basket (u1, day0): {x, y}; (u2, day0): {x, y}; (u3, day0): {x, z}
+    for u, types in ((1, ["x", "y"]), (2, ["x", "y"]), (3, ["x", "z"])):
+        for t in types:
+            rows.append((eid, d0, u, t, 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory(prefix="w4h_basket_") as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = {
+            (r["type_a"], r["type_b"]): (r["support"], r["lift"])
+            for r in q_basket_affinity(spark, d).collect()
+        }
+    # N=3 baskets; s_x=3, s_y=2, s_z=1; s_xy=2, s_xz=1; (y,z) never co-occur
+    assert got == {
+        ("x", "y"): (2, round(2 * 3 / (3 * 2), 6)),
+        ("x", "z"): (1, round(1 * 3 / (3 * 1), 6)),
+    }
+
+
+def test_shrunk_group_means_pulls_small_groups(spark):
+    """m-estimate contract: a 1-row outlier group shrinks almost to the
+    global mean; a large group barely moves; exact integer floor math."""
+    import datetime as dt
+    import tempfile
+
+    from w4h_integrated_toolkit_spark.plans.queries import q_shrunk_group_means
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [(i, d0, 1, "big", 10.0, "{}") for i in range(1000)]
+    rows.append((1000, d0, 1, "tiny", 1000.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory(prefix="w4h_shrink_") as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = {
+            r["event_type"]: (r["n"], r["raw_mean_us"], r["shrunk_mean_us"])
+            for r in q_shrunk_group_means(spark, d).collect()
+        }
+    g = (1000 * 10_000_000 + 1_000_000_000) // 1001     # global floor mean
+    assert got["big"][1] == 10_000_000
+    assert got["tiny"][1] == 1_000_000_000
+    assert got["tiny"][2] == (1_000_000_000 + 100 * g) // 101
+    assert got["big"][2] == (1000 * 10_000_000 + 100 * g) // 1100
+    # the tiny group moved nearly to g; the big one stayed near its raw mean
+    assert abs(got["tiny"][2] - g) < abs(got["tiny"][1] - g) // 10
+    assert abs(got["big"][2] - got["big"][1]) < 2_000_000

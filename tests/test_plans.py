@@ -389,6 +389,8 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "kmeans_iteration",       # k-row centroid frame broadcast-crossed (k-means contract)
     "bigram_nll",             # 1-row vocab-size scalar crossed onto the bigram model
     "class_balance",          # 1-row corpus-total scalar crossed onto per-lang counts
+    "basket_affinity",        # 1-row basket-count scalar crossed onto type pairs
+    "shrunk_group_means",     # 1-row global-mean scalar crossed onto per-type rows
 }
 
 

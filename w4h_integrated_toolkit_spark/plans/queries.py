@@ -6585,6 +6585,132 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# wave 9 (round 8): market-basket affinity, m-estimate shrinkage
+# --------------------------------------------------------------------------
+
+
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over (user, day) baskets of event types:
+    for each unordered type pair, basket co-occurrence support and lift
+    = (support_ab · N) / (support_a · support_b) — the association
+    signal behind recommendation and next-event models.
+
+    Engine-exactness: supports are exact integer counts; lift is ONE
+    double division of exact integer products (N·s_ab ≤ ~1e10 · 1e5 —
+    in range, and exactly representable well past 2^53 is not needed:
+    the PRODUCTS are < 2^63 and converted once). Scale shape: baskets
+    are distinct (user, day, type) rows — the pair expansion is bounded
+    by |types|² per basket (type vocabulary is small by definition,
+    same contract as pmi_pairs); one (user, day) self-join exchange,
+    per-type and pair aggregates, N broadcast as one row."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day"),
+        "event_type",
+    ).distinct()
+    n_baskets = b.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    per_type = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("_s"))
+    a = b.select("user_id", "day", F.col("event_type").alias("type_a"))
+    c = b.select("user_id", "day", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(c, ["user_id", "day"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("_sab"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(per_type.select(F.col("event_type").alias("type_a"),
+                                        F.col("_s").alias("_sa"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(per_type.select(F.col("event_type").alias("type_b"),
+                                        F.col("_s").alias("_sb"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        F.col("_sab").cast("long").alias("support"),
+        _r(
+            (F.col("_sab") * F.col("_n")).cast("double")
+            / (F.col("_sa") * F.col("_sb")).cast("double"),
+            6,
+        ).alias("lift"),
+    )
+
+
+_SQL_BASKET_AFFINITY = """
+WITH b AS (
+  SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         event_type
+  FROM events),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT DISTINCT user_id, day FROM b)),
+pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS s
+       FROM b GROUP BY event_type),
+p AS (
+  SELECT a.event_type AS type_a, c.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS sab
+  FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+                    AND a.event_type < c.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, sab AS support,
+       round(CAST(sab * n.n AS DOUBLE) / CAST(sa.s * sb.s AS DOUBLE), 6)
+         AS lift
+FROM p
+JOIN pt sa ON sa.event_type = p.type_a
+JOIN pt sb ON sb.event_type = p.type_b
+CROSS JOIN n
+"""
+
+
+def q_shrunk_group_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m-estimate (Bayesian-shrinkage) per-type means: small groups pull
+    toward the global mean with pseudo-count m=100 — the smoothing every
+    ranking/rating feed applies before trusting sparse groups. All in
+    integer µ-space with floor division: shrunk_us = (sum + m·g) DIV
+    (n + m) where g is the floor global mean — deterministic and
+    engine-exact, no float accumulation anywhere."""
+    ev = _t(spark, sf_dir, "events")
+    v_us = F.round(F.col("value") * 1e6, 0).cast("long")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(v_us).alias("_sum")
+    )
+    glob = per.agg(
+        F.expr("CAST(sum(_sum) DIV sum(_n) AS BIGINT)").alias("_g")
+    )
+    m = 100
+    return per.crossJoin(F.broadcast(glob)).select(
+        "event_type",
+        F.col("_n").cast("long").alias("n"),
+        F.expr("CAST(_sum DIV _n AS BIGINT)").alias("raw_mean_us"),
+        F.expr(f"CAST((_sum + {m} * _g) DIV (_n + {m}) AS BIGINT)").alias(
+            "shrunk_mean_us"
+        ),
+    )
+
+
+_SQL_SHRUNK_MEANS = """
+WITH per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY event_type),
+g AS (SELECT CAST(CAST(sum(s) AS BIGINT) // CAST(sum(n) AS BIGINT) AS BIGINT)
+        AS g FROM per)
+SELECT event_type, n, CAST(s // n AS BIGINT) AS raw_mean_us,
+       CAST((s + 100 * g.g) // (n + 100) AS BIGINT) AS shrunk_mean_us
+FROM per CROSS JOIN g
+"""
+
+
+# --------------------------------------------------------------------------
 
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
 # entries (dict insertion order); rotation policy is one full sweep every
@@ -6622,11 +6748,13 @@ FROM documents
 # embedding_dim_stats, feature_hash_histogram, bigram_nll,
 # vocab_oov_rate, rolling_median, equi_depth_bins, class_balance), and
 # the 4 r8 wave-8 additions (acf_lags, kfold_report, quality_top_p,
-# dataset_card) — then fill the remaining 30 slots with the stalest r6
-# rows in r6-window order (streaming_neardup, stream_distinct_users,
-# byte_histogram, ...). The ~20 r6 rows that don't fit must lead the
-# r10 window alongside the r7-stale rotation — that keeps every entry's
-# driver row ≤2 rounds old.
+# dataset_card) and the 2 wave-9 additions (basket_affinity,
+# shrunk_group_means) — 22 never-gated in all — then fill the remaining
+# 28 slots with the stalest r6 rows in r6-window order
+# (streaming_neardup, stream_distinct_users, byte_histogram, ...). The
+# ~22 r6 rows that don't fit must lead the r10 window alongside the
+# r7-stale rotation — that keeps every entry's driver row ≤2 rounds
+# old.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-gated: the two r5 streaming entries (real streaming
     # jobs; gate == batch twin, equality is test-asserted) ---
@@ -6849,6 +6977,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "kfold_report": (q_kfold_report, _SQL_KFOLD),
     "quality_top_p": (q_quality_top_p, _quality_top_p_sql()),
     "dataset_card": (q_dataset_card, _SQL_DATASET_CARD),
+    # --- new in r8 wave 9 (basket affinity / shrinkage) ---
+    "basket_affinity": (q_basket_affinity, _SQL_BASKET_AFFINITY),
+    "shrunk_group_means": (q_shrunk_group_means, _SQL_SHRUNK_MEANS),
 }
 
 
