@@ -201,6 +201,7 @@ EXTRA_BENCH_QUERIES = [
     # --- r8 wave 9 ---
     "basket_affinity",
     "shrunk_group_means",
+    "incremental_agg",
 ]
 
 

@@ -3036,3 +3036,38 @@ def test_shrunk_group_means_pulls_small_groups(spark):
     # the tiny group moved nearly to g; the big one stayed near its raw mean
     assert abs(got["tiny"][2] - g) < abs(got["tiny"][1] - g) // 10
     assert abs(got["big"][2] - got["big"][1]) < 2_000_000
+
+
+def test_merge_agg_state_fold_order_invariant(spark):
+    """The IVM contract: folding increments in any order/batching yields
+    the identical state, equal to the one-shot aggregate."""
+    from w4h_integrated_toolkit_spark.operators.etl import (
+        agg_state_from_batch,
+        merge_agg_state,
+    )
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(30)], "k long, value double"
+    )
+    parts = [df.filter(F.col("value") % 4 == i) for i in range(4)]
+
+    def fold(order):
+        state = None
+        for p_ in order:
+            state = merge_agg_state(state, agg_state_from_batch(p_, ["k"], "value"))
+        return sorted(
+            (r["k"], r["n"], r["sum_us"], r["min_us"], r["max_us"])
+            for r in state.collect()
+        )
+
+    oneshot = sorted(
+        (r["k"], r["n"], r["sum_us"], r["min_us"], r["max_us"])
+        for r in agg_state_from_batch(df, ["k"], "value").collect()
+    )
+    assert fold(parts) == oneshot
+    assert fold(parts[::-1]) == oneshot
+
+    with pytest.raises(ValueError):
+        agg_state_from_batch(df, [], "value")

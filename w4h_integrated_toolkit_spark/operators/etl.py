@@ -34,6 +34,8 @@ __all__ = [
     "table_diff",
     "scd2_intervals",
     "kfold_assignment",
+    "agg_state_from_batch",
+    "merge_agg_state",
 ]
 
 
@@ -512,3 +514,53 @@ def kfold_assignment(
         % F.lit(k)
     ).cast("long")
     return df.withColumn("fold", fold)
+
+
+def agg_state_from_batch(
+    batch: DataFrame,
+    keys: list[str],
+    value: str,
+) -> DataFrame:
+    """Per-key mergeable aggregate state from a raw batch: (n, sum_us,
+    min_us, max_us) over the µ-scaled value — the partial-aggregation
+    shape Spark itself uses map-side, materialized as a TABLE so a
+    100 TB rolling aggregate can be maintained by folding daily
+    increments (:func:`merge_agg_state`) instead of rescanning history.
+    All fields are exact integers, so merge order can never move a bit.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    v_us = F.round(F.col(value).cast("double") * 1e6, 0).cast("long")
+    return batch.groupBy(*keys).agg(
+        F.count(v_us).cast("long").alias("n"),
+        F.sum(v_us).cast("long").alias("sum_us"),
+        F.min(v_us).alias("min_us"),
+        F.max(v_us).alias("max_us"),
+    )
+
+
+def merge_agg_state(
+    state: DataFrame | None,
+    increment: DataFrame,
+) -> DataFrame:
+    """Fold one state table into another: union + per-key merge with the
+    aggregate's own merge functions (sum of n/sum, min of min, max of
+    max — each field decomposable by construction). Associative and
+    commutative, so any batching of history produces the identical
+    state — the incremental-view-maintenance contract, tested as
+    fold(batches) == one-shot. ONE exchange on the keys per fold; with
+    the state table bucketed on the keys even that disappears.
+    """
+    if state is None:
+        return increment
+    keys = [c for c in state.columns if c not in ("n", "sum_us", "min_us", "max_us")]
+    return (
+        state.unionByName(increment)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_us").cast("long").alias("sum_us"),
+            F.min("min_us").alias("min_us"),
+            F.max("max_us").alias("max_us"),
+        )
+    )

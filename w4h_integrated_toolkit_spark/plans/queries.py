@@ -6710,6 +6710,49 @@ FROM per CROSS JOIN g
 """
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view-maintenance equivalence: per-type aggregate state
+    built by folding the events table in THREE chronological increments
+    (operators.etl.agg_state_from_batch / merge_agg_state — exact
+    integer mergeable state), rendered with the floor mean. The oracle
+    is the ONE-SHOT GROUP BY — fold(batches) == rescan is the IVM
+    contract, the same equivalence-as-oracle pattern as
+    salted_hot_key_agg. At 100 TB this is how a rolling aggregate
+    absorbs a daily increment without rescanning history."""
+    from ..operators.etl import agg_state_from_batch, merge_agg_state
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    bucketed = ev.withColumn("_b", day % 3)
+    state = None
+    for b in range(3):
+        inc = agg_state_from_batch(
+            bucketed.filter(F.col("_b") == b), ["event_type"], "value"
+        )
+        state = merge_agg_state(state, inc)
+    return state.select(
+        "event_type",
+        "n",
+        "sum_us",
+        "min_us",
+        "max_us",
+        F.expr("CAST(sum_us DIV n AS BIGINT)").alias("mean_us"),
+    )
+
+
+_SQL_INCREMENTAL_AGG = """
+WITH s AS (
+  SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_us,
+         min(CAST(round(value * 1e6) AS BIGINT)) AS min_us,
+         max(CAST(round(value * 1e6) AS BIGINT)) AS max_us
+  FROM events GROUP BY event_type)
+SELECT event_type, n, sum_us, min_us, max_us,
+       CAST(sum_us // n AS BIGINT) AS mean_us
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
@@ -6748,13 +6791,13 @@ FROM per CROSS JOIN g
 # embedding_dim_stats, feature_hash_histogram, bigram_nll,
 # vocab_oov_rate, rolling_median, equi_depth_bins, class_balance), and
 # the 4 r8 wave-8 additions (acf_lags, kfold_report, quality_top_p,
-# dataset_card) and the 2 wave-9 additions (basket_affinity,
-# shrunk_group_means) — 22 never-gated in all — then fill the remaining
-# 28 slots with the stalest r6 rows in r6-window order
-# (streaming_neardup, stream_distinct_users, byte_histogram, ...). The
-# ~22 r6 rows that don't fit must lead the r10 window alongside the
-# r7-stale rotation — that keeps every entry's driver row ≤2 rounds
-# old.
+# dataset_card) and the 3 wave-9 additions (basket_affinity,
+# shrunk_group_means, incremental_agg) — 23 never-gated in all — then
+# fill the remaining 27 slots with the stalest r6 rows in r6-window
+# order (streaming_neardup, stream_distinct_users, byte_histogram,
+# ...). The ~23 r6 rows that don't fit must lead the r10 window
+# alongside the r7-stale rotation — that keeps every entry's driver
+# row ≤2 rounds old.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-gated: the two r5 streaming entries (real streaming
     # jobs; gate == batch twin, equality is test-asserted) ---
@@ -6977,9 +7020,11 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "kfold_report": (q_kfold_report, _SQL_KFOLD),
     "quality_top_p": (q_quality_top_p, _quality_top_p_sql()),
     "dataset_card": (q_dataset_card, _SQL_DATASET_CARD),
-    # --- new in r8 wave 9 (basket affinity / shrinkage) ---
+    # --- new in r8 wave 9 (basket affinity / shrinkage / IVM fold) ---
     "basket_affinity": (q_basket_affinity, _SQL_BASKET_AFFINITY),
     "shrunk_group_means": (q_shrunk_group_means, _SQL_SHRUNK_MEANS),
+    # IVM contract: oracle = the ONE-SHOT aggregate over all increments
+    "incremental_agg": (q_incremental_agg, _SQL_INCREMENTAL_AGG),
 }
 
 
