@@ -3071,3 +3071,22 @@ def test_merge_agg_state_fold_order_invariant(spark):
 
     with pytest.raises(ValueError):
         agg_state_from_batch(df, [], "value")
+
+
+def test_embedding_gram_overflow_guard(spark):
+    """A batch whose q magnitudes could wrap int64 raises the guard
+    instead of silently wrapping (numpy matmul gives no overflow
+    signal)."""
+    import pytest
+
+    from w4h_integrated_toolkit_spark.operators.linalg import embedding_gram
+
+    big = spark.createDataFrame(
+        [(1, [1.0e9, 0.0]), (2, [1.0e9, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # q = 1e15 at the default 1e6 scale; q² · rows >> 2^62
+    with pytest.raises(Exception, match="overflow|lower `scale`"):
+        embedding_gram(big).collect()
+    # the documented escape hatch: coarser scale passes
+    assert embedding_gram(big, scale=1).count() == 3

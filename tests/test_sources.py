@@ -593,3 +593,32 @@ def test_compact_parquet_crash_recovery_and_uri_guard(spark, tmp_path):
 
     with pytest.raises(ValueError, match="local paths"):
         compact_parquet(spark, "s3://bucket/table")
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC write -> read roundtrips byte-identical values; a range
+    predicate reaches the ORC scan as a pushed filter and the projection
+    prunes the read schema (same plan contract as the parquet path)."""
+    from w4h_integrated_toolkit_spark.sources.columnar import read_orc, write_orc
+
+    src = spark.range(1000).selectExpr(
+        "id", "id * 2 AS v", "CAST(id % 7 AS STRING) AS tag"
+    )
+    path = str(tmp_path / "t_orc")
+    write_orc(src, path)
+
+    back = read_orc(spark, path, schema=src.schema)
+    assert sorted((r["id"], r["v"], r["tag"]) for r in back.collect()) == sorted(
+        (r["id"], r["v"], r["tag"]) for r in src.collect()
+    )
+
+    q = back.filter(F.col("id") >= 900).select("v")
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "id" in pushed[0], "range predicate must reach the ORC scan"
+    schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "v" in schema_line and "tag" not in schema_line

@@ -70,6 +70,18 @@ def embedding_gram(
             if pdf.empty:
                 continue
             m = np.array(pdf["_q"].tolist(), dtype=np.int64)
+            # sound per-batch overflow guard: |Σ_batch q_i q_j| is bounded
+            # by max|q|² · batch_rows; numpy int64 matmul would WRAP
+            # silently past 2^63, so raise before computing (2^62 leaves
+            # headroom for the cross-batch merge — whose bound is the
+            # documented scale contract in the docstring)
+            peak = int(np.abs(m).max()) if m.size else 0
+            if peak and peak * peak * len(m) >= 2**62:
+                raise ValueError(
+                    f"embedding_gram: batch partial could overflow int64 "
+                    f"(max|q|={peak}, rows={len(m)}) — lower `scale` "
+                    f"(coarser quantization keeps the Gram exact)"
+                )
             g = m.T @ m
             iu = np.triu_indices(g.shape[0])
             yield pd.DataFrame(
