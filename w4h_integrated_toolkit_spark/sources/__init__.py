@@ -5,6 +5,7 @@ reader/writer so Catalyst sees the whole plan (pushdown + pruning reach the
 scan). Nothing here materializes driver-side beyond schema metadata.
 """
 
+from .columnar import read_orc, write_orc
 from .csv_io import read_csv, write_csv
 from .ddl import create_instance, ddl_for_config, list_tables
 from .geojson import read_geojson_polygons
@@ -19,6 +20,8 @@ from .versioned import (
 __all__ = [
     "read_csv",
     "write_csv",
+    "read_orc",
+    "write_orc",
     "sensor_batch_from_json",
     "SENSOR_BATCH_SCHEMA",
     "read_geojson_polygons",
