@@ -3090,3 +3090,35 @@ def test_embedding_gram_overflow_guard(spark):
         embedding_gram(big).collect()
     # the documented escape hatch: coarser scale passes
     assert embedding_gram(big, scale=1).count() == 3
+
+
+def test_bigram_nll_frozen_model_arm(spark):
+    """model_docs freezes the LM: scoring the same docs against
+    themselves equals the self-model path bit-for-bit, and scoring new
+    docs against a frozen model uses the MODEL's counts (an ingest-only
+    bigram is absent — inner model join)."""
+    from w4h_integrated_toolkit_spark.operators.ranking import bigram_nll
+
+    corpus = spark.createDataFrame(
+        [(1, "x y x"), (2, "x y")], "doc_id long, text string"
+    )
+    self_scores = sorted(
+        (r["doc_id"], r["n_bigrams"], r["nll"])
+        for r in bigram_nll(corpus).collect()
+    )
+    frozen_same = sorted(
+        (r["doc_id"], r["n_bigrams"], r["nll"])
+        for r in bigram_nll(corpus, model_docs=corpus).collect()
+    )
+    assert self_scores == frozen_same
+
+    ingest = spark.createDataFrame(
+        [(10, "x y q"), (11, "q q")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_bigrams"]
+        for r in bigram_nll(ingest, model_docs=corpus).collect()
+    }
+    # doc 10 has bigrams (x,y) [in model] and (y,q) [not]; doc 11's (q,q)
+    # is unknown to the model entirely
+    assert got == {10: 1}

@@ -1008,3 +1008,59 @@ def test_equi_depth_bins_ntile_contract(spark, vals):
     # ranges ordered and non-overlapping under the total order
     for (b1, _n1, _lo1, hi1), (b2, _n2, lo2, _hi2) in zip(got, got[1:]):
         assert b1 < b2 and hi1 <= lo2
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),          # user
+            st.integers(0, 1),          # day
+            st.sampled_from(["x", "y", "z"]),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_basket_affinity_matches_set_model(spark, events):
+    """basket_affinity against a pure-Python set model: duplicate events
+    collapse into one basket membership, supports are basket counts, and
+    lift = s_ab·N/(s_a·s_b) to the rounding convention."""
+    import tempfile
+
+    from w4h_integrated_toolkit_spark.plans.queries import q_basket_affinity
+
+    baskets: dict = {}
+    for u, day, t in events:
+        baskets.setdefault((u, day), set()).add(t)
+    n = len(baskets)
+    s_t: dict = {}
+    s_ab: dict = {}
+    for types in baskets.values():
+        for t in types:
+            s_t[t] = s_t.get(t, 0) + 1
+        for a in types:
+            for b in types:
+                if a < b:
+                    s_ab[(a, b)] = s_ab.get((a, b), 0) + 1
+    expected = {
+        pair: (c, round(c * n / (s_t[pair[0]] * s_t[pair[1]]) * 1e6) / 1e6)
+        for pair, c in s_ab.items()
+    }
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + day), u, t, 1.0, "{}")
+        for i, (u, day, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory(prefix="w4h_basketp_") as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = {
+            (r["type_a"], r["type_b"]): (r["support"], r["lift"])
+            for r in q_basket_affinity(spark, d).collect()
+        }
+    assert got == expected

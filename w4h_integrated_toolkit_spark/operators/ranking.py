@@ -394,6 +394,7 @@ def bigram_nll(
     docs: DataFrame,
     text: str = "text",
     id_col: str = "doc_id",
+    model_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean negative log-likelihood under the corpus'
     add-one-smoothed BIGRAM model P(b|a) = (c(a,b)+1)/(c(a·)+V) — one
@@ -407,6 +408,13 @@ def bigram_nll(
     every tf·ln p product and per-doc sum runs in integer space — the
     score is partition-invariant and bit-identical across engines.
     Documents with fewer than 2 tokens have no bigrams and are absent.
+    Pass ``model_docs`` to score ``docs`` against a FROZEN reference
+    corpus (the production shape — build the LM on the trusted snapshot,
+    score every new ingest against it; same contract as unigram_nll's
+    ``term_counts``). Note smoothing covers only bigrams OBSERVED in the
+    model corpus: an ingest bigram absent from the model is absent from
+    the output's n_bigrams too (inner model join) — the count column
+    exposes exactly how much of the document the model could score.
 
     Plan: the bigram stream is a map-side slice/zip/explode (no window —
     adjacency is intra-row in the token array); then one (doc, bigram)
@@ -415,22 +423,34 @@ def bigram_nll(
     join, one per-doc rollup. V (distinct unigrams) broadcasts as a
     1-row relation.
     """
-    base = _tokens(docs, text, id_col).filter(F.size("toks") >= 2)
-    bi = (
-        base.withColumn("_prev", F.expr("slice(toks, 1, size(toks) - 1)"))
-        .withColumn("_next", F.expr("slice(toks, 2, size(toks) - 1)"))
-        .select(id_col, F.explode(F.arrays_zip("_prev", "_next")).alias("_bg"))
-        .select(
-            id_col,
-            F.col("_bg._prev").alias("_a"),
-            F.col("_bg._next").alias("_b"),
+    def _bigrams(frame: DataFrame) -> DataFrame:
+        base = _tokens(frame, text, id_col).filter(F.size("toks") >= 2)
+        return (
+            base.withColumn("_prev", F.expr("slice(toks, 1, size(toks) - 1)"))
+            .withColumn("_next", F.expr("slice(toks, 2, size(toks) - 1)"))
+            .select(id_col, F.explode(F.arrays_zip("_prev", "_next")).alias("_bg"))
+            .select(
+                id_col,
+                F.col("_bg._prev").alias("_a"),
+                F.col("_bg._next").alias("_b"),
+            )
+        )
+
+    src = model_docs if model_docs is not None else docs
+    tf = _bigrams(docs).groupBy(id_col, "_a", "_b").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    model_tf = (
+        tf
+        if model_docs is None
+        else _bigrams(src).groupBy(id_col, "_a", "_b").agg(
+            F.count(F.lit(1)).alias("tf")
         )
     )
-    tf = bi.groupBy(id_col, "_a", "_b").agg(F.count(F.lit(1)).alias("tf"))
-    cab = tf.groupBy("_a", "_b").agg(F.sum("tf").cast("long").alias("_cab"))
+    cab = model_tf.groupBy("_a", "_b").agg(F.sum("tf").cast("long").alias("_cab"))
     ca = cab.groupBy("_a").agg(F.sum("_cab").cast("long").alias("_ca"))
     vocab = (
-        _tokens(docs, text, id_col)
+        _tokens(src, text, id_col)
         .select(F.explode("toks").alias("_t"))
         .agg(F.count_distinct("_t").alias("_v"))
     )
