@@ -1121,3 +1121,59 @@ def test_ewma_nan_treated_as_null_stream_and_batch(spark, tmp_path):
     )
     stream_rows = {r["event_id"]: r["ewma"] for r in got.collect()}
     assert stream_rows == batch
+
+
+def test_window_dedup_state_survives_restart(spark, tmp_path):
+    """The watermark-dedup state store persists across query instances: a
+    duplicate arriving in the SECOND life of the query (same checkpoint)
+    is still suppressed, and only genuinely-new content is emitted —
+    the recovery contract of the engine-native dedup gate."""
+    from w4h_integrated_toolkit_spark.streaming.stateful import (
+        streaming_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, ts timestamp"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    mk([(1, "alpha", t0), (2, "beta", t0)]).coalesce(1).write.parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = (
+            streaming_dedup_within_watermark(stream, horizon="2 hours")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = {r["content_key"] for r in spark.read.parquet(sink).collect()}
+    assert len(first) == 2
+
+    # second life: one duplicate of 'alpha' (inside the horizon) + one new
+    t1 = dt.datetime(2024, 1, 1, 0, 30, 0)
+    mk([(3, "alpha", t1), (4, "gamma", t1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    rows = spark.read.parquet(sink).collect()
+    keys = [r["content_key"] for r in rows]
+    assert len(keys) == len(set(keys)) == 3, (
+        "the restart must suppress the cross-life duplicate and emit only "
+        f"the new content: {rows}"
+    )
