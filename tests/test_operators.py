@@ -3122,3 +3122,24 @@ def test_bigram_nll_frozen_model_arm(spark):
     # doc 10 has bigrams (x,y) [in model] and (y,q) [not]; doc 11's (q,q)
     # is unknown to the model entirely
     assert got == {10: 1}
+
+
+def test_embedding_ops_skip_null_vectors(spark):
+    """NULL vectors and vectors with NULL components are excluded (they
+    would crash the int64 matmul / poison the stats), real rows still
+    aggregate."""
+    from w4h_integrated_toolkit_spark.operators.linalg import (
+        embedding_dim_stats,
+        embedding_gram,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [None, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["i"], r["j"]): r["g"] for r in embedding_gram(df, scale=1).collect()
+    }
+    assert got == {(0, 0): 1, (0, 1): 2, (1, 1): 4}
+    stats = {r["dim"]: r["n"] for r in embedding_dim_stats(df, scale=1).collect()}
+    assert stats == {0: 1, 1: 1}

@@ -35,6 +35,17 @@ def _quantized(vectors: DataFrame, vec_col: str, scale: int):
     )
 
 
+def _clean(vectors: DataFrame, vec_col: str) -> DataFrame:
+    """Exclude NULL vectors and vectors with NULL components: a None in
+    the Arrow batch would crash the int64 matmul (object dtype), and a
+    partially-null vector has no well-defined contribution. The filter
+    is a codegen'd expression in the scan stage."""
+    v = F.col(vec_col)
+    return vectors.filter(
+        v.isNotNull() & ~F.exists(v, lambda x: x.isNull())
+    )
+
+
 def embedding_gram(
     vectors: DataFrame,
     vec_col: str = "embedding",
@@ -61,7 +72,9 @@ def embedding_gram(
     billion-row corpora (the Gram is then exact at the coarser
     quantization, still bit-stable).
     """
-    qdf = vectors.select(_quantized(vectors, vec_col, scale).alias("_q"))
+    qdf = _clean(vectors, vec_col).select(
+        _quantized(vectors, vec_col, scale).alias("_q")
+    )
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -119,7 +132,7 @@ def embedding_dim_stats(
     Plan: posexplode is map-side; ONE hash aggregate on the d-valued dim
     key with map-side partials — the classic fully-decomposable shape.
     """
-    e = vectors.select(
+    e = _clean(vectors, vec_col).select(
         F.posexplode(_quantized(vectors, vec_col, scale)).alias("dim", "_qx")
     )
     return (

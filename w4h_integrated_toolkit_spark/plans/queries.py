@@ -6155,7 +6155,9 @@ WITH q AS (
   SELECT vec_id,
          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS qx,
          generate_subscripts(embedding, 1) - 1 AS i
-  FROM embeddings)
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0)
 SELECT a.i AS i, b.i AS j, CAST(sum(a.qx * b.qx) AS BIGINT) AS g
 FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
 GROUP BY a.i, b.i
@@ -6177,7 +6179,9 @@ _SQL_EMBEDDING_DIM_STATS = """
 WITH q AS (
   SELECT CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS qx,
          generate_subscripts(embedding, 1) - 1 AS dim
-  FROM embeddings)
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0)
 SELECT dim, CAST(count(*) AS BIGINT) AS n,
        min(qx) AS min_q, max(qx) AS max_q,
        CAST(sum(qx) AS BIGINT) AS sum_q,
@@ -6330,7 +6334,7 @@ def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     never global; bin summaries are one decomposable aggregate after."""
     from pyspark.sql import Window
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     v_us = F.round(F.col("value") * 1e6, 0).cast("long")
     b = ev.select(
@@ -6351,7 +6355,7 @@ WITH b AS (
          ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
            AS bin,
          CAST(round(value * 1e6) AS BIGINT) AS v_us
-  FROM events)
+  FROM events WHERE value IS NOT NULL)
 SELECT event_type, CAST(bin AS BIGINT) AS bin,
        CAST(count(*) AS BIGINT) AS n,
        min(v_us) AS lo_us, max(v_us) AS hi_us
