@@ -202,6 +202,10 @@ EXTRA_BENCH_QUERIES = [
     "basket_affinity",
     "shrunk_group_means",
     "incremental_agg",
+    # --- r8 wave 10 ---
+    "langid_confusion",
+    "classification_metrics",
+    "ewma_backtest",
 ]
 
 

@@ -3143,3 +3143,79 @@ def test_embedding_ops_skip_null_vectors(spark):
     assert got == {(0, 0): 1, (0, 1): 2, (1, 1): 4}
     stats = {r["dim"]: r["n"] for r in embedding_dim_stats(df, scale=1).collect()}
     assert stats == {0: 1, 1: 1}
+
+
+def test_classification_metrics_hand_model(spark):
+    """Precision/recall/F1 on an engineered 3-doc corpus where the
+    language-ID heuristic's behavior is known exactly: English markers
+    predict en; marker-free text predicts und."""
+    import tempfile
+
+    from w4h_integrated_toolkit_spark.plans.queries import (
+        q_classification_metrics,
+        q_langid_confusion,
+    )
+
+    docs = [
+        (1, "the cat and the dog", "en", "s", 1),     # -> en (correct)
+        (2, "zzz qqq www", "en", "s", 1),             # -> und (miss)
+        (3, "el que la de los", "es", "s", 1),        # -> es (correct)
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory(prefix="w4h_clsmet_") as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        conf = {
+            (r["actual"], r["predicted"]): r["n"]
+            for r in q_langid_confusion(spark, d).collect()
+        }
+        mets = {
+            r["cls"]: (
+                r["tp"], r["n_actual"], r["n_pred"],
+                r["precision_ppm"], r["recall_ppm"], r["f1_ppm"],
+            )
+            for r in q_classification_metrics(spark, d).collect()
+        }
+    assert conf == {("en", "en"): 1, ("en", "und"): 1, ("es", "es"): 1}
+    # en: TP=1, FN=1 (the und miss), FP=0 -> P=1, R=1/2, F1=2/3
+    assert mets["en"] == (1, 2, 1, 1_000_000, 500_000, 666_666)
+    # es: perfect
+    assert mets["es"] == (1, 1, 1, 1_000_000, 1_000_000, 1_000_000)
+    # 'und' is not an ACTUAL class -> absent by contract
+    assert "und" not in mets
+
+
+def test_ewma_backtest_hand_model(spark):
+    """One-step-ahead EWMA backtest on a 1-user series with hand-checked
+    predictions (pred_t = rounded ewma at t-1)."""
+    import datetime as dt
+    import math
+    import tempfile
+
+    from w4h_integrated_toolkit_spark.plans.queries import q_ewma_backtest
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [4.0, 8.0, 2.0]
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), 1, "t", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory(prefix="w4h_bt_") as d:
+        df.write.parquet(f"{d}/events.parquet")
+        r = q_ewma_backtest(spark, d).collect()[0]
+    # ewma: t0 -> 4.0; t1 -> (8/2 + 4/4)/(3/4) = 20/3; preds: t1<-4.0, t2<-20/3
+    p2 = round(20 / 3 * 1e6) / 1e6
+    d1_us, d2_us = round((8.0 - 4.0) * 1e6), round((2.0 - p2) * 1e6)
+    d1_ms, d2_ms = round((8.0 - 4.0) * 1e3), round((2.0 - p2) * 1e3)
+    assert r["n_forecasts"] == 2
+    assert r["mae_us"] == (abs(d1_us) + abs(d2_us)) // 2
+    assert r["ssq_ms2"] == d1_ms**2 + d2_ms**2
+    assert r["rmse_ms"] == round(
+        math.sqrt((d1_ms**2 + d2_ms**2) / 2) * 1e6
+    ) / 1e6

@@ -6758,6 +6758,187 @@ FROM s
 
 
 # --------------------------------------------------------------------------
+# wave 10 (round 8): model-evaluation family — confusion matrix,
+# per-class metrics, forecast backtest
+# --------------------------------------------------------------------------
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the corpus'
+    ground-truth lang labels — the evaluation counterpart of the
+    `language_id` scoring entry (every classifier shipped over a corpus
+    gets this audit). One broadcast-size join on doc_id, one (actual,
+    predicted) aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = TX.language_id(docs).select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", F.col("lang").alias("actual"))
+        .join(pred, "doc_id")
+        .groupBy("actual", F.col("lang_pred").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def _langid_confusion_sql() -> str:
+    return f"""
+WITH pred AS (SELECT doc_id, lang_pred FROM ({_langid_sql()}))
+SELECT d.lang AS actual, p.lang_pred AS predicted,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY d.lang, p.lang_pred
+"""
+
+
+def q_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 (integer ppm) of the language-ID
+    heuristic over the ACTUAL label classes — F1 computed exactly as
+    2·TP·10⁶ DIV (2·TP + FP + FN), no float ratios anywhere. The
+    matrix is corpus-aggregated first (|classes|² rows), so the metric
+    math runs on a frame of trivial size."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = TX.language_id(docs).select("doc_id", "lang_pred")
+    m = (
+        docs.select("doc_id", F.col("lang").alias("actual"))
+        .join(pred, "doc_id")
+        .groupBy("actual", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tp = m.filter(F.col("actual") == F.col("lang_pred")).select(
+        F.col("actual").alias("cls"), F.col("n").alias("tp")
+    )
+    per_actual = m.groupBy("actual").agg(F.sum("n").alias("n_actual"))
+    per_pred = m.groupBy("lang_pred").agg(F.sum("n").alias("n_pred"))
+    j = (
+        per_actual.select(F.col("actual").alias("cls"), "n_actual")
+        .join(F.broadcast(tp), "cls", "left")
+        .join(
+            F.broadcast(per_pred.select(F.col("lang_pred").alias("cls"), "n_pred")),
+            "cls",
+            "left",
+        )
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            "n_actual",
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+        )
+    )
+    return j.select(
+        "cls",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("n_actual").cast("long").alias("n_actual"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.expr(
+            "CAST(CASE WHEN n_pred > 0 THEN tp * 1000000 DIV n_pred END "
+            "AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr("CAST(tp * 1000000 DIV n_actual AS BIGINT)").alias("recall_ppm"),
+        F.expr(
+            "CAST(CASE WHEN 2 * tp + (n_pred - tp) + (n_actual - tp) > 0 "
+            "THEN 2 * tp * 1000000 DIV "
+            "(2 * tp + (n_pred - tp) + (n_actual - tp)) ELSE 0 END AS BIGINT)"
+        ).alias("f1_ppm"),
+    )
+
+
+def _classification_metrics_sql() -> str:
+    return f"""
+WITH pred AS (SELECT doc_id, lang_pred FROM ({_langid_sql()})),
+m AS (
+  SELECT d.lang AS actual, p.lang_pred, count(*) AS n
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY d.lang, p.lang_pred),
+tp AS (SELECT actual AS cls, CAST(n AS BIGINT) AS tp FROM m
+       WHERE actual = lang_pred),
+pa AS (SELECT actual AS cls, CAST(sum(n) AS BIGINT) AS n_actual
+       FROM m GROUP BY actual),
+pp AS (SELECT lang_pred AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+       FROM m GROUP BY lang_pred)
+SELECT pa.cls, coalesce(tp.tp, 0) AS tp, pa.n_actual,
+       coalesce(pp.n_pred, 0) AS n_pred,
+       CAST(CASE WHEN coalesce(pp.n_pred, 0) > 0
+                 THEN coalesce(tp.tp, 0) * 1000000 // pp.n_pred END
+            AS BIGINT) AS precision_ppm,
+       CAST(coalesce(tp.tp, 0) * 1000000 // pa.n_actual AS BIGINT)
+         AS recall_ppm,
+       CAST(CASE WHEN 2 * coalesce(tp.tp, 0)
+                      + (coalesce(pp.n_pred, 0) - coalesce(tp.tp, 0))
+                      + (pa.n_actual - coalesce(tp.tp, 0)) > 0
+                 THEN 2 * coalesce(tp.tp, 0) * 1000000
+                      // (2 * coalesce(tp.tp, 0)
+                          + (coalesce(pp.n_pred, 0) - coalesce(tp.tp, 0))
+                          + (pa.n_actual - coalesce(tp.tp, 0)))
+                 ELSE 0 END AS BIGINT) AS f1_ppm
+FROM pa
+LEFT JOIN tp ON tp.cls = pa.cls
+LEFT JOIN pp ON pp.cls = pa.cls
+"""
+
+
+def q_ewma_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead forecast backtest of the dyadic EWMA: predict each
+    reading with the PREVIOUS row's smoothed value (lag of the rounded
+    ewma in event order) and report corpus-wide MAE and RMSE — the eval
+    loop a forecasting pipeline runs before trusting a smoother. Error
+    sums are exact integers (µ for MAE, milli² for the squared sum —
+    overflow headroom documented in autocorrelation's convention); the
+    final RMSE is one sqrt over identical integers."""
+    from pyspark.sql import Window
+
+    from ..operators.timeseries import ewma_smooth
+
+    ev = _t(spark, sf_dir, "events")
+    sm = ewma_smooth(ev, horizon=8).select(
+        "user_id", "ts", "event_id", "value", _r(F.col("ewma"), 6).alias("ewma_r")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bt = sm.select(
+        "value", F.lag("ewma_r").over(w).alias("pred")
+    ).filter(F.col("pred").isNotNull() & F.col("value").isNotNull())
+    diff_us = F.round((F.col("value") - F.col("pred")) * 1e6, 0).cast("long")
+    diff_ms = F.round((F.col("value") - F.col("pred")) * 1e3, 0).cast("long")
+    agg = bt.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs(diff_us)).alias("sae_us"),
+        F.sum(diff_ms * diff_ms).alias("ssq_ms2"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_forecasts"),
+        F.expr("CAST(sae_us DIV n AS BIGINT)").alias("mae_us"),
+        F.col("ssq_ms2").cast("long").alias("ssq_ms2"),
+        _r(
+            F.sqrt(F.col("ssq_ms2").cast("double") / F.col("n").cast("double")),
+            6,
+        ).alias("rmse_ms"),
+    )
+
+
+def _ewma_backtest_sql() -> str:
+    return f"""
+WITH sm AS (
+  SELECT user_id, ts_us, event_id, value, ewma AS ewma_r
+  FROM ({_ewma_sql(8)})),
+bt AS (
+  SELECT value,
+         lag(ewma_r) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS pred
+  FROM sm),
+d AS (
+  SELECT value, pred,
+         CAST(round((value - pred) * 1e6) AS BIGINT) AS diff_us,
+         CAST(round((value - pred) * 1e3) AS BIGINT) AS diff_ms
+  FROM bt WHERE pred IS NOT NULL AND value IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_forecasts,
+       CAST(CAST(sum(abs(diff_us)) AS BIGINT) // count(*) AS BIGINT)
+         AS mae_us,
+       CAST(sum(diff_ms * diff_ms) AS BIGINT) AS ssq_ms2,
+       round(sqrt(CAST(CAST(sum(diff_ms * diff_ms) AS BIGINT) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)), 6) AS rmse_ms
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
 
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
 # entries (dict insertion order); rotation policy is one full sweep every
@@ -6795,13 +6976,14 @@ FROM s
 # embedding_dim_stats, feature_hash_histogram, bigram_nll,
 # vocab_oov_rate, rolling_median, equi_depth_bins, class_balance), and
 # the 4 r8 wave-8 additions (acf_lags, kfold_report, quality_top_p,
-# dataset_card) and the 3 wave-9 additions (basket_affinity,
-# shrunk_group_means, incremental_agg) — 23 never-gated in all — then
-# fill the remaining 27 slots with the stalest r6 rows in r6-window
-# order (streaming_neardup, stream_distinct_users, byte_histogram,
-# ...). The ~23 r6 rows that don't fit must lead the r10 window
-# alongside the r7-stale rotation — that keeps every entry's driver
-# row ≤2 rounds old.
+# dataset_card), the 3 wave-9 additions (basket_affinity,
+# shrunk_group_means, incremental_agg), and the 3 wave-10 eval-family
+# additions (langid_confusion, classification_metrics, ewma_backtest)
+# — 26 never-gated in all — then fill the remaining 24 slots with the
+# stalest r6 rows in r6-window order (streaming_neardup,
+# stream_distinct_users, byte_histogram, ...). The ~26 r6 rows that
+# don't fit must lead the r10 window alongside the r7-stale rotation —
+# that keeps every entry's driver row ≤2 rounds old.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-gated: the two r5 streaming entries (real streaming
     # jobs; gate == batch twin, equality is test-asserted) ---
@@ -7029,6 +7211,13 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "shrunk_group_means": (q_shrunk_group_means, _SQL_SHRUNK_MEANS),
     # IVM contract: oracle = the ONE-SHOT aggregate over all increments
     "incremental_agg": (q_incremental_agg, _SQL_INCREMENTAL_AGG),
+    # --- new in r8 wave 10 (model-evaluation family) ---
+    "langid_confusion": (q_langid_confusion, _langid_confusion_sql()),
+    "classification_metrics": (
+        q_classification_metrics,
+        _classification_metrics_sql(),
+    ),
+    "ewma_backtest": (q_ewma_backtest, _ewma_backtest_sql()),
 }
 
 
