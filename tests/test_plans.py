@@ -1081,3 +1081,20 @@ def test_wave8_plan_shapes(spark):
     p = plan_of(spark, "quality_top_p")
     # windows must all be SOURCE-partitioned (global sweep double-checks)
     assert "CartesianProduct" not in p
+
+
+def test_wave10_plan_shapes(spark):
+    """Eval-family plan pins: matrix aggregated before metric math, no
+    cartesian anywhere, backtest shares ONE user exchange with the
+    smoother's windows."""
+    p = plan_of(spark, "langid_confusion")
+    assert "CartesianProduct" not in p and "Window" not in p
+
+    p = plan_of(spark, "classification_metrics")
+    assert "CartesianProduct" not in p
+
+    p = plan_of(spark, "ewma_backtest")
+    # the lag window and all 7 ewma lags share the user_id exchange; the
+    # final metrics row is the only other exchange
+    assert n_shuffles(p) <= 2, p[:800]
+    assert "Join" not in p
