@@ -206,6 +206,7 @@ EXTRA_BENCH_QUERIES = [
     "langid_confusion",
     "classification_metrics",
     "ewma_backtest",
+    "k_anonymity_audit",
 ]
 
 

@@ -112,9 +112,26 @@ def main() -> None:
         ).withColumn(
             "user_id", F.col("user_id") + F.col("_rep") * 10_000_000
         ).drop("_rep").localCheckpoint(eager=True)
+        from w4h_integrated_toolkit_spark.operators.timeseries import (
+            autocorrelation,
+        )
+
+        def _acf():
+            m = v_f.groupBy(
+                "event_type",
+                F.floor(F.col("ts").cast("double") / 60).cast("long").alias("m"),
+            ).agg(
+                F.expr(
+                    "CAST(sum(CAST(round(value * 1e3) AS BIGINT)) "
+                    "DIV count(*) AS BIGINT)"
+                ).alias("x")
+            )
+            return autocorrelation(m).count()
+
         for op, fn in {
             "embedding_gram": lambda: embedding_gram(e_f).count(),
             "rolling_median": lambda: rolling_median(v_f, k=5).count(),
+            "acf_lags": _acf,
         }.items():
             fn()  # warm
             ts = []

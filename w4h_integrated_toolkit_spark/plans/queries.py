@@ -6938,6 +6938,35 @@ FROM d
 """
 
 
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (lang, source) quasi-identifier pair:
+    equivalence-class sizes plus an at-risk flag for classes smaller
+    than k=5 — the re-identification check a governance pass runs before
+    releasing a slice (a 1-document (lang, source) class identifies its
+    author's upload). ONE decomposable aggregate; the flag is integer.
+    The PII complement of the redaction operator (operators.text
+    redact_pii removes direct identifiers; this measures the indirect
+    ones)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "lang",
+            "source",
+            "n",
+            (F.col("n") < 5).cast("long").alias("at_risk"),
+        )
+    )
+
+
+_SQL_K_ANONYMITY = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+       CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+FROM documents GROUP BY lang, source
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
@@ -6979,11 +7008,12 @@ FROM d
 # dataset_card), the 3 wave-9 additions (basket_affinity,
 # shrunk_group_means, incremental_agg), and the 3 wave-10 eval-family
 # additions (langid_confusion, classification_metrics, ewma_backtest)
-# — 26 never-gated in all — then fill the remaining 24 slots with the
-# stalest r6 rows in r6-window order (streaming_neardup,
-# stream_distinct_users, byte_histogram, ...). The ~26 r6 rows that
-# don't fit must lead the r10 window alongside the r7-stale rotation —
-# that keeps every entry's driver row ≤2 rounds old.
+# plus k_anonymity_audit — 27 never-gated in all — then fill the
+# remaining 23 slots with the stalest r6 rows in r6-window order
+# (streaming_neardup, stream_distinct_users, byte_histogram, ...). The
+# ~27 r6 rows that don't fit must lead the r10 window alongside the
+# r7-stale rotation — that keeps every entry's driver row ≤2 rounds
+# old.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-gated: the two r5 streaming entries (real streaming
     # jobs; gate == batch twin, equality is test-asserted) ---
@@ -7218,6 +7248,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         _classification_metrics_sql(),
     ),
     "ewma_backtest": (q_ewma_backtest, _ewma_backtest_sql()),
+    "k_anonymity_audit": (q_k_anonymity_audit, _SQL_K_ANONYMITY),
 }
 
 
