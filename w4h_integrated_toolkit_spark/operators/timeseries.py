@@ -709,9 +709,11 @@ def autocorrelation(
     lags, per key — the seasonality probe (strong ACF at lag 60/1440
     minutes = hourly/daily structure) a pipeline runs before choosing
     window sizes or seasonal baselines. ``series`` must carry an integer
-    grid index ``idx`` and an INTEGER-QUANTIZED value ``value`` (the
-    registry entry feeds floor-mean per-minute aggregates; any exact
-    integer series works).
+    grid index ``idx``, UNIQUE per (key, idx) — duplicate grid rows
+    would cross-join in the lag match — and an INTEGER-QUANTIZED value
+    ``value`` (the registry entry feeds floor-mean per-minute
+    aggregates, unique by construction; any exact integer series
+    works).
 
     Engine-exactness: all six sufficient statistics (n, Σx, Σy, Σxy,
     Σx², Σy²) are exact int64 sums over the lag pairs; the final r

@@ -6556,9 +6556,10 @@ rw AS (
 SELECT source, CAST(max(cnt) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN (cum - qs) * 2 < tot THEN 1 ELSE 0 END)
             AS BIGINT) AS n_kept,
-       CAST(CAST(sum(CASE WHEN (cum - qs) * 2 < tot THEN qs ELSE 0 END)
-                 AS BIGINT) * 1000000 // CAST(max(tot) AS BIGINT)
-            AS BIGINT) AS kept_mass_ppm
+       CAST(CASE WHEN max(tot) > 0 THEN
+              CAST(sum(CASE WHEN (cum - qs) * 2 < tot THEN qs ELSE 0 END)
+                   AS BIGINT) * 1000000 // CAST(max(tot) AS BIGINT)
+            END AS BIGINT) AS kept_mass_ppm
 FROM rw GROUP BY source
 """
 
@@ -6929,11 +6930,14 @@ d AS (
          CAST(round((value - pred) * 1e3) AS BIGINT) AS diff_ms
   FROM bt WHERE pred IS NOT NULL AND value IS NOT NULL)
 SELECT CAST(count(*) AS BIGINT) AS n_forecasts,
-       CAST(CAST(sum(abs(diff_us)) AS BIGINT) // count(*) AS BIGINT)
-         AS mae_us,
+       CAST(CASE WHEN count(*) > 0 THEN
+              CAST(sum(abs(diff_us)) AS BIGINT) // count(*)
+            END AS BIGINT) AS mae_us,
        CAST(sum(diff_ms * diff_ms) AS BIGINT) AS ssq_ms2,
-       round(sqrt(CAST(CAST(sum(diff_ms * diff_ms) AS BIGINT) AS DOUBLE)
-                  / CAST(count(*) AS DOUBLE)), 6) AS rmse_ms
+       round(CASE WHEN count(*) > 0 THEN
+               sqrt(CAST(CAST(sum(diff_ms * diff_ms) AS BIGINT) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE))
+             END, 6) AS rmse_ms
 FROM d
 """
 
