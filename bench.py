@@ -207,6 +207,9 @@ EXTRA_BENCH_QUERIES = [
     "classification_metrics",
     "ewma_backtest",
     "k_anonymity_audit",
+    # --- r8 wave 11 ---
+    "scd2_lookup",
+    "ols_trend_slope",
 ]
 
 

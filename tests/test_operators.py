@@ -3219,3 +3219,69 @@ def test_ewma_backtest_hand_model(spark):
     assert r["rmse_ms"] == round(
         math.sqrt((d1_ms**2 + d2_ms**2) / 2) * 1e6
     ) / 1e6
+
+
+def test_scd2_lookup_tie_at_version_boundary(spark):
+    """The adversarial instant: two events share the SAME timestamp and
+    the second opens a new version. The composite (ts, event_id) order
+    must attribute the first to the OLD version and the second to the
+    new one — a naive t_us-only range join would put both in the new."""
+    import datetime as dt
+    import tempfile
+
+    from w4h_integrated_toolkit_spark.plans.queries import q_scd2_lookup
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = t0 + dt.timedelta(seconds=10)
+    rows = [
+        (1, t0, 7, "a", 1.0, "{}"),
+        (2, t1, 7, "a", 1.0, "{}"),   # same instant as the change below
+        (3, t1, 7, "b", 1.0, "{}"),   # opens version 2 AT t1
+        (4, t1 + dt.timedelta(seconds=5), 7, "b", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory(prefix="w4h_scd2lk_") as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = {
+            (r["user_id"], r["version"]): r["n_events"]
+            for r in q_scd2_lookup(spark, d).collect()
+        }
+    assert got == {(7, 1): 2, (7, 2): 2}
+
+
+def test_ols_trend_slope_closed_forms(spark):
+    """A perfect ramp has exactly its slope; a constant series has slope
+    0; a single-event user emits NULL."""
+    import datetime as dt
+    import tempfile
+
+    from w4h_integrated_toolkit_spark.plans.queries import q_ols_trend_slope
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(5):          # user 1: value = 2.5 * rank
+        rows.append((eid, t0 + dt.timedelta(seconds=i), 1, "t", 2.5 * i, "{}"))
+        eid += 1
+    for i in range(4):          # user 2: constant
+        rows.append((eid, t0 + dt.timedelta(seconds=i), 2, "t", 7.0, "{}"))
+        eid += 1
+    rows.append((eid, t0, 3, "t", 9.0, "{}"))   # user 3: single event
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory(prefix="w4h_ols_") as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = {
+            r["user_id"]: (r["n"], r["slope_m_per_step"])
+            for r in q_ols_trend_slope(spark, d).collect()
+        }
+    assert got[1] == (5, 2500.0)      # 2.5/step in milli units
+    assert got[2] == (4, 0.0)
+    assert got[3] == (1, None)

@@ -6971,6 +6971,126 @@ FROM documents GROUP BY lang, source
 """
 
 
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time attribution against the SCD2 history: every event is
+    assigned the dimension VERSION valid at its (ts, event_id) instant,
+    rolled up to per-(user, version) event counts — the AS-OF dimension
+    lookup every warehouse fact load runs against a type-2 dimension.
+
+    Independent-formulation oracle (the strongest kind): Spark computes
+    the version WITHOUT any join — a running count of attribute changes
+    over ONE user-ordered window (version_at(t) ≡ #changes ≤ t, exact
+    under the composite (ts, event_id) tie order) — while the DuckDB
+    oracle materializes the SCD2 intervals and performs the literal
+    range join on lexicographic (t_us, event_id) boundaries. Equal
+    output proves the window shortcut == the interval semantics.
+    Plan: one key exchange, no join, no interval explosion."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = (prev.isNull() | ~prev.eqNullSafe(F.col("event_type"))).cast("long")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    versioned = ev.select(
+        "user_id", F.sum(chg).over(wcum).alias("version")
+    )
+    return versioned.groupBy("user_id", "version").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+
+
+_SQL_SCD2_LOOKUP = """
+WITH x AS (
+  SELECT user_id, event_type, event_id,
+         CAST(round(epoch(ts) * 1e6) AS BIGINT) AS t_us,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+c AS (
+  SELECT user_id, t_us AS from_us, event_id AS from_eid,
+         lead(t_us) OVER w2 AS to_us,
+         lead(event_id) OVER w2 AS to_eid,
+         row_number() OVER w2 AS version
+  FROM x WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY t_us, event_id))
+SELECT e.user_id, CAST(c.version AS BIGINT) AS version,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM x e JOIN c ON e.user_id = c.user_id
+  AND (e.t_us > c.from_us
+       OR (e.t_us = c.from_us AND e.event_id >= c.from_eid))
+  AND (c.to_us IS NULL OR e.t_us < c.to_us
+       OR (e.t_us = c.to_us AND e.event_id < c.to_eid))
+GROUP BY e.user_id, c.version
+"""
+
+
+def q_ols_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend slope of readings against event rank — the
+    parametric twin of spearman_trend (that one asks "is there a
+    monotone trend", this one "how steep is the linear one"). Sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) are exact int64 over rank-indexed
+    milli-scaled values; the slope is a fixed double sequence over
+    identical integers (autocorrelation's convention). Degenerate keys
+    (n < 2 or zero x-variance) emit NULL. ONE key exchange shared by
+    the rank window and the aggregate."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    xy = ev.select(
+        "user_id",
+        (F.row_number().over(w) - 1).cast("long").alias("_x"),
+        F.round(F.col("value") * 1e3, 0).cast("long").alias("_y"),
+    )
+    agg = xy.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    slope = F.when((F.col("n") >= 2) & (den > 0), num / den)
+    return agg.select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        _r(slope, 9).alias("slope_m_per_step"),
+    )
+
+
+_SQL_OLS_SLOPE = """
+WITH xy AS (
+  SELECT user_id,
+         CAST(row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS x,
+         CAST(round(value * 1e3) AS BIGINT) AS y
+  FROM events),
+s AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY user_id)
+SELECT user_id, n,
+       round(CASE WHEN n >= 2
+                   AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             END, 9) AS slope_m_per_step
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
@@ -7012,12 +7132,12 @@ FROM documents GROUP BY lang, source
 # dataset_card), the 3 wave-9 additions (basket_affinity,
 # shrunk_group_means, incremental_agg), and the 3 wave-10 eval-family
 # additions (langid_confusion, classification_metrics, ewma_backtest)
-# plus k_anonymity_audit — 27 never-gated in all — then fill the
-# remaining 23 slots with the stalest r6 rows in r6-window order
-# (streaming_neardup, stream_distinct_users, byte_histogram, ...). The
-# ~27 r6 rows that don't fit must lead the r10 window alongside the
-# r7-stale rotation — that keeps every entry's driver row ≤2 rounds
-# old.
+# plus k_anonymity_audit and the wave-11 pair (scd2_lookup,
+# ols_trend_slope) — 29 never-gated in all — then fill the remaining 21
+# slots with the stalest r6 rows in r6-window order (streaming_neardup,
+# stream_distinct_users, byte_histogram, ...). The ~29 r6 rows that
+# don't fit must lead the r10 window alongside the r7-stale rotation —
+# that keeps every entry's driver row ≤2 rounds old.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-gated: the two r5 streaming entries (real streaming
     # jobs; gate == batch twin, equality is test-asserted) ---
@@ -7253,6 +7373,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "ewma_backtest": (q_ewma_backtest, _ewma_backtest_sql()),
     "k_anonymity_audit": (q_k_anonymity_audit, _SQL_K_ANONYMITY),
+    # --- new in r8 wave 11 (point-in-time attribution / OLS trend) ---
+    # independent-formulation oracle: window cumsum vs literal range join
+    "scd2_lookup": (q_scd2_lookup, _SQL_SCD2_LOOKUP),
+    "ols_trend_slope": (q_ols_trend_slope, _SQL_OLS_SLOPE),
 }
 
 
