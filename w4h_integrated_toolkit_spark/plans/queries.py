@@ -7137,7 +7137,12 @@ FROM s
 # slots with the stalest r6 rows in r6-window order (streaming_neardup,
 # stream_distinct_users, byte_histogram, ...). The ~29 r6 rows that
 # don't fit must lead the r10 window alongside the r7-stale rotation —
-# that keeps every entry's driver row ≤2 rounds old.
+# that keeps every entry's driver row ≤2 rounds old. The exact
+# prospective r9 window (29 never-gated + the first 21 r6 rows in
+# CORRECTNESS_r06 order) was pre-measured at r8 end: 45.6 s total cold
+# at sf0.01 on 4 cpus, worst entry streaming_ewma 5.6 s — inside the
+# historical 41-58.5 s window range, every entry far under the ~30 s
+# per-entry envelope.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-gated: the two r5 streaming entries (real streaming
     # jobs; gate == batch twin, equality is test-asserted) ---
