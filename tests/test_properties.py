@@ -1064,3 +1064,57 @@ def test_basket_affinity_matches_set_model(spark, events):
             for r in q_basket_affinity(spark, d).collect()
         }
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),              # second offset (ties abound)
+            st.sampled_from(["a", "b"]),    # attribute value
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_scd2_lookup_matches_interval_model(spark, events):
+    """The window-cumsum version attribution against a brute-force
+    interval model over random tie-dense streams: version_at(e) =
+    1 + #changes strictly before e in the composite (ts, event_id)
+    order, and per-version counts partition the stream."""
+    import tempfile
+
+    from w4h_integrated_toolkit_spark.plans.queries import q_scd2_lookup
+
+    ordered = sorted(
+        ((sec, eid, attr) for eid, (sec, attr) in enumerate(events)),
+        key=lambda r: (r[0], r[1]),
+    )
+    versions = []
+    prev = None
+    v = 0
+    for _sec, _eid, attr in ordered:
+        if prev is None or attr != prev:
+            v += 1
+        versions.append(v)
+        prev = attr
+    expected: dict = {}
+    for v_ in versions:
+        expected[(9, v_)] = expected.get((9, v_), 0) + 1
+
+    rows = [
+        (eid, dt.datetime(2024, 1, 1, 0, 0, sec), 9, attr, 1.0, "{}")
+        for eid, (sec, attr) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory(prefix="w4h_scd2p_") as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = {
+            (r["user_id"], r["version"]): r["n_events"]
+            for r in q_scd2_lookup(spark, d).collect()
+        }
+    assert got == expected
