@@ -7385,70 +7385,98 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-# Round-8 driver window: the first 50 names the gate will hash this round
-# (see the ROUND-8 WINDOW note above). The literal above keeps its
-# semantic grouping; this list is the authoritative gate order.
-_R8_WINDOW = [
-    # 14 highest-risk never-driver-hashed r7 additions; the stateful
-    # streaming job first (heaviest gate wall, never externally verified)
-    "streaming_debounce",
-    "debounce_events",
-    "ewma_smooth",
-    "kmeans_iteration",
-    "event_type_pagerank",
-    "pmi_pairs",
-    "table_diff",
-    "scd2_intervals",
-    "golden_record",
-    "token_entropy",
-    "weighted_sample",
-    "name_match_pairs",
-    "conversion_lag_daily",
-    "windowed_funnel",
-    # all 36 r5-stale rows (latest driver row = r5), behind-window order
-    "first_per_user",
-    "cohort_compare",
-    "activity_span",
-    "safe_band",
-    "time_of_day_overnight",
-    "dedup_composite_key",
-    "json_extract",
-    "melt_unpivot",
-    "doc_fingerprint",
-    "exact_dedup",
-    "text_stats",
-    "language_id",
-    "quality_score",
-    "minhash_signatures",
-    "percentiles",
-    "distinct_counts",
-    "rollup_totals",
-    "pivot_event_types",
-    "sessionize",
-    "align_by_position",
-    "offset_batch",
-    "string_normalize",
-    "fuzzy_column_mapping",
-    "value_tiers",
-    "trailing_window_kpis",
-    "shipping_priority",
-    "local_supplier_volume",
-    "gap_mask",
-    "resample_1min",
-    "sliding_window",
-    "knn_cosine_topk",
-    "embedding_neardup_pairs",
-    "calibration",
-    "minhash_lsh_pairs",
-    "frame_sample",
-    "stream_window_kpis",
+# Round-9 driver window: the first 50 names the gate will hash this round,
+# executing the R9 WINDOW PLAN above exactly: all 29 never-driver-hashed
+# entries first (the two real streaming jobs — streaming_ewma, then
+# stream_window_dedup — up front, since never-externally-verified entries
+# outrank stale-but-previously-green rows if the gate is cut short), then
+# the 21 stalest r6 rows in CORRECTNESS_r06 order. Verified against
+# CORRECTNESS_r01..r08 at r9 start: latest-round histogram was
+# {r8: 50, r7: 50, r6: 50, never: 29}; the never set below matches the
+# registry diff exactly. After r9 gates green: zero never-gated entries,
+# histogram {r9: 50, r8: 50, r7: 50, r6: 29}.
+#
+# R10 WINDOW PLAN (execute at r10 start): the 29 remaining r6-stale rows
+# FIRST, in CORRECTNESS_r06 order — decontaminate, pack_sequences,
+# late_shipment_priority, customer_order_distribution,
+# promo_revenue_share, brand_supplier_counts, disjunctive_revenue,
+# idle_rich_customers, geofence_count, pii_redaction, volume_shipping,
+# market_share, product_profit, returned_items, top_supplier,
+# small_qty_revenue, waiting_suppliers, cohort_kpi, breach_histogram,
+# ngram_jaccard_pairs, simhash, multimodal_meta, stream_alerts,
+# fft_range_sum, user_overlap_sketch, streaming_anomaly, semantic_dedup,
+# rfm_segments, time_weighted_avg — then any entries added in r9 (never
+# gated), then the stalest r7 rows. Rotation-debt arithmetic (per the r8
+# verdict's throttle order): stale backlog entering r10 = 29 r6 rows, so
+# r9 may add at most 50 − 29 = 21 new entries; r9 actually added 4
+# (scd2_apply, kmeans_fit, domain_extract, domain_cap_sample) →
+# 29 + 4 = 33 ≤ 50, leaving 17 free slots for r7-stale rotation.
+_R9_WINDOW = [
+    # --- 29 never-driver-hashed entries; real streaming jobs first ---
+    "streaming_ewma",
+    "stream_window_dedup",
+    # the remaining 5 r7 leftovers
+    "value_percentile_rank",
+    "grid_density",
+    "salted_hot_key_agg",
+    "event_paths",
+    "brand_top_parts",
+    # r8 wave-7 additions (9 remaining after stream_window_dedup)
+    "salted_join_equiv",
+    "embedding_gram",
+    "embedding_dim_stats",
+    "feature_hash_histogram",
+    "bigram_nll",
+    "vocab_oov_rate",
+    "rolling_median",
+    "equi_depth_bins",
+    "class_balance",
+    # r8 wave-8 additions
+    "acf_lags",
+    "kfold_report",
+    "quality_top_p",
+    "dataset_card",
+    # r8 wave-9 additions
+    "basket_affinity",
+    "shrunk_group_means",
+    "incremental_agg",
+    # r8 wave-10 eval family + k-anonymity
+    "langid_confusion",
+    "classification_metrics",
+    "ewma_backtest",
+    "k_anonymity_audit",
+    # r8 wave-11 pair
+    "scd2_lookup",
+    "ols_trend_slope",
+    # --- 21 stalest r6 rows, CORRECTNESS_r06 order ---
+    "streaming_neardup",
+    "stream_distinct_users",
+    "byte_histogram",
+    "token_counts",
+    "trajectories",
+    "user_similarity_topk",
+    "stable_split",
+    "asof_latest_purchase",
+    "incident_interval_join",
+    "knn_ivf_topk",
+    "rollup_cascade",
+    "stratified_sample",
+    "session_windows",
+    "dedup_clusters",
+    "incremental_dedup",
+    "retention_matrix",
+    "big_orders",
+    "boilerplate_ngrams",
+    "corpus_mixture",
+    "mixture_sample",
+    "repetition_ratio",
 ]
 
-assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
-assert len(set(_R8_WINDOW)) == 50
-assert set(_R8_WINDOW) <= set(QUERIES), set(_R8_WINDOW) - set(QUERIES)
-QUERIES = {name: QUERIES[name] for name in _R8_WINDOW} | {
-    name: spec for name, spec in QUERIES.items() if name not in set(_R8_WINDOW)
+assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
+assert len(set(_R9_WINDOW)) == 50
+assert set(_R9_WINDOW) <= set(QUERIES), set(_R9_WINDOW) - set(QUERIES)
+QUERIES = {name: QUERIES[name] for name in _R9_WINDOW} | {
+    name: spec for name, spec in QUERIES.items() if name not in set(_R9_WINDOW)
 }
 
 
