@@ -3073,6 +3073,81 @@ def test_merge_agg_state_fold_order_invariant(spark):
         agg_state_from_batch(df, [], "value")
 
 
+def test_merge_agg_state_key_validation(spark):
+    """r8 advice: a key column sharing a metric name must raise instead
+    of being silently folded as a metric; explicit keys must exactly
+    partition the state columns."""
+    import pytest
+
+    from w4h_integrated_toolkit_spark.operators.etl import (
+        agg_state_from_batch,
+        merge_agg_state,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(12)], "k long, value double"
+    )
+    s1 = agg_state_from_batch(df.filter(F.col("value") < 6), ["k"], "value")
+    s2 = agg_state_from_batch(df.filter(F.col("value") >= 6), ["k"], "value")
+
+    # explicit keys == inference on a well-named state
+    explicit = sorted(map(tuple, merge_agg_state(s1, s2, keys=["k"]).collect()))
+    inferred = sorted(map(tuple, merge_agg_state(s1, s2).collect()))
+    assert explicit == inferred
+
+    # explicit key colliding with a metric field name
+    with pytest.raises(ValueError, match="collide with metric"):
+        merge_agg_state(s1, s2, keys=["n"])
+    # explicit keys not partitioning state.columns
+    with pytest.raises(ValueError, match="exactly partition"):
+        merge_agg_state(s1, s2, keys=["k", "extra"])
+    # state missing a metric column entirely
+    with pytest.raises(ValueError, match="missing metric"):
+        merge_agg_state(s1.drop("min_us"), s2)
+    # increment schema drift
+    with pytest.raises(ValueError, match="increment columns"):
+        merge_agg_state(s1, s2.withColumnRenamed("k", "kk"))
+
+    # the advice's exact scenario: a grouping column literally named "n".
+    # agg_state_from_batch then emits two columns named "n"; inference
+    # drops both from the key set and raises instead of producing a
+    # wrongly-grouped merge with no error.
+    bad = agg_state_from_batch(df.withColumnRenamed("k", "n"), ["n"], "value")
+    with pytest.raises(ValueError, match="no grouping keys"):
+        merge_agg_state(bad, bad)
+
+
+def test_embedding_gram_cross_batch_overflow_detected(spark):
+    """r8 advice: partials that each pass the per-batch guard but whose
+    int64 merge wraps must raise at runtime (double-shadow check), not
+    return a silently-wrong Gram. 16 one-row partitions of q=2^30 give
+    per-batch partials of 2^60 (< the 2^62 per-batch bound) summing to
+    2^64, which wraps to 0 in non-ANSI int64 sum."""
+    import pytest
+
+    from w4h_integrated_toolkit_spark.operators.linalg import embedding_gram
+
+    q = float(2**30)
+    big = spark.createDataFrame(
+        [(i, [q]) for i in range(16)], "vec_id long, embedding array<double>"
+    ).repartition(16)
+    # under ANSI (this repo's session default) the int64 sum itself
+    # raises; the shadow check is the net for non-ANSI deployments
+    with pytest.raises(Exception, match="overflowed int64|ARITHMETIC_OVERFLOW"):
+        embedding_gram(big, scale=1).collect()
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        with pytest.raises(Exception, match="overflowed int64"):
+            embedding_gram(big, scale=1).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+    # same magnitudes at a coarser scale stay exact and in-bound
+    ok = embedding_gram(big, scale=1 / 2**15)  # q' = 2^15
+    [row] = ok.collect()
+    assert (row["i"], row["j"], row["g"]) == (0, 0, 16 * (2**15) ** 2)
+
+
 def test_embedding_gram_overflow_guard(spark):
     """A batch whose q magnitudes could wrap int64 raises the guard
     instead of silently wrapping (numpy matmul gives no overflow

@@ -542,6 +542,7 @@ def agg_state_from_batch(
 def merge_agg_state(
     state: DataFrame | None,
     increment: DataFrame,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Fold one state table into another: union + per-key merge with the
     aggregate's own merge functions (sum of n/sum, min of min, max of
@@ -550,10 +551,48 @@ def merge_agg_state(
     state — the incremental-view-maintenance contract, tested as
     fold(batches) == one-shot. ONE exchange on the keys per fold; with
     the state table bucketed on the keys even that disappears.
+
+    ``keys`` defaults to every column not named by the four metric
+    fields — pass it explicitly (as :func:`agg_state_from_batch`
+    requires) when a grouping column shares a metric name ("n",
+    "sum_us", ...), which inference cannot distinguish. A state table
+    that lacks any of the four metric columns, or an explicit key set
+    that doesn't exactly partition ``state.columns`` alongside them,
+    raises instead of silently folding a key as a metric.
     """
     if state is None:
         return increment
-    keys = [c for c in state.columns if c not in ("n", "sum_us", "min_us", "max_us")]
+    metric_cols = ("n", "sum_us", "min_us", "max_us")
+    missing = [c for c in metric_cols if c not in state.columns]
+    if missing:
+        raise ValueError(
+            f"merge_agg_state: state table is missing metric columns "
+            f"{missing} — not an agg_state_from_batch output?"
+        )
+    if keys is None:
+        keys = [c for c in state.columns if c not in metric_cols]
+    else:
+        overlap = sorted(set(keys) & set(metric_cols))
+        if overlap:
+            raise ValueError(
+                f"merge_agg_state: key columns {overlap} collide with "
+                f"metric field names — rename them upstream; inference "
+                f"would silently fold them as metrics"
+            )
+        if set(keys) | set(metric_cols) != set(state.columns):
+            raise ValueError(
+                f"merge_agg_state: keys {sorted(keys)} + metric fields "
+                f"must exactly partition state.columns "
+                f"{sorted(state.columns)}"
+            )
+    if not keys:
+        raise ValueError("merge_agg_state: no grouping keys")
+    if set(increment.columns) != set(state.columns):
+        raise ValueError(
+            f"merge_agg_state: increment columns "
+            f"{sorted(increment.columns)} != state columns "
+            f"{sorted(state.columns)}"
+        )
     return (
         state.unionByName(increment)
         .groupBy(*keys)

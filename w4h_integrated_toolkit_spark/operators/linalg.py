@@ -28,7 +28,7 @@ __all__ = ["embedding_gram", "embedding_dim_stats"]
 GRAM_SCALE = 10**6
 
 
-def _quantized(vectors: DataFrame, vec_col: str, scale: int):
+def _quantized(vec_col: str, scale: int):
     return F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * F.lit(float(scale)), 0).cast("long"),
@@ -70,10 +70,13 @@ def embedding_gram(
     and the global per-cell sum stays int64-safe up to ~5·10⁵ corpus
     rows per unit of (scale·max|x|)² — drop ``scale`` to 1e3 for
     billion-row corpora (the Gram is then exact at the coarser
-    quantization, still bit-stable).
+    quantization, still bit-stable). The bound is ENFORCED, not just
+    documented: per Arrow batch the kernel raises before a partial
+    could wrap, and the cross-batch merge is shadow-summed in double
+    precision in-plan, raising on any cell whose int64 sum wrapped.
     """
     qdf = _clean(vectors, vec_col).select(
-        _quantized(vectors, vec_col, scale).alias("_q")
+        _quantized(vec_col, scale).alias("_q")
     )
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -106,14 +109,39 @@ def embedding_gram(
             )
 
     partials = qdf.mapInPandas(part, "i int, j int, g long")
-    return (
-        partials.groupBy("i", "j")
-        .agg(F.sum("g").alias("g"))
-        .select(
-            F.col("i").cast("long").alias("i"),
-            F.col("j").cast("long").alias("j"),
-            F.col("g").cast("long").alias("g"),
+    merged = partials.groupBy("i", "j").agg(
+        F.sum("g").alias("g"),
+        # double-precision shadow of the same merge: under ANSI mode
+        # (this repo's session default) the int64 sum raises on its own,
+        # but a non-ANSI deployment wraps SILENTLY past 2^63 — the
+        # shadow sum cannot wrap either way. A
+        # wrap shifts g by k·2^64 ≈ k·1.8e19 while the shadow's rounding
+        # error stays ≤ ~ulp(2^63)·n_partials ≪ 1e15, so a 1e15 gap is
+        # an unambiguous wrap signal. Turns the documented ~5e5-row
+        # scale contract (docstring above) into a runtime raise instead
+        # of a silently-wrong Gram — the cross-batch twin of the
+        # per-batch guard in `part`.
+        F.sum(F.col("g").cast("double")).alias("_g_shadow"),
+    )
+    overflow = F.abs(F.col("g").cast("double") - F.col("_g_shadow")) > F.lit(1e15)
+    return merged.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        F.when(
+            overflow,
+            F.raise_error(
+                F.concat(
+                    F.lit("embedding_gram: cross-batch merge of Gram cell ("),
+                    F.col("i").cast("string"),
+                    F.lit(", "),
+                    F.col("j").cast("string"),
+                    F.lit(") overflowed int64 — lower `scale` (coarser "),
+                    F.lit("quantization keeps the Gram exact)"),
+                )
+            ).cast("long"),
         )
+        .otherwise(F.col("g"))
+        .alias("g"),
     )
 
 
@@ -133,7 +161,7 @@ def embedding_dim_stats(
     key with map-side partials — the classic fully-decomposable shape.
     """
     e = _clean(vectors, vec_col).select(
-        F.posexplode(_quantized(vectors, vec_col, scale)).alias("dim", "_qx")
+        F.posexplode(_quantized(vec_col, scale)).alias("dim", "_qx")
     )
     return (
         e.groupBy("dim")

@@ -6977,13 +6977,22 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled up to per-(user, version) event counts — the AS-OF dimension
     lookup every warehouse fact load runs against a type-2 dimension.
 
-    Independent-formulation oracle (the strongest kind): Spark computes
-    the version WITHOUT any join — a running count of attribute changes
-    over ONE user-ordered window (version_at(t) ≡ #changes ≤ t, exact
-    under the composite (ts, event_id) tie order) — while the DuckDB
-    oracle materializes the SCD2 intervals and performs the literal
-    range join on lexicographic (t_us, event_id) boundaries. Equal
-    output proves the window shortcut == the interval semantics.
+    Partially-independent oracle: Spark computes the version WITHOUT
+    any join — a running count of attribute changes over ONE
+    user-ordered window (version_at(t) ≡ #changes ≤ t, exact under the
+    composite (ts, event_id) tie order) — while the DuckDB oracle
+    materializes the SCD2 intervals and performs the literal range join
+    on lexicographic (t_us, event_id) boundaries. Equal output proves
+    the window shortcut == the interval semantics. Caveat (r8 advice):
+    BOTH sides derive change points from the same lag(event_type) rule
+    (first row, or prev IS DISTINCT FROM current — so consecutive NULL
+    event_types are ONE version, opened by the first NULL), so only the
+    assignment half (window cumsum vs interval join) is independently
+    formulated; a shared misconception in change DETECTION would pass
+    parity. The change rule itself is cross-checked elsewhere:
+    scd2_intervals carries its own driver-gated oracle over the same
+    rule, and test_scd2_lookup_matches_interval_model brute-forces the
+    assignment against a row-by-row interval model.
     Plan: one key exchange, no join, no interval explosion."""
     from pyspark.sql import Window
 
