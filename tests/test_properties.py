@@ -1118,3 +1118,63 @@ def test_scd2_lookup_matches_interval_model(spark, events):
             for r in q_scd2_lookup(spark, d).collect()
         }
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1),                       # key
+            st.integers(0, 9),                       # second offset
+            st.sampled_from(["a", "b", None]),       # attr (NULL runs too)
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    st.integers(0, 10),                              # cutoff second
+    st.integers(0, 10),                              # second fold split
+)
+def test_scd2_apply_fold_equals_rebuild(spark, events, cutoff, cut2):
+    """The scd2_apply IVM law over random update streams: folding any
+    time-split (and any two successive splits) of the event log into the
+    dimension equals the one-shot scd2_intervals rebuild, including NULL
+    attribute runs, new keys, and batches that change nothing."""
+    from w4h_integrated_toolkit_spark.operators.etl import (
+        scd2_apply,
+        scd2_intervals,
+    )
+
+    rows = [
+        (eid, dt.datetime(2024, 1, 1, 0, 0, sec), key, attr)
+        for eid, (key, sec, attr) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    # (key, valid_from_us, version) is unique per row; attr may be None
+    # so full-tuple sort would raise on None < str
+    srt = lambda it: sorted(map(tuple, it), key=lambda t: (t[0], t[2], t[4]))
+    rebuilt = srt(scd2_intervals(df, "user_id", "event_type").collect())
+
+    t_cut = dt.datetime(2024, 1, 1, 0, 0, cutoff)
+    hist, batch = df.filter(F.col("ts") < F.lit(t_cut)), df.filter(
+        F.col("ts") >= F.lit(t_cut)
+    )
+    dim = scd2_intervals(hist, "user_id", "event_type")
+    folded = scd2_apply(dim, batch, "user_id", "event_type")
+    assert srt(folded.collect()) == rebuilt
+
+    # two successive applies across an independent second split
+    lo, hi = sorted((cutoff, cut2))
+    t_lo, t_hi = (dt.datetime(2024, 1, 1, 0, 0, s) for s in (lo, hi))
+    d0 = scd2_intervals(df.filter(F.col("ts") < F.lit(t_lo)), "user_id", "event_type")
+    d1 = scd2_apply(
+        d0,
+        df.filter((F.col("ts") >= F.lit(t_lo)) & (F.col("ts") < F.lit(t_hi))),
+        "user_id",
+        "event_type",
+    )
+    d2 = scd2_apply(
+        d1, df.filter(F.col("ts") >= F.lit(t_hi)), "user_id", "event_type"
+    )
+    assert srt(d2.collect()) == rebuilt

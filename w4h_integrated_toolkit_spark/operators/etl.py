@@ -33,6 +33,7 @@ __all__ = [
     "blocked_edit_distance_pairs",
     "table_diff",
     "scd2_intervals",
+    "scd2_apply",
     "kfold_assignment",
     "agg_state_from_batch",
     "merge_agg_state",
@@ -468,12 +469,17 @@ def scd2_intervals(
     w = Window.partitionBy(key).orderBy(ts, order_tiebreak)
     t_us = F.round(F.col(ts).cast("double") * 1e6, 0).cast("long")
     prev = F.lag(F.col(attr)).over(w)
+    # first-row detection must NOT be prev.isNull() — that conflates "no
+    # previous row" with "previous attr is NULL" and would open a new
+    # version per event inside a NULL run; lag over a literal is NULL
+    # exactly on the partition's first row.
+    first = F.lag(F.lit(1)).over(w).isNull()
     flagged = df.select(
         key,
         F.col(attr),
         t_us.alias("_t_us"),
         F.col(order_tiebreak),
-        (prev.isNull() | ~prev.eqNullSafe(F.col(attr)))
+        (first | ~prev.eqNullSafe(F.col(attr)))
         .cast("int")
         .alias("_chg"),
     ).filter(F.col("_chg") == 1)
@@ -485,6 +491,123 @@ def scd2_intervals(
         F.lead("_t_us").over(w2).alias("valid_to_us"),
         F.row_number().over(w2).cast("long").alias("version"),
     )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    batch: DataFrame,
+    key: str,
+    attr: str,
+    ts: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Apply a batch of new change events to an existing SCD2 dimension
+    (the :func:`scd2_intervals` shape) in ONE pass: expire each open
+    version whose attribute changes, insert the new versions with
+    continued ordinals, and pass closed history through untouched — the
+    write half of every warehouse dimension load (reference analog: the
+    ingest upsert, script/w4h_db_utils.py:160-205), where rebuilding the
+    history from the full event log each load would rescan 100 TB.
+
+    Equivalence law (the oracle):
+    ``scd2_apply(scd2_intervals(history), batch) ==
+    scd2_intervals(history ∪ batch)`` whenever every batch event is
+    strictly later than every history event of its key (the append
+    contract). The detectable half of a violation — a batch event at or
+    before the OPEN version's valid_from — raises in-plan; events
+    landing between older history rows are undetectable from the
+    folded dim alone and are the caller's contract.
+
+    Plan: one key exchange for the batch's change-detection window, a
+    key equi join against the |keys|-sized open slice, and a key-grouped
+    expiry aggregate — closed history streams scan→union with no
+    exchange. With the dim and batch bucketed on the key, every
+    exchange disappears. No interval explosion, nothing driver-side.
+    """
+    from pyspark.sql import Window
+
+    t_us = F.round(F.col(ts).cast("double") * 1e6, 0).cast("long")
+    b = batch.select(
+        F.col(key),
+        F.col(attr),
+        t_us.alias("_t_us"),
+        F.col(order_tiebreak).alias("_tb"),
+    )
+    open_slice = dim.filter(F.col("valid_to_us").isNull()).select(
+        F.col(key).alias("_k"),
+        F.col(attr).alias("_open_attr"),
+        F.col("valid_from_us").alias("_open_from"),
+        F.col("version").alias("_open_version"),
+        F.lit(True).alias("_has_open"),
+    )
+    j = b.join(open_slice, F.col(key).eqNullSafe(F.col("_k")), "left").drop("_k")
+
+    w = Window.partitionBy(key).orderBy("_t_us", "_tb")
+    rn = F.row_number().over(w)
+    prev_attr = F.lag(F.col(attr)).over(w)
+    # rn == 1 chains change detection off the open version's attribute
+    # (or unconditionally opens v1 for a brand-new key); later rows lag
+    # within the batch. eqNullSafe keeps NULL attrs one version.
+    first_chg = F.when(F.col("_has_open").isNull(), F.lit(1)).otherwise(
+        (~F.col("_open_attr").eqNullSafe(F.col(attr))).cast("int")
+    )
+    chg = F.when(rn == 1, first_chg).otherwise(
+        (~prev_attr.eqNullSafe(F.col(attr))).cast("int")
+    )
+    # append-contract guard, evaluated for EVERY batch row (it feeds the
+    # filter input, so column pruning cannot drop it)
+    chg_checked = F.when(
+        F.col("_has_open").isNotNull() & (F.col("_t_us") <= F.col("_open_from")),
+        F.raise_error(
+            F.concat(
+                F.lit("scd2_apply: batch event at t_us="),
+                F.col("_t_us").cast("string"),
+                F.lit(" is not after the open version's valid_from_us="),
+                F.col("_open_from").cast("string"),
+                F.lit(" — the append contract requires batch events "),
+                F.lit("strictly later than all dimension history"),
+            )
+        ).cast("int"),
+    ).otherwise(chg)
+
+    changes = j.select(
+        F.col(key),
+        F.col(attr),
+        "_t_us",
+        "_tb",
+        "_open_version",
+        chg_checked.alias("_chg"),
+    ).filter(F.col("_chg") == 1)
+
+    w2 = Window.partitionBy(key).orderBy("_t_us", "_tb")
+    new_rows = changes.select(
+        F.col(key),
+        F.col(attr),
+        F.col("_t_us").alias("valid_from_us"),
+        F.lead("_t_us").over(w2).alias("valid_to_us"),
+        (F.coalesce(F.col("_open_version"), F.lit(0)) + F.row_number().over(w2))
+        .cast("long")
+        .alias("version"),
+    )
+
+    expire = changes.groupBy(F.col(key).alias("_k")).agg(
+        F.min("_t_us").alias("_expire_at")
+    )
+    open_updated = (
+        dim.filter(F.col("valid_to_us").isNull())
+        .join(expire, F.col(key).eqNullSafe(F.col("_k")), "left")
+        .select(
+            F.col(key),
+            F.col(attr),
+            F.col("valid_from_us"),
+            F.col("_expire_at").alias("valid_to_us"),
+            F.col("version"),
+        )
+    )
+    closed = dim.filter(F.col("valid_to_us").isNotNull()).select(
+        F.col(key), F.col(attr), "valid_from_us", "valid_to_us", "version"
+    )
+    return closed.unionByName(open_updated).unionByName(new_rows)
 
 
 def kfold_assignment(

@@ -42,6 +42,7 @@ from ..operators.etl import (
     blocked_edit_distance_pairs,
     debounce_events,
     melt,
+    scd2_apply,
     scd2_intervals,
     table_diff,
     weighted_priority_sample,
@@ -5751,11 +5752,12 @@ _SQL_SCD2 = """
 WITH x AS (
   SELECT user_id, event_type, event_id,
          CAST(round(epoch(ts) * 1e6) AS BIGINT) AS t_us,
-         lag(event_type) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id) AS prev
-  FROM events),
+         lag(event_type) OVER w AS prev,
+         lag(1) OVER w AS marker
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 c AS (SELECT user_id, event_type, t_us, event_id FROM x
-      WHERE prev IS NULL OR prev IS DISTINCT FROM event_type)
+      WHERE marker IS NULL OR prev IS DISTINCT FROM event_type)
 SELECT user_id, event_type, t_us AS valid_from_us,
        lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
          AS valid_to_us,
@@ -6985,21 +6987,24 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on lexicographic (t_us, event_id) boundaries. Equal output proves
     the window shortcut == the interval semantics. Caveat (r8 advice):
     BOTH sides derive change points from the same lag(event_type) rule
-    (first row, or prev IS DISTINCT FROM current — so consecutive NULL
-    event_types are ONE version, opened by the first NULL), so only the
+    (true first row — a lag-over-literal marker, NOT prev IS NULL — or
+    prev IS DISTINCT FROM current, so consecutive NULL event_types are
+    genuinely ONE version opened by the first NULL), so only the
     assignment half (window cumsum vs interval join) is independently
     formulated; a shared misconception in change DETECTION would pass
     parity. The change rule itself is cross-checked elsewhere:
     scd2_intervals carries its own driver-gated oracle over the same
-    rule, and test_scd2_lookup_matches_interval_model brute-forces the
-    assignment against a row-by-row interval model.
+    rule, test_scd2_lookup_matches_interval_model brute-forces the
+    assignment against a row-by-row interval model, and the scd2_apply
+    fold law exercises NULL runs end-to-end against the rebuild.
     Plan: one key exchange, no join, no interval explosion."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("event_type").over(w)
-    chg = (prev.isNull() | ~prev.eqNullSafe(F.col("event_type"))).cast("long")
+    first = F.lag(F.lit(1)).over(w).isNull()
+    chg = (first | ~prev.eqNullSafe(F.col("event_type"))).cast("long")
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
     versioned = ev.select(
         "user_id", F.sum(chg).over(wcum).alias("version")
@@ -7013,15 +7018,16 @@ _SQL_SCD2_LOOKUP = """
 WITH x AS (
   SELECT user_id, event_type, event_id,
          CAST(round(epoch(ts) * 1e6) AS BIGINT) AS t_us,
-         lag(event_type) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id) AS prev
-  FROM events),
+         lag(event_type) OVER w AS prev,
+         lag(1) OVER w AS marker
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 c AS (
   SELECT user_id, t_us AS from_us, event_id AS from_eid,
          lead(t_us) OVER w2 AS to_us,
          lead(event_id) OVER w2 AS to_eid,
          row_number() OVER w2 AS version
-  FROM x WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+  FROM x WHERE marker IS NULL OR prev IS DISTINCT FROM event_type
   WINDOW w2 AS (PARTITION BY user_id ORDER BY t_us, event_id))
 SELECT e.user_id, CAST(c.version AS BIGINT) AS version,
        CAST(count(*) AS BIGINT) AS n_events
@@ -7032,6 +7038,25 @@ FROM x e JOIN c ON e.user_id = c.user_id
        OR (e.t_us = c.to_us AND e.event_id < c.to_eid))
 GROUP BY e.user_id, c.version
 """
+
+
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge-apply (the write half of the dimension load): build
+    the dimension from PRE-cutoff history with scd2_intervals, then fold
+    the POST-cutoff events in with scd2_apply — expire + insert in one
+    pass, closed history untouched.
+
+    Rebuild-from-scratch oracle (fully independent of the apply
+    mechanics): the DuckDB side is the one-shot SCD2 build over ALL
+    events (_SQL_SCD2 verbatim). Equality proves the incremental fold
+    reproduces the full rebuild bit-for-bit — the IVM law for the
+    dimension-load operator, same style as incremental_agg."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.expr("timestamp'2024-01-20 00:00:00'")
+    hist = ev.filter(F.col("ts") < cutoff)
+    batch = ev.filter(F.col("ts") >= cutoff)
+    dim = scd2_intervals(hist, "user_id", "event_type")
+    return scd2_apply(dim, batch, "user_id", "event_type")
 
 
 def q_ols_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7391,6 +7416,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # independent-formulation oracle: window cumsum vs literal range join
     "scd2_lookup": (q_scd2_lookup, _SQL_SCD2_LOOKUP),
     "ols_trend_slope": (q_ols_trend_slope, _SQL_OLS_SLOPE),
+    # --- new in r9 wave 12 (SCD2 merge-apply; oracle = full rebuild) ---
+    "scd2_apply": (q_scd2_apply, _SQL_SCD2),
 }
 
 
