@@ -2711,6 +2711,105 @@ def test_kmeans_iteration_floor_division_negative(spark):
     assert got[(0, 0)] == -1500001
 
 
+def test_kmeans_fit_one_iteration_equals_single_step(spark):
+    """kmeans_fit(iterations=1) with k lowest-id seeds reproduces
+    kmeans_iteration over the same seeds cell-for-cell — the fit loop
+    adds chaining, not new single-step arithmetic."""
+    from w4h_integrated_toolkit_spark.operators.similarity import (
+        kmeans_fit,
+        kmeans_iteration,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 5), float((i * 3) % 7) - 3.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    step = sorted(
+        map(tuple, kmeans_iteration(vecs, vecs.filter("vec_id < 3")).collect())
+    )
+    fit = sorted(map(tuple, kmeans_fit(vecs, k=3, iterations=1).collect()))
+    assert fit == step
+
+
+def test_kmeans_fit_early_stop_preserves_fixed_iteration_result(spark):
+    """Lloyd at a fixed point is a no-op, so early_stop=True must give
+    the identical cells as running every iteration — on a dataset that
+    converges after the first step (two tight separated clusters)."""
+    from w4h_integrated_toolkit_spark.operators.similarity import kmeans_fit
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [10.0, 10.0]),
+            (2, [0.1, -0.1]),
+            (3, [9.9, 10.1]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    full = sorted(
+        map(tuple, kmeans_fit(vecs, k=2, iterations=6, early_stop=False).collect())
+    )
+    stopped = sorted(
+        map(tuple, kmeans_fit(vecs, k=2, iterations=6, early_stop=True).collect())
+    )
+    assert stopped == full
+
+
+def test_kmeans_fit_drops_empty_clusters(spark):
+    """Duplicate seed vectors: the distance-0 tie breaks to the lowest
+    centroid id, so the higher duplicate seed attracts no members and is
+    DROPPED (documented k-may-shrink policy) — k=3 with two identical
+    seeds yields 2 surviving centroids."""
+    from w4h_integrated_toolkit_spark.operators.similarity import kmeans_fit
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [0.0, 0.0]),     # identical to seed 0 -> starves
+            (2, [10.0, 10.0]),
+            (3, [10.1, 9.9]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cells = kmeans_fit(vecs, k=3, iterations=2).collect()
+    assert {r["centroid_id"] for r in cells} == {0, 2}
+    got = {(r["centroid_id"], r["dim"]): r["n_members"] for r in cells}
+    assert got[(0, 0)] == 2 and got[(2, 0)] == 2
+
+
+def test_ivf_with_kmeans_centroids_full_probe_equals_exact(spark):
+    """IVF seeded from REAL kmeans_fit centroids (via centroid_arrays):
+    probing every cell (nprobe >= k_cells) makes the candidate set the
+    whole corpus, so ranked neighbors must equal exact cosine_topk."""
+    from w4h_integrated_toolkit_spark.operators.similarity import (
+        centroid_arrays,
+        cosine_topk,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [math.cos(i * 0.7) + 2.0, math.sin(i * 1.3) + 2.0, 0.5 * (i % 3)])
+            for i in range(24)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = centroid_arrays(kmeans_fit(vecs, k=4, iterations=2))
+    queries = vecs.filter("vec_id < 3")
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_topk(
+            vecs, queries, k=3, nprobe=4, centroids=cents
+        ).collect()
+    )
+    exact = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in cosine_topk(vecs, queries, k=3).collect()
+    )
+    assert got == exact
+
+
 # ---------------------------------------------------------------------------
 # wave 7 (round 8)
 # ---------------------------------------------------------------------------

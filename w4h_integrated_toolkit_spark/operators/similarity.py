@@ -43,6 +43,8 @@ __all__ = [
     "quantize_int8",
     "quantized_topk",
     "kmeans_iteration",
+    "kmeans_fit",
+    "centroid_arrays",
 ]
 
 
@@ -132,14 +134,18 @@ def ivf_topk(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     max_centroids: int = 65536,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: corpus vectors
     are assigned to their nearest coarse centroid by cosine, and each query
     scores only the vectors in its ``nprobe`` nearest cells.
 
-    Centroids here are the deterministic subset ``id % centroid_stride == 0``
-    (a k-means coarse quantizer would slot in identically — determinism is
-    what lets the SQL oracle reproduce the index). Scale shape: the coarse
+    By default centroids are the deterministic subset
+    ``id % centroid_stride == 0`` (determinism is what lets the SQL oracle
+    reproduce the index); pass ``centroids`` — any (id_col, vec_col) frame,
+    e.g. :func:`kmeans_fit` output rebuilt into arrays via
+    :func:`centroid_arrays` — to probe against a REAL coarse quantizer
+    instead, with identical plan shape. Scale shape: the coarse
     quantizer is tiny by construction (K ~ sqrt(n)), so it is collected and
     closure-captured in an Arrow-batched assignment UDF — cell assignment
     is then a pure map-side pass over the corpus (the "index build";
@@ -160,9 +166,15 @@ def ivf_topk(
     """
     import numpy as np
 
+    cent_src = (
+        centroids
+        if centroids is not None
+        else corpus.filter(F.col(id_col) % centroid_stride == 0)
+    )
     cent_rows = sorted(
-        corpus.filter(F.col(id_col) % centroid_stride == 0)
-        .select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv"))
+        cent_src.select(
+            F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
+        )
         .limit(max_centroids + 1)
         .collect(),
         key=lambda r: r["cid"],
@@ -532,6 +544,16 @@ def kmeans_iteration(
     )
     vq = vectors.select(F.col(id_col).alias("_vid"), q.alias("_q"))
     cq = centroids.select(F.col(id_col).alias("_cid"), q.alias("_cq"))
+    return _lloyd_step_q(vq, cq)
+
+
+def _lloyd_step_q(vq: DataFrame, cq: DataFrame) -> DataFrame:
+    """One Lloyd step over ALREADY-QUANTIZED frames — ``vq`` is
+    (_vid, _q: array<long>), ``cq`` is (_cid, _cq: array<long>) — so
+    iteration chaining (:func:`kmeans_fit`) stays in integers end to
+    end with no float round trip. Emits (centroid_id, dim, q_value,
+    n_members); centroids that attract no members are DROPPED (k may
+    shrink), the one empty-cluster policy a SQL oracle can mirror."""
     dist = F.aggregate(
         F.zip_with("_q", "_cq", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
@@ -563,5 +585,105 @@ def kmeans_iteration(
                 "ELSE -((-_s + n_members - 1) DIV n_members) END AS BIGINT)"
             ).alias("q_value"),
             F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    early_stop: bool = True,
+) -> DataFrame:
+    """Full k-means fit: the driver convergence loop around the
+    integer fixed-point Lloyd step (:func:`kmeans_iteration`), the same
+    unrolled-iterations + checkpoint discipline as
+    graph.pagerank_fixed_point. Seeds are the ``k`` lowest-id vectors
+    (deterministic — what lets a SQL oracle replay the whole fit);
+    every iteration is exactly one Lloyd step on quantized integers, so
+    the result after N iterations is bit-identical on any engine or
+    partitioning.
+
+    ``early_stop`` breaks out when an iteration reproduces the previous
+    centroid cells EXACTLY (integer equality — no epsilon): Lloyd on a
+    fixed point is a no-op, so early stopping never changes the
+    ``iterations``-step result, and the fixed-iteration oracle stays
+    valid with it enabled.
+
+    Empty-cluster policy: centroids that attract no members are dropped
+    (k may shrink) — deterministic and SQL-mirrorable, unlike
+    re-seeding heuristics.
+
+    Plan/scale: the corpus is RE-SCANNED once per iteration (columnar
+    parquet scan + broadcast of k quantized centroids — it never
+    shuffles); only the k·d centroid CELLS are localCheckpointed each
+    round, truncating the otherwise-exponential lineage the way
+    pagerank checkpoints its edge aggregate. The early-stop compare is
+    an exceptAll over those same k·d rows — O(k·d), never O(corpus).
+    Returns (centroid_id, dim, q_value, n_members).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    q = F.transform(
+        F.col(vec_col), lambda x: F.round(x * F.lit(float(scale)), 0).cast("long")
+    )
+    vq = vectors.select(F.col(id_col).alias("_vid"), q.alias("_q"))
+    cq = (
+        vq.orderBy("_vid")
+        .limit(k)
+        .select(F.col("_vid").alias("_cid"), F.col("_q").alias("_cq"))
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    for _ in range(iterations):
+        cells = _lloyd_step_q(vq, cq).localCheckpoint(eager=True)
+        if (
+            early_stop
+            and prev is not None
+            and prev.exceptAll(cells).isEmpty()
+            and cells.exceptAll(prev).isEmpty()
+        ):
+            return cells
+        prev = cells
+        cq = (
+            cells.groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "q_value"))
+                ).alias("_s")
+            )
+            .select(
+                F.col("centroid_id").alias("_cid"),
+                F.transform("_s", lambda s: s["q_value"]).alias("_cq"),
+            )
+        )
+    return prev
+
+
+def centroid_arrays(
+    cells: DataFrame,
+    scale: int = 10**6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adapter from :func:`kmeans_fit` cell output (centroid_id, dim,
+    q_value, n_members) back to an (id, array<double>) vector frame —
+    what ``ivf_topk(centroids=...)`` consumes, so the IVF coarse
+    quantizer can be REAL k-means centroids instead of the ``% stride``
+    subset. One k·d-row aggregate; dims are array_sort-ordered so the
+    array layout is deterministic."""
+    return (
+        cells.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "q_value"))).alias("_s"))
+        .select(
+            F.col("centroid_id").alias(id_col),
+            F.transform(
+                "_s", lambda s: s["q_value"].cast("double") / F.lit(float(scale))
+            ).alias(vec_col),
         )
     )

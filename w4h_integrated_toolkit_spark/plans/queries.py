@@ -7059,6 +7059,59 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, batch, "user_id", "event_type")
 
 
+def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-means fit (k=8, TWO Lloyd iterations) in integer fixed
+    point: deterministic lowest-id seeding, exact integer argmin
+    assignment, floor-divided centroid means — the convergence loop
+    around the oracled single step (similarity.kmeans_fit). The oracle
+    unrolls both iterations in SQL, so equality proves the CHAINING
+    (cells → arrays → next step) is bit-exact, not just one step.
+    early_stop stays on: Lloyd at a fixed point is a no-op, so it
+    cannot change the fixed-iteration result."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.kmeans_fit(emb, k=8, iterations=2)
+
+
+_SQL_KMEANS_FIT = """
+WITH u AS (
+  SELECT vec_id,
+         CAST(round(embedding[CAST(i AS INT)] * 1e6) AS BIGINT) AS qi,
+         CAST(i - 1 AS BIGINT) AS dim
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+c0 AS (SELECT vec_id AS cid, qi AS qc, dim FROM u
+       WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+d1 AS (SELECT u.vec_id, c0.cid, sum((u.qi - c0.qc) * (u.qi - c0.qc)) AS dist
+       FROM u JOIN c0 ON u.dim = c0.dim GROUP BY u.vec_id, c0.cid),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) AS rn
+         FROM d1) WHERE rn = 1),
+m1 AS (SELECT a1.cid, u.dim, CAST(sum(u.qi) AS BIGINT) AS s,
+              CAST(count(*) AS BIGINT) AS n
+       FROM u JOIN a1 ON u.vec_id = a1.vec_id GROUP BY a1.cid, u.dim),
+c1 AS (SELECT cid, dim,
+              CAST(CASE WHEN s >= 0 THEN s // n
+                   ELSE -((-s + n - 1) // n) END AS BIGINT) AS qc
+       FROM m1),
+d2 AS (SELECT u.vec_id, c1.cid, sum((u.qi - c1.qc) * (u.qi - c1.qc)) AS dist
+       FROM u JOIN c1 ON u.dim = c1.dim GROUP BY u.vec_id, c1.cid),
+a2 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) AS rn
+         FROM d2) WHERE rn = 1),
+m2 AS (SELECT a2.cid, u.dim, CAST(sum(u.qi) AS BIGINT) AS s,
+              CAST(count(*) AS BIGINT) AS n
+       FROM u JOIN a2 ON u.vec_id = a2.vec_id GROUP BY a2.cid, u.dim)
+SELECT cid AS centroid_id, dim,
+       CAST(CASE WHEN s >= 0 THEN s // n
+            ELSE -((-s + n - 1) // n) END AS BIGINT) AS q_value,
+       n AS n_members
+FROM m2
+"""
+
+
 def q_ols_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user OLS trend slope of readings against event rank — the
     parametric twin of spearman_trend (that one asks "is there a
@@ -7418,6 +7471,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "ols_trend_slope": (q_ols_trend_slope, _SQL_OLS_SLOPE),
     # --- new in r9 wave 12 (SCD2 merge-apply; oracle = full rebuild) ---
     "scd2_apply": (q_scd2_apply, _SQL_SCD2),
+    # two-iteration fit; oracle unrolls both Lloyd steps
+    "kmeans_fit": (q_kmeans_fit, _SQL_KMEANS_FIT),
 }
 
 
