@@ -3459,3 +3459,80 @@ def test_ols_trend_slope_closed_forms(spark):
     assert got[1] == (5, 2500.0)      # 2.5/step in milli units
     assert got[2] == (4, 0.0)
     assert got[3] == (1, None)
+
+
+# ---------------------------------------------------------------------------
+# wave 13 (round 9): web-corpus URL/domain operators
+# ---------------------------------------------------------------------------
+
+
+def test_url_host_and_registrable_domain_hand_cases(spark):
+    """Host extraction strips scheme/userinfo/port/path and lowercases;
+    eTLD+1 keeps three labels on multi-part suffixes, two otherwise,
+    passes <=2-label hosts through, and NULLs malformed input."""
+    from w4h_integrated_toolkit_spark.operators.web import (
+        registrable_domain,
+        url_host,
+    )
+
+    cases = [
+        ("https://crawler@WWW3.Example.CO.UK:8443/a/b?q=1#f",
+         "www3.example.co.uk", "example.co.uk"),
+        ("http://www2.example.com/x", "www2.example.com", "example.com"),
+        ("https://example.org", "example.org", "example.org"),
+        ("http://a.b.site.com.au:80/", "a.b.site.com.au", "site.com.au"),
+        ("not a url", None, None),
+        (None, None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
+    got = df.select(
+        url_host(F.col("url")).alias("h"),
+        registrable_domain(url_host(F.col("url"))).alias("d"),
+    ).collect()
+    for (u, eh, ed), r in zip(cases, got):
+        assert (r["h"], r["d"]) == (eh, ed), u
+
+
+def test_registrable_domain_extra_suffixes(spark):
+    """extra_suffixes extends the multi-part set per call."""
+    from w4h_integrated_toolkit_spark.operators.web import registrable_domain
+
+    df = spark.createDataFrame([("www.x.web.zz",)], "host string")
+    base = df.select(registrable_domain(F.col("host")).alias("d")).first()["d"]
+    ext = df.select(
+        registrable_domain(F.col("host"), ("web.zz",)).alias("d")
+    ).first()["d"]
+    assert base == "web.zz"
+    assert ext == "x.web.zz"
+
+
+def test_domain_cap_sample_salted_equals_unsalted(spark):
+    """EXACTNESS of the two-stage top-k: any salt bucket count yields the
+    identical capped set and ranks as the single-window form; caps are
+    respected and order is (quality desc, id asc)."""
+    from w4h_integrated_toolkit_spark.operators.web import domain_cap_sample
+
+    rows = [
+        (i, f"http://www{i % 3}.dom{i % 4}.com/p", float((i * 7) % 11))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, quality double")
+    base = sorted(
+        (r["doc_id"], r["domain"], r["domain_rank"])
+        for r in domain_cap_sample(
+            df, "url", "quality", cap=4, salt_buckets=0
+        ).collect()
+    )
+    assert len(base) == 16          # 4 domains x cap 4
+    for s in (1, 3, 8):
+        salted = sorted(
+            (r["doc_id"], r["domain"], r["domain_rank"])
+            for r in domain_cap_sample(
+                df, "url", "quality", cap=4, salt_buckets=s
+            ).collect()
+        )
+        assert salted == base, s
+    ranks = {}
+    for did, dom, rk in base:
+        ranks.setdefault(dom, []).append(rk)
+    assert all(sorted(v) == [1, 2, 3, 4] for v in ranks.values())

@@ -7112,6 +7112,140 @@ FROM m2
 """
 
 
+def _synthetic_url() -> F.Column:
+    """Deterministic URL built from documents columns (the table has no
+    URL field): varies scheme, userinfo, a www{k} subdomain, single- vs
+    multi-part public suffix, and an explicit port by doc_id residues —
+    every branch of the host parser and the eTLD+1 heuristic gets
+    exercised. Mirrored verbatim in _SQL_URL_CTE."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.when(d % 3 == 0, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 5 == 0, F.lit("crawler@")).otherwise(F.lit("")),
+        F.lit("www"),
+        (d % 7).cast("string"),
+        F.lit("."),
+        F.col("source"),
+        F.element_at(
+            F.array(
+                F.lit(".com"), F.lit(".co.uk"), F.lit(".org"), F.lit(".com.au")
+            ),
+            (d % 4 + 1).cast("int"),
+        ),
+        F.when(d % 6 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        d.cast("string"),
+    )
+
+
+_SQL_URL_CTE = """
+u AS (
+  SELECT doc_id, lang, source, n_chars,
+         (CASE WHEN doc_id % 3 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+         (CASE WHEN doc_id % 5 = 0 THEN 'crawler@' ELSE '' END) ||
+         'www' || CAST(doc_id % 7 AS VARCHAR) || '.' || source ||
+         (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+               WHEN 2 THEN '.org' ELSE '.com.au' END) ||
+         (CASE WHEN doc_id % 6 = 0 THEN ':8443' ELSE '' END) ||
+         '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+h AS (
+  SELECT doc_id, n_chars,
+         lower(NULLIF(regexp_extract(url,
+           '^[a-z]+://(?:[^/@]*@)?([^/:?#]+)', 1), '')) AS host
+  FROM u),
+d AS (
+  SELECT doc_id, n_chars, host,
+         CASE WHEN host IS NULL THEN NULL
+              WHEN len(string_split(host, '.')) <= 2 THEN host
+              WHEN (string_split(host, '.')[-2] || '.' ||
+                    string_split(host, '.')[-1]) IN
+                   ('co.uk','org.uk','ac.uk','gov.uk','me.uk','net.uk',
+                    'com.au','net.au','org.au','edu.au','gov.au',
+                    'co.jp','or.jp','ne.jp','ac.jp','go.jp',
+                    'co.in','net.in','org.in','gen.in','firm.in',
+                    'co.nz','net.nz','org.nz',
+                    'com.br','net.br','org.br',
+                    'com.cn','net.cn','org.cn','gov.cn',
+                    'com.mx','com.sg','com.tr','com.tw','com.hk',
+                    'co.za','co.kr','or.kr')
+              THEN string_split(host, '.')[-3] || '.' ||
+                   string_split(host, '.')[-2] || '.' ||
+                   string_split(host, '.')[-1]
+              ELSE string_split(host, '.')[-2] || '.' ||
+                   string_split(host, '.')[-1] END AS domain
+  FROM h)
+"""
+
+
+def q_domain_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL → host → registrable-domain extraction (web.url_host /
+    registrable_domain over a deterministic synthetic URL), rolled up to
+    per-(domain, host) document counts — the very first groupBy a web
+    corpus pipeline runs. Pure JVM expressions (try_parse_url + split);
+    the DuckDB oracle re-derives the host with a regexp and the eTLD+1
+    with list indexing — an independent formulation of both halves."""
+    from ..operators import web as WEB
+
+    docs = _t(spark, sf_dir, "documents")
+    with_url = docs.withColumn("url", _synthetic_url())
+    return (
+        with_url.select(
+            WEB.registrable_domain(WEB.url_host(F.col("url"))).alias("domain"),
+            WEB.url_host(F.col("url")).alias("host"),
+        )
+        .groupBy("domain", "host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+_SQL_DOMAIN_EXTRACT = (
+    "WITH "
+    + _SQL_URL_CTE
+    + """
+SELECT domain, host, CAST(count(*) AS BIGINT) AS n_docs
+FROM d GROUP BY domain, host
+"""
+)
+
+
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain rate cap (web.domain_cap_sample): at most 3 documents
+    per registrable domain, highest n_chars first, ties to the lowest
+    doc_id — run through the SALTED two-stage top-k (salt_buckets=4) so
+    the exactness law 'salted == unsalted' is itself driver-gated: the
+    oracle is the plain one-window formulation."""
+    from ..operators import web as WEB
+
+    docs = _t(spark, sf_dir, "documents")
+    with_url = docs.withColumn("url", _synthetic_url())
+    return WEB.domain_cap_sample(
+        with_url,
+        url_col="url",
+        quality_col="n_chars",
+        cap=3,
+        id_col="doc_id",
+        salt_buckets=4,
+    ).select("doc_id", "domain", "domain_rank", "n_chars")
+
+
+_SQL_DOMAIN_CAP = (
+    "WITH "
+    + _SQL_URL_CTE
+    + """
+SELECT doc_id, domain, CAST(rn AS BIGINT) AS domain_rank, n_chars
+FROM (SELECT doc_id, domain, n_chars,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM d)
+WHERE rn <= 3
+"""
+)
+
+
 def q_ols_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user OLS trend slope of readings against event rank — the
     parametric twin of spearman_trend (that one asks "is there a
@@ -7473,6 +7607,11 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "scd2_apply": (q_scd2_apply, _SQL_SCD2),
     # two-iteration fit; oracle unrolls both Lloyd steps
     "kmeans_fit": (q_kmeans_fit, _SQL_KMEANS_FIT),
+    # URL/domain curation pair: host+eTLD+1 extraction (independent
+    # regexp/list-index oracle) and the salted per-domain cap (oracle =
+    # the unsalted one-window form, gating the salted==unsalted law)
+    "domain_extract": (q_domain_extract, _SQL_DOMAIN_EXTRACT),
+    "domain_cap_sample": (q_domain_cap_sample, _SQL_DOMAIN_CAP),
 }
 
 
