@@ -3536,3 +3536,165 @@ def test_domain_cap_sample_salted_equals_unsalted(spark):
     for did, dom, rk in base:
         ranks.setdefault(dom, []).append(rk)
     assert all(sorted(v) == [1, 2, 3, 4] for v in ranks.values())
+
+
+# ---------------------------------------------------------------------------
+# vendored pure-stdlib image codec (round 9): real decode without Pillow
+# ---------------------------------------------------------------------------
+
+
+def _ppm_frame(w, h, seed):
+    """Deterministic P6 PPM test image with a FIXED-length header, so
+    every frame is the same byte size (the multimodal framing contract)."""
+    import numpy as np
+
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            rgb[y, x] = ((x * 31 + seed) % 256, (y * 57 + seed) % 256, (x + y) % 256)
+    header = f"P6\n{w} {h}\n255\n".encode()
+    return header + rgb.tobytes(), rgb
+
+
+def test_imagecodec_ppm_roundtrip_and_convert():
+    """P6 decode recovers the exact pixel array; PGM roundtrips; L
+    conversion applies the ITU-R 601-2 integer luma; comments and
+    arbitrary header whitespace parse."""
+    import io
+
+    import numpy as np
+
+    from w4h_integrated_toolkit_spark.operators import imagecodec as IC
+
+    blob, rgb = _ppm_frame(6, 4, seed=9)
+    img = IC.open(io.BytesIO(blob))
+    assert img.size == (6, 4) and img.mode == "RGB"
+    assert np.array_equal(np.asarray(img), rgb)
+
+    commented = b"P6 # magic\n# a comment line\n 6\t4 # dims\n255\n" + rgb.tobytes()
+    assert np.array_equal(np.asarray(IC.open(io.BytesIO(commented))), rgb)
+
+    gray = img.convert("L")
+    a = rgb.astype(np.uint32)
+    expect = ((a[..., 0] * 299 + a[..., 1] * 587 + a[..., 2] * 114) // 1000).astype(
+        np.uint8
+    )
+    assert np.array_equal(np.asarray(gray), expect)
+
+    buf = io.BytesIO()
+    gray.save(buf, format="PGM")
+    assert np.array_equal(np.asarray(IC.open(buf.getvalue())), expect)
+
+
+def test_imagecodec_png_roundtrip_and_resize():
+    """PNG encode→decode is the identity for RGB and gray; the decoder
+    reverses every standard filter type; nearest-neighbor resize picks
+    exact source pixels."""
+    import io
+
+    import numpy as np
+
+    from w4h_integrated_toolkit_spark.operators import imagecodec as IC
+
+    _, rgb = _ppm_frame(8, 5, seed=3)
+    png = IC.encode_png(rgb)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert np.array_equal(IC.decode_png(png), rgb)
+    gray = rgb[..., 0]
+    assert np.array_equal(IC.decode_png(IC.encode_png(gray)), gray)
+
+    # all five filter types, via a hand-built PNG (encoder emits only 0)
+    import struct
+    import zlib
+
+    rows = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 12)
+    stride, nch = 12, 3
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = rows[y].astype(np.int32)
+        enc = cur.copy()
+        for i in range(stride):
+            a = cur[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if ftype == 1:
+                enc[i] = (cur[i] - a) % 256
+            elif ftype == 2:
+                enc[i] = (cur[i] - b) % 256
+            elif ftype == 3:
+                enc[i] = (cur[i] - ((a + b) >> 1)) % 256
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (cur[i] - pred) % 256
+        raw += bytes([ftype]) + bytes(enc.astype(np.uint8))
+        prev = cur
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    hand = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(IC.decode_png(hand), rows.reshape(5, 4, 3))
+
+    small = IC.open(png).resize((4, 2))
+    assert small.size == (4, 2)
+    got = np.asarray(small)
+    # nearest-neighbor: row y maps to src (y*5)//2, col x to (x*8)//4
+    for y in range(2):
+        for x in range(4):
+            assert (got[y, x] == rgb[(y * 5) // 2, (x * 8) // 4]).all()
+
+
+def test_real_kernel_end_to_end_with_vendored_codec(spark):
+    """The codec='real' kernel path executes END TO END in-sandbox with
+    NO Pillow: real P6 PPM frames flow through Spark mapInPandas into
+    _real_resize_rows (decode→resize→re-encode PNG) and
+    _real_decode_rows (decode→luma mean); outputs verified by decoding
+    the emitted PNGs with the vendored decoder."""
+    import numpy as np
+
+    from w4h_integrated_toolkit_spark.operators import imagecodec as IC
+    from w4h_integrated_toolkit_spark.operators import multimodal as MM
+
+    frames = [_ppm_frame(8, 4, seed=s) for s in (1, 2, 3)]
+    fb = len(frames[0][0])
+    assert all(len(b) == fb for b, _ in frames)
+    payload = b"".join(b for b, _ in frames)
+    df = spark.createDataFrame(
+        [(7, payload, ("image/ppm", len(payload), fb, 3))],
+        "doc_id long, payload binary, "
+        "meta struct<format:string, n_bytes:bigint, frame_bytes:int, n_frames:bigint>",
+    )
+
+    out = {r["frame_idx"]: r for r in MM.resize_frames(df, factor=2, codec="ppm").collect()}
+    assert sorted(out) == [0, 1, 2]
+    for k, (_, rgb) in enumerate(frames):
+        png = bytes(out[k]["frame"])
+        dec = IC.decode_png(png)
+        assert dec.shape == (2, 4, 3)
+        # nearest-neighbor downsample of the source pixels
+        for y in range(2):
+            for x in range(4):
+                assert (dec[y, x] == rgb[(y * 4) // 2, (x * 8) // 4]).all()
+
+    means = {
+        r["frame_idx"]: r["mean_byte"]
+        for r in MM.decode_frames(df, codec="ppm").collect()
+    }
+    for k, (_, rgb) in enumerate(frames):
+        a = rgb.astype(np.uint32)
+        luma = (a[..., 0] * 299 + a[..., 1] * 587 + a[..., 2] * 114) // 1000
+        assert means[k] == float(luma.astype(np.uint8).mean())

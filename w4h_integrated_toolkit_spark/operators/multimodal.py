@@ -20,9 +20,13 @@ Spark:
   installed (a real cluster image) the frames are decoded/resized through
   it; where it isn't (this environment), the call fails fast with an
   actionable NotImplementedError instead of dying inside an executor.
-  ``codec="fake"`` runs the same mapInPandas plumbing with a
-  deterministic byte-level kernel so schema, batch shape, and
-  partitioning are testable end-to-end without media libraries.
+  ``codec="ppm"`` drives the SAME real kernels through the vendored
+  pure-stdlib codec (:mod:`.imagecodec` — PPM/PGM/PNG decode, PNG
+  encode), so a genuine decode→resize→re-encode path runs end to end
+  with no media libraries at all. ``codec="fake"`` runs the same
+  mapInPandas plumbing with a deterministic byte-level kernel so
+  schema, batch shape, and partitioning are testable for arbitrary
+  (non-image) payload bytes.
 
 Reference parity: the reference has no binary columns (geometry aside,
 SURVEY §2.7 C11); this module is a north-star extension (BASELINE.json
@@ -181,8 +185,9 @@ def _probe_pil():
 def _pil_missing(op: str) -> NotImplementedError:
     return NotImplementedError(
         f"{op}(codec='real') needs Pillow (PIL) and it is not importable "
-        "in this environment; install pillow on the cluster image, or use "
-        "codec='fake' for the deterministic byte-level kernel"
+        "in this environment; install pillow on the cluster image, use "
+        "codec='ppm' for the dependency-free real decoder (PPM/PGM/PNG "
+        "payloads), or codec='fake' for the deterministic byte-level kernel"
     )
 
 
@@ -252,6 +257,17 @@ def resize_frames(
             for pdf in batches:
                 yield _real_resize_rows(pdf, factor, id_col, Image)
 
+    elif codec == "ppm":
+        # dependency-free REAL-decode arm: the same kernel as
+        # codec='real', driven by the vendored pure-stdlib codec
+        # (PPM/PGM/PNG in, PNG out) — always available, so the real
+        # kernel path executes end to end even without Pillow
+        def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from . import imagecodec  # resolved on the executor
+
+            for pdf in batches:
+                yield _real_resize_rows(pdf, factor, id_col, imagecodec)
+
     elif codec == "fake":
 
         def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -270,7 +286,7 @@ def resize_frames(
                 yield pd.DataFrame(rows)
 
     else:
-        raise ValueError(f"unknown codec {codec!r}; use 'real' or 'fake'")
+        raise ValueError(f"unknown codec {codec!r}; use 'real', 'ppm', or 'fake'")
 
     flat = df.select(
         F.col(id_col),
@@ -335,6 +351,14 @@ def decode_frames(
             for pdf in batches:
                 yield _real_decode_rows(pdf, id_col, Image)
 
+    elif codec == "ppm":
+        # same real kernel, vendored pure-stdlib codec (see resize_frames)
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from . import imagecodec  # resolved on the executor
+
+            for pdf in batches:
+                yield _real_decode_rows(pdf, id_col, imagecodec)
+
     elif codec == "fake":
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -352,7 +376,7 @@ def decode_frames(
                 yield pd.DataFrame(rows)
 
     else:
-        raise ValueError(f"unknown codec {codec!r}; use 'real' or 'fake'")
+        raise ValueError(f"unknown codec {codec!r}; use 'real', 'ppm', or 'fake'")
 
     flat = df.select(
         F.col(id_col),
