@@ -210,7 +210,29 @@ EXTRA_BENCH_QUERIES = [
     # --- r8 wave 11 ---
     "scd2_lookup",
     "ols_trend_slope",
+    # --- r9 wave 12/13 ---
+    "scd2_apply",
+    "kmeans_fit",
+    "domain_extract",
+    "domain_cap_sample",
 ]
+
+# The heaviest extras get MEDIAN-OF-3 like the headline (r8 verdict
+# order #3): single-run numbers on multi-second streaming jobs read
+# cold-JIT noise as regressions. Membership = the top-10 extras by r8
+# BENCH_DETAIL cost; revisit when the cost ranking shifts.
+MEDIAN_EXTRA_QUERIES = {
+    "stream_stream_join",       # 6.71 s in r8
+    "stream_heavy_hitters",     # 4.85
+    "streaming_debounce",       # 3.48
+    "dedup_keep_best",          # 2.89
+    "streaming_anomaly",        # 2.82
+    "event_type_pagerank",      # 2.77
+    "streaming_ewma",           # 2.58
+    "pmi_pairs",                # 2.26
+    "stream_window_dedup",      # 1.92
+    "bigram_nll",               # 1.86
+}
 
 
 # 1-min loadavg above this → somebody else is using the 32-core box; the
@@ -349,9 +371,13 @@ def main() -> None:
         # extras are informational (not the comparable headline total) and
         # the list keeps growing — a single timed run each keeps the whole
         # bench comfortably inside the driver's timeout; headline queries
-        # keep median-of-3 (their totals are compared round-over-round)
+        # and the heaviest extras (MEDIAN_EXTRA_QUERIES) keep median-of-3
+        # (their numbers are compared round-over-round)
         results[name] = timed_median(
-            name, n_runs=3 if name in BENCH_QUERIES else 1
+            name,
+            n_runs=3
+            if (name in BENCH_QUERIES or name in MEDIAN_EXTRA_QUERIES)
+            else 1,
         )
         if name in probe_at:
             probes.append(round(_calibration_sec(spark), 3))
@@ -387,7 +413,10 @@ def main() -> None:
         "sf": float(sf),
         "runs": 3,
         "stat": "median",
-        "extra_runs": 1,
+        "extra_runs": {
+            "default": 1,
+            "median_of_3": sorted(MEDIAN_EXTRA_QUERIES),
+        },
         "loadavg_start": round(loadavg_start, 2),
         "loadavg_end": round(_loadavg(), 2),
         "calibration_sec": {

@@ -4,6 +4,9 @@ layer, end-to-end on one corpus.
 No reference analogue (the reference is a health-dashboard stack); this
 is the pipeline a 100 TB pretraining corpus runs nightly:
 
+  0a. domain cap    — registrable-domain extraction + per-domain rate
+                      cap (the crawl's very first filter: no mega-domain
+                      may dominate the mixture; salted two-stage top-k)
   0. exact collapse — golden-record survivorship over byte-identical
                       duplicates (longest text wins, deterministic ties)
   1. quality gate   — per-language rank filter (keep top half by score),
@@ -61,7 +64,29 @@ SF_DIR = os.environ.get("W4H_EXAMPLE_SF_DIR", "/root/testdata/sf0.001")
 def main() -> None:
     spark = get_spark("corpus-curation", cpus=4, shuffle_partitions=4,
                       driver_memory="4g")
-    raw = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    crawl = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    n_crawl = crawl.count()
+
+    # 0a. per-domain rate cap — the crawl's first filter. The test table
+    # has no URL column, so derive a deterministic one from the source
+    # (a real crawl carries its URL); cap each registrable domain at its
+    # 50 highest-n_chars pages via the salted two-stage top-k.
+    from w4h_integrated_toolkit_spark.operators.web import domain_cap_sample
+
+    with_url = crawl.withColumn(
+        "url",
+        F.concat(
+            F.lit("http://www"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("."),
+            F.col("source"),
+            F.lit(".com/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    raw = domain_cap_sample(
+        with_url, "url", "n_chars", cap=50, salt_buckets=4
+    ).drop("url", "domain", "domain_rank")
     n0 = raw.count()
 
     # 0. exact collapse: one golden row per byte-identical cluster
@@ -130,7 +155,8 @@ def main() -> None:
     )
 
     print(
-        f"corpus: {n0} docs -> exact collapse: {n_exact} -> "
+        f"crawl: {n_crawl} docs -> domain cap: {n0} -> "
+        f"exact collapse: {n_exact} -> "
         f"quality gate: {n1} ({low_entropy} low-entropy flagged) -> "
         f"dedup: {n2}"
     )

@@ -49,6 +49,7 @@ def main() -> None:
     frames = {f: replicate(docs, f).localCheckpoint(eager=True) for f in FACTORS}
     from w4h_integrated_toolkit_spark.operators import ranking as RK
     from w4h_integrated_toolkit_spark.operators import text as TX
+    from w4h_integrated_toolkit_spark.operators import web as WEB
     from w4h_integrated_toolkit_spark.operators.etl import (
         weighted_priority_sample,
     )
@@ -70,6 +71,23 @@ def main() -> None:
         "bigram_nll": lambda d: RK.bigram_nll(d).count(),
         "vocab_oov_rate": lambda d: RK.vocab_oov_rate(
             d.withColumn("source", (F.col("doc_id") % 20).cast("string"))
+        ).count(),
+        # r9 wave-13: per-domain cap over a synthetic 997-domain URL
+        # column (domain count fixed as docs grow — the realistic shape:
+        # cap work per domain rises, the domain exchange does not)
+        "domain_cap_sample": lambda d: WEB.domain_cap_sample(
+            d.withColumn(
+                "url",
+                F.concat(
+                    F.lit("http://www.dom"),
+                    F.pmod(F.col("doc_id"), F.lit(997)).cast("string"),
+                    F.lit(".com/p"),
+                ),
+            ),
+            url_col="url",
+            quality_col="n_chars",
+            cap=3,
+            salt_buckets=4,
         ).count(),
     }
     results = {
@@ -128,10 +146,31 @@ def main() -> None:
             )
             return autocorrelation(m).count()
 
+        from w4h_integrated_toolkit_spark.operators.etl import (
+            scd2_apply,
+            scd2_intervals,
+        )
+        from w4h_integrated_toolkit_spark.operators.similarity import (
+            kmeans_fit,
+        )
+
+        def _scd2_fold():
+            cut = F.expr("timestamp'2024-01-20 00:00:00'")
+            dim = scd2_intervals(
+                v_f.filter(F.col("ts") < cut), "user_id", "event_type"
+            )
+            return scd2_apply(
+                dim, v_f.filter(F.col("ts") >= cut), "user_id", "event_type"
+            ).count()
+
         for op, fn in {
             "embedding_gram": lambda: embedding_gram(e_f).count(),
             "rolling_median": lambda: rolling_median(v_f, k=5).count(),
             "acf_lags": _acf,
+            # r9: full two-iteration fit (timing includes the loop's own
+            # checkpoint actions — the honest cost of the operator)
+            "kmeans_fit": lambda: kmeans_fit(e_f, k=8, iterations=2).count(),
+            "scd2_apply": _scd2_fold,
         }.items():
             fn()  # warm
             ts = []

@@ -1120,7 +1120,7 @@ def test_scd2_lookup_matches_interval_model(spark, events):
     assert got == expected
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=6, deadline=None)
 @given(
     st.lists(
         st.tuples(
