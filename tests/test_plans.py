@@ -1098,3 +1098,49 @@ def test_wave10_plan_shapes(spark):
     # final metrics row is the only other exchange
     assert n_shuffles(p) <= 2, p[:800]
     assert "Join" not in p
+
+
+def test_wave12_13_plan_shapes(spark):
+    """r9 additions: SCD2 apply never plans a cartesian or sort-merge on
+    the batch side beyond the key equi joins; domain extraction stays
+    fully JVM-side with one aggregate exchange pair; the salted domain
+    cap gets map-side WindowGroupLimit pruning BEFORE each of its two
+    window exchanges (Spark's partial top-k — per-task input to the
+    domain sort is already capped)."""
+    p = plan_of(spark, "scd2_apply")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    p = plan_of(spark, "domain_extract")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "Window" not in p
+    assert n_shuffles(p) == 1, p[:800]
+
+    p = plan_of(spark, "domain_cap_sample")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    assert n_shuffles(p) == 2, p[:800]  # (domain, salt) then (domain)
+    # partial (pre-exchange) + final WindowGroupLimit per stage — count
+    # unique node ids (formatted explain repeats each node in the
+    # detail section)
+    wgl = set(re.findall(r"\((\d+)\) WindowGroupLimit", p))
+    assert len(wgl) == 4, sorted(wgl)
+
+    # kmeans_fit materializes per-iteration checkpoints, so its final
+    # plan is checkpoint-rooted; pin the SINGLE-STEP plan instead: the
+    # corpus joins the (tiny) centroid frame broadcast, never sort-merge
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.similarity import (
+        kmeans_iteration,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    step = kmeans_iteration(emb, emb.filter("vec_id < 8"))
+    sp = step._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in sp or "BroadcastNestedLoopJoin" in sp
+    assert "SortMergeJoin" not in sp
