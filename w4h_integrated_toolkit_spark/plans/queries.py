@@ -7363,7 +7363,10 @@ FROM s
 # CORRECTNESS_r06 order) was pre-measured at r8 end: 45.6 s total cold
 # at sf0.01 on 4 cpus, worst entry streaming_ewma 5.6 s — inside the
 # historical 41-58.5 s window range, every entry far under the ~30 s
-# per-entry envelope.
+# per-entry envelope. RE-MEASURED mid-r9 on current code (after the
+# SCD2 change-rule fix landed in this window via scd2_lookup): 49.5 s
+# total cold, worst streaming_ewma 9.6 s, next user_similarity_topk
+# 2.9 s — still inside the historical range and the envelope.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-gated: the two r5 streaming entries (real streaming
     # jobs; gate == batch twin, equality is test-asserted) ---
