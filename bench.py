@@ -215,6 +215,7 @@ EXTRA_BENCH_QUERIES = [
     "kmeans_fit",
     "domain_extract",
     "domain_cap_sample",
+    "bpe_merges",
 ]
 
 # The heaviest extras get MEDIAN-OF-3 like the headline (r8 verdict

@@ -47,6 +47,7 @@ def main() -> None:
     s = get_spark("scaling", cpus=32, shuffle_partitions=32, driver_memory="16g")
     docs = ensure_min_partitions(read_parquet(s, f"{SF_DIR}/documents.parquet"))
     frames = {f: replicate(docs, f).localCheckpoint(eager=True) for f in FACTORS}
+    from w4h_integrated_toolkit_spark.operators import bpe as BPE
     from w4h_integrated_toolkit_spark.operators import ranking as RK
     from w4h_integrated_toolkit_spark.operators import text as TX
     from w4h_integrated_toolkit_spark.operators import web as WEB
@@ -89,6 +90,11 @@ def main() -> None:
             cap=3,
             salt_buckets=4,
         ).count(),
+        # r9 wave-13: BPE fit — the replica token prefixes multiply the
+        # VOCABULARY by the factor (each word becomes factor distinct
+        # prefixed words), which is the dimension that actually grows
+        # with corpus breadth; per-merge work is vocabulary-bound
+        "bpe_learn": lambda d: BPE.bpe_learn(d, n_merges=4).count(),
     }
     results = {
         f: {

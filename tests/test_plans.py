@@ -1144,3 +1144,39 @@ def test_wave12_13_plan_shapes(spark):
     )
     assert "BroadcastHashJoin" in sp or "BroadcastNestedLoopJoin" in sp
     assert "SortMergeJoin" not in sp
+
+
+def test_bpe_component_plan_shapes(spark):
+    """BPE fit components: the vocab build is the ONLY corpus-sized
+    shuffle; pair counting adds exactly one vocabulary-sized aggregate
+    exchange; greedy merge application is a pure narrow map (zero
+    exchanges, no Window, no Join, no Python eval) — at 100 TB the
+    N-merge loop touches the corpus once and the vocabulary N times."""
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.bpe import (
+        bpe_apply_merge,
+        bpe_pair_counts,
+        bpe_vocab,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+
+    vocab = bpe_vocab(docs)
+    pv = vocab._jdf.queryExecution().explainString(mode)
+    assert n_shuffles(pv) == 1, pv[:800]
+    assert "BatchEvalPython" not in pv and "ArrowEvalPython" not in pv
+
+    pc = bpe_pair_counts(vocab)
+    pp = pc._jdf.queryExecution().explainString(mode)
+    assert n_shuffles(pp) == 2, pp[:800]  # vocab build + pair aggregate
+    assert "Window" not in pp and "Join" not in pp
+
+    ap = bpe_apply_merge(vocab, "a", "b")
+    pa = ap._jdf.queryExecution().explainString(mode)
+    assert n_shuffles(pa) == 1, pa[:800]  # ONLY the inherited vocab build
+    assert "Window" not in pa and "Join" not in pa
+    assert "BatchEvalPython" not in pa and "ArrowEvalPython" not in pa

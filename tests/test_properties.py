@@ -1178,3 +1178,65 @@ def test_scd2_apply_fold_equals_rebuild(spark, events, cutoff, cut2):
         d1, df.filter(F.col("ts") >= F.lit(t_hi)), "user_id", "event_type"
     )
     assert srt(d2.collect()) == rebuilt
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=24),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_bpe_learn_matches_python_model(spark, texts):
+    """bpe_learn == a literal sequential BPE trainer on random corpora.
+
+    The alphabet forces the hard cases: equal-symbol runs ("aaaa" must
+    greedily merge to ["aa","aa"], never ["a","aa","a"] — the Spark fold
+    and the oracle's gaps-and-islands closed form both encode this),
+    frequent count ties (argmax must break by lexicographic pair), and
+    words that reduce to a single symbol (pair exhaustion → early stop).
+    """
+    import collections
+    import re as _re
+
+    from w4h_integrated_toolkit_spark.operators.bpe import bpe_learn
+
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    wc = collections.Counter(
+        w for t in texts for w in _re.findall(r"[a-z]+", t.lower())
+    )
+    vocab = {w: list(w) for w in wc}
+    expected = []
+    for rank in range(1, 4):
+        pc = collections.Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        top = max(pc.values())
+        pair = min(p for p, c in pc.items() if c == top)
+        expected.append((rank, pair[0], pair[1], pc[pair]))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == pair[0]
+                    and syms[i + 1] == pair[1]
+                ):
+                    out.append(pair[0] + pair[1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_learn(df, n_merges=3).orderBy("merge_rank").collect()
+    ]
+    assert got == expected

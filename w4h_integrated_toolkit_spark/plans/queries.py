@@ -7312,6 +7312,90 @@ FROM s
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the top-4 BPE merges from the documents corpus
+    (operators/bpe.py — the tokenizer-training op of an LLM data
+    pipeline). Spark applies each merge with a sequential FOLD over the
+    word's symbol array (F.aggregate, shuffle-free); the DuckDB oracle
+    unrolls all 4 steps with a genuinely different closed form for the
+    greedy non-overlap rule (gaps-and-islands over match streaks: a
+    streak of consecutive matches only arises when left==right, and
+    greedy keeps the odd offsets) — equal merge tables prove the fold
+    == the interval semantics through FOUR chained vocabulary rewrites,
+    not just one step. One corpus-sized shuffle total (the word-count
+    vocab); every later stage is vocabulary-sized."""
+    from ..operators.bpe import bpe_learn
+
+    return bpe_learn(_t(spark, sf_dir, "documents"), n_merges=4)
+
+
+def _bpe_sql(n: int) -> str:
+    """Unrolled n-step BPE fit: per step, pair counts over the current
+    vocabulary → deterministic argmax (count DESC, pair lex) → greedy
+    merge application via the windowed closed form (see q_bpe_merges)."""
+    steps = []
+    for k in range(1, n + 1):
+        steps.append(f"""
+praw{k} AS (
+  SELECT cnt, unnest([{{'l': syms[i], 'r': syms[i+1]}}
+                      for i in range(1, len(syms))]) AS p
+  FROM v{k - 1}),
+p{k} AS (SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS s
+         FROM praw{k} GROUP BY p.l, p.r),
+b{k} AS (SELECT l, r, s FROM p{k} ORDER BY s DESC, l, r LIMIT 1),
+pos{k} AS (
+  SELECT word, cnt, e.pos AS pos, e.sym AS sym
+  FROM (SELECT word, cnt, unnest([{{'pos': i, 'sym': syms[i]}}
+                                  for i in range(1, len(syms) + 1)]) AS e
+        FROM v{k - 1})),
+m{k} AS (
+  SELECT word, cnt, pos, sym,
+         coalesce(sym = b.l AND lead(sym) OVER (
+           PARTITION BY word ORDER BY pos) = b.r, FALSE) AS mt
+  FROM pos{k} CROSS JOIN b{k} b),
+g{k} AS (
+  SELECT word, cnt, pos, sym, mt,
+         CASE WHEN mt THEN pos - row_number() OVER (
+           PARTITION BY word, mt ORDER BY pos) END AS isl
+  FROM m{k}),
+kk{k} AS (
+  SELECT word, cnt, pos, sym,
+         CASE WHEN mt THEN (row_number() OVER (
+           PARTITION BY word, isl ORDER BY pos)) % 2 = 1
+              ELSE FALSE END AS keepm
+  FROM g{k}),
+e{k} AS (
+  SELECT word, cnt, pos, sym, keepm,
+         coalesce(lag(keepm) OVER (
+           PARTITION BY word ORDER BY pos), FALSE) AS consumed
+  FROM kk{k}),
+v{k} AS (
+  SELECT word, any_value(cnt) AS cnt,
+         list(CASE WHEN keepm THEN b.l || b.r ELSE sym END
+              ORDER BY pos) AS syms
+  FROM e{k} CROSS JOIN b{k} b
+  WHERE NOT consumed
+  GROUP BY word)""")
+    union = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS left_sym, "
+        f"r AS right_sym, s AS pair_count FROM b{k}"
+        for k in range(1, n + 1)
+    )
+    return (
+        """
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents),
+v0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+         string_split(word, '') AS syms
+  FROM w GROUP BY word),"""
+        + ",".join(steps)
+        + "\n"
+        + union
+    )
+
+
 # --------------------------------------------------------------------------
 
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
@@ -7615,6 +7699,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # the unsalted one-window form, gating the salted==unsalted law)
     "domain_extract": (q_domain_extract, _SQL_DOMAIN_EXTRACT),
     "domain_cap_sample": (q_domain_cap_sample, _SQL_DOMAIN_CAP),
+    # --- new in r9 wave 13 (tokenizer training; oracle = 4-step unroll
+    # with an independent windowed closed form for greedy merging) ---
+    "bpe_merges": (q_bpe_merges, _bpe_sql(4)),
 }
 
 
@@ -7641,9 +7728,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 # rfm_segments, time_weighted_avg — then any entries added in r9 (never
 # gated), then the stalest r7 rows. Rotation-debt arithmetic (per the r8
 # verdict's throttle order): stale backlog entering r10 = 29 r6 rows, so
-# r9 may add at most 50 − 29 = 21 new entries; r9 actually added 4
-# (scd2_apply, kmeans_fit, domain_extract, domain_cap_sample) →
-# 29 + 4 = 33 ≤ 50, leaving 17 free slots for r7-stale rotation.
+# r9 may add at most 50 − 29 = 21 new entries; r9 actually added 5
+# (scd2_apply, kmeans_fit, domain_extract, domain_cap_sample,
+# bpe_merges) → 29 + 5 = 34 ≤ 50, leaving 16 free slots for r7-stale
+# rotation.
 _R9_WINDOW = [
     # --- 29 never-driver-hashed entries; real streaming jobs first ---
     "streaming_ewma",
