@@ -1937,6 +1937,38 @@ def test_count_min_guarantees_on_wide_domain(spark):
         count_min_estimates(ev, "event_id", max_candidates=100)
 
 
+def test_cm_probe_longs_matches_jvm_estimate(spark):
+    """cm_probe_longs (the no-py4j probe behind stream_heavy_hitters'
+    per-window interrogation) must be BIT-IDENTICAL to the JVM's
+    estimateCount over the full signed-64 item domain: the wire parse
+    (big-endian v1 layout) and the wrapping signed Carter-Wegman hash
+    (h = a*x; h += h >> 32, arithmetic shift) are both re-implemented,
+    so exercise negative hash products, negative items, and the int64
+    boundaries — any divergence in shift/overflow semantics shows here."""
+    import random
+
+    from w4h_integrated_toolkit_spark.operators.sketches import cm_probe_longs
+
+    jvm = spark._jvm
+    rnd = random.Random(20260814)
+    sk = jvm.org.apache.spark.util.sketch.CountMinSketch.create(0.005, 0.999, 7)
+    inserted = [rnd.randrange(-(2**62), 2**62) for _ in range(2000)]
+    for it in inserted:
+        sk.addLong(it, rnd.randrange(1, 5))
+    bos = jvm.java.io.ByteArrayOutputStream()
+    sk.writeTo(bos)
+    raw = bytes(bos.toByteArray())
+
+    probes = (
+        inserted[:200]
+        + [rnd.randrange(-(2**63), 2**63 - 1) for _ in range(200)]
+        + [0, 1, -1, 2**63 - 1, -(2**63)]
+    )
+    got = cm_probe_longs(raw, probes)
+    want = [int(sk.estimateCount(p)) for p in probes]
+    assert got == want
+
+
 def test_cusum_changepoint_hand_model(spark):
     """A clean level shift: 4 samples at 10 then 4 at 20. The CUSUM peak
     sits at the last pre-shift sample: C_k = k*10 - k*15 = -5k for k<=4,

@@ -209,26 +209,61 @@ def windowed_distinct_stream(
     )
 
 
+# State-partition sizing for BOUNDED availableNow replays. Streaming is
+# the one place AQE cannot right-size a shuffle: the state-partition
+# count is fixed at the first checkpoint and every micro-batch pays a
+# per-partition fixed cost (state-store open/commit/maintenance — a
+# stream-stream join keeps FOUR stores per partition; an
+# applyInPandasWithState op a Python worker round-trip per partition).
+# Measured on local[32] at sf0.1: stream_stream_join 6.1 s → 2.6 s and
+# sessionization 5.3 s → 4.5 s going 32 → 8 state partitions, with
+# bit-identical results (state operators are key-hash partitioned, so
+# the partition count never changes WHAT is computed). A STANDING
+# production query should size this to its state volume (pass ``None``
+# to inherit the session/cluster setting); the bounded replays behind
+# the gate/bench/oracle surface carry driver-sized state by contract,
+# so a small fixed count is the right default there.
+BOUNDED_REPLAY_STATE_PARTITIONS = 8
+
+
 def drain_memory_sink(
     out: DataFrame,
     output_mode: str,
     name_prefix: str = "w4h_sink_",
     stage_dir: str | None = None,
+    state_partitions: int | None = BOUNDED_REPLAY_STATE_PARTITIONS,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (``availableNow`` trigger)
     through a memory sink and return the result LOCALIZED as a fresh batch
-    DataFrame, leaving no residue behind: the uuid-named sink temp view is
-    dropped and the optional symlink-staging dir removed before returning.
-    Without this, every invocation (driver gate, parity sweep, bench)
-    accumulated one in-memory sink table + one mkdtemp dir for the life of
-    the session. Memory-sink results are driver-sized by construction
-    (windowed aggregates / verified candidate pairs), so the collect is
-    bounded."""
+    DataFrame: the uuid-named sink temp view is dropped and the optional
+    symlink-staging dir removed before returning. Without this, every
+    invocation (driver gate, parity sweep, bench) accumulated one
+    in-memory sink table + one mkdtemp dir for the life of the session.
+
+    Localization is an eager ``localCheckpoint`` — the sink rows are
+    copied into executor-side storage blocks and the returned DataFrame
+    scans those, never the (dropped) sink view. This keeps the result
+    distributed instead of round-tripping it through the driver as
+    Python ``Row`` objects (a 91k-row sessionization result measured
+    4.5 s → 1.2 s end-to-end). Memory-sink results are driver-sized by
+    construction (windowed aggregates / verified candidate pairs), so
+    the blocks are small; they are freed by the context cleaner when the
+    returned DataFrame is garbage-collected.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    streaming query only (see :data:`BOUNDED_REPLAY_STATE_PARTITIONS`);
+    the session value is restored before the sink is read. Safe because
+    a streaming query snapshots the session conf into its own cloned
+    session at ``start()``."""
     import shutil
 
     spark = out.sparkSession
     name = name_prefix + uuid.uuid4().hex[:8]
+    conf_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(conf_key) if state_partitions is not None else None
     try:
+        if state_partitions is not None:
+            spark.conf.set(conf_key, str(state_partitions))
         q = (
             out.writeStream.outputMode(output_mode)
             .format("memory")
@@ -236,11 +271,17 @@ def drain_memory_sink(
             .trigger(availableNow=True)
             .start()
         )
+        if saved is not None:
+            # the query cloned the conf at start(); restore the session's
+            # value immediately so nothing else observes the pin
+            spark.conf.set(conf_key, saved)
+            saved = None
         q.awaitTermination()
-        sink = spark.table(name)
-        schema = sink.schema
-        rows = sink.collect()
+        # eager: materialize the blocks BEFORE the finally drops the view
+        result = spark.table(name).localCheckpoint(eager=True)
     finally:
+        if saved is not None:  # start() itself raised
+            spark.conf.set(conf_key, saved)
         # cleanup also on a failed start/replay — a crashing stream must
         # not leak its staging dir or half-registered sink view either
         try:
@@ -249,7 +290,7 @@ def drain_memory_sink(
             pass
         if stage_dir is not None:
             shutil.rmtree(stage_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return result
 
 
 def run_windowed_kpis_batchmode(spark: SparkSession, events_path: str) -> DataFrame:
@@ -469,17 +510,22 @@ def run_windowed_heavy_hitters_batchmode(
 
     from datetime import timezone
 
-    jvm = spark._jvm
+    from ..operators.sketches import cm_probe_longs
+
+    cand = [int(c) for c in candidates]
     est_rows = []
     for r in sk_rows:
-        cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-            jvm.java.io.ByteArrayInputStream(bytes(r["sk"]))
-        )
+        # pure-numpy probe: one py4j readFrom + estimateCount PER
+        # (window, candidate) measured ~2.5 s for 720 windows x 8
+        # candidates; parsing the sketch bytes driver-side is ~10 ms
+        ests = cm_probe_longs(bytes(r["sk"]), cand)
         # naive datetimes from the UTC-pinned session are UTC wall times;
         # force the zone so the host's local tz can't shift the epoch
         w_epoch = int(r["w"].start.replace(tzinfo=timezone.utc).timestamp())
-        for c in candidates:
-            est_rows.append((w_epoch, c, int(cms.estimateCount(c)), int(r["n"])))
+        n_w = int(r["n"])
+        est_rows.extend(
+            (w_epoch, c, e, n_w) for c, e in zip(cand, ests)
+        )
     est = spark.createDataFrame(
         est_rows, f"window_start_epoch long, {key} long, est long, n_window long"
     )
