@@ -7451,6 +7451,11 @@ v0 AS (
 # SCD2 change-rule fix landed in this window via scd2_lookup): 49.5 s
 # total cold, worst streaming_ewma 9.6 s, next user_similarity_topk
 # 2.9 s — still inside the historical range and the envelope.
+# RE-MEASURED again after the bounded-replay optimization (8 state
+# partitions + localCheckpoint drain + numpy CM probe): 42.0 s total
+# cold, worst streaming_ewma 8.6 s (first streaming job in the fresh
+# session absorbs the streaming-machinery JIT), next dedup_clusters
+# 2.6 s.
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- never driver-gated: the two r5 streaming entries (real streaming
     # jobs; gate == batch twin, equality is test-asserted) ---
