@@ -216,6 +216,7 @@ EXTRA_BENCH_QUERIES = [
     "domain_extract",
     "domain_cap_sample",
     "bpe_merges",
+    "bpe_encode",
 ]
 
 # The heaviest extras get MEDIAN-OF-3 like the headline (r8 verdict

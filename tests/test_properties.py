@@ -1240,3 +1240,33 @@ def test_bpe_learn_matches_python_model(spark, texts):
         for r in bpe_learn(df, n_merges=3).orderBy("merge_rank").collect()
     ]
     assert got == expected
+
+
+def test_bpe_encode_preserves_character_stream(spark):
+    """bpe_encode re-segments the corpus, never alters it: the token
+    frequencies (full table, k=None) must carry exactly the corpus's
+    character mass — Σ n·len(token) == Σ count·len(word) over the
+    [a-z]+ word stream — and every token must be a substring the merges
+    could actually build. Catches any fold bug that drops or duplicates
+    a pending symbol at word boundaries (the classic off-by-one in
+    greedy BPE application)."""
+    import collections
+    import re as _re
+
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.bpe import bpe_encode
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    toks = bpe_encode(docs, n_merges=4, k=None).collect()
+    token_chars = sum(len(r["token"]) * r["n"] for r in toks)
+
+    wc = collections.Counter(
+        w
+        for r in docs.select("text").collect()
+        for w in _re.findall(r"[a-z]+", (r["text"] or "").lower())
+    )
+    corpus_chars = sum(len(w) * c for w, c in wc.items())
+    assert token_chars == corpus_chars
+    assert sum(r["n"] for r in toks) <= sum(wc.values()) * max(
+        len(w) for w in wc
+    )

@@ -54,6 +54,7 @@ __all__ = [
     "bpe_pair_counts",
     "bpe_apply_merge",
     "bpe_learn",
+    "bpe_encode",
 ]
 
 _WORD_PATTERN = "[a-z]+"
@@ -197,3 +198,52 @@ def bpe_learn(
                 vocab, row["left_sym"], row["right_sym"]
             ).localCheckpoint(eager=True)
     return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def bpe_encode(
+    df: DataFrame,
+    text: str = "text",
+    n_merges: int = 4,
+    k: int | None = 50,
+) -> DataFrame:
+    """Tokenize the corpus with its own fitted BPE merges and return the
+    subword token-frequency table (token, n) — the "encode" half of the
+    tokenizer: fit ``n_merges`` (same loop as :func:`bpe_learn`,
+    INCLUDING applying the final merge), then explode the rewritten
+    vocabulary's symbol sequences weighted by word frequency. ``k``
+    bounds the output to the top-k tokens by (n DESC, token) —
+    deterministic through count ties, so a SQL oracle replays it; pass
+    ``None`` for the full table.
+
+    Invariant (pinned by test): every merge application preserves the
+    per-word character stream, so Σ n·len(token) == Σ cnt·len(word) —
+    tokens re-segment the corpus, never alter it.
+
+    Scale: identical profile to :func:`bpe_learn` — one corpus-sized
+    shuffle (the vocab), per-merge vocabulary-sized aggregates, then one
+    final vocabulary-sized token aggregate; the corpus is never
+    re-scanned per merge.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    vocab = bpe_vocab(df, text).localCheckpoint(eager=True)
+    for _ in range(n_merges):
+        best = (
+            bpe_pair_counts(vocab)
+            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        vocab = bpe_apply_merge(
+            vocab, best[0]["left_sym"], best[0]["right_sym"]
+        ).localCheckpoint(eager=True)
+    counts = (
+        vocab.select(F.explode("syms").alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+    )
+    if k is None:
+        return counts
+    return counts.orderBy(F.desc("n"), "token").limit(k)

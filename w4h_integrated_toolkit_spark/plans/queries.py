@@ -7329,10 +7329,52 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn(_t(spark, sf_dir, "documents"), n_merges=4)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with its own fitted BPE merges — the ENCODE
+    half of the tokenizer (q_bpe_merges is the fit): fit 4 merges, apply
+    all of them to the word-frequency vocabulary, and emit the top-50
+    subword token frequencies (ties broken by token, so the cut is
+    deterministic and SQL-replayable). The oracle rewrites the
+    vocabulary through the same 4 chained steps with the independent
+    gaps-and-islands closed form, then aggregates tokens — so the fold's
+    OUTPUT SEQUENCES (not just the merge table) are externally gated.
+    Same scale profile as the fit: one corpus shuffle, then
+    vocabulary-sized stages only."""
+    from ..operators.bpe import bpe_encode
+
+    return bpe_encode(_t(spark, sf_dir, "documents"), n_merges=4, k=50)
+
+
 def _bpe_sql(n: int) -> str:
     """Unrolled n-step BPE fit: per step, pair counts over the current
     vocabulary → deterministic argmax (count DESC, pair lex) → greedy
     merge application via the windowed closed form (see q_bpe_merges)."""
+    union = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS left_sym, "
+        f"r AS right_sym, s AS pair_count FROM b{k}"
+        for k in range(1, n + 1)
+    )
+    return _bpe_cte(_bpe_steps(n)) + union
+
+
+def _bpe_encode_sql(n: int, k: int) -> str:
+    """Unrolled n-step BPE fit + encode: rewrite the vocabulary through
+    all n merges (same chained CTEs as :func:`_bpe_sql`), then aggregate
+    the final symbol sequences into the top-``k`` token frequencies."""
+    return (
+        _bpe_cte(_bpe_steps(n))
+        + f"""
+SELECT sym AS token, CAST(sum(cnt) AS BIGINT) AS n
+FROM (SELECT cnt, unnest(syms) AS sym FROM v{n})
+GROUP BY sym
+ORDER BY n DESC, token
+LIMIT {k}"""
+    )
+
+
+def _bpe_steps(n: int) -> list[str]:
+    """One chained-merge CTE block per step k: pair counts over v{k-1} →
+    deterministic argmax b{k} → gaps-and-islands greedy rewrite → v{k}."""
     steps = []
     for k in range(1, n + 1):
         steps.append(f"""
@@ -7376,11 +7418,13 @@ v{k} AS (
   FROM e{k} CROSS JOIN b{k} b
   WHERE NOT consumed
   GROUP BY word)""")
-    union = " UNION ALL ".join(
-        f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS left_sym, "
-        f"r AS right_sym, s AS pair_count FROM b{k}"
-        for k in range(1, n + 1)
-    )
+    return steps
+
+
+def _bpe_cte(steps: list[str]) -> str:
+    """Shared WITH-clause prefix for the BPE oracles: corpus → word-count
+    vocabulary v0, then one chained merge rewrite per step (see
+    :func:`_bpe_sql` for the per-step CTEs)."""
     return (
         """
 WITH w AS (
@@ -7392,7 +7436,6 @@ v0 AS (
   FROM w GROUP BY word),"""
         + ",".join(steps)
         + "\n"
-        + union
     )
 
 
@@ -7707,6 +7750,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- new in r9 wave 13 (tokenizer training; oracle = 4-step unroll
     # with an independent windowed closed form for greedy merging) ---
     "bpe_merges": (q_bpe_merges, _bpe_sql(4)),
+    "bpe_encode": (q_bpe_encode, _bpe_encode_sql(4, 50)),
 }
 
 
@@ -7733,10 +7777,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 # rfm_segments, time_weighted_avg — then any entries added in r9 (never
 # gated), then the stalest r7 rows. Rotation-debt arithmetic (per the r8
 # verdict's throttle order): stale backlog entering r10 = 29 r6 rows, so
-# r9 may add at most 50 − 29 = 21 new entries; r9 actually added 5
+# r9 may add at most 50 − 29 = 21 new entries; r9 actually added 6
 # (scd2_apply, kmeans_fit, domain_extract, domain_cap_sample,
-# bpe_merges) → 29 + 5 = 34 ≤ 50, leaving 16 free slots for r7-stale
-# rotation.
+# bpe_merges, bpe_encode) → 29 + 6 = 35 ≤ 50, leaving 15 free slots for
+# r7-stale rotation.
 _R9_WINDOW = [
     # --- 29 never-driver-hashed entries; real streaming jobs first ---
     "streaming_ewma",
