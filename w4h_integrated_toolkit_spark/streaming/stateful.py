@@ -434,13 +434,22 @@ def streaming_debounce(
         if pdf.empty:
             return
         pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
-        prev = state.get[0] if state.exists else None
-        keep = []
-        for t in pdf["ts_us"]:
-            keep.append(prev is None or t - prev >= cooldown_us)
-            prev = int(t)  # gap measures from the previous EVENT, kept or not
-        state.update((prev,))
-        out = pdf[pd.Series(keep, index=pdf.index)]
+        # gap measures from the previous EVENT, kept or not — so keep is
+        # a pure integer diff against the previous row (vectorized; the
+        # first row diffs against the stored last-seen µs, or is always
+        # kept when the key is new). Exact int64 math, no fold needed.
+        import numpy as np
+
+        ts_arr = pdf["ts_us"].to_numpy(dtype="int64")
+        if state.exists:
+            prepend = np.int64(state.get[0])
+            keep = np.diff(ts_arr, prepend=prepend) >= cooldown_us
+        else:
+            keep = np.empty(len(ts_arr), dtype=bool)
+            keep[0] = True
+            keep[1:] = np.diff(ts_arr) >= cooldown_us
+        state.update((int(ts_arr[-1]),))
+        out = pdf[keep]
         if len(out):
             yield out
     return keyed.groupBy("user_id", "event_type").applyInPandasWithState(
