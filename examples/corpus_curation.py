@@ -25,6 +25,9 @@ is the pipeline a 100 TB pretraining corpus runs nightly:
                       label balance, k-anonymity of (lang, source)
                       quasi-identifiers, and the language-ID
                       confusion/PRF eval over the kept set
+  8. tokenizer fit  — learn the BPE merge table + subword frequency
+                      profile from the RELEASED slice (the tokenizer
+                      ships with the corpus it was fitted on)
 
 Every step is a registry-gated operator; this script just chains them.
 Run: python examples/corpus_curation.py
@@ -208,6 +211,22 @@ def main() -> None:
         .collect()[0]["a"]
     )
     print(f"language-ID agreement with labels on the kept set: {acc:.3f}")
+
+    # 8. tokenizer fit on the released slice: the merge table a trainer
+    # ships, plus the subword profile the data card quotes
+    from w4h_integrated_toolkit_spark.operators.bpe import bpe_encode, bpe_learn
+
+    merges = bpe_learn(kept, n_merges=4).collect()
+    print("BPE merge table (fit on the released slice):")
+    for m in merges:
+        print(
+            f"  #{m['merge_rank']}: '{m['left_sym']}' + '{m['right_sym']}' "
+            f"({m['pair_count']} weighted pairs)"
+        )
+    top_toks = bpe_encode(kept, n_merges=4, k=5).collect()
+    print("top subword tokens under those merges:")
+    for t in top_toks:
+        print(f"  '{t['token']}': {t['n']}")
     spark.stop()
 
 
