@@ -1177,3 +1177,42 @@ def test_window_dedup_state_survives_restart(spark, tmp_path):
         "the restart must suppress the cross-life duplicate and emit only "
         f"the new content: {rows}"
     )
+
+
+def test_drain_state_partition_pin_scoped_and_restored(spark, tmp_path):
+    """drain_memory_sink pins spark.sql.shuffle.partitions for the
+    streaming query only: (a) the streaming aggregation actually runs
+    with the pinned count (asserted via the sink's partitioning), (b)
+    the session value is restored on success, and (c) restored even
+    when start() raises (invalid output mode) — a leaked pin would
+    silently reshape every later batch query in the session."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from w4h_integrated_toolkit_spark.streaming.replay import (
+        drain_memory_sink,
+        windowed_kpis_stream,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    spark.createDataFrame(
+        [(i, float(i), t0 + dt.timedelta(minutes=i)) for i in range(40)],
+        "event_id long, value double, ts timestamp",
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = windowed_kpis_stream(stream, ts="ts", value="value", window="10 minutes")
+    out = drain_memory_sink(agg, "complete", state_partitions=3)
+    assert out.count() == 4
+    assert spark.conf.get(key) == before, "pin leaked on the success path"
+
+    stream2 = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    with _pytest.raises(Exception):
+        # complete mode without aggregation is rejected at start()
+        drain_memory_sink(stream2, "complete", state_partitions=3)
+    assert spark.conf.get(key) == before, "pin leaked on the failure path"
