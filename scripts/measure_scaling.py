@@ -29,12 +29,21 @@ FACTORS = (1, 2, 4)
 
 
 def replicate(df, factor):
+    # the salt prefix must be LETTERS-ONLY: digit salts ("r0", "r1")
+    # survive whitespace tokenizers but are split off by letter-run
+    # extractors like bpe_vocab's [a-z]+, which would silently collapse
+    # every replica's words back to one vocabulary (caught by review —
+    # the bpe_learn scaling row's premise depends on this)
+    salts = ["qa", "qb", "qc", "qd", "qe", "qf", "qg", "qh"]
+    if factor > len(salts):
+        raise ValueError(f"factor {factor} exceeds available salts")
     parts = []
     for i in range(factor):
         parts.append(
             df.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
             .withColumn(
-                "text", F.regexp_replace(F.col("text"), r"(\S+)", f"r{i}$1")
+                "text",
+                F.regexp_replace(F.col("text"), r"(\S+)", f"{salts[i]}$1"),
             )
         )
     out = parts[0]

@@ -1242,6 +1242,52 @@ def test_bpe_learn_matches_python_model(spark, texts):
     assert got == expected
 
 
+def test_bpe_oracle_survives_pair_exhaustion(spark, tmp_path):
+    """When the vocabulary exhausts pairs before n_merges, the operator
+    stops early — and the unrolled SQL oracle must CARRY the vocabulary
+    forward through the dead steps, not annihilate it: the per-step
+    rewrite joins the (empty) argmax CTE with LEFT JOIN ON TRUE. A
+    CROSS JOIN there returned an EMPTY encode table for any exhausting
+    corpus (caught by review). Gate both halves on corpora that exhaust
+    at step 2 ('ab ab c' — one merge then no pairs) and at step 1
+    ('a b c a' — all single symbols from the start)."""
+    import duckdb
+
+    from w4h_integrated_toolkit_spark.operators.bpe import bpe_encode, bpe_learn
+    from w4h_integrated_toolkit_spark.plans.queries import (
+        _bpe_encode_sql,
+        _bpe_sql,
+    )
+
+    for i, texts in enumerate([["ab ab c"], ["a b c a"], ["aaaa aa"]]):
+        pq = str(tmp_path / f"docs{i}.parquet")
+        spark.createDataFrame(
+            [(j, t) for j, t in enumerate(texts)], "doc_id long, text string"
+        ).coalesce(1).write.parquet(pq)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+        )
+
+        got_m = sorted(
+            (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in bpe_learn(
+                spark.read.parquet(pq), n_merges=3
+            ).collect()
+        )
+        want_m = sorted(map(tuple, con.execute(_bpe_sql(3)).fetchall()))
+        assert got_m == want_m, f"merge table diverged on {texts}"
+
+        got_e = sorted(
+            (r["token"], r["n"])
+            for r in bpe_encode(spark.read.parquet(pq), n_merges=3, k=50).collect()
+        )
+        want_e = sorted(map(tuple, con.execute(_bpe_encode_sql(3, 50)).fetchall()))
+        assert got_e == want_e, f"encode table diverged on {texts}"
+        assert got_e, f"encode table must not be empty on {texts}"
+        con.close()
+
+
 def test_bpe_encode_preserves_character_stream(spark):
     """bpe_encode re-segments the corpus, never alters it: the token
     frequencies (full table, k=None) must carry exactly the corpus's

@@ -157,27 +157,20 @@ def bpe_apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
     return vocab.withColumn("syms", _fold_merge(F.col("syms"), left, right))
 
 
-def bpe_learn(
-    df: DataFrame,
-    text: str = "text",
-    n_merges: int = 3,
-) -> DataFrame:
-    """Learn the top-``n_merges`` BPE merges from a corpus.
-
-    Returns (merge_rank, left_sym, right_sym, pair_count) in learning
-    order — the merge table a tokenizer ships. Deterministic: ties on
-    pair_count break by (left_sym, right_sym), so the fit is replayable
-    by the unrolled SQL oracle. Stops early if the vocabulary runs out
-    of pairs (all words reduced to single symbols).
-
-    Plan/scale: one corpus shuffle total (the vocab build); each merge
-    step re-aggregates vocabulary-sized pair partials and collects ONE
-    argmax row; the updated vocabulary is eagerly localCheckpointed so
-    N steps never stack N fold expressions into one plan.
-    """
+def _fit(
+    df: DataFrame, text: str, n_merges: int, apply_last: bool
+) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
+    """The shared fit loop behind :func:`bpe_learn` and
+    :func:`bpe_encode`: fit up to ``n_merges`` merges (deterministic
+    argmax — count DESC, then lexicographic pair), rewriting the
+    vocabulary after each, with an eager ``localCheckpoint`` per step so
+    N steps never stack N fold expressions into one plan. Returns
+    (rewritten vocabulary, merges in learning order); stops early on
+    pair exhaustion (all words reduced to one symbol). ``apply_last``
+    False skips the final rewrite — the fit's merge table doesn't need
+    it (encode does). Per-step driver traffic is the single argmax row."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    spark = df.sparkSession
     vocab = bpe_vocab(df, text).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
@@ -193,10 +186,32 @@ def bpe_learn(
         merges.append(
             (rank, row["left_sym"], row["right_sym"], row["pair_count"])
         )
-        if rank < n_merges:
+        if apply_last or rank < n_merges:
             vocab = bpe_apply_merge(
                 vocab, row["left_sym"], row["right_sym"]
             ).localCheckpoint(eager=True)
+    return vocab, merges
+
+
+def bpe_learn(
+    df: DataFrame,
+    text: str = "text",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Learn the top-``n_merges`` BPE merges from a corpus.
+
+    Returns (merge_rank, left_sym, right_sym, pair_count) in learning
+    order — the merge table a tokenizer ships. Deterministic: ties on
+    pair_count break by (left_sym, right_sym), so the fit is replayable
+    by the unrolled SQL oracle. Stops early if the vocabulary runs out
+    of pairs (all words reduced to single symbols).
+
+    Plan/scale: one corpus shuffle total (the vocab build); each merge
+    step re-aggregates vocabulary-sized pair partials and collects ONE
+    argmax row (see :func:`_fit`).
+    """
+    spark = df.sparkSession
+    _, merges = _fit(df, text, n_merges, apply_last=False)
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 
@@ -224,21 +239,7 @@ def bpe_encode(
     final vocabulary-sized token aggregate; the corpus is never
     re-scanned per merge.
     """
-    if n_merges < 1:
-        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    vocab = bpe_vocab(df, text).localCheckpoint(eager=True)
-    for _ in range(n_merges):
-        best = (
-            bpe_pair_counts(vocab)
-            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        vocab = bpe_apply_merge(
-            vocab, best[0]["left_sym"], best[0]["right_sym"]
-        ).localCheckpoint(eager=True)
+    vocab, _ = _fit(df, text, n_merges, apply_last=True)
     counts = (
         vocab.select(F.explode("syms").alias("token"), "cnt")
         .groupBy("token")

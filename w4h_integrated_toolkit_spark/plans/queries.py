@@ -7374,7 +7374,15 @@ LIMIT {k}"""
 
 def _bpe_steps(n: int) -> list[str]:
     """One chained-merge CTE block per step k: pair counts over v{k-1} →
-    deterministic argmax b{k} → gaps-and-islands greedy rewrite → v{k}."""
+    deterministic argmax b{k} → gaps-and-islands greedy rewrite → v{k}.
+
+    Pair exhaustion: when a step finds no pairs (every word reduced to a
+    single symbol), b{k} is EMPTY — the rewrite joins it with ``LEFT
+    JOIN ... ON TRUE`` so v{k} carries v{k-1} forward unchanged (mt
+    coalesces to FALSE against the all-NULL b columns), matching the
+    operator's early stop. A CROSS JOIN here would annihilate the
+    vocabulary and silently empty every downstream stage (caught by
+    review; pinned by the exhaustion parity test)."""
     steps = []
     for k in range(1, n + 1):
         steps.append(f"""
@@ -7394,7 +7402,7 @@ m{k} AS (
   SELECT word, cnt, pos, sym,
          coalesce(sym = b.l AND lead(sym) OVER (
            PARTITION BY word ORDER BY pos) = b.r, FALSE) AS mt
-  FROM pos{k} CROSS JOIN b{k} b),
+  FROM pos{k} LEFT JOIN b{k} b ON TRUE),
 g{k} AS (
   SELECT word, cnt, pos, sym, mt,
          CASE WHEN mt THEN pos - row_number() OVER (
@@ -7415,7 +7423,7 @@ v{k} AS (
   SELECT word, any_value(cnt) AS cnt,
          list(CASE WHEN keepm THEN b.l || b.r ELSE sym END
               ORDER BY pos) AS syms
-  FROM e{k} CROSS JOIN b{k} b
+  FROM e{k} LEFT JOIN b{k} b ON TRUE
   WHERE NOT consumed
   GROUP BY word)""")
     return steps

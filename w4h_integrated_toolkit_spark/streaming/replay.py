@@ -25,6 +25,7 @@ client frames unboundedly, viz.py:742-747).
 
 from __future__ import annotations
 
+import threading
 import uuid
 from collections.abc import Iterator
 from datetime import datetime
@@ -225,6 +226,10 @@ def windowed_distinct_stream(
 # so a small fixed count is the right default there.
 BOUNDED_REPLAY_STATE_PARTITIONS = 8
 
+# serializes the conf-pin window (save → set → start → restore) across
+# threads so two concurrent drains can never save each other's pin
+_PIN_LOCK = threading.Lock()
+
 
 def drain_memory_sink(
     out: DataFrame,
@@ -254,34 +259,43 @@ def drain_memory_sink(
     streaming query only (see :data:`BOUNDED_REPLAY_STATE_PARTITIONS`);
     the session value is restored before the sink is read. Safe because
     a streaming query snapshots the session conf into its own cloned
-    session at ``start()``."""
+    session at ``start()``. The pin window (set → start → restore) is
+    serialized under a module lock so two concurrent drains can't
+    save each other's pinned value and leak it; a concurrent BATCH
+    query on the same session could still observe the pin for the
+    milliseconds until ``start()`` returns — callers that interleave
+    batch work with drains from other threads should pass
+    ``state_partitions=None``."""
     import shutil
 
     spark = out.sparkSession
     name = name_prefix + uuid.uuid4().hex[:8]
     conf_key = "spark.sql.shuffle.partitions"
-    saved = spark.conf.get(conf_key) if state_partitions is not None else None
     try:
-        if state_partitions is not None:
-            spark.conf.set(conf_key, str(state_partitions))
-        q = (
-            out.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if saved is not None:
-            # the query cloned the conf at start(); restore the session's
-            # value immediately so nothing else observes the pin
-            spark.conf.set(conf_key, saved)
-            saved = None
+        with _PIN_LOCK:
+            saved = (
+                spark.conf.get(conf_key) if state_partitions is not None else None
+            )
+            try:
+                if state_partitions is not None:
+                    spark.conf.set(conf_key, str(state_partitions))
+                q = (
+                    out.writeStream.outputMode(output_mode)
+                    .format("memory")
+                    .queryName(name)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+            finally:
+                # the query cloned the conf at start(); restore the
+                # session's value (also when start() raises) before
+                # releasing the lock
+                if saved is not None:
+                    spark.conf.set(conf_key, saved)
         q.awaitTermination()
         # eager: materialize the blocks BEFORE the finally drops the view
         result = spark.table(name).localCheckpoint(eager=True)
     finally:
-        if saved is not None:  # start() itself raised
-            spark.conf.set(conf_key, saved)
         # cleanup also on a failed start/replay — a crashing stream must
         # not leak its staging dir or half-registered sink view either
         try:
