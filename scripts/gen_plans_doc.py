@@ -104,6 +104,21 @@ GALLERY = [
     ("zorder_layout", "Z-order audit: the Morton key is pure bit math in "
      "the scan's project (32 shift/and/or terms, whole-stage codegen); "
      "one aggregate exchange for the 64-bucket bounding-box report."),
+    ("domain_cap_sample", "Per-domain rate cap via the salted two-stage "
+     "top-k: WindowGroupLimit partial mode prunes every task to <= cap "
+     "rows per (domain, salt) BEFORE each of the two exchanges, so no "
+     "task ever sorts a whole mega-domain and per-exchange volume is "
+     "bounded by cap x input-partitions rows per domain."),
+    ("scd2_apply", "SCD2 merge-apply: the batch joins the (key-sized) "
+     "open slice once, change detection is ONE key-window pass, and the "
+     "closed history unions through exchange-free — no cartesian, no "
+     "Python eval, the dimension's past never re-shuffles."),
+    ("bpe_encode", "BPE encode tail: the fit loop runs as "
+     "driver-sequenced vocabulary-sized jobs (component plans — vocab "
+     "build 1 exchange, pair counts +1 aggregate, merge application 0 — "
+     "are pinned in tests/test_plans.py); the visible plan is the final "
+     "token aggregate + deterministic TakeOrdered over the checkpointed "
+     "vocabulary, corpus-free by construction."),
 ]
 
 
