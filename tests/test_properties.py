@@ -1259,7 +1259,12 @@ def test_bpe_oracle_survives_pair_exhaustion(spark, tmp_path):
         _bpe_sql,
     )
 
-    for i, texts in enumerate([["ab ab c"], ["a b c a"], ["aaaa aa"]]):
+    # last corpus has NO extractable [a-z]+ word at all (digits/punct/
+    # NULL text): empty vocabulary → both halves and both oracles must
+    # return empty, not crash
+    for i, texts in enumerate(
+        [["ab ab c"], ["a b c a"], ["aaaa aa"], ["123 456 !!", None]]
+    ):
         pq = str(tmp_path / f"docs{i}.parquet")
         spark.createDataFrame(
             [(j, t) for j, t in enumerate(texts)], "doc_id long, text string"
@@ -1284,7 +1289,12 @@ def test_bpe_oracle_survives_pair_exhaustion(spark, tmp_path):
         )
         want_e = sorted(map(tuple, con.execute(_bpe_encode_sql(3, 50)).fetchall()))
         assert got_e == want_e, f"encode table diverged on {texts}"
-        assert got_e, f"encode table must not be empty on {texts}"
+        has_words = any(
+            any(c.isalpha() for c in (t or "")) for t in texts
+        )
+        assert bool(got_e) == has_words, (
+            f"encode table emptiness must track word presence on {texts}"
+        )
         con.close()
 
 
