@@ -1,0 +1,231 @@
+#!/usr/bin/env python
+"""Randomized deep-stress harness for the iterative / oracle-chained
+operators — heavier than the CI hypothesis budgets, run on demand:
+
+    python scripts/stress_check.py [trials_scale]
+
+Each section compares the distributed operator against a LITERAL
+sequential Python model (not the DuckDB oracle — a third, independent
+formulation), over randomized inputs built to hit the hard cases:
+
+- BPE fit + encode vs a textbook sequential trainer: equal-symbol runs
+  ("aaaa"), frequent count ties (argmax lex tie-break), pair
+  exhaustion, NULL/empty texts.
+- scd2_apply fold law vs the one-shot rebuild across random three-way
+  time splits: NULL attribute runs, new keys, empty batches.
+- kmeans_fit vs a pure-Python integer Lloyd model: half-away-from-zero
+  quantization, argmin ties at coarse scales, floor-division of
+  negative sums, empty-cluster drops, multi-iteration chaining.
+
+Exit code 0 iff every trial matches exactly (integer/bit equality).
+CI keeps the fast hypothesis variants (tests/test_properties.py); this
+script is the periodic deep sweep (run at least once per round; last
+green: r9, 40+25+20 trials).
+"""
+
+from __future__ import annotations
+
+import collections
+import datetime as dt
+import math
+import os
+import random
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from w4h_integrated_toolkit_spark.session import get_spark  # noqa: E402
+
+
+def stress_bpe(spark, rnd, trials):
+    from w4h_integrated_toolkit_spark.operators.bpe import bpe_encode, bpe_learn
+
+    bad = 0
+    for _ in range(trials):
+        texts = [
+            "".join(rnd.choice("ab c") for _ in range(rnd.randrange(0, 30)))
+            for _ in range(rnd.randrange(1, 6))
+        ]
+        n_merges = rnd.randrange(1, 5)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        wc = collections.Counter(
+            w for t in texts for w in re.findall(r"[a-z]+", t.lower())
+        )
+        vocab = {w: list(w) for w in wc}
+        expected = []
+        for rank in range(1, n_merges + 1):
+            pc = collections.Counter()
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += wc[w]
+            if not pc:
+                break
+            top = max(pc.values())
+            pair = min(p for p, c in pc.items() if c == top)
+            expected.append((rank, pair[0], pair[1], pc[pair]))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == pair[0]
+                        and syms[i + 1] == pair[1]
+                    ):
+                        out.append(pair[0] + pair[1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        got = [
+            (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in bpe_learn(df, n_merges=n_merges)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        if got != expected:
+            bad += 1
+            print("BPE MERGE MISMATCH", texts, got, expected)
+        tc = collections.Counter()
+        for w, syms in vocab.items():
+            for s in syms:
+                tc[s] += wc[w]
+        got_e = {
+            (r["token"], r["n"])
+            for r in bpe_encode(df, n_merges=n_merges, k=None).collect()
+        }
+        if got_e != set(tc.items()):
+            bad += 1
+            print("BPE ENCODE MISMATCH", texts, sorted(got_e), sorted(tc.items()))
+    return bad
+
+
+def stress_scd2(spark, rnd, trials):
+    from w4h_integrated_toolkit_spark.operators.etl import (
+        scd2_apply,
+        scd2_intervals,
+    )
+
+    srt = lambda it: sorted(map(tuple, it), key=lambda t: (t[0], t[2], t[4]))
+    bad = 0
+    for trial in range(trials):
+        rows = [
+            (
+                eid,
+                dt.datetime(2024, 1, 1, 0, 0, rnd.randrange(0, 30)),
+                rnd.randrange(0, 4),
+                rnd.choice(["a", "b", "c", None, None]),
+            )
+            for eid in range(rnd.randrange(1, 40))
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        rebuilt = srt(scd2_intervals(df, "user_id", "event_type").collect())
+        t_lo, t_hi = (
+            dt.datetime(2024, 1, 1, 0, 0, s)
+            for s in sorted(rnd.randrange(0, 31) for _ in range(2))
+        )
+        d0 = scd2_intervals(
+            df.filter(F.col("ts") < F.lit(t_lo)), "user_id", "event_type"
+        )
+        d1 = scd2_apply(
+            d0,
+            df.filter((F.col("ts") >= F.lit(t_lo)) & (F.col("ts") < F.lit(t_hi))),
+            "user_id",
+            "event_type",
+        )
+        d2 = scd2_apply(
+            d1, df.filter(F.col("ts") >= F.lit(t_hi)), "user_id", "event_type"
+        )
+        if srt(d2.collect()) != rebuilt:
+            bad += 1
+            print("SCD2 FOLD MISMATCH", trial, rows)
+    return bad
+
+
+def stress_kmeans(spark, rnd, trials):
+    from w4h_integrated_toolkit_spark.operators.similarity import kmeans_fit
+
+    def q_half_away(x, scale):
+        v = x * scale
+        return int(math.copysign(math.floor(abs(v) + 0.5), v)) if v else 0
+
+    def py_fit(vecs, k, iterations, scale):
+        qv = {vid: [q_half_away(x, scale) for x in v] for vid, v in vecs.items()}
+        cents = {vid: list(qv[vid]) for vid in sorted(qv)[:k]}
+        cells = None
+        for _ in range(iterations):
+            members = {}
+            for vid in sorted(qv):
+                best = min(
+                    (
+                        sum((a - b) * (a - b) for a, b in zip(qv[vid], cents[c])),
+                        c,
+                    )
+                    for c in sorted(cents)
+                )
+                members.setdefault(best[1], []).append(vid)
+            cells, cents = [], {}
+            for cid, vids in members.items():
+                qc = []
+                for dim in range(len(next(iter(qv.values())))):
+                    s = sum(qv[v][dim] for v in vids)
+                    qc.append(s // len(vids))  # floor div == the SQL CASE
+                    cells.append((cid, dim, s // len(vids), len(vids)))
+                cents[cid] = qc
+        return sorted(cells)
+
+    bad = 0
+    for trial in range(trials):
+        n, d = rnd.randrange(3, 30), rnd.randrange(1, 5)
+        k, iters = rnd.randrange(1, min(6, n + 1)), rnd.randrange(1, 4)
+        scale = rnd.choice([10, 100, 10**6])
+        vecs = {
+            vid: [
+                rnd.randrange(-20, 21) / (2 if rnd.random() < 0.5 else 7.3)
+                for _ in range(d)
+            ]
+            for vid in range(n)
+        }
+        df = spark.createDataFrame(
+            [(vid, v) for vid, v in vecs.items()],
+            "vec_id long, embedding array<double>",
+        )
+        got = sorted(
+            (r["centroid_id"], r["dim"], r["q_value"], r["n_members"])
+            for r in kmeans_fit(df, k=k, iterations=iters, scale=scale).collect()
+        )
+        if got != py_fit(vecs, k, iters, scale):
+            bad += 1
+            print("KMEANS MISMATCH", trial, dict(n=n, d=d, k=k, scale=scale))
+    return bad
+
+
+def main() -> int:
+    scale = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    spark = get_spark(
+        "stress-check", cpus=8, shuffle_partitions=8, driver_memory="8g"
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rnd = random.Random(20260815)
+    bad = 0
+    for name, fn, trials in [
+        ("bpe", stress_bpe, int(40 * scale)),
+        ("scd2_apply", stress_scd2, int(25 * scale)),
+        ("kmeans_fit", stress_kmeans, int(20 * scale)),
+    ]:
+        b = fn(spark, rnd, max(1, trials))
+        print(f"{name}: {b} mismatches in {max(1, trials)} trials", flush=True)
+        bad += b
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
