@@ -1180,3 +1180,30 @@ def test_bpe_component_plan_shapes(spark):
     assert n_shuffles(pa) == 1, pa[:800]  # ONLY the inherited vocab build
     assert "Window" not in pa and "Join" not in pa
     assert "BatchEvalPython" not in pa and "ArrowEvalPython" not in pa
+
+
+def test_bpe_segment_plan_shape(spark):
+    """bpe_segment (apply-at-inference): the Arrow kernel must sit on the
+    DISTINCT-WORD dictionary side, never the corpus — plan shows
+    MapInPandas below the broadcast build side of the join; total
+    shuffle exchanges are exactly 2 (the dictionary distinct + the
+    doc_id reassembly); no sort-merge join, no cartesian. At web scale
+    the planner swaps the broadcast for a shuffle join, but the
+    kernel-on-dictionary property is what keeps Python work
+    vocabulary-bound."""
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.bpe import bpe_segment
+    from tests.conftest import SF_DIR
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p = bpe_segment(docs, [("e", "r"), ("i", "n")])._jdf.queryExecution()
+    sp = p.explainString(mode)
+    assert n_shuffles(sp) == 2, sp[:900]
+    assert "MapInPandas" in sp
+    assert "SortMergeJoin" not in sp and "CartesianProduct" not in sp
+    # the kernel feeds the join's broadcast build side (dictionary-sized)
+    tree = sp[: sp.find("\n\n")]
+    assert tree.index("BroadcastExchange") < tree.index("MapInPandas"), tree

@@ -1298,6 +1298,50 @@ def test_bpe_oracle_survives_pair_exhaustion(spark, tmp_path):
         con.close()
 
 
+def test_bpe_segment_consistent_with_encode_and_lossless(spark):
+    """bpe_segment (the apply-at-inference half, Arrow kernel over the
+    distinct-word dictionary) must agree with the fit side: segmenting
+    the corpus under the merges bpe_learn fitted on it, then counting
+    tokens, equals bpe_encode's table exactly — the kernel's greedy
+    per-merge pass is thereby cross-checked against the chained
+    F.aggregate folds the DuckDB oracle gates. Also lossless: joining
+    each doc's tokens reconstructs its [a-z]+ word stream verbatim."""
+    import re as _re
+
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.bpe import (
+        bpe_encode,
+        bpe_learn,
+        bpe_segment,
+    )
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_learn(docs, n_merges=4).orderBy("merge_rank").collect()
+    ]
+    seg = bpe_segment(docs, merges)
+
+    import collections
+
+    counts = collections.Counter()
+    joined = {}
+    for r in seg.collect():
+        counts.update(r["tokens"])
+        joined[r["doc_id"]] = "".join(r["tokens"])
+    want = {
+        (r["token"], r["n"]) for r in bpe_encode(docs, n_merges=4, k=None).collect()
+    }
+    assert set(counts.items()) == want
+
+    for r in docs.select("doc_id", "text").collect():
+        stream = "".join(_re.findall(r"[a-z]+", (r["text"] or "").lower()))
+        if stream:
+            assert joined[r["doc_id"]] == stream
+        else:
+            assert r["doc_id"] not in joined
+
+
 def test_bpe_encode_preserves_character_stream(spark):
     """bpe_encode re-segments the corpus, never alters it: the token
     frequencies (full table, k=None) must carry exactly the corpus's

@@ -55,6 +55,7 @@ __all__ = [
     "bpe_apply_merge",
     "bpe_learn",
     "bpe_encode",
+    "bpe_segment",
 ]
 
 _WORD_PATTERN = "[a-z]+"
@@ -248,3 +249,81 @@ def bpe_encode(
     if k is None:
         return counts
     return counts.orderBy(F.desc("n"), "token").limit(k)
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Segment each document's word stream into subword tokens under a
+    FIXED merge table — the apply-at-inference half of the tokenizer
+    (:func:`bpe_learn` ships the table, this consumes it). Returns
+    (``id_col``, tokens: array<string>) with tokens in reading order.
+
+    Semantics: per word, each merge applies greedily left-to-right
+    non-overlapping, in table order — exactly :func:`bpe_apply_merge`
+    chained, which is what makes the law "segment under the fit's own
+    merges, then count == :func:`bpe_encode`" hold (pinned by test).
+
+    Scale shape — the merge loop runs on the DISTINCT-WORD dictionary,
+    never the corpus: words explode map-side with their positions, the
+    vocabulary-sized dictionary is segmented ONCE by an Arrow-batched
+    kernel (a production merge table has ~30k entries — chaining 30k
+    fold expressions into one Catalyst plan is infeasible, so this is
+    the documented pandas escape hatch, over vocabulary-sized input
+    only), the planner joins it back (broadcast for small vocabularies,
+    shuffle join at web scale), and one ``id_col`` exchange restores
+    token order. Corpus bytes cross the shuffle once.
+    """
+    import pandas as pd
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text)), F.lit(_WORD_PATTERN), 0)
+        ).alias("_pos", "_word"),
+    )
+    dictionary = words.select(F.col("_word")).distinct()
+    table = list(merges)
+
+    def segment(batches):
+        for pdf in batches:
+            toks = []
+            for w in pdf["_word"]:
+                syms = list(w)
+                for left, right in table:
+                    out, pend = [], None
+                    for x in syms:
+                        if pend is None:
+                            pend = x
+                        elif pend == left and x == right:
+                            out.append(left + right)
+                            pend = None
+                        else:
+                            out.append(pend)
+                            pend = x
+                    if pend is not None:
+                        out.append(pend)
+                    syms = out
+                toks.append(syms)
+            yield pd.DataFrame({"_word": pdf["_word"], "_toks": toks})
+
+    seg = dictionary.mapInPandas(
+        segment, "_word string, _toks array<string>"
+    )
+    return (
+        words.join(seg, "_word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_toks"))
+                    ),
+                    lambda s: s["_toks"],
+                )
+            ).alias("tokens")
+        )
+    )
