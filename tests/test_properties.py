@@ -1342,6 +1342,53 @@ def test_bpe_segment_consistent_with_encode_and_lossless(spark):
             assert r["doc_id"] not in joined
 
 
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=10),
+        min_size=1,
+        max_size=4,
+    ),
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "aa", "ab", "ba", "bb"]),
+            st.sampled_from(["a", "b", "aa", "ab", "ba", "bb"]),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_bpe_segment_kernel_equals_fold_chain(spark, words, merges):
+    """The Arrow kernel inside bpe_segment must match the JVM
+    F.aggregate fold chain (the formulation the DuckDB oracle gates)
+    for ARBITRARY merge tables — including self-overlapping merges
+    ((a,a) on 'aaaa'), merges whose operands are earlier merge OUTPUTS
+    ((aa,a) after (a,a)), and merges that never fire. The two
+    implementations share only the semantics, not the code path
+    (per-row Python loop vs Catalyst expression fold)."""
+    from w4h_integrated_toolkit_spark.operators.bpe import (
+        _fold_merge,
+        bpe_segment,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_segment(docs, merges).collect()
+    }
+
+    syms = F.split(F.col("text"), "")
+    for left, right in merges:
+        syms = _fold_merge(syms, left, right)
+    want = {
+        r["doc_id"]: list(r["toks"])
+        for r in docs.select("doc_id", syms.alias("toks")).collect()
+    }
+    assert got == want
+
+
 def test_bpe_encode_preserves_character_stream(spark):
     """bpe_encode re-segments the corpus, never alters it: the token
     frequencies (full table, k=None) must carry exactly the corpus's
