@@ -227,6 +227,17 @@ def main() -> None:
     print("top subword tokens under those merges:")
     for t in top_toks:
         print(f"  '{t['token']}': {t['n']}")
+
+    # ...and segment the corpus under the shipped table (the
+    # apply-at-inference path: Arrow kernel over the distinct-word
+    # dictionary, joined back — corpus bytes shuffle once)
+    from w4h_integrated_toolkit_spark.operators.bpe import bpe_segment
+
+    table = [(m["left_sym"], m["right_sym"]) for m in merges]
+    sample = bpe_segment(kept, table).orderBy("doc_id").limit(1).collect()
+    if sample:
+        toks = sample[0]["tokens"][:12]
+        print(f"doc {sample[0]['doc_id']} segments as: {toks} ...")
     spark.stop()
 
 
