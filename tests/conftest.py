@@ -16,7 +16,14 @@ SF_DIR = os.environ.get("W4H_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("w4h-tests", cpus=4, shuffle_partitions=4, driver_memory="4g")
+    # W4H_TEST_SHUFFLE_PARTITIONS lets a one-off sweep re-run the whole
+    # suite under a different (e.g. odd) partition count — results are
+    # partition-count-invariant by design, and this is how that claim
+    # gets exercised end-to-end rather than per-property
+    parts = int(os.environ.get("W4H_TEST_SHUFFLE_PARTITIONS", "4"))
+    s = get_spark(
+        "w4h-tests", cpus=4, shuffle_partitions=parts, driver_memory="4g"
+    )
     yield s
     s.stop()
 
