@@ -260,7 +260,10 @@ def bpe_segment(
     """Segment each document's word stream into subword tokens under a
     FIXED merge table — the apply-at-inference half of the tokenizer
     (:func:`bpe_learn` ships the table, this consumes it). Returns
-    (``id_col``, tokens: array<string>) with tokens in reading order.
+    (``id_col``, tokens: array<string>) with tokens in reading order;
+    documents with no extractable ``[a-z]+`` word are ABSENT from the
+    output (inner semantics, pinned by test) — left-join the source if
+    empty-token rows are needed.
 
     Semantics: per word, each merge applies greedily left-to-right
     non-overlapping, in table order — exactly :func:`bpe_apply_merge`
