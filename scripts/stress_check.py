@@ -207,6 +207,55 @@ def stress_kmeans(spark, rnd, trials):
     return bad
 
 
+def stress_pagerank(spark, rnd, trials):
+    from w4h_integrated_toolkit_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    bad = 0
+    for trial in range(trials):
+        n_labels = rnd.randrange(2, 7)
+        labels = [f"t{i}" for i in range(n_labels)]
+        edges = {}
+        for _ in range(rnd.randrange(1, 15)):
+            s, d = rnd.choice(labels), rnd.choice(labels)
+            edges[(s, d)] = edges.get((s, d), 0) + rnd.randrange(1, 50)
+        iters = rnd.randrange(0, 4)
+        damping = rnd.choice([85, 0, 100, rnd.randrange(0, 101)])
+        scale = rnd.choice([1000, 10**6, 10**12])
+        df = spark.createDataFrame(
+            [(s, d, w) for (s, d), w in edges.items()],
+            "src string, dst string, weight long",
+        )
+        got = {
+            r["node"]: r["rank_fp"]
+            for r in pagerank_fixed_point(
+                df, iterations=iters, damping_pct=damping, scale=scale
+            ).collect()
+        }
+        # literal python model of the integer fixed-point iteration
+        nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+        out = {}
+        for (s, _), w in edges.items():
+            out[s] = out.get(s, 0) + w
+        n = len(nodes)
+        teleport = ((100 - damping) * scale // 100) // n
+        rank = {v: scale // n for v in nodes}
+        for _ in range(iters):
+            inc = {}
+            for (s, d), w in edges.items():
+                inc[d] = inc.get(d, 0) + (rank[s] * w) // out[s]
+            rank = {
+                v: teleport + (damping * inc.get(v, 0)) // 100 for v in nodes
+            }
+        if got != rank:
+            bad += 1
+            print("PAGERANK MISMATCH", trial, edges, iters, damping, scale)
+            print(" got ", got)
+            print(" want", rank)
+    return bad
+
+
 def main() -> int:
     scale = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     spark = get_spark(
@@ -219,6 +268,7 @@ def main() -> int:
         ("bpe", stress_bpe, int(40 * scale)),
         ("scd2_apply", stress_scd2, int(25 * scale)),
         ("kmeans_fit", stress_kmeans, int(20 * scale)),
+        ("pagerank", stress_pagerank, int(20 * scale)),
     ]:
         b = fn(spark, rnd, max(1, trials))
         print(f"{name}: {b} mismatches in {max(1, trials)} trials", flush=True)
