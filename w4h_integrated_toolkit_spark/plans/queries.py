@@ -7762,99 +7762,97 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-# Round-9 driver window: the first 50 names the gate will hash this round,
-# executing the R9 WINDOW PLAN above exactly: all 29 never-driver-hashed
-# entries first (the two real streaming jobs — streaming_ewma, then
-# stream_window_dedup — up front, since never-externally-verified entries
-# outrank stale-but-previously-green rows if the gate is cut short), then
-# the 21 stalest r6 rows in CORRECTNESS_r06 order. Verified against
-# CORRECTNESS_r01..r08 at r9 start: latest-round histogram was
-# {r8: 50, r7: 50, r6: 50, never: 29}; the never set below matches the
-# registry diff exactly. After r9 gates green: zero never-gated entries,
-# histogram {r9: 50, r8: 50, r7: 50, r6: 29}.
+# Round-10 driver window: the first 50 names the gate will hash this
+# round, executing the R10 WINDOW PLAN written at r9 exactly (and ordered
+# by the r9 verdict, order #1): the 29 remaining r6-stale rows FIRST in
+# CORRECTNESS_r06 order, then the 6 never-gated r9 additions, then the 15
+# stalest r7 rows in CORRECTNESS_r07 order. Verified against
+# CORRECTNESS_r01..r09 at r10 start: latest-green-round histogram was
+# {r9: 50, r8: 50, r7: 50, r6: 29, never: 6} (179/185 with a driver row,
+# 0 terminal FAILs); the r6-stale and r7-stale lists below were recomputed
+# from the JSON files, not copied from the plan comment, and match it
+# name-for-name. After r10 gates green: zero r6-stale and zero never-gated
+# entries remain; histogram {r10: 50, r9: 50, r8: 50, r7: 35}.
 #
-# R10 WINDOW PLAN (execute at r10 start): the 29 remaining r6-stale rows
-# FIRST, in CORRECTNESS_r06 order — decontaminate, pack_sequences,
-# late_shipment_priority, customer_order_distribution,
-# promo_revenue_share, brand_supplier_counts, disjunctive_revenue,
-# idle_rich_customers, geofence_count, pii_redaction, volume_shipping,
-# market_share, product_profit, returned_items, top_supplier,
-# small_qty_revenue, waiting_suppliers, cohort_kpi, breach_histogram,
-# ngram_jaccard_pairs, simhash, multimodal_meta, stream_alerts,
-# fft_range_sum, user_overlap_sketch, streaming_anomaly, semantic_dedup,
-# rfm_segments, time_weighted_avg — then any entries added in r9 (never
-# gated), then the stalest r7 rows. Rotation-debt arithmetic (per the r8
-# verdict's throttle order): stale backlog entering r10 = 29 r6 rows, so
-# r9 may add at most 50 − 29 = 21 new entries; r9 actually added 6
-# (scd2_apply, kmeans_fit, domain_extract, domain_cap_sample,
-# bpe_merges, bpe_encode) → 29 + 6 = 35 ≤ 50, leaving 15 free slots for
-# r7-stale rotation.
-_R9_WINDOW = [
-    # --- 29 never-driver-hashed entries; real streaming jobs first ---
-    "streaming_ewma",
-    "stream_window_dedup",
-    # the remaining 5 r7 leftovers
-    "value_percentile_rank",
-    "grid_density",
-    "salted_hot_key_agg",
-    "event_paths",
-    "brand_top_parts",
-    # r8 wave-7 additions (9 remaining after stream_window_dedup)
-    "salted_join_equiv",
-    "embedding_gram",
-    "embedding_dim_stats",
-    "feature_hash_histogram",
-    "bigram_nll",
-    "vocab_oov_rate",
-    "rolling_median",
-    "equi_depth_bins",
-    "class_balance",
-    # r8 wave-8 additions
-    "acf_lags",
-    "kfold_report",
-    "quality_top_p",
-    "dataset_card",
-    # r8 wave-9 additions
-    "basket_affinity",
-    "shrunk_group_means",
-    "incremental_agg",
-    # r8 wave-10 eval family + k-anonymity
-    "langid_confusion",
-    "classification_metrics",
-    "ewma_backtest",
-    "k_anonymity_audit",
-    # r8 wave-11 pair
-    "scd2_lookup",
-    "ols_trend_slope",
-    # --- 21 stalest r6 rows, CORRECTNESS_r06 order ---
-    "streaming_neardup",
-    "stream_distinct_users",
-    "byte_histogram",
-    "token_counts",
-    "trajectories",
-    "user_similarity_topk",
-    "stable_split",
-    "asof_latest_purchase",
-    "incident_interval_join",
-    "knn_ivf_topk",
-    "rollup_cascade",
-    "stratified_sample",
-    "session_windows",
-    "dedup_clusters",
-    "incremental_dedup",
-    "retention_matrix",
-    "big_orders",
-    "boilerplate_ngrams",
-    "corpus_mixture",
-    "mixture_sample",
-    "repetition_ratio",
+# R11 WINDOW PLAN (execute at r11 start): the 35 remaining r7-stale rows
+# FIRST, in CORRECTNESS_r07 order — source_overlap, shipping_latency,
+# daily_value_bands, knn_lsh_topk, fk_integrity, table_profile,
+# cube_totals, heavy_hitters_sketch, interval_coverage,
+# cusum_changepoint, doc_chunks, bloom_decontaminate,
+# quantized_knn_recall, spearman_trend, dow_hour_heatmap,
+# containment_pairs, zorder_layout, max_concurrency, mad_outliers,
+# ratio_to_report, benford_audit, key_skew_report, seasonal_anomalies,
+# chi2_independence, approx_aggregates, distinct_users_sketch,
+# value_quantiles_sketch, pricing_summary, range_scan,
+# anti_join_new_users, mets_broadcast_lookup, widget_domains,
+# like_filter, set_ops, topk_orders — then any entries added in r10
+# (never gated), then the stalest r8 rows. Rotation-debt arithmetic (per
+# the r8 verdict's throttle order): stale backlog entering r11 = 35 r7
+# rows, so r10 may add at most 50 − 35 = 15 new entries. r10 actually
+# adds 5 (bpe_segment, knn_ivf_fitted, registrable_domain_psl,
+# wav_decode_stats, audio_frame_energy) → 35 + 5 = 40 ≤ 50, leaving 10
+# free slots for r8-stale rotation at r11.
+_R10_WINDOW = [
+    # --- 29 r6-stale rows, CORRECTNESS_r06 order ---
+    "decontaminate",
+    "pack_sequences",
+    "late_shipment_priority",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "brand_supplier_counts",
+    "disjunctive_revenue",
+    "idle_rich_customers",
+    "geofence_count",
+    "pii_redaction",
+    "volume_shipping",
+    "market_share",
+    "product_profit",
+    "returned_items",
+    "top_supplier",
+    "small_qty_revenue",
+    "waiting_suppliers",
+    "cohort_kpi",
+    "breach_histogram",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "multimodal_meta",
+    "stream_alerts",
+    "fft_range_sum",
+    "user_overlap_sketch",
+    "streaming_anomaly",
+    "semantic_dedup",
+    "rfm_segments",
+    "time_weighted_avg",
+    # --- the 6 never-gated r9 additions ---
+    "scd2_apply",
+    "kmeans_fit",
+    "domain_extract",
+    "domain_cap_sample",
+    "bpe_merges",
+    "bpe_encode",
+    # --- 15 stalest r7 rows, CORRECTNESS_r07 order ---
+    "streaming_sessions",
+    "stream_stream_join",
+    "stream_heavy_hitters",
+    "bm25_topk",
+    "tfidf_top_terms",
+    "dedup_keep_best",
+    "embedding_centroids",
+    "quality_filter_per_lang",
+    "corpus_drift",
+    "gap_fill",
+    "forecast_revenue",
+    "funnel_conversion",
+    "event_transitions",
+    "rolling_zscore",
+    "unigram_nll",
 ]
 
-assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
-assert len(set(_R9_WINDOW)) == 50
-assert set(_R9_WINDOW) <= set(QUERIES), set(_R9_WINDOW) - set(QUERIES)
-QUERIES = {name: QUERIES[name] for name in _R9_WINDOW} | {
-    name: spec for name, spec in QUERIES.items() if name not in set(_R9_WINDOW)
+assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
+assert len(set(_R10_WINDOW)) == 50
+assert set(_R10_WINDOW) <= set(QUERIES), set(_R10_WINDOW) - set(QUERIES)
+QUERIES = {name: QUERIES[name] for name in _R10_WINDOW} | {
+    name: spec for name, spec in QUERIES.items() if name not in set(_R10_WINDOW)
 }
 
 
