@@ -3570,6 +3570,64 @@ def test_domain_cap_sample_salted_equals_unsalted(spark):
     assert all(sorted(v) == [1, 2, 3, 4] for v in ranks.values())
 
 
+def test_registrable_domain_trailing_root_dot(spark):
+    """FQDN trailing root dot is stripped before label splitting (r9
+    advice): 'example.com.' yields 'example.com', not 'com.'."""
+    from w4h_integrated_toolkit_spark.operators.web import registrable_domain
+
+    cases = [
+        ("example.com.", "example.com"),
+        ("www.example.co.uk.", "example.co.uk"),
+        ("com.", "com"),
+        ("example.com", "example.com"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = df.select(registrable_domain(F.col("host")).alias("d")).collect()
+    for (h, want), r in zip(cases, got):
+        assert r["d"] == want, h
+
+
+def test_domain_cap_sample_malformed_policy(spark):
+    """Malformed-URL handling is a caller decision: 'cap' (default)
+    bounds the NULL pseudo-domain like any other, 'keep' passes NULL
+    rows through uncapped with a NULL rank, 'drop' filters them."""
+    import pytest as _pytest
+
+    from w4h_integrated_toolkit_spark.operators.web import domain_cap_sample
+
+    rows = [(i, f"http://www.good{i % 2}site.com/p", float(i)) for i in range(8)]
+    rows += [(100 + i, "not a url", float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, quality double")
+
+    def null_and_good(out):
+        nulls = [r for r in out if r["domain"] is None]
+        good = [r for r in out if r["domain"] is not None]
+        return nulls, good
+
+    capped = domain_cap_sample(df, "url", "quality", cap=2).collect()
+    nulls, good = null_and_good(capped)
+    assert len(nulls) == 2 and all(r["domain_rank"] in (1, 2) for r in nulls)
+    assert len(good) == 4  # 2 good domains x cap 2
+
+    kept = domain_cap_sample(df, "url", "quality", cap=2, malformed="keep").collect()
+    nulls, good = null_and_good(kept)
+    assert len(nulls) == 5 and all(r["domain_rank"] is None for r in nulls)
+    assert sorted(r["doc_id"] for r in nulls) == [100, 101, 102, 103, 104]
+    assert len(good) == 4
+
+    dropped = domain_cap_sample(df, "url", "quality", cap=2, malformed="drop").collect()
+    nulls, good = null_and_good(dropped)
+    assert not nulls and len(good) == 4
+
+    # the capped GOOD set is policy-invariant
+    g0 = sorted((r["doc_id"], r["domain_rank"]) for r in null_and_good(capped)[1])
+    for out in (kept, dropped):
+        assert sorted((r["doc_id"], r["domain_rank"]) for r in null_and_good(out)[1]) == g0
+
+    with _pytest.raises(ValueError, match="malformed"):
+        domain_cap_sample(df, "url", "quality", cap=2, malformed="bogus")
+
+
 # ---------------------------------------------------------------------------
 # vendored pure-stdlib image codec (round 9): real decode without Pillow
 # ---------------------------------------------------------------------------
@@ -3616,6 +3674,26 @@ def test_imagecodec_ppm_roundtrip_and_convert():
     buf = io.BytesIO()
     gray.save(buf, format="PGM")
     assert np.array_equal(np.asarray(IC.open(buf.getvalue())), expect)
+
+
+def test_imagecodec_netpbm_separator_validation():
+    """The single byte after maxval must be whitespace (r9 advice): a
+    CRLF-separated header ('255\r\n') decodes unshifted, and a
+    non-whitespace separator raises instead of silently shifting the
+    raster by one byte."""
+    import io
+
+    import numpy as np
+
+    from w4h_integrated_toolkit_spark.operators import imagecodec as IC
+
+    _, rgb = _ppm_frame(6, 4, seed=3)
+    crlf = b"P6\r\n6 4\r\n255\r\n" + rgb.tobytes()
+    assert np.array_equal(np.asarray(IC.open(io.BytesIO(crlf))), rgb)
+
+    # truncation right after maxval: the separator byte is missing
+    with pytest.raises(ValueError, match="separator"):
+        IC.open(io.BytesIO(b"P6\n6 4\n255"))
 
 
 def test_imagecodec_png_roundtrip_and_resize():

@@ -1216,3 +1216,47 @@ def test_drain_state_partition_pin_scoped_and_restored(spark, tmp_path):
         # complete mode without aggregation is rejected at start()
         drain_memory_sink(stream2, "complete", state_partitions=3)
     assert spark.conf.get(key) == before, "pin leaked on the failure path"
+
+
+def test_bounded_replay_session_clone_isolation(spark, tmp_path):
+    """bounded_replay_session owns a PRIVATE SQLConf: the state-partition
+    pin and clone marker live on the clone, runtime-set parent confs are
+    carried over, and a file_stream -> drain round-trip never mutates the
+    shared session's conf (the r9 advice race: a concurrent batch query
+    could observe the legacy set->start->restore pin window)."""
+    from w4h_integrated_toolkit_spark.streaming.replay import (
+        BOUNDED_REPLAY_STATE_PARTITIONS,
+        bounded_replay_session,
+        drain_memory_sink,
+        file_stream,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    spark.conf.set("spark.w4h.test.runtimeMarker", "carried")
+    try:
+        clone = bounded_replay_session(spark)
+        assert clone is not spark
+        assert clone.conf.get(key) == str(BOUNDED_REPLAY_STATE_PARTITIONS)
+        # runtime-set parent conf copied (newSession alone would drop it)
+        assert clone.conf.get("spark.w4h.test.runtimeMarker") == "carried"
+        assert clone.conf.get("spark.w4h.boundedReplay.cloned") == "true"
+        # the shared session never sees pin or marker
+        assert spark.conf.get(key) == before
+        assert spark.conf.get("spark.w4h.boundedReplay.cloned", None) is None
+    finally:
+        spark.conf.unset("spark.w4h.test.runtimeMarker")
+
+    src = str(tmp_path / "clone_iso_src")
+    spark.createDataFrame(
+        [(i, float(i), _ts(i)) for i in range(40)],
+        "event_id long, value double, ts timestamp",
+    ).coalesce(1).write.parquet(src)
+    stream, stage = file_stream(spark, src)
+    assert (
+        stream.sparkSession.conf.get("spark.w4h.boundedReplay.cloned") == "true"
+    )
+    agg = windowed_kpis_stream(stream, ts="ts", value="value", window="10 minutes")
+    out = drain_memory_sink(agg, "complete", stage_dir=stage)
+    assert out.count() == 4
+    assert spark.conf.get(key) == before, "drain touched the shared conf"

@@ -126,7 +126,20 @@ def _decode_netpbm(data: bytes) -> np.ndarray:
         raise ValueError(
             f"pure codec reads 8-bit netpbm only (maxval 255), got {maxval}"
         )
-    pos += 1  # exactly ONE whitespace byte separates header and raster
+    # Exactly ONE whitespace byte separates header and raster (netpbm
+    # spec). Verify it exists and IS whitespace — a CRLF-writing encoder
+    # ('255\r\n') would otherwise shift every pixel by one byte,
+    # detectable only when the payload length happens to mismatch. (A
+    # non-whitespace byte here can only mean truncation: the greedy
+    # tokenizer merges any other byte into the maxval token itself.)
+    sep = data[pos : pos + 1]
+    if len(sep) != 1 or sep not in b" \t\r\n":
+        raise ValueError(
+            f"netpbm header/raster separator is {sep!r}, not whitespace"
+        )
+    pos += 1
+    if sep == b"\r" and data[pos : pos + 1] == b"\n":
+        pos += 1  # tolerate a CRLF-separated header
     need = w * h * channels
     raster = data[pos : pos + need]
     if len(raster) != need:

@@ -58,9 +58,12 @@ def registrable_domain(
     full public-suffix list — broadcast it and join for that; this
     literal-set expression covers the common suffixes and is what a
     per-domain cap/count keys on. Hosts with ≤2 labels (or NULL) pass
-    through unchanged."""
+    through unchanged. A trailing root dot (FQDN form,
+    ``example.com.``) is stripped first — otherwise the split yields a
+    trailing empty label and the result degrades to ``com.``."""
     suffixes = tuple(MULTI_PART_SUFFIXES) + tuple(extra_suffixes)
-    p = F.split(F.lower(host), r"\.")
+    host = F.regexp_replace(F.lower(host), r"\.$", "")
+    p = F.split(host, r"\.")
     n = F.size(p)
     last2 = F.concat_ws(".", F.element_at(p, -2), F.element_at(p, -1))
     last3 = F.concat_ws(
@@ -68,7 +71,7 @@ def registrable_domain(
     )
     return (
         F.when(host.isNull(), F.lit(None).cast("string"))
-        .when(n <= 2, F.lower(host))
+        .when(n <= 2, host)
         .when(last2.isin(*suffixes), last3)
         .otherwise(last2)
     )
@@ -89,6 +92,7 @@ def domain_cap_sample(
     id_col: str = "doc_id",
     salt_buckets: int = 0,
     extra_suffixes: tuple[str, ...] = (),
+    malformed: str = "cap",
 ) -> DataFrame:
     """Per-domain rate cap: keep at most ``cap`` documents per
     registrable domain, the highest-``quality_col`` first (ties break to
@@ -105,13 +109,36 @@ def domain_cap_sample(
     one window partition; with salting no task ever sorts more than its
     bucket. Result is identical either way (asserted by test law).
 
+    ``malformed`` decides what happens to rows whose URL fails to parse
+    (``domain`` NULL) — a deliberate caller decision, not an accident:
+
+    - ``"cap"`` (default): the NULL domain is treated as one
+      pseudo-domain and capped like any other, so at most ``cap``
+      malformed-URL documents survive. Appropriate when malformed URLs
+      are junk you want bounded, not preserved.
+    - ``"keep"``: malformed rows pass through uncapped with
+      ``domain_rank`` NULL (they never enter a window partition).
+    - ``"drop"``: malformed rows are filtered out entirely.
+
     Returns the input columns plus ``domain`` and ``domain_rank``.
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
+    if malformed not in ("cap", "keep", "drop"):
+        raise ValueError(
+            f"malformed must be 'cap', 'keep' or 'drop', got {malformed!r}"
+        )
     with_dom = df.withColumn(
         "domain", domain_of(F.col(url_col), extra_suffixes)
     )
+    kept = None
+    if malformed == "drop":
+        with_dom = with_dom.filter(F.col("domain").isNotNull())
+    elif malformed == "keep":
+        kept = with_dom.filter(F.col("domain").isNull()).withColumn(
+            "domain_rank", F.lit(None).cast("long")
+        )
+        with_dom = with_dom.filter(F.col("domain").isNotNull())
     order = [F.col(quality_col).desc(), F.col(id_col).asc()]
     if salt_buckets > 0:
         salt = F.pmod(F.col(id_col), F.lit(salt_buckets))
@@ -122,7 +149,10 @@ def domain_cap_sample(
             .drop("_r1")
         )
     w = Window.partitionBy("domain").orderBy(*order)
-    return (
+    capped = (
         with_dom.withColumn("domain_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("domain_rank") <= cap)
     )
+    if kept is not None:
+        capped = capped.unionByName(kept.select(*capped.columns))
+    return capped

@@ -4134,23 +4134,13 @@ def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the BATCH formulation's SQL — on this availableNow replay the
     streaming output equals the batch operator exactly (the equality law
     tests/test_streaming.py asserts directly)."""
-    import os
-    import tempfile
-
-    from ..streaming.replay import drain_memory_sink
+    from ..streaming.replay import drain_memory_sink, file_stream
     from ..streaming.stateful import streaming_anomaly_flags
 
     prepare_session(spark)
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    if os.path.isfile(path):
-        stage = tempfile.mkdtemp(prefix="w4h_anomaly_stream_")
-        os.symlink(path, os.path.join(stage, os.path.basename(path)))
-        src = stage
-    else:
-        stage = None
-        src = path
-    stream = spark.readStream.schema(schema).parquet(src)
+    stream, stage = file_stream(
+        spark, f"{sf_dir}/events.parquet", prefix="w4h_anomaly_stream_"
+    )
     out = streaming_anomaly_flags(
         stream, lookback=20, min_periods=5, threshold=3.0
     )
@@ -4296,22 +4286,16 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay — emits exactly the batch `session_windows` rows, so the same
     lag+cumsum SQL oracles both (see streaming.replay.sessionized_stream
     for the append-mode finalization caveat)."""
-    import os
-    import tempfile
-
-    from ..streaming.replay import drain_memory_sink, sessionized_stream
+    from ..streaming.replay import (
+        drain_memory_sink,
+        file_stream,
+        sessionized_stream,
+    )
 
     prepare_session(spark)
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    if os.path.isfile(path):
-        stage = tempfile.mkdtemp(prefix="w4h_sessions_stream_")
-        os.symlink(path, os.path.join(stage, os.path.basename(path)))
-        src = stage
-    else:
-        stage = None
-        src = path
-    stream = spark.readStream.schema(schema).parquet(src)
+    stream, stage = file_stream(
+        spark, f"{sf_dir}/events.parquet", prefix="w4h_sessions_stream_"
+    )
     out = sessionized_stream(stream, ts="ts", key="user_id", gap="1 hour")
     got = drain_memory_sink(
         out, "complete", name_prefix="w4h_sessions_stream_", stage_dir=stage
@@ -7157,12 +7141,18 @@ h AS (
          lower(NULLIF(regexp_extract(url,
            '^[a-z]+://(?:[^/@]*@)?([^/:?#]+)', 1), '')) AS host
   FROM u),
+hs AS (
+  -- shost: FQDN trailing root dot stripped before label splitting,
+  -- mirroring registrable_domain (the emitted host stays unstripped;
+  -- synthetic URLs never carry one — kept aligned with the operator)
+  SELECT doc_id, n_chars, host, regexp_replace(host, '\\.$', '') AS shost
+  FROM h),
 d AS (
   SELECT doc_id, n_chars, host,
-         CASE WHEN host IS NULL THEN NULL
-              WHEN len(string_split(host, '.')) <= 2 THEN host
-              WHEN (string_split(host, '.')[-2] || '.' ||
-                    string_split(host, '.')[-1]) IN
+         CASE WHEN shost IS NULL THEN NULL
+              WHEN len(string_split(shost, '.')) <= 2 THEN shost
+              WHEN (string_split(shost, '.')[-2] || '.' ||
+                    string_split(shost, '.')[-1]) IN
                    ('co.uk','org.uk','ac.uk','gov.uk','me.uk','net.uk',
                     'com.au','net.au','org.au','edu.au','gov.au',
                     'co.jp','or.jp','ne.jp','ac.jp','go.jp',
@@ -7172,12 +7162,12 @@ d AS (
                     'com.cn','net.cn','org.cn','gov.cn',
                     'com.mx','com.sg','com.tr','com.tw','com.hk',
                     'co.za','co.kr','or.kr')
-              THEN string_split(host, '.')[-3] || '.' ||
-                   string_split(host, '.')[-2] || '.' ||
-                   string_split(host, '.')[-1]
-              ELSE string_split(host, '.')[-2] || '.' ||
-                   string_split(host, '.')[-1] END AS domain
-  FROM h)
+              THEN string_split(shost, '.')[-3] || '.' ||
+                   string_split(shost, '.')[-2] || '.' ||
+                   string_split(shost, '.')[-1]
+              ELSE string_split(shost, '.')[-2] || '.' ||
+                   string_split(shost, '.')[-1] END AS domain
+  FROM hs)
 """
 
 

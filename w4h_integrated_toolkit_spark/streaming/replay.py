@@ -230,6 +230,46 @@ BOUNDED_REPLAY_STATE_PARTITIONS = 8
 # threads so two concurrent drains can never save each other's pin
 _PIN_LOCK = threading.Lock()
 
+# conf marker stamped on sessions built by bounded_replay_session; its
+# presence tells drain_memory_sink the shuffle-partition pin is already
+# baked into a PRIVATE SQLConf and the shared-session pin path (and its
+# lock) must be skipped entirely
+_CLONE_MARKER = "spark.w4h.boundedReplay.cloned"
+
+
+def bounded_replay_session(
+    spark: SparkSession,
+    state_partitions: int | None = BOUNDED_REPLAY_STATE_PARTITIONS,
+) -> SparkSession:
+    """Dedicated session for a bounded replay: shares the SparkContext
+    and table cache with ``spark`` but owns a PRIVATE SQLConf, so the
+    state-partition pin (and the parquet ns-timestamp toggle) never
+    mutates the shared session — a concurrent batch query planned on the
+    caller's session can no longer observe the pin, which closes the
+    documented race in the set→start→restore window of
+    :func:`drain_memory_sink`.
+
+    ``newSession()`` initializes the clone's SQLConf from the context
+    defaults, NOT the parent's runtime values, so every explicitly-set
+    parent conf (session timezone, AQE toggles, test shuffle sweeps …)
+    is copied over first; entries that are static at this point are
+    skipped. The pin is then applied on top and the session stamped with
+    :data:`_CLONE_MARKER`.
+    """
+    clone = spark.newSession()
+    confs = spark._jsparkSession.sessionState().conf().getAllConfs()
+    it = confs.iterator()
+    while it.hasNext():
+        kv = it.next()
+        try:
+            clone.conf.set(kv._1(), kv._2())
+        except Exception:
+            pass  # static (non-runtime-settable) entry — context-level anyway
+    if state_partitions is not None:
+        clone.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    clone.conf.set(_CLONE_MARKER, "true")
+    return clone
+
 
 def drain_memory_sink(
     out: DataFrame,
@@ -259,18 +299,26 @@ def drain_memory_sink(
     streaming query only (see :data:`BOUNDED_REPLAY_STATE_PARTITIONS`);
     the session value is restored before the sink is read. Safe because
     a streaming query snapshots the session conf into its own cloned
-    session at ``start()``. The pin window (set → start → restore) is
-    serialized under a module lock so two concurrent drains can't
-    save each other's pinned value and leak it; a concurrent BATCH
-    query on the same session could still observe the pin for the
-    milliseconds until ``start()`` returns — callers that interleave
-    batch work with drains from other threads should pass
+    session at ``start()``. When the stream was built on a
+    :func:`bounded_replay_session` (as :func:`file_stream` does), the
+    pin already lives in that session's PRIVATE SQLConf and this
+    function touches no conf at all — the shared session can never
+    observe it. For streams built directly on a shared session
+    (stream-static joins where both sides must share one SQLConf), the
+    legacy path applies: the pin window (set → start → restore) is
+    serialized under a module lock so two concurrent drains can't save
+    each other's pinned value and leak it; a concurrent BATCH query on
+    the same session could still observe the pin for the milliseconds
+    until ``start()`` returns — callers that interleave batch work with
+    drains from other threads should build on a clone or pass
     ``state_partitions=None``."""
     import shutil
 
     spark = out.sparkSession
     name = name_prefix + uuid.uuid4().hex[:8]
     conf_key = "spark.sql.shuffle.partitions"
+    if spark.conf.get(_CLONE_MARKER, None) == "true":
+        state_partitions = None  # pin pre-baked into the private conf
     try:
         with _PIN_LOCK:
             saved = (
@@ -371,12 +419,20 @@ def file_stream(
     normalization as the batch reader (ns->µs truncation), staging a bare
     file behind a symlink dir (the file source requires a directory).
     Returns (stream, stage_dir) — pass stage_dir to
-    :func:`drain_memory_sink` so it is removed even on failure."""
+    :func:`drain_memory_sink` so it is removed even on failure.
+
+    The stream is built on a :func:`bounded_replay_session` clone, so
+    neither the ns-timestamp toggle nor the replay state-partition pin
+    ever mutates the caller's session conf. Downstream transformations
+    stay on the clone automatically (they derive from the returned
+    DataFrame); callers that need to JOIN the stream against
+    shared-session static DataFrames should not use this constructor."""
     import os
     import tempfile
 
     from ..catalog import ns_timestamp_columns
 
+    spark = bounded_replay_session(spark)
     ns_cols = ns_timestamp_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
