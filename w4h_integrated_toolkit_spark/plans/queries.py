@@ -7335,6 +7335,73 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(_t(spark, sf_dir, "documents"), n_merges=4, k=50)
 
 
+# Fixed inference-time merge table for q_bpe_segment: plausible English
+# subword merges, deliberately CHAINED (step 2 consumes step 1's output
+# symbol) so the oracle proves table-order application, not just
+# independent single merges.
+_SEGMENT_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+]
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment every document under a FIXED merge table — the
+    apply-at-inference half of the tokenizer (operators/bpe.py
+    bpe_segment; bpe_learn ships the table, this consumes it). Emits one
+    row per document with a word: token count, the first three tokens,
+    and the last token — order-sensitive projections, so the gate hashes
+    the Arrow kernel's per-word segmentation AND the positional
+    reassembly join, not just a bag of token counts. The DuckDB oracle
+    chains the same five merges through the gaps-and-islands closed form
+    with CONSTANT pair CTEs (no pair counting), segments the distinct
+    word dictionary, and re-joins the per-document word stream by
+    position — independently re-deriving both halves of the operator's
+    scale shape (dictionary-sized kernel, corpus-sized order-restoring
+    join). Reference analog: the tokenize-on-read hooks of
+    import_hub_main.py's mapping pipeline (script/import_hub_main.py:34),
+    re-expressed as a corpus operator."""
+    from ..operators.bpe import bpe_segment
+
+    seg = bpe_segment(_t(spark, sf_dir, "documents"), _SEGMENT_MERGES)
+    return seg.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.slice("tokens", 1, 3)).alias("head_tokens"),
+        F.element_at("tokens", -1).alias("last_token"),
+    )
+
+
+def _bpe_segment_sql(merges: list[tuple[str, str]]) -> str:
+    """Fixed-table segmentation oracle: the distinct-word dictionary is
+    rewritten through ``len(merges)`` chained constant-pair steps (same
+    gaps-and-islands CTEs as the fit oracles, argmax replaced by the
+    shipped table), then joined back to the per-document positional word
+    stream and flattened in reading order."""
+    n = len(merges)
+    return (
+        _bpe_cte(_bpe_steps(n, fixed=merges))
+        + f""",
+dw AS (
+  SELECT doc_id, unnest([{{'pos': i, 'word': ws[i]}}
+                         for i in range(1, len(ws) + 1)]) AS e
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        FROM documents)),
+dwp AS (SELECT doc_id, e.pos AS pos, e.word AS word FROM dw),
+fl AS (
+  SELECT d.doc_id, flatten(list(v.syms ORDER BY d.pos)) AS toks
+  FROM dwp d JOIN v{n} v ON d.word = v.word
+  GROUP BY d.doc_id)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       array_to_string(toks[1:3], ' ') AS head_tokens,
+       toks[-1] AS last_token
+FROM fl"""
+    )
+
+
 def _bpe_sql(n: int) -> str:
     """Unrolled n-step BPE fit: per step, pair counts over the current
     vocabulary → deterministic argmax (count DESC, pair lex) → greedy
@@ -7362,9 +7429,16 @@ LIMIT {k}"""
     )
 
 
-def _bpe_steps(n: int) -> list[str]:
+def _bpe_steps(
+    n: int, fixed: list[tuple[str, str]] | None = None
+) -> list[str]:
     """One chained-merge CTE block per step k: pair counts over v{k-1} →
     deterministic argmax b{k} → gaps-and-islands greedy rewrite → v{k}.
+
+    ``fixed`` replaces the learned argmax with a CONSTANT merge table
+    (one (left, right) pair per step) — the apply-at-inference form the
+    `bpe_segment` oracle uses: no pair counting, just the chained greedy
+    rewrites under a table the caller ships.
 
     Pair exhaustion: when a step finds no pairs (every word reduced to a
     single symbol), b{k} is EMPTY — the rewrite joins it with ``LEFT
@@ -7375,14 +7449,21 @@ def _bpe_steps(n: int) -> list[str]:
     review; pinned by the exhaustion parity test)."""
     steps = []
     for k in range(1, n + 1):
-        steps.append(f"""
+        if fixed is not None:
+            left, right = fixed[k - 1]
+            assert "'" not in left + right, "merge symbols must be quote-free"
+            picker = f"""
+b{k} AS (SELECT '{left}' AS l, '{right}' AS r),"""
+        else:
+            picker = f"""
 praw{k} AS (
   SELECT cnt, unnest([{{'l': syms[i], 'r': syms[i+1]}}
                       for i in range(1, len(syms))]) AS p
   FROM v{k - 1}),
 p{k} AS (SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS s
          FROM praw{k} GROUP BY p.l, p.r),
-b{k} AS (SELECT l, r, s FROM p{k} ORDER BY s DESC, l, r LIMIT 1),
+b{k} AS (SELECT l, r, s FROM p{k} ORDER BY s DESC, l, r LIMIT 1),"""
+        steps.append(picker + f"""
 pos{k} AS (
   SELECT word, cnt, e.pos AS pos, e.sym AS sym
   FROM (SELECT word, cnt, unnest([{{'pos': i, 'sym': syms[i]}}
@@ -7749,6 +7830,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # with an independent windowed closed form for greedy merging) ---
     "bpe_merges": (q_bpe_merges, _bpe_sql(4)),
     "bpe_encode": (q_bpe_encode, _bpe_encode_sql(4, 50)),
+    # --- new in r10 wave 14 (tokenizer inference; fixed-table segment
+    # with order-sensitive per-document projections) ---
+    "bpe_segment": (q_bpe_segment, _bpe_segment_sql(_SEGMENT_MERGES)),
 }
 
 
