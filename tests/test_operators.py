@@ -3587,6 +3587,66 @@ def test_registrable_domain_trailing_root_dot(spark):
         assert r["d"] == want, h
 
 
+def test_registrable_domain_psl_equivalence_and_loader(spark):
+    """The broadcast-PSL arm reproduces the literal arm EXACTLY when fed
+    the same multi-part suffix set (the r9 verdict's equivalence law),
+    including trailing-dot, NULL, and <=2-label hosts; longest-match
+    beats shorter listed rules; the loader rejects wildcard/exception
+    rules and strips comments."""
+    import pytest as _pytest
+
+    from w4h_integrated_toolkit_spark.operators.web import (
+        MULTI_PART_SUFFIXES,
+        load_public_suffixes,
+        registrable_domain,
+        registrable_domain_psl,
+    )
+
+    hosts = [
+        "www3.example.co.uk", "www2.example.com", "example.org",
+        "a.b.site.com.au", "EXAMPLE.Com.", "co.uk", "x", None,
+        "foo.bar.unknowntld", "deep.a.b.c.d.gov.cn", "n.co.nz.",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    lit = df.select(
+        "host", registrable_domain(F.col("host")).alias("want")
+    )
+    got = registrable_domain_psl(df, suffixes=list(MULTI_PART_SUFFIXES))
+    joined = {r["host"]: r["domain"] for r in got.collect()}
+    for r in lit.collect():
+        assert joined[r["host"]] == r["want"], r["host"]
+
+    # longest listed suffix wins over a shorter one covering the same tail
+    deep = spark.createDataFrame(
+        [("a.schools.nsw.edu.au",), ("b.nsw.edu.au",), ("c.edu.au",)],
+        "host string",
+    )
+    out = {
+        r["host"]: r["domain"]
+        for r in registrable_domain_psl(
+            deep, suffixes=["edu.au", "nsw.edu.au", "schools.nsw.edu.au"]
+        ).collect()
+    }
+    assert out == {
+        "a.schools.nsw.edu.au": "a.schools.nsw.edu.au",
+        "b.nsw.edu.au": "b.nsw.edu.au",
+        "c.edu.au": "c.edu.au",
+    }
+
+    # vendored file loads, is multi-part only, and covers the literal set
+    loaded = load_public_suffixes()
+    assert set(MULTI_PART_SUFFIXES) <= set(loaded)
+    assert all("." in s for s in loaded)
+
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as fh:
+        fh.write("// c\n# c2\n\nco.uk\n*.ck\n")
+        p = fh.name
+    with _pytest.raises(ValueError, match="wildcard"):
+        load_public_suffixes(p)
+
+
 def test_domain_cap_sample_malformed_policy(spark):
     """Malformed-URL handling is a caller decision: 'cap' (default)
     bounds the NULL pseudo-domain like any other, 'keep' passes NULL

@@ -12,15 +12,53 @@ funnels through a single window partition sort unscathed.
 
 from __future__ import annotations
 
+import os
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "url_host",
     "registrable_domain",
+    "registrable_domain_psl",
+    "load_public_suffixes",
     "domain_of",
     "domain_cap_sample",
 ]
+
+# Vendored multi-part-suffix subset of the public Mozilla PSL — the
+# externalized lookup data the broadcast arm consumes by default
+# (reference analog: the config-driven catalog of conf/config.yaml —
+# lookup data lives in a data file, not code literals).
+DEFAULT_PSL_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "resources",
+    "public_suffixes.txt",
+)
+
+
+def load_public_suffixes(path: str | None = None) -> list[str]:
+    """Load a public-suffix list file: one suffix per line, ``//`` / ``#``
+    comments and blank lines ignored, lowercased, deduplicated, sorted.
+    Defaults to the vendored multi-part subset
+    (:data:`DEFAULT_PSL_PATH`); point it at a full downloaded PSL in
+    production. Wildcard (``*.``) and exception (``!``) rules are NOT
+    implemented — the loader raises so they cannot be silently treated
+    as literal hostname labels."""
+    out = set()
+    with open(path or DEFAULT_PSL_PATH, encoding="utf-8") as fh:
+        for line in fh:
+            s = line.strip()
+            if not s or s.startswith("//") or s.startswith("#"):
+                continue
+            if s.startswith("*.") or s.startswith("!"):
+                raise ValueError(
+                    f"wildcard/exception PSL rule {s!r} is not supported; "
+                    "strip such rules (or extend the matcher) before loading"
+                )
+            out.add(s.lower())
+    return sorted(out)
 
 # Representative multi-part public suffixes (second level of the public
 # Mozilla PSL). A production deployment broadcasts the FULL list as a
@@ -75,6 +113,92 @@ def registrable_domain(
         .when(last2.isin(*suffixes), last3)
         .otherwise(last2)
     )
+
+
+def registrable_domain_psl(
+    df: DataFrame,
+    suffixes: DataFrame | Sequence[str] | None = None,
+    host_col: str = "host",
+    out_col: str = "domain",
+    max_depth: int = 5,
+) -> DataFrame:
+    """Registrable domain (eTLD+1) via a BROADCAST public-suffix lookup —
+    the production arm of :func:`registrable_domain` (r9 verdict order
+    #3): the full multi-part-suffix table joins against each host's
+    candidate suffixes instead of living inside a Catalyst ``isin``
+    literal, so a 10k-rule PSL costs one small broadcast rather than a
+    10k-element expression tree re-analyzed per plan (the
+    bloom_decontaminate lesson).
+
+    Semantics are the literal arm's, generalized to arbitrary-size
+    tables and suffix depths up to ``max_depth``:
+
+    - NULL host → NULL; ≤2 labels → host unchanged (after lowercasing
+      and FQDN trailing-dot strip);
+    - otherwise the LONGEST listed multi-part suffix matching the
+      host's tail wins and the result is that suffix plus one label;
+      a host that IS a listed suffix passes through unchanged;
+    - no match → last two labels (the PSL prevailing-rule fallback —
+      single-label TLDs never need listing because this fallback
+      already yields their eTLD+1, which is why the vendored file
+      ships multi-part rules only).
+
+    Equivalence law (test-pinned): with ``suffixes`` =
+    :data:`MULTI_PART_SUFFIXES` this reproduces
+    :func:`registrable_domain` exactly.
+
+    Plan shape: one broadcast hash join per DISTINCT SUFFIX DEPTH
+    present in the table (≤ ``max_depth``−1, each map-side, corpus
+    never shuffles), then a pure Column when-chain — no Python in the
+    hot path. ``suffixes`` may be a one-column DataFrame (e.g. read
+    from a config table) or any string sequence; ``None`` loads the
+    vendored file."""
+    spark = df.sparkSession
+    if suffixes is None:
+        suffixes = load_public_suffixes()
+    if isinstance(suffixes, DataFrame):
+        sfx = suffixes.select(F.lower(F.col(suffixes.columns[0])).alias("_sfx"))
+    else:
+        sfx = spark.createDataFrame([(s.lower(),) for s in suffixes], "_sfx string")
+    sfx = (
+        sfx.select("_sfx", F.size(F.split("_sfx", r"\.")).alias("_sd"))
+        .filter((F.col("_sd") >= 2) & (F.col("_sd") <= max_depth))
+        .distinct()
+    )
+    # distinct depths actually present: O(max_depth) driver rows
+    depths = sorted(r["_sd"] for r in sfx.select("_sd").distinct().collect())
+
+    h = F.regexp_replace(F.lower(F.col(host_col)), r"\.$", "")
+    out = df.withColumn("_h", h).withColumn("_p", F.split(F.col("_h"), r"\."))
+    n = F.size("_p")
+
+    def last_k(k):
+        return F.concat_ws(".", F.slice("_p", -k, k))
+
+    for d in depths:
+        cand = F.when(n >= d, last_k(d))
+        out = out.withColumn(f"_c{d}", cand).join(
+            F.broadcast(
+                sfx.filter(F.col("_sd") == d).select(
+                    F.col("_sfx").alias(f"_m{d}")
+                )
+            ),
+            F.col(f"_c{d}") == F.col(f"_m{d}"),
+            "left",
+        )
+
+    expr = F.when(F.col(host_col).isNull(), F.lit(None).cast("string")).when(
+        n <= 2, F.col("_h")
+    )
+    for d in sorted(depths, reverse=True):  # longest listed suffix wins
+        matched = F.col(f"_m{d}").isNotNull()
+        expr = expr.when(matched & (n >= d + 1), last_k(d + 1)).when(
+            matched, F.col("_h")
+        )
+    expr = expr.otherwise(last_k(2))
+
+    drop = ["_h", "_p"] + [c for d in depths for c in (f"_c{d}", f"_m{d}")]
+    return out.withColumn(out_col, expr).drop(*drop)
 
 
 def domain_of(url: Column, extra_suffixes: tuple[str, ...] = ()) -> Column:

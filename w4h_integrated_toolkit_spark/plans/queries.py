@@ -7274,6 +7274,78 @@ FROM d GROUP BY domain, host
 )
 
 
+# Suffix table for the broadcast-PSL gate entry: the vendored file plus
+# two synthetic-corpus depth-3 rules so LONGEST-match beats the co.uk /
+# com.au depth-2 rules on some hosts (src{k} are documents.source values)
+def _psl_query_suffixes() -> list[str]:
+    from ..operators.web import load_public_suffixes
+
+    return load_public_suffixes() + ["src7.com.au", "src3.co.uk"]
+
+
+def q_registrable_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 via the BROADCAST public-suffix lookup arm
+    (web.registrable_domain_psl over the vendored PSL subset plus two
+    depth-3 rules): candidate tail suffixes join a broadcast rule table
+    per depth, longest listed rule wins, unlisted TLDs fall back to
+    last-two-labels — the production path when the rule table is too
+    big for an `isin` literal. Rolled up to per-(domain, host) counts
+    like `domain_extract`, whose literal-arm results this refines. The
+    DuckDB oracle re-derives the match from the SAME rule list with a
+    genuinely different shape: lateral-unnest candidate depths, join on
+    (suffix, depth), take max depth per doc, then window-free CASE
+    arithmetic on label slices."""
+    from ..operators import web as WEB
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select(
+        F.col("doc_id"),
+        WEB.url_host(_synthetic_url()).alias("host"),
+    )
+    out = WEB.registrable_domain_psl(hosts, suffixes=_psl_query_suffixes())
+    return out.groupBy("domain", "host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def _psl_sql(suffixes: list[str]) -> str:
+    values = ", ".join(f"('{s}')" for s in suffixes)
+    return (
+        "WITH "
+        + _SQL_URL_CTE
+        + f""",
+sfx AS (
+  SELECT lower(s) AS sfx, len(string_split(lower(s), '.')) AS d
+  FROM (VALUES {values}) AS t(s)
+  WHERE len(string_split(s, '.')) BETWEEN 2 AND 5
+  GROUP BY 1, 2),
+hb AS (
+  SELECT doc_id, host, shost, string_split(shost, '.') AS ls,
+         len(string_split(shost, '.')) AS n
+  FROM hs),
+cand AS (
+  SELECT hb.doc_id, dd.d AS d,
+         array_to_string(ls[n - dd.d + 1:n], '.') AS sufcand
+  FROM hb, unnest([2, 3, 4, 5]) AS dd(d)
+  WHERE shost IS NOT NULL AND n >= dd.d),
+mt AS (
+  SELECT c.doc_id, CAST(max(c.d) AS INT) AS dd
+  FROM cand c JOIN sfx ON c.sufcand = sfx.sfx AND c.d = sfx.d
+  GROUP BY c.doc_id),
+dom AS (
+  SELECT hb.doc_id, hb.host,
+         CASE WHEN hb.host IS NULL THEN NULL
+              WHEN n <= 2 THEN shost
+              WHEN mt.dd IS NULL THEN array_to_string(ls[n - 1:n], '.')
+              WHEN n >= mt.dd + 1 THEN array_to_string(ls[n - mt.dd:n], '.')
+              ELSE shost END AS domain
+  FROM hb LEFT JOIN mt ON hb.doc_id = mt.doc_id)
+SELECT domain, host, CAST(count(*) AS BIGINT) AS n_docs
+FROM dom GROUP BY domain, host
+"""
+    )
+
+
 def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain rate cap (web.domain_cap_sample): at most 3 documents
     per registrable domain, highest n_chars first, ties to the lowest
@@ -7909,6 +7981,11 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # composition, oracled end-to-end by chaining the kmeans CTEs into
     # the IVF probe SQL
     "knn_ivf_fitted": (q_knn_ivf_fitted, _SQL_KNN_IVF_FITTED),
+    # broadcast-PSL eTLD+1: externalized rule table, longest-match join
+    "registrable_domain_psl": (
+        q_registrable_domain_psl,
+        _psl_sql(_psl_query_suffixes()),
+    ),
 }
 
 
