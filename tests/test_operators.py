@@ -3689,6 +3689,120 @@ def test_domain_cap_sample_malformed_policy(spark):
 
 
 # ---------------------------------------------------------------------------
+# vendored pure-stdlib WAV/PCM codec (round 10): real audio decode without
+# soundfile/librosa
+# ---------------------------------------------------------------------------
+
+
+def test_audiocodec_roundtrip_all_widths():
+    """encode_wav -> decode_wav is the identity for 8/16/24/32-bit PCM at
+    1-3 channels with exact sample values; wav_info reads the header
+    without touching sample bytes."""
+    import numpy as np
+
+    from w4h_integrated_toolkit_spark.operators import audiocodec as AC
+
+    rng = np.random.default_rng(7)
+    for bits in (8, 16, 24, 32):
+        lo, hi = (-128, 127) if bits == 8 else (-(1 << bits - 1), (1 << bits - 1) - 1)
+        for ch in (1, 2, 3):
+            a = rng.integers(lo, hi + 1, size=(37, ch), dtype=np.int64)
+            blob = AC.encode_wav(a, 8000, bits=bits)
+            dec, rate = AC.decode_wav(blob)
+            assert rate == 8000 and dec.shape == (37, ch)
+            assert np.array_equal(dec, a), (bits, ch)
+            assert AC.wav_info(blob) == {
+                "sample_rate": 8000,
+                "n_channels": ch,
+                "bits": bits,
+                "n_frames": 37,
+            }
+
+
+def test_audiocodec_alignment_chunks_and_errors():
+    """Odd-sized data chunks get a pad byte (RIFF word alignment),
+    unknown chunks (LIST) are skipped per spec, and out-of-range
+    samples / non-RIFF input / float-WAV format tags raise instead of
+    corrupting."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from w4h_integrated_toolkit_spark.operators import audiocodec as AC
+
+    a = np.array([1, -2, 3], dtype=np.int64)  # odd byte count at 8-bit
+    blob = AC.encode_wav(a, 123, bits=8)
+    assert len(blob) % 2 == 0
+    dec, rate = AC.decode_wav(blob)
+    assert rate == 123 and np.array_equal(dec[:, 0], a)
+
+    # splice an odd-sized LIST chunk before fmt/data: still decodes
+    chunks = blob[12:]
+    listc = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(listc) + len(chunks))
+        + b"WAVE"
+        + listc
+        + chunks
+    )
+    dec2, _ = AC.decode_wav(spliced)
+    assert np.array_equal(dec2[:, 0], a)
+
+    with _pytest.raises(ValueError, match="out of range"):
+        AC.encode_wav(np.array([200]), 8000, bits=8)
+    with _pytest.raises(ValueError, match="RIFF"):
+        AC.decode_wav(b"RIFX" + bytes(20))
+    # float WAV (format tag 3) is refused with an actionable message
+    f32 = bytearray(AC.encode_wav(a, 123, bits=8))
+    fmt_off = bytes(f32).index(b"fmt ") + 8
+    struct.pack_into("<H", f32, fmt_off, 3)
+    with _pytest.raises(ValueError, match="format tag 1"):
+        AC.decode_wav(bytes(f32))
+
+
+def test_audio_payload_kernels_end_to_end(spark):
+    """attach_audio_payload -> decode_audio_stats round-trips the
+    synthetic PCM recipe exactly (checked against a literal python
+    re-derivation), and audio_frame_energy emits exact windowed Σs²
+    including the short tail window."""
+    import numpy as np
+
+    from w4h_integrated_toolkit_spark.operators import multimodal as MM
+    from w4h_integrated_toolkit_spark.operators.multimodal import _synth_samples
+
+    docs = spark.createDataFrame([(d,) for d in range(12)], "doc_id long")
+    wav = MM.attach_audio_payload(docs)
+    metas = {r["doc_id"]: r["meta"] for r in wav.collect()}
+    for d in range(12):
+        arr, rate, bits = _synth_samples(d)
+        m = metas[d]
+        assert (m["sample_rate"], m["bits"], m["n_channels"], m["n_frames"]) == (
+            rate, bits, arr.shape[1], arr.shape[0]
+        )
+
+    stats = MM.decode_audio_stats(MM.attach_audio_payload(docs)).collect()
+    for r in stats:
+        arr, rate, _bits = _synth_samples(r["doc_id"])
+        col = arr[:, r["channel"]].astype(np.int64)
+        assert r["sample_rate"] == rate
+        assert r["n_samples"] == len(col)
+        assert r["peak"] == int(np.abs(col).max())
+        assert r["sum_sq"] == int((col * col).sum())
+        assert (r["first_s"], r["last_s"]) == (int(col[0]), int(col[-1]))
+
+    en = MM.audio_frame_energy(MM.attach_audio_payload(docs), window_frames=16)
+    got = {(r["doc_id"], r["window_idx"]): (r["n_frames"], r["energy"]) for r in en.collect()}
+    for d in range(12):
+        arr, _, _ = _synth_samples(d)
+        sq = (arr.astype(np.int64) ** 2).sum(axis=1)
+        for w in range(0, len(sq), 16):
+            chunk = sq[w : w + 16]
+            assert got[(d, w // 16)] == (len(chunk), int(chunk.sum()))
+
+
+# ---------------------------------------------------------------------------
 # vendored pure-stdlib image codec (round 9): real decode without Pillow
 # ---------------------------------------------------------------------------
 

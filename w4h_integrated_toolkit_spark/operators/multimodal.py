@@ -51,6 +51,10 @@ __all__ = [
     "byte_histogram_features",
     "decode_frames",
     "resize_frames",
+    "AUDIO_META_TYPE",
+    "attach_audio_payload",
+    "decode_audio_stats",
+    "audio_frame_energy",
 ]
 
 META_TYPE = T.StructType(
@@ -165,6 +169,176 @@ def byte_histogram_features(
 
     return df.select(F.col(id_col), F.col("payload")).mapInPandas(
         featurize, schema=out_schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio arm: WAV/PCM binary columns through the vendored pure-stdlib codec
+# (operators/audiocodec.py), closing the audio half of the multimodal story
+# the way imagecodec.py closed the image half (r9 verdict order #4)
+# ---------------------------------------------------------------------------
+
+AUDIO_META_TYPE = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+
+def _synth_samples(doc_id: int):
+    """Deterministic PCM recipe per document — the audio analog of
+    attach_payload's text-bytes stand-in, chosen so a SQL oracle can
+    re-derive every sample with integer arithmetic: channels, rate,
+    frame count and bit depth are doc_id residues; flat interleaved
+    sample i is ((doc_id*7919 + i*104729) % 65536) - 32768."""
+    import numpy as np
+
+    d = int(doc_id)
+    channels = 1 + d % 2
+    rate = 8000 + 1000 * (d % 4)
+    n_frames = 64 + d % 64
+    bits = (16, 24, 32)[d % 3]
+    i = np.arange(n_frames * channels, dtype=np.int64)
+    flat = (d * 7919 + i * 104729) % 65536 - 32768
+    return flat.reshape(n_frames, channels), rate, bits
+
+
+def attach_audio_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload: binary, meta: AUDIO_META_TYPE) with a REAL encoded
+    WAV per row: deterministic PCM samples (see :func:`_synth_samples`)
+    run through ``audiocodec.encode_wav`` inside an Arrow-batched
+    kernel — varying channel count, sample rate, frame count AND bit
+    depth (16/24/32) across rows, so every encoder width is exercised
+    by one pass. The blob is opaque binary downstream, exactly like a
+    media lake's payload column; metadata is typed and prunable."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", AUDIO_META_TYPE),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import audiocodec  # resolved on the executor
+
+        for pdf in batches:
+            rows = []
+            for d in pdf[id_col]:
+                arr, rate, bits = _synth_samples(d)
+                blob = audiocodec.encode_wav(arr, rate, bits=bits)
+                rows.append(
+                    (
+                        int(d),
+                        blob,
+                        {
+                            "format": "audio/wav",
+                            "n_bytes": len(blob),
+                            "sample_rate": rate,
+                            "n_channels": arr.shape[1],
+                            "bits": bits,
+                            "n_frames": arr.shape[0],
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "payload", "meta"])
+
+    return df.select(F.col(id_col)).mapInPandas(synth, schema=out_schema)
+
+
+def decode_audio_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode each WAV payload (``audiocodec.decode_wav`` — real RIFF
+    parsing, all PCM widths) and emit exact per-channel integer
+    statistics: sample count, peak magnitude, Σ|s|, Σs², first and last
+    sample. Integer-exact by construction, so the encode→decode
+    round-trip is externally oracle-checkable value-for-value. Map-side
+    only (mapInPandas; blobs never shuffle)."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("channel", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("peak", T.LongType()),
+            T.StructField("sum_abs", T.LongType()),
+            T.StructField("sum_sq", T.LongType()),
+            T.StructField("first_s", T.LongType()),
+            T.StructField("last_s", T.LongType()),
+        ]
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import audiocodec
+
+        for pdf in batches:
+            rows = []
+            for d, blob in zip(pdf[id_col], pdf["payload"]):
+                arr, rate = audiocodec.decode_wav(bytes(blob))
+                a64 = arr.astype(np.int64)
+                for c in range(arr.shape[1]):
+                    col = a64[:, c]
+                    rows.append(
+                        (
+                            int(d),
+                            c,
+                            rate,
+                            len(col),
+                            int(np.abs(col).max()) if len(col) else 0,
+                            int(np.abs(col).sum()),
+                            int((col * col).sum()),
+                            int(col[0]) if len(col) else 0,
+                            int(col[-1]) if len(col) else 0,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select(F.col(id_col), F.col("payload")).mapInPandas(
+        stats, schema=out_schema
+    )
+
+
+def audio_frame_energy(
+    df: DataFrame, window_frames: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Windowed energy over decoded frames: Σs² (all channels) per
+    ``window_frames``-frame window — the feature a VAD / silence-trim /
+    loudness-bucketing pipeline computes. Exact int64; the tail window
+    may be short (its true frame count is emitted). Map-side only."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("window_idx", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("energy", T.LongType()),
+        ]
+    )
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import audiocodec
+
+        for pdf in batches:
+            rows = []
+            for d, blob in zip(pdf[id_col], pdf["payload"]):
+                arr, _rate = audiocodec.decode_wav(bytes(blob))
+                sq = (arr.astype(np.int64) ** 2).sum(axis=1)
+                for w in range(0, len(sq), window_frames):
+                    chunk = sq[w : w + window_frames]
+                    rows.append(
+                        (int(d), w // window_frames, len(chunk), int(chunk.sum()))
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select(F.col(id_col), F.col("payload")).mapInPandas(
+        energy, schema=out_schema
     )
 
 

@@ -7283,6 +7283,77 @@ def _psl_query_suffixes() -> list[str]:
     return load_public_suffixes() + ["src7.com.au", "src3.co.uk"]
 
 
+def q_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio binary-column round-trip through the REAL pure-stdlib WAV
+    codec (operators/audiocodec.py): deterministic PCM per document
+    (channels/rate/frame-count/bit-depth vary by doc_id residues, bit
+    depths 16/24/32 all exercised) is ENCODED to RIFF/WAVE bytes and
+    DECODED back inside Arrow kernels, emitting exact per-channel
+    integer stats (n, peak, Σ|s|, Σs², first/last sample). The DuckDB
+    oracle never sees WAV bytes — it re-derives every sample from the
+    same integer recurrence — so a green hash proves the encoder's
+    chunk layout, alignment, interleaving and width handling and the
+    decoder's parsing are jointly bit-exact. Map-side end to end."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    wav = MM.attach_audio_payload(docs)
+    return MM.decode_audio_stats(wav)
+
+
+_SQL_WAV_SYNTH = """
+p AS (
+  SELECT doc_id, 1 + doc_id % 2 AS ch,
+         CAST(8000 + 1000 * (doc_id % 4) AS INT) AS rate,
+         64 + doc_id % 64 AS nf
+  FROM documents),
+smp AS (
+  SELECT p.doc_id, p.ch, p.rate, p.nf, ff.f AS f, cc.c AS c,
+         (p.doc_id * 7919 + (ff.f * p.ch + cc.c) * 104729) % 65536
+           - 32768 AS s
+  FROM p, unnest(range(0, p.nf)) AS ff(f), unnest([0, 1]) AS cc(c)
+  WHERE cc.c < p.ch)
+"""
+
+_SQL_WAV_STATS = (
+    "WITH "
+    + _SQL_WAV_SYNTH
+    + """
+SELECT doc_id, CAST(c AS INT) AS channel, rate AS sample_rate,
+       CAST(nf AS BIGINT) AS n_samples,
+       CAST(max(abs(s)) AS BIGINT) AS peak,
+       CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+       CAST(sum(s * s) AS BIGINT) AS sum_sq,
+       CAST(max(CASE WHEN f = 0 THEN s END) AS BIGINT) AS first_s,
+       CAST(max(CASE WHEN f = nf - 1 THEN s END) AS BIGINT) AS last_s
+FROM smp GROUP BY doc_id, c, rate, nf
+"""
+)
+
+
+def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy (Σs² over 16-frame windows, channels
+    summed) over decoded WAV payloads — the VAD/silence-trim feature
+    pass, run through the same encode→decode round-trip as
+    `wav_decode_stats` (same formula-derived oracle pattern: DuckDB
+    recomputes window energies straight from the PCM recurrence). The
+    tail window's true frame count is emitted, so short-tail handling
+    is gated too."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    wav = MM.attach_audio_payload(docs)
+    return MM.audio_frame_energy(wav, window_frames=16)
+
+
+_SQL_AUDIO_ENERGY = (
+    "WITH "
+    + _SQL_WAV_SYNTH
+    + """
+SELECT doc_id, CAST(f // 16 AS BIGINT) AS window_idx,
+       CAST(count(DISTINCT f) AS BIGINT) AS n_frames,
+       CAST(sum(s * s) AS BIGINT) AS energy
+FROM smp GROUP BY doc_id, f // 16
+"""
+)
+
+
 def q_registrable_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """eTLD+1 via the BROADCAST public-suffix lookup arm
     (web.registrable_domain_psl over the vendored PSL subset plus two
@@ -7986,6 +8057,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         q_registrable_domain_psl,
         _psl_sql(_psl_query_suffixes()),
     ),
+    # audio arm: WAV encode->decode round-trips gated against a
+    # formula-derived oracle that never parses bytes
+    "wav_decode_stats": (q_wav_decode_stats, _SQL_WAV_STATS),
+    "audio_frame_energy": (q_audio_frame_energy, _SQL_AUDIO_ENERGY),
 }
 
 
