@@ -217,6 +217,12 @@ EXTRA_BENCH_QUERIES = [
     "domain_cap_sample",
     "bpe_merges",
     "bpe_encode",
+    # --- r10 wave 14 ---
+    "bpe_segment",
+    "knn_ivf_fitted",
+    "registrable_domain_psl",
+    "wav_decode_stats",
+    "audio_frame_energy",
 ]
 
 # The heaviest extras get MEDIAN-OF-3 like the headline (r8 verdict
@@ -243,6 +249,11 @@ MEDIAN_EXTRA_QUERIES = {
     "event_type_pagerank",       # 1.49
     "stream_heavy_hitters",      # 1.46 (streaming: keep)
     "stream_window_dedup",       # 0.97 (streaming: keep)
+    # r9 verdict order #7: the r9 additions' FIRST round-over-round
+    # comparison lands at r10 — median-of-3 both so that comparison
+    # isn't single-run noise (kmeans_fit / bpe_merges already above).
+    "scd2_apply",                # 1.61 late-r9
+    "bpe_encode",                # 1.31 late-r9
 }
 
 
