@@ -223,6 +223,8 @@ EXTRA_BENCH_QUERIES = [
     "registrable_domain_psl",
     "wav_decode_stats",
     "audio_frame_energy",
+    "video_frame_stats",
+    "html_extract",
 ]
 
 # The heaviest extras get MEDIAN-OF-3 like the headline (r8 verdict

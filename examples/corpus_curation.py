@@ -70,6 +70,33 @@ def main() -> None:
     crawl = read_parquet(spark, f"{SF_DIR}/documents.parquet")
     n_crawl = crawl.count()
 
+    # 0pre. HTML -> text: a real crawl lands as pages, not clean text.
+    # The test table is already clean, so wrap each doc into a full page
+    # (title/style/script/entities) and run the extractor — the pipeline
+    # then consumes the EXTRACTED text, exactly as production would.
+    from w4h_integrated_toolkit_spark.operators.web import html_extract
+
+    esc = F.replace(F.col("text"), F.lit("&"), F.lit("&amp;"))
+    esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
+    pages = crawl.withColumn(
+        "html",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit('</title><style>p{margin:0}</style></head><body><p>'),
+            esc,
+            F.lit('</p><script>track("<p>");</script></body></html>'),
+        ),
+    )
+    extracted = html_extract(pages).select(
+        "doc_id", F.col("text").alias("page_text")
+    )
+    crawl = (
+        crawl.join(extracted, "doc_id")
+        .drop("text")
+        .withColumnRenamed("page_text", "text")
+    )
+
     # 0a. per-domain rate cap — the crawl's first filter. The test table
     # has no URL column, so derive a deterministic one from the source
     # (a real crawl carries its URL); cap each registrable domain at its

@@ -3982,3 +3982,188 @@ def test_real_kernel_end_to_end_with_vendored_codec(spark):
         a = rgb.astype(np.uint32)
         luma = (a[..., 0] * 299 + a[..., 1] * 587 + a[..., 2] * 114) // 1000
         assert means[k] == float(luma.astype(np.uint8).mean())
+
+
+# ---------------------------------------------------------------------------
+# vendored pure-stdlib Y4M video codec + html extraction (round 10)
+# ---------------------------------------------------------------------------
+
+
+def test_videocodec_roundtrip_all_colorspaces():
+    """encode_y4m -> decode_y4m is the identity for Cmono, C420jpeg and
+    C444 with exact pixel values; y4m_info walks frame headers without
+    touching pixel bytes."""
+    import numpy as np
+
+    from w4h_integrated_toolkit_spark.operators import videocodec as V
+
+    rng = np.random.default_rng(11)
+    n, h, w = 5, 12, 16
+    y = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    cases = [
+        (None, None, "mono"),
+        (
+            rng.integers(0, 256, (n, h // 2, w // 2), dtype=np.uint8),
+            rng.integers(0, 256, (n, h // 2, w // 2), dtype=np.uint8),
+            "420jpeg",
+        ),
+        (
+            rng.integers(0, 256, (n, h, w), dtype=np.uint8),
+            rng.integers(0, 256, (n, h, w), dtype=np.uint8),
+            "444",
+        ),
+    ]
+    for cb, cr, cs in cases:
+        blob = V.encode_y4m(y, cb, cr, fps=(30, 1))
+        y2, cb2, cr2, info = V.decode_y4m(blob)
+        assert np.array_equal(y2, y), cs
+        if cb is None:
+            assert cb2 is None and cr2 is None
+        else:
+            assert np.array_equal(cb2, cb) and np.array_equal(cr2, cr)
+        assert info["colorspace"] == cs
+        assert V.y4m_info(blob) == {
+            "width": w,
+            "height": h,
+            "fps": (30, 1),
+            "colorspace": cs,
+            "n_frames": n,
+        }
+
+
+def test_videocodec_header_tolerance_and_errors():
+    """Unknown X-extension and I/A tags are skipped per spec; tag order
+    is free; non-Y4M input, truncated frames, odd C420 dimensions and
+    unknown colorspaces raise instead of decoding shifted planes."""
+    import numpy as np
+    import pytest as _pytest
+
+    from w4h_integrated_toolkit_spark.operators import videocodec as V
+
+    y = np.arange(2 * 4 * 6, dtype=np.uint8).reshape(2, 4, 6)
+    blob = V.encode_y4m(y)
+    # rewrite the header with shuffled/extra tags: still decodes
+    body = blob.split(b"\n", 1)[1]
+    hacked = b"YUV4MPEG2 Cmono XSPARK=1 F25:1 H4 Ip A1:1 W6\n" + body
+    y2, _, _, info = V.decode_y4m(hacked)
+    assert np.array_equal(y2, y) and info["fps"] == (25, 1)
+
+    with _pytest.raises(ValueError, match="YUV4MPEG2"):
+        V.decode_y4m(b"JUNK" + bytes(40))
+    with _pytest.raises(ValueError, match="truncated"):
+        V.decode_y4m(blob[:-3])
+    with _pytest.raises(ValueError, match="FRAME"):
+        V.decode_y4m(blob[: blob.index(b"FRAME")] + b"FRUME\n" + bytes(24))
+    with _pytest.raises(ValueError, match="colorspace"):
+        V.decode_y4m(b"YUV4MPEG2 W6 H4 F25:1 C422\n")
+    with _pytest.raises(ValueError, match="divisible"):
+        V.decode_y4m(b"YUV4MPEG2 W5 H4 F25:1 C420jpeg\n")
+    odd = np.zeros((1, 5, 6), np.uint8)
+    with _pytest.raises(ValueError, match="chroma shape"):
+        V.encode_y4m(odd, np.zeros((1, 2, 3), np.uint8), np.zeros((1, 2, 3), np.uint8))
+    with _pytest.raises(ValueError, match="given together"):
+        V.encode_y4m(y, np.zeros((2, 2, 3), np.uint8), None)
+
+
+def test_video_payload_kernels_end_to_end(spark):
+    """attach_video_payload -> video_frame_stats round-trips the synthetic
+    plane recipe exactly (checked against a literal python
+    re-derivation), covering both the mono and 420 layouts; stride
+    sampling keeps every stride-th frame only."""
+    import numpy as np
+
+    from w4h_integrated_toolkit_spark.operators import multimodal as MM
+    from w4h_integrated_toolkit_spark.operators.multimodal import _synth_frames
+
+    docs = spark.createDataFrame([(d,) for d in range(10)], "doc_id long")
+    vid = MM.attach_video_payload(docs)
+    metas = {r["doc_id"]: r["meta"] for r in vid.collect()}
+    for d in range(10):
+        y, cb, _cr = _synth_frames(d)
+        m = metas[d]
+        assert (m["width"], m["height"], m["n_frames"]) == (
+            y.shape[2], y.shape[1], y.shape[0]
+        )
+        assert m["colorspace"] == ("mono" if cb is None else "420jpeg")
+        assert m["format"] == "video/x-y4m"
+
+    stats = MM.video_frame_stats(MM.attach_video_payload(docs)).collect()
+    seen = set()
+    for r in stats:
+        y, cb, cr = _synth_frames(r["doc_id"])
+        f = r["frame_idx"]
+        yf = y[f].astype(np.int64)
+        assert r["y_sum"] == int(yf.sum())
+        assert r["y_sq"] == int((yf * yf).sum())
+        assert (r["y_min"], r["y_max"]) == (int(yf.min()), int(yf.max()))
+        if cb is None:
+            assert (r["cb_sum"], r["cr_sum"]) == (0, 0)
+        else:
+            assert r["cb_sum"] == int(cb[f].astype(np.int64).sum())
+            assert r["cr_sum"] == int(cr[f].astype(np.int64).sum())
+        seen.add((r["doc_id"], f))
+    assert len(seen) == sum(_synth_frames(d)[0].shape[0] for d in range(10))
+
+    strided = MM.video_frame_stats(MM.attach_video_payload(docs), stride=2)
+    got = {(r["doc_id"], r["frame_idx"]) for r in strided.collect()}
+    want = {
+        (d, f)
+        for d in range(10)
+        for f in range(0, _synth_frames(d)[0].shape[0], 2)
+    }
+    assert got == want
+
+
+def test_html_extraction_edges(spark):
+    """html_text/html_title/html_link_count against hand-built pages:
+    the head block (title+style) vanishes from body text while
+    html_title still reads it, script blocks containing tags vanish
+    wholesale, comments vanish, entities decode single-pass
+    ('&amp;lt;' stays the literal text '&lt;'), whitespace collapses,
+    NULL propagates, and anchors split across newlines still count."""
+    from pyspark.sql import functions as F
+
+    from w4h_integrated_toolkit_spark.operators import web as WEB
+
+    cases = [
+        # (html, text, title, n_links)
+        (
+            '<html><head><title> A  B </title><style>p{c:red}</style></head>'
+            '<body><p class="x" data-v=\'1\'>hi <b>there</b></p>'
+            '<script>if (1<2) { document.write("<p>no</p>"); }</script>'
+            "</body></html>",
+            "hi there",
+            "A B",
+            0,
+        ),
+        (
+            "<p>R&amp;D &lt;tag&gt; &amp;lt; A&nbsp;&nbsp;B &#39;q&#39; &quot;z&quot;</p>",
+            "R&D <tag> &lt; A B 'q' \"z\"",
+            None,
+            0,
+        ),
+        (
+            '<a href="/x">one</a><A HREF="#">two</A><a\nhref="y">three</a><abbr>not</abbr>',
+            "one two three not",
+            None,
+            3,
+        ),
+        ("<!-- <p>gone</p> -->visible", "visible", None, 0),
+        (None, None, None, 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, *_rest) in enumerate(cases)], "i long, html string"
+    )
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            WEB.html_text(F.col("html")).alias("t"),
+            WEB.html_title(F.col("html")).alias("ti"),
+            WEB.html_link_count(F.col("html")).alias("n"),
+        ).collect()
+    }
+    for i, (_h, text, title, n_links) in enumerate(cases):
+        assert rows[i]["t"] == text, (i, rows[i]["t"])
+        assert rows[i]["ti"] == title, (i, rows[i]["ti"])
+        assert rows[i]["n"] == n_links, (i, rows[i]["n"])

@@ -55,6 +55,9 @@ __all__ = [
     "attach_audio_payload",
     "decode_audio_stats",
     "audio_frame_energy",
+    "VIDEO_META_TYPE",
+    "attach_video_payload",
+    "video_frame_stats",
 ]
 
 META_TYPE = T.StructType(
@@ -559,3 +562,154 @@ def decode_frames(
         F.col("meta.n_frames").alias("n_frames"),
     )
     return flat.mapInPandas(decode, schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# Video arm: Y4M payloads through the vendored pure-stdlib codec
+# (operators/videocodec.py), closing the image/audio/VIDEO triple the
+# same way attach_audio_payload/decode_audio_stats closed audio.
+# --------------------------------------------------------------------------
+
+VIDEO_META_TYPE = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("colorspace", T.StringType()),
+        T.StructField("fps_num", T.IntegerType()),
+        T.StructField("fps_den", T.IntegerType()),
+    ]
+)
+
+
+def _synth_frames(doc_id: int):
+    """Deterministic planar video per document — the video analog of
+    :func:`_synth_samples`, chosen so a SQL oracle can re-derive every
+    pixel with integer arithmetic: dimensions, frame count, and
+    colorspace are doc_id residues (even docs are Cmono, odd C420jpeg,
+    so both layouts are exercised); luma pixel (f, r, c) is
+    (d*31 + f*7919 + r*13 + c*3) % 256 and the C420 chroma planes use
+    the same shape with different multipliers."""
+    import numpy as np
+
+    d = int(doc_id)
+    w = 16 + 4 * (d % 3)  # 16/20/24 — even, so C420 is legal
+    h = 12 + 2 * (d % 5)  # 12..20 — even
+    n = 3 + d % 5  # 3..7 frames
+    f, r, c = np.ogrid[0:n, 0:h, 0:w]
+    y = ((d * 31 + f * 7919 + r * 13 + c * 3) % 256).astype(np.uint8)
+    if d % 2 == 0:
+        return y, None, None
+    f, r, c = np.ogrid[0 : n, 0 : h // 2, 0 : w // 2]
+    cb = ((d * 17 + f * 104729 + r * 11 + c * 5) % 256).astype(np.uint8)
+    cr = ((d * 23 + f * 7 + r * 19 + c * 29) % 256).astype(np.uint8)
+    return y, cb, cr
+
+
+def attach_video_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload: binary, meta: VIDEO_META_TYPE) with a REAL encoded
+    Y4M stream per row: deterministic planes (see :func:`_synth_frames`)
+    run through ``videocodec.encode_y4m`` inside an Arrow-batched
+    kernel — varying dimensions, frame count AND colorspace (Cmono /
+    C420jpeg) across rows. The blob is opaque binary downstream,
+    exactly like a media lake's payload column; metadata is typed and
+    prunable. Map-side only."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", VIDEO_META_TYPE),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import videocodec  # resolved on the executor
+
+        for pdf in batches:
+            rows = []
+            for d in pdf[id_col]:
+                y, cb, cr = _synth_frames(d)
+                fps = (24 + int(d) % 2, 1)
+                blob = videocodec.encode_y4m(y, cb, cr, fps=fps)
+                rows.append(
+                    (
+                        int(d),
+                        blob,
+                        {
+                            "format": "video/x-y4m",
+                            "n_bytes": len(blob),
+                            "width": y.shape[2],
+                            "height": y.shape[1],
+                            "n_frames": y.shape[0],
+                            "colorspace": "mono" if cb is None else "420jpeg",
+                            "fps_num": fps[0],
+                            "fps_den": fps[1],
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "payload", "meta"])
+
+    return df.select(F.col(id_col)).mapInPandas(synth, schema=out_schema)
+
+
+def video_frame_stats(
+    df: DataFrame, stride: int = 1, id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode each Y4M payload (``videocodec.decode_y4m`` — real header
+    parsing, planar walking, both colorspaces) and emit exact per-frame
+    integer statistics for every ``stride``-th frame: luma sum / sum of
+    squares / min / max plus chroma plane sums (0 for mono) — the
+    shot-detection / brightness-bucketing / quality-filter feature pass
+    over a video column. Integer-exact by construction, so the
+    encode→decode round-trip is externally oracle-checkable
+    value-for-value. Map-side only (mapInPandas; blobs never
+    shuffle)."""
+    import numpy as np
+
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("y_sum", T.LongType()),
+            T.StructField("y_sq", T.LongType()),
+            T.StructField("y_min", T.IntegerType()),
+            T.StructField("y_max", T.IntegerType()),
+            T.StructField("cb_sum", T.LongType()),
+            T.StructField("cr_sum", T.LongType()),
+        ]
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import videocodec
+
+        for pdf in batches:
+            rows = []
+            for d, blob in zip(pdf[id_col], pdf["payload"]):
+                y, cb, cr, info = videocodec.decode_y4m(bytes(blob))
+                for f in range(0, info["n_frames"], stride):
+                    yf = y[f].astype(np.int64)
+                    rows.append(
+                        (
+                            int(d),
+                            f,
+                            info["width"],
+                            info["height"],
+                            int(yf.sum()),
+                            int((yf * yf).sum()),
+                            int(yf.min()),
+                            int(yf.max()),
+                            int(cb[f].astype(np.int64).sum()) if cb is not None else 0,
+                            int(cr[f].astype(np.int64).sum()) if cr is not None else 0,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select(F.col(id_col), F.col("payload")).mapInPandas(
+        stats, schema=out_schema
+    )

@@ -25,6 +25,10 @@ __all__ = [
     "load_public_suffixes",
     "domain_of",
     "domain_cap_sample",
+    "html_text",
+    "html_title",
+    "html_link_count",
+    "html_extract",
 ]
 
 # Vendored multi-part-suffix subset of the public Mozilla PSL — the
@@ -280,3 +284,77 @@ def domain_cap_sample(
     if kept is not None:
         capped = capped.unionByName(kept.select(*capped.columns))
     return capped
+
+
+# --------------------------------------------------------------------------
+# HTML text extraction: the step between raw crawl and the text-quality /
+# dedup stack. Pure JVM regexp Column expressions — no Python, no parser
+# library — following the pragmatic extractor every large crawl pipeline
+# starts from (drop invisible blocks, strip tags, decode the common
+# entities, normalize whitespace).
+# --------------------------------------------------------------------------
+
+# decode order matters and is single-pass by construction: the named
+# entities first, '&amp;' LAST, so '&amp;lt;' round-trips to the literal
+# text '&lt;' instead of being double-decoded to '<'.
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_text(html: Column) -> Column:
+    """Visible text of an HTML document: drops the ``<head>`` block and
+    ``<script>``/``<style>`` blocks wholesale (their content is never
+    body text), strips comments and all remaining tags to a space,
+    decodes the six ubiquitous entities (single-pass, ``&amp;`` last),
+    and collapses whitespace. NULL html → NULL. A regex extractor is
+    deliberately NOT a browser: it trades CDATA/conditional-comment
+    corners for a pure-JVM whole-stage-codegen pipeline with zero
+    Python in the hot path."""
+    t = F.regexp_replace(html, r"(?is)<head\b[^>]*>.*?</head\s*>", " ")
+    t = F.regexp_replace(
+        t, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " "
+    )
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def html_title(html: Column) -> Column:
+    """Content of the first ``<title>`` element, whitespace-collapsed;
+    NULL when absent or empty."""
+    raw = F.regexp_extract(html, r"(?is)<title[^>]*>(.*?)</title\s*>", 1)
+    return F.nullif(F.trim(F.regexp_replace(raw, r"\s+", " ")), F.lit(""))
+
+
+def html_link_count(html: Column) -> Column:
+    """Number of anchor (``<a ...>``) opening tags."""
+    return F.coalesce(
+        F.array_size(F.regexp_extract_all(html, F.lit(r"(?i)<a[\s>]"), 0)),
+        F.lit(0),
+    ).cast("int")
+
+
+def html_extract(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-pass extraction frame over an HTML column: id, title, link
+    count, visible text and its length. Map-side only — every column is
+    a JVM regexp expression over the same input, so Catalyst keeps the
+    whole thing in one codegen stage with zero exchanges."""
+    h = F.col(html_col)
+    text = html_text(h)
+    return df.select(
+        F.col(id_col),
+        html_title(h).alias("title"),
+        html_link_count(h).alias("n_links"),
+        text.alias("text"),
+        F.length(text).cast("long").alias("n_chars"),
+    )

@@ -7354,6 +7354,116 @@ FROM smp GROUP BY doc_id, f // 16
 )
 
 
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video binary-column round-trip through the REAL pure-stdlib Y4M
+    codec (operators/videocodec.py): deterministic planar frames per
+    document (dimensions/frame-count/colorspace vary by doc_id
+    residues; even docs are Cmono, odd C420jpeg, so both plane layouts
+    are exercised) are ENCODED to a YUV4MPEG2 stream and DECODED back
+    inside Arrow kernels, emitting exact per-frame integer stats (luma
+    sum/sum-sq/min/max + chroma plane sums). The DuckDB oracle never
+    sees Y4M bytes — it re-derives every pixel from the same integer
+    recurrence — so a green hash proves the encoder's header/FRAME
+    layout and plane ordering and the decoder's parsing are jointly
+    bit-exact. Map-side end to end; completes the image/audio/VIDEO
+    multimodal triple."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    vid = MM.attach_video_payload(docs)
+    return MM.video_frame_stats(vid)
+
+
+_SQL_VIDEO_SYNTH = """
+p AS (
+  SELECT doc_id, 16 + 4 * (doc_id % 3) AS w, 12 + 2 * (doc_id % 5) AS h,
+         3 + doc_id % 5 AS n, doc_id % 2 = 1 AS has_chroma
+  FROM documents),
+ypx AS (
+  SELECT p.doc_id, p.w, p.h, ff.f,
+         (p.doc_id * 31 + ff.f * 7919 + rr.r * 13 + cc.c * 3) % 256 AS y
+  FROM p,
+       unnest(range(0, p.n)) AS ff(f),
+       unnest(range(0, p.h)) AS rr(r),
+       unnest(range(0, p.w)) AS cc(c)),
+cpx AS (
+  SELECT p.doc_id, ff.f,
+         (p.doc_id * 17 + ff.f * 104729 + rr.r * 11 + cc.c * 5) % 256 AS cb,
+         (p.doc_id * 23 + ff.f * 7 + rr.r * 19 + cc.c * 29) % 256 AS cr
+  FROM p,
+       unnest(range(0, p.n)) AS ff(f),
+       unnest(range(0, p.h // 2)) AS rr(r),
+       unnest(range(0, p.w // 2)) AS cc(c)
+  WHERE p.has_chroma)
+"""
+
+_SQL_VIDEO_STATS = (
+    "WITH "
+    + _SQL_VIDEO_SYNTH
+    + """
+SELECT y.doc_id, CAST(y.f AS INT) AS frame_idx,
+       CAST(max(y.w) AS INT) AS width, CAST(max(y.h) AS INT) AS height,
+       CAST(sum(y.y) AS BIGINT) AS y_sum,
+       CAST(sum(y.y * y.y) AS BIGINT) AS y_sq,
+       CAST(min(y.y) AS INT) AS y_min, CAST(max(y.y) AS INT) AS y_max,
+       CAST(coalesce(max(c.cb_sum), 0) AS BIGINT) AS cb_sum,
+       CAST(coalesce(max(c.cr_sum), 0) AS BIGINT) AS cr_sum
+FROM ypx y
+LEFT JOIN (
+  SELECT doc_id, f, sum(cb) AS cb_sum, sum(cr) AS cr_sum
+  FROM cpx GROUP BY doc_id, f
+) c ON y.doc_id = c.doc_id AND y.f = c.f
+GROUP BY y.doc_id, y.f
+"""
+)
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction (web.html_extract — pure JVM regexp Column
+    pipeline, zero Python, one codegen stage): each document's text is
+    entity-ESCAPED and wrapped into a full deterministic page (head +
+    title, style and script blocks that must vanish, a comment, heading
+    and body paragraphs, an entity-bearing paragraph covering all six
+    decoded entities, two anchors — one split by a newline) and the
+    extractor must recover the title, the anchor count, and the exact
+    visible text. The DuckDB oracle never parses HTML — it computes the
+    EXPECTED extraction straight from the raw text column — so a green
+    hash proves block-dropping, tag-stripping, single-pass entity
+    decoding (&amp; last) and whitespace collapsing jointly invert the
+    page construction."""
+    from ..operators import web as WEB
+
+    docs = _t(spark, sf_dir, "documents")
+    esc = F.replace(F.col("text"), F.lit("&"), F.lit("&amp;"))
+    esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
+    esc = F.replace(esc, F.lit(">"), F.lit("&gt;"))
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html>\n <head>\n  <title> Doc '), sid, F.lit("\n</title>"),
+        F.lit('<style type="text/css">p { margin: 0; }</style></head>'),
+        F.lit("<body><!-- auto\n generated -->"),
+        F.lit('<h1 class="t">Doc '), sid, F.lit("</h1><p>"), esc,
+        F.lit('</p><script>var s = "<p>hidden</p>";</script>'),
+        F.lit("<p>R&amp;D &lt;ok&gt; A&nbsp;B &#39;q&#39; &quot;z&quot;</p>"),
+        F.lit('<a href="https://ex.com/'), sid, F.lit('">first</a> <a\nhref="#">second</a>'),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(F.col("doc_id"), html.alias("html"))
+    return WEB.html_extract(pages)
+
+
+_SQL_HTML_EXTRACT = """
+WITH exp AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           'Doc ' || doc_id || ' ' || text ||
+           ' R&D <ok> A B ''q'' "z" first second',
+           '\\s+', ' ', 'g')) AS text
+  FROM documents)
+SELECT doc_id, 'Doc ' || doc_id AS title, CAST(2 AS INT) AS n_links,
+       text, CAST(length(text) AS BIGINT) AS n_chars
+FROM exp
+"""
+
+
 def q_registrable_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """eTLD+1 via the BROADCAST public-suffix lookup arm
     (web.registrable_domain_psl over the vendored PSL subset plus two
@@ -8061,6 +8171,13 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # formula-derived oracle that never parses bytes
     "wav_decode_stats": (q_wav_decode_stats, _SQL_WAV_STATS),
     "audio_frame_energy": (q_audio_frame_energy, _SQL_AUDIO_ENERGY),
+    # video arm: Y4M encode->decode round-trip gated against a
+    # formula-derived oracle that never parses bytes (the video twin of
+    # wav_decode_stats; completes the image/audio/video triple)
+    "video_frame_stats": (q_video_frame_stats, _SQL_VIDEO_STATS),
+    # HTML->text extraction: oracle computes the EXPECTED extraction
+    # from the raw text column, never parsing HTML
+    "html_extract": (q_html_extract, _SQL_HTML_EXTRACT),
 }
 
 
@@ -8091,9 +8208,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 # (never gated), then the stalest r8 rows. Rotation-debt arithmetic (per
 # the r8 verdict's throttle order): stale backlog entering r11 = 35 r7
 # rows, so r10 may add at most 50 − 35 = 15 new entries. r10 actually
-# adds 5 (bpe_segment, knn_ivf_fitted, registrable_domain_psl,
-# wav_decode_stats, audio_frame_energy) → 35 + 5 = 40 ≤ 50, leaving 10
-# free slots for r8-stale rotation at r11.
+# adds 7 (bpe_segment, knn_ivf_fitted, registrable_domain_psl,
+# wav_decode_stats, audio_frame_energy, video_frame_stats,
+# html_extract) → 35 + 7 = 42 ≤ 50, leaving 8 free slots for r8-stale
+# rotation at r11.
 _R10_WINDOW = [
     # --- 29 r6-stale rows, CORRECTNESS_r06 order ---
     "decontaminate",
