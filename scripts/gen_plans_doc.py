@@ -119,6 +119,18 @@ GALLERY = [
      "are pinned in tests/test_plans.py); the visible plan is the final "
      "token aggregate + deterministic TakeOrdered over the checkpointed "
      "vocabulary, corpus-free by construction."),
+    ("registrable_domain_psl", "Broadcast-PSL eTLD+1: one "
+     "BroadcastExchange per distinct suffix depth (each a map-side "
+     "BroadcastHashJoin probe), then a pure Column when-chain — the "
+     "corpus never shuffles until the final result-sized rollup."),
+    ("html_extract", "HTML→text: the entire extraction (block drops, "
+     "tag strip, entity decode, whitespace collapse) is ONE "
+     "WholeStageCodegen project over the scan — zero exchanges, zero "
+     "Python; the shape a 100 TB crawl pass needs."),
+    ("video_frame_stats", "Media decode kernels: synthesize→encode→"
+     "decode→stats is a chain of map-side ArrowEvalPython/MapInPandas "
+     "stages with NO exchange anywhere — payload bytes never shuffle; "
+     "the same plan shape carries wav_decode_stats/audio_frame_energy."),
 ]
 
 

@@ -104,6 +104,42 @@ def main() -> None:
         # prefixed words), which is the dimension that actually grows
         # with corpus breadth; per-merge work is vocabulary-bound
         "bpe_learn": lambda d: BPE.bpe_learn(d, n_merges=4).count(),
+        # r10: fixed-table inference — the kernel runs on the DISTINCT
+        # WORD dictionary, which the salt prefixes multiply by the
+        # factor (the honest growth dimension for segmentation)
+        "bpe_segment": lambda d: BPE.bpe_segment(
+            d, [("e", "r"), ("i", "n"), ("er", "in")]
+        ).count(),
+        # r10: HTML->text — map-side JVM regexp pipeline over pages
+        # synthesized from the replicated docs
+        "html_extract": lambda d: WEB.html_extract(
+            d.withColumn(
+                "html",
+                F.concat(
+                    F.lit("<html><head><title>T</title></head><body><p>"),
+                    F.col("text"),
+                    F.lit('</p><script>x("<p>");</script><a href="#">l</a></body></html>'),
+                ),
+            )
+        ).count(),
+        # r10: broadcast-PSL eTLD+1 over a synthetic multi-suffix host mix
+        "registrable_domain_psl": lambda d: WEB.registrable_domain_psl(
+            d.withColumn(
+                "host",
+                F.concat(
+                    F.lit("w"),
+                    F.pmod(F.col("doc_id"), F.lit(9973)).cast("string"),
+                    F.element_at(
+                        F.array(
+                            F.lit(".example.co.uk"),
+                            F.lit(".sample.com.au"),
+                            F.lit(".plain.org"),
+                        ),
+                        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+                    ),
+                ),
+            )
+        ).count(),
     }
     results = {
         f: {

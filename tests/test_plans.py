@@ -1207,3 +1207,37 @@ def test_bpe_segment_plan_shape(spark):
     # the kernel feeds the join's broadcast build side (dictionary-sized)
     tree = sp[: sp.find("\n\n")]
     assert tree.index("BroadcastExchange") < tree.index("MapInPandas"), tree
+
+
+def test_wave14_plan_shapes(spark):
+    """r10 additions: html_extract is ONE codegen map over the pruned
+    scan (zero exchanges, zero Python, no joins); the media round-trip
+    kernels are pure map-side MapInPandas chains (payload bytes never
+    shuffle — the only exchange in wav/audio/video stats queries is
+    none at all, the stats rows come straight off the kernels); the
+    broadcast-PSL arm probes per-depth broadcast joins and never
+    sort-merges the corpus."""
+    p = plan_of(spark, "html_extract")
+    assert n_shuffles(p) == 0, p[:800]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p and "Join" not in p
+
+    for name in ("video_frame_stats", "wav_decode_stats", "audio_frame_energy"):
+        p = plan_of(spark, name)
+        assert n_shuffles(p) == 0, (name, p[:800])
+        assert "MapInPandas" in p, name
+        assert "Join" not in p and "Window" not in p, name
+
+    p = plan_of(spark, "registrable_domain_psl")
+    assert "BroadcastHashJoin" in p, p[:800]
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # exactly 3 data exchanges: the final (domain, host) rollup plus one
+    # RULE-TABLE-SIZED dedup aggregate inside each depth's broadcast
+    # build side (2 depths in the vendored subset) — the corpus itself
+    # flows scan -> probe -> rollup with a single exchange
+    assert n_shuffles(p) == 3, p[:800]
+    import re as _re
+
+    builds = _re.findall(r"\(\d+\) BroadcastExchange", p)
+    assert len(builds) == 2, p[:800]
