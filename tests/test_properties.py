@@ -1417,3 +1417,51 @@ def test_bpe_encode_preserves_character_stream(spark):
     assert sum(r["n"] for r in toks) <= sum(wc.values()) * max(
         len(w) for w in wc
     )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="ascii", exclude_characters="\x00"
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_html_extract_inverts_page_construction(spark, texts):
+    """Round-trip law for the HTML extractor: for ARBITRARY ascii body
+    text (including '&', '<', '>', quotes, newlines), escaping the text
+    into a full page (head/title/style/script/comment wrappers) and
+    running html_text recovers exactly the whitespace-collapsed text —
+    the generalization of the q_html_extract oracle beyond the corpus'
+    vocabulary."""
+    import re as _re
+
+    from w4h_integrated_toolkit_spark.operators.web import html_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    esc = F.replace(F.col("text"), F.lit("&"), F.lit("&amp;"))
+    esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
+    esc = F.replace(esc, F.lit(">"), F.lit("&gt;"))
+    page = F.concat(
+        F.lit("<html><head><title>T</title><style>p{}</style></head>"),
+        F.lit("<body><!-- c --><p>"),
+        esc,
+        F.lit('</p><script>x("<p>y</p>");</script></body></html>'),
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_text(page).alias("t")).collect()
+    }
+    for i, t in enumerate(texts):
+        # python ascii \s+ == java \s+ ([ \t\n\x0B\f\r]); strip SPACES
+        # only — Spark's trim() does not treat \x1c-\x1f as whitespace
+        # the way python's bare str.strip() does
+        expected = _re.sub(r"\s+", " ", t, flags=_re.ASCII).strip(" ")
+        assert got[i] == expected, (t, got[i], expected)
