@@ -1260,3 +1260,32 @@ def test_bounded_replay_session_clone_isolation(spark, tmp_path):
     out = drain_memory_sink(agg, "complete", stage_dir=stage)
     assert out.count() == 4
     assert spark.conf.get(key) == before, "drain touched the shared conf"
+
+
+def test_bounded_replay_session_clone_cache(spark):
+    """Clone reuse contract: while the parent's runtime conf map is
+    unchanged, bounded_replay_session returns the SAME clone (the py4j
+    conf-copy loop was the dominant bounded-replay cost); any parent
+    conf change forces a fresh clone that carries the new value; and
+    distinct pins get distinct cache slots."""
+    from w4h_integrated_toolkit_spark.streaming.replay import (
+        bounded_replay_session,
+    )
+
+    a = bounded_replay_session(spark)
+    b = bounded_replay_session(spark)
+    assert a is b, "unchanged parent conf must hit the clone cache"
+
+    spark.conf.set("spark.w4h.test.cacheMarker", "v1")
+    try:
+        c = bounded_replay_session(spark)
+        assert c is not a, "parent conf change must rebuild the clone"
+        assert c.conf.get("spark.w4h.test.cacheMarker") == "v1"
+        d = bounded_replay_session(spark)
+        assert d is c
+        e = bounded_replay_session(spark, state_partitions=4)
+        assert e is not c
+        assert e.conf.get("spark.sql.shuffle.partitions") == "4"
+        assert c.conf.get("spark.sql.shuffle.partitions") != "4"
+    finally:
+        spark.conf.unset("spark.w4h.test.cacheMarker")

@@ -236,6 +236,17 @@ _PIN_LOCK = threading.Lock()
 # lock) must be skipped entirely
 _CLONE_MARKER = "spark.w4h.boundedReplay.cloned"
 
+# clone cache: (parent java-session identity hash, state_partitions) ->
+# (parent conf-map content hash, clone). Building a clone costs ~3 py4j
+# round-trips PER parent conf entry (hundreds of entries → 0.3-0.4 s,
+# measured as the r10 streaming-row regression); a cache hit costs two
+# py4j calls (getAllConfs + hashCode). Content-hash keying keeps the
+# carried-parent-confs contract exact: any runtime conf change on the
+# parent changes the scala Map's structural hashCode and forces a fresh
+# clone. Bounded at 8 entries (one per live parent session in practice).
+_CLONE_CACHE: dict[tuple[int, int | None], tuple[int, SparkSession]] = {}
+_CLONE_CACHE_MAX = 8
+
 
 def bounded_replay_session(
     spark: SparkSession,
@@ -255,9 +266,27 @@ def bounded_replay_session(
     is copied over first; entries that are static at this point are
     skipped. The pin is then applied on top and the session stamped with
     :data:`_CLONE_MARKER`.
+
+    Clones are CACHED per (parent session, pin) and reused while the
+    parent's runtime conf map is content-identical (scala structural
+    hashCode) — the copy loop's py4j round-trips were the dominant cost
+    of every bounded replay; reuse is safe because the pin is baked in
+    permanently (never restored, so there is no cross-replay race) and
+    any parent conf change rebuilds the clone.
     """
-    clone = spark.newSession()
     confs = spark._jsparkSession.sessionState().conf().getAllConfs()
+    key = (spark._jsparkSession.hashCode(), state_partitions)
+    conf_hash = int(confs.hashCode())
+    hit = _CLONE_CACHE.get(key)
+    if hit is not None and hit[0] == conf_hash:
+        clone = hit[1]
+        # same live context as the parent → safe to reuse (identity-hash
+        # collisions across session generations are also screened here)
+        if clone._jsparkSession.sparkContext().equals(
+            spark._jsparkSession.sparkContext()
+        ):
+            return clone
+    clone = spark.newSession()
     it = confs.iterator()
     while it.hasNext():
         kv = it.next()
@@ -268,6 +297,9 @@ def bounded_replay_session(
     if state_partitions is not None:
         clone.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     clone.conf.set(_CLONE_MARKER, "true")
+    if len(_CLONE_CACHE) >= _CLONE_CACHE_MAX:
+        _CLONE_CACHE.clear()
+    _CLONE_CACHE[key] = (conf_hash, clone)
     return clone
 
 
