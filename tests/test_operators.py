@@ -4167,3 +4167,53 @@ def test_html_extraction_edges(spark):
         assert rows[i]["t"] == text, (i, rows[i]["t"])
         assert rows[i]["ti"] == title, (i, rows[i]["ti"])
         assert rows[i]["n"] == n_links, (i, rows[i]["n"])
+
+
+def test_netpbm_cr_separator_vs_crlf_padding():
+    """Review fix: a spec-valid '\\r'-separated netpbm whose FIRST pixel
+    byte is 0x0A must decode unshifted (the LF is data, not padding);
+    a genuinely CRLF-separated header is still tolerated."""
+    import numpy as np
+
+    from w4h_integrated_toolkit_spark.operators import imagecodec as IC
+
+    w, h = 4, 2
+    px = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    px[0, 0] = 10  # first raster byte == LF
+    body = px.tobytes()
+    cr_only = f"P5\n{w} {h}\n255".encode() + b"\r" + body
+    dec = IC._decode_netpbm(cr_only)
+    assert np.array_equal(dec, px), "CR-separated image shifted"
+
+    crlf = f"P5\n{w} {h}\n255".encode() + b"\r\n" + body
+    dec2 = IC._decode_netpbm(crlf)
+    assert np.array_equal(dec2, px), "CRLF padding not consumed"
+
+
+def test_videocodec_rejects_unknown_mono_colorspace():
+    """Review fix: encode_y4m must reject a colorspace its own decoder
+    does not know instead of emitting an undecodable stream."""
+    import numpy as np
+    import pytest as _pytest
+
+    from w4h_integrated_toolkit_spark.operators import videocodec as V
+
+    y = np.zeros((1, 4, 6), np.uint8)
+    with _pytest.raises(ValueError, match="unsupported Y4M colorspace"):
+        V.encode_y4m(y, colorspace="Mono")
+
+
+def test_registrable_domain_psl_tolerates_caller_temp_columns(spark):
+    """Review fix: internal working columns are collision-proof — a
+    caller frame already carrying '_h' / '_c2' style names keeps them
+    intact in the returned frame."""
+    from pyspark.sql import functions as F
+
+    from w4h_integrated_toolkit_spark.operators import web as WEB
+
+    df = spark.createDataFrame(
+        [("www.example.co.uk", "keepme", 7)], "host string, _h string, _c2 int"
+    )
+    out = WEB.registrable_domain_psl(df).collect()[0]
+    assert out["domain"] == "example.co.uk"
+    assert out["_h"] == "keepme" and out["_c2"] == 7

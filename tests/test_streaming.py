@@ -1240,7 +1240,9 @@ def test_bounded_replay_session_clone_isolation(spark, tmp_path):
         assert clone.conf.get(key) == str(BOUNDED_REPLAY_STATE_PARTITIONS)
         # runtime-set parent conf copied (newSession alone would drop it)
         assert clone.conf.get("spark.w4h.test.runtimeMarker") == "carried"
-        assert clone.conf.get("spark.w4h.boundedReplay.cloned") == "true"
+        assert clone.conf.get("spark.w4h.boundedReplay.cloned") == str(
+            BOUNDED_REPLAY_STATE_PARTITIONS
+        )
         # the shared session never sees pin or marker
         assert spark.conf.get(key) == before
         assert spark.conf.get("spark.w4h.boundedReplay.cloned", None) is None
@@ -1254,7 +1256,8 @@ def test_bounded_replay_session_clone_isolation(spark, tmp_path):
     ).coalesce(1).write.parquet(src)
     stream, stage = file_stream(spark, src)
     assert (
-        stream.sparkSession.conf.get("spark.w4h.boundedReplay.cloned") == "true"
+        stream.sparkSession.conf.get("spark.w4h.boundedReplay.cloned")
+        == str(BOUNDED_REPLAY_STATE_PARTITIONS)
     )
     agg = windowed_kpis_stream(stream, ts="ts", value="value", window="10 minutes")
     out = drain_memory_sink(agg, "complete", stage_dir=stage)
@@ -1289,3 +1292,35 @@ def test_bounded_replay_session_clone_cache(spark):
         assert c.conf.get("spark.sql.shuffle.partitions") != "4"
     finally:
         spark.conf.unset("spark.w4h.test.cacheMarker")
+
+
+def test_unpinned_clone_drain_honors_explicit_pin(spark, tmp_path):
+    """Review fix: a clone built with state_partitions=None carries
+    marker 'none', so a drain-time pin on it is APPLIED (legacy
+    set/restore path on the private conf — race-free) instead of
+    silently discarded, and the clone's conf is restored afterwards."""
+    from w4h_integrated_toolkit_spark.streaming.replay import (
+        bounded_replay_session,
+        drain_memory_sink,
+    )
+
+    clone = bounded_replay_session(spark, state_partitions=None)
+    assert clone.conf.get("spark.w4h.boundedReplay.cloned") == "none"
+    key = "spark.sql.shuffle.partitions"
+    inherited = clone.conf.get(key)
+    assert inherited == spark.conf.get(key), "unpinned clone must inherit"
+
+    src = str(tmp_path / "unpinned_src")
+    spark.createDataFrame(
+        [(i, float(i), _ts(i)) for i in range(20)],
+        "event_id long, value double, ts timestamp",
+    ).coalesce(1).write.parquet(src)
+    stream = clone.readStream.schema(
+        "event_id long, value double, ts timestamp"
+    ).parquet(src)
+    agg = windowed_kpis_stream(stream, ts="ts", value="value", window="10 minutes")
+    out = drain_memory_sink(agg, "complete", state_partitions=3)
+    assert out.count() >= 1
+    assert clone.conf.get(key) == inherited, "drain must restore the pin"
+    # the parent never sees anything
+    assert spark.conf.get(key) == inherited

@@ -138,9 +138,15 @@ def _decode_netpbm(data: bytes) -> np.ndarray:
             f"netpbm header/raster separator is {sep!r}, not whitespace"
         )
     pos += 1
-    if sep == b"\r" and data[pos : pos + 1] == b"\n":
-        pos += 1  # tolerate a CRLF-separated header
     need = w * h * channels
+    if sep == b"\r" and data[pos : pos + 1] == b"\n":
+        # CRLF tolerance, but only when the LF is genuinely padding: a
+        # spec-valid '\r'-separated image whose FIRST PIXEL is 0x0A must
+        # not be shifted, so consume the byte only if skipping it leaves
+        # exactly the expected raster size while keeping it would leave
+        # one byte too many
+        if len(data) - (pos + 1) == need and len(data) - pos != need:
+            pos += 1
     raster = data[pos : pos + need]
     if len(raster) != need:
         raise ValueError(

@@ -205,7 +205,9 @@ def encode_y4m(
         raise ValueError("cb and cr must be given together")
     if cb is None:
         cs = colorspace or "mono"
-        if _COLORSPACES.get(cs) is not None:
+        if cs not in _COLORSPACES:
+            raise ValueError(f"unsupported Y4M colorspace C{cs}")
+        if _COLORSPACES[cs] is not None:
             raise ValueError(f"colorspace C{cs} requires chroma planes")
         planes = [y]
     else:

@@ -173,35 +173,35 @@ def registrable_domain_psl(
     depths = sorted(r["_sd"] for r in sfx.select("_sd").distinct().collect())
 
     h = F.regexp_replace(F.lower(F.col(host_col)), r"\.$", "")
-    out = df.withColumn("_h", h).withColumn("_p", F.split(F.col("_h"), r"\."))
-    n = F.size("_p")
+    out = df.withColumn("__w4h_psl_h", h).withColumn("__w4h_psl_p", F.split(F.col("__w4h_psl_h"), r"\."))
+    n = F.size("__w4h_psl_p")
 
     def last_k(k):
-        return F.concat_ws(".", F.slice("_p", -k, k))
+        return F.concat_ws(".", F.slice("__w4h_psl_p", -k, k))
 
     for d in depths:
         cand = F.when(n >= d, last_k(d))
-        out = out.withColumn(f"_c{d}", cand).join(
+        out = out.withColumn(f"__w4h_psl_c{d}", cand).join(
             F.broadcast(
                 sfx.filter(F.col("_sd") == d).select(
-                    F.col("_sfx").alias(f"_m{d}")
+                    F.col("_sfx").alias(f"__w4h_psl_m{d}")
                 )
             ),
-            F.col(f"_c{d}") == F.col(f"_m{d}"),
+            F.col(f"__w4h_psl_c{d}") == F.col(f"__w4h_psl_m{d}"),
             "left",
         )
 
     expr = F.when(F.col(host_col).isNull(), F.lit(None).cast("string")).when(
-        n <= 2, F.col("_h")
+        n <= 2, F.col("__w4h_psl_h")
     )
     for d in sorted(depths, reverse=True):  # longest listed suffix wins
-        matched = F.col(f"_m{d}").isNotNull()
+        matched = F.col(f"__w4h_psl_m{d}").isNotNull()
         expr = expr.when(matched & (n >= d + 1), last_k(d + 1)).when(
-            matched, F.col("_h")
+            matched, F.col("__w4h_psl_h")
         )
     expr = expr.otherwise(last_k(2))
 
-    drop = ["_h", "_p"] + [c for d in depths for c in (f"_c{d}", f"_m{d}")]
+    drop = ["__w4h_psl_h", "__w4h_psl_p"] + [c for d in depths for c in (f"__w4h_psl_c{d}", f"__w4h_psl_m{d}")]
     return out.withColumn(out_col, expr).drop(*drop)
 
 

@@ -7277,10 +7277,21 @@ FROM d GROUP BY domain, host
 # Suffix table for the broadcast-PSL gate entry: the vendored file plus
 # two synthetic-corpus depth-3 rules so LONGEST-match beats the co.uk /
 # com.au depth-2 rules on some hosts (src{k} are documents.source values)
-def _psl_query_suffixes() -> list[str]:
-    from ..operators.web import load_public_suffixes
+_PSL_SUFFIX_CACHE: list[str] | None = None
 
-    return load_public_suffixes() + ["src7.com.au", "src3.co.uk"]
+
+def _psl_query_suffixes() -> list[str]:
+    # read the vendored file ONCE (it is consumed both at registry build
+    # and inside q_registrable_domain_psl)
+    global _PSL_SUFFIX_CACHE
+    if _PSL_SUFFIX_CACHE is None:
+        from ..operators.web import load_public_suffixes
+
+        _PSL_SUFFIX_CACHE = load_public_suffixes() + [
+            "src7.com.au",
+            "src3.co.uk",
+        ]
+    return list(_PSL_SUFFIX_CACHE)
 
 
 def q_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7490,6 +7501,10 @@ def q_registrable_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _psl_sql(suffixes: list[str]) -> str:
+    # suffixes are spliced into SQL literals; guard against a future PSL
+    # entry breaking the oracle string (same guard as the BPE oracles)
+    bad = [s for s in suffixes if "'" in s or "\\" in s]
+    assert not bad, f"PSL suffixes unsafe for SQL literals: {bad!r}"
     values = ", ".join(f"('{s}')" for s in suffixes)
     return (
         "WITH "

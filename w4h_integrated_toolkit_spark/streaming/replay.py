@@ -25,6 +25,7 @@ client frames unboundedly, viz.py:742-747).
 
 from __future__ import annotations
 
+import contextlib
 import threading
 import uuid
 from collections.abc import Iterator
@@ -296,7 +297,14 @@ def bounded_replay_session(
             pass  # static (non-runtime-settable) entry — context-level anyway
     if state_partitions is not None:
         clone.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    clone.conf.set(_CLONE_MARKER, "true")
+    # the marker records WHAT was baked: "none" tells drain_memory_sink
+    # that no pin exists yet, so an explicit drain-time pin on an
+    # unpinned clone is honored (via the legacy set/restore path, which
+    # is race-free on a private conf) instead of silently dropped
+    clone.conf.set(
+        _CLONE_MARKER,
+        str(state_partitions) if state_partitions is not None else "none",
+    )
     if len(_CLONE_CACHE) >= _CLONE_CACHE_MAX:
         _CLONE_CACHE.clear()
     _CLONE_CACHE[key] = (conf_hash, clone)
@@ -349,10 +357,14 @@ def drain_memory_sink(
     spark = out.sparkSession
     name = name_prefix + uuid.uuid4().hex[:8]
     conf_key = "spark.sql.shuffle.partitions"
-    if spark.conf.get(_CLONE_MARKER, None) == "true":
+    marker = spark.conf.get(_CLONE_MARKER, None)
+    if marker is not None and marker != "none":
         state_partitions = None  # pin pre-baked into the private conf
     try:
-        with _PIN_LOCK:
+        # the lock exists only to serialize the set->start->restore conf
+        # window; a drain that touches no conf (pre-baked clone, or an
+        # explicit state_partitions=None) starts lock-free
+        with _PIN_LOCK if state_partitions is not None else contextlib.nullcontext():
             saved = (
                 spark.conf.get(conf_key) if state_partitions is not None else None
             )
