@@ -1465,3 +1465,66 @@ def test_html_extract_inverts_page_construction(spark, texts):
         # the way python's bare str.strip() does
         expected = _re.sub(r"\s+", " ", t, flags=_re.ASCII).strip(" ")
         assert got[i] == expected, (t, got[i], expected)
+
+
+@given(
+    st.integers(1, 4),          # frames
+    st.integers(1, 5),          # half-height
+    st.integers(1, 5),          # half-width
+    st.sampled_from(["mono", "420jpeg", "444"]),
+    st.integers(0, 2**31 - 1),  # pixel seed
+)
+@settings(max_examples=40, deadline=None)
+def test_y4m_roundtrip_property(n, hh, hw, cs, seed):
+    """Driver-side codec law: encode_y4m ∘ decode_y4m is the identity
+    for arbitrary (even-dimension) plane stacks in every supported
+    colorspace, and y4m_info agrees with the decode without touching
+    pixels — the generalization of the fixed-case unit family."""
+    import numpy as np
+
+    from w4h_integrated_toolkit_spark.operators import videocodec as V
+
+    h, w = 2 * hh, 2 * hw
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    if cs == "mono":
+        cb = cr = None
+    elif cs == "420jpeg":
+        cb = rng.integers(0, 256, (n, h // 2, w // 2), dtype=np.uint8)
+        cr = rng.integers(0, 256, (n, h // 2, w // 2), dtype=np.uint8)
+    else:
+        cb = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+        cr = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    blob = V.encode_y4m(y, cb, cr, fps=(24, 1), colorspace=cs)
+    y2, cb2, cr2, info = V.decode_y4m(blob)
+    assert np.array_equal(y2, y)
+    if cb is None:
+        assert cb2 is None and cr2 is None
+    else:
+        assert np.array_equal(cb2, cb) and np.array_equal(cr2, cr)
+    assert info["colorspace"] == cs and info["n_frames"] == n
+    assert V.y4m_info(blob)["n_frames"] == n
+
+
+@given(
+    st.integers(1, 60),         # frames
+    st.sampled_from([8, 16, 24, 32]),
+    st.integers(1, 3),          # channels
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(nf, bits, ch, seed):
+    """Driver-side codec law: encode_wav ∘ decode_wav is the identity
+    for arbitrary frame counts, widths and channel counts over the full
+    signed sample range of each width (including the extremes)."""
+    import numpy as np
+
+    from w4h_integrated_toolkit_spark.operators import audiocodec as AC
+
+    lo, hi = (-128, 127) if bits == 8 else (-(1 << bits - 1), (1 << bits - 1) - 1)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(lo, hi + 1, size=(nf, ch), dtype=np.int64)
+    a[0, 0], a[-1, -1] = lo, hi  # pin the extremes into every example
+    blob = AC.encode_wav(a, 44100, bits=bits)
+    dec, rate = AC.decode_wav(blob)
+    assert rate == 44100 and np.array_equal(dec, a)
