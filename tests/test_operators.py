@@ -4189,6 +4189,13 @@ def test_netpbm_cr_separator_vs_crlf_padding():
     dec2 = IC._decode_netpbm(crlf)
     assert np.array_equal(dec2, px), "CRLF padding not consumed"
 
+    # second-pass review fix: CRLF padding must still be consumed when
+    # the encoder leaves trailing bytes (e.g. a final newline) — the
+    # exact-length-only heuristic regressed this
+    crlf_trailing = crlf + b"\n"
+    dec3 = IC._decode_netpbm(crlf_trailing)
+    assert np.array_equal(dec3, px), "CRLF + trailing bytes shifted"
+
 
 def test_videocodec_rejects_unknown_mono_colorspace():
     """Review fix: encode_y4m must reject a colorspace its own decoder

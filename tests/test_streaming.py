@@ -1293,6 +1293,20 @@ def test_bounded_replay_session_clone_cache(spark):
     finally:
         spark.conf.unset("spark.w4h.test.cacheMarker")
 
+    # cached=False (the file_stream ns-toggle path): a PRIVATE throwaway
+    # clone that neither reads from nor writes to the cache, so mutating
+    # it can never leak into later cache hits
+    base = bounded_replay_session(spark)
+    solo = bounded_replay_session(spark, cached=False)
+    assert solo is not base
+    solo.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    again = bounded_replay_session(spark)
+    assert again is base, "cached=False must not evict/replace the cache slot"
+    assert (
+        again.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        != "true"
+    ), "uncached-clone mutation leaked into the cache"
+
 
 def test_unpinned_clone_drain_honors_explicit_pin(spark, tmp_path):
     """Review fix: a clone built with state_partitions=None carries

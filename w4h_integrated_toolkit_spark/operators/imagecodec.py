@@ -140,12 +140,16 @@ def _decode_netpbm(data: bytes) -> np.ndarray:
     pos += 1
     need = w * h * channels
     if sep == b"\r" and data[pos : pos + 1] == b"\n":
-        # CRLF tolerance, but only when the LF is genuinely padding: a
-        # spec-valid '\r'-separated image whose FIRST PIXEL is 0x0A must
-        # not be shifted, so consume the byte only if skipping it leaves
-        # exactly the expected raster size while keeping it would leave
-        # one byte too many
-        if len(data) - (pos + 1) == need and len(data) - pos != need:
+        # CRLF tolerance: the LF after a '\r' separator is ASSUMED to be
+        # encoder padding (whether or not trailing bytes follow the
+        # raster), EXCEPT when the payload is exactly raster-sized
+        # without it — then it must be the first pixel of a spec-valid
+        # CR-separated image and consuming it would shift every pixel.
+        # The one genuinely ambiguous layout (CR separator + 0x0A first
+        # pixel + trailing bytes) resolves in favor of CRLF padding.
+        if not (
+            len(data) - pos == need and len(data) - (pos + 1) != need
+        ):
             pos += 1
     raster = data[pos : pos + need]
     if len(raster) != need:

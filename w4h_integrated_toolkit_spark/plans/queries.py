@@ -7502,9 +7502,11 @@ def q_registrable_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _psl_sql(suffixes: list[str]) -> str:
     # suffixes are spliced into SQL literals; guard against a future PSL
-    # entry breaking the oracle string (same guard as the BPE oracles)
+    # entry breaking the oracle string (an explicit raise, not assert —
+    # the guard must survive python -O)
     bad = [s for s in suffixes if "'" in s or "\\" in s]
-    assert not bad, f"PSL suffixes unsafe for SQL literals: {bad!r}"
+    if bad:
+        raise ValueError(f"PSL suffixes unsafe for SQL literals: {bad!r}")
     values = ", ".join(f"('{s}')" for s in suffixes)
     return (
         "WITH "

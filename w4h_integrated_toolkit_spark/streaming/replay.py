@@ -25,7 +25,6 @@ client frames unboundedly, viz.py:742-747).
 
 from __future__ import annotations
 
-import contextlib
 import threading
 import uuid
 from collections.abc import Iterator
@@ -238,20 +237,24 @@ _PIN_LOCK = threading.Lock()
 _CLONE_MARKER = "spark.w4h.boundedReplay.cloned"
 
 # clone cache: (parent java-session identity hash, state_partitions) ->
-# (parent conf-map content hash, clone). Building a clone costs ~3 py4j
-# round-trips PER parent conf entry (hundreds of entries → 0.3-0.4 s,
-# measured as the r10 streaming-row regression); a cache hit costs two
-# py4j calls (getAllConfs + hashCode). Content-hash keying keeps the
-# carried-parent-confs contract exact: any runtime conf change on the
-# parent changes the scala Map's structural hashCode and forces a fresh
-# clone. Bounded at 8 entries (one per live parent session in practice).
-_CLONE_CACHE: dict[tuple[int, int | None], tuple[int, SparkSession]] = {}
+# (parent conf-map content digest, clone). Building a clone costs ~3
+# py4j round-trips PER parent conf entry (hundreds of entries →
+# 0.3-0.4 s, measured as the r10 streaming-row regression); a cache hit
+# costs two py4j calls (getAllConfs + toString) plus one md5. The
+# content key is a digest of the scala Map's full string rendering —
+# NOT its int hashCode, whose 32-bit collisions would hand a caller a
+# clone carrying a DIFFERENT conf set — so any runtime conf change on
+# the parent forces a fresh clone and the carried-parent-confs contract
+# stays exact. Bounded at 8 entries, oldest-first eviction (one per
+# live parent session in practice).
+_CLONE_CACHE: dict[tuple[int, int | None], tuple[str, SparkSession]] = {}
 _CLONE_CACHE_MAX = 8
 
 
 def bounded_replay_session(
     spark: SparkSession,
     state_partitions: int | None = BOUNDED_REPLAY_STATE_PARTITIONS,
+    cached: bool = True,
 ) -> SparkSession:
     """Dedicated session for a bounded replay: shares the SparkContext
     and table cache with ``spark`` but owns a PRIVATE SQLConf, so the
@@ -269,24 +272,33 @@ def bounded_replay_session(
     :data:`_CLONE_MARKER`.
 
     Clones are CACHED per (parent session, pin) and reused while the
-    parent's runtime conf map is content-identical (scala structural
-    hashCode) — the copy loop's py4j round-trips were the dominant cost
-    of every bounded replay; reuse is safe because the pin is baked in
-    permanently (never restored, so there is no cross-replay race) and
-    any parent conf change rebuilds the clone.
+    parent's runtime conf map is content-identical (digest of the full
+    map rendering) — the copy loop's py4j round-trips were the dominant
+    cost of every bounded replay; reuse is safe because the pin is
+    baked in permanently (never restored, so there is no cross-replay
+    race) and any parent conf change rebuilds the clone. A caller that
+    intends to MUTATE the returned clone's conf (``file_stream``'s
+    ns-timestamp toggle) must pass ``cached=False`` — mutating a cached
+    clone would leak the change into every later cache hit.
     """
+    import hashlib
+
     confs = spark._jsparkSession.sessionState().conf().getAllConfs()
-    key = (spark._jsparkSession.hashCode(), state_partitions)
-    conf_hash = int(confs.hashCode())
-    hit = _CLONE_CACHE.get(key)
-    if hit is not None and hit[0] == conf_hash:
-        clone = hit[1]
-        # same live context as the parent → safe to reuse (identity-hash
-        # collisions across session generations are also screened here)
-        if clone._jsparkSession.sparkContext().equals(
-            spark._jsparkSession.sparkContext()
-        ):
-            return clone
+    if cached:
+        key = (spark._jsparkSession.hashCode(), state_partitions)
+        conf_digest = hashlib.md5(
+            confs.toString().encode("utf-8", "surrogatepass")
+        ).hexdigest()
+        hit = _CLONE_CACHE.get(key)
+        if hit is not None and hit[0] == conf_digest:
+            clone = hit[1]
+            # reference-equality context check: screens a stale clone
+            # whose context was stopped and replaced (its parent's
+            # identity hash could be reused by a new java object)
+            if clone._jsparkSession.sparkContext().equals(
+                spark._jsparkSession.sparkContext()
+            ):
+                return clone
     clone = spark.newSession()
     it = confs.iterator()
     while it.hasNext():
@@ -305,9 +317,13 @@ def bounded_replay_session(
         _CLONE_MARKER,
         str(state_partitions) if state_partitions is not None else "none",
     )
-    if len(_CLONE_CACHE) >= _CLONE_CACHE_MAX:
-        _CLONE_CACHE.clear()
-    _CLONE_CACHE[key] = (conf_hash, clone)
+    if cached:
+        while len(_CLONE_CACHE) >= _CLONE_CACHE_MAX:
+            # oldest-first eviction: dicts preserve insertion order; a
+            # full clear() would drop every hot entry and re-pay the
+            # copy cost the cache exists to avoid
+            del _CLONE_CACHE[next(iter(_CLONE_CACHE))]
+        _CLONE_CACHE[key] = (conf_digest, clone)
     return clone
 
 
@@ -361,10 +377,13 @@ def drain_memory_sink(
     if marker is not None and marker != "none":
         state_partitions = None  # pin pre-baked into the private conf
     try:
-        # the lock exists only to serialize the set->start->restore conf
-        # window; a drain that touches no conf (pre-baked clone, or an
-        # explicit state_partitions=None) starts lock-free
-        with _PIN_LOCK if state_partitions is not None else contextlib.nullcontext():
+        # the lock serializes the set->start->restore conf window; it is
+        # taken UNCONDITIONALLY because a state_partitions=None drain on
+        # the same session as a concurrent pinned drain must not let its
+        # start() snapshot the other drain's temporary pin (it holds
+        # only around start(), never awaitTermination(), so the cost is
+        # microseconds)
+        with _PIN_LOCK:
             saved = (
                 spark.conf.get(conf_key) if state_partitions is not None else None
             )
@@ -476,8 +495,11 @@ def file_stream(
 
     from ..catalog import ns_timestamp_columns
 
-    spark = bounded_replay_session(spark)
     ns_cols = ns_timestamp_columns(path)
+    # ns-timestamp sources mutate the clone's conf (nanosAsLong), so
+    # they must NOT share a cached clone — the toggle would leak into
+    # every later cache hit and silently read ns columns as longs
+    spark = bounded_replay_session(spark, cached=not ns_cols)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
