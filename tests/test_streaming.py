@@ -1293,9 +1293,9 @@ def test_bounded_replay_session_clone_cache(spark):
     finally:
         spark.conf.unset("spark.w4h.test.cacheMarker")
 
-    # cached=False (the file_stream ns-toggle path): a PRIVATE throwaway
-    # clone that neither reads from nor writes to the cache, so mutating
-    # it can never leak into later cache hits
+    # cached=False: a PRIVATE throwaway clone that neither reads from
+    # nor writes to the cache, so mutating it can never leak into later
+    # cache hits
     base = bounded_replay_session(spark)
     solo = bounded_replay_session(spark, cached=False)
     assert solo is not base
@@ -1306,6 +1306,20 @@ def test_bounded_replay_session_clone_cache(spark):
         again.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
         != "true"
     ), "uncached-clone mutation leaked into the cache"
+
+    # ns_long (the file_stream ns-source path): its OWN cache slot with
+    # the toggle baked pre-cache — repeat ns streams hit the cache, and
+    # the toggle never appears in the non-ns slot's clone
+    ns1 = bounded_replay_session(spark, ns_long=True)
+    ns2 = bounded_replay_session(spark, ns_long=True)
+    assert ns1 is ns2 and ns1 is not base
+    assert ns1.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    assert (
+        bounded_replay_session(spark).conf.get(
+            "spark.sql.legacy.parquet.nanosAsLong", "false"
+        )
+        != "true"
+    )
 
 
 def test_unpinned_clone_drain_honors_explicit_pin(spark, tmp_path):

@@ -147,9 +147,7 @@ def _decode_netpbm(data: bytes) -> np.ndarray:
         # CR-separated image and consuming it would shift every pixel.
         # The one genuinely ambiguous layout (CR separator + 0x0A first
         # pixel + trailing bytes) resolves in favor of CRLF padding.
-        if not (
-            len(data) - pos == need and len(data) - (pos + 1) != need
-        ):
+        if len(data) - pos != need:
             pos += 1
     raster = data[pos : pos + need]
     if len(raster) != need:

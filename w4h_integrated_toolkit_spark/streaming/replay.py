@@ -25,6 +25,7 @@ client frames unboundedly, viz.py:742-747).
 
 from __future__ import annotations
 
+import contextlib
 import threading
 import uuid
 from collections.abc import Iterator
@@ -247,14 +248,21 @@ _CLONE_MARKER = "spark.w4h.boundedReplay.cloned"
 # the parent forces a fresh clone and the carried-parent-confs contract
 # stays exact. Bounded at 8 entries, oldest-first eviction (one per
 # live parent session in practice).
-_CLONE_CACHE: dict[tuple[int, int | None], tuple[str, SparkSession]] = {}
+_CLONE_CACHE: dict[
+    tuple[int, int | None, bool], tuple[str, SparkSession]
+] = {}
 _CLONE_CACHE_MAX = 8
+# guards the multi-step get/evict/insert sequences (the module supports
+# concurrent drains, and two racing evictors picking the same oldest
+# key would KeyError without it)
+_CLONE_CACHE_LOCK = threading.Lock()
 
 
 def bounded_replay_session(
     spark: SparkSession,
     state_partitions: int | None = BOUNDED_REPLAY_STATE_PARTITIONS,
     cached: bool = True,
+    ns_long: bool = False,
 ) -> SparkSession:
     """Dedicated session for a bounded replay: shares the SparkContext
     and table cache with ``spark`` but owns a PRIVATE SQLConf, so the
@@ -271,25 +279,33 @@ def bounded_replay_session(
     skipped. The pin is then applied on top and the session stamped with
     :data:`_CLONE_MARKER`.
 
-    Clones are CACHED per (parent session, pin) and reused while the
-    parent's runtime conf map is content-identical (digest of the full
-    map rendering) — the copy loop's py4j round-trips were the dominant
-    cost of every bounded replay; reuse is safe because the pin is
-    baked in permanently (never restored, so there is no cross-replay
-    race) and any parent conf change rebuilds the clone. A caller that
-    intends to MUTATE the returned clone's conf (``file_stream``'s
-    ns-timestamp toggle) must pass ``cached=False`` — mutating a cached
-    clone would leak the change into every later cache hit.
+    Clones are CACHED per (parent session, pin, ns toggle) and reused
+    while the parent's runtime conf map is content-identical (digest of
+    a NUL-framed map rendering) — the copy loop's py4j round-trips were
+    the dominant cost of every bounded replay; reuse is safe because
+    every baked conf (pin, ``ns_long``) is part of the cache key and
+    never restored, so there is no cross-replay race, and any parent
+    conf change rebuilds the clone. ``ns_long=True`` bakes
+    ``spark.sql.legacy.parquet.nanosAsLong`` into the clone BEFORE it
+    is cached (``file_stream``'s ns-timestamp sources), so the toggle
+    can never leak into clones served for other keys. A caller that
+    intends to mutate the returned clone's conf in any OTHER way must
+    pass ``cached=False``.
     """
     import hashlib
 
     confs = spark._jsparkSession.sessionState().conf().getAllConfs()
     if cached:
-        key = (spark._jsparkSession.hashCode(), state_partitions)
+        key = (spark._jsparkSession.hashCode(), state_partitions, ns_long)
+        # NUL-framed rendering: mkString("\x00") separates entries with
+        # a byte no real Spark conf value carries, unlike toString's
+        # ", " (a value containing ', x -> y' would make two DIFFERENT
+        # maps render identically and serve a wrong-conf clone)
         conf_digest = hashlib.md5(
-            confs.toString().encode("utf-8", "surrogatepass")
+            confs.mkString("\x00").encode("utf-8", "surrogatepass")
         ).hexdigest()
-        hit = _CLONE_CACHE.get(key)
+        with _CLONE_CACHE_LOCK:
+            hit = _CLONE_CACHE.get(key)
         if hit is not None and hit[0] == conf_digest:
             clone = hit[1]
             # reference-equality context check: screens a stale clone
@@ -309,6 +325,8 @@ def bounded_replay_session(
             pass  # static (non-runtime-settable) entry — context-level anyway
     if state_partitions is not None:
         clone.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if ns_long:
+        clone.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the marker records WHAT was baked: "none" tells drain_memory_sink
     # that no pin exists yet, so an explicit drain-time pin on an
     # unpinned clone is honored (via the legacy set/restore path, which
@@ -318,12 +336,15 @@ def bounded_replay_session(
         str(state_partitions) if state_partitions is not None else "none",
     )
     if cached:
-        while len(_CLONE_CACHE) >= _CLONE_CACHE_MAX:
-            # oldest-first eviction: dicts preserve insertion order; a
-            # full clear() would drop every hot entry and re-pay the
-            # copy cost the cache exists to avoid
-            del _CLONE_CACHE[next(iter(_CLONE_CACHE))]
-        _CLONE_CACHE[key] = (conf_digest, clone)
+        with _CLONE_CACHE_LOCK:
+            # replace-in-place first so a same-key rebuild at capacity
+            # never evicts an unrelated hot entry; then oldest-first
+            # eviction (dicts preserve insertion order — a full clear()
+            # would drop every hot entry and re-pay the copy cost)
+            _CLONE_CACHE.pop(key, None)
+            while len(_CLONE_CACHE) >= _CLONE_CACHE_MAX:
+                del _CLONE_CACHE[next(iter(_CLONE_CACHE))]
+            _CLONE_CACHE[key] = (conf_digest, clone)
     return clone
 
 
@@ -374,16 +395,19 @@ def drain_memory_sink(
     name = name_prefix + uuid.uuid4().hex[:8]
     conf_key = "spark.sql.shuffle.partitions"
     marker = spark.conf.get(_CLONE_MARKER, None)
-    if marker is not None and marker != "none":
+    pin_baked = marker is not None and marker != "none"
+    if pin_baked:
         state_partitions = None  # pin pre-baked into the private conf
     try:
-        # the lock serializes the set->start->restore conf window; it is
-        # taken UNCONDITIONALLY because a state_partitions=None drain on
-        # the same session as a concurrent pinned drain must not let its
-        # start() snapshot the other drain's temporary pin (it holds
-        # only around start(), never awaitTermination(), so the cost is
-        # microseconds)
-        with _PIN_LOCK:
+        # the lock serializes the set->start->restore conf window ON A
+        # SHARED-CONF SESSION: a state_partitions=None drain racing a
+        # pinned drain on the same session must not let its start()
+        # snapshot the other drain's temporary pin. A pin-baked clone is
+        # exempt — NO drain ever touches its conf (explicit drain pins
+        # are overridden above), so its start() needs no serialization
+        # and parallel drains on independent clones keep their startup
+        # parallelism.
+        with _PIN_LOCK if not pin_baked else contextlib.nullcontext():
             saved = (
                 spark.conf.get(conf_key) if state_partitions is not None else None
             )
@@ -496,12 +520,11 @@ def file_stream(
     from ..catalog import ns_timestamp_columns
 
     ns_cols = ns_timestamp_columns(path)
-    # ns-timestamp sources mutate the clone's conf (nanosAsLong), so
-    # they must NOT share a cached clone — the toggle would leak into
-    # every later cache hit and silently read ns columns as longs
-    spark = bounded_replay_session(spark, cached=not ns_cols)
-    if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # ns-timestamp sources need the nanosAsLong toggle; it is baked into
+    # the clone BEFORE caching (part of the cache key), so repeat
+    # ns-source streams still hit the cache and the toggle can never
+    # leak into clones served for non-ns keys
+    spark = bounded_replay_session(spark, ns_long=bool(ns_cols))
     schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
         stage = tempfile.mkdtemp(prefix=prefix)
