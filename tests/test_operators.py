@@ -3580,6 +3580,10 @@ def test_registrable_domain_trailing_root_dot(spark):
         ("www.example.co.uk.", "example.co.uk"),
         ("com.", "com"),
         ("example.com", "example.com"),
+        # r10 advice: REPEATED trailing dots strip wholesale too —
+        # 'example.com..' must not degrade to 'com.'
+        ("example.com..", "example.com"),
+        ("www.example.co.uk...", "example.co.uk"),
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
     got = df.select(registrable_domain(F.col("host")).alias("d")).collect()
@@ -3606,6 +3610,7 @@ def test_registrable_domain_psl_equivalence_and_loader(spark):
         "www3.example.co.uk", "www2.example.com", "example.org",
         "a.b.site.com.au", "EXAMPLE.Com.", "co.uk", "x", None,
         "foo.bar.unknowntld", "deep.a.b.c.d.gov.cn", "n.co.nz.",
+        "example.com..", "w.example.co.uk...",
     ]
     df = spark.createDataFrame([(h,) for h in hosts], "host string")
     lit = df.select(
@@ -3645,6 +3650,14 @@ def test_registrable_domain_psl_equivalence_and_loader(spark):
         p = fh.name
     with _pytest.raises(ValueError, match="wildcard"):
         load_public_suffixes(p)
+
+    # r10 advice: an input that already carries a __w4h_psl_* column
+    # would be silently clobbered by the join scratch space — raise
+    tainted = spark.createDataFrame(
+        [("a.example.com", 1)], "host string, __w4h_psl_h int"
+    )
+    with _pytest.raises(ValueError, match="__w4h_psl_"):
+        registrable_domain_psl(tainted, suffixes=list(MULTI_PART_SUFFIXES))
 
 
 def test_domain_cap_sample_malformed_policy(spark):
@@ -3800,6 +3813,50 @@ def test_audio_payload_kernels_end_to_end(spark):
         for w in range(0, len(sq), 16):
             chunk = sq[w : w + 16]
             assert got[(d, w // 16)] == (len(chunk), int(chunk.sum()))
+
+
+def test_audio_stats_exact_at_full_scale_32bit(spark):
+    """r10 advice (medium): Σs² must stay exact for full-scale 32-bit
+    PCM, where naive int64 products wrap after two samples. A payload
+    whose true Σs² fits int64 comes back exactly (via the Python-int
+    fallback path — the worst-case guard fails for these samples); one
+    whose true Σs² exceeds int64 raises instead of emitting a wrapped
+    value."""
+    import numpy as np
+    import pytest as _pytest
+
+    from w4h_integrated_toolkit_spark.operators import audiocodec, multimodal as MM
+
+    full = -(1 << 31)  # most negative 32-bit sample: s² = 2^62
+    ok = np.array([[full], [1]], dtype=np.int64)  # Σs² = 2^62 + 1, fits
+    blob_ok = audiocodec.encode_wav(ok, 8000, bits=32)
+    df = spark.createDataFrame(
+        [(0, bytearray(blob_ok))], "doc_id long, payload binary"
+    )
+    row = MM.decode_audio_stats(df).collect()[0]
+    assert row["sum_sq"] == (1 << 62) + 1  # exact, not wrapped
+    assert row["sum_abs"] == (1 << 31) + 1
+    assert row["peak"] == 1 << 31
+
+    # windowed energy over the same payload: exact per-window values
+    en = {
+        r["window_idx"]: r["energy"]
+        for r in MM.audio_frame_energy(df, window_frames=2).collect()
+    }
+    assert en == {0: (1 << 62) + 1}
+
+    bad = np.array([[full]] * 3, dtype=np.int64)  # Σs² = 3·2^62 > int64
+    blob_bad = audiocodec.encode_wav(bad, 8000, bits=32)
+    df_bad = spark.createDataFrame(
+        [(1, bytearray(blob_bad))], "doc_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="exceeds int64"):
+        MM.decode_audio_stats(df_bad).collect()
+    with _pytest.raises(Exception, match="exceeds int64"):
+        MM.audio_frame_energy(df_bad, window_frames=4).collect()
+    # a bounded window keeps even this payload representable
+    en_bad = MM.audio_frame_energy(df_bad, window_frames=1).collect()
+    assert all(r["energy"] == 1 << 62 for r in en_bad)
 
 
 # ---------------------------------------------------------------------------
@@ -4150,6 +4207,16 @@ def test_html_extraction_edges(spark):
         ),
         ("<!-- <p>gone</p> -->visible", "visible", None, 0),
         (None, None, None, 0),
+        # r10 advice: anchors inside DROPPED blocks never count; a
+        # self-closing <a/> does
+        (
+            '<script>var s = "<a href=/x>no</a>";</script>'
+            "<style>a { color: red; }</style>"
+            '<!-- <a href="y">gone</a> --><a/>ok <a href="z">yes</a>',
+            "ok yes",
+            None,
+            2,
+        ),
     ]
     df = spark.createDataFrame(
         [(i, h) for i, (h, *_rest) in enumerate(cases)], "i long, html string"

@@ -1265,6 +1265,56 @@ def test_bounded_replay_session_clone_isolation(spark, tmp_path):
     assert spark.conf.get(key) == before, "drain touched the shared conf"
 
 
+def test_drain_explicit_pin_conflicting_with_baked_pin_raises(spark, tmp_path):
+    """r10 advice: a drain-time state_partitions that CONFLICTS with the
+    pin baked into a bounded_replay_session clone must raise, not be
+    silently overridden; the matching value and None/default still
+    defer to the baked pin."""
+    import pytest as _pytest
+
+    from w4h_integrated_toolkit_spark.streaming.replay import (
+        BOUNDED_REPLAY_STATE_PARTITIONS,
+        drain_memory_sink,
+        file_stream,
+        windowed_kpis_stream,
+    )
+
+    src = str(tmp_path / "pin_conflict_src")
+    spark.createDataFrame(
+        [(i, float(i), _ts(i)) for i in range(40)],
+        "event_id long, value double, ts timestamp",
+    ).coalesce(1).write.parquet(src)
+
+    def build():
+        stream, stage = file_stream(spark, src)
+        agg = windowed_kpis_stream(
+            stream, ts="ts", value="value", window="10 minutes"
+        )
+        return agg, stage
+
+    agg, stage = build()
+    with _pytest.raises(ValueError, match="conflicts with the pin baked"):
+        drain_memory_sink(
+            agg,
+            "complete",
+            stage_dir=stage,
+            state_partitions=BOUNDED_REPLAY_STATE_PARTITIONS + 1,
+        )
+    # the matching explicit value, None, and the default all succeed
+    out = drain_memory_sink(
+        agg, "complete", stage_dir=stage,
+        state_partitions=BOUNDED_REPLAY_STATE_PARTITIONS,
+    )
+    assert out.count() == 4
+    agg2, stage2 = build()
+    assert (
+        drain_memory_sink(
+            agg2, "complete", stage_dir=stage2, state_partitions=None
+        ).count()
+        == 4
+    )
+
+
 def test_bounded_replay_session_clone_cache(spark):
     """Clone reuse contract: while the parent's runtime conf map is
     unchanged, bounded_replay_session returns the SAME clone (the py4j

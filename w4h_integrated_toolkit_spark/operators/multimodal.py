@@ -254,13 +254,49 @@ def attach_audio_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(synth, schema=out_schema)
 
 
+_I64_MAX = (1 << 63) - 1
+
+
+def _exact_sum_sq(col, peak: int) -> int:
+    """Exact Σs² of an int64 sample vector: vectorized int64 when the
+    worst case ``n·peak²`` provably fits (the 8/16-bit hot path —
+    n·2³⁰ wraps only past ~2³³ samples), unbounded Python-int
+    (object-dtype) accumulation otherwise (full-scale 32-bit samples
+    square to ~2⁶², wrapping an int64 sum after two samples; full-scale
+    24-bit after ~131k, seconds of audio)."""
+    n = len(col)
+    if n == 0:
+        return 0
+    if n * peak * peak <= _I64_MAX:  # Python-int guard: never wraps
+        return int((col * col).sum())
+    obj = col.astype(object)
+    return int((obj * obj).sum())
+
+
+def _exact_sum_abs(col, peak: int) -> int:
+    """Exact Σ|s|: int64 is safe up to n·peak ≤ 2⁶³−1 (days of 32-bit
+    audio); beyond that, Python-int accumulation."""
+    import numpy as np
+
+    n = len(col)
+    if n == 0:
+        return 0
+    if n * peak <= _I64_MAX:
+        return int(np.abs(col).sum())
+    return int(np.abs(col.astype(object)).sum())
+
+
 def decode_audio_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Decode each WAV payload (``audiocodec.decode_wav`` — real RIFF
     parsing, all PCM widths) and emit exact per-channel integer
     statistics: sample count, peak magnitude, Σ|s|, Σs², first and last
-    sample. Integer-exact by construction, so the encode→decode
-    round-trip is externally oracle-checkable value-for-value. Map-side
-    only (mapInPandas; blobs never shuffle)."""
+    sample. Integer-exact for EVERY width the codec supports: Σs² uses
+    int64 only when ``n·peak²`` provably fits (the 8/16-bit hot path)
+    and falls back to unbounded Python-int accumulation otherwise
+    (full-scale 24/32-bit PCM, where naive int64 products wrap after a
+    handful of samples); a true Σs² past int64 raises with the doc id
+    rather than emitting a wrapped value the LongType column can't
+    represent. Map-side only (mapInPandas; blobs never shuffle)."""
     import numpy as np
 
     out_schema = T.StructType(
@@ -287,15 +323,25 @@ def decode_audio_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 a64 = arr.astype(np.int64)
                 for c in range(arr.shape[1]):
                     col = a64[:, c]
+                    peak = int(np.abs(col).max()) if len(col) else 0
+                    ssq = _exact_sum_sq(col, peak)
+                    sabs = _exact_sum_abs(col, peak)
+                    if ssq > _I64_MAX or sabs > _I64_MAX:
+                        raise OverflowError(
+                            f"doc_id={int(d)} channel {c}: Σs²={ssq} or "
+                            f"Σ|s|={sabs} exceeds int64 — the LongType "
+                            "output column cannot represent it; shorten "
+                            "the clip or aggregate per-window instead"
+                        )
                     rows.append(
                         (
                             int(d),
                             c,
                             rate,
                             len(col),
-                            int(np.abs(col).max()) if len(col) else 0,
-                            int(np.abs(col).sum()),
-                            int((col * col).sum()),
+                            peak,
+                            sabs,
+                            ssq,
                             int(col[0]) if len(col) else 0,
                             int(col[-1]) if len(col) else 0,
                         )
@@ -312,7 +358,11 @@ def audio_frame_energy(
 ) -> DataFrame:
     """Windowed energy over decoded frames: Σs² (all channels) per
     ``window_frames``-frame window — the feature a VAD / silence-trim /
-    loudness-bucketing pipeline computes. Exact int64; the tail window
+    loudness-bucketing pipeline computes. Exact for every PCM width:
+    int64 vectorized when ``window_frames·channels·peak²`` provably
+    fits, Python-int accumulation otherwise (full-scale 24/32-bit
+    payloads, where naive int64 squares wrap); a window whose true
+    energy exceeds int64 raises rather than wrapping. The tail window
     may be short (its true frame count is emitted). Map-side only."""
     import numpy as np
 
@@ -332,12 +382,24 @@ def audio_frame_energy(
             rows = []
             for d, blob in zip(pdf[id_col], pdf["payload"]):
                 arr, _rate = audiocodec.decode_wav(bytes(blob))
-                sq = (arr.astype(np.int64) ** 2).sum(axis=1)
+                a64 = arr.astype(np.int64)
+                peak = int(np.abs(a64).max()) if a64.size else 0
+                nch = arr.shape[1]
+                # worst-case window energy; Python ints, never wraps
+                if window_frames * nch * peak * peak <= _I64_MAX:
+                    sq = (a64**2).sum(axis=1)
+                else:
+                    sq = (a64.astype(object) ** 2).sum(axis=1)
                 for w in range(0, len(sq), window_frames):
                     chunk = sq[w : w + window_frames]
-                    rows.append(
-                        (int(d), w // window_frames, len(chunk), int(chunk.sum()))
-                    )
+                    e = int(chunk.sum())
+                    if e > _I64_MAX:
+                        raise OverflowError(
+                            f"doc_id={int(d)} window {w // window_frames}: "
+                            f"energy {e} exceeds int64 — use a smaller "
+                            "window_frames for this bit depth"
+                        )
+                    rows.append((int(d), w // window_frames, len(chunk), e))
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.select(F.col(id_col), F.col("payload")).mapInPandas(

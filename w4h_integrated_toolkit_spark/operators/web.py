@@ -100,11 +100,12 @@ def registrable_domain(
     full public-suffix list — broadcast it and join for that; this
     literal-set expression covers the common suffixes and is what a
     per-domain cap/count keys on. Hosts with ≤2 labels (or NULL) pass
-    through unchanged. A trailing root dot (FQDN form,
-    ``example.com.``) is stripped first — otherwise the split yields a
-    trailing empty label and the result degrades to ``com.``."""
+    through unchanged. Trailing root dots (FQDN form ``example.com.``,
+    and malformed repeats ``example.com..``) are stripped first —
+    otherwise the split yields trailing empty labels and the result
+    degrades to ``com.``."""
     suffixes = tuple(MULTI_PART_SUFFIXES) + tuple(extra_suffixes)
-    host = F.regexp_replace(F.lower(host), r"\.$", "")
+    host = F.regexp_replace(F.lower(host), r"\.+$", "")
     p = F.split(host, r"\.")
     n = F.size(p)
     last2 = F.concat_ws(".", F.element_at(p, -2), F.element_at(p, -1))
@@ -157,6 +158,13 @@ def registrable_domain_psl(
     hot path. ``suffixes`` may be a one-column DataFrame (e.g. read
     from a config table) or any string sequence; ``None`` loads the
     vendored file."""
+    clash = [c for c in df.columns if c.startswith("__w4h_psl_")]
+    if clash:
+        raise ValueError(
+            f"input carries reserved scratch column(s) {clash}; rename "
+            "them — registrable_domain_psl uses the __w4h_psl_ prefix "
+            "for its join scratch space"
+        )
     spark = df.sparkSession
     if suffixes is None:
         suffixes = load_public_suffixes()
@@ -172,7 +180,7 @@ def registrable_domain_psl(
     # distinct depths actually present: O(max_depth) driver rows
     depths = sorted(r["_sd"] for r in sfx.select("_sd").distinct().collect())
 
-    h = F.regexp_replace(F.lower(F.col(host_col)), r"\.$", "")
+    h = F.regexp_replace(F.lower(F.col(host_col)), r"\.+$", "")
     out = df.withColumn("__w4h_psl_h", h).withColumn("__w4h_psl_p", F.split(F.col("__w4h_psl_h"), r"\."))
     n = F.size("__w4h_psl_p")
 
@@ -335,9 +343,17 @@ def html_title(html: Column) -> Column:
 
 
 def html_link_count(html: Column) -> Column:
-    """Number of anchor (``<a ...>``) opening tags."""
+    """Number of anchor (``<a ...>``, ``<a>``, ``<a/>``) opening tags in
+    the VISIBLE markup — the same head/script/style/comment blocks that
+    :func:`html_text` drops are dropped first, so an ``<a`` inside a
+    script string or a commented-out nav block is never counted and the
+    count agrees with the visible-text semantics of the extraction
+    frame."""
+    t = F.regexp_replace(html, r"(?is)<head\b[^>]*>.*?</head\s*>", " ")
+    t = F.regexp_replace(t, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     return F.coalesce(
-        F.array_size(F.regexp_extract_all(html, F.lit(r"(?i)<a[\s>]"), 0)),
+        F.array_size(F.regexp_extract_all(t, F.lit(r"(?i)<a[\s/>]"), 0)),
         F.lit(0),
     ).cast("int")
 

@@ -7214,10 +7214,11 @@ h AS (
            '^[a-z]+://(?:[^/@]*@)?([^/:?#]+)', 1), '')) AS host
   FROM u),
 hs AS (
-  -- shost: FQDN trailing root dot stripped before label splitting,
-  -- mirroring registrable_domain (the emitted host stays unstripped;
-  -- synthetic URLs never carry one — kept aligned with the operator)
-  SELECT doc_id, n_chars, host, regexp_replace(host, '\\.$', '') AS shost
+  -- shost: trailing root dots (FQDN form, incl. malformed repeats)
+  -- stripped before label splitting, mirroring registrable_domain (the
+  -- emitted host stays unstripped; synthetic URLs never carry one —
+  -- kept aligned with the operator)
+  SELECT doc_id, n_chars, host, regexp_replace(host, '\\.+$', '') AS shost
   FROM h),
 d AS (
   SELECT doc_id, n_chars, host,
@@ -7433,9 +7434,11 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity-ESCAPED and wrapped into a full deterministic page (head +
     title, style and script blocks that must vanish, a comment, heading
     and body paragraphs, an entity-bearing paragraph covering all six
-    decoded entities, two anchors — one split by a newline) and the
-    extractor must recover the title, the anchor count, and the exact
-    visible text. The DuckDB oracle never parses HTML — it computes the
+    decoded entities, three countable anchors — one split by a newline,
+    one self-closing ``<a/>`` — plus a DECOY anchor inside the script
+    block that block-drop-aware counting must ignore) and the extractor
+    must recover the title, the anchor count, and the exact visible
+    text. The DuckDB oracle never parses HTML — it computes the
     EXPECTED extraction straight from the raw text column — so a green
     hash proves block-dropping, tag-stripping, single-pass entity
     decoding (&amp; last) and whitespace collapsing jointly invert the
@@ -7452,9 +7455,9 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('<style type="text/css">p { margin: 0; }</style></head>'),
         F.lit("<body><!-- auto\n generated -->"),
         F.lit('<h1 class="t">Doc '), sid, F.lit("</h1><p>"), esc,
-        F.lit('</p><script>var s = "<p>hidden</p>";</script>'),
+        F.lit('</p><script>var s = "<p>hidden</p> <a href=/x>no</a>";</script>'),
         F.lit("<p>R&amp;D &lt;ok&gt; A&nbsp;B &#39;q&#39; &quot;z&quot;</p>"),
-        F.lit('<a href="https://ex.com/'), sid, F.lit('">first</a> <a\nhref="#">second</a>'),
+        F.lit('<a href="https://ex.com/'), sid, F.lit('">first</a> <a\nhref="#">second</a><a/>'),
         F.lit("</body></html>"),
     )
     pages = docs.select(F.col("doc_id"), html.alias("html"))
@@ -7469,7 +7472,7 @@ WITH exp AS (
            ' R&D <ok> A B ''q'' "z" first second',
            '\\s+', ' ', 'g')) AS text
   FROM documents)
-SELECT doc_id, 'Doc ' || doc_id AS title, CAST(2 AS INT) AS n_links,
+SELECT doc_id, 'Doc ' || doc_id AS title, CAST(3 AS INT) AS n_links,
        text, CAST(length(text) AS BIGINT) AS n_chars
 FROM exp
 """

@@ -348,12 +348,19 @@ def bounded_replay_session(
     return clone
 
 
+# sentinel default for drain_memory_sink's state_partitions: lets the
+# function tell "caller left the default" (resolve to the module
+# constant, or defer to a clone's baked pin) apart from "caller passed a
+# value" (which must NOT be silently overridden by a baked pin)
+_PIN_DEFAULT = object()
+
+
 def drain_memory_sink(
     out: DataFrame,
     output_mode: str,
     name_prefix: str = "w4h_sink_",
     stage_dir: str | None = None,
-    state_partitions: int | None = BOUNDED_REPLAY_STATE_PARTITIONS,
+    state_partitions: int | None = _PIN_DEFAULT,  # type: ignore[assignment]
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (``availableNow`` trigger)
     through a memory sink and return the result LOCALIZED as a fresh batch
@@ -380,7 +387,9 @@ def drain_memory_sink(
     :func:`bounded_replay_session` (as :func:`file_stream` does), the
     pin already lives in that session's PRIVATE SQLConf and this
     function touches no conf at all — the shared session can never
-    observe it. For streams built directly on a shared session
+    observe it; an EXPLICIT ``state_partitions`` that conflicts with
+    the baked pin raises (the default and ``None`` defer to the baked
+    value). For streams built directly on a shared session
     (stream-static joins where both sides must share one SQLConf), the
     legacy path applies: the pin window (set → start → restore) is
     serialized under a module lock so two concurrent drains can't save
@@ -397,7 +406,24 @@ def drain_memory_sink(
     marker = spark.conf.get(_CLONE_MARKER, None)
     pin_baked = marker is not None and marker != "none"
     if pin_baked:
-        state_partitions = None  # pin pre-baked into the private conf
+        # the pin is pre-baked into the clone's private conf; an
+        # EXPLICIT conflicting drain-time pin must not be silently
+        # dropped (the caller would get the baked value with no signal)
+        if (
+            state_partitions is not _PIN_DEFAULT
+            and state_partitions is not None
+            and str(state_partitions) != marker
+        ):
+            raise ValueError(
+                f"state_partitions={state_partitions} conflicts with the "
+                f"pin baked into this bounded_replay_session clone "
+                f"({marker}); build the clone with the pin you want "
+                "(bounded_replay_session(state_partitions=...)) or drop "
+                "the drain-time argument"
+            )
+        state_partitions = None  # baked pin governs
+    elif state_partitions is _PIN_DEFAULT:
+        state_partitions = BOUNDED_REPLAY_STATE_PARTITIONS
     try:
         # the lock serializes the set->start->restore conf window ON A
         # SHARED-CONF SESSION: a state_partitions=None drain racing a
