@@ -256,6 +256,13 @@ MEDIAN_EXTRA_QUERIES = {
     # isn't single-run noise (kmeans_fit / bpe_merges already above).
     "scd2_apply",                # 1.61 late-r9
     "bpe_encode",                # 1.31 late-r9
+    # r10 verdict order #2: same pattern for the heavy r10 additions —
+    # their first round-over-round comparison lands at r11; bpe_segment
+    # in particular showed a reproducible 3.3 s cold-first-run vs
+    # 1.1-1.5 s warm, exactly the artifact median-of-3 absorbs.
+    "bpe_segment",               # warm 1.1-1.5 s (3.33 cold, r10 driver)
+    "knn_ivf_fitted",            # 2.6-3.0 s (two Lloyd iterations by design)
+    "registrable_domain_psl",    # 1.3-1.6 s
 }
 
 

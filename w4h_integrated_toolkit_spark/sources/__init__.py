@@ -10,6 +10,7 @@ from .csv_io import read_csv, write_csv
 from .ddl import create_instance, ddl_for_config, list_tables
 from .geojson import read_geojson_polygons
 from .json_io import SENSOR_BATCH_SCHEMA, sensor_batch_from_json
+from .models import load_model, save_model
 from .versioned import (
     list_versions,
     read_versioned,
@@ -32,4 +33,6 @@ __all__ = [
     "read_versioned",
     "list_versions",
     "vacuum_versions",
+    "save_model",
+    "load_model",
 ]

@@ -103,6 +103,10 @@ class ReplaySource:
         self._stamps: list[datetime] = [r[0] for r in rows]
         self._pos = 0
 
+    def __len__(self) -> int:
+        """Number of distinct timestamps in the replay index."""
+        return len(self._stamps)
+
     @property
     def span(self) -> tuple[datetime, datetime]:
         return self._stamps[0], self._stamps[-1]
