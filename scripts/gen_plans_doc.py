@@ -131,6 +131,16 @@ GALLERY = [
      "decode→stats is a chain of map-side ArrowEvalPython/MapInPandas "
      "stages with NO exchange anywhere — payload bytes never shuffle; "
      "the same plan shape carries wav_decode_stats/audio_frame_energy."),
+    ("knn_ivf_persisted", "Persisted-model IVF probe: the quantizer is "
+     "READ BACK from the model store (a plain parquet scan of k·d "
+     "centroid cells — fit and apply are different jobs), rebuilt as "
+     "broadcast arrays, and the corpus still never shuffles; identical "
+     "probe shape to knn_ivf_fitted plus the store scan."),
+    ("replay_wraparound", "O7 wrap-around replay: each cursor batch is a "
+     "pushed-down DATE-range filter on the events scan (PushedFilters "
+     "carries the day bounds) feeding a global aggregate; the union of "
+     "per-batch aggregates is result-sized — the cursor index is the "
+     "only driver state."),
 ]
 
 

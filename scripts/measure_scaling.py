@@ -214,6 +214,50 @@ def main() -> None:
                 dim, v_f.filter(F.col("ts") >= cut), "user_id", "event_type"
             ).count()
 
+        def _ivf_persisted():
+            # r11: fit -> model store -> probe. The store hop is O(k·d)
+            # and corpus-invariant; growth comes from the fit scans and
+            # the probe — same shape as knn_ivf_fitted plus a constant
+            import tempfile
+
+            from w4h_integrated_toolkit_spark.operators.similarity import (
+                centroid_arrays,
+                ivf_topk,
+            )
+            from w4h_integrated_toolkit_spark.sources.models import (
+                load_model,
+                save_model,
+            )
+
+            params = {"k": 8, "iterations": 2, "scale": 10**6}
+            cells = kmeans_fit(e_f, k=8, iterations=2)
+            store = tempfile.mkdtemp(prefix="w4h_scale_model_")
+            save_model(s, store, cells, params)
+            loaded, _ = load_model(s, store, expect_params=params)
+            return ivf_topk(
+                e_f,
+                e_f.filter(F.col("vec_id") < 8),
+                k=5,
+                nprobe=2,
+                centroids=centroid_arrays(loaded),
+            ).count()
+
+        def _replay_wrap():
+            # r11: the O7 loop drive — the day index stays 30 stamps at
+            # every factor (events replicate WITHIN the same span), so
+            # growth is per-batch filter/agg work only
+            from w4h_integrated_toolkit_spark.streaming.replay import (
+                ReplaySource,
+            )
+
+            evd = v_f.withColumn("_day", F.col("ts").cast("date"))
+            src = ReplaySource(evd, ts_col="_day", batch_size=7, loop=True)
+            cycle = -(-len(src) // 7)
+            n = 0
+            for b in src.batches(limit=cycle + 3):
+                n += b.agg(F.count(F.lit(1))).collect()[0][0]
+            return n
+
         for op, fn in {
             "embedding_gram": lambda: embedding_gram(e_f).count(),
             "rolling_median": lambda: rolling_median(v_f, k=5).count(),
@@ -222,6 +266,8 @@ def main() -> None:
             # checkpoint actions — the honest cost of the operator)
             "kmeans_fit": lambda: kmeans_fit(e_f, k=8, iterations=2).count(),
             "scd2_apply": _scd2_fold,
+            "knn_ivf_persisted": _ivf_persisted,
+            "replay_wraparound": _replay_wrap,
         }.items():
             fn()  # warm
             ts = []

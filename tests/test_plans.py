@@ -1243,6 +1243,39 @@ def test_wave14_plan_shapes(spark):
     assert len(builds) == 2, p[:800]
 
 
+def test_wave15_plan_shapes(spark):
+    """r11 additions: the persisted-IVF probe keeps the knn_ivf_fitted
+    contract — the corpus NEVER shuffles (no corpus-sized Exchange; the
+    only exchanges are centroid/model-sized and the final candidate
+    ranking) and the quantizer arrives via broadcast; the wrap-around
+    replay batches are pushed-down date-range scans feeding global
+    aggregates with no join and no window."""
+    import re as _re
+
+    p = plan_of(spark, "knn_ivf_persisted")
+    assert "BroadcastExchange" in p, p[:800]
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    # the corpus (embedding arrays keyed by vec_id/nid) never hashes
+    # across an exchange: every hashpartitioning argument keys on
+    # centroid cells or the final per-query candidate ranking
+    corpus_ex = _re.findall(
+        r"Arguments: hashpartitioning\((?:nid|vec_id)#\d+", p
+    )
+    assert not corpus_ex, (corpus_ex, p[:800])
+
+    p = plan_of(spark, "replay_wraparound")
+    assert "Join" not in p and "Window" not in p, p[:800]
+    # the only keyed exchanges are the countDistinct partials on _day —
+    # bounded by the DAY CARDINALITY (≤7 rows per batch after map-side
+    # partial distinct), never data-sized; everything else collapses to
+    # the result-sized SinglePartition aggs
+    keyed = _re.findall(r"Arguments: hashpartitioning\((\w+)#", p)
+    assert set(keyed) <= {"_day"}, (keyed, p[:800])
+    # the per-batch date bounds reach the parquet scan as pushed filters
+    assert "PushedFilters: [" in p, p[:1200]
+    assert "GreaterThanOrEqual" in p, p[:1200]
+
+
 def test_r11_gate_window_composition_recomputed_from_driver_rows():
     """The judge's standing caution: the builder schedules the gate
     window, so every round's rotation honesty must be re-verifiable.
