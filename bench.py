@@ -225,6 +225,9 @@ EXTRA_BENCH_QUERIES = [
     "audio_frame_energy",
     "video_frame_stats",
     "html_extract",
+    # r11 additions
+    "knn_ivf_persisted",
+    "replay_wraparound",
 ]
 
 # The heaviest extras get MEDIAN-OF-3 like the headline (r8 verdict
