@@ -106,6 +106,10 @@ def main() -> None:
         f"v{v_c} still loads k={old_p['k']} "
         f"({old.select('centroid_id').distinct().count()} centroids)"
     )
+    import shutil
+
+    shutil.rmtree(cent_store, ignore_errors=True)
+    shutil.rmtree(bpe_store, ignore_errors=True)
     spark.stop()
 
 

@@ -218,6 +218,7 @@ def main() -> None:
             # r11: fit -> model store -> probe. The store hop is O(k·d)
             # and corpus-invariant; growth comes from the fit scans and
             # the probe — same shape as knn_ivf_fitted plus a constant
+            import shutil
             import tempfile
 
             from w4h_integrated_toolkit_spark.operators.similarity import (
@@ -232,15 +233,18 @@ def main() -> None:
             params = {"k": 8, "iterations": 2, "scale": 10**6}
             cells = kmeans_fit(e_f, k=8, iterations=2)
             store = tempfile.mkdtemp(prefix="w4h_scale_model_")
-            save_model(s, store, cells, params)
-            loaded, _ = load_model(s, store, expect_params=params)
-            return ivf_topk(
-                e_f,
-                e_f.filter(F.col("vec_id") < 8),
-                k=5,
-                nprobe=2,
-                centroids=centroid_arrays(loaded),
-            ).count()
+            try:
+                save_model(s, store, cells, params)
+                loaded, _ = load_model(s, store, expect_params=params)
+                return ivf_topk(
+                    e_f,
+                    e_f.filter(F.col("vec_id") < 8),
+                    k=5,
+                    nprobe=2,
+                    centroids=centroid_arrays(loaded),
+                ).count()
+            finally:
+                shutil.rmtree(store, ignore_errors=True)
 
         def _replay_wrap():
             # r11: the O7 loop drive — the day index stays 30 stamps at

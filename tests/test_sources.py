@@ -576,6 +576,39 @@ def test_model_store_replace_params_and_time_travel(spark, tmp_path):
     with pytest.raises(ValueError, match="not a model store"):
         load_model(spark, plain)
 
+    # review fix: an EMPTY model must be refused — the constant-key
+    # anti-join would carry every previous row forward (a "new" version
+    # that silently republishes the OLD model), and an empty FIRST save
+    # would create an unloadable version
+    with pytest.raises(ValueError, match="no rows"):
+        save_model(spark, t, m1.limit(0), {"k": 0})
+    got2, params2 = load_model(spark, t)
+    assert params2 == {"k": 5, "scale": 10**6}  # latest model untouched
+    assert got2.count() == 5
+
+
+def test_model_store_registry_queries_leave_no_tmp_stores(spark):
+    """Review fix: the registry entries that round-trip the model store
+    (q_bpe_segment, q_knn_ivf_persisted) run on every gate/bench/parity
+    cycle — they must delete their temp store after collecting the model
+    (the returned plan never scans the store, so deletion is safe)."""
+    import glob
+    import tempfile
+
+    from w4h_integrated_toolkit_spark.plans.queries import QUERIES
+
+    tmp = tempfile.gettempdir()
+
+    def stores():
+        return set(glob.glob(f"{tmp}/w4h_bpe_model_*")) | set(
+            glob.glob(f"{tmp}/w4h_centroid_model_*")
+        )
+
+    before = stores()
+    QUERIES["bpe_segment"][0](spark, "/root/testdata/sf0.001").collect()
+    QUERIES["knn_ivf_persisted"][0](spark, "/root/testdata/sf0.001").collect()
+    assert stores() == before, "registry queries leaked model store dirs"
+
 
 def test_kmeans_fit_save_load_apply_equivalence(spark, tmp_path):
     """fit -> save_model -> load_model (fresh session) -> centroid_arrays

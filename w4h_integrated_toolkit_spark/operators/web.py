@@ -315,6 +315,17 @@ _HTML_ENTITIES = [
 ]
 
 
+def _drop_invisible_blocks(html: Column) -> Column:
+    """Remove the markup blocks whose content is never visible text —
+    the ``<head>`` block, ``<script>``/``<style>`` blocks, and comments.
+    SHARED by :func:`html_text` and :func:`html_link_count` so the two
+    can never disagree about what counts as visible markup (the
+    anchor-count-vs-text consistency contract)."""
+    t = F.regexp_replace(html, r"(?is)<head\b[^>]*>.*?</head\s*>", " ")
+    t = F.regexp_replace(t, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
+    return F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+
+
 def html_text(html: Column) -> Column:
     """Visible text of an HTML document: drops the ``<head>`` block and
     ``<script>``/``<style>`` blocks wholesale (their content is never
@@ -324,11 +335,7 @@ def html_text(html: Column) -> Column:
     deliberately NOT a browser: it trades CDATA/conditional-comment
     corners for a pure-JVM whole-stage-codegen pipeline with zero
     Python in the hot path."""
-    t = F.regexp_replace(html, r"(?is)<head\b[^>]*>.*?</head\s*>", " ")
-    t = F.regexp_replace(
-        t, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " "
-    )
-    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = _drop_invisible_blocks(html)
     t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
     for ent, rep in _HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(rep))
@@ -348,12 +355,14 @@ def html_link_count(html: Column) -> Column:
     :func:`html_text` drops are dropped first, so an ``<a`` inside a
     script string or a commented-out nav block is never counted and the
     count agrees with the visible-text semantics of the extraction
-    frame."""
-    t = F.regexp_replace(html, r"(?is)<head\b[^>]*>.*?</head\s*>", " ")
-    t = F.regexp_replace(t, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
-    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    frame (shared :func:`_drop_invisible_blocks`, so the two can never
+    desynchronize)."""
     return F.coalesce(
-        F.array_size(F.regexp_extract_all(t, F.lit(r"(?i)<a[\s/>]"), 0)),
+        F.array_size(
+            F.regexp_extract_all(
+                _drop_invisible_blocks(html), F.lit(r"(?i)<a[\s/>]"), 0
+            )
+        ),
         F.lit(0),
     ).cast("int")
 

@@ -74,6 +74,19 @@ def save_model(
             f"{[c for c in model.columns if c in (_MODEL_KEY, _PARAMS_COL)]}; "
             "rename them — save_model stamps _w4h_model/_w4h_params"
         )
+    if model.isEmpty():
+        # the full-replace contract rides on the constant-key anti-join;
+        # with ZERO update rows the anti-join key set is empty and every
+        # previous row (old params stamp included) would be carried into
+        # the "new" version — a save that silently publishes the OLD
+        # model. A fit that produced nothing (e.g. bpe_learn on a
+        # pair-exhausted corpus) is a condition the caller must see.
+        raise ValueError(
+            "model has no rows — refusing to publish: an empty save "
+            "would carry the previous version's rows forward (or create "
+            "an unloadable first version); fix the fit or delete the "
+            "store instead"
+        )
     stamped = model.withColumn(_MODEL_KEY, F.lit("m")).withColumn(
         _PARAMS_COL, F.lit(_canon_params(params))
     )
