@@ -218,7 +218,6 @@ def main() -> None:
             # r11: fit -> model store -> probe. The store hop is O(k·d)
             # and corpus-invariant; growth comes from the fit scans and
             # the probe — same shape as knn_ivf_fitted plus a constant
-            import shutil
             import tempfile
 
             from w4h_integrated_toolkit_spark.operators.similarity import (
@@ -232,8 +231,9 @@ def main() -> None:
 
             params = {"k": 8, "iterations": 2, "scale": 10**6}
             cells = kmeans_fit(e_f, k=8, iterations=2)
-            store = tempfile.mkdtemp(prefix="w4h_scale_model_")
-            try:
+            with tempfile.TemporaryDirectory(
+                prefix="w4h_scale_model_", ignore_cleanup_errors=True
+            ) as store:
                 save_model(s, store, cells, params)
                 loaded, _ = load_model(s, store, expect_params=params)
                 return ivf_topk(
@@ -243,8 +243,6 @@ def main() -> None:
                     nprobe=2,
                     centroids=centroid_arrays(loaded),
                 ).count()
-            finally:
-                shutil.rmtree(store, ignore_errors=True)
 
         def _replay_wrap():
             # r11: the O7 loop drive — the day index stays 30 stamps at

@@ -595,6 +595,7 @@ def test_model_store_registry_queries_leave_no_tmp_stores(spark):
     import glob
     import tempfile
 
+    from tests.conftest import SF_DIR
     from w4h_integrated_toolkit_spark.plans.queries import QUERIES
 
     tmp = tempfile.gettempdir()
@@ -605,8 +606,8 @@ def test_model_store_registry_queries_leave_no_tmp_stores(spark):
         )
 
     before = stores()
-    QUERIES["bpe_segment"][0](spark, "/root/testdata/sf0.001").collect()
-    QUERIES["knn_ivf_persisted"][0](spark, "/root/testdata/sf0.001").collect()
+    QUERIES["bpe_segment"][0](spark, SF_DIR).collect()
+    QUERIES["knn_ivf_persisted"][0](spark, SF_DIR).collect()
     assert stores() == before, "registry queries leaked model store dirs"
 
 

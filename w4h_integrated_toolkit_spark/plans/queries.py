@@ -7183,7 +7183,6 @@ def q_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle is `knn_ivf_fitted`'s unchanged: the gate hashes the
     whole persisted chain — fit, publish, load, adapter, assignment,
     probe, ranking."""
-    import shutil
     import tempfile
 
     from ..sources.models import load_model, save_model
@@ -7191,20 +7190,22 @@ def q_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     params = {"k": 8, "iterations": 2, "scale": 10**6}
     cells = SIM.kmeans_fit(emb, k=8, iterations=2)
-    store = tempfile.mkdtemp(prefix="w4h_centroid_model_")
-    try:
+    # ivf_topk COLLECTS the centroids while building the plan, so the
+    # returned DataFrame never scans the store — the temp store can be
+    # deleted on block exit (gate/bench/parity call this repeatedly;
+    # leaked /tmp stores would otherwise accumulate per run)
+    with tempfile.TemporaryDirectory(
+        prefix="w4h_centroid_model_", ignore_cleanup_errors=True
+    ) as store:
         save_model(spark, store, cells, params)
         loaded, _ = load_model(spark, store, expect_params=params)
-        cents = SIM.centroid_arrays(loaded)
-        # ivf_topk COLLECTS the centroids while building the plan, so the
-        # returned DataFrame never scans the store — safe to delete here
-        # (gate/bench/parity call this repeatedly; leaked /tmp stores
-        # would otherwise accumulate per run)
         out = SIM.ivf_topk(
-            emb, emb.filter(F.col("vec_id") < 8), k=5, nprobe=2, centroids=cents
+            emb,
+            emb.filter(F.col("vec_id") < 8),
+            k=5,
+            nprobe=2,
+            centroids=SIM.centroid_arrays(loaded),
         )
-    finally:
-        shutil.rmtree(store, ignore_errors=True)
     return out.select(
         "query_id", "neighbor_id", "rank", _r(F.col("cos"), 5).alias("cos")
     )
@@ -7821,14 +7822,16 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, not an in-memory list. The oracle is unchanged: the store
     round-trips the table exactly (fit→save→load→apply equivalence is
     separately test-pinned)."""
-    import shutil
     import tempfile
 
     from ..operators.bpe import MERGES_SCHEMA, bpe_segment
     from ..sources.models import load_model, save_model
 
-    store = tempfile.mkdtemp(prefix="w4h_bpe_model_")
-    try:
+    # the table is COLLECTED inside the block, so the plan never scans
+    # the store — it is deleted on exit (this entry runs 3× per bench)
+    with tempfile.TemporaryDirectory(
+        prefix="w4h_bpe_model_", ignore_cleanup_errors=True
+    ) as store:
         save_model(
             spark,
             store,
@@ -7841,14 +7844,10 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         loaded, _ = load_model(
             spark, store, expect_params={"n_merges": len(_SEGMENT_MERGES)}
         )
-        # the table is COLLECTED here, so the plan never scans the store
-        # — delete it before returning (this entry runs 3× per bench)
         table = [
             (r["left_sym"], r["right_sym"])
             for r in loaded.orderBy("merge_rank").collect()
         ]
-    finally:
-        shutil.rmtree(store, ignore_errors=True)
     seg = bpe_segment(_t(spark, sf_dir, "documents"), table)
     return seg.select(
         "doc_id",

@@ -74,6 +74,12 @@ def save_model(
             f"{[c for c in model.columns if c in (_MODEL_KEY, _PARAMS_COL)]}; "
             "rename them — save_model stamps _w4h_model/_w4h_params"
         )
+    # materialize ONCE: the emptiness check and the write below must see
+    # the same rows (an uncheckpointed fit lineage would otherwise run
+    # twice, and a non-deterministic one could pass the check yet write
+    # different rows); model tables are small by contract, so the
+    # checkpoint blocks are cheap
+    model = model.localCheckpoint(eager=True)
     if model.isEmpty():
         # the full-replace contract rides on the constant-key anti-join;
         # with ZERO update rows the anti-join key set is empty and every
