@@ -2787,6 +2787,42 @@ def test_kmeans_fit_early_stop_preserves_fixed_iteration_result(spark):
     assert stopped == full
 
 
+def test_kmeans_fit_warm_start_continuation_law(spark, tmp_path):
+    """Warm-start is exact continuation: kmeans_fit(init=fit(n), m more
+    iterations) equals fit(n+m) integer-for-integer — each iteration is
+    a pure function of the previous cells, so seeding from them resumes
+    the identical trajectory. Also pinned THROUGH the model store (the
+    production refit loop: publish → load → continue), and the
+    missing-column guard raises."""
+    import pytest as _pytest
+
+    from w4h_integrated_toolkit_spark.operators.similarity import kmeans_fit
+    from w4h_integrated_toolkit_spark.sources.models import load_model, save_model
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) / 3.0 for j in range(3)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    two = kmeans_fit(vecs, k=4, iterations=2, early_stop=False)
+    resumed = kmeans_fit(vecs, iterations=1, early_stop=False, init=two)
+    three = kmeans_fit(vecs, k=4, iterations=3, early_stop=False)
+    assert sorted(map(tuple, resumed.collect())) == sorted(
+        map(tuple, three.collect())
+    )
+
+    # through the store: yesterday's published fit continues today
+    t = str(tmp_path / "warm")
+    save_model(spark, t, two, {"k": 4, "iterations": 2})
+    loaded, _ = load_model(spark, t, expect_params={"k": 4})
+    via_store = kmeans_fit(vecs, iterations=1, early_stop=False, init=loaded)
+    assert sorted(map(tuple, via_store.collect())) == sorted(
+        map(tuple, three.collect())
+    )
+
+    with _pytest.raises(ValueError, match="centroid-cell column"):
+        kmeans_fit(vecs, init=two.drop("q_value"))
+
+
 def test_kmeans_fit_drops_empty_clusters(spark):
     """Duplicate seed vectors: the distance-0 tie breaks to the lowest
     centroid id, so the higher duplicate seed attracts no members and is

@@ -597,6 +597,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     scale: int = 10**6,
     early_stop: bool = True,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Full k-means fit: the driver convergence loop around the
     integer fixed-point Lloyd step (:func:`kmeans_iteration`), the same
@@ -617,6 +618,17 @@ def kmeans_fit(
     (k may shrink) — deterministic and SQL-mirrorable, unlike
     re-seeding heuristics.
 
+    ``init`` WARM-STARTS the fit from existing centroid cells in this
+    function's own output format (centroid_id, dim, q_value[, ...]) —
+    e.g. yesterday's fit loaded back through the model store
+    (sources/models.load_model), the production refit loop where a
+    nightly job continues from the published model instead of
+    re-seeding. ``k`` is ignored when ``init`` is given (the centroid
+    count is the init's). Exact continuation law (test-pinned):
+    ``kmeans_fit(v, init=kmeans_fit(v, k, n), iterations=m)`` equals
+    ``kmeans_fit(v, k, n + m)`` integer-for-integer, because each
+    iteration is a pure function of the previous cells.
+
     Plan/scale: the corpus is RE-SCANNED once per iteration (columnar
     parquet scan + broadcast of k quantized centroids — it never
     shuffles); only the k·d centroid CELLS are localCheckpointed each
@@ -633,12 +645,32 @@ def kmeans_fit(
         F.col(vec_col), lambda x: F.round(x * F.lit(float(scale)), 0).cast("long")
     )
     vq = vectors.select(F.col(id_col).alias("_vid"), q.alias("_q"))
-    cq = (
-        vq.orderBy("_vid")
-        .limit(k)
-        .select(F.col("_vid").alias("_cid"), F.col("_q").alias("_cq"))
-        .localCheckpoint(eager=True)
-    )
+    if init is not None:
+        missing = {"centroid_id", "dim", "q_value"} - set(init.columns)
+        if missing:
+            raise ValueError(
+                f"init is missing centroid-cell column(s) {sorted(missing)}; "
+                "pass kmeans_fit-format cells (e.g. a model-store load)"
+            )
+        # same cells -> (cid, ordered q array) adapter as the loop tail
+        cq = (
+            init.groupBy("centroid_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "q_value"))).alias("_s")
+            )
+            .select(
+                F.col("centroid_id").alias("_cid"),
+                F.transform("_s", lambda s: s["q_value"]).alias("_cq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        cq = (
+            vq.orderBy("_vid")
+            .limit(k)
+            .select(F.col("_vid").alias("_cid"), F.col("_q").alias("_cq"))
+            .localCheckpoint(eager=True)
+        )
     prev = None
     for _ in range(iterations):
         cells = _lloyd_step_q(vq, cq).localCheckpoint(eager=True)
