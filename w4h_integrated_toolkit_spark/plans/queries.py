@@ -8384,7 +8384,13 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 # entries. r11 actually adds 2 (knn_ivf_persisted, replay_wraparound)
 # → 44 + 2 − 2 = 44 ≤ 50 (both r11 additions are gated IN the r11
 # window itself, so none enter r12 never-gated), leaving 6 free slots
-# for r9-stale rotation at r12.
+# for r9-stale rotation at r12 (stalest r9 rows in CORRECTNESS_r09
+# order: streaming_ewma, stream_window_dedup, value_percentile_rank,
+# grid_density, salted_hot_key_agg, event_paths). The EXACT prospective
+# r12 window (44 r8-stale + those 6) was pre-measured at r11 end:
+# 41.1 s total cold at sf0.01 on 4 cpus, worst table_diff 7.4 s —
+# inside the historical range, every entry far under the ~30 s
+# envelope.
 _R11_WINDOW = [
     # --- 35 r7-stale rows, CORRECTNESS_r07 order ---
     "source_overlap",
