@@ -1528,3 +1528,59 @@ def test_wav_roundtrip_property(nf, bits, ch, seed):
     blob = AC.encode_wav(a, 44100, bits=bits)
     dec, rate = AC.decode_wav(blob)
     assert rate == 44100 and np.array_equal(dec, a)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-(2**40), 2**40),
+            st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=32)),
+            st.one_of(st.none(), st.text(max_size=12)),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(-(2**40), 2**40),
+            st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=32)),
+            st.one_of(st.none(), st.text(max_size=12)),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.dictionaries(
+        st.text(min_size=1, max_size=8),
+        st.one_of(st.integers(-(2**31), 2**31), st.text(max_size=12), st.booleans()),
+        max_size=4,
+    ),
+)
+def test_model_store_roundtrip_property(spark, tmp_path_factory, rows1, rows2, params):
+    """Model-store law over arbitrary small models: save → load is the
+    identity on rows (NULLs, unicode, extreme ints included) and params
+    (any JSON-safe dict), a second save fully replaces the first while
+    the first stays loadable by version, and the stored params gate the
+    load exactly."""
+    from w4h_integrated_toolkit_spark.sources.models import load_model, save_model
+
+    t = str(tmp_path_factory.mktemp("prop") / "store")
+    schema = "a long, b double, c string"
+    df1 = spark.createDataFrame(rows1, schema)
+    df2 = spark.createDataFrame(rows2, schema)
+
+    def canon(df):
+        return sorted(
+            ((r["a"], r["b"], r["c"]) for r in df.collect()), key=repr
+        )
+
+    v1 = save_model(spark, t, df1, params)
+    got1, p1 = load_model(spark, t, expect_params=params)
+    assert p1 == dict(params) and canon(got1) == canon(df1)
+
+    v2 = save_model(spark, t, df2, {"v": 2})
+    assert v2 == v1 + 1
+    latest, p2 = load_model(spark, t)
+    assert p2 == {"v": 2} and canon(latest) == canon(df2)  # full replace
+    old, p_old = load_model(spark, t, version=v1)
+    assert p_old == dict(params) and canon(old) == canon(df1)  # time travel
