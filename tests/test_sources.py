@@ -686,6 +686,52 @@ def test_bpe_fit_save_load_segment_equivalence(spark, tmp_path):
         load_model(spark, t, expect_params={"n_merges": 8})
 
 
+def test_frozen_ranking_models_through_the_store(spark, tmp_path):
+    """The ranking module's frozen-model arms compose with the model
+    store: doc_frequencies / the unigram term-count model published via
+    save_model and loaded back score IDENTICALLY to the self-built arms
+    — the build-on-snapshot / score-every-ingest production shape, with
+    the model travelling through the registry instead of an ad-hoc
+    parquet path."""
+    from pyspark.sql import functions as F
+
+    from w4h_integrated_toolkit_spark.operators.ranking import (
+        doc_frequencies,
+        tfidf_top_terms,
+        unigram_nll,
+    )
+    from w4h_integrated_toolkit_spark.sources.models import load_model, save_model
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta {'gamma ' * (i % 4)}delta e{i % 5}") for i in range(24)],
+        "doc_id long, text string",
+    )
+
+    df_store = str(tmp_path / "doc_freq")
+    save_model(spark, df_store, doc_frequencies(docs), {"snapshot": "s1"})
+    loaded_df, _ = load_model(spark, df_store, expect_params={"snapshot": "s1"})
+    self_built = sorted(map(tuple, tfidf_top_terms(docs, top_n=2).collect()))
+    via_store = sorted(
+        map(tuple, tfidf_top_terms(docs, top_n=2, doc_freq=loaded_df).collect())
+    )
+    assert via_store == self_built
+
+    tc_store = str(tmp_path / "term_counts")
+    tc = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    save_model(spark, tc_store, tc, {"snapshot": "s1"})
+    loaded_tc, _ = load_model(spark, tc_store)
+    self_nll = sorted(map(tuple, unigram_nll(docs).collect()))
+    via_nll = sorted(
+        map(tuple, unigram_nll(docs, term_counts=loaded_tc).collect())
+    )
+    assert via_nll == self_nll
+
+
 def test_compact_parquet_merges_small_files_and_preserves_data(spark, tmp_path):
     """20 tiny files compact to the size-targeted count; row set is
     byte-identical before/after; re-running on the compacted table is a
