@@ -228,6 +228,7 @@ EXTRA_BENCH_QUERIES = [
     # r11 additions
     "knn_ivf_persisted",
     "replay_wraparound",
+    "url_canonicalize",
 ]
 
 # The heaviest extras get MEDIAN-OF-3 like the headline (r8 verdict

@@ -3696,6 +3696,71 @@ def test_registrable_domain_psl_equivalence_and_loader(spark):
         registrable_domain_psl(tainted, suffixes=list(MULTI_PART_SUFFIXES))
 
 
+def test_canonicalize_url_edge_matrix(spark):
+    """canonicalize_url against hand-built URLs: case folding, userinfo
+    and fragment drop, default-port strip (scheme-aware), non-default
+    port keep, slash collapse + trailing-slash strip, empty path → '/',
+    tracking-param strip by NAME (utm_*, gclid, ...; a content param
+    named 'refresh' survives the 'ref' rule), bytewise param sort,
+    emptied query loses its '?', trailing host dots strip, NULL and
+    malformed → NULL."""
+    from pyspark.sql import functions as F
+
+    from w4h_integrated_toolkit_spark.operators.web import canonicalize_url
+
+    cases = [
+        (
+            "HTTP://u:p@WWW.Ex.COM:80//a//b/?utm_source=x&b=2&a=1#frag",
+            "http://www.ex.com/a/b?a=1&b=2",
+        ),
+        ("https://ex.com:443/p", "https://ex.com/p"),
+        ("http://ex.com:443/p", "http://ex.com:443/p"),  # not http's default
+        ("http://ex.com:8443/p?a=1", "http://ex.com:8443/p?a=1"),
+        ("http://ex.com", "http://ex.com/"),
+        ("http://ex.com./x/", "http://ex.com/x"),
+        ("http://ex.com/?gclid=z&fbclid=y", "http://ex.com/"),
+        # 'refresh' is NOT 'ref' (name-anchored match); '_ga' goes
+        ("http://ex.com/p?refresh=1&_ga=2.1", "http://ex.com/p?refresh=1"),
+        # bytewise sort: 'B=1' (0x42) precedes 'a=2' (0x61)
+        ("http://ex.com/p?a=2&B=1", "http://ex.com/p?B=1&a=2"),
+        ("http://ex.com/p?", "http://ex.com/p"),
+        ("not a url", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonicalize_url(F.col("u")).alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i])
+
+
+def test_url_dedup_groups_collapses_variants(spark):
+    """Tracking/fragment/order variants of one page group under one
+    canonical key with the lowest id kept; a genuinely different query
+    stays separate; malformed URLs land under the NULL key."""
+    from w4h_integrated_toolkit_spark.operators.web import url_dedup_groups
+
+    rows = [
+        (1, "http://ex.com/a?b=2&a=1"),
+        (2, "HTTP://ex.com:80/a/?a=1&b=2#x"),
+        (3, "http://u@ex.com//a?utm_source=f&a=1&b=2"),
+        (4, "http://ex.com/a?a=1&b=3"),  # different content param value
+        (5, "::nope::"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["canonical_url"]: (r["n_docs"], r["keep_id"])
+        for r in url_dedup_groups(df).collect()
+    }
+    assert got["http://ex.com/a?a=1&b=2"] == (3, 1)
+    assert got["http://ex.com/a?a=1&b=3"] == (1, 4)
+    assert got[None] == (1, 5)
+
+
 def test_domain_cap_sample_malformed_policy(spark):
     """Malformed-URL handling is a caller decision: 'cap' (default)
     bounds the NULL pseudo-domain like any other, 'keep' passes NULL

@@ -213,6 +213,96 @@ def registrable_domain_psl(
     return out.withColumn(out_col, expr).drop(*drop)
 
 
+# query parameters that carry tracking/session state, never content
+# identity — the standard strip set of crawl canonicalizers (utm_*,
+# click ids, mail/campaign ids). Matched against the PARAM NAME.
+TRACKING_PARAM_RE = (
+    r"(?i)^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|dclid|mc_eid|mc_cid"
+    r"|igshid|ref|ref_src|_ga|yclid)$"
+)
+
+
+def canonicalize_url(url: Column, tracking_re: str = TRACKING_PARAM_RE) -> Column:
+    """Canonical form of a URL — the normalization every crawl pipeline
+    runs BEFORE URL-level dedup, so the same page fetched as
+    ``HTTP://u@Ex.COM:80//a/?utm_source=f&b=2&a=1#x`` and
+    ``http://ex.com/a?a=1&b=2`` collapses to one key:
+
+    - scheme and host lowercased; trailing root dots stripped from the
+      host; userinfo (credentials) and the fragment DROPPED;
+    - default ports removed (``:80`` for http, ``:443`` for https);
+      any other explicit port is identity-bearing and kept;
+    - path: runs of ``/`` collapse to one, the trailing slash is
+      stripped, and the empty path becomes ``/``;
+    - query: parameters matching ``tracking_re`` (by NAME) are dropped,
+      the survivors are sorted bytewise and rejoined — parameter order
+      is transport noise, not identity; an emptied query loses its
+      ``?``. Percent-encoding is NOT normalized (documented limit: that
+      needs a full RFC 3986 decoder; the regex pipeline stays pure JVM).
+
+    NULL/malformed input → NULL (``try_parse_url`` semantics). Pure
+    Column expressions — zero Python, whole-stage-codegen, the shape a
+    100 TB crawl's very first projection needs."""
+    proto = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    host = F.regexp_replace(
+        F.lower(F.try_parse_url(url, F.lit("HOST"))), r"\.+$", ""
+    )
+    auth = F.try_parse_url(url, F.lit("AUTHORITY"))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((proto == "http") & (port == "80"))
+        | ((proto == "https") & (port == "443"))
+    )
+    rawpath = F.try_parse_url(url, F.lit("PATH"))
+    path = F.regexp_replace(
+        F.regexp_replace(F.coalesce(rawpath, F.lit("")), r"/{2,}", "/"),
+        r"/$",
+        "",
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.try_parse_url(url, F.lit("QUERY"))
+    params = F.filter(
+        F.split(F.coalesce(q, F.lit("")), "&"),
+        lambda p: (p != "")
+        & ~F.regexp_extract(p, r"^([^=]*)", 1).rlike(tracking_re),
+    )
+    query = F.array_join(F.array_sort(params), "&")
+    return F.when(proto.isNull() | host.isNull() | (host == ""), F.lit(None).cast("string")).otherwise(
+        F.concat(
+            proto,
+            F.lit("://"),
+            host,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+            path,
+            F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+        )
+    )
+
+
+def url_dedup_groups(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    tracking_re: str = TRACKING_PARAM_RE,
+) -> DataFrame:
+    """URL-level dedup rollup: group by :func:`canonicalize_url` and
+    emit (canonical_url, n_docs, keep_id) with ``keep_id`` the lowest
+    id — the fetch-once decision a crawl frontier makes. Malformed URLs
+    group under the NULL key (callers decide their policy, as in
+    ``domain_cap_sample``). ONE exchange on the canonical key."""
+    return (
+        df.select(
+            canonicalize_url(F.col(url_col), tracking_re).alias("canonical_url"),
+            F.col(id_col),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
 def domain_of(url: Column, extra_suffixes: tuple[str, ...] = ()) -> Column:
     """Registrable domain straight from a URL — the composition
     ``registrable_domain(url_host(url))``, the expression a 100 TB web

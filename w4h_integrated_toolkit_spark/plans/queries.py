@@ -7567,6 +7567,104 @@ GROUP BY b.batch_idx
 """
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup rollup
+    (web.canonicalize_url / url_dedup_groups) — the normalization a
+    crawl runs before its frontier dedup: deterministic NOISY urls
+    (case-varied hosts, credentials, scheme-consistent default and
+    non-default ports, doubled slashes + trailing slash, tracking
+    params in shuffled order, fragments — all varying by doc_id
+    residues and deliberately COLLIDING across docs once canonicalized)
+    group under their canonical key with the lowest doc_id kept. The
+    DuckDB oracle re-derives canonicalization INDEPENDENTLY — regexp
+    part extraction instead of try_parse_url, list_filter/list_sort
+    instead of Column array ops — so a green hash proves the
+    normalization semantics, not the parser."""
+    from ..operators import web as WEB
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 3 == 0, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 5 == 0, F.lit("crawler:pw@")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("WWW.Src")).otherwise(F.lit("www.src")),
+        (d % 4).cast("string"),
+        F.lit(".com"),
+        F.when((d % 3 == 0) & (d % 2 == 0), F.lit(":443"))
+        .when((d % 3 != 0) & (d % 5 == 1), F.lit(":80"))
+        .when((d % 3 != 0) & (d % 7 == 2), F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/p"),
+        (d % 5).cast("string"),
+        F.when(d % 4 == 0, F.lit("//x/")).otherwise(F.lit("/x")),
+        F.element_at(
+            F.array(
+                F.lit("?utm_source=f&b=2&a=1"),
+                F.lit("?b=2&a=1"),
+                F.lit(""),
+            ),
+            (d % 3 + 1).cast("int"),
+        ),
+        F.when(d % 2 == 0, F.lit("#s")).otherwise(F.lit("")),
+    )
+    noisy = _t(spark, sf_dir, "documents").select(d, url.alias("url"))
+    return WEB.url_dedup_groups(noisy)
+
+
+_SQL_URL_CANON = """
+WITH nu AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+    (CASE WHEN doc_id % 5 = 0 THEN 'crawler:pw@' ELSE '' END) ||
+    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.Src' ELSE 'www.src' END) ||
+    CAST(doc_id % 4 AS VARCHAR) || '.com' ||
+    (CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN ':443'
+          WHEN doc_id % 3 <> 0 AND doc_id % 5 = 1 THEN ':80'
+          WHEN doc_id % 3 <> 0 AND doc_id % 7 = 2 THEN ':8080'
+          ELSE '' END) ||
+    '/p' || CAST(doc_id % 5 AS VARCHAR) ||
+    (CASE WHEN doc_id % 4 = 0 THEN '//x/' ELSE '/x' END) ||
+    (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '?utm_source=f&b=2&a=1'
+          WHEN 1 THEN '?b=2&a=1' ELSE '' END) ||
+    (CASE WHEN doc_id % 2 = 0 THEN '#s' ELSE '' END) AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS proto,
+    regexp_replace(regexp_extract(url,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', '') AS hostport,
+    regexp_extract(url,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+    regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS rawq
+  FROM nu),
+p2 AS (
+  SELECT doc_id, proto,
+    regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+                   '\\.+$', '') AS host,
+    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+    CASE WHEN regexp_replace(regexp_replace(rawpath, '/{2,}', '/', 'g'),
+                             '/$', '') = ''
+         THEN '/'
+         ELSE regexp_replace(regexp_replace(rawpath, '/{2,}', '/', 'g'),
+                             '/$', '') END AS path,
+    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+      x -> x <> '' AND NOT regexp_matches(regexp_extract(x, '^([^=]*)', 1),
+        '(?i)^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|dclid|mc_eid|mc_cid|igshid|ref|ref_src|_ga|yclid)$'
+      ))), '&') AS query
+  FROM parts)
+SELECT
+  proto || '://' || host ||
+  (CASE WHEN port <> '' AND NOT ((proto = 'http' AND port = '80')
+                                 OR (proto = 'https' AND port = '443'))
+        THEN ':' || port ELSE '' END) ||
+  path ||
+  (CASE WHEN query <> '' THEN '?' || query ELSE '' END) AS canonical_url,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM p2 GROUP BY 1
+"""
+
+
 _SQL_HTML_EXTRACT = """
 WITH exp AS (
   SELECT doc_id,
@@ -8344,6 +8442,11 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # O7 wrap-around replay: modular-arithmetic oracle over ranked
     # distinct days; pins truncate-at-end AND wrap-to-zero
     "replay_wraparound": (q_replay_wraparound, _SQL_REPLAY_WRAP),
+    # URL canonicalization + URL-level dedup (added late r11, appended
+    # BEHIND the r11 window — enters r12 never-gated; the r12 plan
+    # comment's arithmetic accounts for it). Oracle re-derives the
+    # normalization independently (regexp parts + list ops, no parser).
+    "url_canonicalize": (q_url_canonicalize, _SQL_URL_CANON),
 }
 
 
@@ -8381,16 +8484,19 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 # added in r11 (never gated), then the stalest r9 rows. Rotation-debt
 # arithmetic (per the r8 verdict's throttle order): stale backlog
 # entering r12 = 44 r8 rows, so r11 may add at most 50 − 44 = 6 new
-# entries. r11 actually adds 2 (knn_ivf_persisted, replay_wraparound)
-# → 44 + 2 − 2 = 44 ≤ 50 (both r11 additions are gated IN the r11
-# window itself, so none enter r12 never-gated), leaving 6 free slots
+# entries. r11 actually adds 3: knn_ivf_persisted and replay_wraparound
+# (gated IN the r11 window itself) plus url_canonicalize (added late
+# r11 BEHIND the window → enters r12 never-gated). Backlog entering
+# r12 = 44 r8-stale + 1 never-gated = 45 ≤ 50, leaving 5 free slots
 # for r9-stale rotation at r12 (stalest r9 rows in CORRECTNESS_r09
 # order: streaming_ewma, stream_window_dedup, value_percentile_rank,
-# grid_density, salted_hot_key_agg, event_paths). The EXACT prospective
-# r12 window (44 r8-stale + those 6) was pre-measured at r11 end:
-# 41.1 s total cold at sf0.01 on 4 cpus, worst table_diff 7.4 s —
-# inside the historical range, every entry far under the ~30 s
-# envelope.
+# grid_density, salted_hot_key_agg). The prospective r12 window
+# (44 r8-stale + 6 rotation slots before url_canonicalize landed) was
+# pre-measured at r11 end: 41.1 s total cold at sf0.01 on 4 cpus,
+# worst table_diff 7.4 s — inside the historical range, every entry
+# far under the ~30 s envelope (url_canonicalize itself measured 3.8 s
+# cold-plan on a warm session in the same shape, so the final
+# composition stays comfortably inside it).
 _R11_WINDOW = [
     # --- 35 r7-stale rows, CORRECTNESS_r07 order ---
     "source_overlap",
