@@ -122,6 +122,19 @@ def main() -> None:
                 ),
             )
         ).count(),
+        # r11: URL canonicalization + dedup rollup over noisy synthetic
+        # URLs (same 997-domain key space as domain_cap_sample — keys
+        # fixed as docs grow, the realistic frontier shape)
+        "url_canonicalize": lambda d: WEB.url_dedup_groups(
+            d.withColumn(
+                "url",
+                F.concat(
+                    F.lit("HTTP://www.Dom"),
+                    F.pmod(F.col("doc_id"), F.lit(997)).cast("string"),
+                    F.lit(".com:80//p/?utm_source=f&b=2&a=1#x"),
+                ),
+            )
+        ).count(),
         # r10: broadcast-PSL eTLD+1 over a synthetic multi-suffix host mix
         "registrable_domain_psl": lambda d: WEB.registrable_domain_psl(
             d.withColumn(
