@@ -141,6 +141,11 @@ GALLERY = [
      "carries the day bounds) feeding a global aggregate; the union of "
      "per-batch aggregates is result-sized — the cursor index is the "
      "only driver state."),
+    ("url_canonicalize", "URL canonicalization + frontier dedup: the "
+     "entire normalization (part extraction, tracking-param filter, "
+     "bytewise param sort, rebuild) is JVM Column expressions inside "
+     "one codegen stage over the scan; the ONLY exchange is the "
+     "canonical-key rollup."),
 ]
 
 
