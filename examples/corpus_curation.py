@@ -101,7 +101,10 @@ def main() -> None:
     # has no URL column, so derive a deterministic one from the source
     # (a real crawl carries its URL); cap each registrable domain at its
     # 50 highest-n_chars pages via the salted two-stage top-k.
-    from w4h_integrated_toolkit_spark.operators.web import domain_cap_sample
+    from w4h_integrated_toolkit_spark.operators.web import (
+        domain_cap_sample,
+        url_dedup_groups,
+    )
 
     with_url = crawl.withColumn(
         "url",
@@ -112,8 +115,19 @@ def main() -> None:
             F.col("source"),
             F.lit(".com/doc/"),
             F.col("doc_id").cast("string"),
+            # transport noise a real crawl carries: tracking params and
+            # fragments that URL-level dedup must see through
+            F.when(F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed#top"))
+            .otherwise(F.lit("")),
         ),
     )
+    # 0a-i. URL-level dedup: canonicalize (tracking strip, param sort,
+    # default-port/fragment drop) and fetch each page once — the crawl
+    # frontier decision, BEFORE any content-level work
+    keep_urls = url_dedup_groups(with_url).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    with_url = with_url.join(keep_urls, "doc_id", "left_semi")
     raw = domain_cap_sample(
         with_url, "url", "n_chars", cap=50, salt_buckets=4
     ).drop("url", "domain", "domain_rank")

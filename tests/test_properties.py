@@ -1584,3 +1584,77 @@ def test_model_store_roundtrip_property(spark, tmp_path_factory, rows1, rows2, p
     assert p2 == {"v": 2} and canon(latest) == canon(df2)  # full replace
     old, p_old = load_model(spark, t, version=v1)
     assert p_old == dict(params) and canon(old) == canon(df1)  # time travel
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.booleans(),                      # https?
+            st.booleans(),                      # userinfo?
+            st.integers(0, 3),                  # host variant
+            st.integers(0, 1),                  # trailing host dot (java.net.URI
+                                                # rejects repeated dots → NULL)
+            st.sampled_from(["", ":80", ":443", ":8080"]),
+            st.lists(st.integers(0, 4), max_size=4),   # path segments
+            st.booleans(),                      # double the slashes?
+            st.booleans(),                      # trailing slash?
+            st.lists(
+                st.sampled_from(
+                    ["a=1", "b=2", "utm_source=x", "gclid=g", "B=0", "refresh=1"]
+                ),
+                max_size=4,
+            ),
+            st.booleans(),                      # fragment?
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_canonicalize_url_idempotence_property(spark, specs):
+    """Canonicalization law: canonicalize ∘ canonicalize ==
+    canonicalize over component-generated URLs (schemes, credentials,
+    host case/dots, default and explicit ports, doubled/trailing
+    slashes, tracking + content params in any order, fragments) — a
+    canonical form that keeps changing under its own normalizer isn't
+    canonical. Also: the canonical form never contains '#', '@' or a
+    default port."""
+    from pyspark.sql import functions as F
+
+    from w4h_integrated_toolkit_spark.operators.web import canonicalize_url
+
+    def build(https, ui, hv, dots, port, segs, dbl, trail, params, frag):
+        host = ["Ex.COM", "ex.com", "WWW.Ex.Org", "sub.ex.net"][hv] + "." * dots
+        sep = "//" if dbl else "/"
+        path = "".join(f"{sep}s{p}" for p in segs) + ("/" if trail else "")
+        return (
+            ("https" if https else "http")
+            + "://"
+            + ("user:pw@" if ui else "")
+            + host
+            + port
+            + path
+            + (("?" + "&".join(params)) if params else "")
+            + ("#frag" if frag else "")
+        )
+
+    urls = [build(*spec) for spec in specs]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(canonicalize_url(F.col("u")).alias("c1"))
+    twice = once.select(
+        "c1", canonicalize_url(F.col("c1")).alias("c2")
+    ).collect()
+    for r in twice:
+        assert r["c2"] == r["c1"], (r["c1"], r["c2"])
+        assert r["c1"] is not None  # every generated URL parses
+        assert "#" not in r["c1"] and "@" not in r["c1"]
+        assert not r["c1"].startswith("http://") or ":80/" not in r["c1"]
+        assert not r["c1"].startswith("https://") or ":443/" not in r["c1"]
+
+    # malformed input (java.net.URI rejects repeated host dots) → NULL,
+    # and NULL propagates through a second pass
+    bad = spark.createDataFrame([("http://ex.com..",), (None,)], "u string")
+    out = bad.select(
+        canonicalize_url(canonicalize_url(F.col("u"))).alias("c")
+    ).collect()
+    assert all(r["c"] is None for r in out)
