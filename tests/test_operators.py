@@ -3696,6 +3696,63 @@ def test_registrable_domain_psl_equivalence_and_loader(spark):
         registrable_domain_psl(tainted, suffixes=list(MULTI_PART_SUFFIXES))
 
 
+def test_idna_ascii_hosts_known_vectors(spark):
+    """IDNA host normalization against published vectors: the RFC 3492
+    'bücher' sample, a Japanese IDN, mixed ascii/unicode labels,
+    pure-ASCII and already-punycode pass-through (idempotence),
+    trailing-dot strip and case fold, NULL/empty/over-long → NULL. The
+    chain into registrable_domain_psl consumes the ASCII form (the real
+    PSL ships punycode rules)."""
+    from w4h_integrated_toolkit_spark.operators.web import (
+        _host_to_ascii,
+        idna_ascii_hosts,
+        registrable_domain_psl,
+    )
+
+    cases = [
+        ("bücher.example", "xn--bcher-kva.example"),
+        ("例え.テスト", "xn--r8jz45g.xn--zckzah"),
+        ("www.BÜCHER.example.", "www.xn--bcher-kva.example"),
+        ("plain.example.com", "plain.example.com"),
+        ("xn--bcher-kva.example", "xn--bcher-kva.example"),  # idempotent
+        ("EX.COM", "ex.com"),
+        (None, None),
+        ("", None),
+        ("a" * 64 + ".com", None),  # over-long label
+    ]
+    # scalar kernel
+    for h, want in cases:
+        assert _host_to_ascii(h) == want, h
+    # idempotence over the encodable outputs
+    for _, want in cases:
+        if want is not None:
+            assert _host_to_ascii(want) == want
+
+    # Arrow-batched column arm preserves input columns and appends
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, host string"
+    )
+    got = {r["i"]: r["ascii_host"] for r in idna_ascii_hosts(df).collect()}
+    for i, (_h, want) in enumerate(cases):
+        assert got[i] == want, i
+
+    # composition: PSL domain logic over the ASCII form
+    idn = spark.createDataFrame(
+        [("bücher.example.co.uk",), ("www.例え.テスト",)], "host string"
+    )
+    ascii_df = idna_ascii_hosts(idn).select(
+        F.col("ascii_host").alias("host")
+    )
+    doms = {
+        r["host"]: r["domain"]
+        for r in registrable_domain_psl(
+            ascii_df, suffixes=["co.uk", "xn--r8jz45g.xn--zckzah"]
+        ).collect()
+    }
+    assert doms["xn--bcher-kva.example.co.uk"] == "example.co.uk"
+    assert doms["www.xn--r8jz45g.xn--zckzah"] == "www.xn--r8jz45g.xn--zckzah"
+
+
 def test_canonicalize_url_edge_matrix(spark):
     """canonicalize_url against hand-built URLs: case folding, userinfo
     and fragment drop, default-port strip (scheme-aware), non-default

@@ -213,6 +213,60 @@ def registrable_domain_psl(
     return out.withColumn(out_col, expr).drop(*drop)
 
 
+def _host_to_ascii(host: str | None) -> str | None:
+    """IDNA (punycode) ASCII form of one hostname: lowercase, trailing
+    root dots stripped, each non-ASCII label encoded via the stdlib
+    ``idna`` codec (RFC 3490 ToASCII — xn-- labels); already-ASCII
+    labels pass through unchanged, and already-encoded ``xn--`` labels
+    are left alone. Unencodable labels (empty, over-long, codec errors)
+    → None, mirroring try_parse_url's NULL-for-malformed contract."""
+    if host is None:
+        return None
+    h = host.rstrip(".").lower()
+    if h == "":
+        return None
+    out = []
+    for label in h.split("."):
+        if label.isascii():
+            if label == "" or len(label) > 63:
+                return None
+            out.append(label)
+            continue
+        try:
+            enc = label.encode("idna").decode("ascii")
+        except UnicodeError:
+            return None
+        if len(enc) > 63:
+            return None
+        out.append(enc)
+    return ".".join(out)
+
+
+def idna_ascii_hosts(
+    df: DataFrame, host_col: str = "host", out_col: str = "ascii_host"
+) -> DataFrame:
+    """Punycode/IDNA normalization of a hostname column — the step an
+    international crawl runs BEFORE any ASCII domain logic: the real
+    public-suffix list ships punycode rules, so
+    :func:`registrable_domain_psl` (and per-domain caps, frontier keys)
+    must see ``xn--bcher-kva.example``, not ``bücher.example``.
+    Arrow-batched ``mapInPandas`` (the repo's no-row-at-a-time-UDF
+    rule; the stdlib ``idna`` codec isn't expressible as JVM Columns);
+    map-side only, zero shuffles. Unencodable hosts → NULL."""
+    import pandas as pd
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    schema = f"{fields}, {out_col} string"
+
+    def kernel(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [_host_to_ascii(h) for h in pdf[host_col]]
+            yield pdf
+
+    return df.mapInPandas(kernel, schema)
+
+
 # query parameters that carry tracking/session state, never content
 # identity — the standard strip set of crawl canonicalizers (utm_*,
 # click ids, mail/campaign ids). Matched against the PARAM NAME.
