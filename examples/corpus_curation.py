@@ -115,19 +115,25 @@ def main() -> None:
             F.col("source"),
             F.lit(".com/doc/"),
             F.col("doc_id").cast("string"),
-            # transport noise a real crawl carries: tracking params and
-            # fragments that URL-level dedup must see through
-            F.when(F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed#top"))
-            .otherwise(F.lit("")),
         ),
     )
-    # 0a-i. URL-level dedup: canonicalize (tracking strip, param sort,
-    # default-port/fragment drop) and fetch each page once — the crawl
-    # frontier decision, BEFORE any content-level work
-    keep_urls = url_dedup_groups(with_url).select(
+    # 0a-i. URL-level dedup: a real crawl FETCHES the same page more
+    # than once (re-crawls, links carrying tracking params) — simulate
+    # a second fetch of every page under a noisy URL variant, then
+    # canonicalize (tracking strip, param sort, fragment drop) and keep
+    # one fetch per canonical key: the crawl frontier decision, BEFORE
+    # any content-level work
+    refetch = with_url.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    ).withColumn("url", F.concat(F.col("url"), F.lit("?utm_source=feed#top")))
+    fetches = with_url.unionByName(refetch)
+    n_fetches = fetches.count()
+    keep_urls = url_dedup_groups(fetches).select(
         F.col("keep_id").alias("doc_id")
     )
-    with_url = with_url.join(keep_urls, "doc_id", "left_semi")
+    with_url = fetches.join(keep_urls, "doc_id", "left_semi")
+    n_pages = with_url.count()
+    print(f"frontier: {n_fetches} fetches -> {n_pages} canonical pages")
     raw = domain_cap_sample(
         with_url, "url", "n_chars", cap=50, salt_buckets=4
     ).drop("url", "domain", "domain_rank")

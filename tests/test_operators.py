@@ -3773,6 +3773,10 @@ def test_canonicalize_url_edge_matrix(spark):
         ("https://ex.com:443/p", "https://ex.com/p"),
         ("http://ex.com:443/p", "http://ex.com:443/p"),  # not http's default
         ("http://ex.com:8443/p?a=1", "http://ex.com:8443/p?a=1"),
+        # ports compare and emit NUMERICALLY: ':080' is http's default,
+        # ':08080' normalizes to ':8080'
+        ("http://ex.com:080/p", "http://ex.com/p"),
+        ("http://ex.com:08080/p", "http://ex.com:8080/p"),
         ("http://ex.com", "http://ex.com/"),
         ("http://ex.com./x/", "http://ex.com/x"),
         ("http://ex.com/?gclid=z&fbclid=y", "http://ex.com/"),

@@ -589,6 +589,22 @@ def _lloyd_step_q(vq: DataFrame, cq: DataFrame) -> DataFrame:
     )
 
 
+def _cells_to_cq(cells: DataFrame) -> DataFrame:
+    """Adapter from centroid CELLS (centroid_id, dim, q_value, ...) to
+    the (_cid, _cq: array<long>) frame a Lloyd step consumes — the ONE
+    place the cell format is interpreted (shared by the fit loop tail,
+    the warm-start init path, and :func:`centroid_arrays`, so a format
+    change can never desynchronize them)."""
+    return (
+        cells.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "q_value"))).alias("_s"))
+        .select(
+            F.col("centroid_id").alias("_cid"),
+            F.transform("_s", lambda s: s["q_value"]).alias("_cq"),
+        )
+    )
+
+
 def kmeans_fit(
     vectors: DataFrame,
     k: int = 8,
@@ -652,18 +668,14 @@ def kmeans_fit(
                 f"init is missing centroid-cell column(s) {sorted(missing)}; "
                 "pass kmeans_fit-format cells (e.g. a model-store load)"
             )
-        # same cells -> (cid, ordered q array) adapter as the loop tail
-        cq = (
-            init.groupBy("centroid_id")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("dim", "q_value"))).alias("_s")
+        cq = _cells_to_cq(init).localCheckpoint(eager=True)
+        if cq.isEmpty():
+            # mirror the cold path's k >= 1 guard: an empty init would
+            # silently fit an empty model (every Lloyd join vacuous)
+            raise ValueError(
+                "init has no centroid cells — refusing to warm-start "
+                "from an empty model; check the load/fit that produced it"
             )
-            .select(
-                F.col("centroid_id").alias("_cid"),
-                F.transform("_s", lambda s: s["q_value"]).alias("_cq"),
-            )
-            .localCheckpoint(eager=True)
-        )
     else:
         cq = (
             vq.orderBy("_vid")
@@ -682,18 +694,7 @@ def kmeans_fit(
         ):
             return cells
         prev = cells
-        cq = (
-            cells.groupBy("centroid_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("dim", "q_value"))
-                ).alias("_s")
-            )
-            .select(
-                F.col("centroid_id").alias("_cid"),
-                F.transform("_s", lambda s: s["q_value"]).alias("_cq"),
-            )
-        )
+        cq = _cells_to_cq(cells)
     return prev
 
 
@@ -707,15 +708,12 @@ def centroid_arrays(
     q_value, n_members) back to an (id, array<double>) vector frame —
     what ``ivf_topk(centroids=...)`` consumes, so the IVF coarse
     quantizer can be REAL k-means centroids instead of the ``% stride``
-    subset. One k·d-row aggregate; dims are array_sort-ordered so the
-    array layout is deterministic."""
-    return (
-        cells.groupBy("centroid_id")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "q_value"))).alias("_s"))
-        .select(
-            F.col("centroid_id").alias(id_col),
-            F.transform(
-                "_s", lambda s: s["q_value"].cast("double") / F.lit(float(scale))
-            ).alias(vec_col),
-        )
+    subset. One k·d-row aggregate (the shared :func:`_cells_to_cq`
+    adapter); dims are array_sort-ordered so the array layout is
+    deterministic."""
+    return _cells_to_cq(cells).select(
+        F.col("_cid").alias(id_col),
+        F.transform(
+            "_cq", lambda q: q.cast("double") / F.lit(float(scale))
+        ).alias(vec_col),
     )

@@ -29,6 +29,10 @@ __all__ = [
     "html_title",
     "html_link_count",
     "html_extract",
+    "canonicalize_url",
+    "url_dedup_groups",
+    "idna_ascii_hosts",
+    "TRACKING_PARAM_RE",
 ]
 
 # Vendored multi-part-suffix subset of the public Mozilla PSL — the
@@ -253,10 +257,18 @@ def idna_ascii_hosts(
     Arrow-batched ``mapInPandas`` (the repo's no-row-at-a-time-UDF
     rule; the stdlib ``idna`` codec isn't expressible as JVM Columns);
     map-side only, zero shuffles. Unencodable hosts → NULL."""
-    import pandas as pd
+    from pyspark.sql import types as T
 
-    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
-    schema = f"{fields}, {out_col} string"
+    if out_col in df.columns:
+        raise ValueError(
+            f"output column {out_col!r} already exists on the input; "
+            "pass a different out_col or drop it first"
+        )
+    # build the output schema structurally (a DDL string would break on
+    # names needing quoting)
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.StringType())]
+    )
 
     def kernel(batches):
         for pdf in batches:
@@ -284,8 +296,10 @@ def canonicalize_url(url: Column, tracking_re: str = TRACKING_PARAM_RE) -> Colum
 
     - scheme and host lowercased; trailing root dots stripped from the
       host; userinfo (credentials) and the fragment DROPPED;
-    - default ports removed (``:80`` for http, ``:443`` for https);
-      any other explicit port is identity-bearing and kept;
+    - ports compared and emitted NUMERICALLY (``:080`` ≡ ``:80``):
+      default ports removed (``:80`` for http, ``:443`` for https);
+      any other explicit port is identity-bearing and kept,
+      leading-zeros-normalized;
     - path: runs of ``/`` collapse to one, the trailing slash is
       stripped, and the empty path becomes ``/``;
     - query: parameters matching ``tracking_re`` (by NAME) are dropped,
@@ -302,10 +316,17 @@ def canonicalize_url(url: Column, tracking_re: str = TRACKING_PARAM_RE) -> Colum
         F.lower(F.try_parse_url(url, F.lit("HOST"))), r"\.+$", ""
     )
     auth = F.try_parse_url(url, F.lit("AUTHORITY"))
-    port = F.regexp_extract(auth, r":(\d+)$", 1)
-    keep_port = (port != "") & ~(
-        ((proto == "http") & (port == "80"))
-        | ((proto == "https") & (port == "443"))
+    # numeric port: ':080' must equal ':80' both in the default-port
+    # test and in the emitted canonical form. 1-5 digits keeps the cast
+    # ANSI-safe (≤99999 < 2³¹; valid ports are ≤65535 anyway — a longer
+    # digit run is malformed and simply drops); nullif guards the
+    # no-match '' under ANSI cast semantics
+    port = F.nullif(
+        F.regexp_extract(auth, r":(\d{1,5})$", 1), F.lit("")
+    ).cast("int")
+    keep_port = port.isNotNull() & ~(
+        ((proto == "http") & (port == 80))
+        | ((proto == "https") & (port == 443))
     )
     rawpath = F.try_parse_url(url, F.lit("PATH"))
     path = F.regexp_replace(
@@ -326,7 +347,9 @@ def canonicalize_url(url: Column, tracking_re: str = TRACKING_PARAM_RE) -> Colum
             proto,
             F.lit("://"),
             host,
-            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+            F.when(
+                keep_port, F.concat(F.lit(":"), port.cast("string"))
+            ).otherwise(F.lit("")),
             path,
             F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
         )

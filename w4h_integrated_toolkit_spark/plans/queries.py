@@ -7641,7 +7641,7 @@ p2 AS (
   SELECT doc_id, proto,
     regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
                    '\\.+$', '') AS host,
-    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+    TRY_CAST(regexp_extract(hostport, ':([0-9]{1,5})$', 1) AS INT) AS port,
     CASE WHEN regexp_replace(regexp_replace(rawpath, '/{2,}', '/', 'g'),
                              '/$', '') = ''
          THEN '/'
@@ -7654,9 +7654,9 @@ p2 AS (
   FROM parts)
 SELECT
   proto || '://' || host ||
-  (CASE WHEN port <> '' AND NOT ((proto = 'http' AND port = '80')
-                                 OR (proto = 'https' AND port = '443'))
-        THEN ':' || port ELSE '' END) ||
+  (CASE WHEN port IS NOT NULL AND NOT ((proto = 'http' AND port = 80)
+                                       OR (proto = 'https' AND port = 443))
+        THEN ':' || CAST(port AS VARCHAR) ELSE '' END) ||
   path ||
   (CASE WHEN query <> '' THEN '?' || query ELSE '' END) AS canonical_url,
   CAST(count(*) AS BIGINT) AS n_docs,
