@@ -229,6 +229,7 @@ EXTRA_BENCH_QUERIES = [
     "knn_ivf_persisted",
     "replay_wraparound",
     "url_canonicalize",
+    "idna_hosts",
 ]
 
 # The heaviest extras get MEDIAN-OF-3 like the headline (r8 verdict

@@ -7665,6 +7665,75 @@ FROM p2 GROUP BY 1
 """
 
 
+# IDNA gate vectors: (unicode host, publicly documented punycode form).
+# The oracle maps each literal to its KNOWN ASCII form via CASE — the
+# formula-derived-oracle pattern the media codecs use: DuckDB cannot
+# punycode, and it doesn't need to, because the expected values are
+# pinned by the RFC/IANA record (xn--bcher-kva is RFC 3492's sample,
+# xn--zckzah the IANA Japanese test TLD, xn--p1ai the real .рф ccTLD,
+# xn--mnchen-3ya.de widely documented), not recomputed by the code
+# under test.
+_IDNA_VECTORS: list[tuple[str, str | None]] = [
+    ("bücher.example", "xn--bcher-kva.example"),
+    ("例え.テスト", "xn--r8jz45g.xn--zckzah"),
+    ("www.BÜCHER.example.", "www.xn--bcher-kva.example"),
+    ("münchen.de", "xn--mnchen-3ya.de"),
+    ("кто.рф", "xn--j1ail.xn--p1ai"),
+    ("plain.example.com", "plain.example.com"),
+    ("xn--bcher-kva.example", "xn--bcher-kva.example"),  # idempotent
+    ("a" * 64 + ".com", None),  # over-long label -> NULL
+]
+
+
+def q_idna_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDNA/punycode host normalization (web.idna_ascii_hosts — the
+    Arrow-batched stdlib-idna kernel) driver-gated over fixed published
+    vectors: each document picks one of the 8 literal hosts by doc_id
+    residue (unicode, mixed-label, FQDN-dotted, already-punycode,
+    pure-ASCII, and an over-long-label host that must map to NULL), the
+    kernel normalizes, and the result rolls up per (host, ascii_host).
+    A green hash proves lowercase/dot-strip/per-label encode/rejection
+    semantics against the RFC-pinned expected forms."""
+    from ..operators import web as WEB
+
+    hosts = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.element_at(
+            F.array(*[F.lit(h) for h, _ in _IDNA_VECTORS]),
+            (F.col("doc_id") % len(_IDNA_VECTORS) + 1).cast("int"),
+        ).alias("host"),
+    )
+    out = WEB.idna_ascii_hosts(hosts)
+    return out.groupBy("host", "ascii_host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def _idna_sql(vectors: list[tuple[str, str | None]]) -> str:
+    bad = [h for h, a in vectors if "'" in h or (a and "'" in a)]
+    if bad:
+        raise ValueError(f"IDNA vectors unsafe for SQL literals: {bad!r}")
+    arr = ", ".join(f"'{h}'" for h, _ in vectors)
+    cases = "\n".join(
+        f"        WHEN '{h}' THEN " + (f"'{a}'" if a is not None else "NULL")
+        for h, a in vectors
+    )
+    return f"""
+WITH hx AS (
+  SELECT doc_id,
+         ([{arr}])[CAST(doc_id % {len(vectors)} AS INT) + 1] AS host
+  FROM documents),
+m AS (
+  SELECT doc_id, host,
+      CASE host
+{cases}
+      END AS ascii_host
+  FROM hx)
+SELECT host, ascii_host, CAST(count(*) AS BIGINT) AS n_docs
+FROM m GROUP BY host, ascii_host
+"""
+
+
 _SQL_HTML_EXTRACT = """
 WITH exp AS (
   SELECT doc_id,
@@ -8447,6 +8516,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # comment's arithmetic accounts for it). Oracle re-derives the
     # normalization independently (regexp parts + list ops, no parser).
     "url_canonicalize": (q_url_canonicalize, _SQL_URL_CANON),
+    # IDNA/punycode hosts over RFC/IANA-pinned vectors (late r11,
+    # behind the window — enters r12 never-gated): the oracle maps each
+    # fixed host to its PUBLISHED punycode form, never computing it.
+    "idna_hosts": (q_idna_hosts, _idna_sql(_IDNA_VECTORS)),
 }
 
 
@@ -8484,13 +8557,13 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 # added in r11 (never gated), then the stalest r9 rows. Rotation-debt
 # arithmetic (per the r8 verdict's throttle order): stale backlog
 # entering r12 = 44 r8 rows, so r11 may add at most 50 − 44 = 6 new
-# entries. r11 actually adds 3: knn_ivf_persisted and replay_wraparound
-# (gated IN the r11 window itself) plus url_canonicalize (added late
-# r11 BEHIND the window → enters r12 never-gated). Backlog entering
-# r12 = 44 r8-stale + 1 never-gated = 45 ≤ 50, leaving 5 free slots
-# for r9-stale rotation at r12 (stalest r9 rows in CORRECTNESS_r09
-# order: streaming_ewma, stream_window_dedup, value_percentile_rank,
-# grid_density, salted_hot_key_agg). The prospective r12 window
+# entries. r11 actually adds 4: knn_ivf_persisted and replay_wraparound
+# (gated IN the r11 window itself) plus url_canonicalize and idna_hosts
+# (added late r11 BEHIND the window → enter r12 never-gated). Backlog
+# entering r12 = 44 r8-stale + 2 never-gated = 46 ≤ 50, leaving 4 free
+# slots for r9-stale rotation at r12 (stalest r9 rows in
+# CORRECTNESS_r09 order: streaming_ewma, stream_window_dedup,
+# value_percentile_rank, grid_density). The prospective r12 window
 # (44 r8-stale + 6 rotation slots before url_canonicalize landed) was
 # pre-measured at r11 end: 41.1 s total cold at sf0.01 on 4 cpus,
 # worst table_diff 7.4 s — inside the historical range, every entry
