@@ -268,6 +268,10 @@ MEDIAN_EXTRA_QUERIES = {
     "bpe_segment",               # warm 1.1-1.5 s (3.33 cold, r10 driver)
     "knn_ivf_fitted",            # 2.6-3.0 s (two Lloyd iterations by design)
     "registrable_domain_psl",    # 1.3-1.6 s
+    # r11 verdict order #3: the heaviest 1-run extra; its first
+    # round-over-round comparison lands at r12 — median-of-3 so the
+    # 3.0-3.6 s band is confirmed (or adjudicated) on medians.
+    "knn_ivf_persisted",         # 3.0-3.6 s (fit + O(k·d) store hop)
 }
 
 

@@ -2822,6 +2822,15 @@ def test_kmeans_fit_warm_start_continuation_law(spark, tmp_path):
     with _pytest.raises(ValueError, match="centroid-cell column"):
         kmeans_fit(vecs, init=two.drop("q_value"))
 
+    # k conflicting with init's centroid count raises (fail-loud, like
+    # load_model's expect_params); a MATCHING explicit k is accepted
+    with _pytest.raises(ValueError, match="conflicts with init"):
+        kmeans_fit(vecs, k=8, iterations=1, init=two)
+    ok = kmeans_fit(vecs, k=4, iterations=1, early_stop=False, init=two)
+    assert sorted(map(tuple, ok.collect())) == sorted(
+        map(tuple, three.collect())
+    )
+
 
 def test_kmeans_fit_drops_empty_clusters(spark):
     """Duplicate seed vectors: the distance-0 tie breaks to the lowest
@@ -3719,6 +3728,11 @@ def test_idna_ascii_hosts_known_vectors(spark):
         (None, None),
         ("", None),
         ("a" * 64 + ".com", None),  # over-long label
+        # every label legal (63 each) but the joined name breaks RFC
+        # 1035's 253-octet hostname cap (4×63 + 3 dots = 255)
+        (".".join(c * 63 for c in "abcd"), None),
+        ("a" * 63 + "." + "b" * 63 + "." + "c" * 63 + "." + "d" * 61,
+         "a" * 63 + "." + "b" * 63 + "." + "c" * 63 + "." + "d" * 61),
     ]
     # scalar kernel
     for h, want in cases:
@@ -3728,13 +3742,26 @@ def test_idna_ascii_hosts_known_vectors(spark):
         if want is not None:
             assert _host_to_ascii(want) == want
 
-    # Arrow-batched column arm preserves input columns and appends
+    # Arrow-batched column arm preserves input columns and appends —
+    # and the dict (distinct+join) and rowwise strategies agree
+    # row-for-row (duplicated hosts included: i % len(cases) repeats
+    # each vector, the Zipfian shape the dict pass amortizes)
     df = spark.createDataFrame(
-        [(i, h) for i, (h, _) in enumerate(cases)], "i long, host string"
+        [(i, cases[i % len(cases)][0]) for i in range(3 * len(cases))],
+        "i long, host string",
     )
-    got = {r["i"]: r["ascii_host"] for r in idna_ascii_hosts(df).collect()}
-    for i, (_h, want) in enumerate(cases):
-        assert got[i] == want, i
+    for strategy in ("dict", "rowwise"):
+        got = {
+            r["i"]: r["ascii_host"]
+            for r in idna_ascii_hosts(df, strategy=strategy).collect()
+        }
+        for i in range(3 * len(cases)):
+            assert got[i] == cases[i % len(cases)][1], (strategy, i)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        idna_ascii_hosts(df, strategy="bogus")
 
     # composition: PSL domain logic over the ASCII form
     idn = spark.createDataFrame(
@@ -3756,11 +3783,13 @@ def test_idna_ascii_hosts_known_vectors(spark):
 def test_canonicalize_url_edge_matrix(spark):
     """canonicalize_url against hand-built URLs: case folding, userinfo
     and fragment drop, default-port strip (scheme-aware), non-default
-    port keep, slash collapse + trailing-slash strip, empty path → '/',
-    tracking-param strip by NAME (utm_*, gclid, ...; a content param
-    named 'refresh' survives the 'ref' rule), bytewise param sort,
-    emptied query loses its '?', trailing host dots strip, NULL and
-    malformed → NULL."""
+    port keep, INVALID port → whole-URL NULL (one policy for :0,
+    :99999 and :123456 alike), slash collapse + trailing-slash strip,
+    empty path → '/', percent-normalization (unreserved octets decode,
+    reserved hex uppercases, double-encoding untouched), tracking-param
+    strip by NAME (utm_*, gclid, ...; content-bearing 'ref' and
+    'refresh' survive), bytewise param sort, emptied query loses its
+    '?', trailing host dots strip, NULL and malformed → NULL."""
     from pyspark.sql import functions as F
 
     from w4h_integrated_toolkit_spark.operators.web import canonicalize_url
@@ -3777,11 +3806,31 @@ def test_canonicalize_url_edge_matrix(spark):
         # ':08080' normalizes to ':8080'
         ("http://ex.com:080/p", "http://ex.com/p"),
         ("http://ex.com:08080/p", "http://ex.com:8080/p"),
+        # invalid ports NULL the whole URL — same policy whether the
+        # digit run overflows the extract (:123456) or casts out of
+        # range (:99999, :0); malformed-port variants never mint or
+        # join a canonical key
+        ("http://ex.com:99999/p", None),
+        ("http://ex.com:123456/p", None),
+        ("http://ex.com:0/p", None),
         ("http://ex.com", "http://ex.com/"),
         ("http://ex.com./x/", "http://ex.com/x"),
         ("http://ex.com/?gclid=z&fbclid=y", "http://ex.com/"),
-        # 'refresh' is NOT 'ref' (name-anchored match); '_ga' goes
+        # 'refresh' is NOT a tracking name; '_ga' goes; content-bearing
+        # bare 'ref' (e.g. ?ref=branch) SURVIVES while ref_src goes
         ("http://ex.com/p?refresh=1&_ga=2.1", "http://ex.com/p?refresh=1"),
+        ("http://ex.com/p?ref=main&ref_src=tw", "http://ex.com/p?ref=main"),
+        # percent-normalization: %41→'A', %7e→'~' (unreserved decode);
+        # %2f stays encoded but uppercases; %2541 is double-encoded and
+        # left alone; query octets normalize before the bytewise sort
+        ("http://ex.com/%41b/x", "http://ex.com/Ab/x"),
+        ("http://ex.com/%7euser", "http://ex.com/~user"),
+        ("http://ex.com/a%2fb", "http://ex.com/a%2Fb"),
+        ("http://ex.com/%2541", "http://ex.com/%2541"),
+        ("http://ex.com/p?a=%3a&b=%42", "http://ex.com/p?a=%3A&b=B"),
+        # decoded names feed the tracking filter: utm%5Fsource is
+        # utm_source once '_' (%5F, unreserved) decodes
+        ("http://ex.com/p?utm%5Fsource=x&a=1", "http://ex.com/p?a=1"),
         # bytewise sort: 'B=1' (0x42) precedes 'a=2' (0x61)
         ("http://ex.com/p?a=2&B=1", "http://ex.com/p?B=1&a=2"),
         ("http://ex.com/p?", "http://ex.com/p"),

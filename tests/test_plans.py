@@ -1276,25 +1276,26 @@ def test_wave15_plan_shapes(spark):
     assert "GreaterThanOrEqual" in p, p[:1200]
 
 
-def test_r11_gate_window_composition_recomputed_from_driver_rows():
+def test_r12_gate_window_composition_recomputed_from_driver_rows():
     """The judge's standing caution: the builder schedules the gate
     window, so every round's rotation honesty must be re-verifiable.
-    This test RECOMPUTES the prescribed r11 composition from the
-    CORRECTNESS_r*.json driver records themselves — the 35 r7-stale
-    rows first in r7-file order, then the 7 never-driver-gated r10
-    additions, then the 6 stalest r8 rows in r8-file order (the r10
-    verdict's order #8 allocates the other 2 free slots to the r11
-    additions), then the 2 r11 additions — and asserts _R11_WINDOW
+    This test RECOMPUTES the prescribed r12 composition from the
+    CORRECTNESS_r*.json driver records themselves — the 44 r8-stale
+    rows first in r8-file order, then the 2 never-driver-gated late-r11
+    additions (url_canonicalize, idna_hosts — their first hash), then
+    the 4 stalest r9 rows in r9-file order — and asserts _R12_WINDOW
     equals it name-for-name, so the window cannot drift from the
-    written plan without this failing."""
+    written plan without this failing. This is the round the rotation
+    debt hits zero: after r12 gates green no r8-stale and no
+    never-gated entries remain."""
     import json
 
-    from w4h_integrated_toolkit_spark.plans.queries import _R11_WINDOW
+    from w4h_integrated_toolkit_spark.plans.queries import _R12_WINDOW
 
     root = os.path.join(os.path.dirname(__file__), "..")
     latest: dict[str, int] = {}
     orders: dict[int, list[str]] = {}
-    for n in range(1, 11):
+    for n in range(1, 12):
         path = os.path.join(root, f"CORRECTNESS_r{n:02d}.json")
         if not os.path.exists(path):
             pytest.skip("driver CORRECTNESS records not present")
@@ -1305,17 +1306,13 @@ def test_r11_gate_window_composition_recomputed_from_driver_rows():
             if rec.get("hash_match") or rec.get("rows_match"):
                 latest[name] = n
 
-    r7_stale = [k for k in orders[7] if latest.get(k) == 7]
     r8_stale = [k for k in orders[8] if latest.get(k) == 8]
-    never_gated_r10 = [
-        "bpe_segment", "knn_ivf_fitted", "registrable_domain_psl",
-        "wav_decode_stats", "audio_frame_energy", "video_frame_stats",
-        "html_extract",
-    ]
-    added_r11 = ["knn_ivf_persisted", "replay_wraparound"]
-    assert all(k not in latest for k in never_gated_r10 + added_r11)
-    n_r8 = 50 - len(r7_stale) - len(never_gated_r10) - len(added_r11)
-    expected = r7_stale + never_gated_r10 + r8_stale[:n_r8] + added_r11
-    assert list(_R11_WINDOW) == expected, (
+    r9_stale = [k for k in orders[9] if latest.get(k) == 9]
+    never_gated_r11 = ["url_canonicalize", "idna_hosts"]
+    assert all(k not in latest for k in never_gated_r11)
+    assert len(r8_stale) == 44  # zero r7-stale remain (r11 cleared them)
+    n_r9 = 50 - len(r8_stale) - len(never_gated_r11)
+    expected = r8_stale + never_gated_r11 + r9_stale[:n_r9]
+    assert list(_R12_WINDOW) == expected, (
         "gate window diverges from the recomputed rotation plan"
     )

@@ -607,7 +607,7 @@ def _cells_to_cq(cells: DataFrame) -> DataFrame:
 
 def kmeans_fit(
     vectors: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -639,8 +639,12 @@ def kmeans_fit(
     e.g. yesterday's fit loaded back through the model store
     (sources/models.load_model), the production refit loop where a
     nightly job continues from the published model instead of
-    re-seeding. ``k`` is ignored when ``init`` is given (the centroid
-    count is the init's). Exact continuation law (test-pinned):
+    re-seeding. When ``init`` is given the centroid count is the
+    init's; passing a ``k`` that disagrees with it RAISES (the
+    fail-loud hyperparameter philosophy of sources/models.load_model —
+    a silent 5-centroid fit under k=8 is a config bug, not a choice).
+    ``k`` defaults to 8 on a cold start. Exact continuation law
+    (test-pinned):
     ``kmeans_fit(v, init=kmeans_fit(v, k, n), iterations=m)`` equals
     ``kmeans_fit(v, k, n + m)`` integer-for-integer, because each
     iteration is a pure function of the previous cells.
@@ -653,7 +657,9 @@ def kmeans_fit(
     an exceptAll over those same k·d rows — O(k·d), never O(corpus).
     Returns (centroid_id, dim, q_value, n_members).
     """
-    if k < 1:
+    if k is None and init is None:
+        k = 8
+    if k is not None and k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -676,6 +682,15 @@ def kmeans_fit(
                 "init has no centroid cells — refusing to warm-start "
                 "from an empty model; check the load/fit that produced it"
             )
+        if k is not None:
+            init_k = cq.count()  # O(k) — cq is already checkpointed
+            if init_k != k:
+                raise ValueError(
+                    f"k={k} conflicts with init's {init_k} centroid(s) — "
+                    "the warm-start centroid count is the init's; drop "
+                    "k or pass a matching init (fail-loud, like "
+                    "load_model's expect_params)"
+                )
     else:
         cq = (
             vq.orderBy("_vid")

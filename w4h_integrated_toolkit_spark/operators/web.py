@@ -222,7 +222,8 @@ def _host_to_ascii(host: str | None) -> str | None:
     root dots stripped, each non-ASCII label encoded via the stdlib
     ``idna`` codec (RFC 3490 ToASCII — xn-- labels); already-ASCII
     labels pass through unchanged, and already-encoded ``xn--`` labels
-    are left alone. Unencodable labels (empty, over-long, codec errors)
+    are left alone. Unencodable hosts (empty, over-long label, ASCII
+    form over RFC 1035's 253-octet hostname limit, codec errors)
     → None, mirroring try_parse_url's NULL-for-malformed contract."""
     if host is None:
         return None
@@ -243,11 +244,20 @@ def _host_to_ascii(host: str | None) -> str | None:
         if len(enc) > 63:
             return None
         out.append(enc)
-    return ".".join(out)
+    joined = ".".join(out)
+    # per-label 63-octet checks don't bound the whole name: RFC 1035
+    # caps the full hostname at 253 octets (255 wire bytes minus the
+    # root dot's length byte and the terminal zero)
+    if len(joined) > 253:
+        return None
+    return joined
 
 
 def idna_ascii_hosts(
-    df: DataFrame, host_col: str = "host", out_col: str = "ascii_host"
+    df: DataFrame,
+    host_col: str = "host",
+    out_col: str = "ascii_host",
+    strategy: str = "dict",
 ) -> DataFrame:
     """Punycode/IDNA normalization of a hostname column — the step an
     international crawl runs BEFORE any ASCII domain logic: the real
@@ -255,20 +265,33 @@ def idna_ascii_hosts(
     :func:`registrable_domain_psl` (and per-domain caps, frontier keys)
     must see ``xn--bcher-kva.example``, not ``bücher.example``.
     Arrow-batched ``mapInPandas`` (the repo's no-row-at-a-time-UDF
-    rule; the stdlib ``idna`` codec isn't expressible as JVM Columns);
-    map-side only, zero shuffles. Unencodable hosts → NULL."""
+    rule; the stdlib ``idna`` codec isn't expressible as JVM Columns).
+    Unencodable hosts → NULL.
+
+    ``strategy`` picks where the Python kernel runs (results are
+    identical — test-pinned law):
+
+    - ``"dict"`` (default): encode the DISTINCT hosts only, then join
+      the tiny (host → ascii_host) dictionary back. Crawl host columns
+      are Zipfian — the distinct-host dictionary is orders of magnitude
+      smaller than the row count, so the per-row Python cost drops by
+      the duplication factor; the join is AQE-broadcastable (the
+      mapped side is frontier-of-hosts-sized, never corpus-sized).
+    - ``"rowwise"``: run the codec over every row, map-side, zero
+      shuffles — faster only when hosts are nearly unique (no
+      duplication to amortize) and the join exchange would dominate.
+    """
     from pyspark.sql import types as T
 
+    if strategy not in ("dict", "rowwise"):
+        raise ValueError(
+            f"strategy must be 'dict' or 'rowwise', got {strategy!r}"
+        )
     if out_col in df.columns:
         raise ValueError(
             f"output column {out_col!r} already exists on the input; "
             "pass a different out_col or drop it first"
         )
-    # build the output schema structurally (a DDL string would break on
-    # names needing quoting)
-    schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, T.StringType())]
-    )
 
     def kernel(batches):
         for pdf in batches:
@@ -276,16 +299,89 @@ def idna_ascii_hosts(
             pdf[out_col] = [_host_to_ascii(h) for h in pdf[host_col]]
             yield pdf
 
-    return df.mapInPandas(kernel, schema)
+    if strategy == "rowwise":
+        # build the output schema structurally (a DDL string would
+        # break on names needing quoting)
+        schema = T.StructType(
+            list(df.schema.fields) + [T.StructField(out_col, T.StringType())]
+        )
+        return df.mapInPandas(kernel, schema)
+
+    host_field = df.schema[host_col]
+    dict_schema = T.StructType(
+        [host_field, T.StructField(out_col, T.StringType())]
+    )
+    mapping = (
+        df.select(host_col)
+        .where(F.col(host_col).isNotNull())
+        .distinct()
+        .mapInPandas(kernel, dict_schema)
+    )
+    # NULL hosts never match the left join and land on the NULL
+    # ascii_host the contract requires anyway
+    return df.join(mapping, on=host_col, how="left").select(
+        *df.columns, out_col
+    )
 
 
 # query parameters that carry tracking/session state, never content
 # identity — the standard strip set of crawl canonicalizers (utm_*,
 # click ids, mail/campaign ids). Matched against the PARAM NAME.
+# Bare 'ref' is deliberately NOT in the default set: on many real
+# sites it is content-bearing (e.g. ?ref=branch on code hosting), so
+# stripping it would merge genuinely distinct pages; callers whose
+# corpus uses 'ref' only as a referrer tag can pass a stricter
+# tracking_re (the social-referrer form ref_src stays stripped).
 TRACKING_PARAM_RE = (
     r"(?i)^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|dclid|mc_eid|mc_cid"
-    r"|igshid|ref|ref_src|_ga|yclid)$"
+    r"|igshid|ref_src|_ga|yclid)$"
 )
+
+
+_UNRESERVED_CODES = (45, 46, 95, 126)  # '-' '.' '_' '~'
+
+
+def _pct_normalize(s: Column) -> Column:
+    """Bounded percent-encoding normalization (RFC 3986 §2.3 / §6.2.2)
+    as pure JVM Columns — the subset a crawl canonicalizer needs
+    without a full decoder: one left-to-right pass over ``%``-split
+    segments where each well-formed ``%XX`` triplet either DECODES (XX
+    is an unreserved octet: ALPHA / DIGIT / ``-`` ``.`` ``_`` ``~``,
+    so ``%41`` → ``A``, ``%7e`` → ``~``) or keeps the ``%`` with the
+    hex UPPERCASED (``%3a`` → ``%3A`` — reserved octets stay encoded,
+    percent-variant keys still collapse). A ``%`` not followed by two
+    hex digits passes through verbatim. Single-pass means
+    double-encoding is left alone: ``%2541`` keeps its ``%25`` (the
+    encoded ``%`` is reserved) and the trailing ``41`` is plain text.
+    Decoding never emits ``%``/``/``/``&``/``=`` (none are unreserved),
+    so it is safe to run before slash-collapse and param-split, and the
+    result is a fixed point of the pass itself (idempotence is
+    test-pinned)."""
+    parts = F.split(s, "%", -1)
+
+    def seg_fix(seg: Column) -> Column:
+        hex2 = F.upper(F.substring(seg, 1, 2))
+        is_triplet = seg.rlike("^[0-9A-Fa-f]{2}")
+        code = F.conv(hex2, 16, 10).cast("int")
+        unreserved = (
+            ((code >= 48) & (code <= 57))
+            | ((code >= 65) & (code <= 90))
+            | ((code >= 97) & (code <= 122))
+            | code.isin(*_UNRESERVED_CODES)
+        )
+        tail = F.substr(seg, F.lit(3))
+        return (
+            F.when(~is_triplet, F.concat(F.lit("%"), seg))
+            .when(unreserved, F.concat(F.char(code), tail))
+            .otherwise(F.concat(F.lit("%"), hex2, tail))
+        )
+
+    return F.concat(
+        F.element_at(parts, 1),
+        F.array_join(
+            F.transform(F.slice(parts, 2, F.size(parts)), seg_fix), ""
+        ),
+    )
 
 
 def canonicalize_url(url: Column, tracking_re: str = TRACKING_PARAM_RE) -> Column:
@@ -298,15 +394,22 @@ def canonicalize_url(url: Column, tracking_re: str = TRACKING_PARAM_RE) -> Colum
       host; userinfo (credentials) and the fragment DROPPED;
     - ports compared and emitted NUMERICALLY (``:080`` ≡ ``:80``):
       default ports removed (``:80`` for http, ``:443`` for https);
-      any other explicit port is identity-bearing and kept,
-      leading-zeros-normalized;
-    - path: runs of ``/`` collapse to one, the trailing slash is
+      any other VALID explicit port (1–65535) is identity-bearing and
+      kept, leading-zeros-normalized; an authority carrying a port
+      that fails 1 ≤ port ≤ 65535 (``:0``, ``:99999``, ``:123456``)
+      makes the WHOLE URL NULL — one policy for every malformed port,
+      so malformed-port variants can never collapse into (or mint)
+      a canonical key;
+    - path: percent-normalized (see :func:`_pct_normalize` — unreserved
+      octets decode, remaining hex uppercases, double-encoding left
+      alone), then runs of ``/`` collapse to one, the trailing slash is
       stripped, and the empty path becomes ``/``;
-    - query: parameters matching ``tracking_re`` (by NAME) are dropped,
-      the survivors are sorted bytewise and rejoined — parameter order
-      is transport noise, not identity; an emptied query loses its
-      ``?``. Percent-encoding is NOT normalized (documented limit: that
-      needs a full RFC 3986 decoder; the regex pipeline stays pure JVM).
+    - query: percent-normalized, then parameters matching
+      ``tracking_re`` (by NAME) are dropped, the survivors are sorted
+      bytewise and rejoined — parameter order is transport noise, not
+      identity; an emptied query loses its ``?``. Note bare ``ref`` is
+      content-bearing on many sites and NOT stripped by default (see
+      :data:`TRACKING_PARAM_RE`).
 
     NULL/malformed input → NULL (``try_parse_url`` semantics). Pure
     Column expressions — zero Python, whole-stage-codegen, the shape a
@@ -317,32 +420,43 @@ def canonicalize_url(url: Column, tracking_re: str = TRACKING_PARAM_RE) -> Colum
     )
     auth = F.try_parse_url(url, F.lit("AUTHORITY"))
     # numeric port: ':080' must equal ':80' both in the default-port
-    # test and in the emitted canonical form. 1-5 digits keeps the cast
-    # ANSI-safe (≤99999 < 2³¹; valid ports are ≤65535 anyway — a longer
-    # digit run is malformed and simply drops); nullif guards the
-    # no-match '' under ANSI cast semantics
+    # test and in the emitted canonical form. The raw digit run (any
+    # length) detects malformed ports; the 1-5 digit extract keeps the
+    # cast ANSI-safe (≤99999 < 2³¹), and a 6+-digit run simply fails
+    # that extract, leaving port NULL while rawport is non-empty —
+    # which the validity check below turns into a NULL URL. nullif
+    # guards the no-match '' under ANSI cast semantics.
+    rawport = F.regexp_extract(auth, r":(\d+)$", 1)
     port = F.nullif(
         F.regexp_extract(auth, r":(\d{1,5})$", 1), F.lit("")
     ).cast("int")
+    bad_port = (rawport != "") & (
+        port.isNull() | (port < 1) | (port > 65535)
+    )
     keep_port = port.isNotNull() & ~(
         ((proto == "http") & (port == 80))
         | ((proto == "https") & (port == 443))
     )
     rawpath = F.try_parse_url(url, F.lit("PATH"))
     path = F.regexp_replace(
-        F.regexp_replace(F.coalesce(rawpath, F.lit("")), r"/{2,}", "/"),
+        F.regexp_replace(
+            _pct_normalize(F.coalesce(rawpath, F.lit(""))), r"/{2,}", "/"
+        ),
         r"/$",
         "",
     )
     path = F.when(path == "", F.lit("/")).otherwise(path)
     q = F.try_parse_url(url, F.lit("QUERY"))
     params = F.filter(
-        F.split(F.coalesce(q, F.lit("")), "&"),
+        F.split(_pct_normalize(F.coalesce(q, F.lit(""))), "&"),
         lambda p: (p != "")
         & ~F.regexp_extract(p, r"^([^=]*)", 1).rlike(tracking_re),
     )
     query = F.array_join(F.array_sort(params), "&")
-    return F.when(proto.isNull() | host.isNull() | (host == ""), F.lit(None).cast("string")).otherwise(
+    return F.when(
+        proto.isNull() | host.isNull() | (host == "") | bad_port,
+        F.lit(None).cast("string"),
+    ).otherwise(
         F.concat(
             proto,
             F.lit("://"),

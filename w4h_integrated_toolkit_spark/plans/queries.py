@@ -7571,15 +7571,18 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + URL-level dedup rollup
     (web.canonicalize_url / url_dedup_groups) — the normalization a
     crawl runs before its frontier dedup: deterministic NOISY urls
-    (case-varied hosts, credentials, scheme-consistent default and
-    non-default ports, doubled slashes + trailing slash, tracking
-    params in shuffled order, fragments — all varying by doc_id
-    residues and deliberately COLLIDING across docs once canonicalized)
-    group under their canonical key with the lowest doc_id kept. The
+    (case-varied hosts, credentials, scheme-consistent default /
+    non-default / INVALID ports, doubled slashes + trailing slash,
+    percent-encoded unreserved and reserved octets, tracking params in
+    shuffled order with a content-bearing 'ref' survivor, fragments —
+    all varying by doc_id residues and deliberately COLLIDING across
+    docs once canonicalized) group under their canonical key with the
+    lowest doc_id kept; invalid-port docs group under the NULL key. The
     DuckDB oracle re-derives canonicalization INDEPENDENTLY — regexp
     part extraction instead of try_parse_url, list_filter/list_sort
-    instead of Column array ops — so a green hash proves the
-    normalization semantics, not the parser."""
+    instead of Column array ops, strpos-in-hex-alphabet arithmetic +
+    chr() instead of conv/char for the percent pass — so a green hash
+    proves the normalization semantics, not the parser."""
     from ..operators import web as WEB
 
     d = F.col("doc_id")
@@ -7592,18 +7595,38 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".com"),
         F.when((d % 3 == 0) & (d % 2 == 0), F.lit(":443"))
         .when((d % 3 != 0) & (d % 5 == 1), F.lit(":80"))
+        .when((d % 3 != 0) & (d % 11 == 3), F.lit(":99999"))
         .when((d % 3 != 0) & (d % 7 == 2), F.lit(":8080"))
         .otherwise(F.lit("")),
         F.lit("/p"),
         (d % 5).cast("string"),
         F.when(d % 4 == 0, F.lit("//x/")).otherwise(F.lit("/x")),
+        # percent matrix: %41≡A and %7e≡~ decode (unreserved), %2f
+        # uppercases to %2F but stays encoded — residue pairs collide
+        # exactly when the normalized forms agree
+        F.element_at(
+            F.array(
+                F.lit("/%41"),
+                F.lit("/A"),
+                F.lit("/%7e"),
+                F.lit("/~"),
+                F.lit("/a%2fb"),
+                F.lit("/a%2Fb"),
+            ),
+            (d % 6 + 1).cast("int"),
+        ),
+        # query matrix: variants 1, 2 and 5 collide once utm_* drops
+        # and %32 decodes to '2'; variant 4 keeps its content-bearing
+        # 'ref' param (bare ref is NOT in the default strip set)
         F.element_at(
             F.array(
                 F.lit("?utm_source=f&b=2&a=1"),
                 F.lit("?b=2&a=1"),
                 F.lit(""),
+                F.lit("?ref=m&b=2&a=1&utm_x=1"),
+                F.lit("?b=%32&a=1"),
             ),
-            (d % 3 + 1).cast("int"),
+            (d % 7 % 5 + 1).cast("int"),
         ),
         F.when(d % 2 == 0, F.lit("#s")).otherwise(F.lit("")),
     )
@@ -7611,7 +7634,31 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WEB.url_dedup_groups(noisy)
 
 
-_SQL_URL_CANON = """
+def _pct_sql(col: str) -> str:
+    """DuckDB re-derivation of web._pct_normalize for the oracle —
+    deliberately a DIFFERENT mechanism: strpos-in-hex-alphabet
+    arithmetic + chr() over split segments instead of Spark's
+    conv/char, so a green hash proves the normalization semantics
+    rather than echoing one implementation."""
+    code = (
+        "((strpos('0123456789ABCDEF', upper(x[1:1])) - 1) * 16 + "
+        "(strpos('0123456789ABCDEF', upper(x[2:2])) - 1))"
+    )
+    # both coalesces matter: string_split('')[1] is NULL, and DuckDB's
+    # array_to_string([], '') is NULL (not '')
+    return f"""(coalesce(string_split({col}, '%')[1], '')
+  || coalesce(array_to_string(list_transform(string_split({col}, '%')[2:], x ->
+    CASE WHEN regexp_matches(x, '^[0-9A-Fa-f]{{2}}')
+      THEN CASE WHEN ({code} BETWEEN 48 AND 57)
+                  OR ({code} BETWEEN 65 AND 90)
+                  OR ({code} BETWEEN 97 AND 122)
+                  OR {code} IN (45, 46, 95, 126)
+        THEN chr(CAST({code} AS INT)) || x[3:]
+        ELSE '%' || upper(x[1:2]) || x[3:] END
+      ELSE '%' || x END), ''), ''))"""
+
+
+_SQL_URL_CANON = f"""
 WITH nu AS (
   SELECT doc_id,
     (CASE WHEN doc_id % 3 = 0 THEN 'https' ELSE 'http' END) || '://' ||
@@ -7620,12 +7667,15 @@ WITH nu AS (
     CAST(doc_id % 4 AS VARCHAR) || '.com' ||
     (CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN ':443'
           WHEN doc_id % 3 <> 0 AND doc_id % 5 = 1 THEN ':80'
+          WHEN doc_id % 3 <> 0 AND doc_id % 11 = 3 THEN ':99999'
           WHEN doc_id % 3 <> 0 AND doc_id % 7 = 2 THEN ':8080'
           ELSE '' END) ||
     '/p' || CAST(doc_id % 5 AS VARCHAR) ||
     (CASE WHEN doc_id % 4 = 0 THEN '//x/' ELSE '/x' END) ||
-    (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '?utm_source=f&b=2&a=1'
-          WHEN 1 THEN '?b=2&a=1' ELSE '' END) ||
+    (['/%41', '/A', '/%7e', '/~', '/a%2fb', '/a%2Fb'
+     ])[CAST(doc_id % 6 AS INT) + 1] ||
+    (['?utm_source=f&b=2&a=1', '?b=2&a=1', '', '?ref=m&b=2&a=1&utm_x=1',
+      '?b=%32&a=1'])[CAST(doc_id % 7 % 5 AS INT) + 1] ||
     (CASE WHEN doc_id % 2 = 0 THEN '#s' ELSE '' END) AS url
   FROM documents),
 parts AS (
@@ -7637,28 +7687,39 @@ parts AS (
         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
     regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS rawq
   FROM nu),
+pn AS (
+  SELECT doc_id, proto, hostport,
+    {_pct_sql('rawpath')} AS dpath,
+    {_pct_sql('rawq')} AS dq
+  FROM parts),
 p2 AS (
   SELECT doc_id, proto,
     regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
                    '\\.+$', '') AS host,
-    TRY_CAST(regexp_extract(hostport, ':([0-9]{1,5})$', 1) AS INT) AS port,
-    CASE WHEN regexp_replace(regexp_replace(rawpath, '/{2,}', '/', 'g'),
+    regexp_extract(hostport, ':([0-9]+)$', 1) AS rawport,
+    TRY_CAST(regexp_extract(hostport, ':([0-9]{{1,5}})$', 1) AS INT) AS port,
+    CASE WHEN regexp_replace(regexp_replace(dpath, '/{{2,}}', '/', 'g'),
                              '/$', '') = ''
          THEN '/'
-         ELSE regexp_replace(regexp_replace(rawpath, '/{2,}', '/', 'g'),
+         ELSE regexp_replace(regexp_replace(dpath, '/{{2,}}', '/', 'g'),
                              '/$', '') END AS path,
-    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+    array_to_string(list_sort(list_filter(string_split(dq, '&'),
       x -> x <> '' AND NOT regexp_matches(regexp_extract(x, '^([^=]*)', 1),
-        '(?i)^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|dclid|mc_eid|mc_cid|igshid|ref|ref_src|_ga|yclid)$'
+        '(?i)^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|dclid|mc_eid|mc_cid|igshid|ref_src|_ga|yclid)$'
       ))), '&') AS query
-  FROM parts)
+  FROM pn)
 SELECT
-  proto || '://' || host ||
-  (CASE WHEN port IS NOT NULL AND NOT ((proto = 'http' AND port = 80)
-                                       OR (proto = 'https' AND port = 443))
-        THEN ':' || CAST(port AS VARCHAR) ELSE '' END) ||
-  path ||
-  (CASE WHEN query <> '' THEN '?' || query ELSE '' END) AS canonical_url,
+  CASE WHEN rawport <> ''
+            AND (port IS NULL OR port < 1 OR port > 65535)
+       THEN NULL
+       ELSE proto || '://' || host ||
+         (CASE WHEN port IS NOT NULL
+                    AND NOT ((proto = 'http' AND port = 80)
+                             OR (proto = 'https' AND port = 443))
+               THEN ':' || CAST(port AS VARCHAR) ELSE '' END) ||
+         path ||
+         (CASE WHEN query <> '' THEN '?' || query ELSE '' END)
+  END AS canonical_url,
   CAST(count(*) AS BIGINT) AS n_docs,
   CAST(min(doc_id) AS BIGINT) AS keep_id
 FROM p2 GROUP BY 1
@@ -7682,6 +7743,9 @@ _IDNA_VECTORS: list[tuple[str, str | None]] = [
     ("plain.example.com", "plain.example.com"),
     ("xn--bcher-kva.example", "xn--bcher-kva.example"),  # idempotent
     ("a" * 64 + ".com", None),  # over-long label -> NULL
+    # every label legal (63 octets) but the joined name breaks RFC
+    # 1035's 253-octet hostname cap (4*63 + 3 dots = 255) -> NULL
+    (".".join(c * 63 for c in "abcd"), None),
 ]
 
 
@@ -8523,115 +8587,105 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-# Round-11 driver window: the first 50 names the gate will hash this
-# round, executing the R11 WINDOW PLAN written at r10 exactly (and
-# endorsed by the r10 verdict, orders #1/#8): the 35 remaining r7-stale
-# rows FIRST in CORRECTNESS_r07 order, then the 7 never-gated r10
-# additions, then 6 of the 8 prescribed stalest r8 rows in
-# CORRECTNESS_r08 order, then the 2 r11 additions (knn_ivf_persisted,
-# replay_wraparound) — the verdict's order #8 allocates exactly these
-# two of the 8 free slots to new entries (orders #5/#6), so the r8
-# rotation takes the remaining 6. Verified against CORRECTNESS_r01..r10
-# at r11 start: latest-green-round histogram was {r10: 50, r9: 50,
-# r8: 50, r7: 35} (185/192 with a driver row, 0 terminal FAILs); the
-# r7-stale and r8-stale lists below were recomputed from the JSON files,
-# not copied from the plan comment, and match it name-for-name
-# (machine-checked by test_r11_gate_window_composition in
-# tests/test_plans.py). After r11 gates green: zero r7-stale and zero
-# never-gated entries remain; histogram {r11: 50, r10: 50, r9: 50,
-# r8: 44}.
+# Round-12 driver window: the first 50 names the gate will hash this
+# round, executing the R12 WINDOW PLAN written at r11 exactly (and
+# endorsed by the r11 verdict, order #1): the 44 remaining r8-stale
+# rows FIRST in CORRECTNESS_r08 order, then the 2 never-gated late-r11
+# additions (url_canonicalize, idna_hosts — their first driver hash),
+# then the 4 stalest r9 rows in CORRECTNESS_r09 order. Verified against
+# CORRECTNESS_r01..r11 at r12 start: latest-green-round histogram was
+# {r11: 50, r10: 50, r9: 50, r8: 44} (194/196 with a driver row, 0
+# terminal FAILs); the r8-stale and r9-stale lists below were recomputed
+# from the JSON files, not copied from the plan comment, and match it
+# name-for-name (machine-checked by
+# test_r12_gate_window_composition_recomputed_from_driver_rows in
+# tests/test_plans.py). After r12 gates green: ZERO r8-stale and ZERO
+# never-gated entries remain — the rotation debt forecast at r8 hits
+# zero; histogram {r12: 50, r11: 50, r10: 50, r9: 46}.
 #
-# R12 WINDOW PLAN (execute at r12 start): the 44 remaining r8-stale rows
-# FIRST, in CORRECTNESS_r08 order — table_diff, scd2_intervals,
-# golden_record, token_entropy, weighted_sample, name_match_pairs,
-# conversion_lag_daily, windowed_funnel, first_per_user, cohort_compare,
-# activity_span, safe_band, time_of_day_overnight, dedup_composite_key,
-# json_extract, melt_unpivot, doc_fingerprint, exact_dedup, text_stats,
-# language_id, quality_score, minhash_signatures, percentiles,
-# distinct_counts, rollup_totals, pivot_event_types, sessionize,
-# align_by_position, offset_batch, string_normalize,
-# fuzzy_column_mapping, value_tiers, trailing_window_kpis,
-# shipping_priority, local_supplier_volume, gap_mask, resample_1min,
-# sliding_window, knn_cosine_topk, embedding_neardup_pairs, calibration,
-# minhash_lsh_pairs, frame_sample, stream_window_kpis — then any entries
-# added in r11 (never gated), then the stalest r9 rows. Rotation-debt
-# arithmetic (per the r8 verdict's throttle order): stale backlog
-# entering r12 = 44 r8 rows, so r11 may add at most 50 − 44 = 6 new
-# entries. r11 actually adds 4: knn_ivf_persisted and replay_wraparound
-# (gated IN the r11 window itself) plus url_canonicalize and idna_hosts
-# (added late r11 BEHIND the window → enter r12 never-gated). Backlog
-# entering r12 = 44 r8-stale + 2 never-gated = 46 ≤ 50, leaving 4 free
-# slots for r9-stale rotation at r12 (stalest r9 rows in
-# CORRECTNESS_r09 order: streaming_ewma, stream_window_dedup,
-# value_percentile_rank, grid_density). The prospective r12 window
-# (44 r8-stale + 6 rotation slots before url_canonicalize landed) was
-# pre-measured at r11 end: 41.1 s total cold at sf0.01 on 4 cpus,
-# worst table_diff 7.4 s — inside the historical range, every entry
-# far under the ~30 s envelope (url_canonicalize itself measured 3.8 s
-# cold-plan on a warm session in the same shape, so the final
-# composition stays comfortably inside it).
-_R11_WINDOW = [
-    # --- 35 r7-stale rows, CORRECTNESS_r07 order ---
-    "source_overlap",
-    "shipping_latency",
-    "daily_value_bands",
-    "knn_lsh_topk",
-    "fk_integrity",
-    "table_profile",
-    "cube_totals",
-    "heavy_hitters_sketch",
-    "interval_coverage",
-    "cusum_changepoint",
-    "doc_chunks",
-    "bloom_decontaminate",
-    "quantized_knn_recall",
-    "spearman_trend",
-    "dow_hour_heatmap",
-    "containment_pairs",
-    "zorder_layout",
-    "max_concurrency",
-    "mad_outliers",
-    "ratio_to_report",
-    "benford_audit",
-    "key_skew_report",
-    "seasonal_anomalies",
-    "chi2_independence",
-    "approx_aggregates",
-    "distinct_users_sketch",
-    "value_quantiles_sketch",
-    "pricing_summary",
-    "range_scan",
-    "anti_join_new_users",
-    "mets_broadcast_lookup",
-    "widget_domains",
-    "like_filter",
-    "set_ops",
-    "topk_orders",
-    # --- the 7 never-gated r10 additions ---
-    "bpe_segment",
-    "knn_ivf_fitted",
-    "registrable_domain_psl",
-    "wav_decode_stats",
-    "audio_frame_energy",
-    "video_frame_stats",
-    "html_extract",
-    # --- 6 stalest r8 rows, CORRECTNESS_r08 order ---
-    "streaming_debounce",
-    "debounce_events",
-    "ewma_smooth",
-    "kmeans_iteration",
-    "event_type_pagerank",
-    "pmi_pairs",
-    # --- the 2 r11 additions (gated in their own round) ---
-    "knn_ivf_persisted",
-    "replay_wraparound",
+# R13 WINDOW PLAN (execute at r13 start): the 46 remaining r9-stale
+# rows FIRST, in CORRECTNESS_r09 order — byte_histogram, token_counts,
+# trajectories, user_similarity_topk, stable_split,
+# asof_latest_purchase, incident_interval_join, knn_ivf_topk,
+# rollup_cascade, stratified_sample, session_windows, dedup_clusters,
+# incremental_dedup, retention_matrix, big_orders, boilerplate_ngrams,
+# corpus_mixture, mixture_sample, repetition_ratio, streaming_neardup,
+# stream_distinct_users, salted_hot_key_agg, event_paths,
+# brand_top_parts, salted_join_equiv, embedding_gram,
+# embedding_dim_stats, feature_hash_histogram, bigram_nll,
+# vocab_oov_rate, rolling_median, equi_depth_bins, class_balance,
+# acf_lags, kfold_report, quality_top_p, dataset_card, basket_affinity,
+# shrunk_group_means, incremental_agg, langid_confusion,
+# classification_metrics, ewma_backtest, k_anonymity_audit, scd2_lookup,
+# ols_trend_slope — then any entries added in r12 (never gated), then
+# the stalest r10 rows. Rotation-debt arithmetic (per the r8 verdict's
+# throttle order): stale backlog entering r13 = 46 r9 rows, so r12 may
+# add at most 50 − 46 = 4 new entries; r12 actually adds 2
+# (ranking_model_scores, stream_url_frontier — added BEHIND this window
+# → enter r13 never-gated). Backlog entering r13 = 46 r9-stale + 2
+# never-gated = 48 ≤ 50, leaving 2 free slots for r10-stale rotation at
+# r13 (stalest r10 rows in CORRECTNESS_r10 order).
+_R12_WINDOW = [
+    # --- 44 r8-stale rows, CORRECTNESS_r08 order ---
+    "table_diff",
+    "scd2_intervals",
+    "golden_record",
+    "token_entropy",
+    "weighted_sample",
+    "name_match_pairs",
+    "conversion_lag_daily",
+    "windowed_funnel",
+    "first_per_user",
+    "cohort_compare",
+    "activity_span",
+    "safe_band",
+    "time_of_day_overnight",
+    "dedup_composite_key",
+    "json_extract",
+    "melt_unpivot",
+    "doc_fingerprint",
+    "exact_dedup",
+    "text_stats",
+    "language_id",
+    "quality_score",
+    "minhash_signatures",
+    "percentiles",
+    "distinct_counts",
+    "rollup_totals",
+    "pivot_event_types",
+    "sessionize",
+    "align_by_position",
+    "offset_batch",
+    "string_normalize",
+    "fuzzy_column_mapping",
+    "value_tiers",
+    "trailing_window_kpis",
+    "shipping_priority",
+    "local_supplier_volume",
+    "gap_mask",
+    "resample_1min",
+    "sliding_window",
+    "knn_cosine_topk",
+    "embedding_neardup_pairs",
+    "calibration",
+    "minhash_lsh_pairs",
+    "frame_sample",
+    "stream_window_kpis",
+    # --- the 2 never-gated late-r11 additions (first driver hash) ---
+    "url_canonicalize",
+    "idna_hosts",
+    # --- 4 stalest r9 rows, CORRECTNESS_r09 order ---
+    "streaming_ewma",
+    "stream_window_dedup",
+    "value_percentile_rank",
+    "grid_density",
 ]
 
-assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
-assert len(set(_R11_WINDOW)) == 50
-assert set(_R11_WINDOW) <= set(QUERIES), set(_R11_WINDOW) - set(QUERIES)
-QUERIES = {name: QUERIES[name] for name in _R11_WINDOW} | {
-    name: spec for name, spec in QUERIES.items() if name not in set(_R11_WINDOW)
+assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
+assert len(set(_R12_WINDOW)) == 50
+assert set(_R12_WINDOW) <= set(QUERIES), set(_R12_WINDOW) - set(QUERIES)
+QUERIES = {name: QUERIES[name] for name in _R12_WINDOW} | {
+    name: spec for name, spec in QUERIES.items() if name not in set(_R12_WINDOW)
 }
 
 
