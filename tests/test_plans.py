@@ -391,6 +391,7 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "class_balance",          # 1-row corpus-total scalar crossed onto per-lang counts
     "basket_affinity",        # 1-row basket-count scalar crossed onto type pairs
     "shrunk_group_means",     # 1-row global-mean scalar crossed onto per-type rows
+    "ranking_model_scores",   # unigram_nll's model totals T/V scalar (1 row)
 }
 
 

@@ -431,7 +431,7 @@ def test_streaming_gate_entries_fit_latency_budget(spark):
                  "streaming_anomaly", "streaming_sessions",
                  "stream_stream_join", "stream_heavy_hitters",
                  "streaming_debounce", "streaming_ewma",
-                 "stream_window_dedup"):
+                 "stream_window_dedup", "stream_url_frontier"):
         t0 = time.time()
         assert qs[name](spark, "/root/testdata/sf0.01").count() > 0
         elapsed = time.time() - t0
@@ -1402,3 +1402,50 @@ def test_unpinned_clone_drain_honors_explicit_pin(spark, tmp_path):
     assert clone.conf.get(key) == inherited, "drain must restore the pin"
     # the parent never sees anything
     assert spark.conf.get(key) == inherited
+
+
+def test_stream_url_frontier_matches_batch_dedup(spark, tmp_path):
+    """Streaming URL-frontier dedup end-to-end: noisy URL variants of
+    the same page (tracking params, case, default ports, fragments)
+    stream in and the emitted canonical-key set equals the batch
+    url_dedup_groups rollup's key set on the same rows — stream-batch
+    unification on the shared canonicalize_url key. Malformed URLs
+    (including an invalid port) claim exactly ONE frontier slot: the
+    NULL key."""
+    from pyspark.sql import functions as F
+
+    from w4h_integrated_toolkit_spark.operators.web import url_dedup_groups
+    from w4h_integrated_toolkit_spark.streaming.dedup_stream import (
+        run_streaming_url_frontier_batchmode,
+    )
+
+    rows = [
+        (1, "http://ex.com/a?b=2&a=1"),
+        (2, "HTTP://ex.com:80/a/?a=1&b=2#x"),      # same page, noisy
+        (3, "http://u@ex.com//a?utm_source=f&a=1&b=2"),  # same again
+        (4, "http://ex.com/a?a=1&b=3"),             # different content
+        (5, "http://ex.com/%41"),                   # percent variant of /A
+        (6, "http://ex.com/A"),                     # collides with 5
+        (7, "::nope::"),                            # malformed -> NULL
+        (8, "http://ex.com:99999/x"),               # invalid port -> NULL
+    ]
+    src = str(tmp_path / "frontier_src")
+    spark.createDataFrame(rows, "doc_id long, url string").write.parquet(src)
+
+    got = {
+        r["canonical_url"]
+        for r in run_streaming_url_frontier_batchmode(
+            spark, src, F.col("url")
+        ).collect()
+    }
+    batch = {
+        r["canonical_url"]
+        for r in url_dedup_groups(spark.read.parquet(src)).collect()
+    }
+    assert got == batch
+    assert got == {
+        "http://ex.com/a?a=1&b=2",
+        "http://ex.com/a?a=1&b=3",
+        "http://ex.com/A",
+        None,
+    }

@@ -299,3 +299,60 @@ def run_streaming_window_dedup_batchmode(
         out, "append", name_prefix="w4h_windedup_stream_", stage_dir=stage
     )
     return drained.select("content_key").distinct()
+
+
+def run_streaming_url_frontier_batchmode(
+    spark,
+    docs_path: str,
+    url,
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Streaming URL-frontier dedup end-to-end through the real
+    streaming engine: parquet file source → ``web.canonicalize_url`` as
+    the frontier key (pure JVM Columns inside the stream projection —
+    percent-normalization, tracking-param strip, port policy and all) →
+    ``dropDuplicatesWithinWatermark`` on the canonical key (state
+    bounded at O(arrival rate × horizon); re-fetches of a page the
+    frontier already admitted within the horizon are suppressed) →
+    append memory sink (availableNow). This is the standing query a
+    crawl puts in front of its fetch queue — the streaming twin of the
+    batch ``url_dedup_groups`` rollup, sharing the same canonical key.
+
+    ``url`` is the Column expression producing each row's URL (resolved
+    against the stream projection; the gate passes the deterministic
+    noisy generator). Malformed URLs key under NULL — ONE frontier slot,
+    as in the batch rollup. Emission is one row per distinct canonical
+    key; WHICH duplicate wins is micro-batch-order-dependent, so only
+    the key set is returned — deterministic, and exactly the batch
+    DISTINCT the oracle computes.
+    """
+    import os
+    import tempfile
+
+    from ..operators.web import canonicalize_url
+
+    if os.path.isfile(docs_path):
+        stage = tempfile.mkdtemp(prefix="w4h_urlfrontier_stream_")
+        os.symlink(docs_path, os.path.join(stage, os.path.basename(docs_path)))
+        source_dir = stage
+    else:
+        stage = None
+        source_dir = docs_path
+    schema = spark.read.parquet(docs_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir).select(
+        "doc_id",
+        canonicalize_url(url).alias("canonical_url"),
+        F.timestamp_seconds(
+            F.lit(1_704_067_200) + F.col("doc_id") % 600
+        ).alias("event_time"),
+    )
+    out = stream.withWatermark(
+        "event_time", horizon
+    ).dropDuplicatesWithinWatermark(["canonical_url"])
+
+    from .replay import drain_memory_sink
+
+    drained = drain_memory_sink(
+        out, "append", name_prefix="w4h_urlfrontier_stream_", stage_dir=stage
+    )
+    return drained.select("canonical_url").distinct()
