@@ -144,6 +144,38 @@ def main() -> None:
     for x in r:
         print(f"  user {x.user_id} t={x.ts_us} value={x.value:.3f} "
               f"ewma={x.ewma:.3f}")
+
+    # 5: streaming URL-frontier dedup — the standing query a crawl puts
+    # in front of its fetch queue: canonicalize each arriving URL (pure
+    # JVM Columns) and suppress re-fetches of a page already admitted
+    # within the watermark horizon (state bounded at rate x horizon).
+    # The key set equals the batch url_dedup_groups rollup's (law is
+    # test-pinned); the corpus_curation example runs the batch twin.
+    from pyspark.sql import functions as F
+
+    from w4h_integrated_toolkit_spark.streaming.dedup_stream import (
+        run_streaming_url_frontier_batchmode,
+    )
+
+    docs_path = os.path.join(
+        os.environ.get("W4H_EXAMPLE_SF_DIR", "/root/testdata/sf0.001"),
+        "documents.parquet",
+    )
+    noisy_url = F.concat(
+        F.lit("http://www."),
+        F.col("source"),
+        F.lit(".com/doc/"),
+        (F.col("doc_id") % 200).cast("string"),
+        # half the fetches arrive under a tracking-param variant
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed#top"))
+        .otherwise(F.lit("")),
+    )
+    frontier = run_streaming_url_frontier_batchmode(
+        spark, docs_path, noisy_url
+    )
+    n_docs = spark.read.parquet(docs_path).count()
+    print(f"URL frontier: {n_docs} streamed fetches -> "
+          f"{frontier.count()} canonical pages admitted")
     spark.stop()
 
 

@@ -1601,7 +1601,8 @@ def test_model_store_roundtrip_property(spark, tmp_path_factory, rows1, rows2, p
             st.booleans(),                      # trailing slash?
             st.lists(
                 st.sampled_from(
-                    ["a=1", "b=2", "utm_source=x", "gclid=g", "B=0", "refresh=1"]
+                    ["a=1", "b=2", "utm_source=x", "gclid=g", "B=0",
+                     "refresh=1", "c=%3a", "e=%42", "ref=keep"]
                 ),
                 max_size=4,
             ),
@@ -1626,7 +1627,14 @@ def test_canonicalize_url_idempotence_property(spark, specs):
     def build(https, ui, hv, dots, port, segs, dbl, trail, params, frag):
         host = ["Ex.COM", "ex.com", "WWW.Ex.Org", "sub.ex.net"][hv] + "." * dots
         sep = "//" if dbl else "/"
-        path = "".join(f"{sep}s{p}" for p in segs) + ("/" if trail else "")
+        # segment spellings include percent-encoded unreserved (%41,
+        # %7e — decode), reserved (%2f — uppercase, stays encoded) and
+        # double-encoded (%2541 — untouched) octets: the percent pass
+        # must also be a fixed point of itself
+        seg_forms = ["s{}", "p%41x{}", "t%7e{}", "q%2fz{}", "d%2541{}"]
+        path = "".join(
+            sep + seg_forms[p % len(seg_forms)].format(p) for p in segs
+        ) + ("/" if trail else "")
         return (
             ("https" if https else "http")
             + "://"
