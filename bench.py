@@ -230,6 +230,9 @@ EXTRA_BENCH_QUERIES = [
     "replay_wraparound",
     "url_canonicalize",
     "idna_hosts",
+    # r12 additions
+    "ranking_model_scores",
+    "stream_url_frontier",
 ]
 
 # The heaviest extras get MEDIAN-OF-3 like the headline (r8 verdict
