@@ -151,8 +151,6 @@ def main() -> None:
     # within the watermark horizon (state bounded at rate x horizon).
     # The key set equals the batch url_dedup_groups rollup's (law is
     # test-pinned); the corpus_curation example runs the batch twin.
-    from pyspark.sql import functions as F
-
     from w4h_integrated_toolkit_spark.streaming.dedup_stream import (
         run_streaming_url_frontier_batchmode,
     )

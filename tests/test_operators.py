@@ -3763,6 +3763,18 @@ def test_idna_ascii_hosts_known_vectors(spark):
     with _pytest.raises(ValueError, match="strategy"):
         idna_ascii_hosts(df, strategy="bogus")
 
+    # streaming frames: default resolves to the streaming-legal rowwise
+    # kernel (plan builds without error); explicitly requesting the
+    # distinct+join dict pass raises HERE, not at query start
+    stream = (
+        spark.readStream.format("rate")
+        .load()
+        .select(F.lit("bücher.example").alias("host"))
+    )
+    assert idna_ascii_hosts(stream).isStreaming
+    with _pytest.raises(ValueError, match="streaming"):
+        idna_ascii_hosts(stream, strategy="dict")
+
     # composition: PSL domain logic over the ASCII form
     idn = spark.createDataFrame(
         [("bücher.example.co.uk",), ("www.例え.テスト",)], "host string"
@@ -3806,6 +3818,10 @@ def test_canonicalize_url_edge_matrix(spark):
         # ':08080' normalizes to ':8080'
         ("http://ex.com:080/p", "http://ex.com/p"),
         ("http://ex.com:08080/p", "http://ex.com:8080/p"),
+        # zero-padding past 5 digits is still the same VALID port — the
+        # 0*-strip runs before the significant-digit extract
+        ("http://ex.com:000080/p", "http://ex.com/p"),
+        ("http://ex.com:0008080/p", "http://ex.com:8080/p"),
         # invalid ports NULL the whole URL — same policy whether the
         # digit run overflows the extract (:123456) or casts out of
         # range (:99999, :0); malformed-port variants never mint or
@@ -3813,6 +3829,7 @@ def test_canonicalize_url_edge_matrix(spark):
         ("http://ex.com:99999/p", None),
         ("http://ex.com:123456/p", None),
         ("http://ex.com:0/p", None),
+        ("http://ex.com:00000/p", None),  # zero stays port 0 however padded
         ("http://ex.com", "http://ex.com/"),
         ("http://ex.com./x/", "http://ex.com/x"),
         ("http://ex.com/?gclid=z&fbclid=y", "http://ex.com/"),

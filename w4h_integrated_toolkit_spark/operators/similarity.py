@@ -675,22 +675,23 @@ def kmeans_fit(
                 "pass kmeans_fit-format cells (e.g. a model-store load)"
             )
         cq = _cells_to_cq(init).localCheckpoint(eager=True)
-        if cq.isEmpty():
+        # one O(k) count serves both guards (the checkpointed frame is
+        # k rows; a separate isEmpty would be a second action)
+        init_k = cq.count()
+        if init_k == 0:
             # mirror the cold path's k >= 1 guard: an empty init would
             # silently fit an empty model (every Lloyd join vacuous)
             raise ValueError(
                 "init has no centroid cells — refusing to warm-start "
                 "from an empty model; check the load/fit that produced it"
             )
-        if k is not None:
-            init_k = cq.count()  # O(k) — cq is already checkpointed
-            if init_k != k:
-                raise ValueError(
-                    f"k={k} conflicts with init's {init_k} centroid(s) — "
-                    "the warm-start centroid count is the init's; drop "
-                    "k or pass a matching init (fail-loud, like "
-                    "load_model's expect_params)"
-                )
+        if k is not None and init_k != k:
+            raise ValueError(
+                f"k={k} conflicts with init's {init_k} centroid(s) — "
+                "the warm-start centroid count is the init's; drop "
+                "k or pass a matching init (fail-loud, like "
+                "load_model's expect_params)"
+            )
     else:
         cq = (
             vq.orderBy("_vid")

@@ -257,7 +257,7 @@ def idna_ascii_hosts(
     df: DataFrame,
     host_col: str = "host",
     out_col: str = "ascii_host",
-    strategy: str = "dict",
+    strategy: str | None = None,
 ) -> DataFrame:
     """Punycode/IDNA normalization of a hostname column — the step an
     international crawl runs BEFORE any ASCII domain logic: the real
@@ -271,21 +271,35 @@ def idna_ascii_hosts(
     ``strategy`` picks where the Python kernel runs (results are
     identical — test-pinned law):
 
-    - ``"dict"`` (default): encode the DISTINCT hosts only, then join
-      the tiny (host → ascii_host) dictionary back. Crawl host columns
-      are Zipfian — the distinct-host dictionary is orders of magnitude
-      smaller than the row count, so the per-row Python cost drops by
-      the duplication factor; the join is AQE-broadcastable (the
-      mapped side is frontier-of-hosts-sized, never corpus-sized).
-    - ``"rowwise"``: run the codec over every row, map-side, zero
-      shuffles — faster only when hosts are nearly unique (no
-      duplication to amortize) and the join exchange would dominate.
+    - ``"dict"`` (batch default): encode the DISTINCT hosts only, then
+      join the tiny (host → ascii_host) dictionary back. Crawl host
+      columns are Zipfian — the distinct-host dictionary is orders of
+      magnitude smaller than the row count, so the per-row Python cost
+      drops by the duplication factor; the join is AQE-broadcastable
+      (the mapped side is frontier-of-hosts-sized, never corpus-sized).
+      Not streaming-legal (distinct + join on the stream side) —
+      explicitly requesting it on a streaming frame raises here rather
+      than failing at query start.
+    - ``"rowwise"`` (streaming default): run the codec over every row,
+      map-side, zero shuffles — always streaming-legal; on batch,
+      faster only when hosts are nearly unique (no duplication to
+      amortize) and the join exchange would dominate.
+    - ``None`` (default): ``"dict"`` on a batch frame, ``"rowwise"`` on
+      a streaming one.
     """
     from pyspark.sql import types as T
 
+    if strategy is None:
+        strategy = "rowwise" if df.isStreaming else "dict"
     if strategy not in ("dict", "rowwise"):
         raise ValueError(
             f"strategy must be 'dict' or 'rowwise', got {strategy!r}"
+        )
+    if strategy == "dict" and df.isStreaming:
+        raise ValueError(
+            "strategy='dict' needs a distinct+join over the host column, "
+            "which is not streaming-legal — use strategy='rowwise' (the "
+            "streaming default) for streaming frames"
         )
     if out_col in df.columns:
         raise ValueError(
@@ -420,15 +434,17 @@ def canonicalize_url(url: Column, tracking_re: str = TRACKING_PARAM_RE) -> Colum
     )
     auth = F.try_parse_url(url, F.lit("AUTHORITY"))
     # numeric port: ':080' must equal ':80' both in the default-port
-    # test and in the emitted canonical form. The raw digit run (any
-    # length) detects malformed ports; the 1-5 digit extract keeps the
-    # cast ANSI-safe (≤99999 < 2³¹), and a 6+-digit run simply fails
-    # that extract, leaving port NULL while rawport is non-empty —
-    # which the validity check below turns into a NULL URL. nullif
-    # guards the no-match '' under ANSI cast semantics.
+    # test and in the emitted canonical form, however many leading
+    # zeros (':000080' included — 0* strips them BEFORE the 1-5-digit
+    # significant extract, so zero-padding can never flip a valid port
+    # into the malformed bucket). The extract keeps the cast ANSI-safe
+    # (≤99999 < 2³¹); a 6+-significant-digit run fails it, leaving port
+    # NULL while rawport is non-empty — which the validity check below
+    # turns into a NULL URL. nullif guards the no-match '' under ANSI
+    # cast semantics.
     rawport = F.regexp_extract(auth, r":(\d+)$", 1)
     port = F.nullif(
-        F.regexp_extract(auth, r":(\d{1,5})$", 1), F.lit("")
+        F.regexp_extract(auth, r":0*(\d{1,5})$", 1), F.lit("")
     ).cast("int")
     bad_port = (rawport != "") & (
         port.isNull() | (port < 1) | (port > 65535)

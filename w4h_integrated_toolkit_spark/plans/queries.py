@@ -7708,7 +7708,7 @@ p2 AS (
     regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
                    '\\.+$', '') AS host,
     regexp_extract(hostport, ':([0-9]+)$', 1) AS rawport,
-    TRY_CAST(regexp_extract(hostport, ':([0-9]{{1,5}})$', 1) AS INT) AS port,
+    TRY_CAST(regexp_extract(hostport, ':0*([0-9]{{1,5}})$', 1) AS INT) AS port,
     CASE WHEN regexp_replace(regexp_replace(dpath, '/{{2,}}', '/', 'g'),
                              '/$', '') = ''
          THEN '/'
@@ -7866,7 +7866,7 @@ _IDNA_VECTORS: list[tuple[str, str | None]] = [
 def q_idna_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IDNA/punycode host normalization (web.idna_ascii_hosts — the
     Arrow-batched stdlib-idna kernel) driver-gated over fixed published
-    vectors: each document picks one of the 8 literal hosts by doc_id
+    vectors: each document picks one of the _IDNA_VECTORS hosts by doc_id
     residue (unicode, mixed-label, FQDN-dotted, already-punycode,
     pure-ASCII, and an over-long-label host that must map to NULL), the
     kernel normalizes, and the result rolls up per (host, ascii_host).

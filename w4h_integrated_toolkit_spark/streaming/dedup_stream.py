@@ -46,7 +46,45 @@ __all__ = [
     "streaming_neardup_matches",
     "run_streaming_neardup_batchmode",
     "run_streaming_window_dedup_batchmode",
+    "run_streaming_url_frontier_batchmode",
 ]
+
+
+_SYNTH_EPOCH = 1_704_067_200  # 2024-01-01T00:00:00Z
+
+
+def _staged_file_stream(spark, docs_path: str, prefix: str):
+    """Open ``docs_path`` as a parquet file-stream source, staging a
+    single FILE behind a symlink directory (the file source wants a
+    directory). Returns ``(stream, stage)`` — pass ``stage`` to
+    ``drain_memory_sink(stage_dir=...)`` so repeated gate/parity/bench
+    invocations leave no per-run residue. Shared by every batchmode
+    streaming runner in this module so the staging contract can't
+    desynchronize between gates."""
+    import os
+    import tempfile
+
+    if os.path.isfile(docs_path):
+        stage = tempfile.mkdtemp(prefix=prefix)
+        os.symlink(docs_path, os.path.join(stage, os.path.basename(docs_path)))
+        source_dir = stage
+    else:
+        stage = None
+        source_dir = docs_path
+    schema = spark.read.parquet(docs_path).schema
+    return spark.readStream.schema(schema).parquet(source_dir), stage
+
+
+def _synthetic_event_time(id_col: str = "doc_id"):
+    """Event time synthesized from the id column (the documents table
+    carries no timestamp): all arrivals land within 10 minutes of a
+    fixed epoch, so any ≥ 1 hour suppression horizon unambiguously
+    covers every duplicate pair. One definition for every watermarked
+    gate — the epoch and spread are part of the gates' shared
+    semantics."""
+    return F.timestamp_seconds(
+        F.lit(_SYNTH_EPOCH) + F.col(id_col) % 600
+    ).alias("event_time")
 
 
 def _rowwise_minhash_cols(num_perm: int) -> list:
@@ -204,9 +242,6 @@ def run_streaming_neardup_batchmode(
     of a finite slice is the flag's documented bounded-replay case (the
     documents table carries no event time to watermark on).
     """
-    import os
-    import tempfile
-
     from ..catalog import read_parquet
     from ..operators.dedup import corpus_shingle_sets, lsh_band_rows
 
@@ -215,19 +250,10 @@ def run_streaming_neardup_batchmode(
     corpus_bands = lsh_band_rows(corpus, n, num_perm, bands)
     corpus_sets = corpus_shingle_sets(corpus, n)
 
-    if os.path.isfile(docs_path):
-        stage = tempfile.mkdtemp(prefix="w4h_neardup_stream_")
-        os.symlink(docs_path, os.path.join(stage, os.path.basename(docs_path)))
-        source_dir = stage
-    else:
-        stage = None
-        source_dir = docs_path
-    schema = spark.read.parquet(docs_path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(source_dir)
-        .filter(F.col("doc_id") % split_mod == 0)
+    stream, stage = _staged_file_stream(
+        spark, docs_path, prefix="w4h_neardup_stream_"
     )
+    stream = stream.filter(F.col("doc_id") % split_mod == 0)
     out = streaming_neardup_matches(
         stream,
         corpus_bands,
@@ -269,26 +295,12 @@ def run_streaming_window_dedup_batchmode(
     timestamp) with all arrivals inside one horizon, so the suppression
     window unambiguously covers every duplicate pair.
     """
-    import os
-    import tempfile
-
     from .stateful import streaming_dedup_within_watermark
 
-    if os.path.isfile(docs_path):
-        stage = tempfile.mkdtemp(prefix="w4h_windedup_stream_")
-        os.symlink(docs_path, os.path.join(stage, os.path.basename(docs_path)))
-        source_dir = stage
-    else:
-        stage = None
-        source_dir = docs_path
-    schema = spark.read.parquet(docs_path).schema
-    stream = spark.readStream.schema(schema).parquet(source_dir).select(
-        "doc_id",
-        "text",
-        F.timestamp_seconds(
-            F.lit(1_704_067_200) + F.col("doc_id") % 600
-        ).alias("event_time"),
+    stream, stage = _staged_file_stream(
+        spark, docs_path, prefix="w4h_windedup_stream_"
     )
+    stream = stream.select("doc_id", "text", _synthetic_event_time())
     out = streaming_dedup_within_watermark(
         stream, event_time="event_time", horizon=horizon
     )
@@ -326,25 +338,15 @@ def run_streaming_url_frontier_batchmode(
     the key set is returned — deterministic, and exactly the batch
     DISTINCT the oracle computes.
     """
-    import os
-    import tempfile
-
     from ..operators.web import canonicalize_url
 
-    if os.path.isfile(docs_path):
-        stage = tempfile.mkdtemp(prefix="w4h_urlfrontier_stream_")
-        os.symlink(docs_path, os.path.join(stage, os.path.basename(docs_path)))
-        source_dir = stage
-    else:
-        stage = None
-        source_dir = docs_path
-    schema = spark.read.parquet(docs_path).schema
-    stream = spark.readStream.schema(schema).parquet(source_dir).select(
+    stream, stage = _staged_file_stream(
+        spark, docs_path, prefix="w4h_urlfrontier_stream_"
+    )
+    stream = stream.select(
         "doc_id",
         canonicalize_url(url).alias("canonical_url"),
-        F.timestamp_seconds(
-            F.lit(1_704_067_200) + F.col("doc_id") % 600
-        ).alias("event_time"),
+        _synthetic_event_time(),
     )
     out = stream.withWatermark(
         "event_time", horizon
