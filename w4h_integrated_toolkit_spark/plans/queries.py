@@ -1289,22 +1289,17 @@ def q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet) plus a 1/0 flag that the streaming sketch estimate lands
     within max(3, 5%) of it; the oracle computes the exact side and
     asserts flag=1."""
-    import os
-    import tempfile
-
-    from ..streaming.replay import drain_memory_sink, windowed_distinct_stream
+    from ..streaming.replay import (
+        drain_memory_sink,
+        stage_file_source,
+        windowed_distinct_stream,
+    )
 
     prepare_session(spark)
     path = f"{sf_dir}/events.parquet"
     ev = _t(spark, sf_dir, "events")
     schema = spark.read.parquet(path).schema
-    if os.path.isfile(path):
-        stage = tempfile.mkdtemp(prefix="w4h_distinct_stream_")
-        os.symlink(path, os.path.join(stage, os.path.basename(path)))
-        src = stage
-    else:
-        stage = None
-        src = path
+    src, stage = stage_file_source(path, "w4h_distinct_stream_")
     stream = spark.readStream.schema(schema).parquet(src)
     out = windowed_distinct_stream(
         stream, ts="ts", key="user_id", window="1 hour", watermark="2 hours"

@@ -54,23 +54,17 @@ _SYNTH_EPOCH = 1_704_067_200  # 2024-01-01T00:00:00Z
 
 
 def _staged_file_stream(spark, docs_path: str, prefix: str):
-    """Open ``docs_path`` as a parquet file-stream source, staging a
-    single FILE behind a symlink directory (the file source wants a
-    directory). Returns ``(stream, stage)`` — pass ``stage`` to
-    ``drain_memory_sink(stage_dir=...)`` so repeated gate/parity/bench
-    invocations leave no per-run residue. Shared by every batchmode
-    streaming runner in this module so the staging contract can't
-    desynchronize between gates."""
-    import os
-    import tempfile
+    """Open ``docs_path`` as a parquet file-stream source via the ONE
+    staging contract (:func:`..streaming.replay.stage_file_source` —
+    a bare file goes behind a symlink dir). Returns ``(stream, stage)``
+    — pass ``stage`` to ``drain_memory_sink(stage_dir=...)`` so
+    repeated gate/parity/bench invocations leave no per-run residue.
+    Unlike replay.file_stream this stays on the CALLER's session (no
+    bounded-replay clone): these runners join nothing static and drain
+    with their own pins."""
+    from .replay import stage_file_source
 
-    if os.path.isfile(docs_path):
-        stage = tempfile.mkdtemp(prefix=prefix)
-        os.symlink(docs_path, os.path.join(stage, os.path.basename(docs_path)))
-        source_dir = stage
-    else:
-        stage = None
-        source_dir = docs_path
+    source_dir, stage = stage_file_source(docs_path, prefix)
     schema = spark.read.parquet(docs_path).schema
     return spark.readStream.schema(schema).parquet(source_dir), stage
 

@@ -529,6 +529,28 @@ def sessionized_stream(
     )
 
 
+def stage_file_source(
+    path: str, prefix: str = "w4h_stream_"
+) -> tuple[str, str | None]:
+    """A path the parquet file-source can consume: the streaming file
+    source requires a DIRECTORY, so a bare file is staged behind a
+    symlink dir. Returns ``(source_dir, stage)`` — pass ``stage`` to
+    :func:`drain_memory_sink` (``stage_dir=``) so it is removed even on
+    failure. The ONE definition of the staging contract; every
+    streaming gate (this module's :func:`file_stream`, the
+    dedup_stream batchmode runners, q_stream_distinct_users) routes
+    through it so a staging fix can never desynchronize between
+    gates."""
+    import os
+    import tempfile
+
+    if os.path.isfile(path):
+        stage = tempfile.mkdtemp(prefix=prefix)
+        os.symlink(path, os.path.join(stage, os.path.basename(path)))
+        return stage, stage
+    return path, None
+
+
 def file_stream(
     spark: SparkSession, path: str, prefix: str = "w4h_stream_"
 ) -> tuple[DataFrame, str | None]:
@@ -544,9 +566,6 @@ def file_stream(
     stay on the clone automatically (they derive from the returned
     DataFrame); callers that need to JOIN the stream against
     shared-session static DataFrames should not use this constructor."""
-    import os
-    import tempfile
-
     from ..catalog import ns_timestamp_columns
 
     ns_cols = ns_timestamp_columns(path)
@@ -556,13 +575,7 @@ def file_stream(
     # leak into clones served for non-ns keys
     spark = bounded_replay_session(spark, ns_long=bool(ns_cols))
     schema = spark.read.parquet(path).schema
-    if os.path.isfile(path):
-        stage = tempfile.mkdtemp(prefix=prefix)
-        os.symlink(path, os.path.join(stage, os.path.basename(path)))
-        source_dir = stage
-    else:
-        stage = None
-        source_dir = path
+    source_dir, stage = stage_file_source(path, prefix)
     stream = spark.readStream.schema(schema).parquet(source_dir)
     for c in ns_cols:
         stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
