@@ -154,6 +154,41 @@ def main() -> None:
             )
         ).count(),
     }
+    # r12: persisted-ranking scoring — snapshot-slice unigram fit, model
+    # store round-trip, ingest-slice scoring (the registry entry's exact
+    # chain; the store hop is vocab-sized and ~constant, growth comes
+    # from the tf aggregate over the ingest slice)
+    def _ranking_scores(d):
+        import tempfile
+
+        from w4h_integrated_toolkit_spark.sources.models import (
+            load_model,
+            save_model,
+        )
+
+        counts = (
+            d.filter(F.col("doc_id") % 3 == 0)
+            .select(
+                F.explode(
+                    F.split(F.lower(F.trim("text")), r"\s+")
+                ).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        params = {"kind": "unigram_counts"}
+        with tempfile.TemporaryDirectory(
+            prefix="w4h_scale_rank_", ignore_cleanup_errors=True
+        ) as store:
+            save_model(s, store, counts, params)
+            loaded, _ = load_model(s, store, expect_params=params)
+            frozen = loaded.localCheckpoint(eager=True)
+        return RK.unigram_nll(
+            d.filter(F.col("doc_id") % 3 != 0), term_counts=frozen
+        ).count()
+
+    ops["ranking_model_scores"] = _ranking_scores
+
     results = {
         f: {
             "docs_rows": frames[f].count(),
@@ -170,6 +205,38 @@ def main() -> None:
                 fn(frames[f])
                 ts.append(time.time() - t0)
             results[f][op] = round(min(ts), 2)
+
+    # r12: streaming URL-frontier dedup — a REAL availableNow streaming
+    # job per trial, so it needs a parquet path per factor (same fixed
+    # 997-key noisy-URL space as url_canonicalize: the frontier state is
+    # key-bounded while the scanned rows grow)
+    import shutil
+    import tempfile as _tf
+
+    from w4h_integrated_toolkit_spark.streaming.dedup_stream import (
+        run_streaming_url_frontier_batchmode,
+    )
+
+    frontier_url = F.concat(
+        F.lit("HTTP://www.Dom"),
+        F.pmod(F.col("doc_id"), F.lit(997)).cast("string"),
+        F.lit(".com:80//p/?utm_source=f&b=2&a=1#x"),
+    )
+    for f in FACTORS:
+        d_dir = _tf.mkdtemp(prefix=f"w4h_scale_frontier_{f}x_")
+        try:
+            frames[f].write.mode("overwrite").parquet(d_dir)
+            run_streaming_url_frontier_batchmode(s, d_dir, frontier_url).count()
+            ts = []
+            for _ in range(2):
+                t0 = time.time()
+                run_streaming_url_frontier_batchmode(
+                    s, d_dir, frontier_url
+                ).count()
+                ts.append(time.time() - t0)
+            results[f]["stream_url_frontier"] = round(min(ts), 2)
+        finally:
+            shutil.rmtree(d_dir, ignore_errors=True)
 
     # wave-7 non-document ops: embeddings (Gram) and events (rolling
     # median) replicate by id offset — values may repeat, neither op's
