@@ -233,6 +233,7 @@ EXTRA_BENCH_QUERIES = [
     # r12 additions
     "ranking_model_scores",
     "stream_url_frontier",
+    "warc_extract",
 ]
 
 # The heaviest extras get MEDIAN-OF-3 like the headline (r8 verdict

@@ -823,3 +823,140 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     assert pushed and "id" in pushed[0], "range predicate must reach the ORC scan"
     schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "v" in schema_line and "tag" not in schema_line
+
+
+# ---------------------------------------------------------------------------
+# WARC source (round 12): pure-stdlib crawl-archive record codec
+# ---------------------------------------------------------------------------
+
+
+def _sample_warc_records():
+    from w4h_integrated_toolkit_spark.sources.warc import encode_warc_record
+
+    body = b"<html><body>hello <b>crawl</b></body></html>"
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    return [
+        encode_warc_record(
+            "warcinfo", b"software: w4h-spark\r\n",
+            content_type="application/warc-fields",
+        ),
+        encode_warc_record(
+            "response", http, target_uri="http://ex.com/a",
+            content_type="application/http;msgtype=response",
+        ),
+        encode_warc_record(
+            "request", b"GET /a HTTP/1.1\r\nHost: ex.com\r\n\r\n",
+            target_uri="http://ex.com/a",
+        ),
+    ], body
+
+
+def test_warc_roundtrip_plain_and_gzip_members():
+    """encode -> parse round-trip in both layouts: record framing,
+    header fields, payload bytes and the gzip member chain all survive
+    intact; the gzip and plain parses are record-for-record equal."""
+    from w4h_integrated_toolkit_spark.sources.warc import (
+        encode_warc,
+        parse_warc,
+    )
+
+    recs, body = _sample_warc_records()
+    for gz in (False, True):
+        blob = encode_warc(recs, gzip_members=gz)
+        got = parse_warc(blob)
+        assert [r["headers"]["warc-type"] for r in got] == [
+            "warcinfo", "response", "request",
+        ]
+        assert got[1]["headers"]["warc-target-uri"] == "http://ex.com/a"
+        assert got[1]["payload"].endswith(body)
+        assert got[0]["version"] == "WARC/1.0"
+        assert all(
+            int(r["headers"]["content-length"]) == len(r["payload"])
+            for r in got
+        )
+
+
+def test_warc_http_split_and_malformed_framing():
+    """split_http_response lifts status/headers/body; non-HTTP payloads
+    pass through whole; torn framing (truncated payload, broken gzip
+    chain, missing Content-Length, junk header line) raises instead of
+    yielding silently partial records."""
+    import pytest as _pytest
+
+    from w4h_integrated_toolkit_spark.sources.warc import (
+        encode_warc,
+        encode_warc_record,
+        parse_warc,
+        split_http_response,
+    )
+
+    recs, body = _sample_warc_records()
+    parsed = parse_warc(encode_warc(recs))
+    status, headers, got_body = split_http_response(parsed[1]["payload"])
+    assert status == 200 and got_body == body
+    assert headers["content-type"] == "text/html; charset=utf-8"
+    s2, h2, b2 = split_http_response(b"not http at all")
+    assert s2 is None and h2 == {} and b2 == b"not http at all"
+
+    blob = encode_warc(recs)
+    with _pytest.raises(ValueError, match="truncated|unterminated"):
+        parse_warc(blob[:-30])
+    gz = encode_warc(recs, gzip_members=True)
+    with _pytest.raises(ValueError, match="gzip"):
+        parse_warc(gz[:2] + b"junk" + gz[2:])
+    bad = encode_warc_record("metadata", b"x" * 4).replace(
+        b"Content-Length: 4\r\n", b""
+    )
+    with _pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(bad)
+    with _pytest.raises(ValueError, match="malformed WARC header"):
+        parse_warc(b"WARC/1.0\r\nnocolonhere\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+
+
+def test_warc_records_explodes_blobs_and_chains_into_curation(spark):
+    """The DataFrame op: one row per blob in, one row per record out,
+    HTTP response bodies lifted with typed status/content-type, other
+    records passed through whole; and the extracted body chains
+    straight into the HTML->text curation step (the crawl ingest
+    bridge)."""
+    from w4h_integrated_toolkit_spark.operators.web import html_text
+    from w4h_integrated_toolkit_spark.sources.warc import (
+        encode_warc,
+        warc_records,
+    )
+
+    recs, body = _sample_warc_records()
+    rows = [
+        (1, bytearray(encode_warc(recs))),
+        (2, bytearray(encode_warc(recs, gzip_members=True))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = warc_records(df).collect()
+    assert len(out) == 6  # 3 records x 2 blobs
+    by_key = {(r["doc_id"], r["record_idx"]): r for r in out}
+    for d in (1, 2):
+        resp = by_key[(d, 1)]
+        assert resp["warc_type"] == "response"
+        assert resp["http_status"] == 200
+        assert resp["http_content_type"] == "text/html; charset=utf-8"
+        assert bytes(resp["payload"]) == body
+        assert resp["n_payload_bytes"] == len(body)
+        info = by_key[(d, 0)]
+        assert info["warc_type"] == "warcinfo"
+        assert info["http_status"] is None
+        assert bytes(info["payload"]) == b"software: w4h-spark\r\n"
+
+    # crawl bridge: WARC body -> html_text -> clean text
+    texts = (
+        warc_records(df)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            "doc_id",
+            html_text(F.col("payload").cast("string")).alias("text"),
+        )
+        .collect()
+    )
+    assert all(r["text"] == "hello crawl" for r in texts)

@@ -7810,6 +7810,114 @@ def q_ranking_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RK.unigram_nll(ingest, term_counts=frozen)
 
 
+def _attach_warc_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content: binary) with a REAL encoded WARC blob per row
+    (sources/warc.py): a warcinfo record plus 1 + id%3 HTTP response
+    records whose URI/status/content-type/body all derive from integer
+    formulas of (id, record index); even ids gzip each record into its
+    own member (the Common Crawl layout), odd ids stay plain — one pass
+    exercises both container layouts, mixed record types, and the HTTP
+    payload split. The multimodal attach_audio_payload pattern applied
+    to the crawl-archive container."""
+    from pyspark.sql import types as T
+
+    from ..sources import warc as W
+
+    schema = T.StructType(
+        [docs.schema[id_col], T.StructField("content", T.BinaryType())]
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf[id_col]:
+                d = int(d)
+                recs = [
+                    W.encode_warc_record(
+                        "warcinfo",
+                        b"software: w4h-spark\r\n",
+                        content_type="application/warc-fields",
+                    )
+                ]
+                for r in range(1, 1 + d % 3 + 1):
+                    body = b"x" * (10 + (d * 31 + r * 17) % 50)
+                    status = 200 if (d + r) % 7 else 404
+                    ct = "text/html" if r % 2 == 1 else "text/plain"
+                    http = (
+                        f"HTTP/1.1 {status} OK\r\nContent-Type: {ct}\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n"
+                    ).encode() + body
+                    recs.append(
+                        W.encode_warc_record(
+                            "response",
+                            http,
+                            target_uri=f"http://d{d % 100}.example/p{r}",
+                            content_type="application/http;msgtype=response",
+                        )
+                    )
+                rows.append(
+                    (d, W.encode_warc(recs, gzip_members=(d % 2 == 0)))
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "content"])
+
+    return docs.select(id_col).mapInPandas(synth, schema)
+
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-archive extraction through the REAL pure-stdlib codec
+    (sources/warc.py — encode → parse round-trip inside Arrow kernels,
+    plain AND per-record-gzip layouts, warcinfo + HTTP response records,
+    status/content-type lift and body split): the formula-derived-oracle
+    pattern the media codecs use — DuckDB never sees WARC bytes, it
+    re-derives every record's URI, status, content type, body length
+    and body md5 from the same integer formulas, so a green hash proves
+    record framing, gzip member chaining, header parsing and the HTTP
+    payload split are jointly exact. Map-side end to end."""
+    from ..sources import warc as W
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    recs = W.warc_records(_attach_warc_payload(docs))
+    return recs.select(
+        "doc_id",
+        "record_idx",
+        "warc_type",
+        "target_uri",
+        "http_status",
+        F.col("http_content_type").alias("content_type"),
+        F.col("n_payload_bytes").alias("body_len"),
+        F.md5("payload").alias("body_md5"),
+    )
+
+
+_SQL_WARC_EXTRACT = r"""
+WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS nrec FROM documents),
+resp AS (
+  SELECT doc_id, CAST(r AS INT) AS record_idx,
+         'response' AS warc_type,
+         'http://d' || CAST(doc_id % 100 AS VARCHAR) || '.example/p'
+           || CAST(r AS VARCHAR) AS target_uri,
+         CAST(CASE WHEN (doc_id + r) % 7 <> 0 THEN 200 ELSE 404 END
+              AS INT) AS http_status,
+         CASE WHEN r % 2 = 1 THEN 'text/html' ELSE 'text/plain' END
+           AS content_type,
+         CAST(10 + (doc_id * 31 + r * 17) % 50 AS BIGINT) AS body_len,
+         md5(repeat('x', CAST(10 + (doc_id * 31 + r * 17) % 50 AS INT)))
+           AS body_md5
+  FROM p, unnest(range(1, nrec + 1)) AS t(r)),
+info AS (
+  SELECT doc_id, CAST(0 AS INT) AS record_idx, 'warcinfo' AS warc_type,
+         CAST(NULL AS VARCHAR) AS target_uri,
+         CAST(NULL AS INT) AS http_status,
+         CAST(NULL AS VARCHAR) AS content_type,
+         CAST(21 AS BIGINT) AS body_len,
+         md5('software: w4h-spark' || chr(13) || chr(10)) AS body_md5
+  FROM documents)
+SELECT * FROM info UNION ALL SELECT * FROM resp
+"""
+
+
 _SQL_RANKING_MODEL_SCORES = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -8704,6 +8812,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # key under dropDuplicatesWithinWatermark; oracle = batch DISTINCT
     # of the independently re-derived canonical key
     "stream_url_frontier": (q_stream_url_frontier, _SQL_STREAM_URL_FRONTIER),
+    # WARC crawl-archive extraction (pure-stdlib codec, encode->parse
+    # round trip, plain + gzip-member layouts); formula-derived oracle
+    # never parses bytes — the media-codec gate pattern
+    "warc_extract": (q_warc_extract, _SQL_WARC_EXTRACT),
 }
 
 
@@ -8740,11 +8852,12 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 # ols_trend_slope — then any entries added in r12 (never gated), then
 # the stalest r10 rows. Rotation-debt arithmetic (per the r8 verdict's
 # throttle order): stale backlog entering r13 = 46 r9 rows, so r12 may
-# add at most 50 − 46 = 4 new entries; r12 actually adds 2
-# (ranking_model_scores, stream_url_frontier — added BEHIND this window
-# → enter r13 never-gated). Backlog entering r13 = 46 r9-stale + 2
-# never-gated = 48 ≤ 50, leaving 2 free slots for r10-stale rotation at
-# r13 (stalest r10 rows in CORRECTNESS_r10 order).
+# add at most 50 − 46 = 4 new entries; r12 actually adds 3
+# (ranking_model_scores, stream_url_frontier, warc_extract — added
+# BEHIND this window → enter r13 never-gated). Backlog entering r13 =
+# 46 r9-stale + 3 never-gated = 49 ≤ 50, leaving 1 free slot for
+# r10-stale rotation at r13 (stalest r10 row in CORRECTNESS_r10
+# order).
 _R12_WINDOW = [
     # --- 44 r8-stale rows, CORRECTNESS_r08 order ---
     "table_diff",
