@@ -901,12 +901,23 @@ def test_warc_http_split_and_malformed_framing():
     s2, h2, b2 = split_http_response(b"not http at all")
     assert s2 is None and h2 == {} and b2 == b"not http at all"
 
+    # in-payload HTTP damage NEVER aborts the record (LF-only headers,
+    # garbage status line): pass-through with NULL status, per contract
+    assert split_http_response(b"HTTP/1.1 200 OK\nA: b\n\nbody")[0] is None
+    assert split_http_response(b"HTTP/1.1 ??? \r\n\r\nx")[0] is None
+
     blob = encode_warc(recs)
     with _pytest.raises(ValueError, match="truncated|unterminated"):
         parse_warc(blob[:-30])
     gz = encode_warc(recs, gzip_members=True)
     with _pytest.raises(ValueError, match="gzip"):
         parse_warc(gz[:2] + b"junk" + gz[2:])
+    # truncated FINAL member: cut inside the deflate stream and inside
+    # the 8-byte trailer — both must raise, not silently drop/pass
+    # records (zlib reports eof only after the verified trailer)
+    for cut in (20, 4):
+        with _pytest.raises(ValueError, match="truncated|corrupt"):
+            parse_warc(gz[:-cut])
     bad = encode_warc_record("metadata", b"x" * 4).replace(
         b"Content-Length: 4\r\n", b""
     )
@@ -914,6 +925,41 @@ def test_warc_http_split_and_malformed_framing():
         parse_warc(bad)
     with _pytest.raises(ValueError, match="malformed WARC header"):
         parse_warc(b"WARC/1.0\r\nnocolonhere\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+
+    # header-value line breaks can't smuggle framing through the encoder
+    with _pytest.raises(ValueError, match="line break"):
+        encode_warc_record(
+            "response", b"", target_uri="http://x/\r\nContent-Length: 0"
+        )
+
+
+def test_warc_folded_and_repeated_headers():
+    """Spec-legal LWS continuation lines fold into the previous field's
+    value; repeated fields (WARC-Concurrent-To) preserve every value
+    comma-joined instead of silently keeping the last; a continuation
+    with no preceding field raises."""
+    import pytest as _pytest
+
+    from w4h_integrated_toolkit_spark.sources.warc import parse_warc
+
+    blob = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: metadata\r\n"
+        b"WARC-Target-URI: http://ex.com/very\r\n"
+        b"  /long/path\r\n"
+        b"WARC-Concurrent-To: <urn:uuid:aaa>\r\n"
+        b"WARC-Concurrent-To: <urn:uuid:bbb>\r\n"
+        b"Content-Length: 2\r\n\r\nok\r\n\r\n"
+    )
+    (rec,) = parse_warc(blob)
+    assert rec["headers"]["warc-target-uri"] == "http://ex.com/very /long/path"
+    assert rec["headers"]["warc-concurrent-to"] == "<urn:uuid:aaa>, <urn:uuid:bbb>"
+    assert rec["payload"] == b"ok"
+
+    with _pytest.raises(ValueError, match="continuation"):
+        parse_warc(
+            b"WARC/1.0\r\n  floating\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+        )
 
 
 def test_warc_records_explodes_blobs_and_chains_into_curation(spark):
@@ -934,6 +980,16 @@ def test_warc_records_explodes_blobs_and_chains_into_curation(spark):
         (2, bytearray(encode_warc(recs, gzip_members=True))),
     ]
     df = spark.createDataFrame(rows, "doc_id long, content binary")
+
+    # a NULL blob is a file-level decision: fail loud with context
+    import pytest as _pytest
+
+    nul = spark.createDataFrame(
+        [(9, None)], "doc_id long, content binary"
+    )
+    with _pytest.raises(Exception, match="NULL WARC blob"):
+        warc_records(nul).collect()
+
     out = warc_records(df).collect()
     assert len(out) == 6  # 3 records x 2 blobs
     by_key = {(r["doc_id"], r["record_idx"]): r for r in out}

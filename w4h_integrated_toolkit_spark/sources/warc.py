@@ -61,17 +61,25 @@ def encode_warc_record(
     """One WARC/1.0 record: header block + Content-Length-framed payload
     + the spec's two-CRLF boundary. Deterministic given its inputs (the
     date and record id are caller-supplied, never wall-clock), so tests
-    and the driver gate can pin exact bytes."""
-    lines = [
-        "WARC/1.0",
-        f"WARC-Type: {warc_type}",
-        f"WARC-Record-ID: {record_id}",
-        f"WARC-Date: {warc_date}",
+    and the driver gate can pin exact bytes. Field values carrying CR or
+    LF raise — an injected line break would tear the framing (or smuggle
+    a bogus header) and break the encode→parse round-trip guarantee."""
+    fields = [
+        ("WARC-Type", warc_type),
+        ("WARC-Record-ID", record_id),
+        ("WARC-Date", warc_date),
     ]
     if target_uri is not None:
-        lines.append(f"WARC-Target-URI: {target_uri}")
+        fields.append(("WARC-Target-URI", target_uri))
     if content_type is not None:
-        lines.append(f"Content-Type: {content_type}")
+        fields.append(("Content-Type", content_type))
+    for name, value in fields:
+        if "\r" in value or "\n" in value:
+            raise ValueError(
+                f"{name} value contains a line break ({value!r}) — "
+                "refusing to emit torn/smuggled framing"
+            )
+    lines = ["WARC/1.0"] + [f"{n}: {v}" for n, v in fields]
     lines.append(f"Content-Length: {len(payload)}")
     head = ("\r\n".join(lines) + "\r\n\r\n").encode("utf-8")
     return head + payload + b"\r\n\r\n"
@@ -91,24 +99,38 @@ def encode_warc(records: list[bytes], gzip_members: bool = False) -> bytes:
     return b"".join(out)
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a chain of gzip members (stdlib zlib loop — each
-    member's trailer is followed by the next member's magic)."""
+def _gunzip_members(data: bytes, chunk_size: int = 1 << 20) -> bytes:
+    """Decompress a chain of gzip members. Streaming by OFFSET over a
+    memoryview — never re-materializing the tail per member (the naive
+    `rest = obj.unused_data` loop copies O(members × file-size) bytes;
+    a real Common Crawl file has tens of thousands of members). Each
+    member must reach ``eof`` (trailer CRC/ISIZE verified by zlib) —
+    a blob cut mid-member or mid-trailer raises instead of silently
+    dropping or passing unverified records."""
     out = []
-    rest = data
-    while rest:
-        if rest[:2] != _GZIP_MAGIC:
+    view = memoryview(data)
+    pos, n = 0, len(data)
+    while pos < n:
+        if bytes(view[pos : pos + 2]) != _GZIP_MAGIC:
             raise ValueError(
-                f"gzip member chain broken: expected magic 1f8b, got "
-                f"{rest[:2]!r} with {len(rest)} bytes left"
+                f"gzip member chain broken at byte {pos}: expected magic "
+                f"1f8b, got {bytes(view[pos : pos + 2])!r}"
             )
         obj = zlib.decompressobj(31)
         try:
-            out.append(obj.decompress(rest))
+            while not obj.eof:
+                if pos >= n:
+                    raise ValueError(
+                        "truncated gzip member: stream ended before the "
+                        "member's trailer (records would be silently "
+                        "lost or unverified)"
+                    )
+                chunk = view[pos : pos + chunk_size]
+                out.append(obj.decompress(chunk))
+                pos += len(chunk) - len(obj.unused_data)
             out.append(obj.flush())
         except zlib.error as e:
-            raise ValueError(f"corrupt gzip member: {e}") from e
-        rest = obj.unused_data
+            raise ValueError(f"corrupt gzip member at byte {pos}: {e}") from e
     return b"".join(out)
 
 
@@ -144,11 +166,29 @@ def parse_warc(data: bytes) -> list[dict]:
                 f"line (got {version!r})"
             )
         headers: dict[str, str] = {}
+        last_name: str | None = None
         for line in lines[1:]:
+            if line[:1] in (" ", "\t"):
+                # spec-legal LWS continuation: the folded text belongs
+                # to the PREVIOUS field's value
+                if last_name is None:
+                    raise ValueError(
+                        f"continuation line with no preceding header: "
+                        f"{line!r}"
+                    )
+                headers[last_name] += " " + line.strip()
+                continue
             name, sep, value = line.partition(":")
             if not sep:
                 raise ValueError(f"malformed WARC header line {line!r}")
-            headers[name.strip().lower()] = value.strip()
+            last_name = name.strip().lower()
+            if last_name in headers:
+                # repeated fields are spec-legal (WARC-Concurrent-To);
+                # preserve every value, comma-joined, instead of
+                # silently keeping the last one
+                headers[last_name] += ", " + value.strip()
+            else:
+                headers[last_name] = value.strip()
         try:
             length = int(headers["content-length"])
         except KeyError:
@@ -169,19 +209,23 @@ def parse_warc(data: bytes) -> list[dict]:
 
 def split_http_response(payload: bytes) -> tuple[int | None, dict, bytes]:
     """Split an HTTP-response record payload into (status, headers,
-    body). A payload that is not an HTTP message (no ``HTTP/`` prefix)
-    returns ``(None, {}, payload)`` — non-HTTP records pass through
-    whole rather than half-parsed."""
+    body). Any payload that cannot be split as an HTTP message — no
+    ``HTTP/`` prefix, no header/body separator (LF-only servers exist
+    in real crawls), a non-numeric status — returns ``(None, {},
+    payload)``: in-payload HTTP damage is a per-RECORD condition, not
+    WARC framing damage, so it must never abort the surrounding file
+    (callers see a NULL status and decide). Only the WARC layer itself
+    is fail-loud."""
     if not payload.startswith(b"HTTP/"):
         return None, {}, payload
     end_hdr = payload.find(b"\r\n\r\n")
     if end_hdr < 0:
-        raise ValueError("HTTP payload has no header/body separator")
+        return None, {}, payload
     head = payload[:end_hdr].decode("utf-8", errors="replace")
     lines = head.split("\r\n")
     parts = lines[0].split(None, 2)
     if len(parts) < 2 or not parts[1].isdigit():
-        raise ValueError(f"malformed HTTP status line {lines[0]!r}")
+        return None, {}, payload
     status = int(parts[1])
     headers: dict[str, str] = {}
     for line in lines[1:]:
@@ -231,6 +275,15 @@ def warc_records(
         for pdf in batches:
             rows = []
             for rid, blob in zip(pdf[id_col], pdf[content_col]):
+                if blob is None:
+                    # the module's fail-loud family, with context — not
+                    # a bare TypeError from bytes(None) deep in the
+                    # executor; callers filter NULL blobs deliberately
+                    raise ValueError(
+                        f"NULL WARC blob for {id_col}={rid}; filter "
+                        "NULL content rows before warc_records (an "
+                        "unreadable file is a file-level decision)"
+                    )
                 for i, rec in enumerate(parse_warc(bytes(blob))):
                     h = rec["headers"]
                     payload = rec["payload"]
