@@ -902,9 +902,20 @@ def test_warc_http_split_and_malformed_framing():
     assert s2 is None and h2 == {} and b2 == b"not http at all"
 
     # in-payload HTTP damage NEVER aborts the record (LF-only headers,
-    # garbage status line): pass-through with NULL status, per contract
+    # garbage status line, Unicode digit-alikes, out-of-range numeric
+    # runs that would overflow the int32 status column): pass-through
+    # with NULL status, per contract
     assert split_http_response(b"HTTP/1.1 200 OK\nA: b\n\nbody")[0] is None
     assert split_http_response(b"HTTP/1.1 ??? \r\n\r\nx")[0] is None
+    assert split_http_response("HTTP/1.1 ² OK\r\n\r\nx".encode())[0] is None
+    assert split_http_response(b"HTTP/1.1 99999999999 OK\r\n\r\nx")[0] is None
+    assert split_http_response(b"HTTP/1.1 42 OK\r\n\r\nx")[0] is None
+    # obs-fold continuation in HTTP headers folds into the value
+    s3, h3, _ = split_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: multipart/mixed;\r\n"
+        b" boundary=x\r\n\r\nbody"
+    )
+    assert s3 == 200 and h3["content-type"] == "multipart/mixed; boundary=x"
 
     blob = encode_warc(recs)
     with _pytest.raises(ValueError, match="truncated|unterminated"):
@@ -960,6 +971,16 @@ def test_warc_folded_and_repeated_headers():
         parse_warc(
             b"WARC/1.0\r\n  floating\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
         )
+
+    # a REPEATED Content-Length makes the record boundary ambiguous —
+    # contextual fail-loud (byte offset + the offending value), never a
+    # bare int() error or a silently guessed boundary
+    dup_cl = (
+        b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+        b"Content-Length: 2\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"
+    )
+    with _pytest.raises(ValueError, match="non-integer Content-Length"):
+        parse_warc(dup_cl)
 
 
 def test_warc_records_explodes_blobs_and_chains_into_curation(spark):

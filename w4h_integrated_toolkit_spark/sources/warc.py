@@ -111,6 +111,8 @@ def _gunzip_members(data: bytes, chunk_size: int = 1 << 20) -> bytes:
     view = memoryview(data)
     pos, n = 0, len(data)
     while pos < n:
+        member_start = pos  # error offsets point at the MEMBER, not the
+        # chunk cursor (which may have advanced megabytes past it)
         if bytes(view[pos : pos + 2]) != _GZIP_MAGIC:
             raise ValueError(
                 f"gzip member chain broken at byte {pos}: expected magic "
@@ -121,7 +123,8 @@ def _gunzip_members(data: bytes, chunk_size: int = 1 << 20) -> bytes:
             while not obj.eof:
                 if pos >= n:
                     raise ValueError(
-                        "truncated gzip member: stream ended before the "
+                        f"truncated gzip member starting at byte "
+                        f"{member_start}: stream ended before the "
                         "member's trailer (records would be silently "
                         "lost or unverified)"
                     )
@@ -130,7 +133,9 @@ def _gunzip_members(data: bytes, chunk_size: int = 1 << 20) -> bytes:
                 pos += len(chunk) - len(obj.unused_data)
             out.append(obj.flush())
         except zlib.error as e:
-            raise ValueError(f"corrupt gzip member at byte {pos}: {e}") from e
+            raise ValueError(
+                f"corrupt gzip member starting at byte {member_start}: {e}"
+            ) from e
     return b"".join(out)
 
 
@@ -193,6 +198,16 @@ def parse_warc(data: bytes) -> list[dict]:
             length = int(headers["content-length"])
         except KeyError:
             raise ValueError(f"record at byte {pos} has no Content-Length")
+        except ValueError:
+            # a repeated Content-Length comma-joins ('2, 2') and a folded
+            # one grows whitespace text — either way the framing is
+            # ambiguous, and ambiguity in the LENGTH field is framing
+            # damage: fail loud WITH context, never guess a boundary
+            raise ValueError(
+                f"record at byte {pos} has a non-integer Content-Length "
+                f"({headers['content-length']!r}) — repeated or folded "
+                "length fields make the record boundary ambiguous"
+            )
         body_start = end_hdr + 4
         payload = data[body_start : body_start + length]
         if len(payload) != length:
@@ -224,14 +239,30 @@ def split_http_response(payload: bytes) -> tuple[int | None, dict, bytes]:
     head = payload[:end_hdr].decode("utf-8", errors="replace")
     lines = head.split("\r\n")
     parts = lines[0].split(None, 2)
-    if len(parts) < 2 or not parts[1].isdigit():
+    # isdecimal, not isdigit: int() rejects Unicode digit-LIKE chars
+    # ('²'.isdigit() is True but int('²') raises) — mojibake status
+    # lines must pass through, not abort. Then bound to the RFC's
+    # 3-digit range so a garbage numeric run can't overflow the typed
+    # int32 status column downstream.
+    if len(parts) < 2 or not parts[1].isdecimal():
         return None, {}, payload
     status = int(parts[1])
+    if not (100 <= status <= 999):
+        return None, {}, payload
     headers: dict[str, str] = {}
+    last_name: str | None = None
     for line in lines[1:]:
+        if line[:1] in (" ", "\t"):
+            # obs-fold continuation (multipart boundaries etc.): belongs
+            # to the previous field; with no previous field the line is
+            # in-payload damage — skipped, never fatal (lenient layer)
+            if last_name is not None:
+                headers[last_name] += " " + line.strip()
+            continue
         name, sep, value = line.partition(":")
         if sep:
-            headers[name.strip().lower()] = value.strip()
+            last_name = name.strip().lower()
+            headers[last_name] = value.strip()
     return status, headers, payload[end_hdr + 4 :]
 
 
