@@ -189,6 +189,19 @@ def main() -> None:
 
     ops["ranking_model_scores"] = _ranking_scores
 
+    # r12: WARC record extraction — the synth+parse round trip the gate
+    # runs; per-blob work is id-formula-sized, so growth tracks the doc
+    # count (the file is the parallel unit, exactly the 100 TB shape)
+    def _warc(d):
+        from w4h_integrated_toolkit_spark.plans.queries import (
+            _attach_warc_payload,
+        )
+        from w4h_integrated_toolkit_spark.sources.warc import warc_records
+
+        return warc_records(_attach_warc_payload(d.select("doc_id"))).count()
+
+    ops["warc_extract"] = _warc
+
     results = {
         f: {
             "docs_rows": frames[f].count(),
