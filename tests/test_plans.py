@@ -1277,6 +1277,48 @@ def test_wave15_plan_shapes(spark):
     assert "GreaterThanOrEqual" in p, p[:1200]
 
 
+def test_wave16_plan_shapes(spark):
+    """r12 additions/reworks: url_canonicalize (now with the percent
+    pass and port policy) is STILL pure JVM — zero Python, no joins,
+    exactly one exchange (the canonical-key rollup); idna_hosts' dict
+    strategy runs the Python kernel above a dictionary-sized distinct
+    and broadcast-joins back (corpus side never sort-merges); the
+    ranking_model_scores plan carries NO reference to the deleted temp
+    model store (the loaded model is localCheckpointed — ExistingRDD in
+    the plan) and the only parquet scan is the documents table;
+    warc_extract is a pure map-side MapInPandas chain (synth + record
+    explode), zero exchanges, blobs never shuffle."""
+    import re as _re
+
+    p = plan_of(spark, "url_canonicalize")
+    assert n_shuffles(p) == 1, p[:800]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p and "Join" not in p
+
+    p = plan_of(spark, "idna_hosts")
+    assert "BroadcastHashJoin" in p and "MapInPandas" in p, p[:800]
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    # two exchanges: the distinct-host dictionary build and the final
+    # (host, ascii_host) rollup — both dictionary/result-sized
+    assert n_shuffles(p) == 2, p[:800]
+
+    p = plan_of(spark, "ranking_model_scores")
+    assert "w4h_ranking_model_" not in p, (
+        "plan still scans the deleted temp model store"
+    )
+    assert "ExistingRDD" in p, p[:800]  # the checkpointed loaded model
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    # exactly one file scan (documents); the model arrives checkpointed
+    assert p.count("Location: InMemoryFileIndex") == 1, p[:800]
+
+    p = plan_of(spark, "warc_extract")
+    assert n_shuffles(p) == 0, p[:800]
+    # two kernels (synth + record explode): each appears as a tree line
+    # plus its numbered detail header
+    assert len(_re.findall(r"\(\d+\) MapInPandas", p)) == 2, p[:800]
+    assert "Join" not in p and "Window" not in p
+
+
 def test_r12_gate_window_composition_recomputed_from_driver_rows():
     """The judge's standing caution: the builder schedules the gate
     window, so every round's rotation honesty must be re-verifiable.

@@ -1666,3 +1666,55 @@ def test_canonicalize_url_idempotence_property(spark, specs):
         canonicalize_url(canonicalize_url(F.col("u"))).alias("c")
     ).collect()
     assert all(r["c"] is None for r in out)
+
+
+# ---- WARC codec round-trip law (driver-side, no Spark jobs) --------------
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["response", "request", "metadata", "warcinfo"]),
+            st.binary(max_size=200),            # payload, incl. b"" and \r\n
+            st.one_of(
+                st.none(),
+                st.text(
+                    alphabet=st.characters(
+                        min_codepoint=33, max_codepoint=126
+                    ),
+                    min_size=1,
+                    max_size=40,
+                ),
+            ),                                   # target URI (CR/LF-free)
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.booleans(),                               # gzip members?
+)
+def test_warc_roundtrip_property(recs, gz):
+    """encode ∘ parse is the identity on record type, URI and payload
+    BYTES — whatever the payload contains (empty, CRLF runs, fake
+    header text, binary), however many records, in both container
+    layouts. Framing is Content-Length driven, so payload content can
+    never confuse it."""
+    from w4h_integrated_toolkit_spark.sources.warc import (
+        encode_warc,
+        encode_warc_record,
+        parse_warc,
+    )
+
+    blob = encode_warc(
+        [
+            encode_warc_record(t, payload, target_uri=uri)
+            for t, payload, uri in recs
+        ],
+        gzip_members=gz,
+    )
+    got = parse_warc(blob)
+    assert len(got) == len(recs)
+    for (t, payload, uri), rec in zip(recs, got):
+        assert rec["headers"]["warc-type"] == t
+        assert rec["headers"].get("warc-target-uri") == uri
+        assert rec["payload"] == payload
+        assert int(rec["headers"]["content-length"]) == len(payload)
