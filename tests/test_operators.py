@@ -4519,3 +4519,122 @@ def test_registrable_domain_psl_tolerates_caller_temp_columns(spark):
     out = WEB.registrable_domain_psl(df).collect()[0]
     assert out["domain"] == "example.co.uk"
     assert out["_h"] == "keepme" and out["_c2"] == 7
+
+
+def test_parse_robots_rfc9309_semantics():
+    """RFC 9309 group selection and rule compilation: longest matching
+    user-agent token wins over '*', multiple UA lines share a group,
+    empty Disallow emits no rule, comments and unknown directives are
+    ignored, '*' wildcards and '$' anchors compile to anchored regexes,
+    NULL/empty text yields no rules."""
+    import re as _re
+
+    from w4h_integrated_toolkit_spark.operators.web import parse_robots
+
+    txt = """
+# politeness file
+User-agent: examplebot
+Disallow: /private/
+Allow: /private/ok$
+
+User-agent: example
+Disallow: /semi/
+
+User-agent: *
+User-agent: legacy
+Disallow: /all*.pdf
+Disallow:
+Crawl-delay: 10
+Sitemap: http://ex.com/sitemap.xml
+"""
+    # longest UA prefix of 'examplebot/2.1' is 'examplebot' (not 'example')
+    rules = parse_robots(txt, "examplebot/2.1")
+    assert [(a, p) for a, p, _ in rules] == [
+        (False, r"^/private/"),
+        (True, r"^/private/ok$"),
+    ]
+    assert [n for _, _, n in rules] == [9, 12]
+    # an agent matching only 'example'
+    assert [p for _, p, _ in parse_robots(txt, "example")] == [r"^/semi/"]
+    # unknown agent falls back to the '*' group; empty Disallow dropped
+    star = parse_robots(txt, "otherbot")
+    assert len(star) == 1
+    allow, rx, plen = star[0]
+    assert allow is False and plen == len("/all*.pdf")
+    assert _re.match(rx, "/all-reports.pdf")
+    assert not _re.match(rx, "/allowed.html")
+    # wildcard is not a regex metachar bomb: literal dots escaped
+    assert not _re.match(rx, "/allXpdf")  # must still end in '.pdf'
+    assert parse_robots(None) == [] and parse_robots("") == []
+    # RFC 9309: rules outside any user-agent group MUST be ignored
+    assert parse_robots("Disallow: /x\n", "bot") == []
+    assert parse_robots("# only comments\n", "bot") == []
+
+
+def test_robots_filter_longest_match_and_defaults(spark):
+    """robots_filter end-to-end: longest-match precedence (allow wins
+    ties), per-host rule isolation, hosts with no robots row (or no
+    rules) get default_allow, malformed URLs (NULL host) get the
+    default, and duplicate URL rows pass through untouched (no
+    collapse — the verdict is a map-side fold, not a groupBy)."""
+    from w4h_integrated_toolkit_spark.operators.web import robots_filter
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n",
+            ),
+            ("b.com", "User-agent: *\nDisallow: /$\n"),
+            ("c.com", "User-agent: *\n"),  # group with no rules
+        ],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "http://a.com/private/x"),        # disallowed
+            (2, "http://a.com/private/pub/x"),    # allow wins (longer)
+            (3, "http://a.com/open"),             # no rule matches
+            (4, "http://b.com/"),                 # anchored: exactly '/'
+            (5, "http://b.com/page"),             # anchor doesn't match
+            (6, "http://c.com/x"),                # rules empty -> default
+            (7, "http://nobody.example/x"),       # no robots row
+            (8, "::bad::"),                       # malformed URL
+            (8, "::bad::"),                       # duplicate row preserved
+        ],
+        "doc_id long, url string",
+    )
+    out = robots_filter(urls, robots).collect()
+    assert len(out) == 9  # duplicates preserved
+    got = {}
+    for r in out:
+        got.setdefault((r["doc_id"], r["url"]), []).append(r["allowed"])
+    assert got[(1, "http://a.com/private/x")] == [False]
+    assert got[(2, "http://a.com/private/pub/x")] == [True]
+    assert got[(3, "http://a.com/open")] == [True]
+    assert got[(4, "http://b.com/")] == [False]
+    assert got[(5, "http://b.com/page")] == [True]
+    assert got[(6, "http://c.com/x")] == [True]
+    assert got[(7, "http://nobody.example/x")] == [True]
+    assert got[(8, "::bad::")] == [True, True]
+
+    strict = {
+        (r["doc_id"], r["allowed"])
+        for r in robots_filter(urls, robots, default_allow=False).collect()
+        if r["doc_id"] in (6, 7, 8)
+    }
+    assert strict == {(6, False), (7, False), (8, False)}
+
+    # plan shape: the URL side never shuffles — the ONLY exchange is
+    # the dictionary-sized per-host rule rollup on the broadcast side,
+    # and the match is a broadcast join + array fold (no window)
+    import re as _re
+
+    plan = robots_filter(urls, robots)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    assert len(_re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan[:800]

@@ -32,6 +32,8 @@ __all__ = [
     "canonicalize_url",
     "url_dedup_groups",
     "idna_ascii_hosts",
+    "parse_robots",
+    "robots_filter",
     "TRACKING_PARAM_RE",
 ]
 
@@ -680,3 +682,178 @@ def html_extract(
         text.alias("text"),
         F.length(text).cast("long").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt politeness (RFC 9309) — the filter between frontier dedup and
+# fetch: a crawl that ignores robots rules gets blocked, and a 100 TB
+# pipeline re-checks the stored rules when it re-processes stored URLs.
+# ---------------------------------------------------------------------------
+
+
+def parse_robots(
+    text: str | None, user_agent: str = "*"
+) -> list[tuple[bool, str, int]]:
+    """Parse ONE robots.txt body for ``user_agent`` per RFC 9309:
+    returns ``(allow, pattern_regex, pattern_len)`` rules from the most
+    specific matching group — the group whose ``User-agent`` token is
+    the longest case-insensitive prefix of ``user_agent``, falling back
+    to the ``*`` group, else no rules (crawl-allowed by default, the
+    RFC's stance for absent rules). Patterns support the spec's ``*``
+    (any octets) and trailing ``$`` (end anchor), compiled to anchored
+    regexes; ``pattern_len`` is the rule's octet length, the spec's
+    longest-match precedence key (allow wins ties — encode allow in the
+    sort, see :func:`robots_filter`). Comments (``#``) and unknown
+    directives are ignored; an empty ``Disallow:`` value means
+    "no restriction" and emits no rule; rules OUTSIDE any user-agent
+    group are ignored per the RFC's MUST. NULL/empty text → no
+    rules."""
+    import re as _re
+
+    if not text:
+        return []
+    ua = user_agent.lower()
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[bool, str]] = []
+    open_group = False  # between a UA line and its first rule
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        name, sep, value = line.partition(":")
+        if not sep:
+            continue  # unknown junk line: ignored per spec
+        name = name.strip().lower()
+        value = value.strip()
+        if name == "user-agent":
+            if not open_group and (cur_agents or cur_rules):
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+            cur_agents.append(value.lower())
+            open_group = True
+        elif name in ("allow", "disallow"):
+            open_group = False
+            if value == "":
+                continue  # empty Disallow/Allow: no restriction
+            cur_rules.append((name == "allow", value))
+        # Sitemap / Crawl-delay / unknown: ignored
+    if cur_agents or cur_rules:
+        groups.append((cur_agents, cur_rules))
+
+    best: tuple[int, list[tuple[bool, str]]] | None = None
+    star: list[tuple[bool, str]] | None = None
+    for agents, rules in groups:
+        for a in agents:
+            if a == "*":
+                star = rules if star is None else star + rules
+            elif ua.startswith(a) and (best is None or len(a) > best[0]):
+                best = (len(a), rules)
+    rules = best[1] if best is not None else (star or [])
+
+    out = []
+    for allow, pat in rules:
+        anchored = pat.endswith("$")
+        body = pat[:-1] if anchored else pat
+        rx = ".*".join(_re.escape(piece) for piece in body.split("*"))
+        rx = "^" + rx + ("$" if anchored else "")
+        out.append((allow, rx, len(pat)))
+    return out
+
+
+def robots_filter(
+    urls: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    user_agent: str = "*",
+    default_allow: bool = True,
+    out_col: str = "allowed",
+) -> DataFrame:
+    """Append ``out_col`` (boolean) to ``urls``: may this crawler fetch
+    each URL under the per-host robots rules? ``robots`` is one row per
+    host (host, robots_txt — what a polite crawler has already fetched
+    and stored). RFC 9309 precedence: the longest matching pattern
+    wins, allow beats disallow on equal length; a URL whose host has no
+    rules (or no robots row) gets ``default_allow``.
+
+    Scale shape (the IDNA dict pass applied to politeness): robots
+    bodies are parsed ONCE PER HOST by an Arrow kernel over the
+    rules-dictionary side — never per URL — folded into ONE rule-array
+    row per host, and broadcast onto the URL stream. Matching and the
+    spec's longest-match/allow-ties precedence are pure Column ops on
+    the array (``filter`` by ``regexp_like`` + ``array_max`` over
+    ``struct(len, allow)``), so the URL side never shuffles, never
+    windows, and duplicate URL rows pass through untouched. The only
+    exchange anywhere is the dictionary-sized per-host rule rollup on
+    the broadcast side."""
+    from pyspark.sql import types as T
+
+    for c in ("__w4h_rb_host", "__w4h_rb_path", "__w4h_rb_rules", out_col):
+        if c in urls.columns:
+            raise ValueError(f"column {c!r} already exists on the input")
+
+    rule_schema = T.StructType(
+        [
+            robots.schema[host_col],
+            T.StructField("_allow", T.BooleanType()),
+            T.StructField("_rx", T.StringType()),
+            T.StructField("_plen", T.IntegerType()),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for host, body in zip(pdf[host_col], pdf[text_col]):
+                for allow, rx, plen in parse_robots(body, user_agent):
+                    rows.append((host, allow, rx, plen))
+            yield pd.DataFrame(
+                rows, columns=[host_col, "_allow", "_rx", "_plen"]
+            )
+
+    rules = (
+        robots.select(host_col, text_col)
+        .mapInPandas(kernel, rule_schema)
+        .groupBy(host_col)
+        .agg(
+            F.collect_list(F.struct("_plen", "_allow", "_rx")).alias(
+                "__w4h_rb_rules"
+            )
+        )
+    )
+
+    path = F.coalesce(
+        F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    keyed = urls.withColumn(
+        "__w4h_rb_host", url_host(F.col(url_col))
+    ).withColumn("__w4h_rb_path", path)
+    joined = keyed.join(
+        F.broadcast(rules),
+        keyed["__w4h_rb_host"] == rules[host_col],
+        "left",
+    ).drop(rules[host_col])
+    hits = F.filter(
+        F.col("__w4h_rb_rules"),
+        lambda r: F.regexp_like(F.col("__w4h_rb_path"), r["_rx"]),
+    )
+    # RFC 9309 precedence as one fold: max over (pattern octets, allow)
+    # — longest match wins, allow beats disallow on ties
+    best = F.array_max(
+        F.transform(
+            hits,
+            lambda r: F.struct(
+                r["_plen"].alias("_plen"),
+                r["_allow"].cast("int").alias("_a"),
+            ),
+        )
+    )
+    return joined.withColumn(
+        out_col,
+        F.coalesce(best["_a"] == 1, F.lit(bool(default_allow))),
+    ).drop("__w4h_rb_host", "__w4h_rb_path", "__w4h_rb_rules")
