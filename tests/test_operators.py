@@ -4522,11 +4522,15 @@ def test_registrable_domain_psl_tolerates_caller_temp_columns(spark):
 
 
 def test_parse_robots_rfc9309_semantics():
-    """RFC 9309 group selection and rule compilation: longest matching
-    user-agent token wins over '*', multiple UA lines share a group,
-    empty Disallow emits no rule, comments and unknown directives are
-    ignored, '*' wildcards and '$' anchors compile to anchored regexes,
-    NULL/empty text yields no rules."""
+    """RFC 9309 group selection and rule compilation: EXACT
+    case-insensitive product-token match, ALL matching groups merge
+    (specific and '*' alike), version-suffixed agents fall back to '*',
+    multiple UA lines share a group, empty Disallow emits no rule,
+    empty User-agent values are ignored (a zero-length token would
+    match everything), a leading BOM is stripped, comments and unknown
+    directives are ignored, '*' wildcards and '$' anchors compile to
+    anchored regexes, NULL/empty text and out-of-group rules yield no
+    rules."""
     import re as _re
 
     from w4h_integrated_toolkit_spark.operators.web import parse_robots
@@ -4547,24 +4551,42 @@ Disallow:
 Crawl-delay: 10
 Sitemap: http://ex.com/sitemap.xml
 """
-    # longest UA prefix of 'examplebot/2.1' is 'examplebot' (not 'example')
-    rules = parse_robots(txt, "examplebot/2.1")
+    rules = parse_robots(txt, "ExampleBot")  # exact token, case folded
     assert [(a, p) for a, p, _ in rules] == [
         (False, r"^/private/"),
         (True, r"^/private/ok$"),
     ]
     assert [n for _, _, n in rules] == [9, 12]
-    # an agent matching only 'example'
     assert [p for _, p, _ in parse_robots(txt, "example")] == [r"^/semi/"]
-    # unknown agent falls back to the '*' group; empty Disallow dropped
-    star = parse_robots(txt, "otherbot")
-    assert len(star) == 1
-    allow, rx, plen = star[0]
-    assert allow is False and plen == len("/all*.pdf")
-    assert _re.match(rx, "/all-reports.pdf")
-    assert not _re.match(rx, "/allowed.html")
-    # wildcard is not a regex metachar bomb: literal dots escaped
-    assert not _re.match(rx, "/allXpdf")  # must still end in '.pdf'
+    # version-suffixed token is NOT the product token: falls to '*'
+    # (same as an unknown agent); empty Disallow dropped
+    for agent in ("examplebot/2.1", "otherbot", "legacy"):
+        star = parse_robots(txt, agent)
+        assert len(star) == 1, agent
+        allow, rx, plen = star[0]
+        assert allow is False and plen == len("/all*.pdf")
+        assert _re.match(rx, "/all-reports.pdf")
+        assert not _re.match(rx, "/allowed.html")
+        assert not _re.match(rx, "/allXpdf")  # escaped dot
+
+    # the RFC's MUST: multiple groups for the same token merge
+    merged = parse_robots(
+        "User-agent: bot\nDisallow: /a\n\nUser-agent: bot\nDisallow: /b\n",
+        "bot",
+    )
+    assert [p for _, p, _ in merged] == [r"^/a", r"^/b"]
+
+    # an empty User-agent value must not become a match-everything
+    # token that preempts '*'
+    tricky = "User-agent:\nDisallow: /\n\nUser-agent: *\nAllow: /ok\n"
+    assert [(a, p) for a, p, _ in parse_robots(tricky, "bot")] == [
+        (True, r"^/ok")
+    ]
+
+    # BOM-prefixed body still parses its first directive
+    bom = "﻿User-agent: *\nDisallow: /x\n"
+    assert [p for _, p, _ in parse_robots(bom, "bot")] == [r"^/x"]
+
     assert parse_robots(None) == [] and parse_robots("") == []
     # RFC 9309: rules outside any user-agent group MUST be ignored
     assert parse_robots("Disallow: /x\n", "bot") == []
@@ -4573,10 +4595,12 @@ Sitemap: http://ex.com/sitemap.xml
 
 def test_robots_filter_longest_match_and_defaults(spark):
     """robots_filter end-to-end: longest-match precedence (allow wins
-    ties), per-host rule isolation, hosts with no robots row (or no
-    rules) get default_allow, malformed URLs (NULL host) get the
-    default, and duplicate URL rows pass through untouched (no
-    collapse — the verdict is a map-side fold, not a groupBy)."""
+    ties), matching against path+'?'+query, per-host rule isolation,
+    case-insensitive host join, the RFC's implicit allow when rules
+    exist but none match (NOT default_allow), default_allow only for
+    hosts with no robots row (and malformed URLs), and duplicate URL
+    rows pass through untouched (no collapse — the verdict is a
+    map-side fold, not a groupBy)."""
     from w4h_integrated_toolkit_spark.operators.web import robots_filter
 
     robots = spark.createDataFrame(
@@ -4587,6 +4611,11 @@ def test_robots_filter_longest_match_and_defaults(spark):
             ),
             ("b.com", "User-agent: *\nDisallow: /$\n"),
             ("c.com", "User-agent: *\n"),  # group with no rules
+            (
+                "d.com",
+                "User-agent: *\nDisallow: /*?sessionid=\nDisallow: /exact$\n",
+            ),
+            ("UPPER.com", "User-agent: *\nDisallow: /\n"),
         ],
         "host string, robots_txt string",
     )
@@ -4594,18 +4623,22 @@ def test_robots_filter_longest_match_and_defaults(spark):
         [
             (1, "http://a.com/private/x"),        # disallowed
             (2, "http://a.com/private/pub/x"),    # allow wins (longer)
-            (3, "http://a.com/open"),             # no rule matches
+            (3, "http://a.com/open"),             # rules exist, none match
             (4, "http://b.com/"),                 # anchored: exactly '/'
             (5, "http://b.com/page"),             # anchor doesn't match
-            (6, "http://c.com/x"),                # rules empty -> default
+            (6, "http://c.com/x"),                # empty rule set
             (7, "http://nobody.example/x"),       # no robots row
             (8, "::bad::"),                       # malformed URL
             (8, "::bad::"),                       # duplicate row preserved
+            (9, "http://d.com/page?sessionid=1"), # query participates
+            (10, "http://d.com/exact"),           # $ matches bare path
+            (11, "http://d.com/exact?x=1"),       # $ must NOT match w/query
+            (12, "http://upper.com/x"),           # host case-insensitive
         ],
         "doc_id long, url string",
     )
     out = robots_filter(urls, robots).collect()
-    assert len(out) == 9  # duplicates preserved
+    assert len(out) == 13  # duplicates preserved
     got = {}
     for r in out:
         got.setdefault((r["doc_id"], r["url"]), []).append(r["allowed"])
@@ -4617,17 +4650,23 @@ def test_robots_filter_longest_match_and_defaults(spark):
     assert got[(6, "http://c.com/x")] == [True]
     assert got[(7, "http://nobody.example/x")] == [True]
     assert got[(8, "::bad::")] == [True, True]
+    assert got[(9, "http://d.com/page?sessionid=1")] == [False]
+    assert got[(10, "http://d.com/exact")] == [False]
+    assert got[(11, "http://d.com/exact?x=1")] == [True]
+    assert got[(12, "http://upper.com/x")] == [False]
 
+    # strict default: ONLY no-robots-row hosts (and malformed URLs)
+    # flip — implicit allow (3, 6) and explicit verdicts are unchanged
     strict = {
         (r["doc_id"], r["allowed"])
         for r in robots_filter(urls, robots, default_allow=False).collect()
-        if r["doc_id"] in (6, 7, 8)
+        if r["doc_id"] in (3, 6, 7, 8)
     }
-    assert strict == {(6, False), (7, False), (8, False)}
+    assert strict == {(3, True), (6, True), (7, False), (8, False)}
 
-    # plan shape: the URL side never shuffles — the ONLY exchange is
-    # the dictionary-sized per-host rule rollup on the broadcast side,
-    # and the match is a broadcast join + array fold (no window)
+    # plan shape: NO exchange anywhere — the per-host rule arrays come
+    # straight off the Arrow kernel and broadcast; the match is a
+    # broadcast join + array fold (no window, no shuffle)
     import re as _re
 
     plan = robots_filter(urls, robots)._jdf.queryExecution().explainString(
@@ -4637,4 +4676,4 @@ def test_robots_filter_longest_match_and_defaults(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "Window" not in plan
-    assert len(_re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan[:800]
+    assert not _re.findall(r"\(\d+\) Exchange\b", plan), plan[:800]

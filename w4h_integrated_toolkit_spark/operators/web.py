@@ -695,23 +695,29 @@ def parse_robots(
     text: str | None, user_agent: str = "*"
 ) -> list[tuple[bool, str, int]]:
     """Parse ONE robots.txt body for ``user_agent`` per RFC 9309:
-    returns ``(allow, pattern_regex, pattern_len)`` rules from the most
-    specific matching group — the group whose ``User-agent`` token is
-    the longest case-insensitive prefix of ``user_agent``, falling back
-    to the ``*`` group, else no rules (crawl-allowed by default, the
-    RFC's stance for absent rules). Patterns support the spec's ``*``
-    (any octets) and trailing ``$`` (end anchor), compiled to anchored
-    regexes; ``pattern_len`` is the rule's octet length, the spec's
-    longest-match precedence key (allow wins ties — encode allow in the
-    sort, see :func:`robots_filter`). Comments (``#``) and unknown
-    directives are ignored; an empty ``Disallow:`` value means
-    "no restriction" and emits no rule; rules OUTSIDE any user-agent
-    group are ignored per the RFC's MUST. NULL/empty text → no
-    rules."""
+    returns ``(allow, pattern_regex, pattern_len)`` rules. Group
+    selection is the spec's: ``user_agent`` is the crawler's bare
+    product token compared case-insensitively for EXACT equality
+    against each group's ``User-agent`` values (pass ``examplebot``,
+    not ``examplebot/2.1`` — the RFC matches product tokens, not
+    version strings); ALL groups matching the token merge (the RFC's
+    MUST), falling back to the merged ``*`` groups, else no rules
+    (crawl-allowed by default, the RFC's stance for an absent file).
+    Patterns support the spec's ``*`` (any octets) and trailing ``$``
+    (end anchor), compiled to anchored regexes and matched against
+    path + ``?`` + query (see :func:`robots_filter`); ``pattern_len``
+    is the rule's octet length, the spec's longest-match precedence key
+    (allow wins ties — encode allow in the sort, see
+    :func:`robots_filter`). Comments (``#``), unknown directives, a
+    leading BOM and EMPTY ``User-agent:`` values are ignored; an empty
+    ``Disallow:`` value means "no restriction" and emits no rule; rules
+    OUTSIDE any user-agent group are ignored per the RFC's MUST.
+    NULL/empty text → no rules."""
     import re as _re
 
     if not text:
         return []
+    text = text.lstrip("\ufeff")  # BOM-prefixed robots.txt is common
     ua = user_agent.lower()
     groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
     cur_agents: list[str] = []
@@ -730,8 +736,12 @@ def parse_robots(
             if not open_group and (cur_agents or cur_rules):
                 groups.append((cur_agents, cur_rules))
                 cur_agents, cur_rules = [], []
-            cur_agents.append(value.lower())
             open_group = True
+            if value:
+                # an EMPTY UA value would be a zero-length token that
+                # 'matches' everything — ignored; its rules fall into
+                # an agentless group, which selection below skips
+                cur_agents.append(value.lower())
         elif name in ("allow", "disallow"):
             open_group = False
             if value == "":
@@ -741,15 +751,16 @@ def parse_robots(
     if cur_agents or cur_rules:
         groups.append((cur_agents, cur_rules))
 
-    best: tuple[int, list[tuple[bool, str]]] | None = None
-    star: list[tuple[bool, str]] | None = None
+    # exact product-token match; ALL matching groups merge (both for
+    # the specific token and for the '*' fallback)
+    chosen: list[tuple[bool, str]] = []
+    star: list[tuple[bool, str]] = []
     for agents, rules in groups:
-        for a in agents:
-            if a == "*":
-                star = rules if star is None else star + rules
-            elif ua.startswith(a) and (best is None or len(a) > best[0]):
-                best = (len(a), rules)
-    rules = best[1] if best is not None else (star or [])
+        if ua in agents:
+            chosen.extend(rules)
+        if "*" in agents:
+            star.extend(rules)
+    rules = chosen if chosen else star
 
     out = []
     for allow, pat in rules:
@@ -774,32 +785,46 @@ def robots_filter(
     """Append ``out_col`` (boolean) to ``urls``: may this crawler fetch
     each URL under the per-host robots rules? ``robots`` is one row per
     host (host, robots_txt — what a polite crawler has already fetched
-    and stored). RFC 9309 precedence: the longest matching pattern
-    wins, allow beats disallow on equal length; a URL whose host has no
-    rules (or no robots row) gets ``default_allow``.
+    and stored; hosts compare case-insensitively). RFC 9309 semantics:
+
+    - rules match against PATH + ``?`` + QUERY (so ``/*?sessionid=``
+      can match, and ``/p$`` does NOT match ``/p?x=1``);
+    - the longest matching pattern wins, allow beats disallow ties;
+    - a host whose robots.txt yields rules but NONE match → ALLOW (the
+      RFC's implicit allow — regardless of ``default_allow``);
+    - a host with NO robots row at all (never fetched / malformed URL
+      with no host) → ``default_allow``, the caller's policy.
 
     Scale shape (the IDNA dict pass applied to politeness): robots
     bodies are parsed ONCE PER HOST by an Arrow kernel over the
-    rules-dictionary side — never per URL — folded into ONE rule-array
-    row per host, and broadcast onto the URL stream. Matching and the
-    spec's longest-match/allow-ties precedence are pure Column ops on
-    the array (``filter`` by ``regexp_like`` + ``array_max`` over
-    ``struct(len, allow)``), so the URL side never shuffles, never
-    windows, and duplicate URL rows pass through untouched. The only
-    exchange anywhere is the dictionary-sized per-host rule rollup on
-    the broadcast side."""
+    rules-dictionary side — never per URL — emitting ONE rule-array row
+    per host (possibly empty: that emptiness IS the implicit-allow
+    signal), broadcast onto the URL stream. Matching and precedence are
+    pure Column ops on the array (``filter`` by ``regexp_like`` +
+    ``array_max`` over ``struct(len, allow)``), so the URL side never
+    shuffles, never windows, and duplicate URL rows pass through
+    untouched — there is NO exchange anywhere in the plan."""
     from pyspark.sql import types as T
 
-    for c in ("__w4h_rb_host", "__w4h_rb_path", "__w4h_rb_rules", out_col):
+    for c in ("__w4h_rb_host", "__w4h_rb_target", "__w4h_rb_rules", out_col):
         if c in urls.columns:
             raise ValueError(f"column {c!r} already exists on the input")
 
     rule_schema = T.StructType(
         [
-            robots.schema[host_col],
-            T.StructField("_allow", T.BooleanType()),
-            T.StructField("_rx", T.StringType()),
-            T.StructField("_plen", T.IntegerType()),
+            T.StructField(host_col, T.StringType()),
+            T.StructField(
+                "__w4h_rb_rules",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("_plen", T.IntegerType()),
+                            T.StructField("_allow", T.BooleanType()),
+                            T.StructField("_rx", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
         ]
     )
 
@@ -809,30 +834,33 @@ def robots_filter(
         for pdf in batches:
             rows = []
             for host, body in zip(pdf[host_col], pdf[text_col]):
-                for allow, rx, plen in parse_robots(body, user_agent):
-                    rows.append((host, allow, rx, plen))
-            yield pd.DataFrame(
-                rows, columns=[host_col, "_allow", "_rx", "_plen"]
-            )
+                rows.append(
+                    (
+                        None if host is None else str(host).lower(),
+                        [
+                            {"_plen": plen, "_allow": allow, "_rx": rx}
+                            for allow, rx, plen in parse_robots(
+                                body, user_agent
+                            )
+                        ],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[host_col, "__w4h_rb_rules"])
 
-    rules = (
-        robots.select(host_col, text_col)
-        .mapInPandas(kernel, rule_schema)
-        .groupBy(host_col)
-        .agg(
-            F.collect_list(F.struct("_plen", "_allow", "_rx")).alias(
-                "__w4h_rb_rules"
-            )
-        )
-    )
+    rules = robots.select(host_col, text_col).mapInPandas(kernel, rule_schema)
 
+    # RFC match target: path + '?' + query (never the fragment)
     path = F.coalesce(
         F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")
     )
     path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.try_parse_url(F.col(url_col), F.lit("QUERY"))
+    target = F.concat(
+        path, F.when(q.isNotNull(), F.concat(F.lit("?"), q)).otherwise(F.lit(""))
+    )
     keyed = urls.withColumn(
         "__w4h_rb_host", url_host(F.col(url_col))
-    ).withColumn("__w4h_rb_path", path)
+    ).withColumn("__w4h_rb_target", target)
     joined = keyed.join(
         F.broadcast(rules),
         keyed["__w4h_rb_host"] == rules[host_col],
@@ -840,7 +868,7 @@ def robots_filter(
     ).drop(rules[host_col])
     hits = F.filter(
         F.col("__w4h_rb_rules"),
-        lambda r: F.regexp_like(F.col("__w4h_rb_path"), r["_rx"]),
+        lambda r: F.regexp_like(F.col("__w4h_rb_target"), r["_rx"]),
     )
     # RFC 9309 precedence as one fold: max over (pattern octets, allow)
     # — longest match wins, allow beats disallow on ties
@@ -853,7 +881,13 @@ def robots_filter(
             ),
         )
     )
-    return joined.withColumn(
-        out_col,
-        F.coalesce(best["_a"] == 1, F.lit(bool(default_allow))),
-    ).drop("__w4h_rb_host", "__w4h_rb_path", "__w4h_rb_rules")
+    verdict = (
+        # no robots row for this host (or NULL host): caller's policy
+        F.when(F.col("__w4h_rb_rules").isNull(), F.lit(bool(default_allow)))
+        # rules exist but none match: the RFC's implicit allow
+        .when(best.isNull(), F.lit(True))
+        .otherwise(best["_a"] == 1)
+    )
+    return joined.withColumn(out_col, verdict).drop(
+        "__w4h_rb_host", "__w4h_rb_target", "__w4h_rb_rules"
+    )
