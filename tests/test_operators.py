@@ -4576,6 +4576,15 @@ Sitemap: http://ex.com/sitemap.xml
     )
     assert [p for _, p, _ in merged] == [r"^/a", r"^/b"]
 
+    # RFC 2.2.1: a MATCHED group wins over '*' even when it carries no
+    # rules — the classic whitelist file must leave goodbot free
+    whitelist = "User-agent: goodbot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    assert parse_robots(whitelist, "goodbot") == []
+    assert [p for _, p, _ in parse_robots(whitelist, "otherbot")] == [r"^/"]
+
+    # longest-match precedence counts OCTETS, not characters
+    assert parse_robots("User-agent: *\nAllow: /café\n", "bot")[0][2] == 6
+
     # an empty User-agent value must not become a match-everything
     # token that preempts '*'
     tricky = "User-agent:\nDisallow: /\n\nUser-agent: *\nAllow: /ok\n"
@@ -4616,6 +4625,11 @@ def test_robots_filter_longest_match_and_defaults(spark):
                 "User-agent: *\nDisallow: /*?sessionid=\nDisallow: /exact$\n",
             ),
             ("UPPER.com", "User-agent: *\nDisallow: /\n"),
+            ("failed.com", None),  # fetch failed: rules UNKNOWN
+            # duplicate host spellings fold to one broadcast row (no
+            # URL fan-out); allow wins the equal-length tie after merge
+            ("Dup.com", "User-agent: *\nDisallow: /x\n"),
+            ("dup.com", "User-agent: *\nAllow: /x\n"),
         ],
         "host string, robots_txt string",
     )
@@ -4634,11 +4648,13 @@ def test_robots_filter_longest_match_and_defaults(spark):
             (10, "http://d.com/exact"),           # $ matches bare path
             (11, "http://d.com/exact?x=1"),       # $ must NOT match w/query
             (12, "http://upper.com/x"),           # host case-insensitive
+            (13, "http://failed.com/x"),          # NULL body -> default
+            (14, "http://dup.com/x"),             # merged dup hosts
         ],
         "doc_id long, url string",
     )
     out = robots_filter(urls, robots).collect()
-    assert len(out) == 13  # duplicates preserved
+    assert len(out) == 15  # duplicates preserved, no join fan-out
     got = {}
     for r in out:
         got.setdefault((r["doc_id"], r["url"]), []).append(r["allowed"])
@@ -4654,19 +4670,23 @@ def test_robots_filter_longest_match_and_defaults(spark):
     assert got[(10, "http://d.com/exact")] == [False]
     assert got[(11, "http://d.com/exact?x=1")] == [True]
     assert got[(12, "http://upper.com/x")] == [False]
+    assert got[(13, "http://failed.com/x")] == [True]  # default_allow
+    assert got[(14, "http://dup.com/x")] == [True]  # allow wins the tie
 
-    # strict default: ONLY no-robots-row hosts (and malformed URLs)
-    # flip — implicit allow (3, 6) and explicit verdicts are unchanged
+    # strict default: ONLY unknown-rules cases flip — no robots row
+    # (7), malformed URL (8), NULL body (13); implicit allow (3, 6) and
+    # explicit verdicts are unchanged
     strict = {
         (r["doc_id"], r["allowed"])
         for r in robots_filter(urls, robots, default_allow=False).collect()
-        if r["doc_id"] in (3, 6, 7, 8)
+        if r["doc_id"] in (3, 6, 7, 8, 13)
     }
-    assert strict == {(3, True), (6, True), (7, False), (8, False)}
+    assert strict == {(3, True), (6, True), (7, False), (8, False),
+                      (13, False)}
 
-    # plan shape: NO exchange anywhere — the per-host rule arrays come
-    # straight off the Arrow kernel and broadcast; the match is a
-    # broadcast join + array fold (no window, no shuffle)
+    # plan shape: the ONLY exchange is the dictionary-sized per-host
+    # rule fold on the broadcast side; the URL side is a broadcast join
+    # + array fold (no window, no shuffle, no fan-out)
     import re as _re
 
     plan = robots_filter(urls, robots)._jdf.queryExecution().explainString(
@@ -4676,4 +4696,4 @@ def test_robots_filter_longest_match_and_defaults(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "Window" not in plan
-    assert not _re.findall(r"\(\d+\) Exchange\b", plan), plan[:800]
+    assert len(_re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan[:800]

@@ -752,15 +752,21 @@ def parse_robots(
         groups.append((cur_agents, cur_rules))
 
     # exact product-token match; ALL matching groups merge (both for
-    # the specific token and for the '*' fallback)
+    # the specific token and for the '*' fallback). A group that
+    # MATCHES but carries zero rules still wins over '*' (RFC 2.2.1 —
+    # the classic whitelist file 'goodbot: Disallow:(nothing) / *:
+    # Disallow: /' must leave goodbot unrestricted), so the selection
+    # tracks MATCHED, not non-emptiness.
+    matched = False
     chosen: list[tuple[bool, str]] = []
     star: list[tuple[bool, str]] = []
     for agents, rules in groups:
         if ua in agents:
+            matched = True
             chosen.extend(rules)
         if "*" in agents:
             star.extend(rules)
-    rules = chosen if chosen else star
+    rules = chosen if matched else star
 
     out = []
     for allow, pat in rules:
@@ -768,7 +774,9 @@ def parse_robots(
         body = pat[:-1] if anchored else pat
         rx = ".*".join(_re.escape(piece) for piece in body.split("*"))
         rx = "^" + rx + ("$" if anchored else "")
-        out.append((allow, rx, len(pat)))
+        # octets, not characters: the RFC's longest-match precedence
+        # counts bytes, and '/café' is 6 of them
+        out.append((allow, rx, len(pat.encode("utf-8"))))
     return out
 
 
@@ -789,21 +797,28 @@ def robots_filter(
 
     - rules match against PATH + ``?`` + QUERY (so ``/*?sessionid=``
       can match, and ``/p$`` does NOT match ``/p?x=1``);
-    - the longest matching pattern wins, allow beats disallow ties;
+    - the longest matching pattern wins (octet length), allow beats
+      disallow ties;
     - a host whose robots.txt yields rules but NONE match → ALLOW (the
-      RFC's implicit allow — regardless of ``default_allow``);
-    - a host with NO robots row at all (never fetched / malformed URL
-      with no host) → ``default_allow``, the caller's policy.
+      RFC's implicit allow — regardless of ``default_allow``); an EMPTY
+      robots body is the same allow-everything statement;
+    - a host with NO robots row at all, or a row whose body is NULL
+      (the crawler recorded a failed fetch — rules UNKNOWN, which is
+      not the same as "no restrictions"), or a malformed URL with no
+      host → ``default_allow``, the caller's policy.
 
     Scale shape (the IDNA dict pass applied to politeness): robots
     bodies are parsed ONCE PER HOST by an Arrow kernel over the
-    rules-dictionary side — never per URL — emitting ONE rule-array row
-    per host (possibly empty: that emptiness IS the implicit-allow
-    signal), broadcast onto the URL stream. Matching and precedence are
+    rules-dictionary side — never per URL — folded to ONE rule-array
+    row per lowercased host (duplicate host spellings merge; a NULL
+    array survives the fold only if the host had no parseable body at
+    all) and broadcast onto the URL stream. Matching and precedence are
     pure Column ops on the array (``filter`` by ``regexp_like`` +
-    ``array_max`` over ``struct(len, allow)``), so the URL side never
-    shuffles, never windows, and duplicate URL rows pass through
-    untouched — there is NO exchange anywhere in the plan."""
+    ``array_max`` over ``struct(len, allow)`` — rule ORDER never
+    affects the verdict, so the merge is deterministic), the URL side
+    never shuffles or windows, duplicate URL rows pass through
+    untouched, and the only exchange anywhere is the dictionary-sized
+    per-host fold on the broadcast side."""
     from pyspark.sql import types as T
 
     for c in ("__w4h_rb_host", "__w4h_rb_target", "__w4h_rb_rules", out_col):
@@ -834,20 +849,42 @@ def robots_filter(
         for pdf in batches:
             rows = []
             for host, body in zip(pdf[host_col], pdf[text_col]):
-                rows.append(
-                    (
-                        None if host is None else str(host).lower(),
-                        [
-                            {"_plen": plen, "_allow": allow, "_rx": rx}
-                            for allow, rx, plen in parse_robots(
-                                body, user_agent
-                            )
-                        ],
-                    )
+                # NULL body = failed fetch = rules UNKNOWN -> NULL array
+                # (falls to default_allow); empty/parsed body -> a real
+                # (possibly empty) rule list = the RFC's implicit allow
+                rules_cell = (
+                    None
+                    if body is None
+                    else [
+                        {"_plen": plen, "_allow": allow, "_rx": rx}
+                        for allow, rx, plen in parse_robots(body, user_agent)
+                    ]
                 )
+                rows.append((host, rules_cell))
             yield pd.DataFrame(rows, columns=[host_col, "__w4h_rb_rules"])
 
-    rules = robots.select(host_col, text_col).mapInPandas(kernel, rule_schema)
+    rules = (
+        robots.select(
+            # JVM lower(), the SAME fold url_host applies to the URL
+            # side — a Python str.lower here could disagree on non-ASCII
+            # codepoints and silently miss the equi-join
+            F.lower(F.col(host_col).cast("string")).alias(host_col),
+            text_col,
+        )
+        .mapInPandas(kernel, rule_schema)
+        # duplicate host spellings (incl. case variants) fold to ONE
+        # broadcast row — without this the left join would fan every
+        # URL row out per duplicate. collect_list drops NULL arrays, so
+        # has-any-body is tracked separately to keep the NULL-body
+        # (unknown rules) signal distinct from empty (allow-all).
+        .groupBy(host_col)
+        .agg(
+            F.when(
+                F.max(F.col("__w4h_rb_rules").isNotNull().cast("int")) == 1,
+                F.flatten(F.collect_list("__w4h_rb_rules")),
+            ).alias("__w4h_rb_rules")
+        )
+    )
 
     # RFC match target: path + '?' + query (never the fragment)
     path = F.coalesce(
