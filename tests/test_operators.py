@@ -4697,3 +4697,64 @@ def test_robots_filter_longest_match_and_defaults(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "Window" not in plan
     assert len(_re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan[:800]
+
+
+def test_robots_sitemaps_and_sitemap_urls(spark):
+    """Crawl discovery: Sitemap: lines collect file-wide (outside UA
+    groups, deduped, order kept); sitemap_urls explodes <urlset> pages
+    and <sitemapindex> children with trimmed, entity-decoded <loc>s and
+    optional <lastmod>, flags index blobs, and yields nothing for
+    locless/junk/NULL XML — all pure Column ops (plan has no Python and
+    no exchange)."""
+    from w4h_integrated_toolkit_spark.operators.web import (
+        robots_sitemaps,
+        sitemap_urls,
+    )
+
+    txt = (
+        "Sitemap: http://ex.com/a.xml\n"
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: http://ex.com/b.xml\n"
+        "sitemap: http://ex.com/a.xml\n"  # dup (case-insensitive name)
+        "Sitemap:\n"  # empty value ignored
+    )
+    assert robots_sitemaps(txt) == [
+        "http://ex.com/a.xml",
+        "http://ex.com/b.xml",
+    ]
+    assert robots_sitemaps(None) == [] and robots_sitemaps("") == []
+
+    urlset = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>  http://ex.com/p?a=1&amp;b=2 </loc>"
+        "<lastmod>2024-01-02</lastmod></url>"
+        "<url><loc>http://ex.com/q</loc></url>"
+        "<url><changefreq>daily</changefreq></url>"  # locless: dropped
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex>"
+        "<sitemap><loc>http://ex.com/a.xml</loc></sitemap>"
+        "<sitemap><loc>http://ex.com/b.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [(1, urlset), (2, index), (3, "not xml at all"), (4, None)],
+        "doc_id long, sitemap_xml string",
+    )
+    rows = sitemap_urls(df).collect()
+    got = {(r["doc_id"], r["loc"]): (r["lastmod"], r["is_index"]) for r in rows}
+    assert got == {
+        (1, "http://ex.com/p?a=1&b=2"): ("2024-01-02", False),
+        (1, "http://ex.com/q"): (None, False),
+        (2, "http://ex.com/a.xml"): (None, True),
+        (2, "http://ex.com/b.xml"): (None, True),
+    }
+
+    plan = sitemap_urls(df)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

@@ -34,6 +34,8 @@ __all__ = [
     "idna_ascii_hosts",
     "parse_robots",
     "robots_filter",
+    "robots_sitemaps",
+    "sitemap_urls",
     "TRACKING_PARAM_RE",
 ]
 
@@ -927,4 +929,81 @@ def robots_filter(
     )
     return joined.withColumn(out_col, verdict).drop(
         "__w4h_rb_host", "__w4h_rb_target", "__w4h_rb_rules"
+    )
+
+
+def robots_sitemaps(text: str | None) -> list[str]:
+    """``Sitemap:`` directives from a robots.txt body — RFC 9309 §2.3
+    scopes them to the whole file (NOT to user-agent groups), so this
+    collects them wherever they appear: absolute sitemap URLs in file
+    order, deduplicated. The crawl-discovery companion of
+    :func:`parse_robots` (which deliberately ignores these lines)."""
+    if not text:
+        return []
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in text.lstrip("\ufeff").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        name, sep, value = line.partition(":")
+        if not sep or name.strip().lower() != "sitemap":
+            continue
+        value = value.strip()
+        if value and value not in seen:
+            seen.add(value)
+            out.append(value)
+    return out
+
+
+def sitemap_urls(
+    df: DataFrame, xml_col: str = "sitemap_xml", id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode a sitemaps.org XML column (``<urlset>`` page lists OR
+    ``<sitemapindex>`` index files) into one row per ``<loc>``:
+    ``(id, loc, lastmod, is_index)`` — the crawl-discovery feed that
+    seeds the URL frontier (chain: robots_sitemaps → fetch → this →
+    canonicalize_url → robots_filter). ``is_index`` tells the caller
+    whether each loc is a PAGE to fetch or ANOTHER SITEMAP to recurse
+    into (the two element vocabularies are disjoint by spec, so one
+    column per blob suffices).
+
+    The html_extract discipline: pure JVM regexp + explode, zero
+    Python, whole-stage codegen — deliberately not an XML parser (a
+    sitemap's grammar is flat; CDATA corners are traded for a plan
+    with no UDF). ``<loc>`` values are whitespace-trimmed and
+    XML-entity-decoded (``&amp;`` is MANDATORY escaping inside sitemap
+    URLs, so skipping the decode would corrupt every query-carrying
+    URL). Entries without a ``<loc>`` and NULL/locless blobs yield no
+    rows."""
+    entries = F.regexp_extract_all(
+        F.col(xml_col),
+        F.lit(r"(?is)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"),
+        F.lit(1),
+    )
+    is_index = F.col(xml_col).rlike(r"(?is)<\s*sitemapindex")
+    e = F.explode(entries).alias("_entry")
+    exploded = df.select(F.col(id_col), is_index.alias("is_index"), e)
+    loc = F.nullif(
+        F.trim(
+            F.regexp_extract(F.col("_entry"), r"(?is)<loc>(.*?)</loc>", 1)
+        ),
+        F.lit(""),
+    )
+    for ent, rep in _HTML_ENTITIES:
+        loc = F.replace(loc, F.lit(ent), F.lit(rep))
+    lastmod = F.nullif(
+        F.trim(
+            F.regexp_extract(
+                F.col("_entry"), r"(?is)<lastmod>(.*?)</lastmod>", 1
+            )
+        ),
+        F.lit(""),
+    )
+    return (
+        exploded.select(
+            id_col,
+            loc.alias("loc"),
+            lastmod.alias("lastmod"),
+            "is_index",
+        )
+        .where(F.col("loc").isNotNull())
     )
