@@ -4582,8 +4582,18 @@ Sitemap: http://ex.com/sitemap.xml
     assert parse_robots(whitelist, "goodbot") == []
     assert [p for _, p, _ in parse_robots(whitelist, "otherbot")] == [r"^/"]
 
-    # longest-match precedence counts OCTETS, not characters
-    assert parse_robots("User-agent: *\nAllow: /café\n", "bot")[0][2] == 6
+    # longest-match precedence counts OCTETS of the NORMALIZED pattern
+    # (non-ASCII percent-encodes to upper-hex UTF-8 triplets first), so
+    # the equivalent spellings '/café' and '/caf%c3%a9' carry EQUAL
+    # precedence — RFC 9309 §2.2.2's consistent-encoding requirement
+    assert parse_robots("User-agent: *\nAllow: /café\n", "bot")[0][2] == 10
+    assert (
+        parse_robots("User-agent: *\nAllow: /caf%c3%a9\n", "bot")[0][2] == 10
+    )
+    assert (
+        parse_robots("User-agent: *\nAllow: /café\n", "bot")[0][1]
+        == parse_robots("User-agent: *\nAllow: /caf%c3%a9\n", "bot")[0][1]
+    )
 
     # an empty User-agent value must not become a match-everything
     # token that preempts '*'
@@ -4758,3 +4768,135 @@ def test_robots_sitemaps_and_sitemap_urls(spark):
     )
     assert "Exchange" not in plan and "Join" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_robots_percent_normalization_both_sides(spark):
+    """RFC 9309 §2.2.2 consistent percent-encoding (r12 ADVICE): the
+    Column match-target normalization and the Python pattern-compile
+    normalization are TWINS (pinned over an adversarial vector:
+    raw non-ASCII, upper/lower hex, unreserved decode, double-encoding,
+    encoded slash, malformed triplets), so every percent-spelling of a
+    rule meets every percent-spelling of a URL."""
+    from w4h_integrated_toolkit_spark.operators.web import (
+        _pct_encode_nonascii,
+        _pct_encode_nonascii_py,
+        _pct_normalize,
+        _pct_normalize_py,
+        robots_filter,
+    )
+
+    vec = [
+        "/a/b", "/café", "/caf%C3%A9", "/caf%c3%a9", "/%41bc", "/%2541",
+        "/a%2Fb", "/x%zz", "/%", "", "/q?x=%7e&y=é", "/✓%e2%9c%93",
+    ]
+    df = spark.createDataFrame([(s,) for s in vec], "s string")
+    got = df.select(
+        "s", _pct_normalize(_pct_encode_nonascii(F.col("s"))).alias("n")
+    ).collect()
+    for r in got:
+        assert r["n"] == _pct_normalize_py(_pct_encode_nonascii_py(r["s"])), (
+            r["s"]
+        )
+
+    # end-to-end: a rule written raw blocks every encoded spelling of
+    # the URL, and a rule written encoded (either hex case) blocks the
+    # raw spelling — under-blocking across spellings was the finding
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /café\n"),
+            ("b.com", "User-agent: *\nDisallow: /caf%c3%a9\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "http://a.com/caf%C3%A9"),
+            (2, "http://a.com/caf%c3%a9"),
+            (3, "http://a.com/café"),
+            (4, "http://a.com/cafe"),  # different path: stays allowed
+            (5, "http://b.com/café"),
+            (6, "http://b.com/caf%C3%A9"),
+        ],
+        "doc_id long, url string",
+    )
+    verdicts = {
+        r["doc_id"]: r["allowed"] for r in robots_filter(urls, robots).collect()
+    }
+    assert verdicts == {1: False, 2: False, 3: False, 4: True,
+                        5: False, 6: False}
+
+
+def test_parse_crawl_delay_and_delay_col(spark):
+    """Crawl-delay (de-facto politeness directive): group selection
+    mirrors the RFC rule selection (exact token beats '*'), max wins
+    across merged groups, junk/non-positive values are ignored, and
+    the directive never perturbs RFC rule GROUPING. robots_filter's
+    delay_col lifts it to a per-host column from the same single parse
+    of the body (NULL when absent / no robots row)."""
+    from w4h_integrated_toolkit_spark.operators.web import (
+        parse_crawl_delay,
+        parse_robots,
+        robots_filter,
+    )
+
+    body = (
+        "User-agent: bot\nCrawl-delay: 7\nDisallow: /x\n\n"
+        "User-agent: *\nCrawl-delay: 2.5\n\n"
+        "User-agent: bot\nCrawl-delay: 3\n"
+    )
+    assert parse_crawl_delay(body, "bot") == 7.0  # merged groups: max
+    assert parse_crawl_delay(body, "other") == 2.5  # '*' fallback
+    assert parse_crawl_delay("User-agent: *\nDisallow: /x\n") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: fast\n") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: -1\n") is None
+    assert parse_crawl_delay(None) is None and parse_crawl_delay("") is None
+    # a Crawl-delay line outside any group is dropped (mirrors the
+    # RFC's rules-outside-groups MUST)
+    assert parse_crawl_delay("Crawl-delay: 9\nUser-agent: *\n") is None
+    # the directive is grouping-neutral: rule selection is identical
+    # with and without the line (it must not split the UA run)
+    with_delay = "User-agent: a\nUser-agent: b\nCrawl-delay: 4\nDisallow: /x\n"
+    without = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+    assert parse_robots(with_delay, "b") == parse_robots(without, "b")
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n"),
+            ("b.com", "User-agent: *\nDisallow: /y\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "http://a.com/x"), (2, "http://b.com/z"),
+         (3, "http://nobody.example/q")],
+        "doc_id long, url string",
+    )
+    out = robots_filter(urls, robots, delay_col="crawl_delay")
+    assert dict(out.dtypes)["crawl_delay"] == "double"
+    rows = {r["doc_id"]: (r["allowed"], r["crawl_delay"])
+            for r in out.collect()}
+    assert rows == {1: (False, 2.5), 2: (True, None), 3: (True, None)}
+
+
+def test_robots_filter_broadcast_false_fallback(spark):
+    """broadcast=False (r12 ADVICE: a web-scale rules table can't be
+    force-broadcast): the hint disappears from the plan and verdicts
+    are identical — the politeness semantics never depend on the join
+    strategy."""
+    from w4h_integrated_toolkit_spark.operators.web import robots_filter
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x\n")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "http://a.com/x"), (2, "http://a.com/ok")],
+        "doc_id long, url string",
+    )
+    hinted = robots_filter(urls, robots)
+    unhinted = robots_filter(urls, robots, broadcast=False)
+    assert "ResolvedHint" not in unhinted._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" in hinted._jdf.queryExecution().logical().toString()
+    a = {(r["doc_id"], r["allowed"]) for r in hinted.collect()}
+    b = {(r["doc_id"], r["allowed"]) for r in unhinted.collect()}
+    assert a == b == {(1, False), (2, True)}

@@ -33,10 +33,12 @@ __all__ = [
     "url_dedup_groups",
     "idna_ascii_hosts",
     "parse_robots",
+    "parse_crawl_delay",
     "robots_filter",
     "robots_sitemaps",
     "sitemap_urls",
     "TRACKING_PARAM_RE",
+    "CANONICALIZER_VERSION",
 ]
 
 # Vendored multi-part-suffix subset of the public Mozilla PSL — the
@@ -355,6 +357,24 @@ TRACKING_PARAM_RE = (
     r"|igshid|ref_src|_ga|yclid)$"
 )
 
+# Version of the canonical-key FORMAT :func:`canonicalize_url` emits.
+# Canonical URLs are long-lived state — frontier dedup tables, stored
+# dedup groups, crawl bookkeeping keyed by canonical URL all persist
+# across code deployments — so any change to the emitted string is a
+# KEY-FORMAT BREAK: keys persisted under an older version silently stop
+# matching newly computed ones. Persist this number ALONGSIDE stored
+# canonical keys and rebuild (re-canonicalize from the raw URL) on
+# mismatch instead of comparing across versions. History:
+#   1 — original form (bare ``ref`` stripped as tracking; no
+#       percent-normalization of path/query).
+#   2 — bare ``ref`` no longer in the default tracking set (it is
+#       content-bearing on many sites) and :func:`_pct_normalize` runs
+#       over path and query, so e.g. ``/a%2Fb`` → ``/a%2Fb`` (upper
+#       hex) and ``/%61`` → ``/a``. A v1 key like
+#       ``http://ex.com/x`` computed from ``/x?ref=nav`` is NOT the v2
+#       key (``http://ex.com/x?ref=nav``), and ``/%61`` keys differ.
+CANONICALIZER_VERSION = 2
+
 
 _UNRESERVED_CODES = (45, 46, 95, 126)  # '-' '.' '_' '~'
 
@@ -402,6 +422,84 @@ def _pct_normalize(s: Column) -> Column:
     )
 
 
+_HEX_DIGITS = set("0123456789abcdefABCDEF")
+
+
+def _pct_normalize_py(s: str) -> str:
+    """Python twin of :func:`_pct_normalize` — SAME pass, same
+    semantics, for code that must normalize on the driver (robots rule
+    patterns are compiled once per host in Python; the URLs they match
+    are normalized by the Column twin, and the two MUST agree or rules
+    silently under-block). Equivalence is test-pinned."""
+    parts = s.split("%")
+    out = [parts[0]]
+    for seg in parts[1:]:
+        h = seg[:2]
+        if len(h) == 2 and h[0] in _HEX_DIGITS and h[1] in _HEX_DIGITS:
+            code = int(h, 16)
+            if (
+                48 <= code <= 57
+                or 65 <= code <= 90
+                or 97 <= code <= 122
+                or code in _UNRESERVED_CODES
+            ):
+                out.append(chr(code) + seg[2:])
+            else:
+                out.append("%" + h.upper() + seg[2:])
+        else:
+            out.append("%" + seg)
+    return "".join(out)
+
+
+def _pct_encode_nonascii(s: Column) -> Column:
+    """Percent-encode every non-ASCII character as its upper-hex UTF-8
+    octets (``é`` → ``%C3%A9``) — the other half of consistent
+    percent-encoding (RFC 9309 §2.2.2 / RFC 3986 §6.2.2): a URL stored
+    with a raw ``é`` and one stored ``%C3%A9`` must normalize to the
+    SAME match target. ASCII (including existing ``%`` triplets) passes
+    through untouched, so composing with :func:`_pct_normalize` never
+    double-encodes. The per-character transform only runs when the
+    string actually contains a non-ASCII character — the overwhelmingly
+    common all-ASCII row keeps its cheap single-predicate path."""
+    chars = F.split(s, "")
+    enc = F.array_join(
+        F.transform(
+            chars,
+            lambda c: F.when(
+                c.rlike("^[\\x00-\\x7F]$") | (c == ""),
+                c,
+            ).otherwise(
+                F.regexp_replace(F.hex(F.encode(c, "UTF-8")), "(..)", r"%$1")
+            ),
+        ),
+        "",
+    )
+    return F.when(s.rlike("[^\\x00-\\x7F]"), enc).otherwise(s)
+
+
+def _pct_encode_nonascii_py(s: str) -> str:
+    """Python twin of :func:`_pct_encode_nonascii` (same contract)."""
+    if s.isascii():
+        return s
+    return "".join(
+        ch
+        if ord(ch) < 128
+        else "".join(f"%{b:02X}" for b in ch.encode("utf-8"))
+        for ch in s
+    )
+
+
+def _robots_match_normalize_py(s: str) -> str:
+    """The shared robots match normalization, driver side: non-ASCII →
+    upper-hex UTF-8 percent triplets, then the bounded RFC 3986 pass
+    (unreserved triplets decode, other hex uppercases). Applied to rule
+    patterns at compile time; :func:`robots_filter` applies the Column
+    composition (:func:`_pct_encode_nonascii` → :func:`_pct_normalize`)
+    to each URL's match target, so ``Disallow: /café`` blocks
+    ``/caf%C3%A9`` and ``Disallow: /caf%c3%a9`` blocks ``/café``."""
+    return _pct_normalize_py(_pct_encode_nonascii_py(s))
+
+
 def canonicalize_url(url: Column, tracking_re: str = TRACKING_PARAM_RE) -> Column:
     """Canonical form of a URL — the normalization every crawl pipeline
     runs BEFORE URL-level dedup, so the same page fetched as
@@ -431,7 +529,12 @@ def canonicalize_url(url: Column, tracking_re: str = TRACKING_PARAM_RE) -> Colum
 
     NULL/malformed input → NULL (``try_parse_url`` semantics). Pure
     Column expressions — zero Python, whole-stage-codegen, the shape a
-    100 TB crawl's very first projection needs."""
+    100 TB crawl's very first projection needs.
+
+    The emitted string is a PERSISTED KEY FORMAT, currently
+    :data:`CANONICALIZER_VERSION` — stamp that version next to any
+    stored canonical keys and rebuild on mismatch (the v1 → v2 break
+    is documented at the constant)."""
     proto = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
     host = F.regexp_replace(
         F.lower(F.try_parse_url(url, F.lit("HOST"))), r"\.+$", ""
@@ -693,35 +796,29 @@ def html_extract(
 # ---------------------------------------------------------------------------
 
 
-def parse_robots(
-    text: str | None, user_agent: str = "*"
-) -> list[tuple[bool, str, int]]:
-    """Parse ONE robots.txt body for ``user_agent`` per RFC 9309:
-    returns ``(allow, pattern_regex, pattern_len)`` rules. Group
-    selection is the spec's: ``user_agent`` is the crawler's bare
-    product token compared case-insensitively for EXACT equality
-    against each group's ``User-agent`` values (pass ``examplebot``,
-    not ``examplebot/2.1`` — the RFC matches product tokens, not
-    version strings); ALL groups matching the token merge (the RFC's
-    MUST), falling back to the merged ``*`` groups, else no rules
-    (crawl-allowed by default, the RFC's stance for an absent file).
-    Patterns support the spec's ``*`` (any octets) and trailing ``$``
-    (end anchor), compiled to anchored regexes and matched against
-    path + ``?`` + query (see :func:`robots_filter`); ``pattern_len``
-    is the rule's octet length, the spec's longest-match precedence key
-    (allow wins ties — encode allow in the sort, see
-    :func:`robots_filter`). Comments (``#``), unknown directives, a
-    leading BOM and EMPTY ``User-agent:`` values are ignored; an empty
-    ``Disallow:`` value means "no restriction" and emits no rule; rules
-    OUTSIDE any user-agent group are ignored per the RFC's MUST.
-    NULL/empty text → no rules."""
-    import re as _re
-
+def _robots_walk(
+    text: str | None,
+) -> tuple[
+    list[tuple[list[str], list[tuple[bool, str]]]],
+    list[tuple[list[str], str]],
+]:
+    """One pass over a robots.txt body shared by :func:`parse_robots`
+    and :func:`parse_crawl_delay`: returns ``(groups, delays)`` where
+    ``groups`` is ``[(agents, [(allow, raw_pattern), ...]), ...]`` with
+    RFC 9309 grouping (a ``User-agent`` run opens a group, allow /
+    disallow lines populate it) and ``delays`` is
+    ``[(agents_snapshot, raw_value), ...]`` for every ``Crawl-delay``
+    line, tagged with the agents of the group it sits in. Crawl-delay
+    is NOT part of RFC 9309's grammar; it is treated as a group
+    DIRECTIVE like allow/disallow (the Bing/Yandex reading — the
+    engines that honor it), so it closes the User-agent run the same
+    way a rule does; a Crawl-delay outside any user-agent group is
+    dropped (mirrors the RFC's rules-outside-groups MUST)."""
     if not text:
-        return []
+        return [], []
     text = text.lstrip("\ufeff")  # BOM-prefixed robots.txt is common
-    ua = user_agent.lower()
     groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    delays: list[tuple[list[str], str]] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[bool, str]] = []
     open_group = False  # between a UA line and its first rule
@@ -749,9 +846,52 @@ def parse_robots(
             if value == "":
                 continue  # empty Disallow/Allow: no restriction
             cur_rules.append((name == "allow", value))
-        # Sitemap / Crawl-delay / unknown: ignored
+        elif name == "crawl-delay":
+            # a group DIRECTIVE like allow/disallow (the Bing/Yandex
+            # treatment — the engines that honor the directive): it
+            # closes the UA-line run, so a following User-agent line
+            # starts a NEW group rather than merging into this one
+            open_group = False
+            if value and cur_agents:
+                delays.append((list(cur_agents), value))
+        # Sitemap / unknown: ignored
     if cur_agents or cur_rules:
         groups.append((cur_agents, cur_rules))
+    return groups, delays
+
+
+def parse_robots(
+    text: str | None, user_agent: str = "*"
+) -> list[tuple[bool, str, int]]:
+    """Parse ONE robots.txt body for ``user_agent`` per RFC 9309:
+    returns ``(allow, pattern_regex, pattern_len)`` rules. Group
+    selection is the spec's: ``user_agent`` is the crawler's bare
+    product token compared case-insensitively for EXACT equality
+    against each group's ``User-agent`` values (pass ``examplebot``,
+    not ``examplebot/2.1`` — the RFC matches product tokens, not
+    version strings); ALL groups matching the token merge (the RFC's
+    MUST), falling back to the merged ``*`` groups, else no rules
+    (crawl-allowed by default, the RFC's stance for an absent file).
+    Patterns support the spec's ``*`` (any octets) and trailing ``$``
+    (end anchor), compiled to anchored regexes and matched against
+    path + ``?`` + query (see :func:`robots_filter`); ``pattern_len``
+    is the rule's octet length, the spec's longest-match precedence key
+    (allow wins ties — encode allow in the sort, see
+    :func:`robots_filter`). Comments (``#``), unknown directives, a
+    leading BOM and EMPTY ``User-agent:`` values are ignored; an empty
+    ``Disallow:`` value means "no restriction" and emits no rule; rules
+    OUTSIDE any user-agent group are ignored per the RFC's MUST.
+    Rule patterns are percent-normalized at compile time (the shared
+    :func:`_robots_match_normalize_py` pass; :func:`robots_filter`
+    runs the Column twin over each URL's match target), so equivalent
+    percent-spellings of rule and URL always meet — RFC 9309
+    §2.2.2's consistent-encoding requirement — and ``pattern_len``
+    counts the NORMALIZED octets so equivalent spellings carry equal
+    precedence. NULL/empty text → no rules."""
+    import re as _re
+
+    groups, _ = _robots_walk(text)
+    ua = user_agent.lower()
 
     # exact product-token match; ALL matching groups merge (both for
     # the specific token and for the '*' fallback). A group that
@@ -774,12 +914,52 @@ def parse_robots(
     for allow, pat in rules:
         anchored = pat.endswith("$")
         body = pat[:-1] if anchored else pat
-        rx = ".*".join(_re.escape(piece) for piece in body.split("*"))
+        # percent-normalize each literal piece (RFC 9309 §2.2.2 wants
+        # consistent percent-encoding on both sides of the match; the
+        # URL target gets the Column twin of the same pass in
+        # robots_filter). Normalizing never creates or destroys a '*'
+        # (42 is reserved, so %2A stays %2A), so splitting first is
+        # safe, and an encoded asterisk never becomes a wildcard.
+        pieces = [_robots_match_normalize_py(p) for p in body.split("*")]
+        rx = ".*".join(_re.escape(piece) for piece in pieces)
         rx = "^" + rx + ("$" if anchored else "")
-        # octets, not characters: the RFC's longest-match precedence
-        # counts bytes, and '/café' is 6 of them
-        out.append((allow, rx, len(pat.encode("utf-8"))))
+        # octets, not characters, of the NORMALIZED pattern: the RFC's
+        # longest-match precedence counts bytes, and normalization
+        # makes the equivalent spellings '/café' and '/caf%C3%A9'
+        # carry EQUAL precedence (both 12 octets normalized) instead
+        # of the raw-spelling accident
+        norm_pat = "*".join(pieces) + ("$" if anchored else "")
+        out.append((allow, rx, len(norm_pat.encode("utf-8"))))
     return out
+
+
+def parse_crawl_delay(
+    text: str | None, user_agent: str = "*"
+) -> float | None:
+    """``Crawl-delay`` (seconds) for ``user_agent`` from ONE robots.txt
+    body, or None if the selected groups carry none. Not RFC 9309
+    grammar — it is the widespread de-facto politeness directive a
+    crawl SCHEDULER consumes (per-host fetch spacing), so this is the
+    companion of :func:`parse_robots`, which deliberately ignores the
+    lines. Group selection mirrors the RFC rule selection: delays in
+    groups naming the crawler's exact product token win; otherwise the
+    merged ``*`` groups. When several selected delays parse, the MAX
+    (most polite) wins; unparseable or non-positive values are ignored;
+    NULL/empty text → None."""
+    _, delays = _robots_walk(text)
+    ua = user_agent.lower()
+    chosen = [v for agents, v in delays if ua in agents]
+    if not chosen:
+        chosen = [v for agents, v in delays if "*" in agents]
+    best: float | None = None
+    for v in chosen:
+        try:
+            d = float(v)
+        except ValueError:
+            continue
+        if d > 0 and (best is None or d > best):
+            best = d
+    return best
 
 
 def robots_filter(
@@ -791,6 +971,8 @@ def robots_filter(
     user_agent: str = "*",
     default_allow: bool = True,
     out_col: str = "allowed",
+    delay_col: str | None = None,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Append ``out_col`` (boolean) to ``urls``: may this crawler fetch
     each URL under the per-host robots rules? ``robots`` is one row per
@@ -809,6 +991,23 @@ def robots_filter(
       not the same as "no restrictions"), or a malformed URL with no
       host → ``default_allow``, the caller's policy.
 
+    Both sides of the match are percent-normalized consistently
+    (RFC 9309 §2.2.2): rule patterns at compile time in
+    :func:`parse_robots`, the URL's path+query target here via the
+    Column twin (:func:`_pct_encode_nonascii` → :func:`_pct_normalize`)
+    — so ``Disallow: /café`` blocks ``/caf%C3%A9`` and vice versa.
+
+    ``delay_col`` (optional): also emit the host's de-facto
+    ``Crawl-delay`` (seconds, double, NULL when absent — see
+    :func:`parse_crawl_delay`) so the fetch scheduler gets its per-host
+    spacing from the same single parse of the robots body.
+
+    ``broadcast`` (default True) plants the broadcast hint on the
+    folded per-host rules table. At web scale that table is tens of
+    millions of hosts × a rule array — beyond safe broadcast size —
+    so pass ``broadcast=False`` to fall back to a shuffle join (AQE
+    still picks a broadcast strategy when the fold turns out small).
+
     Scale shape (the IDNA dict pass applied to politeness): robots
     bodies are parsed ONCE PER HOST by an Arrow kernel over the
     rules-dictionary side — never per URL — folded to ONE rule-array
@@ -823,31 +1022,36 @@ def robots_filter(
     per-host fold on the broadcast side."""
     from pyspark.sql import types as T
 
-    for c in ("__w4h_rb_host", "__w4h_rb_target", "__w4h_rb_rules", out_col):
+    tmp_cols = ["__w4h_rb_host", "__w4h_rb_target", "__w4h_rb_rules", out_col]
+    if delay_col is not None:
+        tmp_cols.append(delay_col)
+    for c in tmp_cols:
         if c in urls.columns:
             raise ValueError(f"column {c!r} already exists on the input")
 
-    rule_schema = T.StructType(
-        [
-            T.StructField(host_col, T.StringType()),
-            T.StructField(
-                "__w4h_rb_rules",
-                T.ArrayType(
-                    T.StructType(
-                        [
-                            T.StructField("_plen", T.IntegerType()),
-                            T.StructField("_allow", T.BooleanType()),
-                            T.StructField("_rx", T.StringType()),
-                        ]
-                    )
-                ),
+    fields = [
+        T.StructField(host_col, T.StringType()),
+        T.StructField(
+            "__w4h_rb_rules",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("_plen", T.IntegerType()),
+                        T.StructField("_allow", T.BooleanType()),
+                        T.StructField("_rx", T.StringType()),
+                    ]
+                )
             ),
-        ]
-    )
+        ),
+    ]
+    if delay_col is not None:
+        fields.append(T.StructField("__w4h_rb_delay", T.DoubleType()))
+    rule_schema = T.StructType(fields)
 
     def kernel(batches):
         import pandas as pd
 
+        cols = [f.name for f in rule_schema.fields]
         for pdf in batches:
             rows = []
             for host, body in zip(pdf[host_col], pdf[text_col]):
@@ -862,8 +1066,11 @@ def robots_filter(
                         for allow, rx, plen in parse_robots(body, user_agent)
                     ]
                 )
-                rows.append((host, rules_cell))
-            yield pd.DataFrame(rows, columns=[host_col, "__w4h_rb_rules"])
+                row = (host, rules_cell)
+                if delay_col is not None:
+                    row += (parse_crawl_delay(body, user_agent),)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
 
     rules = (
         robots.select(
@@ -884,11 +1091,20 @@ def robots_filter(
             F.when(
                 F.max(F.col("__w4h_rb_rules").isNotNull().cast("int")) == 1,
                 F.flatten(F.collect_list("__w4h_rb_rules")),
-            ).alias("__w4h_rb_rules")
+            ).alias("__w4h_rb_rules"),
+            *(
+                []
+                if delay_col is None
+                # max = the most polite reading across duplicate
+                # spellings of the same host, mirroring parse_crawl_delay
+                else [F.max("__w4h_rb_delay").alias("__w4h_rb_delay")]
+            ),
         )
     )
 
-    # RFC match target: path + '?' + query (never the fragment)
+    # RFC match target: path + '?' + query (never the fragment),
+    # percent-normalized by the Column twin of the pattern-compile pass
+    # so both sides of the match use the same encoding (§2.2.2)
     path = F.coalesce(
         F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")
     )
@@ -897,11 +1113,12 @@ def robots_filter(
     target = F.concat(
         path, F.when(q.isNotNull(), F.concat(F.lit("?"), q)).otherwise(F.lit(""))
     )
+    target = _pct_normalize(_pct_encode_nonascii(target))
     keyed = urls.withColumn(
         "__w4h_rb_host", url_host(F.col(url_col))
     ).withColumn("__w4h_rb_target", target)
     joined = keyed.join(
-        F.broadcast(rules),
+        F.broadcast(rules) if broadcast else rules,
         keyed["__w4h_rb_host"] == rules[host_col],
         "left",
     ).drop(rules[host_col])
@@ -927,9 +1144,10 @@ def robots_filter(
         .when(best.isNull(), F.lit(True))
         .otherwise(best["_a"] == 1)
     )
-    return joined.withColumn(out_col, verdict).drop(
-        "__w4h_rb_host", "__w4h_rb_target", "__w4h_rb_rules"
-    )
+    out = joined.withColumn(out_col, verdict)
+    if delay_col is not None:
+        out = out.withColumnRenamed("__w4h_rb_delay", delay_col)
+    return out.drop("__w4h_rb_host", "__w4h_rb_target", "__w4h_rb_rules")
 
 
 def robots_sitemaps(text: str | None) -> list[str]:
