@@ -276,6 +276,12 @@ MEDIAN_EXTRA_QUERIES = {
     # round-over-round comparison lands at r12 — median-of-3 so the
     # 3.0-3.6 s band is confirmed (or adjudicated) on medians.
     "knn_ivf_persisted",         # 3.0-3.6 s (fit + O(k·d) store hop)
+    # r12 verdict watch item: the two heaviest 1-run r12 extras; their
+    # first round-over-round comparison lands at r13 — median-of-3 so
+    # the first bands (~2.4-3.4 s and ~1.8-2.9 s) are confirmed on
+    # medians, the same pattern as the r9-r12 promotions.
+    "stream_url_frontier",       # ~3.3 s (real availableNow stream job)
+    "ranking_model_scores",      # 2.3-2.8 s (fit + store hop + score)
 }
 
 

@@ -1359,3 +1359,46 @@ def test_r12_gate_window_composition_recomputed_from_driver_rows():
     assert list(_R12_WINDOW) == expected, (
         "gate window diverges from the recomputed rotation plan"
     )
+
+
+def test_r13_gate_window_composition_recomputed_from_driver_rows():
+    """Rotation honesty for r13, machine-checked the same way as r10–r12:
+    RECOMPUTE the prescribed composition from the CORRECTNESS_r*.json
+    driver records — the 46 r9-stale rows first in true r9-file key
+    order (the r12 verdict caught the hand-written r13 plan list
+    claiming r9 order while being shuffled; this derivation is the
+    fix), then the 3 never-driver-gated r12 additions
+    (ranking_model_scores, stream_url_frontier, warc_extract — their
+    first hashes), then the stalest r10 row — and assert _R13_WINDOW
+    equals it name-for-name. After r13 gates green, zero r9-stale and
+    zero never-gated entries remain."""
+    import json
+
+    from w4h_integrated_toolkit_spark.plans.queries import _R13_WINDOW
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    latest: dict[str, int] = {}
+    orders: dict[int, list[str]] = {}
+    for n in range(1, 13):
+        path = os.path.join(root, f"CORRECTNESS_r{n:02d}.json")
+        if not os.path.exists(path):
+            pytest.skip("driver CORRECTNESS records not present")
+        with open(path) as f:
+            rows = json.load(f)
+        orders[n] = list(rows)
+        for name, rec in rows.items():
+            if rec.get("hash_match") or rec.get("rows_match"):
+                latest[name] = n
+
+    r9_stale = [k for k in orders[9] if latest.get(k) == 9]
+    r10_stale = [k for k in orders[10] if latest.get(k) == 10]
+    never_gated_r12 = [
+        "ranking_model_scores", "stream_url_frontier", "warc_extract",
+    ]
+    assert all(k not in latest for k in never_gated_r12)
+    assert len(r9_stale) == 46  # zero r8-stale remain (r12 cleared them)
+    n_fill = 50 - len(r9_stale) - len(never_gated_r12)
+    expected = r9_stale + never_gated_r12 + r10_stale[:n_fill]
+    assert list(_R13_WINDOW) == expected, (
+        "gate window diverges from the recomputed rotation plan"
+    )

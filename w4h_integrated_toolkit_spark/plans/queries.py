@@ -8835,29 +8835,34 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 # never-gated entries remain — the rotation debt forecast at r8 hits
 # zero; histogram {r12: 50, r11: 50, r10: 50, r9: 46}.
 #
-# R13 WINDOW PLAN (execute at r13 start): the 46 remaining r9-stale
-# rows FIRST, in CORRECTNESS_r09 order — byte_histogram, token_counts,
-# trajectories, user_similarity_topk, stable_split,
-# asof_latest_purchase, incident_interval_join, knn_ivf_topk,
-# rollup_cascade, stratified_sample, session_windows, dedup_clusters,
-# incremental_dedup, retention_matrix, big_orders, boilerplate_ngrams,
-# corpus_mixture, mixture_sample, repetition_ratio, streaming_neardup,
-# stream_distinct_users, salted_hot_key_agg, event_paths,
-# brand_top_parts, salted_join_equiv, embedding_gram,
-# embedding_dim_stats, feature_hash_histogram, bigram_nll,
-# vocab_oov_rate, rolling_median, equi_depth_bins, class_balance,
-# acf_lags, kfold_report, quality_top_p, dataset_card, basket_affinity,
-# shrunk_group_means, incremental_agg, langid_confusion,
-# classification_metrics, ewma_backtest, k_anonymity_audit, scd2_lookup,
-# ols_trend_slope — then any entries added in r12 (never gated), then
-# the stalest r10 rows. Rotation-debt arithmetic (per the r8 verdict's
-# throttle order): stale backlog entering r13 = 46 r9 rows, so r12 may
-# add at most 50 − 46 = 4 new entries; r12 actually adds 3
-# (ranking_model_scores, stream_url_frontier, warc_extract — added
-# BEHIND this window → enter r13 never-gated). Backlog entering r13 =
-# 46 r9-stale + 3 never-gated = 49 ≤ 50, leaving 1 free slot for
-# r10-stale rotation at r13 (stalest r10 row in CORRECTNESS_r10
-# order).
+# R13 WINDOW PLAN (EXECUTED below as _R13_WINDOW — the r12 verdict's
+# order #1; the original r13 plan text written at r12 claimed its list
+# was "in CORRECTNESS_r09 order" but had hand-shuffled it — the r12
+# verdict caught that (What's wrong #2), so the list here was RECOMPUTED
+# from the JSON driver records, the same derivation
+# test_r13_gate_window_composition_recomputed_from_driver_rows makes):
+# the 46 remaining r9-stale rows FIRST, in true CORRECTNESS_r09 key
+# order —
+#    salted_hot_key_agg, event_paths, brand_top_parts, salted_join_equiv,
+#    embedding_gram, embedding_dim_stats, feature_hash_histogram, bigram_nll,
+#    vocab_oov_rate, rolling_median, equi_depth_bins, class_balance, acf_lags,
+#    kfold_report, quality_top_p, dataset_card, basket_affinity,
+#    shrunk_group_means, incremental_agg, langid_confusion,
+#    classification_metrics, ewma_backtest, k_anonymity_audit, scd2_lookup,
+#    ols_trend_slope, streaming_neardup, stream_distinct_users,
+#    byte_histogram, token_counts, trajectories, user_similarity_topk,
+#    stable_split, asof_latest_purchase, incident_interval_join, knn_ivf_topk,
+#    rollup_cascade, stratified_sample, session_windows, dedup_clusters,
+#    incremental_dedup, retention_matrix, big_orders, boilerplate_ngrams,
+#    corpus_mixture, mixture_sample, repetition_ratio
+# — then the 3 never-gated r12 additions (ranking_model_scores,
+# stream_url_frontier, warc_extract — their first driver hashes), then
+# the stalest r10 row (decontaminate, first r10-stale key in
+# CORRECTNESS_r10 order). Rotation-debt arithmetic (the r8 throttle
+# order): stale backlog entering r13 = 46 r9-stale + 3 never-gated =
+# 49 ≤ 50, leaving exactly 1 free slot — spent on the r10-stale
+# rotation row, so any NEW r13 entry goes BEHIND the window and enters
+# r14 never-gated.
 _R12_WINDOW = [
     # --- 44 r8-stale rows, CORRECTNESS_r08 order ---
     "table_diff",
@@ -8917,8 +8922,86 @@ _R12_WINDOW = [
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 assert len(set(_R12_WINDOW)) == 50
 assert set(_R12_WINDOW) <= set(QUERIES), set(_R12_WINDOW) - set(QUERIES)
-QUERIES = {name: QUERIES[name] for name in _R12_WINDOW} | {
-    name: spec for name, spec in QUERIES.items() if name not in set(_R12_WINDOW)
+
+# Round-13 driver window: the first 50 names the gate hashes this
+# round — the R13 WINDOW PLAN above, recomputed from
+# CORRECTNESS_r01..r12 at r13 start (latest-green histogram was
+# {r12: 50, r11: 50, r10: 50, r9: 46}, 196/199 with a driver row, 0
+# terminal FAILs) and machine-checked by
+# test_r13_gate_window_composition_recomputed_from_driver_rows.
+# After r13 gates green: ZERO r9-stale and ZERO never-gated entries
+# remain; histogram {r13: 50, r12: 50, r11: 50, r10: 49}.
+#
+# R14 WINDOW PLAN (execute at r14 start): the 49 remaining r10-stale
+# rows FIRST, in CORRECTNESS_r10 key order (recompute from the JSON at
+# r14 start as this round did — do not trust any hand-written list),
+# then any never-gated r13 additions. Rotation-debt arithmetic: stale
+# backlog entering r14 = 49 r10-stale rows + however many entries r13
+# adds behind the window (allowance: 50 − 49 = 1; the robots_filter
+# gate entry is the one candidate, per the r12 verdict's order #4), so
+# a 1-entry r13 means a FULL 50-slot r14 window with zero free slots —
+# r14 may add nothing inside its window and at most ~1 behind it.
+_R13_WINDOW = [
+    # --- 46 r9-stale rows, true CORRECTNESS_r09 key order ---
+    "salted_hot_key_agg",
+    "event_paths",
+    "brand_top_parts",
+    "salted_join_equiv",
+    "embedding_gram",
+    "embedding_dim_stats",
+    "feature_hash_histogram",
+    "bigram_nll",
+    "vocab_oov_rate",
+    "rolling_median",
+    "equi_depth_bins",
+    "class_balance",
+    "acf_lags",
+    "kfold_report",
+    "quality_top_p",
+    "dataset_card",
+    "basket_affinity",
+    "shrunk_group_means",
+    "incremental_agg",
+    "langid_confusion",
+    "classification_metrics",
+    "ewma_backtest",
+    "k_anonymity_audit",
+    "scd2_lookup",
+    "ols_trend_slope",
+    "streaming_neardup",
+    "stream_distinct_users",
+    "byte_histogram",
+    "token_counts",
+    "trajectories",
+    "user_similarity_topk",
+    "stable_split",
+    "asof_latest_purchase",
+    "incident_interval_join",
+    "knn_ivf_topk",
+    "rollup_cascade",
+    "stratified_sample",
+    "session_windows",
+    "dedup_clusters",
+    "incremental_dedup",
+    "retention_matrix",
+    "big_orders",
+    "boilerplate_ngrams",
+    "corpus_mixture",
+    "mixture_sample",
+    "repetition_ratio",
+    # --- the 3 never-gated r12 additions (first driver hash) ---
+    "ranking_model_scores",
+    "stream_url_frontier",
+    "warc_extract",
+    # --- stalest r10 row, first r10-stale key in CORRECTNESS_r10 ---
+    "decontaminate",
+]
+
+assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
+assert len(set(_R13_WINDOW)) == 50
+assert set(_R13_WINDOW) <= set(QUERIES), set(_R13_WINDOW) - set(QUERIES)
+QUERIES = {name: QUERIES[name] for name in _R13_WINDOW} | {
+    name: spec for name, spec in QUERIES.items() if name not in set(_R13_WINDOW)
 }
 
 
