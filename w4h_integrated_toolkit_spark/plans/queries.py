@@ -7990,6 +7990,135 @@ def q_idna_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# robots.txt politeness gate vectors (r13; the idna_hosts fixed-vector
+# pattern): literal robots bodies whose verdicts are derived BY HAND
+# from RFC 9309 — the oracle CASE-maps each (host, path) combination to
+# its RFC-derived verdict and never parses robots.txt, so a green hash
+# proves group selection (exact product token beats '*'), longest-match
+# precedence with the allow tie-break, '$' anchoring against
+# path+query, '*' wildcards, percent-encoding equivalence (a raw-é URL
+# must hit a %-spelled rule), the empty-body/NULL-body/no-row
+# trichotomy, and the crawl-delay lift — against hand-derived truth.
+_ROBOTS_GATE_HOSTS: list[tuple[str, str | None]] = [
+    # longest-match + allow-beats-disallow + '*'-group crawl-delay
+    # fallback for an exact-token caller
+    (
+        "a.com",
+        "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n"
+        "Crawl-delay: 2.5\n",
+    ),
+    # percent-spelled rule vs raw-é URL, wildcard-query rule, '$' anchor
+    # that must NOT match once a query string is present
+    (
+        "b.com",
+        "User-agent: *\nDisallow: /caf%c3%a9\nDisallow: /*?sid=\n"
+        "Disallow: /exact$\n",
+    ),
+    # empty body: the RFC's allow-everything statement (NOT default_allow)
+    ("c.com", ""),
+    # NULL body: failed fetch, rules UNKNOWN -> caller's default_allow
+    ("d.com", None),
+    # exact product-token group wins over '*' (which would allow), and
+    # the exact group's crawl-delay beats the '*' one
+    (
+        "e.com",
+        "User-agent: w4hbot\nDisallow: /\nCrawl-delay: 7\n\n"
+        "User-agent: *\nAllow: /\nCrawl-delay: 1\n",
+    ),
+    # f.example carries NO robots row at all (absent from the table)
+]
+_ROBOTS_GATE_PATHS = [
+    "/",
+    "/private/pub/x",
+    "/private/x",
+    "/café",
+    "/exact?sid=9",
+]
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots politeness filter (web.robots_filter — per-host
+    bodies parsed once by an Arrow kernel, rule arrays broadcast onto
+    the URL stream, verdict = pure-Column longest-match fold) gated
+    over fixed hand-derived vectors: each document synthesizes one URL
+    from a (host, path) residue pair over _ROBOTS_GATE_HOSTS ×
+    _ROBOTS_GATE_PATHS (plus the no-robots-row host f.example), and the
+    filter runs as crawler ``w4hbot`` with the crawl-delay lift. The
+    oracle maps each combination to its RFC-derived verdict via CASE —
+    it never parses robots.txt."""
+    from ..operators import web as WEB
+
+    hosts = [h for h, _ in _ROBOTS_GATE_HOSTS] + ["f.example"]
+    urls = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.concat(
+            F.lit("http://"),
+            F.element_at(
+                F.array(*[F.lit(h) for h in hosts]),
+                (F.col("doc_id") % len(hosts) + 1).cast("int"),
+            ),
+            F.element_at(
+                F.array(*[F.lit(pth) for pth in _ROBOTS_GATE_PATHS]),
+                (F.col("doc_id") % len(_ROBOTS_GATE_PATHS) + 1).cast("int"),
+            ),
+        ).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        _ROBOTS_GATE_HOSTS, "host string, robots_txt string"
+    )
+    out = WEB.robots_filter(
+        urls, robots, user_agent="w4hbot", delay_col="crawl_delay"
+    )
+    return out.select(
+        "doc_id",
+        "url",
+        F.col("allowed").cast("long").alias("allowed_i"),
+        F.col("crawl_delay"),
+    )
+
+
+def _robots_gate_sql() -> str:
+    hosts = [h for h, _ in _ROBOTS_GATE_HOSTS] + ["f.example"]
+    bad = [x for x in hosts + _ROBOTS_GATE_PATHS if "'" in x]
+    if bad:
+        raise ValueError(f"robots gate vectors unsafe for SQL: {bad!r}")
+    harr = ", ".join(f"'{h}'" for h in hosts)
+    parr = ", ".join(f"'{pth}'" for pth in _ROBOTS_GATE_PATHS)
+    # the verdict table, BY HAND from RFC 9309 (hi = host index, pi =
+    # path index; crawler token w4hbot):
+    #  hi 0 a.com   — blocks only pi 2 (/private/x): /private/ matches;
+    #                 pi 1 is saved by the LONGER Allow: /private/pub/;
+    #                 delay 2.5 from the '*' group (token fallback)
+    #  hi 1 b.com   — blocks pi 3 (/café ≡ /caf%c3%a9 after the shared
+    #                 percent-normalization) and pi 4 (/*?sid= wildcard
+    #                 reaches into the query; /exact$ must NOT match
+    #                 because the target carries ?sid=9); no delay
+    #  hi 2 c.com   — empty body: allow everything, no delay
+    #  hi 3 d.com   — NULL body: rules unknown -> default_allow=True
+    #  hi 4 e.com   — exact w4hbot group (Disallow: /) beats the '*'
+    #                 Allow group: block EVERYTHING; delay 7 (exact
+    #                 group's, not the '*' group's 1)
+    #  hi 5 f.example — no robots row: default_allow=True, no delay
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         CAST(doc_id % {len(hosts)} AS INT) AS hi,
+         CAST(doc_id % {len(_ROBOTS_GATE_PATHS)} AS INT) AS pi
+  FROM documents)
+SELECT doc_id,
+       'http://' || ([{harr}])[hi + 1] || ([{parr}])[pi + 1] AS url,
+       CAST(CASE
+              WHEN hi = 0 THEN CASE WHEN pi = 2 THEN 0 ELSE 1 END
+              WHEN hi = 1 THEN CASE WHEN pi IN (3, 4) THEN 0 ELSE 1 END
+              WHEN hi = 4 THEN 0
+              ELSE 1
+            END AS BIGINT) AS allowed_i,
+       CAST(CASE WHEN hi = 0 THEN 2.5 WHEN hi = 4 THEN 7.0 END
+            AS DOUBLE) AS crawl_delay
+FROM u
+"""
+
+
 def _idna_sql(vectors: list[tuple[str, str | None]]) -> str:
     bad = [h for h, a in vectors if "'" in h or (a and "'" in a)]
     if bad:
@@ -8816,6 +8945,13 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # round trip, plain + gzip-member layouts); formula-derived oracle
     # never parses bytes — the media-codec gate pattern
     "warc_extract": (q_warc_extract, _SQL_WARC_EXTRACT),
+    # --- round 13 addition (1 new entry, appended BEHIND the r13
+    # window per the 1-slot throttle — the slot itself went to the
+    # r10-stale rotation row; enters r14 never-gated) ---
+    # RFC 9309 robots politeness over hand-derived fixed vectors: the
+    # only substantial r12 functionality that had no driver row
+    # (r12 verdict, Missing #2 / order #4)
+    "robots_filter": (q_robots_filter, _robots_gate_sql()),
 }
 
 
