@@ -4900,3 +4900,87 @@ def test_robots_filter_broadcast_false_fallback(spark):
     a = {(r["doc_id"], r["allowed"]) for r in hinted.collect()}
     b = {(r["doc_id"], r["allowed"]) for r in unhinted.collect()}
     assert a == b == {(1, False), (2, True)}
+
+
+def test_expand_sitemap_index_bounded_recursion(spark):
+    """expand_sitemap_index closes the index→sitemap chain without
+    caller loops: pages accumulate across levels (id lineage kept),
+    unfetchable indices and indices deeper than max_depth come back
+    still flagged is_index=true, NULL-blob fetch rows count as
+    unfetched, and depth 0 means explode-only."""
+    from w4h_integrated_toolkit_spark.operators.web import (
+        expand_sitemap_index,
+    )
+
+    def urlset(*locs):
+        return "<urlset>" + "".join(
+            f"<url><loc>{u}</loc></url>" for u in locs
+        ) + "</urlset>"
+
+    def index(*locs):
+        return "<sitemapindex>" + "".join(
+            f"<sitemap><loc>{u}</loc></sitemap>" for u in locs
+        ) + "</sitemapindex>"
+
+    # root index -> {a.xml (pages), idx2.xml (nested index), gone.xml
+    # (not in the archive), broken.xml (archived as NULL)}; idx2 ->
+    # b.xml (pages). A second root doc is a plain urlset.
+    root = index(
+        "http://ex.com/a.xml",
+        "http://ex.com/idx2.xml",
+        "http://ex.com/gone.xml",
+        "http://ex.com/broken.xml",
+    )
+    archive = {
+        "http://ex.com/a.xml": urlset("http://ex.com/p1", "http://ex.com/p2"),
+        "http://ex.com/idx2.xml": index("http://ex.com/b.xml"),
+        "http://ex.com/b.xml": urlset("http://ex.com/p3"),
+        "http://ex.com/broken.xml": None,
+    }
+    arc_df = spark.createDataFrame(
+        list(archive.items()), "loc string, blob string"
+    )
+    df = spark.createDataFrame(
+        [(1, root), (2, urlset("http://ex.com/q1"))],
+        "doc_id long, sitemap_xml string",
+    )
+
+    def fetch(locs):
+        return locs.join(arc_df, on="loc", how="inner").select(
+            "doc_id", "loc", F.col("blob").alias("sitemap_xml")
+        )
+
+    def snap(out):
+        return {
+            (r["doc_id"], r["loc"], r["is_index"]) for r in out.collect()
+        }
+
+    full = snap(expand_sitemap_index(df, fetch, max_depth=2))
+    assert full == {
+        (1, "http://ex.com/p1", False),
+        (1, "http://ex.com/p2", False),
+        (1, "http://ex.com/p3", False),          # two levels deep
+        (1, "http://ex.com/gone.xml", True),     # not in the archive
+        (1, "http://ex.com/broken.xml", True),   # NULL blob = unfetched
+        (2, "http://ex.com/q1", False),
+    }
+
+    # depth 1: idx2 is OPENED at the one fetch round, so b.xml is
+    # discovered but not yet fetched — reported as a pending index
+    shallow = snap(expand_sitemap_index(df, fetch, max_depth=1))
+    assert (1, "http://ex.com/b.xml", True) in shallow
+    assert (1, "http://ex.com/p3", False) not in shallow
+    assert (1, "http://ex.com/p1", False) in shallow
+
+    # depth 0: explode-only, every index loc reported unopened
+    zero = snap(expand_sitemap_index(df, fetch, max_depth=0))
+    assert zero == {
+        (1, "http://ex.com/a.xml", True),
+        (1, "http://ex.com/idx2.xml", True),
+        (1, "http://ex.com/gone.xml", True),
+        (1, "http://ex.com/broken.xml", True),
+        (2, "http://ex.com/q1", False),
+    }
+
+    with pytest.raises(ValueError, match="max_depth"):
+        expand_sitemap_index(df, fetch, max_depth=-1)

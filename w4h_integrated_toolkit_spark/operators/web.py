@@ -37,6 +37,7 @@ __all__ = [
     "robots_filter",
     "robots_sitemaps",
     "sitemap_urls",
+    "expand_sitemap_index",
     "TRACKING_PARAM_RE",
     "CANONICALIZER_VERSION",
 ]
@@ -1225,3 +1226,57 @@ def sitemap_urls(
         )
         .where(F.col("loc").isNotNull())
     )
+
+
+def expand_sitemap_index(
+    df: DataFrame,
+    fetch,
+    xml_col: str = "sitemap_xml",
+    id_col: str = "doc_id",
+    max_depth: int = 2,
+) -> DataFrame:
+    """Close the sitemap-discovery chain without caller loops: explode
+    ``df``'s sitemap blobs with :func:`sitemap_urls`; PAGE locs
+    accumulate; INDEX locs are handed to ``fetch`` and the returned
+    blobs re-explode, up to ``max_depth`` fetch rounds.
+
+    ``fetch(locs: DataFrame[id_col, loc]) -> DataFrame[id_col, loc,
+    xml_col]`` is the caller's resolver — in a crawl pipeline a join
+    against the stored blob archive (WARC extract keyed by target URI),
+    NEVER a live HTTP call inside the plan. Rows it drops (or returns
+    with a NULL blob) are UNFETCHED: they come back in the result still
+    flagged ``is_index = true``, as do indices nested deeper than
+    ``max_depth`` — the output tells the caller exactly which indices
+    remain unopened alongside every discovered page row
+    ``(id, loc, lastmod, is_index=false)``.
+
+    Bounded by design: real sitemap trees are ≤ 2 levels deep (the
+    50 000-loc cap is why indexes exist at all) and an UNBOUNDED
+    recursion over attacker-controlled XML is a crawler trap, so depth
+    is a hard parameter, each level is one ``fetch`` round for ALL
+    pending indices at once (breadth-first — the fan-out stays in the
+    cluster, never a per-loc driver loop), and each round costs one
+    cheap ``isEmpty()`` probe to stop early when nothing is pending.
+    Duplicate locs are preserved (dedup is the frontier's job
+    downstream, where :func:`canonicalize_url` keys it)."""
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    cur = sitemap_urls(df, xml_col=xml_col, id_col=id_col)
+    done = cur.where(~F.col("is_index"))  # pages accumulate here
+    pending = cur.where(F.col("is_index"))
+    for _ in range(max_depth):
+        if pending.isEmpty():
+            break
+        fetched = fetch(pending.select(id_col, "loc"))
+        fetched = fetched.where(F.col(xml_col).isNotNull())
+        # indices the resolver could not open stay flagged in the output
+        unfetched = pending.join(
+            fetched.select(id_col, "loc"), on=[id_col, "loc"], how="left_anti"
+        )
+        done = done.unionByName(unfetched)
+        child = sitemap_urls(fetched, xml_col=xml_col, id_col=id_col)
+        done = done.unionByName(child.where(~F.col("is_index")))
+        pending = child.where(F.col("is_index"))
+    # depth exhausted: whatever is still pending is reported, not lost
+    return done.unionByName(pending)
+
