@@ -4984,3 +4984,29 @@ def test_expand_sitemap_index_bounded_recursion(spark):
 
     with pytest.raises(ValueError, match="max_depth"):
         expand_sitemap_index(df, fetch, max_depth=-1)
+
+
+def test_canonicalize_url_v3_nonascii_collapse(spark):
+    """CANONICALIZER_VERSION 3: raw non-ASCII in path/query
+    percent-encodes to upper-hex UTF-8 triplets, so every spelling of
+    the same page (raw é, lower-hex, upper-hex) yields ONE all-ASCII
+    canonical key — the double-fetch the v2 frontier would have paid.
+    Hosts stay un-percent-encoded (IDNA's job)."""
+    from w4h_integrated_toolkit_spark.operators.web import (
+        CANONICALIZER_VERSION,
+        canonicalize_url,
+    )
+
+    assert CANONICALIZER_VERSION == 3
+    urls = [
+        "http://ex.com/café?x=é",
+        "http://ex.com/caf%C3%A9?x=%C3%A9",
+        "http://ex.com/caf%c3%a9?x=%c3%a9",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    keys = [
+        r["k"]
+        for r in df.select(canonicalize_url(F.col("url")).alias("k")).collect()
+    ]
+    assert keys == ["http://ex.com/caf%C3%A9?x=%C3%A9"] * 3
+    assert all(k.isascii() for k in keys)

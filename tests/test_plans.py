@@ -1319,6 +1319,24 @@ def test_wave16_plan_shapes(spark):
     assert "Join" not in p and "Window" not in p
 
 
+def test_wave17_plan_shapes(spark):
+    """r13 addition: the robots_filter gate query keeps the operator's
+    designed shape end-to-end — the robots dictionary is parsed by ONE
+    MapInPandas kernel, folded per host (the single exchange), and
+    broadcast onto the URL side (BroadcastHashJoin, never sort-merge);
+    the URL side is synthesized map-side and never shuffles or
+    windows."""
+    import re as _re
+
+    p = plan_of(spark, "robots_filter")
+    assert "BroadcastHashJoin" in p, p[:800]
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
+    assert len(_re.findall(r"\(\d+\) MapInPandas", p)) == 1, p[:800]
+    # one dictionary-sized exchange: the per-host rule fold
+    assert n_shuffles(p) == 1, p[:800]
+
+
 def test_r12_gate_window_composition_recomputed_from_driver_rows():
     """The judge's standing caution: the builder schedules the gate
     window, so every round's rotation honesty must be re-verifiable.

@@ -374,7 +374,16 @@ TRACKING_PARAM_RE = (
 #       hex) and ``/%61`` → ``/a``. A v1 key like
 #       ``http://ex.com/x`` computed from ``/x?ref=nav`` is NOT the v2
 #       key (``http://ex.com/x?ref=nav``), and ``/%61`` keys differ.
-CANONICALIZER_VERSION = 2
+#   3 — non-ASCII characters in path and query percent-encode to
+#       upper-hex UTF-8 triplets (:func:`_pct_encode_nonascii`), so the
+#       canonical key is always a valid all-ASCII URI and the raw-é and
+#       %-spelled fetches of the same page (``/café`` vs ``/caf%C3%A9``)
+#       finally collapse — the same consistent-encoding pass the robots
+#       matcher uses. v2 keys containing raw non-ASCII differ from
+#       their v3 forms; all-ASCII v2 keys are unchanged. (Hosts are
+#       NOT percent-encoded — international hosts are IDNA's job,
+#       see :func:`idna_ascii_hosts`.)
+CANONICALIZER_VERSION = 3
 
 
 _UNRESERVED_CODES = (45, 46, 95, 126)  # '-' '.' '_' '~'
@@ -517,11 +526,14 @@ def canonicalize_url(url: Column, tracking_re: str = TRACKING_PARAM_RE) -> Colum
       makes the WHOLE URL NULL — one policy for every malformed port,
       so malformed-port variants can never collapse into (or mint)
       a canonical key;
-    - path: percent-normalized (see :func:`_pct_normalize` — unreserved
-      octets decode, remaining hex uppercases, double-encoding left
-      alone), then runs of ``/`` collapse to one, the trailing slash is
-      stripped, and the empty path becomes ``/``;
-    - query: percent-normalized, then parameters matching
+    - path: percent-normalized (non-ASCII → upper-hex UTF-8 triplets
+      via :func:`_pct_encode_nonascii`, then :func:`_pct_normalize` —
+      unreserved octets decode, remaining hex uppercases,
+      double-encoding left alone — so ``/café`` and ``/caf%c3%a9``
+      yield the same all-ASCII key), then runs of ``/`` collapse to
+      one, the trailing slash is stripped, and the empty path becomes
+      ``/``;
+    - query: percent-normalized the same way, then parameters matching
       ``tracking_re`` (by NAME) are dropped, the survivors are sorted
       bytewise and rejoined — parameter order is transport noise, not
       identity; an emptied query loses its ``?``. Note bare ``ref`` is
@@ -564,7 +576,11 @@ def canonicalize_url(url: Column, tracking_re: str = TRACKING_PARAM_RE) -> Colum
     rawpath = F.try_parse_url(url, F.lit("PATH"))
     path = F.regexp_replace(
         F.regexp_replace(
-            _pct_normalize(F.coalesce(rawpath, F.lit(""))), r"/{2,}", "/"
+            _pct_normalize(
+                _pct_encode_nonascii(F.coalesce(rawpath, F.lit("")))
+            ),
+            r"/{2,}",
+            "/",
         ),
         r"/$",
         "",
@@ -572,7 +588,10 @@ def canonicalize_url(url: Column, tracking_re: str = TRACKING_PARAM_RE) -> Colum
     path = F.when(path == "", F.lit("/")).otherwise(path)
     q = F.try_parse_url(url, F.lit("QUERY"))
     params = F.filter(
-        F.split(_pct_normalize(F.coalesce(q, F.lit(""))), "&"),
+        F.split(
+            _pct_normalize(_pct_encode_nonascii(F.coalesce(q, F.lit("")))),
+            "&",
+        ),
         lambda p: (p != "")
         & ~F.regexp_extract(p, r"^([^=]*)", 1).rlike(tracking_re),
     )
