@@ -82,17 +82,31 @@ def main() -> None:
     ).localCheckpoint(eager=True)
 
     def _robots(d):
+        # path variants lead with the rule-relevant prefix so every rule
+        # class actually fires (review finding: a /p{M}/ prefix made 4
+        # of the 6 rules dead weight and the fold near-trivial):
+        # wildcard-query, allow-override precedence, plain disallow,
+        # percent-equivalence (raw é vs the %-spelled rule), the '$'
+        # anchor, and the no-match allow path
+        m = F.pmod(F.col("doc_id"), F.lit(50)).cast("string")
+        variant = (
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit("/s"), m, F.lit("?session=1")))
+            .when(F.col("doc_id") % 7 == 1,
+                  F.concat(F.lit("/private/pub/ok"), m))
+            .when(F.col("doc_id") % 7 == 2,
+                  F.concat(F.lit("/private/no"), m))
+            .when(F.col("doc_id") % 7 == 3, F.lit("/café"))
+            .when(F.col("doc_id") % 7 == 4, F.lit("/tmp"))
+            .otherwise(F.concat(F.lit("/page"), m, F.lit("?a=1")))
+        )
         urls = d.select(
             "doc_id",
             F.concat(
                 F.lit("http://dom"),
                 F.pmod(F.col("doc_id"), F.lit(N_HOSTS)).cast("string"),
-                F.lit(".com/p"),
-                F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
-                F.when(F.col("doc_id") % 7 == 0, F.lit("/x?session=1"))
-                .when(F.col("doc_id") % 7 == 1, F.lit("/private/pub/ok"))
-                .when(F.col("doc_id") % 7 == 2, F.lit("/private/no"))
-                .otherwise(F.lit("/page?a=1")),
+                F.lit(".com"),
+                variant,
             ).alias("url"),
         )
         # count the ALLOWED rows so the verdict fold cannot be pruned

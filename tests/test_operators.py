@@ -4841,23 +4841,45 @@ def test_parse_crawl_delay_and_delay_col(spark):
 
     body = (
         "User-agent: bot\nCrawl-delay: 7\nDisallow: /x\n\n"
-        "User-agent: *\nCrawl-delay: 2.5\n\n"
-        "User-agent: bot\nCrawl-delay: 3\n"
+        "User-agent: *\nCrawl-delay: 2.5\nDisallow: /y\n\n"
+        "User-agent: bot\nDisallow: /z\nCrawl-delay: 3\n"
     )
     assert parse_crawl_delay(body, "bot") == 7.0  # merged groups: max
     assert parse_crawl_delay(body, "other") == 2.5  # '*' fallback
+    # exact-token masking mirrors rule selection EXACTLY (review
+    # finding): a group naming the crawler with NO delay masks the '*'
+    # throttle — the site addressed this crawler and asked for none
+    assert parse_crawl_delay(
+        "User-agent: w4hbot\nDisallow: /x\n\n"
+        "User-agent: *\nCrawl-delay: 600\n",
+        "w4hbot",
+    ) is None
     assert parse_crawl_delay("User-agent: *\nDisallow: /x\n") is None
     assert parse_crawl_delay("User-agent: *\nCrawl-delay: fast\n") is None
     assert parse_crawl_delay("User-agent: *\nCrawl-delay: -1\n") is None
+    # non-finite delays are rejected — an Infinity delay would silently
+    # blackhole the host in the fetch scheduler (review finding)
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: inf\n") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: 1e999\n") is None
     assert parse_crawl_delay(None) is None and parse_crawl_delay("") is None
     # a Crawl-delay line outside any group is dropped (mirrors the
     # RFC's rules-outside-groups MUST)
     assert parse_crawl_delay("Crawl-delay: 9\nUser-agent: *\n") is None
-    # the directive is grouping-neutral: rule selection is identical
-    # with and without the line (it must not split the UA run)
+    # the directive is grouping-NEUTRAL (RFC 9309 §2.2.4: other records
+    # must not interfere): rule selection is identical with and without
+    # the line, both mid-run and BETWEEN UA lines of a run — the
+    # between-UA case is the review-caught regression where closing the
+    # run would have handed agent 'a' an empty matched group and
+    # un-blocked a host the site meant to Disallow
     with_delay = "User-agent: a\nUser-agent: b\nCrawl-delay: 4\nDisallow: /x\n"
     without = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
     assert parse_robots(with_delay, "b") == parse_robots(without, "b")
+    split_run = "User-agent: a\nCrawl-delay: 10\nUser-agent: b\nDisallow: /\n"
+    for agent in ("a", "b"):
+        rules = parse_robots(split_run, agent)
+        assert [(al, rx) for al, rx, _ in rules] == [(False, "^/")], agent
+        # and the delay attributes to the group's FINAL merged agents
+        assert parse_crawl_delay(split_run, agent) == 10.0
 
     robots = spark.createDataFrame(
         [

@@ -827,13 +827,16 @@ def _robots_walk(
     ``groups`` is ``[(agents, [(allow, raw_pattern), ...]), ...]`` with
     RFC 9309 grouping (a ``User-agent`` run opens a group, allow /
     disallow lines populate it) and ``delays`` is
-    ``[(agents_snapshot, raw_value), ...]`` for every ``Crawl-delay``
-    line, tagged with the agents of the group it sits in. Crawl-delay
-    is NOT part of RFC 9309's grammar; it is treated as a group
-    DIRECTIVE like allow/disallow (the Bing/Yandex reading — the
-    engines that honor it), so it closes the User-agent run the same
-    way a rule does; a Crawl-delay outside any user-agent group is
-    dropped (mirrors the RFC's rules-outside-groups MUST)."""
+    ``[(group_agents, raw_value), ...]`` for every ``Crawl-delay``
+    line. Crawl-delay is NOT part of RFC 9309's grammar, so — like
+    Sitemap and unknown directives — it MUST NOT perturb rule grouping
+    (§2.2.4's other-records-must-not-interfere; a delay line between
+    two User-agent lines must not split their run, or an agent the
+    site meant to Disallow gets an empty matched group and walks free).
+    Delay attribution therefore resolves at GROUP CLOSE, against the
+    group's final merged agent list; a Crawl-delay outside any
+    user-agent group is dropped (mirrors the rules-outside-groups
+    MUST)."""
     if not text:
         return [], []
     text = text.lstrip("\ufeff")  # BOM-prefixed robots.txt is common
@@ -841,7 +844,17 @@ def _robots_walk(
     delays: list[tuple[list[str], str]] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[bool, str]] = []
+    cur_delays: list[str] = []
     open_group = False  # between a UA line and its first rule
+
+    def _close_group() -> None:
+        nonlocal cur_agents, cur_rules, cur_delays
+        if cur_agents or cur_rules:
+            groups.append((cur_agents, cur_rules))
+            if cur_agents:  # agentless delays die with agentless rules
+                delays.extend((cur_agents, v) for v in cur_delays)
+        cur_agents, cur_rules, cur_delays = [], [], []
+
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line:
@@ -852,9 +865,8 @@ def _robots_walk(
         name = name.strip().lower()
         value = value.strip()
         if name == "user-agent":
-            if not open_group and (cur_agents or cur_rules):
-                groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], []
+            if not open_group:
+                _close_group()
             open_group = True
             if value:
                 # an EMPTY UA value would be a zero-length token that
@@ -867,17 +879,53 @@ def _robots_walk(
                 continue  # empty Disallow/Allow: no restriction
             cur_rules.append((name == "allow", value))
         elif name == "crawl-delay":
-            # a group DIRECTIVE like allow/disallow (the Bing/Yandex
-            # treatment — the engines that honor the directive): it
-            # closes the UA-line run, so a following User-agent line
-            # starts a NEW group rather than merging into this one
-            open_group = False
-            if value and cur_agents:
-                delays.append((list(cur_agents), value))
+            # grouping-NEUTRAL (open_group untouched); queued against
+            # the current group and attributed at its close
+            if value:
+                cur_delays.append(value)
         # Sitemap / unknown: ignored
-    if cur_agents or cur_rules:
-        groups.append((cur_agents, cur_rules))
+    _close_group()
     return groups, delays
+
+
+def _select_rules(groups, ua: str) -> list[tuple[bool, str]]:
+    # exact product-token match; ALL matching groups merge; a matched
+    # group masks '*' entirely even when rule-less (RFC 2.2.1)
+    matched = False
+    chosen: list[tuple[bool, str]] = []
+    star: list[tuple[bool, str]] = []
+    for agents, rules in groups:
+        if ua in agents:
+            matched = True
+            chosen.extend(rules)
+        if "*" in agents:
+            star.extend(rules)
+    return chosen if matched else star
+
+
+def _select_delay(groups, delays, ua: str) -> float | None:
+    import math
+
+    # mirror the rule selection exactly: ANY group naming the exact
+    # token masks the '*' groups for delays too — a site that addressed
+    # this crawler explicitly and gave it no delay did NOT ask for the
+    # '*' group's throttle
+    matched = any(ua in agents for agents, _ in groups)
+    if matched:
+        chosen = [v for agents, v in delays if ua in agents]
+    else:
+        chosen = [v for agents, v in delays if "*" in agents]
+    best: float | None = None
+    for v in chosen:
+        try:
+            d = float(v)
+        except ValueError:
+            continue
+        # reject non-finite values ('inf', '1e999'): an Infinity delay
+        # would silently blackhole the host in the fetch scheduler
+        if math.isfinite(d) and d > 0 and (best is None or d > best):
+            best = d
+    return best
 
 
 def parse_robots(
@@ -908,27 +956,14 @@ def parse_robots(
     §2.2.2's consistent-encoding requirement — and ``pattern_len``
     counts the NORMALIZED octets so equivalent spellings carry equal
     precedence. NULL/empty text → no rules."""
-    import re as _re
-
     groups, _ = _robots_walk(text)
-    ua = user_agent.lower()
+    return _compile_rules(_select_rules(groups, user_agent.lower()))
 
-    # exact product-token match; ALL matching groups merge (both for
-    # the specific token and for the '*' fallback). A group that
-    # MATCHES but carries zero rules still wins over '*' (RFC 2.2.1 —
-    # the classic whitelist file 'goodbot: Disallow:(nothing) / *:
-    # Disallow: /' must leave goodbot unrestricted), so the selection
-    # tracks MATCHED, not non-emptiness.
-    matched = False
-    chosen: list[tuple[bool, str]] = []
-    star: list[tuple[bool, str]] = []
-    for agents, rules in groups:
-        if ua in agents:
-            matched = True
-            chosen.extend(rules)
-        if "*" in agents:
-            star.extend(rules)
-    rules = chosen if matched else star
+
+def _compile_rules(
+    rules: list[tuple[bool, str]],
+) -> list[tuple[bool, str, int]]:
+    import re as _re
 
     out = []
     for allow, pat in rules:
@@ -961,25 +996,18 @@ def parse_crawl_delay(
     grammar — it is the widespread de-facto politeness directive a
     crawl SCHEDULER consumes (per-host fetch spacing), so this is the
     companion of :func:`parse_robots`, which deliberately ignores the
-    lines. Group selection mirrors the RFC rule selection: delays in
-    groups naming the crawler's exact product token win; otherwise the
-    merged ``*`` groups. When several selected delays parse, the MAX
-    (most polite) wins; unparseable or non-positive values are ignored;
-    NULL/empty text → None."""
-    _, delays = _robots_walk(text)
-    ua = user_agent.lower()
-    chosen = [v for agents, v in delays if ua in agents]
-    if not chosen:
-        chosen = [v for agents, v in delays if "*" in agents]
-    best: float | None = None
-    for v in chosen:
-        try:
-            d = float(v)
-        except ValueError:
-            continue
-        if d > 0 and (best is None or d > best):
-            best = d
-    return best
+    lines. Group selection mirrors the RFC rule selection EXACTLY: any
+    group naming the crawler's exact product token masks the ``*``
+    groups entirely — even when the exact groups carry no delay (a site
+    that addressed this crawler explicitly and gave it no delay did not
+    ask for the ``*`` throttle). When several selected delays parse,
+    the MAX (most polite) wins; unparseable, non-positive and
+    non-finite values are ignored; NULL/empty text → None. The
+    directive never perturbs RULE grouping (see :func:`_robots_walk`);
+    its attribution resolves at group close against the group's final
+    merged agent list."""
+    groups, delays = _robots_walk(text)
+    return _select_delay(groups, delays, user_agent.lower())
 
 
 def robots_filter(
@@ -1078,17 +1106,22 @@ def robots_filter(
                 # NULL body = failed fetch = rules UNKNOWN -> NULL array
                 # (falls to default_allow); empty/parsed body -> a real
                 # (possibly empty) rule list = the RFC's implicit allow
-                rules_cell = (
-                    None
-                    if body is None
-                    else [
+                if body is None:
+                    rules_cell, delay = None, None
+                else:
+                    # ONE walk per body: rules and delay share it
+                    groups, dl = _robots_walk(body)
+                    ua = user_agent.lower()
+                    rules_cell = [
                         {"_plen": plen, "_allow": allow, "_rx": rx}
-                        for allow, rx, plen in parse_robots(body, user_agent)
+                        for allow, rx, plen in _compile_rules(
+                            _select_rules(groups, ua)
+                        )
                     ]
-                )
+                    delay = _select_delay(groups, dl, ua)
                 row = (host, rules_cell)
                 if delay_col is not None:
-                    row += (parse_crawl_delay(body, user_agent),)
+                    row += (delay,)
                 rows.append(row)
             yield pd.DataFrame(rows, columns=cols)
 
@@ -1274,26 +1307,40 @@ def expand_sitemap_index(
     recursion over attacker-controlled XML is a crawler trap, so depth
     is a hard parameter, each level is one ``fetch`` round for ALL
     pending indices at once (breadth-first — the fan-out stays in the
-    cluster, never a per-loc driver loop), and each round costs one
-    cheap ``isEmpty()`` probe to stop early when nothing is pending.
+    cluster, never a per-loc driver loop), each level is
+    localCheckpoint'ed so the probe / fetch / anti-join never
+    re-execute prior levels' lineage, and one cheap ``isEmpty()``
+    probe stops early when nothing is pending.
     Duplicate locs are preserved (dedup is the frontier's job
     downstream, where :func:`canonicalize_url` keys it)."""
     if max_depth < 0:
         raise ValueError(f"max_depth must be >= 0, got {max_depth}")
-    cur = sitemap_urls(df, xml_col=xml_col, id_col=id_col)
+    # each level is localCheckpoint'ed: the isEmpty probe, the fetch,
+    # the unfetched anti-join and the final materialization would
+    # otherwise each RE-EXECUTE the whole prior-level lineage
+    # (including the caller's archive joins) — 3-4 redundant runs per
+    # level. The function is already action-bearing (isEmpty), so the
+    # eager materialization adds no new execution semantics.
+    cur = sitemap_urls(df, xml_col=xml_col, id_col=id_col).localCheckpoint(
+        eager=True
+    )
     done = cur.where(~F.col("is_index"))  # pages accumulate here
     pending = cur.where(F.col("is_index"))
     for _ in range(max_depth):
         if pending.isEmpty():
             break
         fetched = fetch(pending.select(id_col, "loc"))
-        fetched = fetched.where(F.col(xml_col).isNotNull())
+        fetched = fetched.where(F.col(xml_col).isNotNull()).localCheckpoint(
+            eager=True
+        )
         # indices the resolver could not open stay flagged in the output
         unfetched = pending.join(
             fetched.select(id_col, "loc"), on=[id_col, "loc"], how="left_anti"
         )
         done = done.unionByName(unfetched)
-        child = sitemap_urls(fetched, xml_col=xml_col, id_col=id_col)
+        child = sitemap_urls(
+            fetched, xml_col=xml_col, id_col=id_col
+        ).localCheckpoint(eager=True)
         done = done.unionByName(child.where(~F.col("is_index")))
         pending = child.where(F.col("is_index"))
     # depth exhausted: whatever is still pending is reported, not lost
