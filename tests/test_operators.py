@@ -4878,8 +4878,23 @@ def test_parse_crawl_delay_and_delay_col(spark):
     for agent in ("a", "b"):
         rules = parse_robots(split_run, agent)
         assert [(al, rx) for al, rx, _ in rules] == [(False, "^/")], agent
-        # and the delay attributes to the group's FINAL merged agents
-        assert parse_crawl_delay(split_run, agent) == 10.0
+    # delay attribution SNAPSHOTS the agents declared above the delay
+    # line: a (declared before it) gets 10, b (declared after) does not
+    assert parse_crawl_delay(split_run, "a") == 10.0
+    assert parse_crawl_delay(split_run, "b") is None
+    # the dominant real-world shape (second review pass): rules-less
+    # per-bot delay stanzas merge into ONE rule group under grouping
+    # neutrality, but each stanza's delay must stay with ITS bots —
+    # final-merged-list attribution would throttle the fleet to the
+    # slowest bot's delay
+    fleet = (
+        "User-agent: slowbot\nCrawl-delay: 60\n\n"
+        "User-agent: fastbot\nCrawl-delay: 1\n\n"
+        "User-agent: *\nDisallow: /private\n"
+    )
+    assert parse_crawl_delay(fleet, "slowbot") == 60.0
+    assert parse_crawl_delay(fleet, "fastbot") == 1.0
+    assert parse_crawl_delay(fleet, "anyoneelse") is None
 
     robots = spark.createDataFrame(
         [

@@ -833,10 +833,15 @@ def _robots_walk(
     (§2.2.4's other-records-must-not-interfere; a delay line between
     two User-agent lines must not split their run, or an agent the
     site meant to Disallow gets an empty matched group and walks free).
-    Delay attribution therefore resolves at GROUP CLOSE, against the
-    group's final merged agent list; a Crawl-delay outside any
-    user-agent group is dropped (mirrors the rules-outside-groups
-    MUST)."""
+    Delay attribution SNAPSHOTS the agents declared so far in the run
+    at the delay line — NOT the group's final merged list: the dominant
+    real-world shape is rules-less per-bot stanzas ('slowbot: delay 60
+    // fastbot: delay 1 // *: rules'), which merge into ONE rule group
+    under neutrality, and final-list attribution would throttle the
+    whole fleet to the slowest bot's delay (review-caught); the
+    snapshot keeps each stanza's delay with the bots declared above it.
+    A Crawl-delay outside any user-agent group is dropped (mirrors the
+    rules-outside-groups MUST)."""
     if not text:
         return [], []
     text = text.lstrip("\ufeff")  # BOM-prefixed robots.txt is common
@@ -844,16 +849,13 @@ def _robots_walk(
     delays: list[tuple[list[str], str]] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[bool, str]] = []
-    cur_delays: list[str] = []
     open_group = False  # between a UA line and its first rule
 
     def _close_group() -> None:
-        nonlocal cur_agents, cur_rules, cur_delays
+        nonlocal cur_agents, cur_rules
         if cur_agents or cur_rules:
             groups.append((cur_agents, cur_rules))
-            if cur_agents:  # agentless delays die with agentless rules
-                delays.extend((cur_agents, v) for v in cur_delays)
-        cur_agents, cur_rules, cur_delays = [], [], []
+        cur_agents, cur_rules = [], []
 
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -879,10 +881,11 @@ def _robots_walk(
                 continue  # empty Disallow/Allow: no restriction
             cur_rules.append((name == "allow", value))
         elif name == "crawl-delay":
-            # grouping-NEUTRAL (open_group untouched); queued against
-            # the current group and attributed at its close
-            if value:
-                cur_delays.append(value)
+            # grouping-NEUTRAL (open_group untouched); attributed to
+            # the agents declared SO FAR in this run (snapshot — see
+            # the docstring), dropped outside any group
+            if value and cur_agents:
+                delays.append((list(cur_agents), value))
         # Sitemap / unknown: ignored
     _close_group()
     return groups, delays
@@ -1100,6 +1103,8 @@ def robots_filter(
         import pandas as pd
 
         cols = [f.name for f in rule_schema.fields]
+        ua = user_agent.lower()
+        want_delay = delay_col is not None
         for pdf in batches:
             rows = []
             for host, body in zip(pdf[host_col], pdf[text_col]):
@@ -1109,18 +1114,20 @@ def robots_filter(
                 if body is None:
                     rules_cell, delay = None, None
                 else:
-                    # ONE walk per body: rules and delay share it
+                    # ONE walk per body: rules and delay share it; the
+                    # delay selection only runs when the caller asked
                     groups, dl = _robots_walk(body)
-                    ua = user_agent.lower()
                     rules_cell = [
                         {"_plen": plen, "_allow": allow, "_rx": rx}
                         for allow, rx, plen in _compile_rules(
                             _select_rules(groups, ua)
                         )
                     ]
-                    delay = _select_delay(groups, dl, ua)
+                    delay = (
+                        _select_delay(groups, dl, ua) if want_delay else None
+                    )
                 row = (host, rules_cell)
-                if delay_col is not None:
+                if want_delay:
                     row += (delay,)
                 rows.append(row)
             yield pd.DataFrame(rows, columns=cols)
@@ -1315,15 +1322,18 @@ def expand_sitemap_index(
     downstream, where :func:`canonicalize_url` keys it)."""
     if max_depth < 0:
         raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    cur = sitemap_urls(df, xml_col=xml_col, id_col=id_col)
+    if max_depth == 0:
+        # explode-only: stay LAZY (no action, no optimizer barrier —
+        # a caller's filter can still push into the blob scan)
+        return cur
     # each level is localCheckpoint'ed: the isEmpty probe, the fetch,
     # the unfetched anti-join and the final materialization would
     # otherwise each RE-EXECUTE the whole prior-level lineage
     # (including the caller's archive joins) — 3-4 redundant runs per
-    # level. The function is already action-bearing (isEmpty), so the
-    # eager materialization adds no new execution semantics.
-    cur = sitemap_urls(df, xml_col=xml_col, id_col=id_col).localCheckpoint(
-        eager=True
-    )
+    # level. Depth ≥ 1 is action-bearing anyway (isEmpty), so the
+    # eager materialization adds no new execution semantics there.
+    cur = cur.localCheckpoint(eager=True)
     done = cur.where(~F.col("is_index"))  # pages accumulate here
     pending = cur.where(F.col("is_index"))
     for _ in range(max_depth):
