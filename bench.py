@@ -234,6 +234,8 @@ EXTRA_BENCH_QUERIES = [
     "ranking_model_scores",
     "stream_url_frontier",
     "warc_extract",
+    # r13 addition
+    "robots_filter",
 ]
 
 # The heaviest extras get MEDIAN-OF-3 like the headline (r8 verdict
