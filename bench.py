@@ -282,8 +282,8 @@ MEDIAN_EXTRA_QUERIES = {
     # first round-over-round comparison lands at r13 — median-of-3 so
     # the first bands (~2.4-3.4 s and ~1.8-2.9 s) are confirmed on
     # medians, the same pattern as the r9-r12 promotions.
-    "stream_url_frontier",       # ~3.3 s (real availableNow stream job)
-    "ranking_model_scores",      # 2.3-2.8 s (fit + store hop + score)
+    "stream_url_frontier",       # 2.4-3.4 s (real availableNow stream job)
+    "ranking_model_scores",      # 1.1-1.6 s median (1-run levels were cold-plan)
 }
 
 
