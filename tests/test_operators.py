@@ -4895,6 +4895,21 @@ def test_parse_crawl_delay_and_delay_col(spark):
     assert parse_crawl_delay(fleet, "slowbot") == 60.0
     assert parse_crawl_delay(fleet, "fastbot") == 1.0
     assert parse_crawl_delay(fleet, "anyoneelse") is None
+    # ...and in EVERY stanza order (third review pass: a declared-so-far
+    # snapshot gave fastbot 60 when the slow stanza came second — the
+    # stanza binding is order-independent)
+    fleet_rev = (
+        "User-agent: fastbot\nCrawl-delay: 1\n\n"
+        "User-agent: slowbot\nCrawl-delay: 60\n\n"
+        "User-agent: *\nDisallow: /private\n"
+    )
+    assert parse_crawl_delay(fleet_rev, "fastbot") == 1.0
+    assert parse_crawl_delay(fleet_rev, "slowbot") == 60.0
+    assert parse_crawl_delay(fleet_rev, "anyoneelse") is None
+    # a multi-UA stanza binds its delay to ALL its agents
+    assert parse_crawl_delay(
+        "User-agent: a\nUser-agent: b\nCrawl-delay: 4\nDisallow: /x\n", "b"
+    ) == 4.0
 
     robots = spark.createDataFrame(
         [

@@ -1718,3 +1718,45 @@ def test_warc_roundtrip_property(recs, gz):
         assert rec["headers"].get("warc-target-uri") == uri
         assert rec["payload"] == payload
         assert int(rec["headers"]["content-length"]) == len(payload)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(
+                list("abzAZ09-._~/?&=%") + list("é✓日ß")
+                + ["41", "7e", "2f", "25", "c3",
+                   "%41", "%7e", "%2F", "%c3%a9", "%zz", "%"]
+            ),
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_pct_match_normalize_twins_property(spark, frags):
+    """The robots consistent-encoding pass (RFC 9309 §2.2.2) exists in
+    TWO implementations — pure Columns for the URL match target,
+    driver-side Python for the rule patterns — and under-blocking
+    happens exactly when they disagree, so the law is equivalence over
+    adversarial percent soup (well-formed/torn/double-encoded triplets,
+    raw multi-byte non-ASCII, hex-pair fragments), plus idempotence of
+    the shared pass (a fixed point is what makes it a normal form)."""
+    from pyspark.sql import functions as F
+
+    from w4h_integrated_toolkit_spark.operators.web import (
+        _pct_encode_nonascii,
+        _pct_normalize,
+        _robots_match_normalize_py,
+    )
+
+    strings = ["".join(f) for f in frags]
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    col = _pct_normalize(_pct_encode_nonascii(F.col("s")))
+    got = df.select("s", col.alias("n")).collect()
+    for r in got:
+        py = _robots_match_normalize_py(r["s"])
+        assert r["n"] == py, (r["s"], r["n"], py)
+        # idempotence: the normal form is a fixed point
+        assert _robots_match_normalize_py(py) == py, (r["s"], py)

@@ -833,14 +833,16 @@ def _robots_walk(
     (§2.2.4's other-records-must-not-interfere; a delay line between
     two User-agent lines must not split their run, or an agent the
     site meant to Disallow gets an empty matched group and walks free).
-    Delay attribution SNAPSHOTS the agents declared so far in the run
-    at the delay line — NOT the group's final merged list: the dominant
-    real-world shape is rules-less per-bot stanzas ('slowbot: delay 60
-    // fastbot: delay 1 // *: rules'), which merge into ONE rule group
-    under neutrality, and final-list attribution would throttle the
-    whole fleet to the slowest bot's delay (review-caught); the
-    snapshot keeps each stanza's delay with the bots declared above it.
-    A Crawl-delay outside any user-agent group is dropped (mirrors the
+    Delay attribution binds each delay to its STANZA — the contiguous
+    ``User-agent`` sub-run immediately above the delay line — NOT to
+    everything declared so far and not to the group's final merged
+    list: the dominant real-world shape is rules-less per-bot stanzas
+    ('slowbot: delay 60 // fastbot: delay 1 // *: rules'), which merge
+    into ONE rule group under neutrality, and either wider attribution
+    throttles part of the fleet to another bot's delay in at least one
+    stanza ORDER (both were review-caught — final-list always, the
+    declared-so-far snapshot when the slow stanza comes second). A
+    Crawl-delay outside any user-agent stanza is dropped (mirrors the
     rules-outside-groups MUST)."""
     if not text:
         return [], []
@@ -849,7 +851,9 @@ def _robots_walk(
     delays: list[tuple[list[str], str]] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[bool, str]] = []
+    stanza_agents: list[str] = []  # the contiguous UA sub-run last seen
     open_group = False  # between a UA line and its first rule
+    last_was_ua = False  # is the previous PARSED directive a UA line?
 
     def _close_group() -> None:
         nonlocal cur_agents, cur_rules
@@ -870,23 +874,30 @@ def _robots_walk(
             if not open_group:
                 _close_group()
             open_group = True
+            if not last_was_ua:
+                stanza_agents = []  # a fresh UA sub-run starts a stanza
+            last_was_ua = True
             if value:
                 # an EMPTY UA value would be a zero-length token that
                 # 'matches' everything — ignored; its rules fall into
                 # an agentless group, which selection below skips
                 cur_agents.append(value.lower())
+                stanza_agents.append(value.lower())
         elif name in ("allow", "disallow"):
             open_group = False
+            last_was_ua = False
             if value == "":
                 continue  # empty Disallow/Allow: no restriction
             cur_rules.append((name == "allow", value))
         elif name == "crawl-delay":
-            # grouping-NEUTRAL (open_group untouched); attributed to
-            # the agents declared SO FAR in this run (snapshot — see
-            # the docstring), dropped outside any group
-            if value and cur_agents:
-                delays.append((list(cur_agents), value))
-        # Sitemap / unknown: ignored
+            # grouping-NEUTRAL (open_group untouched); bound to the
+            # UA STANZA immediately above (see the docstring), dropped
+            # outside any stanza
+            last_was_ua = False
+            if value and stanza_agents:
+                delays.append((list(stanza_agents), value))
+        # Sitemap / unknown: ignored (and invisible to stanza tracking,
+        # like blank/comment lines — they must not split a UA run)
     _close_group()
     return groups, delays
 
@@ -1007,8 +1018,9 @@ def parse_crawl_delay(
     the MAX (most polite) wins; unparseable, non-positive and
     non-finite values are ignored; NULL/empty text → None. The
     directive never perturbs RULE grouping (see :func:`_robots_walk`);
-    its attribution resolves at group close against the group's final
-    merged agent list."""
+    each delay binds to the contiguous ``User-agent`` sub-run
+    immediately above its line (its STANZA), so per-bot stanzas stay
+    per-bot in every declaration order."""
     groups, delays = _robots_walk(text)
     return _select_delay(groups, delays, user_agent.lower())
 
