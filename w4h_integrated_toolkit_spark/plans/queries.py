@@ -9077,6 +9077,13 @@ assert set(_R12_WINDOW) <= set(QUERIES), set(_R12_WINDOW) - set(QUERIES)
 # gate entry is the one candidate, per the r12 verdict's order #4), so
 # a 1-entry r13 means a FULL 50-slot r14 window with zero free slots —
 # r14 may add nothing inside its window and at most ~1 behind it.
+# The EXACT prospective r14 window (49 r10-stale in r10 key order,
+# pack_sequences first, + robots_filter last) was pre-measured at r13
+# end: 67.8 s total cold at sf0.01 on 4 cpus, worst pack_sequences
+# 5.77 s, next fft_range_sum 3.58 s — every entry far inside the
+# ~30 s per-entry envelope (the total sits above the 41-58.5 s
+# historical range because this window front-loads the heavy r10
+# rows; per-entry latency is the binding constraint).
 _R13_WINDOW = [
     # --- 46 r9-stale rows, true CORRECTNESS_r09 key order ---
     "salted_hot_key_agg",
