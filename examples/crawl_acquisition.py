@@ -19,6 +19,8 @@ is the edge of a 100 TB crawl, end-to-end on one synthetic archive:
                         and collapse to one fetch per canonical page
   5. text bridge      — html_extract over the allowed fetched pages:
                         the hand-off row (doc_id, text) curation takes
+  6. fetch schedule   — per-host politeness offsets from the
+                        crawl-delay column (the scheduler's feed)
 
 Every stage is pure Columns or a dictionary-sized Arrow pass; the URL
 stream itself never shuffles until the one canonical-key rollup.
@@ -41,8 +43,10 @@ from w4h_integrated_toolkit_spark.operators.web import (
     html_extract,
     robots_filter,
     robots_sitemaps,
+    schedule_frontier,
     sitemap_urls,
     url_dedup_groups,
+    url_host,
 )
 from w4h_integrated_toolkit_spark.session import get_spark
 from w4h_integrated_toolkit_spark.sources.warc import (
@@ -193,6 +197,22 @@ def main() -> None:
             f"5. text bridge sample: title={row[0]['title']!r} "
             f"text={row[0]['text']!r}"
         )
+
+    # ------------------------------------------------------------------
+    # 6. fetch schedule: the canonical frontier + each host's
+    # crawl-delay -> per-host politeness offsets (one window exchange)
+    # ------------------------------------------------------------------
+    to_fetch = groups.select(
+        F.col("canonical_url").alias("url"),
+        url_host(F.col("canonical_url")).alias("host"),
+    )
+    paced = robots_filter(
+        to_fetch, robots, user_agent="w4hbot", delay_col="crawl_delay"
+    ).where(F.col("allowed"))
+    schedule = schedule_frontier(paced, order_col="url")
+    print("6. fetch schedule (offset s):")
+    for r in schedule.orderBy("host", "fetch_offset_s").collect():
+        print(f"   t+{r['fetch_offset_s']}s {r['url']}")
     spark.stop()
 
 

@@ -5062,3 +5062,124 @@ def test_canonicalize_url_v3_nonascii_collapse(spark):
     ]
     assert keys == ["http://ex.com/caf%C3%A9?x=%C3%A9"] * 3
     assert all(k.isascii() for k in keys)
+
+
+def test_robots_published_match_examples():
+    """The RFC 9309 / Google robots.txt spec's own PUBLISHED matching
+    examples, table-driven against parse_robots' compiled patterns and
+    the longest-match/allow-ties precedence fold — the same public
+    vectors every conformant crawler is checked against. Driver-side
+    (no Spark): the Column fold is equivalence-pinned elsewhere; this
+    pins the COMPILER against published truth."""
+    import re as _re
+
+    from w4h_integrated_toolkit_spark.operators.web import parse_robots
+
+    def verdict(rules, target):
+        # the robots_filter fold in Python: among matching rules take
+        # max (octets, allow); no match -> implicit allow
+        hits = [(plen, allow) for allow, rx, plen in rules
+                if _re.match(rx, target)]
+        if not hits:
+            return True
+        return max(hits)[1]
+
+    def rules_for(*lines):
+        return parse_robots(
+            "User-agent: *\n" + "".join(f"{ln}\n" for ln in lines), "bot"
+        )
+
+    # --- published path-matching examples (one Disallow rule each:
+    # matched target => blocked) ---
+    matrix = [
+        ("/fish", {
+            "/fish": False, "/fish.html": False, "/fishheads": False,
+            "/fish/salmon.html": False, "/fish.php?id=anything": False,
+            "/Fish.asp": True, "/catfish": True, "/?id=fish": True,
+        }),
+        ("/fish*", {   # equivalent to /fish per the spec
+            "/fish": False, "/fishheads/yummy.html": False,
+            "/Fish.PHP": True, "/desert/fish": True,
+        }),
+        ("/fish/", {
+            "/fish/": False, "/fish/salmon.htm": False,
+            "/fish/?id=anything": False,
+            "/fish": True, "/fish.html": True, "/Fish/Salmon.asp": True,
+        }),
+        ("/*.php", {
+            "/index.php": False, "/filename.php": False,
+            "/folder/filename.php": False,
+            "/folder/filename.php?parameters": False,
+            "/folder/any.php.file.html": False, "/filename.php/": False,
+            "/": True, "/windows.PHP": True,
+        }),
+        ("/*.php$", {
+            "/filename.php": False, "/folder/filename.php": False,
+            "/filename.php?parameters": True, "/filename.php/": True,
+            "/filename.php5": True, "/windows.PHP": True,
+        }),
+        ("/fish*.php", {
+            "/fish.php": False, "/fishheads/catfish.php?parameters": False,
+            "/Fish.PHP": True,
+        }),
+    ]
+    for pattern, targets in matrix:
+        rules = rules_for(f"Disallow: {pattern}")
+        for target, allowed in targets.items():
+            assert verdict(rules, target) is allowed, (pattern, target)
+
+    # --- published order-of-precedence examples ---
+    prec = [
+        (["Allow: /p", "Disallow: /"], "/page", True),
+        (["Allow: /folder", "Disallow: /folder"], "/folder/page", True),
+        (["Allow: /page", "Disallow: /*.htm"], "/page.htm", False),
+        (["Allow: /$", "Disallow: /"], "/", True),
+        (["Allow: /$", "Disallow: /"], "/page.htm", False),
+    ]
+    for lines, target, allowed in prec:
+        assert verdict(rules_for(*lines), target) is allowed, (lines, target)
+
+
+def test_schedule_frontier_politeness_offsets(spark):
+    """schedule_frontier: per-host fetch offsets honor each host's
+    crawl-delay ((k-1)×delay within a host, deterministic ordering),
+    NULL delay falls to the default floor, NULL host gets a NULL offset
+    (unfetchable), priority ordering flips with ascending=False, and
+    the plan carries exactly ONE exchange (the per-host window)."""
+    import re as _re
+
+    from w4h_integrated_toolkit_spark.operators.web import schedule_frontier
+
+    df = spark.createDataFrame(
+        [
+            ("u1", "a.com", 2.5, 10),
+            ("u2", "a.com", 2.5, 30),
+            ("u3", "a.com", 2.5, 20),
+            ("v1", "b.com", None, 1),   # no published delay -> default
+            ("v2", "b.com", None, 2),
+            ("w1", None, None, 5),      # malformed URL: no host
+        ],
+        "url string, host string, crawl_delay double, prio long",
+    )
+    out = schedule_frontier(df)
+    got = {r["url"]: r["fetch_offset_s"] for r in out.collect()}
+    assert got == {"u1": 0.0, "u2": 2.5, "u3": 5.0,
+                   "v1": 0.0, "v2": 1.0, "w1": None}
+
+    # priority ordering: highest prio fetches first with ascending=False
+    by_prio = schedule_frontier(df, order_col="prio", ascending=False)
+    got2 = {r["url"]: r["fetch_offset_s"] for r in by_prio.collect()}
+    assert got2["u2"] == 0.0 and got2["u3"] == 2.5 and got2["u1"] == 5.0
+
+    with pytest.raises(ValueError, match="already exists"):
+        schedule_frontier(out)
+
+    # fresh frame: an executed AQE plan prints Final + Initial and
+    # double-counts the exchange
+    plan = schedule_frontier(df)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(_re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan[:800]
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan

@@ -36,6 +36,7 @@ __all__ = [
     "parse_crawl_delay",
     "robots_filter",
     "robots_sitemaps",
+    "schedule_frontier",
     "sitemap_urls",
     "expand_sitemap_index",
     "TRACKING_PARAM_RE",
@@ -1220,6 +1221,50 @@ def robots_filter(
     if delay_col is not None:
         out = out.withColumnRenamed("__w4h_rb_delay", delay_col)
     return out.drop("__w4h_rb_host", "__w4h_rb_target", "__w4h_rb_rules")
+
+
+def schedule_frontier(
+    df: DataFrame,
+    host_col: str = "host",
+    delay_col: str = "crawl_delay",
+    order_col: str | None = None,
+    ascending: bool = True,
+    default_delay: float = 1.0,
+    out_col: str = "fetch_offset_s",
+) -> DataFrame:
+    """Politeness-aware fetch offsets — the consumer of the
+    ``crawl_delay`` column :func:`robots_filter` emits, closing the
+    acquisition loop (verdict → delay → SCHEDULE → fetch): within each
+    host, rows are ordered (by ``order_col`` if given, ties and default
+    broken by the first column — pass the URL frame's key — for
+    determinism) and the k-th fetch gets ``out_col = (k-1) ×
+    coalesce(delay, default_delay)`` seconds — the earliest moment a
+    polite crawler may issue it relative to schedule start. A NULL
+    ``host_col`` row gets a NULL offset (a URL that didn't parse to a
+    host cannot be paced against anything — and should not be fetched).
+
+    Scale shape: ONE exchange (the per-host window) and nothing else —
+    per-host sequencing is inherently host-clustered, so this is the
+    minimal shuffle, and the window never sorts more than one host's
+    rows per partition. Per-host row counts must be bounded UPSTREAM
+    (that is :func:`domain_cap_sample`'s job — the salted two-stage
+    cap); a 1e8-page mega-host fed into any per-host sequencer is a
+    skew bug in the feeding query, not the scheduler. ``default_delay``
+    is the polite floor for hosts that published no Crawl-delay."""
+    if out_col in df.columns:
+        raise ValueError(f"column {out_col!r} already exists on the input")
+    first = df.columns[0]
+    key = F.col(order_col) if order_col is not None else F.col(first)
+    key = key.asc() if ascending else key.desc()
+    w = Window.partitionBy(host_col).orderBy(key, F.col(first).asc())
+    offset = (F.row_number().over(w) - F.lit(1)).cast("double") * F.coalesce(
+        F.col(delay_col).cast("double"), F.lit(float(default_delay))
+    )
+    return df.withColumn(
+        out_col,
+        F.when(F.col(host_col).isNull(), F.lit(None).cast("double"))
+        .otherwise(offset),
+    )
 
 
 def robots_sitemaps(text: str | None) -> list[str]:
