@@ -1260,11 +1260,16 @@ def schedule_frontier(
     offset = (F.row_number().over(w) - F.lit(1)).cast("double") * F.coalesce(
         F.col(delay_col).cast("double"), F.lit(float(default_delay))
     )
-    return df.withColumn(
-        out_col,
-        F.when(F.col(host_col).isNull(), F.lit(None).cast("double"))
-        .otherwise(offset),
+    # NULL hosts are excluded BEFORE the window, not masked after it:
+    # every malformed URL would otherwise hash to the SAME window
+    # partition and a 100 TB crawl's junk tail would funnel through one
+    # task's sort — the split costs a second map-side scan, the skew
+    # bug costs a spill
+    good = df.where(F.col(host_col).isNotNull()).withColumn(out_col, offset)
+    bad = df.where(F.col(host_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
     )
+    return good.unionByName(bad)
 
 
 def robots_sitemaps(text: str | None) -> list[str]:
