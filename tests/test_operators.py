@@ -5143,9 +5143,13 @@ def test_robots_published_match_examples():
 def test_schedule_frontier_politeness_offsets(spark):
     """schedule_frontier: per-host fetch offsets honor each host's
     crawl-delay ((k-1)×delay within a host, deterministic ordering),
-    NULL delay falls to the default floor, NULL host gets a NULL offset
-    (unfetchable), priority ordering flips with ascending=False, and
-    the plan carries exactly ONE exchange (the per-host window)."""
+    case-variant host spellings share ONE ladder whose delay is the
+    host's strictest (max) across rows — two t+0 fetches at one server
+    and a NULL-delay row undercutting the published spacing were both
+    review-caught — NULL delay falls to the default floor everywhere,
+    NULL host gets a NULL offset (unfetchable), priority ordering flips
+    with ascending=False, and the plan carries exactly ONE exchange
+    (the two same-partitioning windows share it)."""
     import re as _re
 
     from w4h_integrated_toolkit_spark.operators.web import schedule_frontier
@@ -5153,7 +5157,8 @@ def test_schedule_frontier_politeness_offsets(spark):
     df = spark.createDataFrame(
         [
             ("u1", "a.com", 2.5, 10),
-            ("u2", "a.com", 2.5, 30),
+            ("u2", "A.COM", None, 30),  # case variant + NULL delay: one
+                                        # ladder, strictest delay wins
             ("u3", "a.com", 2.5, 20),
             ("v1", "b.com", None, 1),   # no published delay -> default
             ("v2", "b.com", None, 2),

@@ -1238,10 +1238,16 @@ def schedule_frontier(
     host, rows are ordered (by ``order_col`` if given, ties and default
     broken by the first column — pass the URL frame's key — for
     determinism) and the k-th fetch gets ``out_col = (k-1) ×
-    coalesce(delay, default_delay)`` seconds — the earliest moment a
-    polite crawler may issue it relative to schedule start. A NULL
-    ``host_col`` row gets a NULL offset (a URL that didn't parse to a
-    host cannot be paced against anything — and should not be fetched).
+    coalesce(max(delay) over the host, default_delay)`` seconds — the
+    earliest moment a polite crawler may issue it relative to schedule
+    start. Hosts compare CASE-INSENSITIVELY (the same fold every other
+    host consumer in this module applies), so case-variant spellings
+    share one ladder instead of racing two t+0 fetches at one server;
+    and the delay is the host's MAX across its rows, so a frame whose
+    delay column mixes NULLs or disagreeing snapshots still honors the
+    strictest published spacing. A NULL ``host_col`` row gets a NULL
+    offset (a URL that didn't parse to a host cannot be paced against
+    anything — and should not be fetched).
 
     Scale shape: ONE exchange (the per-host window) and nothing else —
     per-host sequencing is inherently host-clustered, so this is the
@@ -1256,9 +1262,15 @@ def schedule_frontier(
     first = df.columns[0]
     key = F.col(order_col) if order_col is not None else F.col(first)
     key = key.asc() if ascending else key.desc()
-    w = Window.partitionBy(host_col).orderBy(key, F.col(first).asc())
+    hkey = F.lower(F.col(host_col))
+    w = Window.partitionBy(hkey).orderBy(key, F.col(first).asc())
+    # same partitioning, no ordering: shares the ONE exchange with the
+    # row_number window — plan-pinned
+    host_delay = F.max(F.col(delay_col).cast("double")).over(
+        Window.partitionBy(hkey)
+    )
     offset = (F.row_number().over(w) - F.lit(1)).cast("double") * F.coalesce(
-        F.col(delay_col).cast("double"), F.lit(float(default_delay))
+        host_delay, F.lit(float(default_delay))
     )
     # NULL hosts are excluded BEFORE the window, not masked after it:
     # every malformed URL would otherwise hash to the SAME window
