@@ -5188,3 +5188,146 @@ def test_schedule_frontier_politeness_offsets(spark):
     )
     assert len(_re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan[:800]
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_duplicated_spans_cross_doc_exact_intervals(spark):
+    """duplicated_spans: the shared 30-token run is reported as ONE merged
+    interval per doc covering exactly the copied region (start at each
+    doc's own offset, end exclusive = start + 30, n_matched = 30-k+1
+    overlapping window starts), the fully-unique doc emits nothing, and a
+    doc shorter than k emits nothing. within_doc=False must NOT flag the
+    intra-doc repeated run; within_doc=True adds both copies as separate
+    islands (they sit > k unique tokens apart)."""
+    from w4h_integrated_toolkit_spark.operators.dedup import duplicated_spans
+
+    shared = " ".join(f"s{i}" for i in range(30))
+    rep = " ".join(f"r{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 a4 a5 " + shared + " z1 z2"),
+            (2, "b1 b2 " + shared + " y1 y2 y3"),
+            (3, " ".join(f"u{i}" for i in range(40))),  # unique
+            (4, rep + " " + " ".join(f"m{i}" for i in range(30)) + " " + rep),
+            (5, "t1 t2 t3"),  # shorter than k
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok, r.n_matched)
+        for r in duplicated_spans(df, k=20).collect()
+    }
+    assert got == {(1, 5, 35, 11), (2, 2, 32, 11)}
+
+    got_w = {
+        (r.doc_id, r.start_tok, r.end_tok, r.n_matched)
+        for r in duplicated_spans(df, k=20, within_doc=True).collect()
+    }
+    assert got_w == {
+        (1, 5, 35, 11),
+        (2, 2, 32, 11),
+        (4, 0, 25, 6),
+        (4, 55, 80, 6),
+    }
+
+
+def test_strip_duplicated_spans_cuts_only_the_copied_region(spark):
+    """strip_duplicated_spans: affected docs lose exactly the duplicated
+    tokens (unique prefix/suffix survive in order, single-space-joined);
+    unaffected docs keep their text BYTE-FOR-BYTE (including original
+    whitespace — the rewrite touches only what it cuts); re-running
+    detection on the stripped corpus finds nothing; and a precomputed
+    spans frame is honored (policy-filtered subset strips only itself)."""
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        duplicated_spans,
+        strip_duplicated_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 a4 a5 " + shared + " z1 z2"),
+            (2, "b1 b2 " + shared + " y1 y2 y3"),
+            (3, "u1  u2\tu3"),  # unaffected: odd whitespace must survive
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in strip_duplicated_spans(df, k=20).collect()}
+    assert out[1] == "a1 a2 a3 a4 a5 z1 z2"
+    assert out[2] == "b1 b2 y1 y2 y3"
+    assert out[3] == "u1  u2\tu3"
+    assert duplicated_spans(strip_duplicated_spans(df, k=20), k=20).count() == 0
+
+    # precomputed-spans path: filter to doc 1 only -> doc 2 untouched
+    spans = duplicated_spans(df, k=20).filter("doc_id = 1")
+    out2 = {
+        r.doc_id: r.text
+        for r in strip_duplicated_spans(df, spans=spans).collect()
+    }
+    assert out2[1] == "a1 a2 a3 a4 a5 z1 z2"
+    assert out2[2] == "b1 b2 " + shared + " y1 y2 y3"
+
+
+def test_duplicated_spans_stride_sampling_still_finds_long_runs(spark):
+    """stride > 1 (content-defined 1/stride position sampling): a LONG
+    shared run (120 tokens, 101 windows at k=20) is still detected in
+    both docs — content-defined selection keeps the same relative offsets
+    in both copies even though the copies sit at different absolute
+    offsets (a fixed positional stride would miss misaligned copies) —
+    and the reported interval covers the bulk of the true copied region
+    (edges are window-quantized under sampling). Deterministic: selection
+    depends only on the fixed token content."""
+    from w4h_integrated_toolkit_spark.operators.dedup import duplicated_spans
+
+    run = " ".join(f"s{i}" for i in range(120))
+    pre1 = " ".join(f"a{i}" for i in range(7))
+    pre2 = " ".join(f"b{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, pre1 + " " + run), (2, pre2 + " " + run + " z1")],
+        "doc_id long, text string",
+    )
+    rows = duplicated_spans(df, k=20, stride=4).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert set(by_doc) == {1, 2}
+    true_start = {1: 7, 2: 10}
+    for doc, r in by_doc.items():
+        lo, hi = true_start[doc], true_start[doc] + 120
+        assert lo <= r.start_tok and r.end_tok <= hi, (doc, r)
+        assert (r.end_tok - r.start_tok) >= 100, (doc, r)
+
+
+def test_duplicated_spans_plan_is_jvm_only_three_exchanges(spark):
+    """Plan pin: detection is pure JVM (no MapInPandas/BatchEvalPython),
+    no CartesianProduct, and exactly THREE exchanges pre-AQE — the
+    position-row sort for the semi join, the skew-proof (h1, h2) stats
+    aggregate, and the per-doc island window; the final (id, island)
+    aggregate must REUSE the window's hash-partitioning (grouping on a
+    superset of the partition key adds no exchange). Validation raises on
+    nonsense k/stride."""
+    import re as _re
+
+    import pytest as _pytest
+
+    from w4h_integrated_toolkit_spark.operators.dedup import duplicated_spans
+
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w6")],
+        "doc_id long, text string",
+    )
+    plan = duplicated_spans(df, k=3)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(_re.findall(r"\(\d+\) Exchange\b", plan)) == 3, plan[:1500]
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the island-merge aggregate pair sits directly on the Window output:
+    # no Exchange between the Window and the final HashAggregate
+    nodes = _re.findall(r"\(\d+\) (\w+)", plan)
+    last_window = max(i for i, n in enumerate(nodes) if n == "Window")
+    assert "Exchange" not in nodes[last_window:], nodes[last_window:]
+
+    with _pytest.raises(ValueError, match="k must be"):
+        duplicated_spans(df, k=0)
+    with _pytest.raises(ValueError, match="stride must be"):
+        duplicated_spans(df, k=3, stride=0)

@@ -52,6 +52,8 @@ __all__ = [
     "source_ngram_overlap",
     "ngram_containment_pairs",
     "golden_record",
+    "duplicated_spans",
+    "strip_duplicated_spans",
 ]
 
 
@@ -1163,4 +1165,195 @@ def golden_record(
             "max_id",
             *rank_cols,
         )
+    )
+
+
+def _window_hash_rows(
+    df: DataFrame,
+    k: int,
+    text: str,
+    id_col: str,
+    stride: int,
+) -> DataFrame:
+    """(id, pos, h1, h2) rows: one row per token position whose k-token
+    window survives selection; ``pos`` is the 0-based start token index in
+    normalized (``\\s+``-split) token space.
+
+    Map-side end to end: the window strings are assembled per input row
+    (slice + concat_ws, the :func:`shingle_rows` discipline) and hashed
+    with TWO independent xxhash64 seeds — a 128-bit composite key, so at
+    corpus scale (10^13 windows) hash-equality IS content-equality for
+    dedup purposes (single-64-bit birthday collisions start at ~4B
+    windows; the pair pushes false-positive mass to ~10^-12 of pairs).
+    Bodies never leave the scan stage: only (id, pos, 2x8 bytes) rows
+    reach any exchange.
+
+    ``stride`` > 1 applies CONTENT-DEFINED sampling — keep position p iff
+    ``h1 % stride == 0`` — cutting exchange volume ~stride-fold. Because
+    selection depends only on window CONTENT, both copies of a duplicated
+    run keep the same relative offsets (a fixed positional stride would
+    miss copies whose alignment differs mod stride). The guarantee is
+    probabilistic: a duplicated run of L tokens carries L-k+1 windows and
+    is missed only if none selects, prob (1-1/stride)^(L-k+1) — e.g.
+    stride 8, run k+63: <0.02%. Winnowing would make this deterministic
+    at O(n*stride) extra Column work per position; mod-selection is free
+    (one filter on the already-computed hash).
+    """
+    words = F.split(F.trim(F.col(text)), r"\s+")
+    rows = (
+        df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+        .select(
+            F.col("_id"),
+            F.expr(f"posexplode({_gram_expr(k)}) AS (pos, _g)"),
+        )
+        .select(
+            "_id",
+            "pos",
+            F.xxhash64(F.col("_g")).alias("h1"),
+            F.xxhash64(F.lit(0x5EED), F.col("_g")).alias("h2"),
+        )
+    )
+    if stride > 1:
+        rows = rows.filter(F.pmod(F.col("h1"), F.lit(stride)) == 0)
+    return rows
+
+
+def duplicated_spans(
+    df: DataFrame,
+    k: int = 20,
+    stride: int = 1,
+    within_doc: bool = False,
+    merge_gap: int | None = None,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional duplicated-span detection (the ExactSubstr shape from
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): maximal token intervals whose k-token windows also occur in
+    ANOTHER document (or, with ``within_doc``, elsewhere in the same one).
+    Document-level dedup (MinHash/SimHash) misses partially-copied text —
+    a quote, a license block, a syndicated paragraph inside an otherwise
+    unique page; this finds the copied REGION so :func:`strip_duplicated_spans`
+    can cut it while keeping the unique remainder.
+
+    Returns (id, start_tok, end_tok, n_matched): 0-based token interval
+    [start_tok, end_tok) in normalized token space, n_matched = matched
+    window starts merged into it. Adjacent/overlapping matched windows
+    merge when their starts differ by <= merge_gap (default k + 4*(stride
+    - 1): exact mode merges exactly the overlapping-or-adjacent windows;
+    sampled mode adds slack for selection gaps). Docs shorter than k
+    tokens emit nothing.
+
+    Scale shape (100 TB honest): per-position rows are unavoidable for
+    positional output — the design spends everything on keeping them
+    narrow and the aggregation skew-proof.
+
+    - Window assembly + hashing is map-side (shingle_rows discipline);
+      only (id, pos, h1, h2) ~28-byte rows ever shuffle, never text.
+    - Duplicate detection is ONE hash aggregate on (h1, h2) computing
+      min(id)/max(id)/count — all map-side-combinable partials, so the
+      hottest boilerplate hash folds to one row per input partition
+      BEFORE the exchange (a window/partitionBy formulation would funnel
+      every occurrence of a hot hash through one task; rejected).
+    - Cross-doc duplication is min(id) != max(id) — distinct-doc >= 2
+      without a countDistinct (which would disable partial aggregation).
+    - The join-back is a semi join of position rows against the (small)
+      duplicated-hash set; AQE picks broadcast when it fits and splits
+      skewed SMJ partitions when it doesn't.
+    - Island merge runs under ONE exchange on id; the final (id, island)
+      aggregate reuses the window's hash-partitioning (grouping on a
+      superset of the partition key adds no exchange).
+    - ``stride`` trades recall floor for exchange volume: content-defined
+      1/stride sampling of positions (see :func:`_window_hash_rows`), for
+      corpora where even 28-byte rows dominate the shuffle.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    gap = merge_gap if merge_gap is not None else k + 4 * (stride - 1)
+    from pyspark.sql import Window
+
+    rows = _window_hash_rows(df, k, text, id_col, stride)
+    stats = rows.groupBy("h1", "h2").agg(
+        F.min("_id").alias("_lo"),
+        F.max("_id").alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    dup = F.col("_lo") != F.col("_hi")
+    if within_doc:
+        dup = dup | (F.col("_n") >= 2)
+    hot = stats.filter(dup).select("h1", "h2")
+    matched = rows.join(hot, ["h1", "h2"], "left_semi").select("_id", "pos")
+
+    w = Window.partitionBy("_id").orderBy("pos")
+    brk = (
+        F.when(F.col("pos") - F.lag("pos").over(w) > gap, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    islands = matched.select(
+        "_id", "pos", F.sum(brk).over(w).alias("_island")
+    )
+    return islands.groupBy("_id", "_island").agg(
+        F.min("pos").alias("start_tok"),
+        (F.max("pos") + k).alias("end_tok"),
+        F.count(F.lit(1)).alias("n_matched"),
+    ).select(
+        F.col("_id").alias(id_col), "start_tok", "end_tok", "n_matched"
+    )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    spans: DataFrame | None = None,
+    k: int = 20,
+    stride: int = 1,
+    within_doc: bool = False,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut duplicated spans out of document text: every token inside a
+    :func:`duplicated_spans` interval is dropped and the remainder
+    re-joined with single spaces. Pass a precomputed ``spans`` frame to
+    reuse one detection pass across consumers (or to strip with a policy-
+    filtered subset, e.g. only spans longer than N tokens); otherwise
+    detection runs here with (k, stride, within_doc).
+
+    Documents WITH spans come back whitespace-normalized (token space is
+    ``\\s+``-split, so reassembly is single-space-joined); documents
+    without any span keep their original ``text`` byte-for-byte — the
+    rewrite touches only what it cuts.
+
+    Scale shape: span intervals aggregate to ONE array row per affected
+    doc (affected docs << corpus), then a single join back onto the
+    corpus — AQE broadcasts the span side when it fits. The cut itself is
+    a pure-Column indexed ``filter`` + ``exists`` over the interval array
+    (O(tokens x intervals-per-doc) inside codegen, no Python).
+    """
+    if spans is None:
+        spans = duplicated_spans(
+            df, k, stride=stride, within_doc=within_doc, text=text,
+            id_col=id_col,
+        )
+    ivs = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("_ivs")
+    )
+    joined = df.join(ivs, id_col, "left")
+    toks = F.split(F.trim(F.col(text)), r"\s+")
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("_ivs"),
+            lambda iv: (i >= iv["start_tok"]) & (i < iv["end_tok"]),
+        ),
+    )
+    return joined.select(
+        *[
+            F.when(F.col("_ivs").isNotNull(), F.concat_ws(" ", kept))
+            .otherwise(F.col(text))
+            .alias(text)
+            if c == text
+            else F.col(c)
+            for c in df.columns
+        ]
     )
