@@ -14,6 +14,10 @@ is the pipeline a 100 TB pretraining corpus runs nightly:
                       survivors are flagged, not silently kept)
   2. dedup          — MinHash-LSH pairs -> connected components -> keep
                       the highest-quality member of each near-dup cluster
+  2b. span surgery  — doc-level dedup keeps both docs when only a REGION
+                      is copied (license blurb, syndicated paragraph);
+                      duplicated-span removal cuts the copied region out
+                      of the survivors' text (ExactSubstr shape)
   3. topic slice    — BM25 selection of query-relevant survivors
   4. fingerprints   — per-doc TF-IDF top terms for the data card
   5. batch assembly — weight-biased subsample (n_chars-weighted,
@@ -182,6 +186,34 @@ def main() -> None:
     deduped = kept.join(drop, "doc_id", "left_anti")
     n2 = deduped.count()
 
+    # 2b. span surgery: the near-dup pass drops whole documents, but two
+    # SURVIVORS can still share a copied region (license blurbs,
+    # syndicated paragraphs). Audit the copied-region count BEFORE doc
+    # dedup (the planted duplicates in the test corpus show up here),
+    # then cut whatever survives step 2 out of the text itself and
+    # refresh n_chars so downstream weighting sees the post-surgery
+    # length. On THIS corpus the planted dups are whole-doc near-dups,
+    # so step 2 drops a member of every pair and surgery rewrites 0 —
+    # on a real crawl, partial copies below the Jaccard threshold
+    # survive step 2 and this is the stage that catches them.
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        duplicated_spans,
+        strip_duplicated_spans,
+    )
+
+    n_spans_pre = duplicated_spans(kept, k=10).count()
+    stripped = strip_duplicated_spans(deduped, k=10).withColumn(
+        "n_chars", F.length("text").cast(deduped.schema["n_chars"].dataType)
+    )
+    n_surgery = (
+        stripped.join(
+            deduped.select("doc_id", F.col("text").alias("_orig")), "doc_id"
+        )
+        .filter(F.col("text") != F.col("_orig"))
+        .count()
+    )
+    deduped = stripped
+
     # 3. topic slice: BM25-ranked survivors for the target query
     topical = bm25_topk(deduped, ("spark", "data", "window"), k=20)
 
@@ -208,7 +240,8 @@ def main() -> None:
         f"crawl: {n_crawl} docs -> domain cap: {n0} -> "
         f"exact collapse: {n_exact} -> "
         f"quality gate: {n1} ({low_entropy} low-entropy flagged) -> "
-        f"dedup: {n2}"
+        f"dedup: {n2} (span audit: {n_spans_pre} copied regions pre-dedup; "
+        f"surgery rewrote {n_surgery} survivors)"
     )
     print("top BM25 hits:")
     for r in topical.limit(5).collect():

@@ -5331,3 +5331,10 @@ def test_duplicated_spans_plan_is_jvm_only_three_exchanges(spark):
         duplicated_spans(df, k=0)
     with _pytest.raises(ValueError, match="stride must be"):
         duplicated_spans(df, k=3, stride=0)
+
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        strip_duplicated_spans,
+    )
+
+    with _pytest.raises(ValueError, match="_ivs"):
+        strip_duplicated_spans(df.withColumn("_ivs", df.doc_id), k=3)

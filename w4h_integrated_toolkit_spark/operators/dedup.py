@@ -1330,6 +1330,11 @@ def strip_duplicated_spans(
     a pure-Column indexed ``filter`` + ``exists`` over the interval array
     (O(tokens x intervals-per-doc) inside codegen, no Python).
     """
+    if "_ivs" in df.columns:
+        raise ValueError(
+            "input already has a column named '_ivs' (reserved for the "
+            "span-interval join); rename it before stripping"
+        )
     if spans is None:
         spans = duplicated_spans(
             df, k, stride=stride, within_doc=within_doc, text=text,
