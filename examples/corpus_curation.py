@@ -188,8 +188,10 @@ def main() -> None:
 
     # 2b. span surgery: the near-dup pass drops whole documents, but two
     # SURVIVORS can still share a copied region (license blurbs,
-    # syndicated paragraphs). Audit the copied-region count BEFORE doc
-    # dedup (the planted duplicates in the test corpus show up here),
+    # syndicated paragraphs). Audit the flagged doc-interval count (one
+    # row per document carrying a copied region, so a region shared by m
+    # docs counts m times) BEFORE doc dedup (the planted duplicates in
+    # the test corpus show up here),
     # then cut whatever survives step 2 out of the text itself and
     # refresh n_chars so downstream weighting sees the post-surgery
     # length. On THIS corpus the planted dups are whole-doc near-dups,
@@ -240,7 +242,8 @@ def main() -> None:
         f"crawl: {n_crawl} docs -> domain cap: {n0} -> "
         f"exact collapse: {n_exact} -> "
         f"quality gate: {n1} ({low_entropy} low-entropy flagged) -> "
-        f"dedup: {n2} (span audit: {n_spans_pre} copied regions pre-dedup; "
+        f"dedup: {n2} (span audit: {n_spans_pre} doc-intervals flagged "
+        f"pre-dedup — one PER DOC carrying a copied region; "
         f"surgery rewrote {n_surgery} survivors)"
     )
     print("top BM25 hits:")

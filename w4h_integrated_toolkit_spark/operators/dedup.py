@@ -1241,8 +1241,12 @@ def duplicated_spans(
     window starts merged into it. Adjacent/overlapping matched windows
     merge when their starts differ by <= merge_gap (default k + 4*(stride
     - 1): exact mode merges exactly the overlapping-or-adjacent windows;
-    sampled mode adds slack for selection gaps). Docs shorter than k
-    tokens emit nothing.
+    sampled mode adds slack for selection gaps — the slack means two
+    DISTINCT duplicated regions separated by fewer than merge_gap - k
+    unique tokens can merge into one interval that includes those unique
+    tokens, so stride=1 is the surgical setting and stride>1 trades edge
+    exactness for exchange volume). Docs shorter than k tokens emit
+    nothing.
 
     Scale shape (100 TB honest): per-position rows are unavoidable for
     positional output — the design spends everything on keeping them
@@ -1321,8 +1325,17 @@ def strip_duplicated_spans(
 
     Documents WITH spans come back whitespace-normalized (token space is
     ``\\s+``-split, so reassembly is single-space-joined); documents
-    without any span keep their original ``text`` byte-for-byte — the
-    rewrite touches only what it cuts.
+    without any span keep their original ``text`` byte-for-byte.
+
+    Cut exactness depends on how the spans were detected: with
+    ``stride=1`` every token inside an interval is provably covered by a
+    duplicated window, so the cut removes duplicated text only. With
+    ``stride > 1`` intervals carry the sampled-mode merge slack (see
+    :func:`duplicated_spans`): two distinct duplicated regions separated
+    by fewer than ``merge_gap - k`` unique tokens can merge, and the cut
+    then removes those in-between unique tokens too. For surgical
+    precision detect with ``stride=1``; use sampling when corpus-scale
+    exchange volume matters more than edge-exact cuts.
 
     Scale shape: span intervals aggregate to ONE array row per affected
     doc (affected docs << corpus), then a single join back onto the
