@@ -16,6 +16,9 @@ formulation), over randomized inputs built to hit the hard cases:
 - kmeans_fit vs a pure-Python integer Lloyd model: half-away-from-zero
   quantization, argmin ties at coarse scales, floor-division of
   negative sums, empty-cluster drops, multi-iteration chaining.
+- duplicated_spans + strip vs a sequential window/island model: tiny
+  vocabularies (chance collisions), planted runs straddling k, intra-doc
+  repeats, merge_gap overrides, whitespace soup, empty docs.
 
 Exit code 0 iff every trial matches exactly (integer/bit equality).
 CI keeps the fast hypothesis variants (tests/test_properties.py); this
@@ -256,6 +259,120 @@ def stress_pagerank(spark, rnd, trials):
     return bad
 
 
+def stress_spans(spark, rnd, trials):
+    """duplicated_spans + strip_duplicated_spans vs a literal sequential
+    model: tiny vocabularies (chance window collisions stress the island
+    merge), planted cross-doc runs straddling the k boundary (length
+    k-2 .. 2k+5 — sub-k plants must NOT be detected), intra-doc repeats
+    with within_doc on/off, random merge_gap overrides, whitespace soup
+    (tabs/runs of spaces), and empty/short docs."""
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        duplicated_spans,
+        strip_duplicated_spans,
+    )
+
+    def ref(texts, k, within_doc, gap):
+        content_docs: dict[tuple, set] = {}
+        content_count = collections.Counter()
+        toks_by_doc = {}
+        for d, t in texts.items():
+            toks = t.strip().split()
+            toks_by_doc[d] = toks
+            for p in range(0, len(toks) - k + 1):
+                w = tuple(toks[p : p + k])
+                content_docs.setdefault(w, set()).add(d)
+                content_count[w] += 1
+        dup = {
+            w
+            for w, c in content_count.items()
+            if len(content_docs[w]) > 1 or (within_doc and c >= 2)
+        }
+        spans = set()
+        cut = {}
+        for d, toks in toks_by_doc.items():
+            pos = [
+                p
+                for p in range(0, len(toks) - k + 1)
+                if tuple(toks[p : p + k]) in dup
+            ]
+            islands: list[list[int]] = []
+            for p in pos:
+                if islands and p - islands[-1][-1] <= gap:
+                    islands[-1].append(p)
+                else:
+                    islands.append([p])
+            ivs = []
+            for isl in islands:
+                spans.add((d, isl[0], isl[-1] + k, len(isl)))
+                ivs.append((isl[0], isl[-1] + k))
+            if ivs:
+                cut[d] = " ".join(
+                    t
+                    for i, t in enumerate(toks)
+                    if not any(a <= i < b for a, b in ivs)
+                )
+            else:
+                cut[d] = texts[d]  # untouched docs stay byte-identical
+        return spans, cut
+
+    bad = 0
+    for trial in range(trials):
+        k = rnd.randrange(3, 7)
+        vocab = [f"w{i}" for i in range(rnd.randrange(6, 14))]
+        n_docs = rnd.randrange(2, 8)
+        texts = {}
+        for d in range(n_docs):
+            n = rnd.randrange(0, 60)
+            words = [rnd.choice(vocab) for _ in range(n)]
+            sep = lambda: rnd.choice([" ", "  ", "\t", " \t "])
+            texts[d] = sep().join(words) if rnd.random() < 0.3 else " ".join(
+                words
+            )
+        # plant a shared run into 2-3 docs (length straddles k)
+        if n_docs >= 2 and rnd.random() < 0.8:
+            run = [f"p{trial}x{i}" for i in range(rnd.randrange(k - 2, 2 * k + 6))]
+            for d in rnd.sample(range(n_docs), rnd.randrange(2, min(3, n_docs) + 1)):
+                toks = texts[d].split()
+                at = rnd.randrange(0, len(toks) + 1)
+                texts[d] = " ".join(toks[:at] + run + toks[at:])
+        # sometimes an intra-doc repeat
+        if rnd.random() < 0.4:
+            d = rnd.randrange(n_docs)
+            rep = [f"q{trial}y{i}" for i in range(rnd.randrange(k, k + 4))]
+            toks = texts[d].split()
+            mid = rnd.randrange(0, len(toks) + 1)
+            texts[d] = " ".join(rep + toks[:mid] + rep + toks[mid:])
+        within = rnd.random() < 0.5
+        gap = rnd.choice([None, 0, k // 2, k, 2 * k])
+        eff_gap = k if gap is None else gap
+        kw = {} if gap is None else {"merge_gap": gap}
+
+        df = spark.createDataFrame(
+            [(d, t) for d, t in texts.items()], "doc_id long, text string"
+        )
+        spans_df = duplicated_spans(df, k=k, within_doc=within, **kw)
+        got_spans = {
+            (r.doc_id, r.start_tok, r.end_tok, r.n_matched)
+            for r in spans_df.collect()
+        }
+        got_cut = {
+            r.doc_id: r.text
+            for r in strip_duplicated_spans(df, spans=spans_df).collect()
+        }
+        exp_spans, exp_cut = ref(texts, k, within, eff_gap)
+        if got_spans != exp_spans or got_cut != exp_cut:
+            bad += 1
+            print(
+                f"  spans trial {trial}: k={k} within={within} gap={gap}\n"
+                f"    spans got {sorted(got_spans)}\n"
+                f"          exp {sorted(exp_spans)}\n"
+                f"    cut diff: "
+                f"{ {d: (got_cut[d], exp_cut[d]) for d in got_cut if got_cut[d] != exp_cut[d]} }",
+                flush=True,
+            )
+    return bad
+
+
 def main() -> int:
     scale = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     spark = get_spark(
@@ -269,6 +386,7 @@ def main() -> int:
         ("scd2_apply", stress_scd2, int(25 * scale)),
         ("kmeans_fit", stress_kmeans, int(20 * scale)),
         ("pagerank", stress_pagerank, int(20 * scale)),
+        ("duplicated_spans", stress_spans, int(20 * scale)),
     ]:
         b = fn(spark, rnd, max(1, trials))
         print(f"{name}: {b} mismatches in {max(1, trials)} trials", flush=True)

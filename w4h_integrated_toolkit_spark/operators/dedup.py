@@ -1313,6 +1313,7 @@ def strip_duplicated_spans(
     k: int = 20,
     stride: int = 1,
     within_doc: bool = False,
+    merge_gap: int | None = None,
     text: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -1350,8 +1351,8 @@ def strip_duplicated_spans(
         )
     if spans is None:
         spans = duplicated_spans(
-            df, k, stride=stride, within_doc=within_doc, text=text,
-            id_col=id_col,
+            df, k, stride=stride, within_doc=within_doc,
+            merge_gap=merge_gap, text=text, id_col=id_col,
         )
     ivs = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("start_tok", "end_tok")).alias("_ivs")
