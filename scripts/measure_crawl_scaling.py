@@ -30,7 +30,12 @@ from pyspark.sql import functions as F  # noqa: E402
 from w4h_integrated_toolkit_spark.catalog import read_parquet  # noqa: E402
 from w4h_integrated_toolkit_spark.session import get_spark  # noqa: E402
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# W4H_SCALE_SF_DIR is the knob every measure_*.py harness honors;
+# SPARK_GRAFT_SF_DIR kept as a fallback for bench-style invocations
+SF_DIR = os.environ.get(
+    "W4H_SCALE_SF_DIR",
+    os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+)
 FACTORS = (1, 2, 4, 8)
 N_HOSTS = 997
 

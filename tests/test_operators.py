@@ -4708,6 +4708,14 @@ def test_robots_filter_longest_match_and_defaults(spark):
     assert "SortMergeJoin" not in plan and "Window" not in plan
     assert len(_re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan[:800]
 
+    # reserved internal names are rejected up front (a '__w4h_rb_delay'
+    # input column used to slip past the guard and emerge as TWO
+    # duplicate-named output columns when delay_col was set)
+    with pytest.raises(ValueError, match="__w4h_rb_delay"):
+        robots_filter(
+            urls.withColumn("__w4h_rb_delay", F.lit(1.0)), robots
+        )
+
 
 def test_robots_sitemaps_and_sitemap_urls(spark):
     """Crawl discovery: Sitemap: lines collect file-wide (outside UA

@@ -1086,7 +1086,13 @@ def robots_filter(
     per-host fold on the broadcast side."""
     from pyspark.sql import types as T
 
-    tmp_cols = ["__w4h_rb_host", "__w4h_rb_target", "__w4h_rb_rules", out_col]
+    tmp_cols = [
+        "__w4h_rb_host",
+        "__w4h_rb_target",
+        "__w4h_rb_rules",
+        "__w4h_rb_delay",
+        out_col,
+    ]
     if delay_col is not None:
         tmp_cols.append(delay_col)
     for c in tmp_cols:
