@@ -9084,6 +9084,17 @@ assert set(_R12_WINDOW) <= set(QUERIES), set(_R12_WINDOW) - set(QUERIES)
 # ~30 s per-entry envelope (the total sits above the 41-58.5 s
 # historical range because this window front-loads the heavy r10
 # rows; per-entry latency is the binding constraint).
+#
+# R15 GATE-ENTRY CANDIDATE (noted late-r13): duplicated_spans
+# (operators/dedup.py — positional ExactSubstr span dedup, library-level
+# since r13 with a 125-trial sequential-model stress section). Its
+# DuckDB oracle is fully expressible: string_split(text) + UNNEST
+# generate_series builds the k-token windows, GROUP BY window HAVING
+# COUNT(DISTINCT doc_id) > 1 finds cross-doc duplicates (compare window
+# STRINGS, not hashes — the oracle must be hash-free), and the island
+# merge is the standard gaps-and-islands pair (LAG + SUM(CASE) window)
+# the bpe oracle already uses. Do NOT add it at r14 (zero free slots);
+# at r15 weigh it against the stalest rotation row.
 _R13_WINDOW = [
     # --- 46 r9-stale rows, true CORRECTNESS_r09 key order ---
     "salted_hot_key_agg",
