@@ -1760,3 +1760,83 @@ def test_pct_match_normalize_twins_property(spark, frags):
         assert r["n"] == py, (r["s"], r["n"], py)
         # idempotence: the normal form is a fixed point
         assert _robots_match_normalize_py(py) == py, (r["s"], py)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=2,
+        max_size=6,
+    ),
+    st.booleans(),
+)
+def test_duplicated_spans_matches_python_model(spark, texts, within):
+    """duplicated_spans + strip vs the sequential window/island model at
+    CI budget (the deep randomized sweep is stress_check's fifth
+    section): the tiny a/b alphabet makes chance cross-doc and intra-doc
+    3-token windows common, exercising detection, the island merge and
+    the cut on naturally messy inputs rather than planted runs."""
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        duplicated_spans,
+        strip_duplicated_spans,
+    )
+
+    k = 3
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    spans_df = duplicated_spans(df, k=k, within_doc=within)
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok, r.n_matched)
+        for r in spans_df.collect()
+    }
+    cut = {
+        r.doc_id: r.text
+        for r in strip_duplicated_spans(df, spans=spans_df).collect()
+    }
+
+    # sequential model (mirrors scripts/stress_check.py stress_spans)
+    docs_of: dict[tuple, set] = {}
+    count: dict[tuple, int] = {}
+    toks_by = {}
+    for d, t in enumerate(texts):
+        toks = t.strip().split()
+        toks_by[d] = toks
+        for p in range(len(toks) - k + 1):
+            w = tuple(toks[p : p + k])
+            docs_of.setdefault(w, set()).add(d)
+            count[w] = count.get(w, 0) + 1
+    dup = {
+        w
+        for w in count
+        if len(docs_of[w]) > 1 or (within and count[w] >= 2)
+    }
+    exp = set()
+    for d, toks in toks_by.items():
+        pos = [
+            p
+            for p in range(len(toks) - k + 1)
+            if tuple(toks[p : p + k]) in dup
+        ]
+        islands: list[list[int]] = []
+        for p in pos:
+            if islands and p - islands[-1][-1] <= k:
+                islands[-1].append(p)
+            else:
+                islands.append([p])
+        ivs = [(i[0], i[-1] + k) for i in islands]
+        for isl in islands:
+            exp.add((d, isl[0], isl[-1] + k, len(isl)))
+        want = (
+            " ".join(
+                t
+                for i, t in enumerate(toks)
+                if not any(a <= i < b for a, b in ivs)
+            )
+            if ivs
+            else texts[d]
+        )
+        assert cut[d] == want, (d, cut[d], want)
+    assert got == exp
