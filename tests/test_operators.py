@@ -5346,3 +5346,120 @@ def test_duplicated_spans_plan_is_jvm_only_three_exchanges(spark):
 
     with _pytest.raises(ValueError, match="_ivs"):
         strip_duplicated_spans(df.withColumn("_ivs", df.doc_id), k=3)
+
+
+# --------------------------------------------------------------------------
+# gopher_quality_flags — the published Gopher rule set (Rae et al. 2021)
+# --------------------------------------------------------------------------
+
+def test_gopher_flags_hand_model_stats(spark):
+    from w4h_integrated_toolkit_spark.operators.text import gopher_quality_flags
+
+    # "the cat\nthe cat\nbird x": 6 words, 17 non-space chars, one
+    # duplicated line ("the cat" x2, second occurrence = 7 dup chars of
+    # 20 line chars), stopword hits = {the} = 1
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="the cat\nthe cat\nbird x")],
+        "doc_id long, text string",
+    )
+    r = gopher_quality_flags(df).collect()[0]
+    assert r["n_words"] == 6
+    assert r["mean_word_len"] == pytest.approx(17 / 6)
+    assert r["symbol_word_ratio"] == 0.0
+    assert r["bullet_line_frac"] == 0.0
+    assert r["ellipsis_line_frac"] == 0.0
+    assert r["alpha_word_frac"] == 1.0
+    assert r["stopword_hits"] == 1
+    assert r["dup_line_frac"] == pytest.approx(1 / 3)
+    assert r["dup_line_char_frac"] == pytest.approx(7 / 20)
+    # every violated rule named: 6 < 50 words, mean 2.83 < 3, 1 stop word,
+    # dup_line_frac 0.33 > 0.3, dup_char_frac 0.35 > 0.2
+    assert sorted(r["fail_reasons"]) == [
+        "dup_line_chars",
+        "dup_lines",
+        "mean_word_len",
+        "stopwords",
+        "word_count",
+    ]
+    assert r["passes"] is False
+
+
+def test_gopher_flags_clean_doc_passes(spark):
+    from w4h_integrated_toolkit_spark.operators.text import gopher_quality_flags
+
+    # 60 distinct-ish words over 4 distinct lines, plenty of stop words
+    lines = [
+        "the quick brown fox jumps over and over with great speed today",
+        "that old dog would have slept through most of the long morning",
+        "every word here carries letters and the mean length stays sane",
+        "numbers like 42 appear rarely so alpha fraction remains high up",
+        "finally one more line of plain text to clear the word minimum",
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="\n".join(lines))], "doc_id long, text string"
+    )
+    r = gopher_quality_flags(df).collect()[0]
+    assert r["n_words"] >= 50
+    assert r["fail_reasons"] == []
+    assert r["passes"] is True
+
+
+def test_gopher_flags_rule_attribution(spark):
+    from w4h_integrated_toolkit_spark.operators.text import gopher_quality_flags
+
+    filler = (
+        "the quick brown fox jumps over and over with great speed today "
+        "that old dog would have slept through most of the long morning "
+        "every word here carries letters and the mean length stays sane "
+        "more plain words follow to keep every other rule clearly green"
+    )
+    df = spark.createDataFrame(
+        [
+            # all lines bulleted (lines kept distinct: dup rules stay green)
+            Row(doc_id=1, text="\n".join(f"- {filler} {i}" for i in range(3))),
+            # every line ends with an ellipsis (both spellings, distinct)
+            Row(
+                doc_id=2,
+                text=f"{filler} one...\n{filler} two…\n{filler} three...",
+            ),
+            # same line repeated: dup_line_frac 2/3, dup chars 2/3
+            Row(doc_id=3, text=f"{filler}\n{filler}\n{filler}"),
+            # symbol spam: '#' per word
+            Row(
+                doc_id=4,
+                text=" ".join(f"#{w}" for w in filler.split()),
+            ),
+            # empty doc: guards, no div-by-zero
+            Row(doc_id=5, text="   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert out[1]["fail_reasons"] == ["bullet_lines"]
+    assert out[1]["bullet_line_frac"] == 1.0
+    assert out[2]["fail_reasons"] == ["ellipsis_lines"]
+    assert out[2]["ellipsis_line_frac"] == 1.0
+    assert sorted(out[3]["fail_reasons"]) == ["dup_line_chars", "dup_lines"]
+    assert out[3]["dup_line_frac"] == pytest.approx(2 / 3)
+    assert out[3]["dup_line_char_frac"] == pytest.approx(2 / 3)
+    assert "symbol_word_ratio" in out[4]["fail_reasons"]
+    assert out[4]["symbol_word_ratio"] == pytest.approx(1.0)
+    assert out[5]["n_words"] == 0 and out[5]["passes"] is False
+    assert "word_count" in out[5]["fail_reasons"]
+
+
+def test_gopher_flags_zero_shuffle_plan(spark):
+    import re as _re
+
+    from w4h_integrated_toolkit_spark.operators.text import gopher_quality_flags
+
+    df = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    plan = gopher_quality_flags(df)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Exchange" not in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

@@ -25,6 +25,7 @@ __all__ = [
     "chunk_documents",
     "token_entropy",
     "feature_hashing",
+    "gopher_quality_flags",
 ]
 
 _WORD_RE = r"\s+"
@@ -344,6 +345,174 @@ def token_entropy(
         n.cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
         ent.alias("token_entropy"),
+    )
+
+
+# The Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A1.1 —
+# the same published thresholds Dolma/RefinedWeb-style pipelines reuse).
+# The reference toolkit has no text-curation surface; this is north-star
+# LLM-pipeline coverage like quality_score/repetition_ratio above.
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_BULLET_LINE_RE = r"^[•‣▪●*-]"  # • ‣ ▪ ● * -
+_ELLIPSIS_TAIL_RE = r"(\.\.\.|…)$"
+_ELLIPSIS_ANY_RE = r"\.\.\.|…"
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+) -> DataFrame:
+    """The published Gopher document-quality rule set (Rae et al. 2021
+    §A1.1) as one map-side pass: word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio (# and ellipses), bullet-/ellipsis-line
+    fractions, alphabetic-word fraction, the 8-stop-word requirement, and
+    the two line-level repetition rules (duplicate-line fraction and
+    characters-in-duplicate-lines fraction). Emits the raw statistics,
+    a ``fail_reasons`` array naming every violated rule (empty = clean),
+    and the composite ``passes`` flag — the audit shape a curation
+    pipeline needs ("which rule killed this doc"), not just a verdict.
+
+    Thresholds default to the paper's values and are keyword-tunable.
+    "Alphabetic" is ASCII [A-Za-z] (documented approximation — the paper
+    corpus is English; swap the regex for a Unicode class off-path).
+
+    Plan shape: ZERO shuffles — every rule is built-in Column arithmetic
+    over the word/line split arrays in one codegen'd projection, linear
+    in corpus bytes at any cluster size. The duplicate-line rules avoid
+    the per-doc O(lines²) nested filter by sorting the line array once
+    and comparing each element with its predecessor (``array_sort`` +
+    indexed ``transform`` + ``F.get`` — O(n log n) per doc, no shuffle,
+    and ANSI-safe: ``F.get`` returns NULL at index −1 rather than
+    raising like 1-based ``element_at(..., 0)`` would).
+
+    DuckDB-oracle-expressible throughout (string_split + list_sort +
+    list slicing replicate the predecessor compare), so this can take a
+    registry entry when the rotation window has a slot (r15 candidate,
+    alongside duplicated_spans).
+    """
+    t = F.trim(F.col(text))
+    words = F.split(t, _WORD_RE)
+    n_words = F.when(t == "", F.lit(0)).otherwise(F.size(words)).cast("long")
+    # mean word length over non-space chars (the text_stats formulation)
+    n_chars = F.length(t)
+    n_space = n_chars - F.length(F.regexp_replace(t, r"\s", ""))
+    mean_wlen = F.when(
+        n_words > 0, (n_chars - n_space).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    # symbol-to-word ratio: '#' occurrences + ellipsis occurrences per word
+    n_symbols = F.regexp_count(t, F.lit("#")) + F.regexp_count(
+        t, F.lit(_ELLIPSIS_ANY_RE)
+    )
+    sym_ratio = F.when(
+        n_words > 0, n_symbols.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    # line rules over non-empty trimmed lines
+    lines = F.filter(
+        F.transform(F.split(F.col(text), r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines).cast("long")
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda x: x.rlike(_BULLET_LINE_RE))).cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda x: x.rlike(_ELLIPSIS_TAIL_RE))).cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    # fraction of words containing >=1 ASCII letter
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    # distinct stop words present (case-folded exact-token membership)
+    lower_words = F.transform(words, lambda x: F.lower(x))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(lower_words, w),
+        )
+    ).cast("long")
+    # duplicate-line rules: sort once, compare each line to its predecessor
+    # (occurrences beyond the first are "duplicates", the Gopher counting)
+    sorted_lines = F.array_sort(lines)
+    is_dup = F.transform(
+        sorted_lines,
+        lambda x, i: F.when(x == F.get(sorted_lines, i - 1), 1).otherwise(0),
+    )
+    dup_cnt = F.aggregate(is_dup, F.lit(0), lambda acc, x: acc + x).cast("long")
+    dup_chars = F.aggregate(
+        F.transform(
+            sorted_lines,
+            lambda x, i: F.when(
+                x == F.get(sorted_lines, i - 1), F.length(x)
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    line_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, x: acc + F.length(x)
+    ).cast("long")
+    dup_line_frac = F.when(
+        n_lines > 0, dup_cnt.cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    dup_char_frac = F.when(
+        line_chars > 0, dup_chars.cast("double") / line_chars
+    ).otherwise(F.lit(0.0))
+
+    stats = df.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_char_frac.alias("dup_line_char_frac"),
+    )
+    rules = [
+        ("word_count", F.col("n_words").between(min_words, max_words)),
+        (
+            "mean_word_len",
+            F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len),
+        ),
+        ("symbol_word_ratio", F.col("symbol_word_ratio") <= max_symbol_word_ratio),
+        ("bullet_lines", F.col("bullet_line_frac") <= max_bullet_line_frac),
+        ("ellipsis_lines", F.col("ellipsis_line_frac") <= max_ellipsis_line_frac),
+        ("alpha_words", F.col("alpha_word_frac") >= min_alpha_word_frac),
+        ("stopwords", F.col("stopword_hits") >= min_stopword_hits),
+        ("dup_lines", F.col("dup_line_frac") <= max_dup_line_frac),
+        ("dup_line_chars", F.col("dup_line_char_frac") <= max_dup_line_char_frac),
+    ]
+    reasons = F.array_compact(
+        F.array(
+            *[
+                F.when(~cond, F.lit(name)).otherwise(F.lit(None).cast("string"))
+                for name, cond in rules
+            ]
+        )
+    )
+    return stats.withColumn("fail_reasons", reasons).withColumn(
+        "passes", F.size("fail_reasons") == 0
     )
 
 

@@ -9095,6 +9095,15 @@ assert set(_R12_WINDOW) <= set(QUERIES), set(_R12_WINDOW) - set(QUERIES)
 # merge is the standard gaps-and-islands pair (LAG + SUM(CASE) window)
 # the bpe oracle already uses. Do NOT add it at r14 (zero free slots);
 # at r15 weigh it against the stalest rotation row.
+#
+# SECOND R15 CANDIDATE (also late-r13): gopher_quality_flags
+# (operators/text.py — the 9 published Gopher rules + per-rule
+# fail_reasons, zero-shuffle). Oracle shape: string_split + list_sort +
+# offset-compare lists replicate every rule in DuckDB; sort
+# fail_reasons before hashing (array order is rule-definition order on
+# the Spark side — emit list_sort on both, or compare the stats columns
+# + passes only). Same throttle rule applies: library-level until a
+# window slot opens.
 _R13_WINDOW = [
     # --- 46 r9-stale rows, true CORRECTNESS_r09 key order ---
     "salted_hot_key_agg",
