@@ -1840,3 +1840,129 @@ def test_duplicated_spans_matches_python_model(spark, texts, within):
         )
         assert cut[d] == want, (d, cut[d], want)
     assert got == exp
+
+
+# ---- gopher_quality_flags vs a literal Python model ----------------------
+
+_GQ_LINE_POOL = [
+    "the cat and the dog sat with all of them",
+    "- bullet item one",
+    "* starred bullet",
+    "• unicode bullet line",
+    "trailing thought...",
+    "unicode tail…",
+    "#tag #spam #noise",
+    "plain words only here",
+    "42 7 99",
+    "x",
+    "the quick brown fox jumps over that lazy dog to be sure",
+    "   ",
+]
+
+
+def _gopher_py_model(text: str) -> dict:
+    """Literal re-derivation of every gopher_quality_flags statistic and
+    rule (paper-default thresholds) — same regexes, same integer/double
+    arithmetic, so equality is exact, not approximate."""
+    import re
+
+    stop = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    t = text.strip()
+    words = re.split(r"\s+", t) if t else []
+    n_words = len(words)
+    nonspace = len(re.sub(r"\s", "", t))
+    mean_wlen = nonspace / n_words if n_words else 0.0
+    n_sym = len(re.findall(r"#", t)) + len(re.findall(r"\.\.\.|…", t))
+    sym = n_sym / n_words if n_words else 0.0
+    lines = [x.strip() for x in text.split("\n")]
+    lines = [x for x in lines if x != ""]
+    n_lines = len(lines)
+    bullet = (
+        sum(1 for x in lines if re.search(r"^[•‣▪●*-]", x)) / n_lines
+        if n_lines
+        else 0.0
+    )
+    ell = (
+        sum(1 for x in lines if re.search(r"(\.\.\.|…)$", x)) / n_lines
+        if n_lines
+        else 0.0
+    )
+    alpha = (
+        sum(1 for w in words if re.search(r"[A-Za-z]", w)) / n_words
+        if n_words
+        else 0.0
+    )
+    lw = {w.lower() for w in words}
+    hits = sum(1 for w in stop if w in lw)
+    s = sorted(lines)
+    dup_cnt = sum(1 for i in range(1, len(s)) if s[i] == s[i - 1])
+    dup_chars = sum(len(s[i]) for i in range(1, len(s)) if s[i] == s[i - 1])
+    line_chars = sum(len(x) for x in lines)
+    dup_f = dup_cnt / n_lines if n_lines else 0.0
+    dup_cf = dup_chars / line_chars if line_chars else 0.0
+    reasons = []
+    if not (50 <= n_words <= 100_000):
+        reasons.append("word_count")
+    if not (3.0 <= mean_wlen <= 10.0):
+        reasons.append("mean_word_len")
+    if not sym <= 0.1:
+        reasons.append("symbol_word_ratio")
+    if not bullet <= 0.9:
+        reasons.append("bullet_lines")
+    if not ell <= 0.3:
+        reasons.append("ellipsis_lines")
+    if not alpha >= 0.8:
+        reasons.append("alpha_words")
+    if not hits >= 2:
+        reasons.append("stopwords")
+    if not dup_f <= 0.3:
+        reasons.append("dup_lines")
+    if not dup_cf <= 0.2:
+        reasons.append("dup_line_chars")
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wlen,
+        "symbol_word_ratio": sym,
+        "bullet_line_frac": bullet,
+        "ellipsis_line_frac": ell,
+        "alpha_word_frac": alpha,
+        "stopword_hits": hits,
+        "dup_line_frac": dup_f,
+        "dup_line_char_frac": dup_cf,
+        "fail_reasons": sorted(reasons),
+        "passes": not reasons,
+    }
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_GQ_LINE_POOL), min_size=0, max_size=10),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_gopher_quality_flags_matches_python_model(spark, docs):
+    """Every statistic, every rule verdict, and the composite pass flag
+    equal the literal Python re-derivation — same regexes, same int
+    counts, same double divisions, so the comparison is EXACT (the only
+    tolerated difference is fail_reasons order, canonicalized by sort).
+    Sampling lines with repetition exercises the sorted-predecessor
+    duplicate-line path on naturally colliding inputs."""
+    from w4h_integrated_toolkit_spark.operators.text import gopher_quality_flags
+
+    texts = ["\n".join(lines) for lines in docs]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality_flags(df).collect()}
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts):
+        want = _gopher_py_model(t)
+        g = got[i]
+        for k, v in want.items():
+            if k == "fail_reasons":
+                assert sorted(g[k]) == v, (i, t, g[k], v)
+            else:
+                assert g[k] == v, (i, t, k, g[k], v)

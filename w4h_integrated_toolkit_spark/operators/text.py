@@ -403,8 +403,12 @@ def gopher_quality_flags(
     registry entry when the rotation window has a slot (r15 candidate,
     alongside duplicated_spans).
     """
-    t = F.trim(F.col(text))
-    words = F.split(t, _WORD_RE)
+    # full-whitespace trim: F.trim strips only ASCII spaces, so a trailing
+    # newline would leave an empty token after the split and skew every
+    # per-word ratio — regexp-trim both ends, then drop any residual
+    # empties defensively
+    t = F.regexp_replace(F.regexp_replace(F.col(text), r"^\s+", ""), r"\s+$", "")
+    words = F.filter(F.split(t, _WORD_RE), lambda x: x != "")
     n_words = F.when(t == "", F.lit(0)).otherwise(F.size(words)).cast("long")
     # mean word length over non-space chars (the text_stats formulation)
     n_chars = F.length(t)
