@@ -9,6 +9,9 @@ is the pipeline a 100 TB pretraining corpus runs nightly:
                       may dominate the mixture; salted two-stage top-k)
   0. exact collapse — golden-record survivorship over byte-identical
                       duplicates (longest text wins, deterministic ties)
+  1a. rule audit    — the published Gopher rule set: per-rule failure
+                      histogram at paper defaults (the audit artifact),
+                      then a hard gate at corpus-tuned thresholds
   1. quality gate   — per-language rank filter (keep top half by score),
                       cross-checked against token entropy (low-entropy
                       survivors are flagged, not silently kept)
@@ -150,6 +153,28 @@ def main() -> None:
     docs = raw.join(golden, "doc_id", "left_semi")
     n_exact = docs.count()
 
+    # 1a. published-rule audit + hard gate (Gopher, Rae et al. 2021).
+    # With paper defaults the per-rule failure histogram is the AUDIT
+    # artifact — this synthetic word-salad corpus fails the English
+    # stopword rule almost everywhere, which is exactly what the audit
+    # surfaces before anyone flips the gate on. The hard gate then runs
+    # with corpus-tuned thresholds (stopword rule off, 20-word floor).
+    from w4h_integrated_toolkit_spark.operators.text import gopher_quality_flags
+
+    rule_hist = {
+        r["rule"]: r["cnt"]
+        for r in gopher_quality_flags(docs)
+        .select(F.explode("fail_reasons").alias("rule"))
+        .groupBy("rule")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    gated = gopher_quality_flags(docs, min_words=20, min_stopword_hits=0)
+    docs = docs.join(
+        gated.filter(F.col("passes")).select("doc_id"), "doc_id", "left_semi"
+    )
+    n1a = docs.count()
+
     # 1. quality gate: top half per language by scaled quality rank
     from pyspark.sql import Window
 
@@ -238,9 +263,11 @@ def main() -> None:
         top_n=5,
     )
 
+    hist_str = ", ".join(f"{k}={v}" for k, v in sorted(rule_hist.items()))
     print(
         f"crawl: {n_crawl} docs -> domain cap: {n0} -> "
         f"exact collapse: {n_exact} -> "
+        f"gopher gate (tuned): {n1a} [paper-default rule audit: {hist_str}] -> "
         f"quality gate: {n1} ({low_entropy} low-entropy flagged) -> "
         f"dedup: {n2} (span audit: {n_spans_pre} doc-intervals flagged "
         f"pre-dedup — one PER DOC carrying a copied region; "
