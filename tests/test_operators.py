@@ -5463,3 +5463,68 @@ def test_gopher_flags_zero_shuffle_plan(spark):
     )
     assert "Exchange" not in plan, plan[:1500]
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+# --------------------------------------------------------------------------
+# c4_clean_lines — the published C4 cleaning pass (Raffel et al. 2020)
+# --------------------------------------------------------------------------
+
+def test_c4_clean_lines_hand_vectors(spark):
+    from w4h_integrated_toolkit_spark.operators.text import c4_clean_lines
+
+    good = "this line has the five words."
+    df = spark.createDataFrame(
+        [
+            # 3 surviving lines -> kept doc; bad lines surgically removed
+            Row(
+                doc_id=1,
+                text=(
+                    f"{good}\n"
+                    "no terminal punctuation here so dropped\n"
+                    "Short line.\n"  # < 5 words
+                    "enable JavaScript to view this content.\n"  # marker
+                    f"{good.upper()}\n"
+                    'a quoted ending also counts now."\n'
+                    f"{good}"  # no newline at end
+                ),
+            ),
+            # only 2 survivors -> doc dropped, cleaned text still emitted
+            Row(doc_id=2, text=f"{good}\n{good}\nnope"),
+            # lorem ipsum anywhere kills the page even if lines are fine
+            Row(doc_id=3, text=f"{good}\n{good}\nLorem Ipsum dolor sit amet."),
+            # code page: '{' kills it
+            Row(doc_id=4, text=f"{good}\n{good}\nvar x = {{a: 1}}; done now."),
+            Row(doc_id=5, text=""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_clean_lines(df).collect()}
+    assert out[1]["doc_kept"] is True
+    assert out[1]["n_lines_kept"] == 4 and out[1]["n_lines_dropped"] == 3
+    assert out[1]["text"].split("\n") == [
+        good,
+        good.upper(),
+        'a quoted ending also counts now."',
+        good,
+    ]
+    assert out[2]["doc_kept"] is False and out[2]["n_lines_kept"] == 2
+    assert out[2]["text"] == f"{good}\n{good}"
+    assert out[3]["doc_kept"] is False and out[3]["n_lines_kept"] == 3
+    assert out[4]["doc_kept"] is False
+    assert out[5]["doc_kept"] is False and out[5]["text"] == ""
+
+    with pytest.raises(ValueError, match="min_line_words"):
+        c4_clean_lines(df, min_line_words=-1)
+
+
+def test_c4_clean_lines_zero_shuffle_plan(spark):
+    from w4h_integrated_toolkit_spark.operators.text import c4_clean_lines
+
+    df = spark.createDataFrame([(1, "a b.")], "doc_id long, text string")
+    plan = c4_clean_lines(df)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Exchange" not in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

@@ -1966,3 +1966,72 @@ def test_gopher_quality_flags_matches_python_model(spark, docs):
                 assert sorted(g[k]) == v, (i, t, g[k], v)
             else:
                 assert g[k] == v, (i, t, k, g[k], v)
+
+
+# ---- c4_clean_lines vs a literal Python model -----------------------------
+
+_C4_LINE_POOL = [
+    "this line has the five words.",
+    "no terminal punctuation so it drops",
+    "Tiny.",
+    "enable javascript to view this.",
+    "lorem ipsum dolor sit amet today.",
+    "a quoted sentence ends like this.”",
+    "braces make a code page { sometimes",
+    "ellipsis endings also count as terminal…",
+    "exactly five words right here!",
+    "",
+    "   ",
+]
+
+
+def _c4_py_model(text: str) -> dict:
+    import re
+
+    lines = [x.strip() for x in text.split("\n")]
+    lines = [x for x in lines if x != ""]
+    kept = [
+        x
+        for x in lines
+        if re.search(r"[.!?…][\"'”’)\]]*$", x)
+        and len(re.split(r"\s+", x)) >= 5
+        and "javascript" not in x.lower()
+    ]
+    low = text.lower()
+    doc_kept = (
+        len(kept) >= 3 and "lorem ipsum" not in low and "{" not in low
+    )
+    return {
+        "text": "\n".join(kept),
+        "n_lines_kept": len(kept),
+        "n_lines_dropped": len(lines) - len(kept),
+        "doc_kept": doc_kept,
+    }
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_C4_LINE_POOL), min_size=0, max_size=8),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_c4_clean_lines_matches_python_model(spark, docs):
+    """Cleaned text, line counts and the document verdict all equal the
+    literal Python re-derivation exactly, over documents assembled from
+    a pool that exercises every rule (terminal punct incl. quote/ellipsis
+    tails, short lines, both markers, code braces, blank lines)."""
+    from w4h_integrated_toolkit_spark.operators.text import c4_clean_lines
+
+    texts = ["\n".join(lines) for lines in docs]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in c4_clean_lines(df).collect()}
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts):
+        want = _c4_py_model(t)
+        for k, v in want.items():
+            assert got[i][k] == v, (i, t, k, got[i][k], v)

@@ -26,6 +26,7 @@ __all__ = [
     "token_entropy",
     "feature_hashing",
     "gopher_quality_flags",
+    "c4_clean_lines",
 ]
 
 _WORD_RE = r"\s+"
@@ -345,6 +346,77 @@ def token_entropy(
         n.cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
         ent.alias("token_entropy"),
+    )
+
+
+# C4 line-ending rule (Raffel et al. 2020 §2.2): a kept line must end in
+# terminal punctuation — period/!/?/ellipsis, optionally wrapped in a
+# closing quote/bracket.
+_C4_TERMINAL_RE = r"[.!?…][\"'”’)\]]*$"
+
+
+def c4_clean_lines(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_lines: int = 3,
+    drop_line_markers: tuple[str, ...] = ("javascript",),
+    drop_doc_markers: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """The published C4 cleaning pass (Raffel et al. 2020 §2.2) — LINE
+    surgery where :func:`gopher_quality_flags` gives document verdicts:
+    keep only lines that end in terminal punctuation and carry at least
+    ``min_line_words`` words, drop lines containing any
+    ``drop_line_markers`` substring (paper: "javascript"), rebuild the
+    document from the survivors, and mark the whole document dropped
+    (``doc_kept = false``) when it contains a ``drop_doc_markers``
+    substring (paper: "lorem ipsum", the code-page "{") or fewer than
+    ``min_lines`` lines survive. The paper's bad-words list is an
+    external resource — pass its entries through ``drop_line_markers``.
+
+    Emits (id, text: the cleaned document, n_lines_kept,
+    n_lines_dropped, doc_kept). The cleaned text of a dropped document
+    is still emitted (callers filter on ``doc_kept``), so the operator
+    is a pure projection — audits can diff kept/dropped populations
+    without a second pass.
+
+    Plan shape: ZERO shuffles — split/trim/filter/rejoin are built-in
+    array ops in one codegen'd projection, linear in corpus bytes.
+    Marker matching is case-insensitive literal ``contains`` (no regex
+    injection risk from caller-supplied marker strings).
+    """
+    if min_line_words < 0 or min_lines < 0:
+        raise ValueError(
+            f"need min_line_words >= 0 and min_lines >= 0, "
+            f"got {min_line_words=} {min_lines=}"
+        )
+    lines = F.filter(
+        F.transform(F.split(F.col(text), r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+    def _line_kept(x: Column) -> Column:
+        ok = x.rlike(_C4_TERMINAL_RE)
+        ok = ok & (F.size(F.split(x, _WORD_RE)) >= min_line_words)
+        low = F.lower(x)
+        for m in drop_line_markers:
+            ok = ok & ~low.contains(m.lower())
+        return ok
+
+    kept = F.filter(lines, _line_kept)
+    n_kept = F.size(kept).cast("long")
+    n_dropped = (F.size(lines) - F.size(kept)).cast("long")
+    doc_ok = n_kept >= min_lines
+    low_doc = F.lower(F.col(text))
+    for m in drop_doc_markers:
+        doc_ok = doc_ok & ~low_doc.contains(m.lower())
+    return df.select(
+        id_col,
+        F.array_join(kept, "\n").alias(text),
+        n_kept.alias("n_lines_kept"),
+        n_dropped.alias("n_lines_dropped"),
+        doc_ok.alias("doc_kept"),
     )
 
 
