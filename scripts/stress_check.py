@@ -373,6 +373,193 @@ def stress_spans(spark, rnd, trials):
     return bad
 
 
+def stress_text_gates(spark, rnd, trials):
+    """gopher_quality_flags + c4_clean_lines vs literal Python models
+    with RANDOMIZED thresholds (the hypothesis properties sweep inputs
+    at paper defaults; this sweeps the parameter space too): random
+    token soup (stopwords, letter runs, digits, #tags, ellipses,
+    bullets, dots), duplicated lines, blank/whitespace lines, and
+    leading/trailing whitespace soup around the whole document (the
+    class of input that caught the F.trim-is-spaces-only bug)."""
+    import re
+
+    from w4h_integrated_toolkit_spark.operators.text import (
+        c4_clean_lines,
+        gopher_quality_flags,
+    )
+
+    stop = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+    def rand_line(rnd):
+        n = rnd.randrange(0, 12)
+        toks = []
+        for _ in range(n):
+            r = rnd.random()
+            if r < 0.45:
+                toks.append(rnd.choice(
+                    ["the", "and", "of", "to", "with", "cat", "dog",
+                     "fox", "words", "letters"]))
+            elif r < 0.6:
+                toks.append("".join(rnd.choice("abcdefgh")
+                                    for _ in range(rnd.randrange(1, 14))))
+            elif r < 0.7:
+                toks.append(str(rnd.randrange(0, 1000)))
+            elif r < 0.8:
+                toks.append("#" + rnd.choice(["tag", "x"]))
+            else:
+                toks.append(rnd.choice(
+                    ["...", "\u2026", "-", "*", "\u2022", "x.y", ".",
+                     "javascript", "lorem", "{"]))
+        line = " ".join(toks)
+        if rnd.random() < 0.15:
+            line = rnd.choice(["- ", "* ", "\u2022 "]) + line
+        if rnd.random() < 0.25:
+            line += rnd.choice([".", "!", "?", "...", "\u2026",
+                                '.\u201d', '."'])
+        return line
+
+    def rand_doc(rnd):
+        lines = []
+        for _ in range(rnd.randrange(0, 12)):
+            if lines and rnd.random() < 0.3:
+                lines.append(rnd.choice(lines))  # duplicate-line pressure
+            elif rnd.random() < 0.15:
+                lines.append(rnd.choice(["", "   ", "\t"]))
+            else:
+                lines.append(rand_line(rnd))
+        text = "\n".join(lines)
+        if rnd.random() < 0.3:
+            text = rnd.choice(["\n ", "  ", "\t\n"]) + text
+        if rnd.random() < 0.3:
+            text = text + rnd.choice(["\n", " \n ", "\t"])
+        return text
+
+    def gopher_ref(text, p):
+        t = text.strip()
+        words = re.split(r"\s+", t) if t else []
+        nw = len(words)
+        nonspace = len(re.sub(r"\s", "", t))
+        mean = nonspace / nw if nw else 0.0
+        nsym = len(re.findall(r"#", t)) + len(
+            re.findall(r"\.\.\.|\u2026", t))
+        sym = nsym / nw if nw else 0.0
+        lines = [x.strip() for x in text.split("\n")]
+        lines = [x for x in lines if x != ""]
+        nl = len(lines)
+        bullet = (sum(1 for x in lines
+                      if re.search(r"^[\u2022\u2023\u25aa\u25cf*-]", x))
+                  / nl if nl else 0.0)
+        ell = (sum(1 for x in lines
+                   if re.search(r"(\.\.\.|\u2026)$", x)) / nl
+               if nl else 0.0)
+        alpha = (sum(1 for w in words if re.search("[A-Za-z]", w)) / nw
+                 if nw else 0.0)
+        lw = {w.lower() for w in words}
+        hits = sum(1 for w in stop if w in lw)
+        s = sorted(lines)
+        dupc = sum(1 for i in range(1, len(s)) if s[i] == s[i - 1])
+        dupch = sum(len(s[i]) for i in range(1, len(s)) if s[i] == s[i - 1])
+        lchars = sum(len(x) for x in lines)
+        dupf = dupc / nl if nl else 0.0
+        dupcf = dupch / lchars if lchars else 0.0
+        reasons = []
+        if not (p["min_words"] <= nw <= p["max_words"]):
+            reasons.append("word_count")
+        if not (p["min_mean"] <= mean <= p["max_mean"]):
+            reasons.append("mean_word_len")
+        if not sym <= p["max_sym"]:
+            reasons.append("symbol_word_ratio")
+        if not bullet <= p["max_bullet"]:
+            reasons.append("bullet_lines")
+        if not ell <= p["max_ell"]:
+            reasons.append("ellipsis_lines")
+        if not alpha >= p["min_alpha"]:
+            reasons.append("alpha_words")
+        if not hits >= p["min_stop"]:
+            reasons.append("stopwords")
+        if not dupf <= p["max_dupf"]:
+            reasons.append("dup_lines")
+        if not dupcf <= p["max_dupcf"]:
+            reasons.append("dup_line_chars")
+        return sorted(reasons), not reasons
+
+    def c4_ref(text, q):
+        lines = [x.strip() for x in text.split("\n")]
+        lines = [x for x in lines if x != ""]
+        kept = [
+            x for x in lines
+            if re.search(r"[.!?\u2026][\"'\u201d\u2019)\]]*$", x)
+            and len(re.split(r"\s+", x)) >= q["min_line_words"]
+            and "javascript" not in x.lower()
+        ]
+        low = text.lower()
+        ok = (len(kept) >= q["min_lines"] and "lorem ipsum" not in low
+              and "{" not in low)
+        return ("\n".join(kept), len(kept), len(lines) - len(kept), ok)
+
+    bad = 0
+    for trial in range(trials):
+        p = {
+            "min_words": rnd.randrange(0, 20),
+            "max_words": rnd.randrange(30, 200),
+            "min_mean": rnd.uniform(0.0, 3.0),
+            "max_mean": rnd.uniform(5.0, 15.0),
+            "max_sym": rnd.uniform(0.0, 0.3),
+            "max_bullet": rnd.uniform(0.2, 1.0),
+            "max_ell": rnd.uniform(0.1, 1.0),
+            "min_alpha": rnd.uniform(0.3, 1.0),
+            "min_stop": rnd.randrange(0, 3),
+            "max_dupf": rnd.uniform(0.1, 1.0),
+            "max_dupcf": rnd.uniform(0.1, 1.0),
+        }
+        q = {
+            "min_line_words": rnd.randrange(0, 6),
+            "min_lines": rnd.randrange(0, 4),
+        }
+        texts = {d: rand_doc(rnd) for d in range(rnd.randrange(2, 8))}
+        df = spark.createDataFrame(
+            [(d, t) for d, t in texts.items()], "doc_id long, text string"
+        )
+        got_g = {
+            r["doc_id"]: (sorted(r["fail_reasons"]), r["passes"])
+            for r in gopher_quality_flags(
+                df,
+                min_words=p["min_words"], max_words=p["max_words"],
+                min_mean_word_len=p["min_mean"],
+                max_mean_word_len=p["max_mean"],
+                max_symbol_word_ratio=p["max_sym"],
+                max_bullet_line_frac=p["max_bullet"],
+                max_ellipsis_line_frac=p["max_ell"],
+                min_alpha_word_frac=p["min_alpha"],
+                min_stopword_hits=p["min_stop"],
+                max_dup_line_frac=p["max_dupf"],
+                max_dup_line_char_frac=p["max_dupcf"],
+            ).collect()
+        }
+        got_c = {
+            r["doc_id"]: (r["text"], r["n_lines_kept"],
+                          r["n_lines_dropped"], r["doc_kept"])
+            for r in c4_clean_lines(
+                df, min_line_words=q["min_line_words"],
+                min_lines=q["min_lines"],
+            ).collect()
+        }
+        for d, t in texts.items():
+            eg = gopher_ref(t, p)
+            ec = c4_ref(t, q)
+            if got_g[d] != eg or got_c[d] != ec:
+                bad += 1
+                print(
+                    f"  text trial {trial} doc {d}: "
+                    f"gopher got {got_g[d]} exp {eg}; "
+                    f"c4 got {got_c[d]} exp {ec}\n"
+                    f"    text={t!r}",
+                    flush=True,
+                )
+                break
+    return bad
+
+
 def main() -> int:
     scale = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     spark = get_spark(
@@ -387,6 +574,7 @@ def main() -> int:
         ("kmeans_fit", stress_kmeans, int(20 * scale)),
         ("pagerank", stress_pagerank, int(20 * scale)),
         ("duplicated_spans", stress_spans, int(20 * scale)),
+        ("text_gates", stress_text_gates, int(20 * scale)),
     ]:
         b = fn(spark, rnd, max(1, trials))
         print(f"{name}: {b} mismatches in {max(1, trials)} trials", flush=True)

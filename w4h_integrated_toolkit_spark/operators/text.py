@@ -349,6 +349,15 @@ def token_entropy(
     )
 
 
+def _ws_trim(c: Column) -> Column:
+    """Full-whitespace trim. F.trim strips only ASCII spaces, so tab- or
+    newline-padded strings survive it and skew every count that treats
+    "blank" as empty — both curation gates below trim with this instead
+    (the stress sweep caught the discrepancy twice: first on trailing
+    newlines in the word split, then on tab-only lines)."""
+    return F.regexp_replace(F.regexp_replace(c, r"^\s+", ""), r"\s+$", "")
+
+
 # C4 line-ending rule (Raffel et al. 2020 §2.2): a kept line must end in
 # terminal punctuation — period/!/?/ellipsis, optionally wrapped in a
 # closing quote/bracket.
@@ -392,7 +401,7 @@ def c4_clean_lines(
             f"got {min_line_words=} {min_lines=}"
         )
     lines = F.filter(
-        F.transform(F.split(F.col(text), r"\n"), lambda x: F.trim(x)),
+        F.transform(F.split(F.col(text), r"\n"), _ws_trim),
         lambda x: x != "",
     )
 
@@ -475,11 +484,9 @@ def gopher_quality_flags(
     registry entry when the rotation window has a slot (r15 candidate,
     alongside duplicated_spans).
     """
-    # full-whitespace trim: F.trim strips only ASCII spaces, so a trailing
-    # newline would leave an empty token after the split and skew every
-    # per-word ratio — regexp-trim both ends, then drop any residual
-    # empties defensively
-    t = F.regexp_replace(F.regexp_replace(F.col(text), r"^\s+", ""), r"\s+$", "")
+    # full-whitespace trim (see _ws_trim): a trailing newline would leave
+    # an empty token after the split and skew every per-word ratio
+    t = _ws_trim(F.col(text))
     words = F.filter(F.split(t, _WORD_RE), lambda x: x != "")
     n_words = F.when(t == "", F.lit(0)).otherwise(F.size(words)).cast("long")
     # mean word length over non-space chars (the text_stats formulation)
@@ -495,9 +502,10 @@ def gopher_quality_flags(
     sym_ratio = F.when(
         n_words > 0, n_symbols.cast("double") / n_words
     ).otherwise(F.lit(0.0))
-    # line rules over non-empty trimmed lines
+    # line rules over non-empty fully-trimmed lines (tab-only lines are
+    # blank, not one-char lines — _ws_trim, not F.trim)
     lines = F.filter(
-        F.transform(F.split(F.col(text), r"\n"), lambda x: F.trim(x)),
+        F.transform(F.split(F.col(text), r"\n"), _ws_trim),
         lambda x: x != "",
     )
     n_lines = F.size(lines).cast("long")
