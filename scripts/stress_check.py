@@ -560,6 +560,101 @@ def stress_text_gates(spark, rnd, trials):
     return bad
 
 
+def stress_paragraphs(spark, rnd, trials):
+    """duplicate_paragraphs + strip_duplicate_paragraphs vs a literal
+    Python model: paragraph pools with whitespace-padded copies, blank
+    and one-char units, randomized min_chars / within_doc / keep_first,
+    cross-doc and intra-doc repetition pressure."""
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        duplicate_paragraphs,
+        strip_duplicate_paragraphs,
+    )
+
+    pool = [
+        "the quick brown fox.",
+        "boilerplate footer text",
+        "x",
+        "ab",
+        "another unique paragraph here",
+        "  boilerplate footer text  ",
+        "\tthe quick brown fox.\t",
+        "",
+        "   ",
+        "numbers 123 456",
+    ]
+
+    def ref(texts, min_chars, within, keep_first):
+        units_by = {d: t.split("\n") for d, t in texts.items()}
+        occ = {}
+        for d in sorted(units_by):
+            for i, u in enumerate(units_by[d]):
+                tu = u.strip()
+                if len(tu) >= min_chars:
+                    occ.setdefault(tu, []).append((d, i))
+        flagged = {}
+        for tu, lst in occ.items():
+            docs = {d for d, _ in lst}
+            if len(docs) > 1 or (within and len(lst) >= 2):
+                first = min(lst)
+                for d, i in lst:
+                    flagged[(d, i)] = (len(lst), (d, i) == first)
+        out = {}
+        for d, units in units_by.items():
+            drops = {
+                i
+                for (dd, i), (n, isf) in flagged.items()
+                if dd == d and (not isf if keep_first else True)
+            }
+            if drops:
+                out[d] = "\n".join(
+                    u for i, u in enumerate(units) if i not in drops
+                )
+            else:
+                out[d] = texts[d]
+        return flagged, out
+
+    bad = 0
+    for trial in range(trials):
+        min_chars = rnd.randrange(1, 4)
+        within = rnd.random() < 0.5
+        keep_first = rnd.random() < 0.5
+        texts = {
+            d: "\n".join(
+                rnd.choice(pool) for _ in range(rnd.randrange(0, 8))
+            )
+            for d in range(rnd.randrange(2, 7))
+        }
+        df = spark.createDataFrame(
+            [(d, t) for d, t in texts.items()], "doc_id long, text string"
+        )
+        paras = duplicate_paragraphs(
+            df, min_chars=min_chars, within_doc=within
+        )
+        got_f = {
+            (r["doc_id"], r["para_idx"]): (r["n_copies"], r["is_first"])
+            for r in paras.collect()
+        }
+        got_s = {
+            r["doc_id"]: r["text"]
+            for r in strip_duplicate_paragraphs(
+                df, paras=paras, keep_first=keep_first
+            ).collect()
+        }
+        exp_f, exp_s = ref(texts, min_chars, within, keep_first)
+        if got_f != exp_f or got_s != exp_s:
+            bad += 1
+            print(
+                f"  para trial {trial}: min_chars={min_chars} "
+                f"within={within} keep_first={keep_first}\n"
+                f"    flags got {sorted(got_f.items())}\n"
+                f"          exp {sorted(exp_f.items())}\n"
+                f"    strip diff "
+                f"{ {d: (got_s[d], exp_s[d]) for d in got_s if got_s[d] != exp_s[d]} }",
+                flush=True,
+            )
+    return bad
+
+
 def main() -> int:
     scale = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     spark = get_spark(
@@ -575,6 +670,7 @@ def main() -> int:
         ("pagerank", stress_pagerank, int(20 * scale)),
         ("duplicated_spans", stress_spans, int(20 * scale)),
         ("text_gates", stress_text_gates, int(20 * scale)),
+        ("paragraph_dedup", stress_paragraphs, int(15 * scale)),
     ]:
         b = fn(spark, rnd, max(1, trials))
         print(f"{name}: {b} mismatches in {max(1, trials)} trials", flush=True)

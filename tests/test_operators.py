@@ -5528,3 +5528,138 @@ def test_c4_clean_lines_zero_shuffle_plan(spark):
     )
     assert "Exchange" not in plan, plan[:1500]
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+# --------------------------------------------------------------------------
+# duplicate_paragraphs / strip_duplicate_paragraphs (CCNet/Dolma shape)
+# --------------------------------------------------------------------------
+
+def _para_docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="unique one\nBOILERPLATE\nunique two"),
+            Row(doc_id=2, text="BOILERPLATE\nother text"),
+            # trim-matched copy: leading/trailing whitespace never
+            # distinguishes paragraphs
+            Row(doc_id=3, text="  BOILERPLATE \nmore stuff"),
+            Row(doc_id=4, text="totally unrelated"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_duplicate_paragraphs_flags_cross_doc_copies(spark):
+    from w4h_integrated_toolkit_spark.operators.dedup import duplicate_paragraphs
+
+    out = {
+        (r["doc_id"], r["para_idx"]): r
+        for r in duplicate_paragraphs(_para_docs(spark)).collect()
+    }
+    # exactly the three BOILERPLATE occurrences, nothing else
+    assert sorted(out) == [(1, 1), (2, 0), (3, 0)]
+    assert all(r["n_copies"] == 3 for r in out.values())
+    # canonical first = minimum (doc_id, para_idx)
+    assert out[(1, 1)]["is_first"] is True
+    assert out[(2, 0)]["is_first"] is False
+    assert out[(3, 0)]["is_first"] is False
+
+
+def test_duplicate_paragraphs_within_doc_and_min_chars(spark):
+    from w4h_integrated_toolkit_spark.operators.dedup import duplicate_paragraphs
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="dup\nx\ndup"),
+            Row(doc_id=2, text="x\ny"),
+        ],
+        "doc_id long, text string",
+    )
+    # cross-doc only: 'dup' is intra-doc, 'x' is cross-doc
+    cross = {
+        (r["doc_id"], r["para_idx"])
+        for r in duplicate_paragraphs(df).collect()
+    }
+    assert cross == {(1, 1), (2, 0)}
+    # within_doc adds the intra-doc 'dup' pair
+    within = {
+        (r["doc_id"], r["para_idx"])
+        for r in duplicate_paragraphs(df, within_doc=True).collect()
+    }
+    assert within == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    # min_chars=2 drops every 1-char unit from consideration
+    mc = {
+        (r["doc_id"], r["para_idx"])
+        for r in duplicate_paragraphs(df, min_chars=2, within_doc=True).collect()
+    }
+    assert mc == {(1, 0), (1, 2)}
+
+    with pytest.raises(ValueError, match="min_chars"):
+        duplicate_paragraphs(df, min_chars=0)
+
+
+def test_strip_duplicate_paragraphs_keep_first_policy(spark):
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        strip_duplicate_paragraphs,
+    )
+
+    df = _para_docs(spark)
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicate_paragraphs(df).collect()
+    }
+    # doc 1 holds the canonical first occurrence -> byte-identical
+    assert kept[1] == "unique one\nBOILERPLATE\nunique two"
+    assert kept[2] == "other text"
+    assert kept[3] == "more stuff"
+    assert kept[4] == "totally unrelated"
+
+    # decontamination policy: every occurrence cut
+    all_cut = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicate_paragraphs(df, keep_first=False).collect()
+    }
+    assert all_cut[1] == "unique one\nunique two"
+    assert all_cut[2] == "other text"
+
+
+def test_strip_duplicate_paragraphs_preserves_blank_structure(spark):
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        strip_duplicate_paragraphs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=5, text="a b c d.\n\nDUP PARA HERE\nend bit."),
+            Row(doc_id=6, text="DUP PARA HERE\nc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicate_paragraphs(df).collect()
+    }
+    # doc 5 holds the first occurrence: byte-identical incl. blank line
+    assert out[5] == "a b c d.\n\nDUP PARA HERE\nend bit."
+    assert out[6] == "c"
+
+    with pytest.raises(ValueError, match="_drop_idx"):
+        strip_duplicate_paragraphs(df.withColumn("_drop_idx", df.doc_id))
+
+
+def test_duplicate_paragraphs_plan_jvm_only(spark):
+    from w4h_integrated_toolkit_spark.operators.dedup import duplicate_paragraphs
+
+    plan = duplicate_paragraphs(_para_docs(spark))._jdf.queryExecution(
+    ).explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    # paragraph bodies never reach an exchange: every Exchange moves only
+    # id/idx/hash/count columns, no string column
+    import re as _re
+
+    for m in _re.finditer(r"\(\d+\) Exchange\b.*?\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        assert "_t" not in m.group(1) and "_p" not in m.group(1), m.group(0)

@@ -54,6 +54,8 @@ __all__ = [
     "golden_record",
     "duplicated_spans",
     "strip_duplicated_spans",
+    "duplicate_paragraphs",
+    "strip_duplicate_paragraphs",
 ]
 
 
@@ -1378,6 +1380,153 @@ def strip_duplicated_spans(
     return joined.select(
         *[
             F.when(F.col("_ivs").isNotNull(), F.concat_ws(" ", kept))
+            .otherwise(F.col(text))
+            .alias(text)
+            if c == text
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def duplicate_paragraphs(
+    df: DataFrame,
+    sep: str = r"\n",
+    min_chars: int = 1,
+    within_doc: bool = False,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-granularity exact dedup (the CCNet/Dolma shape): flag
+    every split unit whose whitespace-trimmed body also occurs in ANOTHER
+    document (or, with ``within_doc``, elsewhere in the corpus including
+    the same document). The third granularity of the dedup family — doc
+    level (exact/MinHash/SimHash) misses a copied paragraph inside a
+    unique page; token-window spans (:func:`duplicated_spans`) find
+    arbitrary copied regions at per-position cost; this is the cheap
+    middle: one row per paragraph, exact matching, unit boundaries from
+    the document itself.
+
+    ``sep`` is the unit-splitting regex — the ``r"\\n"`` default gives
+    line/paragraph dedup on newline-delimited text; use ``r"\\n\\n+"``
+    for blank-line-delimited paragraphs. Units are matched on their
+    fully-trimmed body (leading/trailing whitespace never distinguishes
+    copies) but reported by their RAW split index, so
+    :func:`strip_duplicate_paragraphs` can cut without re-deriving
+    offsets. Units trimming to fewer than ``min_chars`` characters are
+    never flagged (separator runs produce empty units; one-char units
+    are rarely worth deduping).
+
+    Returns (id, para_idx, n_copies, is_first): every flagged occurrence
+    with the corpus-wide occurrence count and whether this occurrence is
+    the canonical FIRST (minimum (id, para_idx)) — the one a keep-first
+    strip retains.
+
+    Scale shape: unit assembly + hashing is map-side; only
+    (id, idx, h1, h2) rows reach the ONE stats exchange (paragraph
+    bodies never shuffle — the 128-bit two-seed key stands in for
+    content, the duplicated_spans discipline). The stats aggregate is
+    min/max/count/min-struct — all map-side-combinable, so hot
+    boilerplate paragraphs fold to one row per input partition before
+    the exchange (no countDistinct, which would disable partials; no
+    window, which would funnel hot hashes through one task). The
+    join-back is an inner join against the (small) duplicated-hash
+    stats; AQE broadcasts it when it fits.
+    """
+    if min_chars < 1:
+        raise ValueError(f"min_chars must be >= 1, got {min_chars}")
+    from .text import _ws_trim
+
+    rows = (
+        df.select(F.col(id_col).alias("_id"), F.split(F.col(text), sep).alias("_u"))
+        .select("_id", F.expr("posexplode(_u) AS (para_idx, _p)"))
+        .select("_id", "para_idx", _ws_trim(F.col("_p")).alias("_t"))
+        .filter(F.length("_t") >= min_chars)
+        .select(
+            "_id",
+            "para_idx",
+            F.xxhash64(F.col("_t")).alias("h1"),
+            F.xxhash64(F.lit(0x5EED), F.col("_t")).alias("h2"),
+        )
+    )
+    stats = rows.groupBy("h1", "h2").agg(
+        F.min("_id").alias("_lo"),
+        F.max("_id").alias("_hi"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.struct("_id", "para_idx")).alias("_first"),
+    )
+    dup = F.col("_lo") != F.col("_hi")
+    if within_doc:
+        dup = dup | (F.col("n_copies") >= 2)
+    hot = stats.filter(dup).select("h1", "h2", "n_copies", "_first")
+    return (
+        rows.join(hot, ["h1", "h2"])
+        .select(
+            F.col("_id").alias(id_col),
+            "para_idx",
+            "n_copies",
+            (
+                (F.col("_id") == F.col("_first._id"))
+                & (F.col("para_idx") == F.col("_first.para_idx"))
+            ).alias("is_first"),
+        )
+    )
+
+
+def strip_duplicate_paragraphs(
+    df: DataFrame,
+    paras: DataFrame | None = None,
+    keep_first: bool = True,
+    sep: str = r"\n",
+    join_sep: str = "\n",
+    min_chars: int = 1,
+    within_doc: bool = False,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove duplicated paragraphs from document text. With
+    ``keep_first`` (default) the canonical first occurrence of each
+    duplicated paragraph survives corpus-wide and every other occurrence
+    is cut — the production dedup policy; with ``keep_first=False``
+    every occurrence is cut (the decontamination policy). Pass a
+    precomputed ``paras`` frame (optionally policy-filtered, e.g. only
+    paragraphs with n_copies >= N) to reuse one detection pass.
+
+    Rebuild joins the kept units with ``join_sep``. When ``sep`` is a
+    literal single separator matching ``join_sep`` (the defaults),
+    untouched SPANS of a modified document are byte-faithful — empty
+    units from separator runs are never flagged, so original blank-line
+    structure survives; documents with nothing cut keep their original
+    ``text`` byte-for-byte.
+
+    Scale shape: cut indices aggregate to ONE array row per affected doc
+    (affected docs << corpus), then a single join back onto the corpus —
+    AQE broadcasts the index side when it fits. The cut is a pure-Column
+    indexed ``filter`` + ``exists``; bodies never shuffle.
+    """
+    if "_drop_idx" in df.columns:
+        raise ValueError(
+            "input already has a column named '_drop_idx' (reserved for "
+            "the cut-index join); rename it before stripping"
+        )
+    if paras is None:
+        paras = duplicate_paragraphs(
+            df, sep=sep, min_chars=min_chars, within_doc=within_doc,
+            text=text, id_col=id_col,
+        )
+    drop = paras.filter(~F.col("is_first")) if keep_first else paras
+    idxs = drop.groupBy(id_col).agg(
+        F.collect_list("para_idx").alias("_drop_idx")
+    )
+    joined = df.join(idxs, id_col, "left")
+    units = F.split(F.col(text), sep)
+    kept = F.filter(
+        units,
+        lambda u, i: ~F.exists(F.col("_drop_idx"), lambda d: d == i),
+    )
+    return joined.select(
+        *[
+            F.when(F.col("_drop_idx").isNotNull(), F.array_join(kept, join_sep))
             .otherwise(F.col(text))
             .alias(text)
             if c == text
