@@ -5663,3 +5663,141 @@ def test_duplicate_paragraphs_plan_jvm_only(spark):
 
     for m in _re.finditer(r"\(\d+\) Exchange\b.*?\nInput \[\d+\]: \[([^\]]*)\]", plan):
         assert "_t" not in m.group(1) and "_p" not in m.group(1), m.group(0)
+
+
+# --------------------------------------------------------------------------
+# fit_hashed_logodds / hashed_linear_score — the hashed linear classifier
+# --------------------------------------------------------------------------
+
+def _clf_corpus(spark):
+    rows = []
+    for i in range(8):
+        rows.append(Row(doc_id=i, text="good solid prose here", label=True))
+        rows.append(
+            Row(doc_id=100 + i, text="spam junk noise tokens", label=False)
+        )
+    # mixed doc so both classes share some mass
+    rows.append(Row(doc_id=50, text="good junk", label=True))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, label boolean"
+    )
+
+
+def test_fit_hashed_logodds_matches_nb_model(spark):
+    import math
+
+    from w4h_integrated_toolkit_spark.operators.text import (
+        feature_hashing,
+        fit_hashed_logodds,
+        hashed_linear_score,
+    )
+
+    df = _clf_corpus(spark)
+    B, a = 64, 1.0
+    w = fit_hashed_logodds(df, n_buckets=B, alpha=a)
+    rows = w.collect()
+    # n_buckets weight rows + exactly one bias row
+    assert len(rows) == B + 1
+    weights = {r["bucket"]: r["weight"] for r in rows}
+    # literal NB re-derivation from the (gated) feature_hashing output
+    feats = feature_hashing(df, B).collect()
+    lab = {r["doc_id"]: r["label"] for r in df.collect()}
+    cp, cn = {}, {}
+    for r in feats:
+        tgt = cp if lab[r["doc_id"]] else cn
+        tgt[r["bucket"]] = tgt.get(r["bucket"], 0) + r["cnt"]
+    Tp, Tn = sum(cp.values()), sum(cn.values())
+    npos = sum(1 for v in lab.values() if v)
+    nneg = len(lab) - npos
+    for b in range(B):
+        exp = math.log((cp.get(b, 0) + a) / (Tp + a * B)) - math.log(
+            (cn.get(b, 0) + a) / (Tn + a * B)
+        )
+        assert weights[b] == pytest.approx(exp, rel=1e-12), b
+    assert weights[-1] == pytest.approx(
+        math.log((npos + a) / (nneg + a)), rel=1e-12
+    )
+
+    # normalize=False scoring == the literal NB log posterior odds
+    scored = {
+        r["doc_id"]: r
+        for r in hashed_linear_score(df, w, n_buckets=B, normalize=False).collect()
+    }
+    for d in (0, 100, 50):
+        toks = {r["bucket"]: r["cnt"] for r in feats if r["doc_id"] == d}
+        exp_z = weights[-1] + sum(c * weights[b] for b, c in toks.items())
+        assert scored[d]["z"] == pytest.approx(exp_z, rel=1e-12)
+        assert scored[d]["p"] == pytest.approx(
+            1.0 / (1.0 + math.exp(-exp_z)), rel=1e-12
+        )
+    # separability: every positive doc outscores every negative doc
+    zs_pos = [scored[i]["z"] for i in range(8)]
+    zs_neg = [scored[100 + i]["z"] for i in range(8)]
+    assert min(zs_pos) > max(zs_neg)
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        fit_hashed_logodds(df, n_buckets=0)
+    with pytest.raises(ValueError, match="alpha"):
+        fit_hashed_logodds(df, alpha=0.0)
+
+
+def test_hashed_logodds_model_store_round_trip(spark, tmp_path):
+    from w4h_integrated_toolkit_spark.operators.text import (
+        fit_hashed_logodds,
+        hashed_linear_score,
+    )
+    from w4h_integrated_toolkit_spark.sources.models import (
+        load_model,
+        save_model,
+    )
+
+    df = _clf_corpus(spark)
+    B = 32
+    params = {"kind": "hashed_logodds", "n_buckets": B, "alpha": 1.0}
+    w = fit_hashed_logodds(df, n_buckets=B)
+    store = str(tmp_path / "quality_clf")
+    save_model(spark, store, w, params)
+    loaded, stored = load_model(spark, store, expect_params=params)
+    direct = {
+        r["doc_id"]: r["z"]
+        for r in hashed_linear_score(df, w, n_buckets=B).collect()
+    }
+    via_store = {
+        r["doc_id"]: r["z"]
+        for r in hashed_linear_score(df, loaded, n_buckets=B).collect()
+    }
+    assert via_store == direct
+
+    # a model fitted under a different hash width must fail loud
+    with pytest.raises(ValueError, match="n_buckets"):
+        load_model(
+            spark, store, expect_params={"kind": "hashed_logodds", "n_buckets": 64}
+        )
+
+
+def test_hashed_linear_score_broadcasts_model(spark):
+    from w4h_integrated_toolkit_spark.operators.text import (
+        fit_hashed_logodds,
+        hashed_linear_score,
+    )
+
+    df = _clf_corpus(spark)
+    w = fit_hashed_logodds(df, n_buckets=16)
+    plan = hashed_linear_score(df, w, n_buckets=16)._jdf.queryExecution(
+    ).explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+    # two bias rows must be rejected
+    import pyspark.sql.functions as SF
+
+    bad = w.unionByName(
+        spark.createDataFrame([(-1, 0.5)], "bucket long, weight double")
+    )
+    with pytest.raises(ValueError, match="bias rows"):
+        hashed_linear_score(df, bad, n_buckets=16)

@@ -27,6 +27,8 @@ __all__ = [
     "feature_hashing",
     "gopher_quality_flags",
     "c4_clean_lines",
+    "fit_hashed_logodds",
+    "hashed_linear_score",
 ]
 
 _WORD_RE = r"\s+"
@@ -633,4 +635,146 @@ def feature_hashing(
         toks.select(id_col, bucket.alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+# bias travels as a reserved bucket id so the whole model is ONE small
+# (bucket, weight) table — storable/loadable via sources/models.py
+_BIAS_BUCKET = -1
+
+
+def fit_hashed_logodds(
+    df: DataFrame,
+    label: str = "label",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fit multinomial Naive-Bayes log-odds weights over hashed token
+    features — the classic fastText-style linear text classifier (the
+    FineWeb-Edu quality-classifier shape: fit on a small LABELED sample,
+    then :func:`hashed_linear_score` the whole corpus). For bucket b with
+    Laplace smoothing ``alpha`` over ``n_buckets`` buckets:
+
+        w_b  = ln((c_pos_b + a) / (C_pos + a*B))
+             - ln((c_neg_b + a) / (C_neg + a*B))
+        bias = ln((n_pos_docs + a) / (n_neg_docs + a))
+
+    Every bucket gets a weight row (unseen buckets carry the smoothing
+    constant, keeping NB scoring exact); the bias rides as the reserved
+    bucket ``-1``, so the whole fitted model is one (bucket, weight)
+    table of exactly ``n_buckets + 1`` rows — publish it through
+    ``sources.models.save_model`` with a
+    ``{"kind": "hashed_logodds", "n_buckets": ..., "alpha": ...}`` stamp
+    and load with ``expect_params`` at scoring time.
+
+    Deterministic end to end: the hash family is the engine-portable
+    MD5-based one (see :func:`feature_hashing`) and the arithmetic is
+    count ratios + ln — reproducible anywhere, DuckDB-oracle-expressible.
+
+    Scale shape: fitting runs on the labeled sample (labels are the
+    expensive resource; the sample is small by nature) — one hashed
+    feature aggregate, one join of per-doc labels, one bucket aggregate,
+    and two O(1) scalar collects (class totals). The output is O(B).
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    spark = df.sparkSession
+    lab = df.select(id_col, F.col(label).cast("boolean").alias("_y"))
+    feats = feature_hashing(df, n_buckets, text, id_col)
+    counts = feats.join(lab, id_col).groupBy("bucket").agg(
+        F.sum(F.when(F.col("_y"), F.col("cnt")).otherwise(F.lit(0))).alias("_cp"),
+        F.sum(F.when(~F.col("_y"), F.col("cnt")).otherwise(F.lit(0))).alias("_cn"),
+    )
+    tot = counts.agg(
+        F.coalesce(F.sum("_cp"), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum("_cn"), F.lit(0)).alias("tn"),
+    ).collect()[0]
+    ndocs = {
+        r["_y"]: r["n"]
+        for r in lab.groupBy("_y").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    import math
+
+    bias = math.log((ndocs.get(True, 0) + alpha) / (ndocs.get(False, 0) + alpha))
+    denom_p = float(tot["tp"]) + alpha * n_buckets
+    denom_n = float(tot["tn"]) + alpha * n_buckets
+    all_buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    w = (
+        all_buckets.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("_cp"), F.lit(0)) + alpha) / denom_p)
+                - F.log((F.coalesce(F.col("_cn"), F.lit(0)) + alpha) / denom_n)
+            ).alias("weight"),
+        )
+    )
+    bias_row = spark.createDataFrame(
+        [(int(_BIAS_BUCKET), float(bias))], "bucket long, weight double"
+    )
+    return w.unionByName(bias_row)
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 1024,
+    normalize: bool = True,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with a hashed linear model: ``z = bias + sum_b
+    f_b * w_b`` over the :func:`feature_hashing` buckets, where ``f_b``
+    is the token count (``normalize=False`` — exact Naive-Bayes
+    log-posterior-odds when the weights come from
+    :func:`fit_hashed_logodds`) or the length-normalized frequency
+    ``cnt_b / n_tokens`` (``normalize=True``, default — length-invariant,
+    the quality-scoring setting). Emits (id, n_tokens, z, p) with
+    ``p = 1/(1+exp(-z))``, the logistic link. Documents with zero tokens
+    produce no row (they have no feature mass; filter upstream).
+
+    ``weights`` is the (bucket, weight) table from
+    :func:`fit_hashed_logodds` (bias at bucket −1) or any externally
+    fitted model of the same shape — e.g. loaded via
+    ``sources.models.load_model(..., expect_params={"n_buckets": ...})``
+    so a model fitted under a different hash width fails loud instead of
+    scoring garbage. Buckets missing from the table score 0.
+
+    Scale shape: the corpus side is :func:`feature_hashing`'s one
+    (doc, bucket) aggregate; the model side is O(n_buckets) rows and is
+    explicitly broadcast (bounded by the parameter, never by data), so
+    scoring is map-side after the feature aggregate — one per-doc rollup,
+    corpus bodies never joined against anything. The bias read is one
+    O(1) driver lookup, same discipline as the model-store params stamp.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    bias_rows = weights.filter(F.col("bucket") == _BIAS_BUCKET).collect()
+    if len(bias_rows) > 1:
+        raise ValueError(
+            f"weights carries {len(bias_rows)} bias rows (bucket == "
+            f"{_BIAS_BUCKET}); a fitted model has exactly one"
+        )
+    bias = float(bias_rows[0]["weight"]) if bias_rows else 0.0
+    w = F.broadcast(weights.filter(F.col("bucket") != _BIAS_BUCKET))
+    feats = feature_hashing(df, n_buckets, text, id_col)
+    scored = feats.join(w, "bucket", "left").groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.coalesce(F.col("weight"), F.lit(0.0))).alias("_dot"),
+    )
+    z = (
+        F.lit(bias)
+        + F.when(
+            F.lit(normalize), F.col("_dot") / F.col("n_tokens")
+        ).otherwise(F.col("_dot"))
+    ).alias("z")
+    return scored.select(
+        id_col,
+        "n_tokens",
+        z,
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))).alias("p"),
     )
