@@ -5801,3 +5801,27 @@ def test_hashed_linear_score_broadcasts_model(spark):
     )
     with pytest.raises(ValueError, match="bias rows"):
         hashed_linear_score(df, bad, n_buckets=16)
+
+
+def test_classifier_fail_loud_guards(spark):
+    from w4h_integrated_toolkit_spark.operators.text import (
+        fit_hashed_logodds,
+        hashed_linear_score,
+    )
+
+    # NULL label: the fit must refuse, not silently drop labeled docs
+    df = spark.createDataFrame(
+        [(1, "a b c", True), (2, "d e f", None), (3, "g h", False)],
+        "doc_id long, text string, label boolean",
+    )
+    with pytest.raises(ValueError, match="NULL 'label'"):
+        fit_hashed_logodds(df, n_buckets=8)
+
+    # duplicate bucket rows: the score must refuse, not double-count
+    ok = df.filter("label is not null")
+    w = fit_hashed_logodds(ok, n_buckets=8)
+    dup = w.unionByName(
+        spark.createDataFrame([(3, 0.1)], "bucket long, weight double")
+    )
+    with pytest.raises(ValueError, match="duplicate bucket"):
+        hashed_linear_score(ok, dup, n_buckets=8)

@@ -697,6 +697,15 @@ def fit_hashed_logodds(
         r["_y"]: r["n"]
         for r in lab.groupBy("_y").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    if None in ndocs:
+        # a NULL label would silently contribute to NEITHER class count
+        # (when(_y) and when(~_y) both fall through on NULL) — a fit that
+        # quietly ignored part of its expensive labeled sample is a bug
+        # the caller must see, not a default
+        raise ValueError(
+            f"{ndocs[None]} document(s) have a NULL {label!r} label — "
+            "drop or impute them before fitting"
+        )
     import math
 
     bias = math.log((ndocs.get(True, 0) + alpha) / (ndocs.get(False, 0) + alpha))
@@ -760,6 +769,23 @@ def hashed_linear_score(
             f"{_BIAS_BUCKET}); a fitted model has exactly one"
         )
     bias = float(bias_rows[0]["weight"]) if bias_rows else 0.0
+    # duplicate bucket rows would silently MULTIPLY matching feature rows
+    # through the join (double-counted weight, no error anywhere
+    # downstream) — validate the tiny model table before broadcasting;
+    # one O(n_buckets) aggregate, same cost class as the bias lookup
+    dups = (
+        weights.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dups:
+        raise ValueError(
+            "weights carries duplicate bucket rows "
+            f"{[r['bucket'] for r in dups]}… — each bucket must appear "
+            "once (a duplicated row would double-count its weight)"
+        )
     w = F.broadcast(weights.filter(F.col("bucket") != _BIAS_BUCKET))
     feats = feature_hashing(df, n_buckets, text, id_col)
     scored = feats.join(w, "bucket", "left").groupBy(id_col).agg(
