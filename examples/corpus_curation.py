@@ -15,6 +15,11 @@ is the pipeline a 100 TB pretraining corpus runs nightly:
   1. quality gate   — per-language rank filter (keep top half by score),
                       cross-checked against token entropy (low-entropy
                       survivors are flagged, not silently kept)
+  1b. distillation  — the gate's verdicts pseudo-label a hashed NB
+                      log-odds classifier (FineWeb-Edu shape): the cheap
+                      broadcastable model re-scores the corpus and its
+                      kept-vs-dropped separation is reported
+
   2. dedup          — MinHash-LSH pairs -> connected components -> keep
                       the highest-quality member of each near-dup cluster
   2b. span surgery  — doc-level dedup keeps both docs when only a REGION
@@ -195,6 +200,41 @@ def main() -> None:
         token_entropy(kept).filter(F.col("token_entropy") < 1.0).count()
     )
 
+    # 1b. classifier distillation (the FineWeb-Edu shape): the rank
+    # filter's verdicts become pseudo-labels, a hashed NB log-odds
+    # classifier fits on them, and the CLASSIFIER — cheap, broadcastable,
+    # publishable through the model store — scores the whole corpus. At
+    # 100 TB the expensive teacher (an LLM judge, or this rank pipeline)
+    # labels a sample; the distilled classifier gates the lake. Here it
+    # reports separation instead of re-gating (the rank filter already
+    # decided), so the pipeline counts stay comparable across steps.
+    from w4h_integrated_toolkit_spark.operators.text import (
+        fit_hashed_logodds,
+        hashed_linear_score,
+    )
+
+    pseudo = (
+        docs.join(
+            kept.select("doc_id").withColumn("_k", F.lit(True)), "doc_id", "left"
+        )
+        .withColumn("label", F.coalesce(F.col("_k"), F.lit(False)))
+        .drop("_k")
+    )
+    clf = fit_hashed_logodds(pseudo, n_buckets=512)
+    # normalize=False (raw-count NB): this teacher's dominant feature is
+    # document LENGTH (quality_score's len_factor), and the normalized
+    # score is length-invariant by design — score in the length-sensitive
+    # mode so the student can learn what the teacher actually used
+    clf_sep = (
+        hashed_linear_score(docs, clf, n_buckets=512, normalize=False)
+        .join(pseudo.select("doc_id", "label"), "doc_id")
+        .agg(
+            F.avg(F.when(F.col("label"), F.col("p"))).alias("p_kept"),
+            F.avg(F.when(~F.col("label"), F.col("p"))).alias("p_dropped"),
+        )
+        .collect()[0]
+    )
+
     # 2. dedup: drop every near-dup-cluster member EXCEPT the best one
     pairs = minhash_lsh_pairs(kept, n=3, num_perm=8, bands=4, threshold=0.5)
     comp = connected_components(pairs)
@@ -268,7 +308,9 @@ def main() -> None:
         f"crawl: {n_crawl} docs -> domain cap: {n0} -> "
         f"exact collapse: {n_exact} -> "
         f"gopher gate (tuned): {n1a} [paper-default rule audit: {hist_str}] -> "
-        f"quality gate: {n1} ({low_entropy} low-entropy flagged) -> "
+        f"quality gate: {n1} ({low_entropy} low-entropy flagged; "
+        f"distilled classifier p_kept={clf_sep['p_kept']:.3f} vs "
+        f"p_dropped={clf_sep['p_dropped']:.3f}) -> "
         f"dedup: {n2} (span audit: {n_spans_pre} doc-intervals flagged "
         f"pre-dedup — one PER DOC carrying a copied region; "
         f"surgery rewrote {n_surgery} survivors)"
