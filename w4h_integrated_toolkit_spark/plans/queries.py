@@ -9104,6 +9104,16 @@ assert set(_R12_WINDOW) <= set(QUERIES), set(_R12_WINDOW) - set(QUERIES)
 # the Spark side — emit list_sort on both, or compare the stats columns
 # + passes only). Same throttle rule applies: library-level until a
 # window slot opens.
+#
+# THIRD R15 CANDIDATE (late-r13): fit_hashed_logodds +
+# hashed_linear_score (operators/text.py — NB log-odds over the
+# PORTABLE feature-hashing buckets, so DuckDB reproduces the exact
+# bucket assignment). Oracle shape: the ranking_model_scores pattern —
+# rebuild the fit in CTEs (token explode -> md5-hash bucket -> per-class
+# counts -> log-odds with the same Laplace constants) and chain the
+# scoring join; emit z via the _r portable rounding. Weigh all three
+# candidates against the stalest rotation rows at r15 — at most the
+# free-slot count enters; the others stay library-level.
 _R13_WINDOW = [
     # --- 46 r9-stale rows, true CORRECTNESS_r09 key order ---
     "salted_hot_key_agg",
