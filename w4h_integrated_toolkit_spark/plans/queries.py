@@ -9191,3 +9191,225 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}
+
+
+# ---------------------------------------------------------------------------
+# R15 GATE CANDIDATES — pre-built, NOT registered (r14 has zero window
+# slots; see the throttle arithmetic above). Each candidate ships its
+# Spark query + DuckDB oracle NOW so the r15 decision is a one-line
+# registry move with the parity evidence already standing
+# (tests/test_r15_candidates.py runs the same canonical compare the
+# registered parity sweep uses). Keep these OUT of QUERIES until a
+# window slot opens.
+# ---------------------------------------------------------------------------
+
+
+def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher rule set over documents (paper thresholds;
+    operators.text.gopher_quality_flags): every statistic the rules read,
+    the sorted fail_reasons attribution (joined to one string — portable
+    across engines), and the composite verdict."""
+    out = TX.gopher_quality_flags(_tw(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_words",
+        _r(F.col("mean_word_len"), 6).alias("mean_word_len"),
+        _r(F.col("symbol_word_ratio"), 6).alias("symbol_word_ratio"),
+        _r(F.col("bullet_line_frac"), 6).alias("bullet_line_frac"),
+        _r(F.col("ellipsis_line_frac"), 6).alias("ellipsis_line_frac"),
+        _r(F.col("alpha_word_frac"), 6).alias("alpha_word_frac"),
+        "stopword_hits",
+        _r(F.col("dup_line_frac"), 6).alias("dup_line_frac"),
+        _r(F.col("dup_line_char_frac"), 6).alias("dup_line_char_frac"),
+        F.array_join(F.array_sort("fail_reasons"), ",").alias("fail_reasons"),
+        "passes",
+    )
+
+
+# rules evaluate on RAW stats; rounding happens only at projection (the
+# Spark side does the same). Empty-list footguns: list_sum([]) and
+# array_to_string([]) are NULL in DuckDB — every one is coalesced.
+_SQL_GOPHER_FLAGS = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, '^\s+', ''), '\s+$', '') AS t,
+         list_filter(
+           list_transform(string_split(text, chr(10)),
+             x -> regexp_replace(regexp_replace(x, '^\s+', ''), '\s+$', '')),
+           x -> x <> '') AS lines
+  FROM documents),
+w AS (
+  SELECT doc_id, t, lines,
+         list_filter(regexp_split_to_array(t, '\s+'), x -> x <> '') AS ws,
+         list_sort(lines) AS s
+  FROM base),
+stats AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CASE WHEN len(ws) > 0
+         THEN CAST(length(regexp_replace(t, '\s', '', 'g')) AS DOUBLE) / len(ws)
+         ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(ws) > 0
+         THEN CAST(length(t) - length(replace(t, '#', ''))
+                   + len(regexp_extract_all(t, '\.\.\.|…')) AS DOUBLE) / len(ws)
+         ELSE 0.0 END AS symbol_word_ratio,
+    CASE WHEN len(lines) > 0
+         THEN CAST(len(list_filter(lines, x -> regexp_matches(x, '^[•‣▪●*-]'))) AS DOUBLE) / len(lines)
+         ELSE 0.0 END AS bullet_line_frac,
+    CASE WHEN len(lines) > 0
+         THEN CAST(len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)$'))) AS DOUBLE) / len(lines)
+         ELSE 0.0 END AS ellipsis_line_frac,
+    CASE WHEN len(ws) > 0
+         THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ws)
+         ELSE 0.0 END AS alpha_word_frac,
+    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+           x -> list_contains(list_transform(ws, y -> lower(y)), x))) AS BIGINT)
+      AS stopword_hits,
+    CASE WHEN len(lines) > 0
+         THEN CAST(len(list_filter(s, (x, i) -> i > 1 AND x = s[i-1])) AS DOUBLE) / len(lines)
+         ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) > 0
+         THEN CAST(coalesce(list_sum(list_transform(s,
+                (x, i) -> CASE WHEN i > 1 AND x = s[i-1] THEN length(x) ELSE 0 END)), 0) AS DOUBLE)
+              / list_sum(list_transform(lines, x -> length(x)))
+         ELSE 0.0 END AS dup_line_char_frac
+  FROM w),
+flagged AS (
+  SELECT *,
+    list_sort(list_filter([
+      CASE WHEN NOT (n_words BETWEEN 50 AND 100000) THEN 'word_count' END,
+      CASE WHEN NOT (mean_word_len BETWEEN 3.0 AND 10.0) THEN 'mean_word_len' END,
+      CASE WHEN NOT (symbol_word_ratio <= 0.1) THEN 'symbol_word_ratio' END,
+      CASE WHEN NOT (bullet_line_frac <= 0.9) THEN 'bullet_lines' END,
+      CASE WHEN NOT (ellipsis_line_frac <= 0.3) THEN 'ellipsis_lines' END,
+      CASE WHEN NOT (alpha_word_frac >= 0.8) THEN 'alpha_words' END,
+      CASE WHEN NOT (stopword_hits >= 2) THEN 'stopwords' END,
+      CASE WHEN NOT (dup_line_frac <= 0.3) THEN 'dup_lines' END,
+      CASE WHEN NOT (dup_line_char_frac <= 0.2) THEN 'dup_line_chars' END
+    ], x -> x IS NOT NULL)) AS reasons
+  FROM stats)
+SELECT doc_id, n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(symbol_word_ratio, 6) AS symbol_word_ratio,
+       round(bullet_line_frac, 6) AS bullet_line_frac,
+       round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+       round(alpha_word_frac, 6) AS alpha_word_frac,
+       stopword_hits,
+       round(dup_line_frac, 6) AS dup_line_frac,
+       round(dup_line_char_frac, 6) AS dup_line_char_frac,
+       coalesce(array_to_string(reasons, ','), '') AS fail_reasons,
+       len(reasons) = 0 AS passes
+FROM flagged
+"""
+
+
+def q_duplicated_spans_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional ExactSubstr span dedup (k=10, exact mode) over the
+    documents table — the duplicated_spans operator end-to-end; the
+    oracle rebuilds windows from STRINGS (hash-free) so the hash-based
+    plan is checked against content-defined ground truth."""
+    return D.duplicated_spans(_tw(spark, sf_dir, "documents"), k=10)
+
+
+_SQL_DUPLICATED_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+  FROM documents),
+pos AS (
+  SELECT doc_id, p, array_to_string(w[p:p+9], ' ') AS win
+  FROM toks, UNNEST(generate_series(1, len(w) - 9)) AS g(p)
+  WHERE len(w) >= 10),
+dup AS (
+  SELECT win FROM pos GROUP BY win HAVING min(doc_id) <> max(doc_id)),
+m AS (
+  SELECT doc_id, p FROM pos WHERE win IN (SELECT win FROM dup)),
+isl AS (
+  SELECT doc_id, p,
+         SUM(CASE WHEN p - lagp > 10 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM (SELECT doc_id, p,
+               LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS lagp
+        FROM m))
+SELECT doc_id,
+       MIN(p) - 1 AS start_tok,
+       MAX(p) - 1 + 10 AS end_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_matched
+FROM isl GROUP BY doc_id, island
+"""
+
+
+def q_hashed_clf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashed NB classifier chain end-to-end: fit log-odds weights on
+    the doc_id<250 slice under the deterministic pseudo-label
+    (doc_id % 3 == 0), then score EVERY document in raw-count NB mode.
+    Weights are snapped to the 1e-9 grid before scoring (both engines'
+    ln() agree to ~1 ulp; the snap makes the downstream integer-weighted
+    sums bit-identical — the bigram_nll discipline)."""
+    docs = _tw(spark, sf_dir, "documents")
+    sample = docs.filter(F.col("doc_id") < 250).withColumn(
+        "label", F.col("doc_id") % 3 == 0
+    )
+    w = TX.fit_hashed_logodds(sample, n_buckets=64)
+    w9 = w.select(
+        "bucket",
+        (F.round(F.col("weight") * 1e9, 0).cast("long") / 1e9).alias("weight"),
+    )
+    out = TX.hashed_linear_score(docs, w9, n_buckets=64, normalize=False)
+    return out.select("doc_id", "n_tokens", _r(F.col("z"), 6).alias("z"))
+
+
+_SQL_HASHED_CLF = rf"""
+WITH lab AS (
+  SELECT doc_id, (doc_id % 3 = 0) AS y FROM documents WHERE doc_id < 250),
+stoks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+  FROM documents WHERE doc_id < 250 AND trim(text) <> ''),
+sc AS (
+  SELECT doc_id, {_MD5H31_IN_SQL.format(s="t")} % 64 AS bucket, count(*) AS cnt
+  FROM stoks GROUP BY doc_id, bucket),
+cc AS (
+  SELECT bucket,
+         sum(CASE WHEN y THEN cnt ELSE 0 END) AS cp,
+         sum(CASE WHEN NOT y THEN cnt ELSE 0 END) AS cn
+  FROM sc JOIN lab USING (doc_id) GROUP BY bucket),
+tot AS (SELECT coalesce(sum(cp), 0) AS tp, coalesce(sum(cn), 0) AS tn FROM cc),
+nd AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+              sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS nn FROM lab),
+wts AS (
+  SELECT r.range AS bucket,
+         CAST(round((ln((coalesce(cc.cp, 0) + 1.0) / (tot.tp + 64.0))
+                     - ln((coalesce(cc.cn, 0) + 1.0) / (tot.tn + 64.0))) * 1e9)
+              AS BIGINT) / 1e9 AS weight
+  FROM range(64) r LEFT JOIN cc ON r.range = cc.bucket, tot),
+bias AS (
+  SELECT CAST(round(ln((np + 1.0) / (nn + 1.0)) * 1e9) AS BIGINT) / 1e9 AS b
+  FROM nd),
+atoks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+  FROM documents WHERE trim(text) <> ''),
+ac AS (
+  SELECT doc_id, {_MD5H31_IN_SQL.format(s="t")} % 64 AS bucket, count(*) AS cnt
+  FROM atoks GROUP BY doc_id, bucket),
+dots AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         sum(cnt * coalesce(weight, 0)) AS d
+  FROM ac LEFT JOIN wts USING (bucket) GROUP BY doc_id)
+SELECT doc_id, n_tokens, round(bias.b + d, 6) AS z
+FROM dots, bias
+"""
+
+
+# candidate registry: same (fn, sql) shape as QUERIES, same portable
+# rounding rewrite — registering at r15 is moving an entry into QUERIES
+R15_CANDIDATES = {
+    "gopher_flags": (q_gopher_flags, _portable_round_sql(_SQL_GOPHER_FLAGS)),
+    "duplicated_spans": (
+        q_duplicated_spans_gate,
+        _portable_round_sql(_SQL_DUPLICATED_SPANS),
+    ),
+    "hashed_clf_scores": (
+        q_hashed_clf_scores,
+        _portable_round_sql(_SQL_HASHED_CLF),
+    ),
+}
