@@ -9114,6 +9114,15 @@ assert set(_R12_WINDOW) <= set(QUERIES), set(_R12_WINDOW) - set(QUERIES)
 # scoring join; emit z via the _r portable rounding. Weigh all three
 # candidates against the stalest rotation rows at r15 — at most the
 # free-slot count enters; the others stay library-level.
+#
+# STATUS (late-r13): all three candidates are PRE-BUILT with oracles at
+# the end of this file (R15_CANDIDATES — gopher_flags,
+# duplicated_spans, hashed_clf_scores), deliberately NOT registered;
+# tests/test_r15_candidates.py runs the registered-sweep canonical
+# compare against them and is green at sf0.001/0.01/0.1 AND under 7
+# shuffle partitions. Promotion at r15 = move the entry into QUERIES
+# (the anti-leak test will start failing the moment one is moved —
+# update it in the same commit).
 _R13_WINDOW = [
     # --- 46 r9-stale rows, true CORRECTNESS_r09 key order ---
     "salted_hot_key_agg",
