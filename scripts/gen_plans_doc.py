@@ -12,6 +12,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from w4h_integrated_toolkit_spark.plans import QUERIES  # noqa: E402
+from w4h_integrated_toolkit_spark.plans.queries import R15_CANDIDATES  # noqa: E402
 from w4h_integrated_toolkit_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("W4H_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -146,7 +147,27 @@ GALLERY = [
      "bytewise param sort, rebuild) is JVM Column expressions inside "
      "one codegen stage over the scan; the ONLY exchange is the "
      "canonical-key rollup."),
+    # --- pre-built r15 candidates (R15_CANDIDATES, not yet registered) ---
+    ("gopher_flags", "Gopher rule set: all nine published rules — word/"
+     "line splits, sorted-predecessor duplicate-line compare, per-rule "
+     "fail_reasons assembly — are ONE codegen'd projection over the "
+     "scan; zero data exchanges at any corpus size (the only Exchange "
+     "is the degenerate-scan widening repartition)."),
+    ("duplicated_spans", "Positional span dedup: three exchanges total — "
+     "the skew-proof (h1,h2) window-stats aggregate (map-side partials "
+     "fold hot boilerplate before the shuffle), the semi join-back of "
+     "position rows, and ONE per-doc exchange the island merge and "
+     "final aggregate share; document bodies never shuffle (28-byte "
+     "position rows only)."),
+    ("hashed_clf_scores", "Hashed NB classifier chain: the fit runs as "
+     "driver-sequenced sample-sized jobs; the visible scoring plan is "
+     "feature_hashing's one (doc, bucket) aggregate, a "
+     "BroadcastHashJoin of the O(n_buckets) model (parameter-bounded, "
+     "never data-bounded), and the per-doc rollup — corpus bodies "
+     "never join against anything."),
 ]
+
+QUERIES = dict(QUERIES) | dict(R15_CANDIDATES)
 
 
 def main() -> None:
