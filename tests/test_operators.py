@@ -5825,3 +5825,159 @@ def test_classifier_fail_loud_guards(spark):
     )
     with pytest.raises(ValueError, match="duplicate bucket"):
         hashed_linear_score(ok, dup, n_buckets=8)
+
+
+# --------------------------------------------------------------------------
+# phash64_frames / hamming_neardup_pairs — perceptual image dedup
+# --------------------------------------------------------------------------
+
+def _phash_fixture(spark):
+    import numpy as np
+
+    from w4h_integrated_toolkit_spark.operators import imagecodec as IC
+
+    base = np.fromfunction(
+        lambda y, x, c: (x * 3 + y * 2 + c * 40) % 256, (48, 64, 3)
+    ).astype(np.uint8)
+    near = base.copy()
+    near[0:4, 0:4] = 255  # small local edit
+    far = (255 - base).astype(np.uint8)  # inversion flips AC signs
+    rows = [
+        Row(doc_id=1, frame_idx=0, frame=bytearray(IC.encode_png(base))),
+        Row(doc_id=2, frame_idx=0, frame=bytearray(IC.encode_png(near))),
+        Row(doc_id=3, frame_idx=0, frame=bytearray(IC.encode_png(far))),
+        # same pixels as doc 1, different container: hash must be equal
+        Row(doc_id=4, frame_idx=0, frame=bytearray(IC.encode_ppm(base))),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, frame_idx long, frame binary"
+    )
+    return df, base
+
+
+def test_phash64_known_relations_and_kernel_equality(spark):
+    import pandas as pd
+
+    from w4h_integrated_toolkit_spark.operators import imagecodec as IC
+    from w4h_integrated_toolkit_spark.operators.multimodal import (
+        _phash_rows,
+        phash64_frames,
+    )
+
+    df, base = _phash_fixture(spark)
+    got = {r["doc_id"]: r["phash"] for r in phash64_frames(df).collect()}
+    assert len(got) == 4
+
+    # Spark result == the kernel run directly (same codec, same math)
+    local = _phash_rows(
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "frame_idx": [0],
+                "frame": [IC.encode_png(base)],
+            }
+        ),
+        "doc_id",
+        IC,
+        8,
+        4,
+    )
+    assert got[1] == local["phash"][0]
+
+    def hd(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # container-invariant: PNG and PPM of the same pixels hash identically
+    assert got[1] == got[4]
+    # small edit -> small distance; inversion -> large distance
+    assert 0 <= hd(got[1], got[2]) <= 10
+    assert hd(got[1], got[3]) >= 20
+
+    with pytest.raises(ValueError, match="hash_size"):
+        phash64_frames(df, hash_size=9)
+    with pytest.raises(ValueError, match="codec"):
+        phash64_frames(df, codec="bogus")
+
+
+def test_hamming_pairs_finds_exactly_the_close_images(spark):
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+    from w4h_integrated_toolkit_spark.operators.multimodal import (
+        phash64_frames,
+    )
+
+    df, _ = _phash_fixture(spark)
+    hashes = phash64_frames(df).select("doc_id", "phash")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in hamming_neardup_pairs(hashes, max_distance=10).collect()
+    }
+    # 1 == 4 exactly; 2 near both; 3 (inverted) near nothing
+    assert (1, 4) in pairs and pairs[(1, 4)] == 0
+    assert (1, 2) in pairs and (2, 4) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_hamming_pairs_pigeonhole_and_guards(spark):
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+
+    # hand-built hashes: b differs from a in exactly 3 bits (spread so no
+    # single band can hold them all at d=2), c identical to a
+    a = 0x0123456789ABCDEF
+    b = a ^ (1 << 0) ^ (1 << 30) ^ (1 << 62)
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, a)], "doc_id long, phash long"
+    )
+    at3 = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in hamming_neardup_pairs(df, max_distance=3).collect()
+    }
+    assert at3[(1, 2)] == 3 and at3[(2, 3)] == 3 and at3[(1, 3)] == 0
+    at2 = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_neardup_pairs(df, max_distance=2).collect()
+    }
+    assert at2 == {(1, 3)}  # the 3-bit pair must NOT survive verification
+
+    # exact-duplicate flood: bucket cap drops the degenerate bucket
+    flood = spark.createDataFrame(
+        [(i, a) for i in range(40)], "doc_id long, phash long"
+    )
+    assert (
+        hamming_neardup_pairs(flood, max_distance=2, max_bucket=20).count()
+        == 0
+    )
+    # max_distance=0 full-width band edge (the (1<<64)-1 mask case)
+    d0 = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_neardup_pairs(df, max_distance=0).collect()
+    }
+    assert d0 == {(1, 3)}
+
+    with pytest.raises(ValueError, match="max_distance"):
+        hamming_neardup_pairs(df, max_distance=-1)
+    with pytest.raises(ValueError, match="hash_bits"):
+        hamming_neardup_pairs(df, hash_bits=0)
+    with pytest.raises(ValueError, match="bands"):
+        hamming_neardup_pairs(df, max_distance=40, hash_bits=32)
+
+
+def test_hamming_pairs_plan_jvm_only_after_kernel(spark):
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 7), (2, 7)], "doc_id long, phash long"
+    )
+    plan = hamming_neardup_pairs(df, max_distance=4)._jdf.queryExecution(
+    ).explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

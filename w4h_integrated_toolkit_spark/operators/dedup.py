@@ -56,6 +56,7 @@ __all__ = [
     "strip_duplicated_spans",
     "duplicate_paragraphs",
     "strip_duplicate_paragraphs",
+    "hamming_neardup_pairs",
 ]
 
 
@@ -1534,3 +1535,100 @@ def strip_duplicate_paragraphs(
             for c in df.columns
         ]
     )
+
+
+def hamming_neardup_pairs(
+    df: DataFrame,
+    max_distance: int = 10,
+    hash_bits: int = 64,
+    max_bucket: int = 256,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """All (id_a < id_b) pairs whose hashes differ in at most
+    ``max_distance`` bits — the pairing stage for ANY fixed-width hash
+    family: pHash image near-dups (:func:`~..operators.multimodal.
+    phash64_frames`, ``hash_bits=64``) and SimHash text near-dups
+    (:func:`simhash32`, ``hash_bits=32``) alike.
+
+    Candidate generation is pigeonhole banding: the hash splits into
+    ``max_distance + 1`` bit-bands, and two hashes within the distance
+    budget MUST agree on at least one whole band (at most max_distance
+    bits differ across max_distance+1 disjoint bands), so banding has
+    100% recall — never all-pairs. Candidates are verified with the
+    exact popcount distance (``bit_count(a XOR b)``), so false bucket
+    friends never survive. Emits (id_a, id_b, distance).
+
+    Scale shape: ONE exchange on (band_idx, band_val) builds the
+    buckets; pair explosion is O(bucket²) confined per bucket, with
+    ``max_bucket`` dropping degenerate buckets (e.g. millions of
+    identical blank images all share every band — pairing them all is
+    quadratic and tells you nothing dedup-wise that ``exact_dedup`` on
+    the hash itself wouldn't; a dropped bucket means "dedupe these by
+    exact hash instead"). Verification joins hashes back by id — an
+    id-sized relation, AQE-broadcast when it fits. Only (id, 8-byte
+    hash) rows ever move; the underlying media/text never shuffles.
+    """
+    if max_distance < 0:
+        raise ValueError(f"max_distance must be >= 0, got {max_distance}")
+    if hash_bits < 1 or hash_bits > 64:
+        raise ValueError(f"hash_bits must be 1..64, got {hash_bits}")
+    n_bands = max_distance + 1
+    if n_bands > hash_bits:
+        raise ValueError(
+            f"max_distance {max_distance} needs {n_bands} bands but the "
+            f"hash has only {hash_bits} bits"
+        )
+    base, extra = divmod(hash_bits, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    offsets, off = [], 0
+    for w in widths:
+        offsets.append(off)
+        off += w
+
+    renamed = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+    h = F.col("_h")
+
+    def _band_val(i: int) -> Column:
+        # a full-width band (max_distance=0, hash_bits=64) IS the hash —
+        # its mask (1<<64)-1 would overflow the signed long literal
+        if widths[i] == 64:
+            return h
+        # Column.& is LOGICAL and in PySpark — bitwiseAND is the bit op
+        return F.shiftrightunsigned(h, offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1).cast("long")
+        )
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                _band_val(i).alias("band_val"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    rows = renamed.select("_id", "_h", F.explode(bands).alias("_b"))
+    buckets = (
+        rows.select("_id", F.col("_b.band_idx").alias("bi"), F.col("_b.band_val").alias("bv"))
+        .groupBy("bi", "bv")
+        .agg(F.sort_array(F.collect_list("_id")).alias("_docs"))
+        .filter(
+            (F.size("_docs") >= 2) & (F.size("_docs") <= max_bucket)
+        )
+    )
+    cand = (
+        buckets.select(F.explode(_ordered_pairs(F.col("_docs"))).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+    ha = df.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("_ha"))
+    hb = df.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("_hb"))
+    dist = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    out = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select("id_a", "id_b", dist.cast("int").alias("distance"))
+        .filter(F.col("distance") <= max_distance)
+    )
+    return out

@@ -51,6 +51,7 @@ __all__ = [
     "byte_histogram_features",
     "decode_frames",
     "resize_frames",
+    "phash64_frames",
     "AUDIO_META_TYPE",
     "attach_audio_payload",
     "decode_audio_stats",
@@ -774,4 +775,115 @@ def video_frame_stats(
 
     return df.select(F.col(id_col), F.col("payload")).mapInPandas(
         stats, schema=out_schema
+    )
+
+
+def _phash_rows(
+    pdf: pd.DataFrame, id_col: str, image_mod, hash_size: int, hf: int
+) -> pd.DataFrame:
+    """pHash kernel (the published DCT perceptual hash, as in the
+    ImageHash library): decode → luma → resize to (hash_size·hf)² →
+    2-D orthonormal DCT-II → top-left hash_size² low-frequency block →
+    bit i set iff coefficient i > block median. The image module is
+    injected (PIL where installed, the vendored pure codec otherwise) —
+    the byte-histogram/testability discipline."""
+    import io
+
+    import numpy as np
+
+    n_px = hash_size * hf
+    k = np.arange(n_px)
+    dct = np.sqrt(2.0 / n_px) * np.cos(
+        np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n_px)
+    )
+    dct[0] /= np.sqrt(2.0)
+
+    rows = {"doc_id": [], "frame_idx": [], "phash": []}
+    for i, fi, blob in zip(pdf[id_col], pdf["frame_idx"], pdf["frame"]):
+        img = image_mod.open(io.BytesIO(bytes(blob))).convert("L").resize(
+            (n_px, n_px)
+        )
+        a = np.asarray(img, dtype=np.float64)
+        low = (dct @ a @ dct.T)[:hash_size, :hash_size]
+        bits = (low > np.median(low)).flatten()
+        h = 0
+        for b in bits:
+            h = (h << 1) | int(b)
+        if h >= 1 << 63:  # store as signed 64-bit
+            h -= 1 << 64
+        rows["doc_id"].append(i)
+        rows["frame_idx"].append(int(fi))
+        rows["phash"].append(h)
+    return pd.DataFrame(rows)
+
+
+def phash64_frames(
+    df: DataFrame,
+    codec: str = "ppm",
+    hash_size: int = 8,
+    highfreq_factor: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit perceptual hashes for encoded image frames — the multimodal
+    arm of the dedup family: two images whose pHashes sit within a small
+    Hamming distance are visual near-duplicates (rescaled, re-encoded,
+    lightly edited copies), which byte-level dedup can never see. Input
+    is the (id, frame_idx, frame binary) shape :func:`resize_frames`
+    emits (each ``frame`` an encoded PPM/PGM/PNG image, or anything PIL
+    reads under ``codec="real"``); output is (id, frame_idx, phash
+    long). Pair the hashes with
+    :func:`~..operators.dedup.hamming_neardup_pairs`.
+
+    ``hash_size`` must be ≤ 8 (hash_size² bits must fit the long);
+    the (8, 4) default is the published pHash configuration.
+
+    Determinism: decode, luma and nearest-neighbor resize are integer
+    math; the DCT runs in float64 with a fixed contraction order, so
+    hashes are deterministic per platform (pinned by test on the
+    vendored codec). Cross-engine oracling would use fixed-vector
+    images, the media-codec gate pattern.
+
+    Plan shape: one map-side Arrow kernel (``mapInPandas``) —
+    partitioning follows the input, image bytes never shuffle; the
+    downstream pairing moves only (id, 8-byte hash) rows.
+    """
+    if hash_size < 1 or hash_size * hash_size > 64:
+        raise ValueError(
+            f"hash_size² must fit 64 bits, got hash_size={hash_size}"
+        )
+    if highfreq_factor < 1:
+        raise ValueError(f"highfreq_factor must be >= 1, got {highfreq_factor}")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    if codec == "real":
+        if _probe_pil() is None:
+            raise _pil_missing("phash64_frames")
+
+        def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from PIL import Image  # resolved on the executor
+
+            for pdf in batches:
+                yield _phash_rows(pdf, id_col, Image, hash_size, highfreq_factor)
+
+    elif codec == "ppm":
+
+        def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from . import imagecodec  # resolved on the executor
+
+            for pdf in batches:
+                yield _phash_rows(
+                    pdf, id_col, imagecodec, hash_size, highfreq_factor
+                )
+
+    else:
+        raise ValueError(f"unknown codec {codec!r}; use 'real' or 'ppm'")
+
+    return df.select(F.col(id_col), "frame_idx", "frame").mapInPandas(
+        kern, schema=out_schema
     )
