@@ -113,6 +113,59 @@ def main() -> None:
         f"{resized.count()} half-size PNG re-encodes"
     )
 
+    # 1b. perceptual dedup — pHash over images WITH low-frequency content
+    # (the 8x4 framing fixture above is deliberately tiny for the framing
+    # contract; perceptual hashing needs actual image structure, so this
+    # step synthesizes 64x64 radial-gradient stills with doc-dependent
+    # centers, plus each one's HALF-SIZE copy — the classic rescaled
+    # near-duplicate byte-level dedup can never see). Banded Hamming
+    # pairing (pigeonhole over max_distance+1 bands) finds the copies
+    # without an all-pairs join.
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+
+    n_imgs = 100
+    ph_schema = "doc_id long, frame_idx long, frame binary"
+
+    def synth_stills(batches):
+        import numpy as np
+
+        from w4h_integrated_toolkit_spark.operators import imagecodec as IC
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                cx, cy, s = (d * 7) % 64, (d * 13) % 64, 3 + d % 5
+                y, x = np.mgrid[0:64, 0:64]
+                still = np.clip(
+                    255 - ((x - cx) ** 2 + (y - cy) ** 2) // s, 0, 255
+                ).astype(np.uint8)
+                for key, arr in ((d, still), (d + 1_000_000, still[::2, ::2])):
+                    rows["doc_id"].append(key)
+                    rows["frame_idx"].append(0)
+                    rows["frame"].append(IC.encode_ppm(arr))
+            import pandas as pd
+
+            yield pd.DataFrame(rows)
+
+    stills = (
+        spark.range(n_imgs)
+        .withColumnRenamed("id", "doc_id")
+        .mapInPandas(synth_stills, schema=ph_schema)
+    )
+    hashes = MM.phash64_frames(stills, codec="ppm").select("doc_id", "phash")
+    pairs = hamming_neardup_pairs(hashes, max_distance=10)
+    self_pairs = pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000)
+    n_self = self_pairs.count()
+    med = self_pairs.agg(F.median("distance").alias("m")).first()["m"]
+    print(
+        f"perceptual dedup: {n_self}/{n_imgs} half-size copies re-found "
+        f"(median pHash distance {med}); "
+        f"{pairs.count()} near-dup pairs total at distance <= 10"
+    )
+
     # 2. audio arm — exact PCM stats + loudest window per doc
     wav = MM.attach_audio_payload(docs)
     stats = MM.decode_audio_stats(wav)
