@@ -655,6 +655,61 @@ def stress_paragraphs(spark, rnd, trials):
     return bad
 
 
+def stress_hamming(spark, rnd, trials):
+    """hamming_neardup_pairs vs the literal all-pairs popcount model:
+    random 64-bit hashes (negative longs included), random max_distance,
+    planted k-bit flips. The banding law (pigeonhole recall) and the
+    popcount verification must reproduce the quadratic ground truth
+    exactly; max_bucket is set above n so the skew guard never trims
+    the comparison."""
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+
+    bad = 0
+    for trial in range(trials):
+        n = rnd.randrange(4, 40)
+        d = rnd.randrange(0, 12)
+        hashes = {}
+        for i in range(n):
+            # flips happen in UNSIGNED space; sign conversion is the very
+            # last step (xor on an already-negative Python int escapes the
+            # 64-bit domain — arbitrary-precision ints, not two's
+            # complement)
+            if hashes and rnd.random() < 0.4:
+                h = hashes[rnd.randrange(len(hashes))] & ((1 << 64) - 1)
+                for _ in range(rnd.randrange(0, d + 3)):
+                    h ^= 1 << rnd.randrange(64)
+            else:
+                h = rnd.getrandbits(64)
+            if h >= 1 << 63:
+                h -= 1 << 64
+            hashes[i] = h
+        df = spark.createDataFrame(
+            list(hashes.items()), "doc_id long, phash long"
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["distance"]
+            for r in hamming_neardup_pairs(
+                df, max_distance=d, max_bucket=n + 1
+            ).collect()
+        }
+        exp = {}
+        for a in range(n):
+            for b in range(a + 1, n):
+                dist = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+                if dist <= d:
+                    exp[(a, b)] = dist
+        if got != exp:
+            bad += 1
+            print(
+                f"  hamming trial {trial}: n={n} d={d}\n"
+                f"    got {sorted(got.items())}\n    exp {sorted(exp.items())}",
+                flush=True,
+            )
+    return bad
+
+
 def main() -> int:
     scale = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     spark = get_spark(
@@ -671,6 +726,7 @@ def main() -> int:
         ("duplicated_spans", stress_spans, int(20 * scale)),
         ("text_gates", stress_text_gates, int(20 * scale)),
         ("paragraph_dedup", stress_paragraphs, int(15 * scale)),
+        ("hamming_pairs", stress_hamming, int(15 * scale)),
     ]:
         b = fn(spark, rnd, max(1, trials))
         print(f"{name}: {b} mismatches in {max(1, trials)} trials", flush=True)
