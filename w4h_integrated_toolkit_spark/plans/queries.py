@@ -9122,7 +9122,12 @@ assert set(_R12_WINDOW) <= set(QUERIES), set(_R12_WINDOW) - set(QUERIES)
 # compare against them and is green at sf0.001/0.01/0.1 AND under 7
 # shuffle partitions. Promotion at r15 = move the entry into QUERIES
 # (the anti-leak test will start failing the moment one is moved —
-# update it in the same commit).
+# update it in the same commit). Pre-measured cold at sf0.01 on 4 cpus
+# (the window pre-measure discipline, run late-r13): gopher_flags
+# 1.13 s / 500 rows, duplicated_spans 1.89 s / 47 rows (real cross-doc
+# spans exist in the testdata at k=10), hashed_clf_scores 4.46 s / 500
+# rows (fit collects dominate) — every candidate far inside the ~30 s
+# per-entry envelope.
 _R13_WINDOW = [
     # --- 46 r9-stale rows, true CORRECTNESS_r09 key order ---
     "salted_hot_key_agg",
