@@ -5981,3 +5981,42 @@ def test_hamming_pairs_plan_jvm_only_after_kernel(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_simhash_pairs_via_hamming_neardup(spark):
+    """The simhash32 -> hamming_neardup_pairs(hash_bits=32) composition:
+    the generic pairing stage serves the TEXT near-dup family too, not
+    just pHash — near-identical docs pair at small distance, unrelated
+    docs don't."""
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        hamming_neardup_pairs,
+        simhash32,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet field toward the old stone bridge every day"
+    )
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base + " tonight"),  # one-word edit
+            Row(
+                doc_id=3,
+                text=(
+                    "completely different subject matter entirely numbers "
+                    "42 17 99 metrics dashboards quarterly revenue report"
+                ),
+            ),
+        ],
+        "doc_id long, text string",
+    )
+    hashes = simhash32(df)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in hamming_neardup_pairs(
+            hashes, max_distance=6, hash_bits=32, hash_col="simhash"
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert not any(3 in p for p in pairs)
