@@ -328,6 +328,16 @@ def stress_spans(spark, rnd, trials):
             texts[d] = sep().join(words) if rnd.random() < 0.3 else " ".join(
                 words
             )
+            # pad with NON-SPACE whitespace: F.trim strips only ASCII
+            # spaces, so a leading tab/newline once shifted every Spark
+            # token position by one vs strip().split() (ADVICE r14 #1;
+            # fixed by _ws_tokens' empty-token filter)
+            if rnd.random() < 0.3:
+                texts[d] = (
+                    rnd.choice(["\t", "\n", " \t", "\n\n"])
+                    + texts[d]
+                    + rnd.choice(["", "\t", "\n", " \n"])
+                )
         # plant a shared run into 2-3 docs (length straddles k)
         if n_docs >= 2 and rnd.random() < 0.8:
             run = [f"p{trial}x{i}" for i in range(rnd.randrange(k - 2, 2 * k + 6))]

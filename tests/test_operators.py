@@ -449,6 +449,145 @@ def test_neardup_pairs_finds_identical_vectors(spark):
     assert pairs[0]["cos"] > 0.99
 
 
+def _diverse_vectors(n, dim=8, planted=()):
+    """n diverse vectors with no dominant coordinate (so the Rademacher
+    sub-split bits actually vary across rows), plus optional planted
+    exact-duplicate copies appended at the end."""
+    import math
+
+    vecs = [
+        (i, [math.sin(1.0 + i * 0.7 + 1.3 * j) for j in range(dim)])
+        for i in range(n)
+    ]
+    nxt = n
+    for src in planted:
+        vecs.append((nxt, list(vecs[src][1])))
+        nxt += 1
+    return vecs
+
+
+def test_neardup_pairs_max_bucket_subsplits_degenerate_bucket(spark):
+    """The r13 verdict's 'What's wrong #1': a mega-bucket must not
+    funnel the O(b²·d) Gram kernel into one task. _subsplit_oversized
+    over a 64-row constant-key group at cap=8 yields content-defined
+    sub-groups each bounded near the cap, and through the operator a
+    planted exact-duplicate pair is still found (identical vectors can
+    never be separated by the content-defined split)."""
+    from w4h_integrated_toolkit_spark.operators.similarity import (
+        _subsplit_oversized,
+        neardup_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    vecs = _diverse_vectors(64, planted=(3,))
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in vecs],
+        "vec_id long, embedding array<double>",
+    )
+    b = df.select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("v")
+    ).withColumn("bucket", F.lit("x"))  # one degenerate mega-bucket
+
+    # the sub-split bounds every kernel group
+    split = _subsplit_oversized(b, ["bucket"], "v", 8, 42)
+    sizes = [
+        r["n"]
+        for r in split.groupBy("bucket", "_sub")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(sizes) >= 4  # genuinely split
+    assert max(sizes) <= 24  # bounded near the cap (content split, not exact)
+    assert sum(sizes) == 65  # row-preserving
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in neardup_pairs(
+            df, threshold=0.999, dim=8, n_planes=1, max_bucket=8
+        ).collect()
+    }
+    assert (3, 64) in pairs  # the planted duplicate survives the split
+
+
+def test_neardup_pairs_max_bucket_unchanged_on_non_degenerate_data(spark):
+    """With no bucket over the cap, the guarded plan returns EXACTLY the
+    unguarded pairs (the guard must be a no-op on healthy data)."""
+    from w4h_integrated_toolkit_spark.operators.similarity import neardup_pairs
+
+    vecs = _diverse_vectors(24, planted=(1, 5))
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in vecs],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(threshold=0.9, dim=8, n_planes=2)
+    unguarded = {
+        (r["id_a"], r["id_b"], round(r["cos"], 9))
+        for r in neardup_pairs(df, max_bucket=None, **kw).collect()
+    }
+    guarded = {
+        (r["id_a"], r["id_b"], round(r["cos"], 9))
+        for r in neardup_pairs(df, max_bucket=4096, **kw).collect()
+    }
+    assert guarded == unguarded and len(unguarded) >= 2
+
+
+def test_neardup_pairs_identical_flood_skipped_not_oom(spark):
+    """An exact-duplicate flood (unsplittable by any content-defined
+    function) is skipped by the kernel rather than pairing O(b²):
+    flood pairs are absent, pairs outside the flood survive."""
+    from w4h_integrated_toolkit_spark.operators.similarity import neardup_pairs
+
+    flood = [[7.0] + [1.0] * 7] * 30
+    rows = [Row(vec_id=100 + i, embedding=v) for i, v in enumerate(flood)]
+    rows += [
+        Row(vec_id=1, embedding=[5.0, -3.0, 2.0, 1.0, 0.0, 0.0, 1.0, -1.0]),
+        Row(vec_id=2, embedding=[5.0, -3.0, 2.0, 1.0, 0.0, 0.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in neardup_pairs(
+            df, threshold=0.999, dim=8, n_planes=1, max_bucket=8
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(a >= 100 and b >= 100 for a, b in pairs)
+
+
+def test_semantic_dedup_max_cluster_subsplit_and_flood_raise(spark):
+    """semantic_dedup's guard: a diverse mega-cluster sub-splits (one
+    output row per input, bounded kernels, guard a no-op under the
+    cap), an exact-duplicate flood raises with the remedy."""
+    from w4h_integrated_toolkit_spark.operators.similarity import semantic_dedup
+
+    vecs = _diverse_vectors(60)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, label=1, embedding=v) for i, v in vecs],
+        "vec_id long, label long, embedding array<double>",
+    )
+    out = semantic_dedup(df, threshold=0.99, max_cluster=8).collect()
+    assert len(out) == 60  # row-preserving through the split
+    assert {r["label"] for r in out} == {1}
+
+    # under the cap the guard changes nothing
+    base = {
+        (r["vec_id"], r["kept"], round(r["cc"], 9))
+        for r in semantic_dedup(df, threshold=0.3, max_cluster=None).collect()
+    }
+    same = {
+        (r["vec_id"], r["kept"], round(r["cc"], 9))
+        for r in semantic_dedup(df, threshold=0.3, max_cluster=4096).collect()
+    }
+    assert base == same
+
+    flood = spark.createDataFrame(
+        [Row(vec_id=i, label=1, embedding=[3.0, 1.0, 1.0, 1.0]) for i in range(40)],
+        "vec_id long, label long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="exact-duplicate embedding flood"):
+        semantic_dedup(flood, threshold=0.3, max_cluster=8).collect()
+
+
 # --------------------------------------------------------------------------
 # FFT-approximate range aggregates (A13)
 # --------------------------------------------------------------------------
@@ -5963,6 +6102,48 @@ def test_hamming_pairs_pigeonhole_and_guards(spark):
         hamming_neardup_pairs(df, hash_bits=0)
     with pytest.raises(ValueError, match="bands"):
         hamming_neardup_pairs(df, max_distance=40, hash_bits=32)
+
+
+def test_hamming_pairs_multi_hash_ids_any_frame_semantics(spark):
+    """ADVICE r14 #4: phash64_frames emits one row per (doc_id,
+    frame_idx), so the pairing stage must tolerate duplicate ids —
+    no id_a == id_b self-pairs, ONE row per distinct pair, and the
+    distance is the MINIMUM over all frame-hash combinations."""
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+
+    a = 0x0123456789ABCDEF
+    rows = [
+        # doc 1: two frames — one far from doc 2, one 2 bits away
+        (1, a ^ 0xFF00FF00),
+        (1, a ^ (1 << 5) ^ (1 << 40)),
+        # doc 2: two frames, one exactly `a` (dup hash within the doc)
+        (2, a),
+        (2, a),
+        # doc 3: near nothing
+        (3, ~a & ((1 << 63) - 1)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, phash long")
+    got = hamming_neardup_pairs(df, max_distance=4).collect()
+    assert all(r["id_a"] != r["id_b"] for r in got)
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"], r["distance"]) == (1, 2, 2)
+
+    # exact semantics vs the all-pairs python model (min over combos)
+    def hd(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    best: dict[tuple, int] = {}
+    for i, (da, ha) in enumerate(rows):
+        for db, hb in rows[i + 1:]:
+            if da == db:
+                continue
+            k = (min(da, db), max(da, db))
+            best[k] = min(best.get(k, 65), hd(ha, hb))
+    exp = {k: v for k, v in best.items() if v <= 4}
+    assert {(r["id_a"], r["id_b"]): r["distance"] for r in got} == exp
 
 
 def test_hamming_pairs_plan_jvm_only_after_kernel(spark):

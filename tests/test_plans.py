@@ -683,13 +683,17 @@ def test_rfm_segments_no_ntile_window_on_customers(spark):
 
 
 def test_semantic_dedup_one_cluster_exchange_arrow_kernel(spark):
-    """SemDeDup plan: ONE shuffle on the cluster key feeding a grouped
-    Arrow kernel (FlatMapGroupsInPandas) — vectors cross Arrow exactly
-    once; no pair join materializes O(b^2) vector copies."""
+    """SemDeDup plan: one shuffle on the (cluster, _sub) key feeding a
+    grouped Arrow kernel (FlatMapGroupsInPandas) — vectors cross Arrow
+    exactly once; no pair join materializes O(b^2) vector copies. The
+    max_cluster guard (r14) adds exactly one more exchange — the
+    partial-aggregated per-cluster COUNT (key-cardinality rows, vectors
+    never move) — broadcast back onto the stream, never sort-merge."""
     plan = plan_of(spark, "semantic_dedup")
     assert "FlatMapGroupsInPandas" in plan
-    assert n_shuffles(plan) == 1, plan[:800]
-    assert "Join" not in plan
+    assert n_shuffles(plan) == 2, plan[:800]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
 def test_time_weighted_avg_single_exchange(spark):
@@ -1418,5 +1422,44 @@ def test_r13_gate_window_composition_recomputed_from_driver_rows():
     n_fill = 50 - len(r9_stale) - len(never_gated_r12)
     expected = r9_stale + never_gated_r12 + r10_stale[:n_fill]
     assert list(_R13_WINDOW) == expected, (
+        "gate window diverges from the recomputed rotation plan"
+    )
+
+
+def test_r14_gate_window_composition_recomputed_from_driver_rows():
+    """Rotation honesty for r14, machine-checked the same way as
+    r10-r13: RECOMPUTE the prescribed composition from the
+    CORRECTNESS_r*.json driver records — the 49 r10-stale rows first in
+    true r10-file key order, then robots_filter (the only registry
+    entry with no driver row ever, added late-r13 inside the 1-slot
+    allowance) — and assert _R14_WINDOW equals it name-for-name. After
+    r14 gates green, zero r10-stale and ZERO never-gated entries
+    remain: every one of the 200 registry entries carries a driver
+    hash no older than r11."""
+    import json
+
+    from w4h_integrated_toolkit_spark.plans.queries import _R14_WINDOW
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    latest: dict[str, int] = {}
+    orders: dict[int, list[str]] = {}
+    for n in range(1, 14):
+        path = os.path.join(root, f"CORRECTNESS_r{n:02d}.json")
+        if not os.path.exists(path):
+            pytest.skip("driver CORRECTNESS records not present")
+        with open(path) as f:
+            rows = json.load(f)
+        orders[n] = list(rows)
+        for name, rec in rows.items():
+            if rec.get("hash_match") or rec.get("rows_match"):
+                latest[name] = n
+
+    r10_stale = [k for k in orders[10] if latest.get(k) == 10]
+    never_gated = ["robots_filter"]
+    assert all(k not in latest for k in never_gated)
+    assert len(r10_stale) == 49  # zero r9-stale remain (r13 cleared them)
+    expected = r10_stale + never_gated
+    assert len(expected) == 50
+    assert list(_R14_WINDOW) == expected, (
         "gate window diverges from the recomputed rotation plan"
     )

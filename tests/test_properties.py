@@ -1765,7 +1765,7 @@ def test_pct_match_normalize_twins_property(spark, frags):
 @settings(max_examples=6, deadline=None)
 @given(
     st.lists(
-        st.text(alphabet="ab ", min_size=0, max_size=40),
+        st.text(alphabet="ab \t\n", min_size=0, max_size=40),
         min_size=2,
         max_size=6,
     ),
@@ -1776,7 +1776,9 @@ def test_duplicated_spans_matches_python_model(spark, texts, within):
     CI budget (the deep randomized sweep is stress_check's fifth
     section): the tiny a/b alphabet makes chance cross-doc and intra-doc
     3-token windows common, exercising detection, the island merge and
-    the cut on naturally messy inputs rather than planted runs."""
+    the cut on naturally messy inputs rather than planted runs; the
+    tab/newline letters hit the leading/trailing non-space-whitespace
+    token shift ADVICE r14 #1 found (fixed by _ws_tokens)."""
     from w4h_integrated_toolkit_spark.operators.dedup import (
         duplicated_spans,
         strip_duplicated_spans,

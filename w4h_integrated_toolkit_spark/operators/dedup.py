@@ -1171,6 +1171,20 @@ def golden_record(
     )
 
 
+def _ws_tokens(c: Column) -> Column:
+    """Whitespace tokenization matching Python ``str.strip().split()``:
+    ``\\s+``-split with empty tokens REMOVED. F.trim strips only ASCII
+    spaces, so a doc padded with a leading tab or newline would survive
+    ``split(trim(x))`` with an empty first token — shifting every
+    ``pos``/``start_tok``/``end_tok`` in the span pipeline by one and
+    changing every window hash (the same bug class text._ws_trim
+    documents for the curation gates). Filtering empties kills both the
+    leading- and trailing-whitespace artifacts in one pass and matches
+    the DuckDB oracle's ``list_filter(regexp_split_to_array(t, '\\s+'),
+    x -> x <> '')`` and the stress model's ``strip().split()``."""
+    return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
+
+
 def _window_hash_rows(
     df: DataFrame,
     k: int,
@@ -1211,7 +1225,7 @@ def _window_hash_rows(
         f"p -> slice(_w, p, {k})) "
         f"ELSE array() END"
     )
-    words = F.split(F.trim(F.col(text)), r"\s+")
+    words = _ws_tokens(F.col(text))
     rows = (
         df.select(F.col(id_col).alias("_id"), words.alias("_w"))
         .select(
@@ -1370,7 +1384,9 @@ def strip_duplicated_spans(
         F.collect_list(F.struct("start_tok", "end_tok")).alias("_ivs")
     )
     joined = df.join(ivs, id_col, "left")
-    toks = F.split(F.trim(F.col(text)), r"\s+")
+    # same token space as detection (_ws_tokens): positional cut indexes
+    # must line up with _window_hash_rows' pos or the wrong tokens die
+    toks = _ws_tokens(F.col(text))
     kept = F.filter(
         toks,
         lambda t, i: ~F.exists(
@@ -1559,6 +1575,14 @@ def hamming_neardup_pairs(
     exact popcount distance (``bit_count(a XOR b)``), so false bucket
     friends never survive. Emits (id_a, id_b, distance).
 
+    ``id_col`` need NOT be unique: a multi-hash id (e.g.
+    :func:`~..operators.multimodal.phash64_frames` emits one row per
+    (doc_id, frame_idx)) pairs under ANY-frame semantics — ``distance``
+    is the MINIMUM popcount over all hash combinations of the two ids,
+    one output row per distinct (id_a < id_b) pair, and self-pairs are
+    never emitted (in-bucket ids are de-duplicated before pairing).
+    Key on a composite id instead when per-frame pairs are wanted.
+
     Scale shape: ONE exchange on (band_idx, band_val) builds the
     buckets; pair explosion is O(bucket²) confined per bucket, with
     ``max_bucket`` dropping degenerate buckets (e.g. millions of
@@ -1612,7 +1636,11 @@ def hamming_neardup_pairs(
     buckets = (
         rows.select("_id", F.col("_b.band_idx").alias("bi"), F.col("_b.band_val").alias("bv"))
         .groupBy("bi", "bv")
-        .agg(F.sort_array(F.collect_list("_id")).alias("_docs"))
+        # collect_set: a multi-hash id lands in one bucket many times
+        # (multiple frames sharing a band value) — positional pairing
+        # over a duplicated sorted list would emit id_a == id_b
+        # self-pairs (ADVICE r14 #4). max_bucket counts DISTINCT ids.
+        .agg(F.sort_array(F.collect_set("_id")).alias("_docs"))
         .filter(
             (F.size("_docs") >= 2) & (F.size("_docs") <= max_bucket)
         )
@@ -1625,10 +1653,15 @@ def hamming_neardup_pairs(
     ha = df.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("_ha"))
     hb = df.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("_hb"))
     dist = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    # multi-hash ids fan the verify join out to every hash combination;
+    # MIN over combinations is the any-frame pair distance (for unique
+    # ids this is the single combination, same rows as before — the agg
+    # runs on the pair-sized relation, not the corpus)
     out = (
         cand.join(ha, "id_a")
         .join(hb, "id_b")
-        .select("id_a", "id_b", dist.cast("int").alias("distance"))
+        .groupBy("id_a", "id_b")
+        .agg(F.min(dist).cast("int").alias("distance"))
         .filter(F.col("distance") <= max_distance)
     )
     return out

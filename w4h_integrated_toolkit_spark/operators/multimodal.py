@@ -783,22 +783,30 @@ def _phash_rows(
 ) -> pd.DataFrame:
     """pHash kernel (the published DCT perceptual hash, as in the
     ImageHash library): decode → luma → resize to (hash_size·hf)² →
-    2-D orthonormal DCT-II → top-left hash_size² low-frequency block →
-    bit i set iff coefficient i > block median. The image module is
-    injected (PIL where installed, the vendored pure codec otherwise) —
-    the byte-histogram/testability discipline."""
+    2-D UNNORMALIZED DCT-II (scipy.fftpack.dct's default — the exact
+    transform ImageHash applies; an orthonormal DCT scales row/col 0
+    differently and flips ~0.3 bits/image vs ImageHash, ADVICE r14 #2)
+    → top-left hash_size² low-frequency block → bit i set iff
+    coefficient i > block median. Given the same grayscale-resized
+    pixel array, the bits match ImageHash bit-for-bit; end-to-end
+    equality additionally requires ImageHash's resample filter
+    (LANCZOS/ANTIALIAS) — the vendored codec resizes nearest-neighbor,
+    so cross-library joins should hash through one decode path. The
+    image module is injected (PIL where installed, the vendored pure
+    codec otherwise) — the byte-histogram/testability discipline."""
     import io
 
     import numpy as np
 
     n_px = hash_size * hf
     k = np.arange(n_px)
-    dct = np.sqrt(2.0 / n_px) * np.cos(
+    # scipy.fftpack.dct(type=2, norm=None): y[k] = 2 * sum_n x[n] *
+    # cos(pi*(2n+1)k/(2N)) — no per-row scaling anywhere
+    dct = 2.0 * np.cos(
         np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n_px)
     )
-    dct[0] /= np.sqrt(2.0)
 
-    rows = {"doc_id": [], "frame_idx": [], "phash": []}
+    rows = {id_col: [], "frame_idx": [], "phash": []}
     for i, fi, blob in zip(pdf[id_col], pdf["frame_idx"], pdf["frame"]):
         img = image_mod.open(io.BytesIO(bytes(blob))).convert("L").resize(
             (n_px, n_px)
@@ -811,7 +819,7 @@ def _phash_rows(
             h = (h << 1) | int(b)
         if h >= 1 << 63:  # store as signed 64-bit
             h -= 1 << 64
-        rows["doc_id"].append(i)
+        rows[id_col].append(i)
         rows["frame_idx"].append(int(fi))
         rows["phash"].append(h)
     return pd.DataFrame(rows)
@@ -853,9 +861,13 @@ def phash64_frames(
         )
     if highfreq_factor < 1:
         raise ValueError(f"highfreq_factor must be >= 1, got {highfreq_factor}")
+    # name the id field by id_col and carry the INPUT's id dtype through
+    # (string/long ids both round-trip) — the sibling-operator schema
+    # discipline; previously this hardcoded ("doc_id", long) and silently
+    # renamed a video_id column (ADVICE r14 #3)
     out_schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            T.StructField(id_col, df.schema[id_col].dataType),
             T.StructField("frame_idx", T.LongType()),
             T.StructField("phash", T.LongType()),
         ]

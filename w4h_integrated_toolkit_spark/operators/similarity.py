@@ -252,6 +252,76 @@ def sign_bucket_key(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def _sign_hash_bit(vec: Column, j: int, seed: int) -> Column:
+    """One Rademacher sign-LSH bit: sign of dot(vec, w_j) where
+    w_j[i] = ±1 from xxhash64(seed, j, i). Dimension-agnostic (the ±1
+    weights come from the element index, so no literal plane array is
+    needed) and content-defined: near-identical vectors get the same
+    bit w.h.p., identical vectors always do. The Rademacher family is a
+    valid sign-LSH distribution (symmetric, mean-zero)."""
+    prods = F.transform(
+        vec,
+        lambda x, i: F.when(
+            F.pmod(F.xxhash64(F.lit(seed), F.lit(j), i), F.lit(2)) == 0, x
+        ).otherwise(-x),
+    )
+    s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+_SUBSPLIT_MAX_BITS = 16
+
+
+def _subsplit_oversized(
+    df: DataFrame,
+    key_cols: list[str],
+    vec_col: str,
+    cap: int,
+    seed: int,
+) -> DataFrame:
+    """Append a ``_sub`` column that splits groups larger than ``cap``
+    with ceil(log2(n/cap)) content-defined sign-LSH bits (max 16), the
+    documented hot-shingle recipe: a skewed/giant group otherwise
+    funnels an O(b²·d) Gram kernel into ONE executor task. Groups at or
+    under the cap get ``_sub = ''`` — their kernel input is unchanged.
+    The split is content-defined (see :func:`_sign_hash_bit`), so
+    near-identical vectors stay together w.h.p. and IDENTICAL vectors
+    are never separated — an exact-duplicate flood must be handled by
+    the caller's kernel guard (these groups cannot be split by any
+    content-defined function).
+
+    The cap is a SOFT target: the bit count carries 3 slack bits
+    (expected sub-group ≈ cap/8) because sign bits over real embedding
+    families are correlated and a ceil(log2(n/cap))-bit split routinely
+    leaves some sub-group past the cap. Callers enforce a HARD bound at
+    2×cap in the kernel — memory is O((2·cap)²), same order.
+
+    Cost when nothing is over the cap: one tiny partial-aggregated
+    count shuffle (group-key cardinality rows, vectors never move) and
+    a broadcast join back; the sign bits are inside a codegen If, so
+    under-cap rows never pay the O(d·bits) fold."""
+    sizes = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
+    out = df.join(F.broadcast(sizes), list(key_cols))
+    nbits = F.least(
+        F.ceil(
+            F.log2(F.col("_n").cast("double") / F.lit(float(cap)))
+        ).cast("int")
+        + F.lit(3),
+        F.lit(_SUBSPLIT_MAX_BITS),
+    )
+    sig = F.concat(
+        *[
+            _sign_hash_bit(F.col(vec_col), j, seed)
+            for j in range(_SUBSPLIT_MAX_BITS)
+        ]
+    )
+    sub = (
+        F.when(F.col("_n") <= cap, F.lit(""))
+        .otherwise(sig.substr(F.lit(1), nbits))
+    )
+    return out.withColumn("_sub", sub).drop("_n")
+
+
 def neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
@@ -260,6 +330,7 @@ def neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH blocking.
 
@@ -272,6 +343,17 @@ def neardup_pairs(
     formulation would copy each vector O(bucket-size) times). Raise
     n_planes as n grows to keep buckets bounded, or band multiple keys for
     recall. Output: (id_a < id_b, cos ≥ threshold).
+
+    ``max_bucket`` bounds the quadratic kernel: buckets over the cap are
+    sub-split with content-defined sign-LSH bits
+    (:func:`_subsplit_oversized` — near-identical pairs stay together
+    w.h.p., so near-dup recall in a diverse mega-bucket barely moves),
+    and any sub-bucket STILL over 2× the cap — in practice an
+    exact-duplicate flood, which no content-defined split can separate —
+    is skipped by the kernel, mirroring
+    :func:`~.dedup.hamming_neardup_pairs`: pairing a million identical
+    vectors is O(b²) work that tells you nothing ``exact_dedup`` on a
+    vector hash wouldn't. ``max_bucket=None`` disables the guard.
     """
     import numpy as np
 
@@ -279,11 +361,22 @@ def neardup_pairs(
     b = df.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("bucket", sign_bucket_key(F.col("v"), planes))
+    group_cols = ["bucket"]
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+        b = _subsplit_oversized(b, ["bucket"], "v", max_bucket, seed)
+        group_cols = ["bucket", "_sub"]
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
         # per-bucket Gram matrix: O(b²·d) in BLAS, vectors cross Arrow once
         ids = pdf["vid"].to_numpy()
-        if len(ids) < 2:
+        if len(ids) < 2 or (
+            max_bucket is not None and len(ids) > 2 * max_bucket
+        ):
+            # far over the soft cap after sub-split = exact-duplicate
+            # flood: skip (see docstring; exact_dedup the vectors
+            # instead). 2x is the hard bound _subsplit_oversized names.
             return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
         V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         N = V / np.linalg.norm(V, axis=1, keepdims=True)
@@ -295,7 +388,7 @@ def neardup_pairs(
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos[keep]})
 
-    return b.groupBy("bucket").applyInPandas(
+    return b.groupBy(*group_cols).applyInPandas(
         block, "id_a long, id_b long, cos double"
     )
 
@@ -344,6 +437,8 @@ def semantic_dedup(
     cluster_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster: int | None = 4096,
+    seed: int = 42,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): within
     each cluster, vectors whose pairwise cosine meets ``threshold`` form
@@ -359,8 +454,20 @@ def semantic_dedup(
     size (b ~ n/k rows), so the quadratic term is bounded by design; here
     the precomputed ``cluster_col`` plays that role (any coarse quantizer
     — the IVF assignment above, sign-LSH buckets, or a label — slots in).
-    Skewed/giant clusters: cap with sub-bucketing (extra LSH bits inside
-    the kernel key) exactly as the LSH hot-shingle cap does.
+
+    ``max_cluster`` enforces that bound when the quantizer fails:
+    clusters over the cap are sub-split with content-defined sign-LSH
+    bits (:func:`_subsplit_oversized`) and each sub-cluster dedups
+    against its own centroid — an explicit approximation of the paper's
+    per-cluster semantics (near-identical vectors stay together w.h.p.,
+    so keep/drop among actual near-dups is mostly preserved; the
+    cross-sub-cluster comparisons are forgone, trading a little recall
+    for a bounded kernel). A sub-cluster STILL over 2× the cap is an
+    exact-duplicate flood no content-defined split can separate — the
+    kernel RAISES with the remedy (this operator emits one row per
+    input vector, so silently dropping rows is not an option), because
+    the alternative is the same job death by executor OOM without the
+    message. ``max_cluster=None`` disables the guard.
 
     Determinism: the centroid is a scaled-integer mean (order-independent,
     engine-exact), and all comparisons — the pair threshold and the
@@ -382,8 +489,17 @@ def semantic_dedup(
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["_vid"].to_numpy()
-        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
         n = len(ids)
+        if max_cluster is not None and n > 2 * max_cluster:
+            # 2x the soft cap is the hard bound _subsplit_oversized names
+            raise ValueError(
+                f"semantic_dedup: a sub-cluster of cluster "
+                f"{pdf['_c'].iloc[0]!r} still holds {n} rows after the "
+                f"content-defined sub-split (max_cluster={max_cluster}) "
+                f"— an exact-duplicate embedding flood. Run exact dedup "
+                f"on a vector hash first, or raise max_cluster."
+            )
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
         # scaled-integer centroid: exact in any engine, any summation order
         cent = _away(V * 1e6).astype(np.int64).sum(axis=0) / (1e6 * n)
         Nv = V / np.linalg.norm(V, axis=1, keepdims=True)
@@ -413,7 +529,13 @@ def semantic_dedup(
         F.col(cluster_col).alias("_c"),
         _as_double(F.col(vec_col)).alias("_v"),
     )
-    return b.groupBy("_c").applyInPandas(block, out_schema)
+    group_cols = ["_c"]
+    if max_cluster is not None:
+        if max_cluster < 2:
+            raise ValueError(f"max_cluster must be >= 2, got {max_cluster}")
+        b = _subsplit_oversized(b, ["_c"], "_v", max_cluster, seed)
+        group_cols = ["_c", "_sub"]
+    return b.groupBy(*group_cols).applyInPandas(block, out_schema)
 
 
 def quantize_int8(

@@ -9187,8 +9187,94 @@ _R13_WINDOW = [
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 assert len(set(_R13_WINDOW)) == 50
 assert set(_R13_WINDOW) <= set(QUERIES), set(_R13_WINDOW) - set(QUERIES)
-QUERIES = {name: QUERIES[name] for name in _R13_WINDOW} | {
-    name: spec for name, spec in QUERIES.items() if name not in set(_R13_WINDOW)
+
+# Round-14 driver window: the 49 r10-stale rows FIRST, recomputed at
+# r14 start from CORRECTNESS_r01..r13 in true CORRECTNESS_r10 key order
+# (latest-green histogram was {r13: 50, r12: 50, r11: 50, r10: 49},
+# 199/200 with a driver row, 0 terminal FAILs), then robots_filter —
+# the ONLY never-driver-gated registry entry, taking its first hash and
+# closing the gate-discipline gap. Machine-checked by
+# test_r14_gate_window_composition_recomputed_from_driver_rows.
+# After r14 gates green: zero r10-stale and ZERO never-gated entries
+# remain; histogram {r14: 50, r13: 50, r12: 50, r11: 50}.
+#
+# R15 WINDOW PLAN (execute at r15 start): the stale backlog entering
+# r15 is exactly the 50 r11-stale rows (registry 200, window 50, no
+# never-gated entries remain), so r15 has zero free slots BY DEFAULT —
+# every new gate entry promoted at r15 must DISPLACE a stale row,
+# pushing that row to r16 (5 rounds stale, a first). Promotion
+# arithmetic for the three pre-built R15_CANDIDATES (gopher_flags,
+# duplicated_spans, hashed_clf_scores) plus the r14-built
+# phash_hamming_pairs candidate: promote AT MOST 2, displacing the
+# LAST 2 r11-stale rows in CORRECTNESS_r11 key order (the least-stale
+# tail — they gated most recently within r11's own run order, so they
+# carry the freshest evidence); the displaced rows lead the r16 window.
+# Recommended picks: duplicated_spans (the only major dedup family
+# with no driver row; 125-trial stress + 3-sf parity standing) and
+# gopher_flags (the published-rule curation gate; cheapest candidate at
+# 1.13 s). hashed_clf_scores (4.46 s) and phash_hamming_pairs stay
+# library-level until r16. Recompute the r11-stale list from the JSONs
+# at r15 start — do not trust a hand-written list.
+_R14_WINDOW = [
+    # --- 49 r10-stale rows, true CORRECTNESS_r10 key order ---
+    "pack_sequences",
+    "late_shipment_priority",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "brand_supplier_counts",
+    "disjunctive_revenue",
+    "idle_rich_customers",
+    "geofence_count",
+    "pii_redaction",
+    "volume_shipping",
+    "market_share",
+    "product_profit",
+    "returned_items",
+    "top_supplier",
+    "small_qty_revenue",
+    "waiting_suppliers",
+    "cohort_kpi",
+    "breach_histogram",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "multimodal_meta",
+    "stream_alerts",
+    "fft_range_sum",
+    "user_overlap_sketch",
+    "streaming_anomaly",
+    "semantic_dedup",
+    "rfm_segments",
+    "time_weighted_avg",
+    "scd2_apply",
+    "kmeans_fit",
+    "domain_extract",
+    "domain_cap_sample",
+    "bpe_merges",
+    "bpe_encode",
+    "streaming_sessions",
+    "stream_stream_join",
+    "stream_heavy_hitters",
+    "bm25_topk",
+    "tfidf_top_terms",
+    "dedup_keep_best",
+    "embedding_centroids",
+    "quality_filter_per_lang",
+    "corpus_drift",
+    "gap_fill",
+    "forecast_revenue",
+    "funnel_conversion",
+    "event_transitions",
+    "rolling_zscore",
+    "unigram_nll",
+    # --- the one never-gated entry (added late-r13): first driver hash
+    "robots_filter",
+]
+
+assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
+assert len(set(_R14_WINDOW)) == 50
+assert set(_R14_WINDOW) <= set(QUERIES), set(_R14_WINDOW) - set(QUERIES)
+QUERIES = {name: QUERIES[name] for name in _R14_WINDOW} | {
+    name: spec for name, spec in QUERIES.items() if name not in set(_R14_WINDOW)
 }
 
 
