@@ -284,6 +284,11 @@ MEDIAN_EXTRA_QUERIES = {
     # medians, the same pattern as the r9-r12 promotions.
     "stream_url_frontier",       # 2.4-3.4 s (real availableNow stream job)
     "ranking_model_scores",      # 1.1-1.6 s median (1-run levels were cold-plan)
+    # r13 verdict order #3: robots_filter's r13 1-run levels spanned
+    # 1.3-2.3 s warm with a 13 s fresh-session cold tier — exactly the
+    # profile median-of-3 absorbs; its first round-over-round
+    # comparison lands at r15 on medians.
+    "robots_filter",             # 1.3-2.3 s warm (13 s fresh-session cold)
 }
 
 

@@ -169,6 +169,13 @@ GALLERY = [
      "BroadcastHashJoin of the O(n_buckets) model (parameter-bounded, "
      "never data-bounded), and the per-doc rollup — corpus bodies "
      "never join against anything."),
+    ("phash_hamming_pairs", "Perceptual-dedup pairing: pigeonhole "
+     "banding explodes each 64-bit hash into max_distance+1 band "
+     "structs, ONE (band, value) exchange builds the buckets "
+     "(collect_set — multi-hash ids never self-pair), in-bucket pair "
+     "explosion stays confined per bucket under max_bucket, and the "
+     "exact bit_count(XOR) verify joins back by id (AQE-broadcast); "
+     "only (id, 8-byte hash) rows ever move."),
 ]
 
 QUERIES = dict(QUERIES) | dict(R15_CANDIDATES)

@@ -30,6 +30,7 @@ __all__ = [
     "html_link_count",
     "html_extract",
     "canonicalize_url",
+    "rekey_canonical_urls",
     "url_dedup_groups",
     "idna_ascii_hosts",
     "parse_robots",
@@ -635,6 +636,54 @@ def url_dedup_groups(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.min(id_col).alias("keep_id"),
         )
+    )
+
+
+def rekey_canonical_urls(
+    df: DataFrame,
+    stored_version: int,
+    key_col: str = "canonical_url",
+    tracking_re: str = TRACKING_PARAM_RE,
+) -> DataFrame:
+    """Migrate a table of persisted canonical keys (a frontier dedup
+    table, stored dedup groups, crawl bookkeeping) from the
+    ``stored_version`` key format to :data:`CANONICALIZER_VERSION` —
+    the in-place arm of the "stamp the version, rebuild on mismatch"
+    discipline the constant's docstring prescribes, for the migrations
+    where the stored KEY still carries everything the new format needs:
+
+    - ``stored_version == CANONICALIZER_VERSION``: returned unchanged.
+    - ``stored_version == 2``: re-canonicalizes the stored key. The
+      v2 → v3 break only ADDED the non-ASCII percent-encoding pass —
+      every other pass is already a fixed point on a v2 key — so
+      re-canonicalizing the v2 KEY equals fresh v3 canonicalization of
+      the original raw URL (the rekey law, test-pinned). All-ASCII v2
+      keys come back byte-identical.
+    - ``stored_version == 1``: RAISES. v1 stripped content-bearing
+      ``ref`` params, so the information is gone from the key — a v3
+      key is NOT derivable; re-canonicalize from the raw URLs instead.
+    - anything else: raises (unknown or future format).
+
+    Pure Column rewrite (one projection, no shuffle); pair it with a
+    version-stamp update in the same write."""
+    if stored_version == CANONICALIZER_VERSION:
+        return df
+    if stored_version == 1:
+        raise ValueError(
+            "canonical keys stored under format v1 are lossy (bare "
+            "'ref' params were stripped) — the current key cannot be "
+            "derived from the stored key; re-run canonicalize_url over "
+            "the raw URLs instead"
+        )
+    if stored_version != 2:
+        raise ValueError(
+            f"unknown canonical-key format version {stored_version} "
+            f"(this build writes v{CANONICALIZER_VERSION}, rekeys v2)"
+        )
+    if key_col not in df.columns:
+        raise ValueError(f"column {key_col!r} not in {df.columns}")
+    return df.withColumn(
+        key_col, canonicalize_url(F.col(key_col), tracking_re)
     )
 
 

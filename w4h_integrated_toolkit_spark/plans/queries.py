@@ -9212,7 +9212,10 @@ assert set(_R13_WINDOW) <= set(QUERIES), set(_R13_WINDOW) - set(QUERIES)
 # Recommended picks: duplicated_spans (the only major dedup family
 # with no driver row; 125-trial stress + 3-sf parity standing) and
 # gopher_flags (the published-rule curation gate; cheapest candidate at
-# 1.13 s). hashed_clf_scores (4.46 s) and phash_hamming_pairs stay
+# 1.13 s). hashed_clf_scores (4.46 s) and phash_hamming_pairs (built
+# r14: synthesized-hash banding gate with the hash-free all-pairs
+# popcount oracle; parity green at 3 sfs + 7 partitions; pre-measured
+# 7.9 s cold / 1.6 s warm, 67 rows at sf0.01 on 4 cpus) stay
 # library-level until r16. Recompute the r11-stale list from the JSONs
 # at r15 start — do not trust a hand-written list.
 _R14_WINDOW = [
@@ -9500,6 +9503,47 @@ FROM dots, bias
 """
 
 
+def q_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-dedup pairing gate: the pHash → Hamming chain's ONLY
+    oracle-able form. Image bytes can't be oracled cross-engine (DuckDB
+    has no decoder), so the gate synthesizes a deterministic 64-bit
+    hash column from documents — an md5-derived base per
+    (lang, doc_id div 2) pair-group with two index-flipped bits, the
+    exact shape phash64_frames emits for rescaled near-copies — and
+    runs dedup.hamming_neardup_pairs (pigeonhole banding + exact
+    bit_count verify) over it. The oracle is HASH-FREE of the banding:
+    an all-pairs popcount join IS ground truth, and banding has 100%
+    recall by pigeonhole, so the banded plan must equal it exactly
+    (distances 2 and 4 both present — the max_distance boundary is
+    exercised)."""
+    docs = _tw(spark, sf_dir, "documents")
+    ph = F.expr(
+        "CAST(conv(substring(md5(concat(lang, '|', "
+        "CAST(doc_id div 2 AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        " ^ shiftleft(1L, CAST(doc_id % 60 AS INT))"
+        " ^ shiftleft(1L, CAST((doc_id div 3) % 60 AS INT))"
+    )
+    hashes = docs.select("doc_id", ph.alias("phash"))
+    return D.hamming_neardup_pairs(hashes, max_distance=4).select(
+        "id_a", "id_b", F.col("distance").cast("int").alias("distance")
+    )
+
+
+_SQL_PHASH_HAMMING = """
+WITH h AS (
+  SELECT doc_id,
+         xor(xor(CAST('0x' || substr(md5(lang || '|' ||
+                     CAST(doc_id // 2 AS VARCHAR)), 1, 15) AS BIGINT),
+                 (1::BIGINT << CAST(doc_id % 60 AS INT))),
+             (1::BIGINT << CAST((doc_id // 3) % 60 AS INT))) AS ph
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS distance
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ph, b.ph)) <= 4
+"""
+
+
 # candidate registry: same (fn, sql) shape as QUERIES, same portable
 # rounding rewrite — registering at r15 is moving an entry into QUERIES
 R15_CANDIDATES = {
@@ -9511,5 +9555,9 @@ R15_CANDIDATES = {
     "hashed_clf_scores": (
         q_hashed_clf_scores,
         _portable_round_sql(_SQL_HASHED_CLF),
+    ),
+    "phash_hamming_pairs": (
+        q_phash_hamming_pairs,
+        _portable_round_sql(_SQL_PHASH_HAMMING),
     ),
 }
