@@ -213,6 +213,29 @@ def main() -> None:
     print("6. fetch schedule (offset s):")
     for r in schedule.orderBy("host", "fetch_offset_s").collect():
         print(f"   t+{r['fetch_offset_s']}s {r['url']}")
+
+    # ------------------------------------------------------------------
+    # 7. key-format migration: a frontier table persisted under the v2
+    # canonical-key format (raw non-ASCII paths survived in v2 keys) is
+    # rekeyed IN PLACE to the current version — the stamp-and-rebuild
+    # discipline CANONICALIZER_VERSION prescribes, without refetching
+    # raw URLs (valid for v2: the break only added a normalization pass)
+    # ------------------------------------------------------------------
+    from w4h_integrated_toolkit_spark.operators.web import (
+        rekey_canonical_urls,
+    )
+
+    legacy = spark.createDataFrame(
+        [("https://ex.org/café/menu",), ("https://ex.org/plain",)],
+        "canonical_url string",
+    )
+    migrated = rekey_canonical_urls(legacy, stored_version=2)
+    print(f"7. v2 -> v{CANONICALIZER_VERSION} frontier rekey:")
+    for old, new in zip(
+        legacy.collect(), migrated.collect()
+    ):
+        mark = "rewritten" if old[0] != new[0] else "unchanged"
+        print(f"   {old[0]} -> {new[0]} ({mark})")
     spark.stop()
 
 

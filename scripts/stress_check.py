@@ -720,6 +720,131 @@ def stress_hamming(spark, rnd, trials):
     return bad
 
 
+def stress_embedding_guard(spark, rnd, trials):
+    """neardup_pairs vs the literal bucketed-Gram model (same seeded
+    hyperplanes, same sign bucketing, all in-bucket pairs >= threshold)
+    — with the max_bucket guard OFF the outputs must match exactly, and
+    with the guard ON over healthy data (cap above every bucket) they
+    must not change. Degenerate trials plant an identical-vector flood:
+    guarded output must contain no flood pair, keep every planted
+    exact-duplicate pair outside the flood, and stay a subset of the
+    unguarded output."""
+    import math
+
+    from w4h_integrated_toolkit_spark.operators.similarity import (
+        hyperplanes,
+        neardup_pairs,
+    )
+
+    def ref_pairs(vecs, planes, thr):
+        buckets = {}
+        for i, v in vecs:
+            key = "".join(
+                "1" if sum(x * w for x, w in zip(v, p)) >= 0 else "0"
+                for p in planes
+            )
+            buckets.setdefault(key, []).append((i, v))
+        out = {}
+        for members in buckets.values():
+            for a in range(len(members)):
+                for b in range(a + 1, len(members)):
+                    (ia, va), (ib, vb) = members[a], members[b]
+                    na = math.sqrt(sum(x * x for x in va))
+                    nb = math.sqrt(sum(x * x for x in vb))
+                    cos = sum(x * y for x, y in zip(va, vb)) / (na * nb)
+                    if cos >= thr:
+                        out[(min(ia, ib), max(ia, ib))] = cos
+        return out
+
+    bad = 0
+    for trial in range(trials):
+        dim = rnd.randrange(4, 10)
+        n = rnd.randrange(4, 30)
+        n_planes = rnd.randrange(1, 4)
+        thr = rnd.choice([0.3, 0.7, 0.9, 0.999])
+        seed = rnd.randrange(1000)
+        vecs = []
+        for i in range(n):
+            if vecs and rnd.random() < 0.3:  # planted exact duplicate
+                vecs.append((i, list(vecs[rnd.randrange(len(vecs))][1])))
+            else:
+                vecs.append(
+                    (i, [rnd.gauss(0.0, 1.0) for _ in range(dim)])
+                )
+        flood_ids = set()
+        if rnd.random() < 0.5:  # degenerate identical-vector flood
+            fv = [rnd.gauss(0.0, 1.0) for _ in range(dim)]
+            flood_ids = set(range(n, n + 12))
+            vecs += [(i, list(fv)) for i in flood_ids]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in vecs], "vec_id long, embedding array<double>"
+        )
+        planes = hyperplanes(dim, n_planes, seed)
+        exp = ref_pairs(vecs, planes, thr)
+        kw = dict(
+            threshold=thr, dim=dim, n_planes=n_planes, seed=seed
+        )
+        got_off = {
+            (r["id_a"], r["id_b"]): r["cos"]
+            for r in neardup_pairs(df, max_bucket=None, **kw).collect()
+        }
+        ok = set(got_off) == set(exp) and all(
+            abs(got_off[k] - exp[k]) < 1e-9 for k in exp
+        )
+        got_healthy = {
+            (r["id_a"], r["id_b"]): r["cos"]
+            for r in neardup_pairs(df, max_bucket=4096, **kw).collect()
+        }
+        ok = ok and got_healthy == got_off
+        if flood_ids:
+            got_cap = {
+                (r["id_a"], r["id_b"])
+                for r in neardup_pairs(df, max_bucket=5, **kw).collect()
+            }
+            by_id = dict(vecs)
+            in_flood = {
+                k for k in exp
+                if k[0] in flood_ids and k[1] in flood_ids
+            }
+
+            def keyof(v):
+                return "".join(
+                    "1" if sum(x * w for x, w in zip(v, p)) >= 0 else "0"
+                    for p in planes
+                )
+
+            flood_key = keyof(fv)
+            # only EXACT-duplicate pairs outside the flood AND outside
+            # the flood's LSH bucket are guaranteed to survive the
+            # sub-split: identical vectors are never separated, but a
+            # pair sharing the flood's bucket can land in the flood's
+            # over-cap sub-bucket (same content-defined bits) and be
+            # skipped with it — the documented bystander trade; and
+            # near-but-unequal pairs may lose a coin flip to the
+            # content-defined bits at a tiny cap
+            outside_exact = {
+                k for k in exp
+                if k[0] not in flood_ids and k[1] not in flood_ids
+                and by_id[k[0]] == by_id[k[1]]
+                and keyof(by_id[k[0]]) != flood_key
+            }
+            ok = (
+                ok
+                and got_cap <= set(exp)
+                and not (got_cap & in_flood)
+                and outside_exact <= got_cap
+            )
+        if not ok:
+            bad += 1
+            print(
+                f"  embedding-guard trial {trial}: n={n} dim={dim} "
+                f"planes={n_planes} thr={thr} flood={bool(flood_ids)}\n"
+                f"    exp {sorted(exp)}\n    off {sorted(got_off)}",
+                flush=True,
+            )
+    return bad
+
+
 def main() -> int:
     scale = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     spark = get_spark(
@@ -737,6 +862,7 @@ def main() -> int:
         ("text_gates", stress_text_gates, int(20 * scale)),
         ("paragraph_dedup", stress_paragraphs, int(15 * scale)),
         ("hamming_pairs", stress_hamming, int(15 * scale)),
+        ("embedding_guard", stress_embedding_guard, int(10 * scale)),
     ]:
         b = fn(spark, rnd, max(1, trials))
         print(f"{name}: {b} mismatches in {max(1, trials)} trials", flush=True)

@@ -587,6 +587,25 @@ def test_semantic_dedup_max_cluster_subsplit_and_flood_raise(spark):
     with pytest.raises(Exception, match="exact-duplicate embedding flood"):
         semantic_dedup(flood, threshold=0.3, max_cluster=8).collect()
 
+    # NULL cluster keys survive the guard's size join (null-safe): the
+    # guarded run keeps every row, matching the unguarded one
+    withnull = spark.createDataFrame(
+        [
+            Row(vec_id=i, label=(1 if i % 2 else None), embedding=v)
+            for i, v in _diverse_vectors(10)
+        ],
+        "vec_id long, label long, embedding array<double>",
+    )
+    gu = {
+        (r["vec_id"], r["kept"])
+        for r in semantic_dedup(withnull, threshold=0.3, max_cluster=None).collect()
+    }
+    gg = {
+        (r["vec_id"], r["kept"])
+        for r in semantic_dedup(withnull, threshold=0.3, max_cluster=8).collect()
+    }
+    assert gg == gu and len(gg) == 10
+
 
 # --------------------------------------------------------------------------
 # FFT-approximate range aggregates (A13)
@@ -6051,6 +6070,41 @@ def _phash_fixture(spark):
         rows, "doc_id long, frame_idx long, frame binary"
     )
     return df, base
+
+
+def test_phash_dct_is_the_unnormalized_dct2():
+    """The kernel's DCT matrix must be the UNNORMALIZED DCT-II (what
+    scipy.fftpack.dct computes by default and ImageHash applies) —
+    pinned against an INDEPENDENT derivation via the even-extension FFT
+    trick, not against the same cosine formula. An orthonormal variant
+    (the pre-r14 bug) scales row 0 differently and fails this at the
+    first row."""
+    import numpy as np
+
+    n = 32
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0, 255, size=n)
+
+    # kernel's matrix (same construction as _phash_rows)
+    k = np.arange(n)
+    M = 2.0 * np.cos(np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2 * n))
+    got = M @ x
+
+    # independent path: DCT-II via FFT of the interleaved even extension
+    # y[i] = x[2i], y[N-1-i] = x[2i+1]; DCT2[k] = 2*Re(e^{-i pi k/2N} FFT(y)[k])
+    y = np.empty(n)
+    y[: (n + 1) // 2] = x[::2]
+    y[(n + 1) // 2:] = x[1::2][::-1]
+    Y = np.fft.fft(y)
+    exp = 2.0 * np.real(np.exp(-1j * np.pi * np.arange(n) / (2 * n)) * Y)
+    assert np.allclose(got, exp, atol=1e-8)
+
+    # and the orthonormal variant really is DIFFERENT (bug regression)
+    Mo = np.sqrt(2.0 / n) * np.cos(
+        np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2 * n)
+    )
+    Mo[0] /= np.sqrt(2.0)
+    assert not np.allclose(Mo @ x, exp)
 
 
 def test_phash64_known_relations_and_kernel_equality(spark):

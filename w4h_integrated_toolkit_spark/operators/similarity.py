@@ -299,9 +299,30 @@ def _subsplit_oversized(
     Cost when nothing is over the cap: one tiny partial-aggregated
     count shuffle (group-key cardinality rows, vectors never move) and
     a broadcast join back; the sign bits are inside a codegen If, so
-    under-cap rows never pay the O(d·bits) fold."""
+    under-cap rows never pay the O(d·bits) fold.
+
+    The size join is NULL-SAFE on the group keys: groupBy keeps a NULL
+    cluster key as its own group, so an equi-join here would silently
+    DROP every NULL-keyed row from a row-preserving caller."""
+    import functools
+    import operator
+
+    reserved = {"_n", "_sub"} | {f"__w4h_sz_{k}" for k in key_cols}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input carries reserved sub-split column(s) {sorted(clash)}; "
+            "rename them before the capped kernel"
+        )
     sizes = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
-    out = df.join(F.broadcast(sizes), list(key_cols))
+    renamed = {k: f"__w4h_sz_{k}" for k in key_cols}
+    for k, rk in renamed.items():
+        sizes = sizes.withColumnRenamed(k, rk)
+    cond = functools.reduce(
+        operator.and_,
+        [df[k].eqNullSafe(sizes[rk]) for k, rk in renamed.items()],
+    )
+    out = df.join(F.broadcast(sizes), cond).drop(*renamed.values())
     nbits = F.least(
         F.ceil(
             F.log2(F.col("_n").cast("double") / F.lit(float(cap)))
@@ -353,7 +374,10 @@ def neardup_pairs(
     is skipped by the kernel, mirroring
     :func:`~.dedup.hamming_neardup_pairs`: pairing a million identical
     vectors is O(b²) work that tells you nothing ``exact_dedup`` on a
-    vector hash wouldn't. ``max_bucket=None`` disables the guard.
+    vector hash wouldn't. A rare bystander pair sharing ALL the flood's
+    sub-split bits is skipped with it (stress-pinned trade); pairs in
+    any other sub-bucket are untouched. ``max_bucket=None`` disables
+    the guard.
     """
     import numpy as np
 
