@@ -229,13 +229,17 @@ def main() -> None:
         [("https://ex.org/café/menu",), ("https://ex.org/plain",)],
         "canonical_url string",
     )
-    migrated = rekey_canonical_urls(legacy, stored_version=2)
+    # carry the old key in a sibling column so old/new ride ONE row —
+    # never zip two collects (row order across separate collects is not
+    # a Spark guarantee on real multi-partition tables)
+    migrated = rekey_canonical_urls(
+        legacy.withColumn("v2_key", F.col("canonical_url")),
+        stored_version=2,
+    )
     print(f"7. v2 -> v{CANONICALIZER_VERSION} frontier rekey:")
-    for old, new in zip(
-        legacy.collect(), migrated.collect()
-    ):
-        mark = "rewritten" if old[0] != new[0] else "unchanged"
-        print(f"   {old[0]} -> {new[0]} ({mark})")
+    for r in migrated.collect():
+        mark = "rewritten" if r["v2_key"] != r["canonical_url"] else "unchanged"
+        print(f"   {r['v2_key']} -> {r['canonical_url']} ({mark})")
     spark.stop()
 
 

@@ -52,13 +52,15 @@ GALLERY = [
      "conditional-min step windows share ONE hashpartitioning(user_id) "
      "exchange — funnel depth never multiplies shuffles; the summary is "
      "a 1-row distinct-count aggregate."),
-    ("semantic_dedup", "SemDeDup: one shuffle on the (cluster, _sub) key "
-     "feeds a grouped Arrow kernel (FlatMapGroupsInPandas) — vectors "
-     "cross Arrow once, BLAS does the O(b²·d) Gram work, no pair join. "
-     "The max_cluster guard adds one tiny partial-aggregated COUNT "
-     "exchange broadcast back onto the stream (BroadcastHashJoin) — "
-     "giant clusters sub-split by content-defined sign bits instead of "
-     "funnelling an O(b²) kernel into one task."),
+    ("semantic_dedup", "SemDeDup (gate form, max_cluster=None — the "
+     "oracle models whole-cluster semantics): one shuffle on the "
+     "cluster key feeds a grouped Arrow kernel (FlatMapGroupsInPandas) "
+     "— vectors cross Arrow once, BLAS does the O(b²·d) Gram work, no "
+     "pair join. The capped production default adds one tiny "
+     "partial-aggregated COUNT exchange broadcast back onto the stream "
+     "— giant clusters sub-split by content-defined sign bits instead "
+     "of funnelling an O(b²) kernel into one task (plan pinned in "
+     "test_semantic_dedup_guarded_plan_broadcast_count)."),
     ("rfm_segments", "Quantile scoring WITHOUT ntile: a 1-row exact "
      "percentile aggregate broadcasts as value cuts "
      "(BroadcastNestedLoopJoin of a scalar relation), scoring stays "

@@ -683,13 +683,37 @@ def test_rfm_segments_no_ntile_window_on_customers(spark):
 
 
 def test_semantic_dedup_one_cluster_exchange_arrow_kernel(spark):
-    """SemDeDup plan: one shuffle on the (cluster, _sub) key feeding a
-    grouped Arrow kernel (FlatMapGroupsInPandas) — vectors cross Arrow
-    exactly once; no pair join materializes O(b^2) vector copies. The
-    max_cluster guard (r14) adds exactly one more exchange — the
-    partial-aggregated per-cluster COUNT (key-cardinality rows, vectors
-    never move) — broadcast back onto the stream, never sort-merge."""
+    """SemDeDup GATE plan (max_cluster=None — the oracle models the
+    paper's whole-cluster semantics): ONE shuffle on the cluster key
+    feeding a grouped Arrow kernel (FlatMapGroupsInPandas) — vectors
+    cross Arrow exactly once; no pair join materializes O(b^2) vector
+    copies. The guarded production plan (capped default) instead
+    carries a tiny COUNT exchange + BroadcastHashJoin — pinned below in
+    test_semantic_dedup_guarded_plan_broadcast_count."""
     plan = plan_of(spark, "semantic_dedup")
+    assert "FlatMapGroupsInPandas" in plan
+    assert n_shuffles(plan) == 1, plan[:800]
+    assert "Join" not in plan
+
+
+def test_semantic_dedup_guarded_plan_broadcast_count(spark):
+    """The capped DEFAULT's plan: the max_cluster guard adds exactly one
+    more exchange — the partial-aggregated per-cluster COUNT
+    (key-cardinality rows, vectors never move) — broadcast back onto
+    the stream via the null-safe equi-join, never sort-merge."""
+    from tests.conftest import SF_DIR
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    plan = semantic_dedup(emb, threshold=0.3)._jdf.queryExecution(
+    ).explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
     assert "FlatMapGroupsInPandas" in plan
     assert n_shuffles(plan) == 2, plan[:800]
     assert "BroadcastHashJoin" in plan

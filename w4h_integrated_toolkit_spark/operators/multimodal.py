@@ -51,6 +51,7 @@ __all__ = [
     "byte_histogram_features",
     "decode_frames",
     "resize_frames",
+    "PHASH_VERSION",
     "phash64_frames",
     "AUDIO_META_TYPE",
     "attach_audio_payload",
@@ -778,6 +779,25 @@ def video_frame_stats(
     )
 
 
+# Version of the hash FORMAT :func:`phash64_frames` emits. Perceptual
+# hashes are long-lived state — image dedup tables, stored frontier
+# fingerprints, cross-run join keys — so any change to the emitted bits
+# is a KEY-FORMAT BREAK exactly like the canonical-URL one
+# (``web.CANONICALIZER_VERSION``): hashes persisted under an older
+# version silently stop matching newly computed ones AT SMALL HAMMING
+# DISTANCES (a few flipped bits push true duplicates past max_distance
+# — worse than an exact-key break because nothing errors). Persist this
+# number alongside stored hashes and REBUILD from the source images on
+# mismatch; unlike URL keys there is no in-place rekey (the old bits do
+# not determine the new ones). History:
+#   1 — orthonormal 2-D DCT-II (row/col 0 scaled by an extra 1/sqrt(2));
+#       self-consistent but ~0.3 bits/image off the published transform.
+#   2 — unnormalized DCT-II (scipy.fftpack.dct's default, the transform
+#       the ImageHash library applies), so bits match the published
+#       pHash given the same grayscale-resized pixels.
+PHASH_VERSION = 2
+
+
 def _phash_rows(
     pdf: pd.DataFrame, id_col: str, image_mod, hash_size: int, hf: int
 ) -> pd.DataFrame:
@@ -844,6 +864,11 @@ def phash64_frames(
 
     ``hash_size`` must be ≤ 8 (hash_size² bits must fit the long);
     the (8, 4) default is the published pHash configuration.
+
+    The emitted bits are a PERSISTED KEY FORMAT, currently
+    :data:`PHASH_VERSION` — stamp that version next to any stored
+    hashes and rebuild from the source images on mismatch (the v1 → v2
+    DCT break is documented at the constant).
 
     Determinism: decode, luma and nearest-neighbor resize are integer
     math; the DCT runs in float64 with a fixed contraction order, so

@@ -369,15 +369,21 @@ def neardup_pairs(
     sub-split with content-defined sign-LSH bits
     (:func:`_subsplit_oversized` — near-identical pairs stay together
     w.h.p., so near-dup recall in a diverse mega-bucket barely moves),
-    and any sub-bucket STILL over 2× the cap — in practice an
-    exact-duplicate flood, which no content-defined split can separate —
-    is skipped by the kernel, mirroring
-    :func:`~.dedup.hamming_neardup_pairs`: pairing a million identical
-    vectors is O(b²) work that tells you nothing ``exact_dedup`` on a
-    vector hash wouldn't. A rare bystander pair sharing ALL the flood's
-    sub-split bits is skipped with it (stress-pinned trade); pairs in
-    any other sub-bucket are untouched. ``max_bucket=None`` disables
-    the guard.
+    and any sub-bucket STILL over 2× the cap is SKIPPED by the kernel,
+    mirroring :func:`~.dedup.hamming_neardup_pairs`. That skip is
+    usually an exact-duplicate flood (unsplittable by any
+    content-defined function — pairing a million identical vectors is
+    O(b²) work that tells you nothing ``exact_dedup`` on a vector hash
+    wouldn't), but it CAN also hit a heavily-correlated diverse tail
+    whose sign bits refuse to spread (the +3 slack bits make that a
+    tail event, not an impossibility) and the rare bystander pair
+    sharing ALL the flood's sub-split bits (stress-pinned trade). The
+    drop is silent — the pair-set output has no row to hang a flag on —
+    so when recall is contractual either raise ``max_bucket``/
+    ``n_planes`` until no skip can trigger, or pass
+    ``max_bucket=None`` to disable the guard (the oracle-gated
+    registry queries do exactly that: the parity law needs the uncapped
+    semantics).
     """
     import numpy as np
 

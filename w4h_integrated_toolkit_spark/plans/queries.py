@@ -1497,7 +1497,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join; the oracle replicates bucketing with the same inlined
     plane literals."""
     return SIM.neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, dim=64, n_planes=2
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, dim=64, n_planes=2,
+        # the oracle models UNCAPPED bucketing; pin the guard off so the
+        # parity law stays exact at ANY scale factor (r14 review #2 — at
+        # >4096-row buckets the capped default would sub-split and drop
+        # pairs the SQL keeps)
+        max_bucket=None,
     ).select("id_a", "id_b", _r(F.col("cos"), 5).alias("cos"))
 
 
@@ -3872,7 +3877,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines run ≥0.9 on k-means cells). One cluster-key shuffle, BLAS
     Gram kernel per cluster — see operators.similarity.semantic_dedup."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = SIM.semantic_dedup(emb, threshold=0.3)
+    # max_cluster=None: the oracle models the paper's whole-cluster
+    # semantics; the capped default would sub-split a >4096-row cluster
+    # and change keep/drop decisions the SQL cannot see (r14 review #2)
+    out = SIM.semantic_dedup(emb, threshold=0.3, max_cluster=None)
     return out.select("vec_id", "label", _r(F.col("cc"), 6).alias("cc"), "kept")
 
 
@@ -9524,7 +9532,12 @@ def q_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ^ shiftleft(1L, CAST((doc_id div 3) % 60 AS INT))"
     )
     hashes = docs.select("doc_id", ph.alias("phash"))
-    return D.hamming_neardup_pairs(hashes, max_distance=4).select(
+    # hash_bits=60: the synthesized hash occupies bits 0-59 (15 hex
+    # digits), so declaring 64 would leave the top band with only 8
+    # effective bits — its buckets then exceed max_bucket at large
+    # corpora and banding would silently lose the pairs that agree only
+    # there (r14 review #4). At 60 every band carries 12 real bits.
+    return D.hamming_neardup_pairs(hashes, max_distance=4, hash_bits=60).select(
         "id_a", "id_b", F.col("distance").cast("int").alias("distance")
     )
 
