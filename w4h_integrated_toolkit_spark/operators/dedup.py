@@ -1557,7 +1557,7 @@ def hamming_neardup_pairs(
     df: DataFrame,
     max_distance: int = 10,
     hash_bits: int = 64,
-    max_bucket: int = 256,
+    max_bucket: int | None = 256,
     id_col: str = "doc_id",
     hash_col: str = "phash",
 ) -> DataFrame:
@@ -1589,7 +1589,9 @@ def hamming_neardup_pairs(
     identical blank images all share every band — pairing them all is
     quadratic and tells you nothing dedup-wise that ``exact_dedup`` on
     the hash itself wouldn't; a dropped bucket means "dedupe these by
-    exact hash instead"). Verification joins hashes back by id — an
+    exact hash instead"; ``None`` disables the cap — oracle-gated
+    callers pin it off because the parity law needs uncapped
+    semantics). Verification joins hashes back by id — an
     id-sized relation, AQE-broadcast when it fits. Only (id, 8-byte
     hash) rows ever move; the underlying media/text never shuffles.
     """
@@ -1642,7 +1644,14 @@ def hamming_neardup_pairs(
         # self-pairs (ADVICE r14 #4). max_bucket counts DISTINCT ids.
         .agg(F.sort_array(F.collect_set("_id")).alias("_docs"))
         .filter(
-            (F.size("_docs") >= 2) & (F.size("_docs") <= max_bucket)
+            (F.size("_docs") >= 2)
+            # max_bucket=None disables the flood guard (oracle-gated
+            # callers need uncapped semantics for the parity law)
+            & (
+                F.lit(True)
+                if max_bucket is None
+                else F.size("_docs") <= max_bucket
+            )
         )
     )
     cand = (

@@ -1498,10 +1498,15 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plane literals."""
     return SIM.neardup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.35, dim=64, n_planes=2,
-        # the oracle models UNCAPPED bucketing; pin the guard off so the
-        # parity law stays exact at ANY scale factor (r14 review #2 — at
-        # >4096-row buckets the capped default would sub-split and drop
-        # pairs the SQL keeps)
+        # the oracle models UNCAPPED bucketing; pin the guard off so
+        # the parity law stays exact (r14 review #2 — at >4096-row
+        # buckets the capped default would sub-split and drop pairs
+        # the SQL keeps). Uncapped + n_planes=2 means one kernel group
+        # holds ~n/4 vectors, so this GATE's domain is driver scale
+        # factors (≤ sf0.1, 2k vectors) by construction — its oracle
+        # replicates the same per-bucket quadratic in SQL and stops
+        # being runnable at the same point. Production callers keep
+        # the capped default and more planes.
         max_bucket=None,
     ).select("id_a", "id_b", _r(F.col("cos"), 5).alias("cos"))
 
@@ -9537,7 +9542,13 @@ def q_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # effective bits — its buckets then exceed max_bucket at large
     # corpora and banding would silently lose the pairs that agree only
     # there (r14 review #4). At 60 every band carries 12 real bits.
-    return D.hamming_neardup_pairs(hashes, max_distance=4, hash_bits=60).select(
+    # max_bucket=None: gate queries pin guards OFF — the parity law
+    # needs uncapped semantics (r14 review pass 2). The gate's domain
+    # is driver scale factors by construction: its ORACLE is an
+    # all-pairs O(n²) join, infeasible long before any bucket floods.
+    return D.hamming_neardup_pairs(
+        hashes, max_distance=4, hash_bits=60, max_bucket=None
+    ).select(
         "id_a", "id_b", F.col("distance").cast("int").alias("distance")
     )
 
