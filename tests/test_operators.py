@@ -6045,6 +6045,182 @@ def test_classifier_fail_loud_guards(spark):
 
 
 # --------------------------------------------------------------------------
+# DSIR — fit_dsir_logratios / dsir_resample (Xie et al. 2023)
+# --------------------------------------------------------------------------
+
+def _py_bucket(tok, B):
+    import hashlib
+
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 2147483647 % B
+
+
+def _dsir_corpora(spark):
+    target = spark.createDataFrame(
+        [(i, "physics theorem proof lemma") for i in range(4)]
+        + [(4, "theorem proof")],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(100 + i, "casino jackpot spins bonus") for i in range(6)]
+        + [(200 + i, "physics theorem discussion") for i in range(2)]
+        + [(300, "proof lemma casino")],
+        "doc_id long, text string",
+    )
+    return target, raw
+
+
+def test_fit_dsir_logratios_matches_python_model(spark):
+    """The DSIR fit law vs a literal Python re-derivation: per-bucket
+    smoothed log count-ratios between the target and raw unigram
+    models, exactly n_buckets rows, and hashed_linear_score with
+    normalize=False reproduces the per-doc log importance weight."""
+    import math
+
+    from w4h_integrated_toolkit_spark.operators.text import (
+        dsir_resample,
+        fit_dsir_logratios,
+        hashed_linear_score,
+    )
+
+    target, raw = _dsir_corpora(spark)
+    B, a = 32, 1.0
+    w = fit_dsir_logratios(target, raw, n_buckets=B, alpha=a)
+    rows = w.collect()
+    assert len(rows) == B  # no bias bucket
+    got = {r["bucket"]: r["weight"] for r in rows}
+
+    def counts(df):
+        out = {}
+        for r in df.collect():
+            for t in r["text"].strip().lower().split():
+                b = _py_bucket(t, B)
+                out[b] = out.get(b, 0) + 1
+        return out
+
+    ct, cr = counts(target), counts(raw)
+    Tt, Tr = sum(ct.values()), sum(cr.values())
+    for b in range(B):
+        exp = math.log((ct.get(b, 0) + a) / (Tt + a * B)) - math.log(
+            (cr.get(b, 0) + a) / (Tr + a * B)
+        )
+        assert got[b] == pytest.approx(exp, rel=1e-12), b
+
+    # per-doc log importance == sum_b cnt_b * w_b (bias 0: no -1 bucket)
+    pool = raw  # score the raw pool, the DSIR setting
+    scored = {
+        r["doc_id"]: r["z"]
+        for r in hashed_linear_score(
+            pool, w, n_buckets=B, normalize=False
+        ).collect()
+    }
+    for r in pool.collect():
+        toks = r["text"].strip().lower().split()
+        exp_z = sum(got[_py_bucket(t, B)] for t in toks)
+        assert scored[r["doc_id"]] == pytest.approx(exp_z, rel=1e-12)
+
+    # target-like raw docs carry HIGHER importance than off-target ones
+    assert min(scored[200], scored[201]) > max(
+        scored[100 + i] for i in range(6)
+    )
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        fit_dsir_logratios(target, raw, n_buckets=0)
+    with pytest.raises(ValueError, match="alpha"):
+        fit_dsir_logratios(target, raw, alpha=0.0)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(Exception, match="empty corpus"):
+        fit_dsir_logratios(empty, raw, n_buckets=B)
+    with pytest.raises(ValueError, match="k must be"):
+        dsir_resample(raw, w, k=0, n_buckets=B)
+    with pytest.raises(ValueError, match="temperature"):
+        dsir_resample(raw, w, k=1, n_buckets=B, temperature=0.0)
+
+
+def test_dsir_resample_gumbel_topk_matches_python_model(spark):
+    """The Gumbel top-k selection is DETERMINISTIC and reproduces the
+    literal Python computation key-for-key: u from the portable MD5
+    hash of (seed, id), key = logw/T - ln(-ln(u)), top-k by key with id
+    tie-break — same selection at any partition count."""
+    import hashlib
+    import math
+
+    from w4h_integrated_toolkit_spark.operators.text import (
+        dsir_resample,
+        fit_dsir_logratios,
+    )
+
+    target, raw = _dsir_corpora(spark)
+    B, T, seed, k = 32, 1.5, 7, 4
+    w = fit_dsir_logratios(target, raw, n_buckets=B)
+    got = dsir_resample(
+        raw, w, k=k, n_buckets=B, temperature=T, seed=seed
+    ).collect()
+    assert len(got) == k
+
+    weights = {r["bucket"]: r["weight"] for r in w.collect()}
+
+    def key_of(doc_id, text):
+        z = sum(
+            weights[_py_bucket(t, B)] for t in text.strip().lower().split()
+        )
+        h = (
+            int(
+                hashlib.md5(f"dsir{seed}|{doc_id}".encode()).hexdigest()[:8],
+                16,
+            )
+            % 2147483647
+        )
+        u = (h + 1) / 2147483648.0
+        return z / T - math.log(-math.log(u)), z
+
+    exp = sorted(
+        (
+            (-key_of(r["doc_id"], r["text"])[0], r["doc_id"])
+            for r in raw.collect()
+        )
+    )[:k]
+    exp_ids = [d for _, d in exp]
+    assert [r["doc_id"] for r in got] == exp_ids
+    for r in got:
+        ek, ez = key_of(r["doc_id"], None or _raw_text(raw, r["doc_id"]))
+        assert r["key"] == pytest.approx(ek, rel=1e-12)
+        assert r["logw"] == pytest.approx(ez, rel=1e-12)
+
+    # repartition invariance: same selection under a different layout
+    got7 = dsir_resample(
+        raw.repartition(7), w, k=k, n_buckets=B, temperature=T, seed=seed
+    ).collect()
+    assert [r["doc_id"] for r in got7] == exp_ids
+
+
+def _raw_text(df, doc_id):
+    return {r["doc_id"]: r["text"] for r in df.collect()}[doc_id]
+
+
+def test_dsir_resample_plan_no_global_sort(spark):
+    """Selection compiles to TakeOrderedAndProject (per-partition k-heaps)
+    — never a global Sort + single-partition Exchange; scoring keeps the
+    broadcast model join."""
+    from w4h_integrated_toolkit_spark.operators.text import (
+        dsir_resample,
+        fit_dsir_logratios,
+    )
+
+    target, raw = _dsir_corpora(spark)
+    w = fit_dsir_logratios(target, raw, n_buckets=16)
+    plan = dsir_resample(raw, w, k=3, n_buckets=16)._jdf.queryExecution(
+    ).explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+# --------------------------------------------------------------------------
 # phash64_frames / hamming_neardup_pairs — perceptual image dedup
 # --------------------------------------------------------------------------
 

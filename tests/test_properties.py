@@ -2037,3 +2037,102 @@ def test_c4_clean_lines_matches_python_model(spark, docs):
         want = _c4_py_model(t)
         for k, v in want.items():
             assert got[i][k] == v, (i, t, k, got[i][k], v)
+
+
+# ---- DSIR fit + resample vs a literal Python model ------------------------
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab \t\n", min_size=1, max_size=24),
+        min_size=1,
+        max_size=5,
+    ),
+    st.lists(
+        st.text(alphabet="abc \t\n", min_size=1, max_size=24),
+        min_size=2,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_dsir_matches_python_model(spark, tgt_texts, raw_texts, k):
+    """fit_dsir_logratios + dsir_resample vs the literal sequential
+    model over random messy corpora (tab/newline whitespace, tiny
+    alphabets so bucket collisions are common): per-bucket weights,
+    per-doc log importance, Gumbel keys and the top-k selection must
+    all reproduce exactly. Empty-token-only docs score no row and are
+    never selected."""
+    import hashlib
+    import math
+
+    from w4h_integrated_toolkit_spark.operators.text import (
+        dsir_resample,
+        fit_dsir_logratios,
+    )
+
+    B, a, T, seed = 16, 1.0, 2.0, 11
+
+    def toks(t):
+        return t.strip().lower().split()
+
+    if not any(toks(t) for t in tgt_texts) or not any(
+        toks(t) for t in raw_texts
+    ):
+        return  # empty corpus raises by design, covered by the unit test
+
+    target = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(tgt_texts)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=t) for i, t in enumerate(raw_texts)],
+        "doc_id long, text string",
+    )
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 2147483647 % B
+
+    def counts(texts):
+        out = {}
+        for t in texts:
+            for tok in toks(t):
+                out[bucket(tok)] = out.get(bucket(tok), 0) + 1
+        return out
+
+    ct, cr = counts(tgt_texts), counts(raw_texts)
+    Tt, Tr = sum(ct.values()), sum(cr.values())
+    exp_w = {
+        b: math.log((ct.get(b, 0) + a) / (Tt + a * B))
+        - math.log((cr.get(b, 0) + a) / (Tr + a * B))
+        for b in range(B)
+    }
+
+    w = fit_dsir_logratios(target, raw, n_buckets=B, alpha=a)
+    got_w = {r["bucket"]: r["weight"] for r in w.collect()}
+    assert set(got_w) == set(range(B))
+    for b in range(B):
+        assert abs(got_w[b] - exp_w[b]) < 1e-12, b
+
+    def key_of(doc_id, text):
+        z = sum(exp_w[bucket(tok)] for tok in toks(text))
+        h = (
+            int(hashlib.md5(f"dsir{seed}|{doc_id}".encode()).hexdigest()[:8], 16)
+            % 2147483647
+        )
+        u = (h + 1) / 2147483648.0
+        return z / T - math.log(-math.log(u))
+
+    scored = [
+        (100 + i, t) for i, t in enumerate(raw_texts) if toks(t)
+    ]
+    exp_sel = [
+        d
+        for _, d in sorted(
+            ((-key_of(d, t), d) for d, t in scored)
+        )[:k]
+    ]
+    got = dsir_resample(
+        raw, w, k=k, n_buckets=B, temperature=T, seed=seed
+    ).collect()
+    assert [r["doc_id"] for r in got] == exp_sel[: len(got)]
+    assert len(got) == min(k, len(scored))

@@ -29,6 +29,8 @@ __all__ = [
     "c4_clean_lines",
     "fit_hashed_logodds",
     "hashed_linear_score",
+    "fit_dsir_logratios",
+    "dsir_resample",
 ]
 
 _WORD_RE = r"\s+"
@@ -623,12 +625,23 @@ def feature_hashing(
     Plan: tokenize/explode/hash are one codegen'd map stage; the ONLY
     exchange is the (doc, bucket) hash aggregate, with map-side partial
     aggregation absorbing repeated tokens. Scales with corpus bytes.
+
+    Tokenization matches Python ``strip().split()``: empty tokens are
+    FILTERED after the ``\\s+`` split (F.trim strips only ASCII spaces,
+    so a doc ending in a newline/tab once emitted a phantom ''-token
+    that contaminated one bucket per doc — caught by the DSIR
+    hypothesis sweep, the same bug class as _ws_trim/_ws_tokens).
     """
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     toks = df.filter(F.trim(F.col(text)) != "").select(
         id_col,
-        F.explode(F.split(F.lower(F.trim(F.col(text))), _WORD_RE)).alias("_tok"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text)), _WORD_RE),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("_tok"),
     )
     bucket = (portable_hash31(F.col("_tok")) % F.lit(n_buckets)).cast("long")
     return (
@@ -803,4 +816,135 @@ def hashed_linear_score(
         "n_tokens",
         z,
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))).alias("p"),
+    )
+
+
+def fit_dsir_logratios(
+    target: DataFrame,
+    raw: DataFrame,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-bucket log importance ratios for DSIR — Data Selection via
+    Importance Resampling (Xie et al. 2023): given a small TARGET
+    corpus (the distribution you want more of) and a sample of the RAW
+    pool, fit
+
+        w_b = ln((ct_target_b + a) / (CT_target + a·B))
+            - ln((ct_raw_b + a) / (CT_raw + a·B))
+
+    over the :func:`feature_hashing` buckets with Laplace smoothing
+    ``alpha`` — the hashed bag-of-words arm of the published method
+    (the paper also uses bigrams; the bucket table shape is identical).
+    A document's log importance weight under the two unigram models is
+    then exactly ``sum_b cnt_b · w_b`` — score with
+    :func:`hashed_linear_score(..., normalize=False)` (DSIR emits no
+    bias bucket, so the scorer's bias is 0) and resample with
+    :func:`dsir_resample`.
+
+    Returns (bucket, weight), exactly ``n_buckets`` rows — publish via
+    ``sources.models.save_model`` with an ``{"kind": "dsir",
+    "n_buckets": ..., "alpha": ...}`` stamp, the
+    :func:`fit_hashed_logodds` discipline.
+
+    Scale shape: one (doc, bucket)→bucket aggregate per corpus (the
+    target is small by nature; the raw side is a SAMPLE of the pool —
+    the paper fits on a fraction and scores everything), two O(1)
+    scalar collects, O(B) output. Deterministic: portable MD5 hashing +
+    count ratios — reproducible anywhere, DuckDB-oracle-expressible.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    spark = target.sparkSession
+
+    def _bucket_totals(df: DataFrame, out: str) -> DataFrame:
+        return (
+            feature_hashing(df, n_buckets, text, id_col)
+            .groupBy("bucket")
+            .agg(F.sum("cnt").alias(out))
+        )
+
+    ct_t = _bucket_totals(target, "_ct")
+    ct_r = _bucket_totals(raw, "_cr")
+    tot_t = ct_t.agg(F.coalesce(F.sum("_ct"), F.lit(0))).collect()[0][0]
+    tot_r = ct_r.agg(F.coalesce(F.sum("_cr"), F.lit(0))).collect()[0][0]
+    if tot_t == 0 or tot_r == 0:
+        raise ValueError(
+            f"empty corpus (target tokens={tot_t}, raw tokens={tot_r}) — "
+            "importance ratios over an empty distribution are meaningless"
+        )
+    denom_t = float(tot_t) + alpha * n_buckets
+    denom_r = float(tot_r) + alpha * n_buckets
+    all_buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    return (
+        all_buckets.join(ct_t, "bucket", "left")
+        .join(ct_r, "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("_ct"), F.lit(0)) + alpha) / denom_t)
+                - F.log((F.coalesce(F.col("_cr"), F.lit(0)) + alpha) / denom_r)
+            ).alias("weight"),
+        )
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    weights: DataFrame,
+    k: int,
+    n_buckets: int = 1024,
+    temperature: float = 1.0,
+    seed: int = 42,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR's selection step: sample ``k`` documents WITHOUT replacement
+    with probability ∝ exp(logw / temperature) via the Gumbel top-k
+    trick — key_i = logw_i/T − ln(−ln(u_i)) with u_i uniform, and the k
+    largest keys are exactly a without-replacement sample from the
+    softmax (Vieira 2014; the standard distributed form of importance
+    resampling, no sequential draws). ``u_i`` comes from the portable
+    MD5 hash of (seed, id), so selection is DETERMINISTIC and
+    engine-reproducible — the same corpus, model, seed and k select the
+    same documents on any engine or partition count.
+
+    Emits (id, n_tokens, logw, key) for the k selected documents.
+    ``temperature`` → ∞ approaches uniform sampling; → 0 approaches
+    deterministic top-k by logw.
+
+    Scale shape: scoring is :func:`hashed_linear_score`'s one feature
+    aggregate + O(n_buckets) broadcast join; the selection is
+    ``orderBy(key).limit(k)`` which Spark executes as
+    TakeOrderedAndProject — per-partition heaps of size k, NO global
+    sort exchange (plan-pinned). Zero-token documents score no row
+    (they carry no feature mass) and are never selected.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    scored = hashed_linear_score(
+        df, weights, n_buckets, normalize=False, text=text, id_col=id_col
+    )
+    u = (
+        portable_hash31(
+            F.concat(F.lit(f"dsir{seed}|"), F.col(id_col).cast("string"))
+        )
+        + F.lit(1)
+    ).cast("double") / F.lit(2147483648.0)
+    key = F.col("z") / F.lit(float(temperature)) - F.log(-F.log(u))
+    return (
+        scored.select(
+            id_col,
+            "n_tokens",
+            F.col("z").alias("logw"),
+            key.alias("key"),
+        )
+        .orderBy(F.col("key").desc(), F.col(id_col).asc())
+        .limit(k)
     )

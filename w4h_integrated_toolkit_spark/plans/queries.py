@@ -6205,7 +6205,8 @@ def q_feature_hash_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_FEATURE_HASH = rf"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS t
   FROM documents WHERE trim(text) <> ''),
 b AS (SELECT doc_id,
              {_MD5H31_IN_SQL.format(s="t")} % 256 AS bucket
@@ -9231,6 +9232,20 @@ assert set(_R13_WINDOW) <= set(QUERIES), set(_R13_WINDOW) - set(QUERIES)
 # 7.9 s cold / 1.6 s warm, 67 rows at sf0.01 on 4 cpus) stay
 # library-level until r16. Recompute the r11-stale list from the JSONs
 # at r15 start — do not trust a hand-written list.
+#
+# R16 GATE-ENTRY CANDIDATE (built late-r14, library-level): DSIR —
+# text.fit_dsir_logratios + dsir_resample (Xie et al. 2023 importance
+# resampling over hashed unigram models; Gumbel top-k selection keyed
+# by the portable MD5 uniform, so selection is engine-reproducible).
+# Oracle shape: the _SQL_HASHED_CLF CTE-chain pattern — two bucket-count
+# CTEs (target/raw), log-ratio weights, per-doc dot, then the Gumbel key
+# via the md5-uniform and ORDER BY key DESC LIMIT k with id tie-break.
+# Pinned by 3 unit tests (fit law 1e-12 vs the literal model, Gumbel
+# top-k exactness + partition invariance, TakeOrderedAndProject plan
+# pin) and a hypothesis sweep vs the sequential model — whose FIRST RUN
+# caught the feature_hashing phantom-''-token bug (trailing
+# newline/tab docs; fixed with the empty-token filter, both oracles
+# updated in the same commit).
 _R14_WINDOW = [
     # --- 49 r10-stale rows, true CORRECTNESS_r10 key order ---
     "pack_sequences",
@@ -9479,7 +9494,8 @@ _SQL_HASHED_CLF = rf"""
 WITH lab AS (
   SELECT doc_id, (doc_id % 3 = 0) AS y FROM documents WHERE doc_id < 250),
 stoks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    x -> x <> '')) AS t
   FROM documents WHERE doc_id < 250 AND trim(text) <> ''),
 sc AS (
   SELECT doc_id, {_MD5H31_IN_SQL.format(s="t")} % 64 AS bucket, count(*) AS cnt
@@ -9502,7 +9518,8 @@ bias AS (
   SELECT CAST(round(ln((np + 1.0) / (nn + 1.0)) * 1e9) AS BIGINT) / 1e9 AS b
   FROM nd),
 atoks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    x -> x <> '')) AS t
   FROM documents WHERE trim(text) <> ''),
 ac AS (
   SELECT doc_id, {_MD5H31_IN_SQL.format(s="t")} % 64 AS bucket, count(*) AS cnt
