@@ -184,6 +184,62 @@ def main() -> None:
         f"loudest window per doc -> {loudest.count()} rows"
     )
 
+    # 2b. perceptual AUDIO dedup — Haitsma-Kalker fingerprints over a
+    # corpus where every doc also has a half-gain copy (the re-mastered/
+    # re-encoded duplicate byte-level dedup can never see). Gain changes
+    # cancel exactly in the energy-difference signs, so copies pair at
+    # Hamming distance 0; the multi-frame ids ride the same
+    # hamming_neardup_pairs multi-hash (any-frame) semantics pHash uses.
+    import numpy as np
+
+    from w4h_integrated_toolkit_spark.operators import audiocodec as AC
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+
+    def synth_tracks(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": []}
+            t = np.arange(2048 * 3)
+            for d in pdf["doc_id"]:
+                d = int(d)
+                # tones + per-track broadband noise: pure tones leave
+                # most bands empty and every fingerprint near-zero —
+                # real audio is broadband, so the demo's tracks are too
+                sig = (
+                    np.round(
+                        3000 * np.sin(2 * np.pi * (11 + d) * t / 2048)
+                        + 1500 * np.sin(2 * np.pi * (157 + 13 * d) * t / 2048)
+                    ).astype(np.int64)
+                    + np.random.default_rng(d).integers(
+                        -2000, 2000, size=len(t)
+                    )
+                ) * 2  # even -> halving is exact
+                for key, s in ((d, sig), (d + 1_000_000, sig // 2)):
+                    rows["doc_id"].append(key)
+                    rows["payload"].append(AC.encode_wav(s, 8000))
+            yield pd.DataFrame(rows)
+
+    n_tracks = 40
+    tracks = (
+        spark.range(n_tracks)
+        .withColumnRenamed("id", "doc_id")
+        .mapInPandas(synth_tracks, schema="doc_id long, payload binary")
+    )
+    afp = MM.audio_fingerprint_frames(tracks).select("doc_id", "fp")
+    apairs = hamming_neardup_pairs(
+        afp, max_distance=3, hash_bits=32, hash_col="fp"
+    )
+    acopies = apairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000)
+    print(
+        f"audio dedup: {acopies.count()}/{n_tracks} half-gain copies "
+        f"re-found (median distance "
+        f"{acopies.agg(F.median('distance')).first()[0]}); "
+        f"{apairs.count()} near-dup pairs total at distance <= 3"
+    )
+
     # 3. video arm — per-frame brightness + max frame-over-frame delta
     vid = MM.attach_video_payload(docs)
     vstats = MM.video_frame_stats(vid)

@@ -57,6 +57,7 @@ __all__ = [
     "attach_audio_payload",
     "decode_audio_stats",
     "audio_frame_energy",
+    "audio_fingerprint_frames",
     "VIDEO_META_TYPE",
     "attach_video_payload",
     "video_frame_stats",
@@ -406,6 +407,119 @@ def audio_frame_energy(
 
     return df.select(F.col(id_col), F.col("payload")).mapInPandas(
         energy, schema=out_schema
+    )
+
+
+def audio_fingerprint_frames(
+    df: DataFrame,
+    frame_samples: int = 2048,
+    hop: int = 1024,
+    n_bands: int = 33,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-frame 32-bit audio fingerprints — the published
+    Haitsma–Kalker robust hash (Haitsma & Kalker 2002, the Philips
+    audio fingerprint): mono-mix → overlapping ``frame_samples``-sample
+    frames every ``hop`` samples → |FFT|² → ``n_bands`` log-spaced band
+    energies E(t, b) → bit(t, b) = 1 iff
+    (E(t,b) − E(t,b+1)) − (E(t−1,b) − E(t−1,b+1)) > 0 — the
+    time-frequency energy-difference sign, ``n_bands − 1 = 32`` bits
+    per frame. The audio arm of the near-dup family: re-encoded,
+    re-sampled-to-the-same-rate, or GAIN-CHANGED copies byte-level
+    dedup can never see pair at small Hamming distance —
+    amplitude scaling is EXACTLY invariant by construction (a positive
+    gain multiplies every band energy, cancelling in both sign
+    comparisons; test-pinned).
+
+    Emits (id, frame_idx, fp long in [0, 2³²)) — one row per frame
+    starting at frame_idx 1 (the first frame has no predecessor).
+    Compose with
+    :func:`~..operators.dedup.hamming_neardup_pairs(hash_bits=32)`:
+    duplicate ids per doc are the supported multi-hash shape (any-frame
+    MIN-distance pair semantics). Audio shorter than
+    ``frame_samples + hop`` yields no row.
+
+    Determinism: decode and mono-mix are integer math; the FFT runs in
+    float64, so fingerprints are deterministic per platform (the pHash
+    discipline — pin with the vendored codec, oracle via fixed
+    vectors).
+
+    Plan shape: one map-side Arrow kernel (``mapInPandas``) —
+    partitioning follows the input, payload blobs never shuffle; the
+    downstream pairing moves only (id, 8-byte hash) rows.
+    """
+    import numpy as np
+
+    if n_bands < 2:
+        raise ValueError(f"n_bands must be >= 2, got {n_bands}")
+    if n_bands - 1 > 32:
+        raise ValueError(
+            f"n_bands - 1 = {n_bands - 1} bits will not fit the 32-bit "
+            "fingerprint"
+        )
+    if hop < 1 or frame_samples < 2 * n_bands:
+        raise ValueError(
+            f"need hop >= 1 and frame_samples >= {2 * n_bands} "
+            f"(got hop={hop}, frame_samples={frame_samples})"
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("fp", T.LongType()),
+        ]
+    )
+    # log-spaced band edges over FFT bins [4, frame_samples/2): skip DC
+    # and the lowest bins (the published layout also cuts low frequency;
+    # starting at bin 1 would round the first few log steps onto the
+    # same integer bin and collapse bands)
+    n_bins = frame_samples // 2
+    edges = np.unique(
+        np.round(
+            np.logspace(np.log10(4.0), np.log10(n_bins - 1), n_bands + 1)
+        ).astype(np.int64)
+    )
+    if len(edges) < n_bands + 1:
+        raise ValueError(
+            f"frame_samples={frame_samples} gives only {len(edges) - 1} "
+            f"distinct log-spaced bands; raise frame_samples or lower "
+            f"n_bands={n_bands}"
+        )
+    edges = edges[: n_bands + 1]
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import audiocodec
+
+        for pdf in batches:
+            rows = {"id": [], "frame_idx": [], "fp": []}
+            for d, blob in zip(pdf[id_col], pdf["payload"]):
+                arr, _rate = audiocodec.decode_wav(bytes(blob))
+                mono = arr.astype(np.float64).mean(axis=1)
+                n_frames = (len(mono) - frame_samples) // hop + 1
+                if n_frames < 2:
+                    continue
+                idx = (
+                    np.arange(frame_samples)[None, :]
+                    + hop * np.arange(n_frames)[:, None]
+                )
+                spec = np.abs(np.fft.rfft(mono[idx], axis=1)) ** 2
+                # band energies: (n_frames, n_bands)
+                E = np.add.reduceat(spec[:, : n_bins], edges[:-1], axis=1)
+                d1 = E[:, :-1] - E[:, 1:]          # freq difference
+                d2 = d1[1:, :] - d1[:-1, :]        # time difference
+                bits = d2 > 0
+                weights = 1 << np.arange(n_bands - 2, -1, -1, dtype=np.int64)
+                fps = (bits.astype(np.int64) * weights[None, :]).sum(axis=1)
+                for t, fp in enumerate(fps, start=1):
+                    rows["id"].append(int(d))
+                    rows["frame_idx"].append(t)
+                    rows["fp"].append(int(fp))
+            yield pd.DataFrame(
+                {id_col: rows["id"], "frame_idx": rows["frame_idx"], "fp": rows["fp"]}
+            )
+
+    return df.select(F.col(id_col), F.col("payload")).mapInPandas(
+        kern, schema=out_schema
     )
 
 
