@@ -4394,6 +4394,35 @@ def test_audio_fingerprint_gain_invariance_and_pairing(spark):
         MM.audio_fingerprint_frames(df, frame_samples=66)
 
 
+def test_audio_fingerprint_chunking_law(spark):
+    """The memory-bounding chunk loop is bit-invisible: fingerprints at
+    chunk_frames=1/2/3 equal the one-shot computation frame-for-frame
+    (the carried d1 row makes every chunk boundary seamless)."""
+    import numpy as np
+
+    from w4h_integrated_toolkit_spark.operators import multimodal as MM
+
+    sig = np.random.default_rng(5).integers(-9000, 9000, size=2048 + 1024 * 9)
+    df = spark.createDataFrame(
+        [_wav_doc(7, sig)], "doc_id long, payload binary"
+    )
+
+    def fps(chunk):
+        return {
+            r["frame_idx"]: r["fp"]
+            for r in MM.audio_fingerprint_frames(
+                df, chunk_frames=chunk
+            ).collect()
+        }
+
+    one_shot = fps(10**9)
+    assert len(one_shot) == 9  # 10 frames -> 9 fingerprints
+    for c in (1, 2, 3, 7):
+        assert fps(c) == one_shot, c
+    with pytest.raises(ValueError, match="chunk_frames"):
+        MM.audio_fingerprint_frames(df, chunk_frames=0)
+
+
 def test_audio_fingerprint_matches_python_model(spark):
     """Fingerprint bits vs a literal numpy re-derivation of the
     published definition (frames, |FFT|^2, reduceat band energies,
@@ -6290,12 +6319,22 @@ def test_dsir_resample_gumbel_topk_matches_python_model(spark):
     ).collect()
     assert len(got) == k
 
-    weights = {r["bucket"]: r["weight"] for r in w.collect()}
+    # the operator runs the dot on 1e-9-scaled integer weights (exact
+    # partition invariance); the model mirrors HALF_UP rounding
+    def _half_away(x):
+        return (
+            math.floor(x * 1e9 + 0.5)
+            if x >= 0
+            else -math.floor(-x * 1e9 + 0.5)
+        )
+
+    wi = {r["bucket"]: _half_away(r["weight"]) for r in w.collect()}
 
     def key_of(doc_id, text):
-        z = sum(
-            weights[_py_bucket(t, B)] for t in text.strip().lower().split()
+        di = sum(
+            wi[_py_bucket(t, B)] for t in text.strip().lower().split()
         )
+        z = di / 1e9
         h = (
             int(
                 hashlib.md5(f"dsir{seed}|{doc_id}".encode()).hexdigest()[:8],

@@ -2113,8 +2113,18 @@ def test_dsir_matches_python_model(spark, tgt_texts, raw_texts, k):
     for b in range(B):
         assert abs(got_w[b] - exp_w[b]) < 1e-12, b
 
+    def half_away(x):
+        return (
+            math.floor(x * 1e9 + 0.5)
+            if x >= 0
+            else -math.floor(-x * 1e9 + 0.5)
+        )
+
+    wi = {b: half_away(v) for b, v in exp_w.items()}
+
     def key_of(doc_id, text):
-        z = sum(exp_w[bucket(tok)] for tok in toks(text))
+        # the operator's exact integer dot (1e-9-scaled weights)
+        z = sum(wi[bucket(tok)] for tok in toks(text)) / 1e9
         h = (
             int(hashlib.md5(f"dsir{seed}|{doc_id}".encode()).hexdigest()[:8], 16)
             % 2147483647

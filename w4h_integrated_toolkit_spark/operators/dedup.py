@@ -31,6 +31,13 @@ from pyspark.sql import functions as F
 
 from ..functions import ROLLING_HASH_MOD, portable_hash31, portable_hash32
 
+# THE shared strip().split() tokenizer (empty tokens filtered — a
+# leading tab/newline would otherwise shift every pos/start_tok/end_tok
+# in the span pipeline by one and change every window hash); one
+# definition in text.py so the operators and their DuckDB oracles can
+# never drift apart
+from .text import _ws_tokens
+
 __all__ = [
     "exact_dedup",
     "shingle_rows",
@@ -1169,20 +1176,6 @@ def golden_record(
             *rank_cols,
         )
     )
-
-
-def _ws_tokens(c: Column) -> Column:
-    """Whitespace tokenization matching Python ``str.strip().split()``:
-    ``\\s+``-split with empty tokens REMOVED. F.trim strips only ASCII
-    spaces, so a doc padded with a leading tab or newline would survive
-    ``split(trim(x))`` with an empty first token — shifting every
-    ``pos``/``start_tok``/``end_tok`` in the span pipeline by one and
-    changing every window hash (the same bug class text._ws_trim
-    documents for the curation gates). Filtering empties kills both the
-    leading- and trailing-whitespace artifacts in one pass and matches
-    the DuckDB oracle's ``list_filter(regexp_split_to_array(t, '\\s+'),
-    x -> x <> '')`` and the stress model's ``strip().split()``."""
-    return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
 
 
 def _window_hash_rows(

@@ -415,6 +415,7 @@ def audio_fingerprint_frames(
     frame_samples: int = 2048,
     hop: int = 1024,
     n_bands: int = 33,
+    chunk_frames: int = 256,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-frame 32-bit audio fingerprints — the published
@@ -457,9 +458,13 @@ def audio_fingerprint_frames(
             f"n_bands - 1 = {n_bands - 1} bits will not fit the 32-bit "
             "fingerprint"
         )
-    if hop < 1 or frame_samples < 2 * n_bands:
+    # frame_samples/2 - 1 must exceed the low-cutoff bin 4 or the
+    # logspace below runs DECREASING and np.unique silently re-sorts it
+    # into edges that pass the distinct-count guard yet crash reduceat
+    # inside the executor (r14 review) — 12 is the smallest safe width
+    if hop < 1 or frame_samples < max(2 * n_bands, 12):
         raise ValueError(
-            f"need hop >= 1 and frame_samples >= {2 * n_bands} "
+            f"need hop >= 1 and frame_samples >= {max(2 * n_bands, 12)} "
             f"(got hop={hop}, frame_samples={frame_samples})"
         )
     out_schema = T.StructType(
@@ -487,6 +492,16 @@ def audio_fingerprint_frames(
         )
     edges = edges[: n_bands + 1]
 
+    # chunk_frames bounds the kernel's peak memory at
+    # ~chunk x frame_samples x 32 B regardless of track length (a
+    # 1-hour track would otherwise materialize a multi-GB frame
+    # matrix in one task — r14 review); the previous chunk's last d1
+    # row carries across the boundary so the bits are IDENTICAL to
+    # the one-shot computation (equality test-pinned)
+    if chunk_frames < 1:
+        raise ValueError(f"chunk_frames must be >= 1, got {chunk_frames}")
+    weights = 1 << np.arange(n_bands - 2, -1, -1, dtype=np.int64)
+
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import audiocodec
 
@@ -498,24 +513,40 @@ def audio_fingerprint_frames(
                 n_frames = (len(mono) - frame_samples) // hop + 1
                 if n_frames < 2:
                     continue
-                idx = (
-                    np.arange(frame_samples)[None, :]
-                    + hop * np.arange(n_frames)[:, None]
-                )
-                spec = np.abs(np.fft.rfft(mono[idx], axis=1)) ** 2
-                # band energies: (n_frames, n_bands)
-                E = np.add.reduceat(spec[:, : n_bins], edges[:-1], axis=1)
-                d1 = E[:, :-1] - E[:, 1:]          # freq difference
-                d2 = d1[1:, :] - d1[:-1, :]        # time difference
-                bits = d2 > 0
-                weights = 1 << np.arange(n_bands - 2, -1, -1, dtype=np.int64)
-                fps = (bits.astype(np.int64) * weights[None, :]).sum(axis=1)
-                for t, fp in enumerate(fps, start=1):
-                    rows["id"].append(int(d))
-                    rows["frame_idx"].append(t)
-                    rows["fp"].append(int(fp))
+                prev_d1 = None
+                for c0 in range(0, n_frames, chunk_frames):
+                    nc = min(chunk_frames, n_frames - c0)
+                    idx = (
+                        np.arange(frame_samples)[None, :]
+                        + hop * (c0 + np.arange(nc))[:, None]
+                    )
+                    spec = np.abs(np.fft.rfft(mono[idx], axis=1)) ** 2
+                    # band energies: (nc, n_bands)
+                    E = np.add.reduceat(spec[:, :n_bins], edges[:-1], axis=1)
+                    d1 = E[:, :-1] - E[:, 1:]      # freq difference
+                    full = (
+                        d1 if prev_d1 is None
+                        else np.vstack([prev_d1, d1])
+                    )
+                    d2 = full[1:, :] - full[:-1, :]  # time difference
+                    bits = d2 > 0
+                    fps = (bits.astype(np.int64) * weights[None, :]).sum(
+                        axis=1
+                    )
+                    # first chunk: d2 rows are frames 1..nc-1; later
+                    # chunks prepend the carried row, so rows are c0..
+                    start = 1 if prev_d1 is None else c0
+                    for t, fp in enumerate(fps, start=start):
+                        rows["id"].append(int(d))
+                        rows["frame_idx"].append(t)
+                        rows["fp"].append(int(fp))
+                    prev_d1 = d1[-1:, :]
             yield pd.DataFrame(
-                {id_col: rows["id"], "frame_idx": rows["frame_idx"], "fp": rows["fp"]}
+                {
+                    id_col: rows["id"],
+                    "frame_idx": rows["frame_idx"],
+                    "fp": rows["fp"],
+                }
             )
 
     return df.select(F.col(id_col), F.col("payload")).mapInPandas(

@@ -362,6 +362,19 @@ def _ws_trim(c: Column) -> Column:
     return F.regexp_replace(F.regexp_replace(c, r"^\s+", ""), r"\s+$", "")
 
 
+def _ws_tokens(c: Column) -> Column:
+    """Whitespace tokenization matching Python ``str.strip().split()``:
+    ``\\s+``-split with empty tokens REMOVED. F.trim strips only ASCII
+    spaces, so tab/newline padding would otherwise leave empty tokens
+    that shift positions (the span-dedup pipeline) or contaminate hash
+    buckets (feature_hashing) — the same bug class :func:`_ws_trim`
+    documents, caught four separate times by the stress/hypothesis
+    sweeps. THE one shared tokenizer for every ``strip().split()``
+    consumer; the DuckDB oracles mirror it as
+    ``list_filter(regexp_split_to_array(s, '\\s+'), x -> x <> '')``."""
+    return F.filter(F.split(c, _WORD_RE), lambda t: t != F.lit(""))
+
+
 # C4 line-ending rule (Raffel et al. 2020 §2.2): a kept line must end in
 # terminal punctuation — period/!/?/ellipsis, optionally wrapped in a
 # closing quote/bracket.
@@ -491,7 +504,7 @@ def gopher_quality_flags(
     # full-whitespace trim (see _ws_trim): a trailing newline would leave
     # an empty token after the split and skew every per-word ratio
     t = _ws_trim(F.col(text))
-    words = F.filter(F.split(t, _WORD_RE), lambda x: x != "")
+    words = _ws_tokens(t)
     n_words = F.when(t == "", F.lit(0)).otherwise(F.size(words)).cast("long")
     # mean word length over non-space chars (the text_stats formulation)
     n_chars = F.length(t)
@@ -636,12 +649,7 @@ def feature_hashing(
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     toks = df.filter(F.trim(F.col(text)) != "").select(
         id_col,
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text)), _WORD_RE),
-                lambda t: t != F.lit(""),
-            )
-        ).alias("_tok"),
+        F.explode(_ws_tokens(F.lower(F.col(text)))).alias("_tok"),
     )
     bucket = (portable_hash31(F.col("_tok")) % F.lit(n_buckets)).cast("long")
     return (
@@ -654,6 +662,21 @@ def feature_hashing(
 # bias travels as a reserved bucket id so the whole model is ONE small
 # (bucket, weight) table — storable/loadable via sources/models.py
 _BIAS_BUCKET = -1
+
+
+def _smoothed_logratio(
+    ca: Column, cb: Column, denom_a: float, denom_b: float, alpha: float
+) -> Column:
+    """ONE copy of the Laplace-smoothed two-distribution log count-ratio
+    ``ln((ca + α)/denom_a) − ln((cb + α)/denom_b)`` — the NB log-odds
+    (:func:`fit_hashed_logodds`) and the DSIR importance ratio
+    (:func:`fit_dsir_logratios`) are the same law over different count
+    sources, and both are oracle-pinned to 1e-12, so the formula must
+    live in exactly one place. NULL counts coalesce to 0 (a bucket
+    unseen in one corpus carries pure smoothing mass)."""
+    return F.log((F.coalesce(ca, F.lit(0)) + alpha) / denom_a) - F.log(
+        (F.coalesce(cb, F.lit(0)) + alpha) / denom_b
+    )
 
 
 def fit_hashed_logodds(
@@ -729,9 +752,8 @@ def fit_hashed_logodds(
         all_buckets.join(counts, "bucket", "left")
         .select(
             "bucket",
-            (
-                F.log((F.coalesce(F.col("_cp"), F.lit(0)) + alpha) / denom_p)
-                - F.log((F.coalesce(F.col("_cn"), F.lit(0)) + alpha) / denom_n)
+            _smoothed_logratio(
+                F.col("_cp"), F.col("_cn"), denom_p, denom_n, alpha
             ).alias("weight"),
         )
     )
@@ -885,9 +907,8 @@ def fit_dsir_logratios(
         .join(ct_r, "bucket", "left")
         .select(
             "bucket",
-            (
-                F.log((F.coalesce(F.col("_ct"), F.lit(0)) + alpha) / denom_t)
-                - F.log((F.coalesce(F.col("_cr"), F.lit(0)) + alpha) / denom_r)
+            _smoothed_logratio(
+                F.col("_ct"), F.col("_cr"), denom_t, denom_r, alpha
             ).alias("weight"),
         )
     )
@@ -911,14 +932,21 @@ def dsir_resample(
     resampling, no sequential draws). ``u_i`` comes from the portable
     MD5 hash of (seed, id), so selection is DETERMINISTIC and
     engine-reproducible — the same corpus, model, seed and k select the
-    same documents on any engine or partition count.
+    same documents on any engine or partition count. The determinism is
+    EXACT, not approximate: the per-doc dot runs on 1e-9-scaled INTEGER
+    weights (``logw = Σ cnt · round(w·1e9) / 1e9`` — the bigram_nll
+    discipline), so the sum is associative and a float accumulation
+    order that varies with partitioning can never flip a near-boundary
+    key (r14 review #2). Bound: |w| stays in the tens, so the scaled
+    products fit int64 up to ~10⁷-token documents.
 
     Emits (id, n_tokens, logw, key) for the k selected documents.
     ``temperature`` → ∞ approaches uniform sampling; → 0 approaches
     deterministic top-k by logw.
 
-    Scale shape: scoring is :func:`hashed_linear_score`'s one feature
-    aggregate + O(n_buckets) broadcast join; the selection is
+    Scale shape: one :func:`feature_hashing` aggregate + the
+    O(n_buckets) broadcast model join (duplicate bucket rows fail loud,
+    the :func:`hashed_linear_score` guard); the selection is
     ``orderBy(key).limit(k)`` which Spark executes as
     TakeOrderedAndProject — per-partition heaps of size k, NO global
     sort exchange (plan-pinned). Zero-token documents score no row
@@ -928,21 +956,48 @@ def dsir_resample(
         raise ValueError(f"k must be positive, got {k}")
     if temperature <= 0:
         raise ValueError(f"temperature must be positive, got {temperature}")
-    scored = hashed_linear_score(
-        df, weights, n_buckets, normalize=False, text=text, id_col=id_col
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    dups = (
+        weights.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(5)
+        .collect()
     )
+    if dups:
+        raise ValueError(
+            "weights carries duplicate bucket rows "
+            f"{[r['bucket'] for r in dups]}… — each bucket must appear "
+            "once (a duplicated row would double-count its weight)"
+        )
+    wint = weights.select(
+        "bucket", F.round(F.col("weight") * 1e9).cast("long").alias("_wi")
+    )
+    feats = feature_hashing(df, n_buckets, text, id_col)
+    scored = (
+        feats.join(F.broadcast(wint), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(
+                F.col("cnt") * F.coalesce(F.col("_wi"), F.lit(0))
+            ).alias("_di"),
+        )
+    )
+    logw = F.col("_di").cast("double") / F.lit(1e9)
     u = (
         portable_hash31(
             F.concat(F.lit(f"dsir{seed}|"), F.col(id_col).cast("string"))
         )
         + F.lit(1)
     ).cast("double") / F.lit(2147483648.0)
-    key = F.col("z") / F.lit(float(temperature)) - F.log(-F.log(u))
+    key = logw / F.lit(float(temperature)) - F.log(-F.log(u))
     return (
         scored.select(
             id_col,
             "n_tokens",
-            F.col("z").alias("logw"),
+            logw.alias("logw"),
             key.alias("key"),
         )
         .orderBy(F.col("key").desc(), F.col(id_col).asc())
