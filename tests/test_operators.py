@@ -6319,16 +6319,11 @@ def test_dsir_resample_gumbel_topk_matches_python_model(spark):
     ).collect()
     assert len(got) == k
 
+    from tests.conftest import half_away_1e9
+
     # the operator runs the dot on 1e-9-scaled integer weights (exact
     # partition invariance); the model mirrors HALF_UP rounding
-    def _half_away(x):
-        return (
-            math.floor(x * 1e9 + 0.5)
-            if x >= 0
-            else -math.floor(-x * 1e9 + 0.5)
-        )
-
-    wi = {r["bucket"]: _half_away(r["weight"]) for r in w.collect()}
+    wi = {r["bucket"]: half_away_1e9(r["weight"]) for r in w.collect()}
 
     def key_of(doc_id, text):
         di = sum(
@@ -6367,6 +6362,45 @@ def test_dsir_resample_gumbel_topk_matches_python_model(spark):
 
 def _raw_text(df, doc_id):
     return {r["doc_id"]: r["text"] for r in df.collect()}[doc_id]
+
+
+def test_dsir_resample_bias_model_and_overflow_guard(spark):
+    """A bias-bearing model (fit_hashed_logodds) resamples correctly:
+    logw equals hashed_linear_score's z up to the 1e-9 quantization
+    (the bias rides as a scaled-integer constant, never a dead row);
+    and a document long enough to threaten int64 headroom raises with
+    the remedy instead of wrapping silently."""
+    from w4h_integrated_toolkit_spark.operators.text import (
+        dsir_resample,
+        fit_hashed_logodds,
+        hashed_linear_score,
+    )
+
+    df = _clf_corpus(spark)
+    B = 32
+    w = fit_hashed_logodds(df, n_buckets=B)
+    sel = dsir_resample(df, w, k=5, n_buckets=B, seed=3).collect()
+    assert len(sel) == 5
+    zs = {
+        r["doc_id"]: r["z"]
+        for r in hashed_linear_score(
+            df, w, n_buckets=B, normalize=False
+        ).collect()
+    }
+    for r in sel:
+        assert abs(r["logw"] - zs[r["doc_id"]]) < 1e-8, r
+
+    # overflow guard: a model with a huge weight shrinks the token cap
+    # far below this doc's count -> fail loud, never a wrapped key
+    big = spark.createDataFrame(
+        [(0, float(1e8))] + [(b, 0.0) for b in range(1, B)],
+        "bucket long, weight double",
+    )
+    long_doc = spark.createDataFrame(
+        [(1, " ".join(["tok"] * 200_000))], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="exceed int64"):
+        dsir_resample(long_doc, big, k=1, n_buckets=B).collect()
 
 
 def test_dsir_resample_plan_no_global_sort(spark):

@@ -2113,14 +2113,9 @@ def test_dsir_matches_python_model(spark, tgt_texts, raw_texts, k):
     for b in range(B):
         assert abs(got_w[b] - exp_w[b]) < 1e-12, b
 
-    def half_away(x):
-        return (
-            math.floor(x * 1e9 + 0.5)
-            if x >= 0
-            else -math.floor(-x * 1e9 + 0.5)
-        )
+    from tests.conftest import half_away_1e9
 
-    wi = {b: half_away(v) for b, v in exp_w.items()}
+    wi = {b: half_away_1e9(v) for b, v in exp_w.items()}
 
     def key_of(doc_id, text):
         # the operator's exact integer dot (1e-9-scaled weights)

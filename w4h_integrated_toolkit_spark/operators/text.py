@@ -664,6 +664,38 @@ def feature_hashing(
 _BIAS_BUCKET = -1
 
 
+def _model_bias(weights: DataFrame) -> float:
+    """The model's bias (reserved bucket −1), 0.0 when absent; more than
+    one bias row fails loud — a fitted model has exactly one."""
+    bias_rows = weights.filter(F.col("bucket") == _BIAS_BUCKET).collect()
+    if len(bias_rows) > 1:
+        raise ValueError(
+            f"weights carries {len(bias_rows)} bias rows (bucket == "
+            f"{_BIAS_BUCKET}); a fitted model has exactly one"
+        )
+    return float(bias_rows[0]["weight"]) if bias_rows else 0.0
+
+
+def _require_unique_buckets(weights: DataFrame) -> None:
+    """Duplicate bucket rows would silently MULTIPLY matching feature
+    rows through the model join (double-counted weight, no error
+    anywhere downstream) — validate the tiny model table before
+    broadcasting; one O(n_buckets) aggregate."""
+    dups = (
+        weights.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dups:
+        raise ValueError(
+            "weights carries duplicate bucket rows "
+            f"{[r['bucket'] for r in dups]}… — each bucket must appear "
+            "once (a duplicated row would double-count its weight)"
+        )
+
+
 def _smoothed_logratio(
     ca: Column, cb: Column, denom_a: float, denom_b: float, alpha: float
 ) -> Column:
@@ -797,30 +829,8 @@ def hashed_linear_score(
     """
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
-    bias_rows = weights.filter(F.col("bucket") == _BIAS_BUCKET).collect()
-    if len(bias_rows) > 1:
-        raise ValueError(
-            f"weights carries {len(bias_rows)} bias rows (bucket == "
-            f"{_BIAS_BUCKET}); a fitted model has exactly one"
-        )
-    bias = float(bias_rows[0]["weight"]) if bias_rows else 0.0
-    # duplicate bucket rows would silently MULTIPLY matching feature rows
-    # through the join (double-counted weight, no error anywhere
-    # downstream) — validate the tiny model table before broadcasting;
-    # one O(n_buckets) aggregate, same cost class as the bias lookup
-    dups = (
-        weights.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > 1)
-        .limit(5)
-        .collect()
-    )
-    if dups:
-        raise ValueError(
-            "weights carries duplicate bucket rows "
-            f"{[r['bucket'] for r in dups]}… — each bucket must appear "
-            "once (a duplicated row would double-count its weight)"
-        )
+    bias = _model_bias(weights)
+    _require_unique_buckets(weights)
     w = F.broadcast(weights.filter(F.col("bucket") != _BIAS_BUCKET))
     feats = feature_hashing(df, n_buckets, text, id_col)
     scored = feats.join(w, "bucket", "left").groupBy(id_col).agg(
@@ -937,8 +947,12 @@ def dsir_resample(
     weights (``logw = Σ cnt · round(w·1e9) / 1e9`` — the bigram_nll
     discipline), so the sum is associative and a float accumulation
     order that varies with partitioning can never flip a near-boundary
-    key (r14 review #2). Bound: |w| stays in the tens, so the scaled
-    products fit int64 up to ~10⁷-token documents.
+    key (r14 review #2). A document so long the scaled dot could exceed
+    int64 headroom (cap ≈ 9.2e18 / max|w·1e9| tokens — hundreds of
+    millions at typical weights) RAISES rather than wrapping silently
+    under non-ANSI mode. A bias-bearing model (bucket −1) is honored:
+    logw matches ``hashed_linear_score(normalize=False)``'s z up to the
+    1e-9 quantization.
 
     Emits (id, n_tokens, logw, key) for the k selected documents.
     ``temperature`` → ∞ approaches uniform sampling; → 0 approaches
@@ -952,27 +966,32 @@ def dsir_resample(
     sort exchange (plan-pinned). Zero-token documents score no row
     (they carry no feature mass) and are never selected.
     """
+    import math
+
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     if temperature <= 0:
         raise ValueError(f"temperature must be positive, got {temperature}")
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
-    dups = (
-        weights.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > 1)
-        .limit(5)
-        .collect()
-    )
-    if dups:
-        raise ValueError(
-            "weights carries duplicate bucket rows "
-            f"{[r['bucket'] for r in dups]}… — each bucket must appear "
-            "once (a duplicated row would double-count its weight)"
-        )
-    wint = weights.select(
+    _require_unique_buckets(weights)
+    # a bias-bearing model (fit_hashed_logodds) works too: bucket −1
+    # never matches a feature (hash % B ≥ 0), so it is applied here as a
+    # scaled-integer constant — emitted logw agrees with
+    # hashed_linear_score(normalize=False) up to the 1e-9 quantization
+    _b = _model_bias(weights) * 1e9
+    # HALF_UP like F.round (python round() is banker's)
+    bias_i = int(math.floor(_b + 0.5) if _b >= 0 else -math.floor(-_b + 0.5))
+    wint = weights.filter(F.col("bucket") != _BIAS_BUCKET).select(
         "bucket", F.round(F.col("weight") * 1e9).cast("long").alias("_wi")
+    )
+    max_wi = wint.agg(F.max(F.abs(F.col("_wi")))).collect()[0][0] or 0
+    # fail-loud int64 headroom: |Σ cnt·wi| ≤ n_tokens·max|wi| (+bias);
+    # a wrapped sum under non-ANSI mode would be a silently garbage key
+    tok_cap = (
+        (0x7FFFFFFFFFFFFFFF - abs(bias_i)) // max_wi
+        if max_wi
+        else math.inf
     )
     feats = feature_hashing(df, n_buckets, text, id_col)
     scored = (
@@ -985,7 +1004,30 @@ def dsir_resample(
             ).alias("_di"),
         )
     )
-    logw = F.col("_di").cast("double") / F.lit(1e9)
+    if tok_cap is not math.inf:
+        scored = scored.withColumn(
+            "_di",
+            F.when(
+                F.col("n_tokens") <= F.lit(int(tok_cap)), F.col("_di")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("dsir_resample: document "),
+                        F.col(id_col).cast("string"),
+                        F.lit(" carries "),
+                        F.col("n_tokens").cast("string"),
+                        F.lit(
+                            " tokens — the 1e-9-scaled integer dot "
+                            "could exceed int64 (cap "
+                            f"{int(tok_cap)} at this model's max "
+                            "|weight|); chunk the document or refit "
+                            "with smaller weights"
+                        ),
+                    )
+                )
+            ),
+        )
+    logw = (F.col("_di") + F.lit(bias_i)).cast("double") / F.lit(1e9)
     u = (
         portable_hash31(
             F.concat(F.lit(f"dsir{seed}|"), F.col(id_col).cast("string"))
