@@ -20,6 +20,11 @@ is the pipeline a 100 TB pretraining corpus runs nightly:
                       broadcastable model re-scores the corpus and its
                       kept-vs-dropped separation is reported
 
+  1c. DSIR          — importance resampling toward a small target slice
+                      (Gumbel top-k over hashed log count-ratios); the
+                      language mix of the selection vs the pool shows
+                      the pull toward the target distribution
+
   2. dedup          — MinHash-LSH pairs -> connected components -> keep
                       the highest-quality member of each near-dup cluster
   2b. span surgery  — doc-level dedup keeps both docs when only a REGION
@@ -235,6 +240,31 @@ def main() -> None:
         .collect()[0]
     )
 
+    # 1c. DSIR target-matched selection (Xie et al. 2023): given a small
+    # TARGET sample (here: the English slice of the kept docs — stand-in
+    # for "the distribution we want more of"), fit per-bucket log
+    # importance ratios against the raw pool and Gumbel-top-k resample
+    # the pool toward the target. Selection is deterministic (portable
+    # hash uniforms), so a resumed 100 TB selection job picks the same
+    # documents. Reported, not gating — the same discipline as 1b.
+    from w4h_integrated_toolkit_spark.operators.text import (
+        dsir_resample,
+        fit_dsir_logratios,
+    )
+
+    target = kept.filter(F.col("lang") == "en").select("doc_id", "text")
+    dsir_w = fit_dsir_logratios(target, docs, n_buckets=512)
+    dsir_sel = dsir_resample(docs, dsir_w, k=100, n_buckets=512, seed=14)
+    dsir_en = (
+        dsir_sel.join(docs.select("doc_id", "lang"), "doc_id")
+        .agg(F.avg(F.col("lang").eqNullSafe("en").cast("double")))
+        .collect()[0][0]
+    )
+    base_en = (
+        docs.agg(F.avg(F.col("lang").eqNullSafe("en").cast("double")))
+        .collect()[0][0]
+    )
+
     # 2. dedup: drop every near-dup-cluster member EXCEPT the best one
     pairs = minhash_lsh_pairs(kept, n=3, num_perm=8, bands=4, threshold=0.5)
     comp = connected_components(pairs)
@@ -310,7 +340,9 @@ def main() -> None:
         f"gopher gate (tuned): {n1a} [paper-default rule audit: {hist_str}] -> "
         f"quality gate: {n1} ({low_entropy} low-entropy flagged; "
         f"distilled classifier p_kept={clf_sep['p_kept']:.3f} vs "
-        f"p_dropped={clf_sep['p_dropped']:.3f}) -> "
+        f"p_dropped={clf_sep['p_dropped']:.3f}; "
+        f"DSIR toward the en slice: selected {dsir_en:.0%} en vs "
+        f"{base_en:.0%} in the pool) -> "
         f"dedup: {n2} (span audit: {n_spans_pre} doc-intervals flagged "
         f"pre-dedup — one PER DOC carrying a copied region; "
         f"surgery rewrote {n_surgery} survivors)"
