@@ -12,7 +12,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from w4h_integrated_toolkit_spark.plans import QUERIES  # noqa: E402
-from w4h_integrated_toolkit_spark.plans.queries import R15_CANDIDATES  # noqa: E402
+from w4h_integrated_toolkit_spark.plans.queries import R16_CANDIDATES  # noqa: E402
 from w4h_integrated_toolkit_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("W4H_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -153,7 +153,8 @@ GALLERY = [
      "bytewise param sort, rebuild) is JVM Column expressions inside "
      "one codegen stage over the scan; the ONLY exchange is the "
      "canonical-key rollup."),
-    # --- pre-built r15 candidates (R15_CANDIDATES, not yet registered) ---
+    # --- pre-built r16 candidates (R16_CANDIDATES, not yet registered;
+    #     gopher_flags + duplicated_spans were promoted at r15) ---
     ("gopher_flags", "Gopher rule set: all nine published rules — word/"
      "line splits, sorted-predecessor duplicate-line compare, per-rule "
      "fail_reasons assembly — are ONE codegen'd projection over the "
@@ -180,7 +181,7 @@ GALLERY = [
      "only (id, 8-byte hash) rows ever move."),
 ]
 
-QUERIES = dict(QUERIES) | dict(R15_CANDIDATES)
+QUERIES = dict(QUERIES) | dict(R16_CANDIDATES)
 
 
 def main() -> None:

@@ -1,8 +1,10 @@
-"""Spark-vs-DuckDB parity for the pre-built R15 gate candidates — the
+"""Spark-vs-DuckDB parity for the pre-built gate candidates — the
 SAME canonical compare the registered parity sweep uses, run against
-queries that are deliberately NOT in the registry yet (r14 has zero
-window slots; see the throttle arithmetic in plans/queries.py). When a
-candidate is promoted at r15, it arrives with this evidence standing."""
+queries that are deliberately NOT in the registry yet (the rotation
+throttle in plans/queries.py admits at most ~2 promotions per round).
+When a candidate is promoted, it arrives with this evidence standing.
+r15 promoted duplicated_spans + gopher_flags out of this file into the
+registry; the remaining entries wait for the r16 window."""
 
 from __future__ import annotations
 
@@ -10,23 +12,24 @@ import pytest
 
 from tests.conftest import SF_DIR
 from tests.test_parity import _canon
-from w4h_integrated_toolkit_spark.plans.queries import R15_CANDIDATES
+from w4h_integrated_toolkit_spark.plans.queries import R16_CANDIDATES
 
-CASES = [(n, fn, sql) for n, (fn, sql) in R15_CANDIDATES.items()]
+CASES = [(n, fn, sql) for n, (fn, sql) in R16_CANDIDATES.items()]
 
 
 def test_candidates_stay_out_of_the_registry():
     from w4h_integrated_toolkit_spark.plans import QUERIES
 
-    overlap = set(R15_CANDIDATES) & set(QUERIES)
+    overlap = set(R16_CANDIDATES) & set(QUERIES)
     assert not overlap, (
-        f"R15 candidates {overlap} leaked into the registry — the r14 "
-        "window has zero free slots; promote only at r15 per the plan"
+        f"R16 candidates {overlap} leaked into the registry — the r15 "
+        "window admits only the 2 planned promotions; promote the rest "
+        "at r16 per the plan"
     )
 
 
 @pytest.mark.parametrize("name,fn,sql", CASES, ids=[c[0] for c in CASES])
-def test_r15_candidate_parity(spark, ddb, name, fn, sql):
+def test_gate_candidate_parity(spark, ddb, name, fn, sql):
     sdf = fn(spark, SF_DIR)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]

@@ -544,14 +544,20 @@ def test_neardup_pairs_identical_flood_skipped_not_oom(spark):
         Row(vec_id=2, embedding=[5.0, -3.0, 2.0, 1.0, 0.0, 0.0, 1.0, -1.0]),
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    pairs = {
-        (r["id_a"], r["id_b"])
-        for r in neardup_pairs(
-            df, threshold=0.999, dim=8, n_planes=1, max_bucket=8
-        ).collect()
-    }
+    out = neardup_pairs(df, threshold=0.999, dim=8, n_planes=1, max_bucket=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (1, 2) in pairs
     assert not any(a >= 100 and b >= 100 for a, b in pairs)
+    # the drop is no longer silent: the result carries an accumulator
+    # counting skipped sub-buckets, so a recall-contractual caller can
+    # distinguish "no near-dups" from "flood skipped" (ADVICE r15 #2)
+    assert out.skipped_groups.value >= 1
+
+    # clean data: zero skips, the accumulator reads 0 after the action
+    clean = spark.createDataFrame(rows[-2:], "vec_id long, embedding array<double>")
+    ok = neardup_pairs(clean, threshold=0.999, dim=8, n_planes=1, max_bucket=8)
+    assert {(r["id_a"], r["id_b"]) for r in ok.collect()} == {(1, 2)}
+    assert ok.skipped_groups.value == 0
 
 
 def test_semantic_dedup_max_cluster_subsplit_and_flood_raise(spark):
@@ -4466,6 +4472,50 @@ def test_audio_fingerprint_matches_python_model(spark):
     assert got == exp
 
 
+def test_audio_fingerprint_string_ids_round_trip_to_pairing(spark):
+    """ADVICE r15 #1: audio_fingerprint_frames names the id field by
+    id_col AND carries the input id dtype (the phash64_frames schema
+    discipline) — a string track id must round-trip through the kernel
+    and join cleanly in hamming_neardup_pairs instead of crashing at an
+    int() coercion."""
+    import numpy as np
+
+    from w4h_integrated_toolkit_spark.operators import multimodal as MM
+    from w4h_integrated_toolkit_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+
+    n = 2048 * 3
+    t = np.arange(n)
+    sig = (
+        np.round(
+            4000 * np.sin(2 * np.pi * 13 * t / 2048)
+            + 2500 * np.sin(2 * np.pi * 151 * t / 2048)
+        ).astype(np.int64)
+        * 2
+    )
+    other = np.random.default_rng(23).integers(-8000, 8000, size=n)
+    rows = [
+        Row(track_id="trk/a", payload=_wav_doc(0, sig).payload),
+        Row(track_id="trk/a-copy", payload=_wav_doc(0, sig // 2).payload),
+        Row(track_id="trk/b", payload=_wav_doc(0, other).payload),
+    ]
+    df = spark.createDataFrame(rows, "track_id string, payload binary")
+    fp = MM.audio_fingerprint_frames(df, id_col="track_id")
+    assert dict(fp.dtypes)["track_id"] == "string"
+    got = {r["track_id"] for r in fp.collect()}
+    assert got == {"trk/a", "trk/a-copy", "trk/b"}
+    pairs = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in hamming_neardup_pairs(
+            fp, max_distance=4, hash_bits=32,
+            id_col="track_id", hash_col="fp",
+        ).collect()
+    }
+    assert pairs.get(("trk/a", "trk/a-copy")) == 0
+    assert not any("trk/b" in p for p in pairs)
+
+
 # ---------------------------------------------------------------------------
 # vendored pure-stdlib image codec (round 9): real decode without Pillow
 # ---------------------------------------------------------------------------
@@ -6130,9 +6180,18 @@ def test_hashed_logodds_model_store_round_trip(spark, tmp_path):
         save_model,
     )
 
+    from w4h_integrated_toolkit_spark.operators.text import (
+        FEATURE_HASH_VERSION,
+    )
+
     df = _clf_corpus(spark)
     B = 32
-    params = {"kind": "hashed_logodds", "n_buckets": B, "alpha": 1.0}
+    params = {
+        "kind": "hashed_logodds",
+        "n_buckets": B,
+        "alpha": 1.0,
+        "feature_hash_version": FEATURE_HASH_VERSION,
+    }
     w = fit_hashed_logodds(df, n_buckets=B)
     store = str(tmp_path / "quality_clf")
     save_model(spark, store, w, params)
@@ -6151,6 +6210,16 @@ def test_hashed_logodds_model_store_round_trip(spark, tmp_path):
     with pytest.raises(ValueError, match="n_buckets"):
         load_model(
             spark, store, expect_params={"kind": "hashed_logodds", "n_buckets": 64}
+        )
+
+    # a model persisted under an OLDER feature-hash format (tokenizer/
+    # hash family) must fail loud at load, not score drifted — the
+    # ADVICE r15 #4 stamp; v1 is the phantom-''-token tokenizer
+    with pytest.raises(ValueError, match="feature_hash_version"):
+        load_model(
+            spark,
+            store,
+            expect_params={**params, "feature_hash_version": 1},
         )
 
 

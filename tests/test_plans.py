@@ -1487,3 +1487,50 @@ def test_r14_gate_window_composition_recomputed_from_driver_rows():
     assert list(_R14_WINDOW) == expected, (
         "gate window diverges from the recomputed rotation plan"
     )
+
+
+def test_r15_gate_window_composition_recomputed_from_driver_rows():
+    """Rotation honesty for r15, machine-checked the same way as
+    r10-r14: RECOMPUTE the prescribed composition from the
+    CORRECTNESS_r*.json driver records — the 50 r11-stale rows in true
+    r11-file key order with the LAST 2 displaced (knn_ivf_persisted +
+    replay_wraparound, the least-stale tail, pushed to lead the r16
+    window), then the two planned promotions duplicated_spans +
+    gopher_flags taking their first driver hash — and assert
+    _R15_WINDOW equals it name-for-name. Also pins the registry
+    arithmetic: 200 + 2 promotions = 202 entries, and the promoted
+    names must no longer sit in R16_CANDIDATES."""
+    import json
+
+    from w4h_integrated_toolkit_spark.plans.queries import (
+        _R15_WINDOW,
+        QUERIES,
+        R16_CANDIDATES,
+    )
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    latest: dict[str, int] = {}
+    orders: dict[int, list[str]] = {}
+    for n in range(1, 15):
+        path = os.path.join(root, f"CORRECTNESS_r{n:02d}.json")
+        if not os.path.exists(path):
+            pytest.skip("driver CORRECTNESS records not present")
+        with open(path) as f:
+            rows = json.load(f)
+        orders[n] = list(rows)
+        for name, rec in rows.items():
+            if rec.get("hash_match") or rec.get("rows_match"):
+                latest[name] = n
+
+    r11_stale = [k for k in orders[11] if latest.get(k) == 11]
+    assert len(r11_stale) == 50  # zero r10-stale remain (r14 cleared them)
+    promotions = ["duplicated_spans", "gopher_flags"]
+    assert all(k not in latest for k in promotions)
+    expected = r11_stale[:-2] + promotions
+    assert r11_stale[-2:] == ["knn_ivf_persisted", "replay_wraparound"]
+    assert len(expected) == 50
+    assert list(_R15_WINDOW) == expected, (
+        "gate window diverges from the recomputed rotation plan"
+    )
+    assert len(QUERIES) == 202
+    assert not set(promotions) & set(R16_CANDIDATES)

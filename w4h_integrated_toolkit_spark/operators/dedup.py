@@ -1652,18 +1652,36 @@ def hamming_neardup_pairs(
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
-    ha = df.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("_ha"))
-    hb = df.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("_hb"))
-    dist = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-    # multi-hash ids fan the verify join out to every hash combination;
-    # MIN over combinations is the any-frame pair distance (for unique
-    # ids this is the single combination, same rows as before — the agg
-    # runs on the pair-sized relation, not the corpus)
+    # verify by DISTINCT-hash ARRAYS, not a row fan-out: joining raw
+    # (id, hash) rows on both sides would explode each candidate pair
+    # to frames_a x frames_b rows before the MIN aggregate — two docs
+    # with thousands of frames each made millions of join rows for ONE
+    # pair (ADVICE r15 #3). collect_set per id first (frames sharing a
+    # hash are redundant for MIN), then the combination MIN runs INSIDE
+    # one array expression per pair-row: same O(f_a·f_b) popcounts, but
+    # no row blow-up, no post-join exchange, and the per-id hash-set
+    # relation is id-sized (AQE-broadcast when it fits). For unique-id
+    # inputs the arrays are singletons and this is the single popcount.
+    hsets = (
+        renamed.groupBy("_id")
+        .agg(F.collect_set("_h").alias("_hs"))
+    )
+    ha = hsets.select(F.col("_id").alias("id_a"), F.col("_hs").alias("_ha"))
+    hb = hsets.select(F.col("_id").alias("id_b"), F.col("_hs").alias("_hb"))
+    dist = F.array_min(
+        F.flatten(
+            F.transform(
+                F.col("_ha"),
+                lambda a: F.transform(
+                    F.col("_hb"), lambda b: F.bit_count(a.bitwiseXOR(b))
+                ),
+            )
+        )
+    )
     out = (
         cand.join(ha, "id_a")
         .join(hb, "id_b")
-        .groupBy("id_a", "id_b")
-        .agg(F.min(dist).cast("int").alias("distance"))
+        .select("id_a", "id_b", dist.cast("int").alias("distance"))
         .filter(F.col("distance") <= max_distance)
     )
     return out

@@ -467,9 +467,14 @@ def audio_fingerprint_frames(
             f"need hop >= 1 and frame_samples >= {max(2 * n_bands, 12)} "
             f"(got hop={hop}, frame_samples={frame_samples})"
         )
+    # name the id field by id_col and carry the INPUT's id dtype through
+    # (string/long ids both round-trip) — the sibling-operator schema
+    # discipline phash64_frames follows; this operator's output is a
+    # join key for hamming_neardup_pairs, so a string/composite id must
+    # round-trip instead of crashing in the kernel (ADVICE r15 #1)
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            T.StructField(id_col, df.schema[id_col].dataType),
             T.StructField("frame_idx", T.LongType()),
             T.StructField("fp", T.LongType()),
         ]
@@ -537,7 +542,9 @@ def audio_fingerprint_frames(
                     # chunks prepend the carried row, so rows are c0..
                     start = 1 if prev_d1 is None else c0
                     for t, fp in enumerate(fps, start=start):
-                        rows["id"].append(int(d))
+                        # d passes through uncoerced: the schema carries
+                        # the input id dtype (string ids must not int())
+                        rows["id"].append(d)
                         rows["frame_idx"].append(t)
                         rows["fp"].append(int(fp))
                     prev_d1 = d1[-1:, :]

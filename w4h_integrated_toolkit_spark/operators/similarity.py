@@ -378,16 +378,23 @@ def neardup_pairs(
     whose sign bits refuse to spread (the +3 slack bits make that a
     tail event, not an impossibility) and the rare bystander pair
     sharing ALL the flood's sub-split bits (stress-pinned trade). The
-    drop is silent — the pair-set output has no row to hang a flag on —
-    so when recall is contractual either raise ``max_bucket``/
-    ``n_planes`` until no skip can trigger, or pass
-    ``max_bucket=None`` to disable the guard (the oracle-gated
-    registry queries do exactly that: the parity law needs the uncapped
-    semantics).
+    pair-set output has no row to hang a flag on, so the skip is
+    counted on a Spark ACCUMULATOR instead: the returned DataFrame
+    carries it as ``.skipped_groups`` — after any full action,
+    ``result.skipped_groups.value`` is the number of dropped
+    sub-buckets (0 = every group was paired; a recall-contractual
+    caller asserts that, or raises ``max_bucket``/``n_planes`` until
+    no skip can trigger, or passes ``max_bucket=None`` to disable the
+    guard — the oracle-gated registry queries do exactly that: the
+    parity law needs the uncapped semantics). The count is a standard
+    Spark accumulator: task retries/speculation can over-count, so
+    treat nonzero as "at least one skip", not an exact tally
+    (ADVICE r15 #2).
     """
     import numpy as np
 
     planes = hyperplanes(dim, n_planes, seed)
+    skipped_acc = df.sparkSession.sparkContext.accumulator(0)
     b = df.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("bucket", sign_bucket_key(F.col("v"), planes))
@@ -407,6 +414,8 @@ def neardup_pairs(
             # far over the soft cap after sub-split = exact-duplicate
             # flood: skip (see docstring; exact_dedup the vectors
             # instead). 2x is the hard bound _subsplit_oversized names.
+            if len(ids) >= 2:
+                skipped_acc.add(1)
             return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
         V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         N = V / np.linalg.norm(V, axis=1, keepdims=True)
@@ -418,9 +427,11 @@ def neardup_pairs(
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos[keep]})
 
-    return b.groupBy(*group_cols).applyInPandas(
+    out = b.groupBy(*group_cols).applyInPandas(
         block, "id_a long, id_b long, cos double"
     )
+    out.skipped_groups = skipped_acc
+    return out
 
 
 def lsh_topk(

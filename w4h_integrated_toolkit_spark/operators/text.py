@@ -25,6 +25,7 @@ __all__ = [
     "chunk_documents",
     "token_entropy",
     "feature_hashing",
+    "FEATURE_HASH_VERSION",
     "gopher_quality_flags",
     "c4_clean_lines",
     "fit_hashed_logodds",
@@ -617,6 +618,24 @@ def gopher_quality_flags(
     )
 
 
+# Version stamp for the HASHED-FEATURE FORMAT (tokenizer + hash family
+# + bucket rule). Any model fitted over feature_hashing output (hashed
+# log-odds, DSIR log-ratios) scores correctly only against features
+# hashed the SAME way — a silent tokenizer change makes persisted
+# weights drift against newly hashed counts with no error anywhere
+# (ADVICE r15 #4). Bake this into every save_model params stamp (the
+# PHASH_VERSION / CANONICALIZER_VERSION discipline) and pass it in
+# expect_params at load so a stale model fails loud instead of
+# drifting. History:
+#   1 — \s+ split WITHOUT the empty-token filter: trailing-newline/tab
+#       docs emitted a phantom ''-token into one bucket per doc
+#       (pre-r14; never shipped a stamp, which is why this constant
+#       exists).
+#   2 — the shared _ws_tokens tokenizer (strip().split() semantics,
+#       empty tokens filtered) + portable_hash31 % n_buckets.
+FEATURE_HASH_VERSION = 2
+
+
 def feature_hashing(
     df: DataFrame,
     n_buckets: int = 1024,
@@ -734,8 +753,12 @@ def fit_hashed_logodds(
     bucket ``-1``, so the whole fitted model is one (bucket, weight)
     table of exactly ``n_buckets + 1`` rows — publish it through
     ``sources.models.save_model`` with a
-    ``{"kind": "hashed_logodds", "n_buckets": ..., "alpha": ...}`` stamp
-    and load with ``expect_params`` at scoring time.
+    ``{"kind": "hashed_logodds", "n_buckets": ..., "alpha": ...,
+    "feature_hash_version": FEATURE_HASH_VERSION}`` stamp and load with
+    ``expect_params`` (INCLUDING the version) at scoring time: weights
+    are meaningful only against features hashed by the same tokenizer/
+    hash format, and the stamp is what makes a stale persisted model
+    fail loud instead of drifting (see :data:`FEATURE_HASH_VERSION`).
 
     Deterministic end to end: the hash family is the engine-portable
     MD5-based one (see :func:`feature_hashing`) and the arithmetic is
@@ -878,8 +901,11 @@ def fit_dsir_logratios(
 
     Returns (bucket, weight), exactly ``n_buckets`` rows — publish via
     ``sources.models.save_model`` with an ``{"kind": "dsir",
-    "n_buckets": ..., "alpha": ...}`` stamp, the
-    :func:`fit_hashed_logodds` discipline.
+    "n_buckets": ..., "alpha": ...,
+    "feature_hash_version": FEATURE_HASH_VERSION}`` stamp, the
+    :func:`fit_hashed_logodds` discipline (the version makes a model
+    persisted under an older tokenizer/hash format fail loud at load
+    instead of scoring drifted — see :data:`FEATURE_HASH_VERSION`).
 
     Scale shape: one (doc, bucket)→bucket aggregate per corpus (the
     target is small by nature; the raw side is a SAMPLE of the pool —

@@ -9129,8 +9129,9 @@ assert set(_R12_WINDOW) <= set(QUERIES), set(_R12_WINDOW) - set(QUERIES)
 # candidates against the stalest rotation rows at r15 — at most the
 # free-slot count enters; the others stay library-level.
 #
-# STATUS (late-r13): all three candidates are PRE-BUILT with oracles at
-# the end of this file (R15_CANDIDATES — gopher_flags,
+# STATUS (late-r13; dict renamed R16_CANDIDATES at r15 after the
+# gopher_flags + duplicated_spans promotions): all three candidates are
+# PRE-BUILT with oracles at the end of this file (gopher_flags,
 # duplicated_spans, hashed_clf_scores), deliberately NOT registered;
 # tests/test_r15_candidates.py runs the registered-sweep canonical
 # compare against them and is green at sf0.001/0.01/0.1 AND under 7
@@ -9585,14 +9586,102 @@ WHERE bit_count(xor(a.ph, b.ph)) <= 4
 """
 
 
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR chain end-to-end (Xie et al. 2023, the r14 oracle
+    sketch built out): fit hashed-unigram importance log-ratios with
+    the en slice as TARGET and the even-doc_id slice as the RAW pool
+    sample, then Gumbel-top-k resample k=25 documents from the whole
+    corpus. Selection is engine-exactly deterministic: the per-doc dot
+    runs on 1e-9-scaled INTEGER weights (associative integer sum — no
+    float accumulation-order hazard) and the Gumbel uniform is the
+    portable MD5 hash of (seed, id), so the same k ids come out of any
+    engine or partition count. The only double steps (ln in the fit,
+    ln(−ln(u)) in the key) agree across engines to ~1 ulp; the fit
+    snaps to the 1e-9 grid inside dsir_resample and the emitted
+    logw/key are portably rounded to 6 dp (the hashed_clf_scores
+    discipline)."""
+    docs = _tw(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    raw = docs.filter(F.col("doc_id") % 2 == 0)
+    w = TX.fit_dsir_logratios(target, raw, n_buckets=64)
+    out = TX.dsir_resample(docs, w, k=25, n_buckets=64)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        _r(F.col("logw"), 6).alias("logw"),
+        _r(F.col("key"), 6).alias("key"),
+    )
+
+
+# the oracle rebuilds the WHOLE chain: two bucket-count CTEs (target
+# slice / raw pool sample) -> Laplace log-ratio weights snapped to the
+# 1e-9 integer grid -> per-doc integer dot -> Gumbel key from the
+# md5-uniform -> ORDER BY key DESC with id tie-break, LIMIT k. Integer
+# sums are CAST to BIGINT (the HUGEINT trap); u = (h+1)/2^31 is a
+# dyadic rational both engines divide exactly, and h <= 2^31-2 keeps
+# u < 1 so -ln(u) is never 0 (no ln(0) divergence: Spark yields NULL,
+# DuckDB -inf).
+_SQL_DSIR = rf"""
+WITH ttoks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents WHERE lang = 'en' AND trim(text) <> ''),
+tb AS (
+  SELECT {_MD5H31_IN_SQL.format(s="t")} % 64 AS bucket,
+         CAST(count(*) AS BIGINT) AS ct
+  FROM ttoks GROUP BY bucket),
+rtoks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents WHERE doc_id % 2 = 0 AND trim(text) <> ''),
+rb AS (
+  SELECT {_MD5H31_IN_SQL.format(s="t")} % 64 AS bucket,
+         CAST(count(*) AS BIGINT) AS cr
+  FROM rtoks GROUP BY bucket),
+tot AS (
+  SELECT (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tb) AS st,
+         (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) FROM rb) AS sr),
+wts AS (
+  SELECT r.range AS bucket,
+         CAST(round((ln((coalesce(tb.ct, 0) + 1.0) / (tot.st + 64.0))
+                     - ln((coalesce(rb.cr, 0) + 1.0) / (tot.sr + 64.0)))
+                    * 1e9) AS BIGINT) AS wi
+  FROM range(64) r LEFT JOIN tb ON r.range = tb.bucket
+                   LEFT JOIN rb ON r.range = rb.bucket, tot),
+atoks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    x -> x <> '')) AS t
+  FROM documents WHERE trim(text) <> ''),
+ac AS (
+  SELECT doc_id, {_MD5H31_IN_SQL.format(s="t")} % 64 AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM atoks GROUP BY doc_id, bucket),
+dots AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(sum(cnt * wi) AS BIGINT) AS di
+  FROM ac JOIN wts USING (bucket) GROUP BY doc_id),
+keyed AS (
+  SELECT doc_id, n_tokens,
+         CAST(di AS DOUBLE) / 1e9 AS logw,
+         CAST(di AS DOUBLE) / 1e9
+           - ln(-ln(({_MD5H31_IN_SQL.format(
+               s="'dsir42|' || CAST(doc_id AS VARCHAR)")} + 1)
+                    / 2147483648.0)) AS key
+  FROM dots)
+SELECT doc_id, n_tokens, round(logw, 6) AS logw, round(key, 6) AS key
+FROM keyed ORDER BY key DESC, doc_id LIMIT 25
+"""
+
+
 # candidate registry: same (fn, sql) shape as QUERIES, same portable
-# rounding rewrite — registering at r15 is moving an entry into QUERIES
-R15_CANDIDATES = {
-    "gopher_flags": (q_gopher_flags, _portable_round_sql(_SQL_GOPHER_FLAGS)),
-    "duplicated_spans": (
-        q_duplicated_spans_gate,
-        _portable_round_sql(_SQL_DUPLICATED_SPANS),
-    ),
+# rounding rewrite — registering is moving an entry into QUERIES.
+# r15 executed the written plan: duplicated_spans + gopher_flags were
+# promoted (see the registration block below); the two entries left
+# over from r14 plus the two gates built at r15 (dsir_resample here,
+# audio_fingerprint_pairs below it) wait for the r16 window per the
+# throttle arithmetic.
+R16_CANDIDATES = {
+    "dsir_resample": (q_dsir_resample, _portable_round_sql(_SQL_DSIR)),
     "hashed_clf_scores": (
         q_hashed_clf_scores,
         _portable_round_sql(_SQL_HASHED_CLF),
@@ -9601,4 +9690,110 @@ R15_CANDIDATES = {
         q_phash_hamming_pairs,
         _portable_round_sql(_SQL_PHASH_HAMMING),
     ),
+}
+
+
+# ---------------------------------------------------------------------------
+# ROUND-15 REGISTRATION + DRIVER WINDOW
+# ---------------------------------------------------------------------------
+# Promote the two candidates named by the written r15 plan (above, at
+# the _R14_WINDOW comment): duplicated_spans (the only major dedup
+# family without a driver row; 125-trial stress + 3-sf parity standing)
+# and gopher_flags (the published-rule curation gate; cheapest candidate
+# at ~1.1 s). Registry grows 200 -> 202. Both arrive with their
+# pre-built oracles already portable-rounded, so they skip the registry
+# rewrite above (applying it twice would double-wrap the rounding).
+QUERIES["duplicated_spans"] = (
+    q_duplicated_spans_gate,
+    _portable_round_sql(_SQL_DUPLICATED_SPANS),
+)
+QUERIES["gopher_flags"] = (
+    q_gopher_flags,
+    _portable_round_sql(_SQL_GOPHER_FLAGS),
+)
+
+# Round-15 driver window, executed exactly as written in the r14 plan:
+# the stale backlog entering r15 is the 50 r11-stale rows (recomputed at
+# r15 start from CORRECTNESS_r01..r14 in true CORRECTNESS_r11 key order;
+# latest-green histogram was {r14: 50, r13: 50, r12: 50, r11: 50}, zero
+# never-gated entries). The two promotions DISPLACE the LAST 2 rows of
+# that order (knn_ivf_persisted, replay_wraparound — the least-stale
+# tail: they gated most recently within r11's own run order) and take
+# their slots at the end of the window; the displaced pair LEADS the
+# r16 window (they will be 5 rounds stale there, a first). Composition
+# machine-checked by
+# test_r15_gate_window_composition_recomputed_from_driver_rows.
+# After r15 gates green: freshness {r15: 50, r14: 50, r13: 50, r12: 48,
+# r11: 2 (the displaced pair)}; every registered entry except the
+# displaced pair carries a driver row no older than four rounds.
+#
+# R16 WINDOW PLAN (execute at r16 start): lead with the displaced pair
+# [knn_ivf_persisted, replay_wraparound], then promote at most 2 of the
+# R16_CANDIDATES (hashed_clf_scores, phash_hamming_pairs, plus any gate
+# built this round — dsir_resample / the audio arm if their standing
+# oracles are green), displacing the LAST rows of the r12-stale list in
+# CORRECTNESS_r12 key order, one displacement per promotion. Recompute
+# the r12-stale list from the JSONs at r16 start — do not trust a
+# hand-written list.
+_R15_WINDOW = [
+    # --- 48 of the 50 r11-stale rows, true CORRECTNESS_r11 key order ---
+    "source_overlap",
+    "shipping_latency",
+    "daily_value_bands",
+    "knn_lsh_topk",
+    "fk_integrity",
+    "table_profile",
+    "cube_totals",
+    "heavy_hitters_sketch",
+    "interval_coverage",
+    "cusum_changepoint",
+    "doc_chunks",
+    "bloom_decontaminate",
+    "quantized_knn_recall",
+    "spearman_trend",
+    "dow_hour_heatmap",
+    "containment_pairs",
+    "zorder_layout",
+    "max_concurrency",
+    "mad_outliers",
+    "ratio_to_report",
+    "benford_audit",
+    "key_skew_report",
+    "seasonal_anomalies",
+    "chi2_independence",
+    "approx_aggregates",
+    "distinct_users_sketch",
+    "value_quantiles_sketch",
+    "pricing_summary",
+    "range_scan",
+    "anti_join_new_users",
+    "mets_broadcast_lookup",
+    "widget_domains",
+    "like_filter",
+    "set_ops",
+    "topk_orders",
+    "bpe_segment",
+    "knn_ivf_fitted",
+    "registrable_domain_psl",
+    "wav_decode_stats",
+    "audio_frame_energy",
+    "video_frame_stats",
+    "html_extract",
+    "streaming_debounce",
+    "debounce_events",
+    "ewma_smooth",
+    "kmeans_iteration",
+    "event_type_pagerank",
+    "pmi_pairs",
+    # --- the 2 r15 promotions (first driver hash), displacing
+    # knn_ivf_persisted + replay_wraparound to lead the r16 window ---
+    "duplicated_spans",
+    "gopher_flags",
+]
+
+assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)
+assert len(set(_R15_WINDOW)) == 50
+assert set(_R15_WINDOW) <= set(QUERIES), set(_R15_WINDOW) - set(QUERIES)
+QUERIES = {name: QUERIES[name] for name in _R15_WINDOW} | {
+    name: spec for name, spec in QUERIES.items() if name not in set(_R15_WINDOW)
 }
