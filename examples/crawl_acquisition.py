@@ -240,6 +240,30 @@ def main() -> None:
     for r in migrated.collect():
         mark = "rewritten" if r["v2_key"] != r["canonical_url"] else "unchanged"
         print(f"   {r['v2_key']} -> {r['canonical_url']} ({mark})")
+
+    # ------------------------------------------------------------------
+    # 7b. the LOAD-path arm (r15): a persisted frontier is read back
+    # through web.load_frontier, which reads the version stamp column,
+    # rekeys a v2 table automatically (one INFO log line), and
+    # re-stamps the current version — stored state can never silently
+    # mix key formats with fresh keys downstream
+    # ------------------------------------------------------------------
+    import tempfile
+
+    from w4h_integrated_toolkit_spark.operators.web import load_frontier
+
+    with tempfile.TemporaryDirectory() as td:
+        store = f"{td}/frontier"
+        legacy.withColumn("canonicalizer_version", F.lit(2)).write.parquet(
+            store
+        )
+        reloaded = load_frontier(spark, store).collect()
+        print("7b. load_frontier over the stored v2 table:")
+        for r in reloaded:
+            print(
+                f"   {r['canonical_url']} "
+                f"(stamp v{r['canonicalizer_version']})"
+            )
     spark.stop()
 
 

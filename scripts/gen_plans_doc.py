@@ -177,8 +177,21 @@ GALLERY = [
      "structs, ONE (band, value) exchange builds the buckets "
      "(collect_set — multi-hash ids never self-pair), in-bucket pair "
      "explosion stays confined per bucket under max_bucket, and the "
-     "exact bit_count(XOR) verify joins back by id (AQE-broadcast); "
-     "only (id, 8-byte hash) rows ever move."),
+     "exact bit_count(XOR) verify joins back by id via per-id "
+     "DISTINCT-hash arrays (no frame-product row fan-out); only "
+     "(id, 8-byte hash) rows ever move."),
+    ("dsir_resample", "DSIR chain: the fit is two parameter-bounded "
+     "bucket aggregates + O(1) scalar collects; the resample is ONE "
+     "feature_hashing aggregate over the corpus, a BroadcastHashJoin "
+     "of the O(n_buckets) integer-snapped model, and "
+     "orderBy(key).limit(k) planned as TakeOrderedAndProject — "
+     "per-partition k-heaps, NO global sort exchange; selection is "
+     "integer-exact and partition-invariant."),
+    ("audio_fingerprint_pairs", "Audio near-dup arm: WAV synthesis + "
+     "the Haitsma-Kalker fingerprint run in ONE map-side Arrow kernel "
+     "chain (payload bytes never shuffle), bit flips are pure Columns, "
+     "and the pairing is hamming_neardup_pairs' one (band, value) "
+     "exchange + array verify — only (id, 4-byte fp) rows ever move."),
 ]
 
 QUERIES = dict(QUERIES) | dict(R16_CANDIDATES)

@@ -4088,6 +4088,83 @@ def test_rekey_canonical_urls_v2_to_v3_law(spark):
             "canonical_url", "k"), stored_version=2)
 
 
+def test_load_frontier_rekeys_stored_v2_keys(spark, tmp_path, caplog):
+    """The frontier LOAD path calls the rekey helper (r14 verdict order
+    #6): a parquet frontier stamped canonicalizer_version=2 comes back
+    with v3 keys and a refreshed stamp plus one INFO log line; a
+    current-version table passes through with keys untouched; a
+    mixed-stamp table and a stampless table without stored_version fail
+    loud."""
+    import logging
+
+    from w4h_integrated_toolkit_spark.operators.web import (
+        CANONICALIZER_VERSION,
+        canonicalize_url,
+        load_frontier,
+    )
+
+    raw = "http://Ex.com:80/café/x?b=2&a=1&utm_source=z"
+    v2_key = "http://ex.com/café/x?a=1&b=2"
+    v3_key = spark.createDataFrame([(raw,)], "u string").select(
+        canonicalize_url(F.col("u")).alias("c")
+    ).collect()[0]["c"]
+    assert v3_key != v2_key  # the non-ASCII row really migrates
+
+    path = str(tmp_path / "frontier_v2")
+    spark.createDataFrame(
+        [(v2_key, 2), ("http://a.com/p", 2)],
+        "canonical_url string, canonicalizer_version int",
+    ).write.parquet(path)
+
+    with caplog.at_level(
+        logging.INFO, logger="w4h_integrated_toolkit_spark.operators.web"
+    ):
+        out = load_frontier(spark, path)
+        rows = {
+            r["canonical_url"]: r["canonicalizer_version"]
+            for r in out.collect()
+        }
+    assert rows == {
+        v3_key: CANONICALIZER_VERSION,
+        "http://a.com/p": CANONICALIZER_VERSION,
+    }
+    assert any(
+        "rekeyed" in rec.message and "v2" in rec.message
+        for rec in caplog.records
+    )
+
+    # current-version table: keys byte-identical, no migration log
+    cur = str(tmp_path / "frontier_v3")
+    spark.createDataFrame(
+        [(v3_key, CANONICALIZER_VERSION)],
+        "canonical_url string, canonicalizer_version int",
+    ).write.parquet(cur)
+    caplog.clear()
+    got = load_frontier(spark, cur).collect()
+    assert [r["canonical_url"] for r in got] == [v3_key]
+    assert not any("rekeyed" in rec.message for rec in caplog.records)
+
+    # explicit stored_version covers pre-stamp tables
+    nostamp = str(tmp_path / "frontier_nostamp")
+    spark.createDataFrame(
+        [(v2_key,)], "canonical_url string"
+    ).write.parquet(nostamp)
+    got2 = load_frontier(spark, nostamp, stored_version=2).collect()
+    assert got2[0]["canonical_url"] == v3_key
+    assert got2[0]["canonicalizer_version"] == CANONICALIZER_VERSION
+    with pytest.raises(ValueError, match="stamp"):
+        load_frontier(spark, nostamp)
+
+    # mixed stamps: corrupted by an unversioned append — fail loud
+    mixed = str(tmp_path / "frontier_mixed")
+    spark.createDataFrame(
+        [(v2_key, 2), (v3_key, 3)],
+        "canonical_url string, canonicalizer_version int",
+    ).write.parquet(mixed)
+    with pytest.raises(ValueError, match="mixed"):
+        load_frontier(spark, mixed)
+
+
 def test_url_dedup_groups_collapses_variants(spark):
     """Tracking/fragment/order variants of one page group under one
     canonical key with the lowest id kept; a genuinely different query

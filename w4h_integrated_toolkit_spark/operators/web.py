@@ -31,6 +31,7 @@ __all__ = [
     "html_extract",
     "canonicalize_url",
     "rekey_canonical_urls",
+    "load_frontier",
     "url_dedup_groups",
     "idna_ascii_hosts",
     "parse_robots",
@@ -685,6 +686,72 @@ def rekey_canonical_urls(
     return df.withColumn(
         key_col, canonicalize_url(F.col(key_col), tracking_re)
     )
+
+
+def load_frontier(
+    spark,
+    path: str,
+    key_col: str = "canonical_url",
+    version_col: str = "canonicalizer_version",
+    stored_version: int | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Load a PERSISTED crawl frontier and normalize its canonical-key
+    format to :data:`CANONICALIZER_VERSION` — the load-path arm of the
+    version-stamp discipline, so a frontier stored under the v2 key
+    format is detected and rekeyed at the boundary instead of silently
+    mixing two key spellings with fresh v3 keys downstream (r14 verdict
+    order #6; :func:`rekey_canonical_urls` is the migration itself).
+
+    The stored format is read from the ``version_col`` stamp column
+    (written next to the keys, per the CANONICALIZER_VERSION
+    docstring); a frontier stored before stamping existed passes
+    ``stored_version`` explicitly instead. Mixed stamps in one table
+    fail loud — that table has already been corrupted by an unversioned
+    append and needs a raw-URL rebuild, not a blanket rekey. Rekeyed
+    and already-current tables alike come back with ``version_col``
+    (re)stamped to the CURRENT version, so the next writer persists a
+    truthful stamp. One INFO log line records any migration — the
+    observable the operator asked for.
+
+    Scale shape: the version check is an O(distinct-stamps) aggregate
+    on the stamp column (two-value collect, never rows); the rekey is
+    a pure Column projection (zero exchanges)."""
+    import logging
+
+    df = spark.read.format(fmt).load(path)
+    if key_col not in df.columns:
+        raise ValueError(f"column {key_col!r} not in stored frontier {path}")
+    if stored_version is None:
+        if version_col not in df.columns:
+            raise ValueError(
+                f"stored frontier {path} carries no {version_col!r} stamp "
+                "column — pass stored_version explicitly (and stamp the "
+                "next write; see CANONICALIZER_VERSION)"
+            )
+        stamps = [
+            r[0]
+            for r in df.select(version_col).distinct().limit(3).collect()
+        ]
+        if len(stamps) != 1 or stamps[0] is None:
+            raise ValueError(
+                f"stored frontier {path} carries mixed/NULL {version_col!r} "
+                f"stamps {sorted(stamps, key=str)} — an unversioned append "
+                "already corrupted it; rebuild from raw URLs instead of "
+                "rekeying"
+            )
+        stored_version = int(stamps[0])
+    out = rekey_canonical_urls(df, stored_version, key_col=key_col)
+    if stored_version != CANONICALIZER_VERSION:
+        logging.getLogger(__name__).info(
+            "load_frontier: rekeyed %s from canonical-key format v%d to "
+            "v%d (%s migrated in place)",
+            path,
+            stored_version,
+            CANONICALIZER_VERSION,
+            key_col,
+        )
+    return out.withColumn(version_col, F.lit(CANONICALIZER_VERSION))
 
 
 def domain_of(url: Column, extra_suffixes: tuple[str, ...] = ()) -> Column:

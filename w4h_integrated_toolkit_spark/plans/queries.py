@@ -9673,14 +9673,145 @@ FROM keyed ORDER BY key DESC, doc_id LIMIT 25
 """
 
 
+# Pinned Haitsma–Kalker fingerprints for the audio gate: 6 classes x 4
+# frames, computed by the INDEPENDENT numpy re-derivation of the
+# published definition (the test_audio_fingerprint_matches_python_model
+# model, run offline) over class signals
+# rng(1000+c).integers(-8000, 8000, n=6144)*2 at the operator defaults
+# (frame 2048, hop 1024, 33 bands). Platform robustness is MEASURED,
+# not hoped: the smallest relative |d2| margin behind any pinned bit is
+# 5.1e-4 of the band-energy scale — nine orders above accumulated FFT
+# ulp noise, so no SIMD/FFT implementation difference can flip a bit.
+# (Pure sinusoids are the wrong input class here: an integer-frequency
+# tone at hop = period/2 has an IDENTICAL magnitude spectrum every
+# frame, so every time-difference bit collapses to 0 — the class
+# signals are seeded noise for that reason.)
+_AUDIO_GATE_FPS = {
+    0: {1: 1186171297, 2: 2338669731, 3: 3032265581, 4: 1112844596},
+    1: {1: 3718067498, 2: 309517677, 3: 2755045050, 4: 1267545643},
+    2: {1: 2907550507, 2: 1301434197, 3: 4189215981, 4: 3849171628},
+    3: {1: 2762484438, 2: 1286687049, 3: 2442341929, 4: 895833750},
+    4: {1: 1184255033, 2: 3877172153, 3: 1498788262, 4: 1789535465},
+    5: {1: 2910426797, 2: 2589350563, 3: 1990940122, 4: 3078328999},
+}
+
+
+def q_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio near-dup arm end-to-end: synthesize deterministic WAV
+    tracks from the documents slice (doc_id % 10 = 0; class
+    c = (doc_id/10) % 6 picks one of six seeded-noise signals, every
+    other class cycle is an exactly-representable half-gain copy — the
+    fingerprint's invariance arm), run
+    multimodal.audio_fingerprint_frames (frame 2048 / hop 1024 / 33
+    bands -> 32 bits x 4 frames per track), plant two index-flipped
+    bits per doc (the phash_hamming_pairs shape — distances 0..4
+    exercise the max_distance boundary), and pair with
+    dedup.hamming_neardup_pairs(hash_bits=32) under any-frame MIN
+    semantics. The oracle NEVER runs an FFT: it joins the pinned
+    per-(class, frame) fingerprint constants (independent numpy
+    re-derivation, margin-verified — see _AUDIO_GATE_FPS) and computes
+    the all-pairs popcount MIN itself, so the Spark kernel's bits, the
+    gain invariance, the bit-flip Columns, the banding recall and the
+    MIN-verify are all checked against FFT-free ground truth.
+    max_bucket=None: gate queries pin guards off (the parity law needs
+    uncapped semantics; the oracle is itself all-pairs)."""
+    import numpy as np
+
+    docs = _tw(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    ).select("doc_id")
+
+    n = 2048 * 3
+    id_field = docs.schema["doc_id"].dataType
+
+    def synth(batches):
+        import pandas as pd
+
+        from ..operators import audiocodec as AC
+
+        base = {
+            c: np.random.default_rng(1000 + c).integers(
+                -8000, 8000, size=n, endpoint=False
+            )
+            * 2
+            for c in range(6)
+        }
+        wavs = {c: bytearray(AC.encode_wav(sig, 8000)) for c, sig in base.items()}
+        half = {
+            c: bytearray(AC.encode_wav(sig // 2, 8000))
+            for c, sig in base.items()
+        }
+        for pdf in batches:
+            m = pdf["doc_id"] // 10
+            payload = [
+                (half if (mi % 12) >= 6 else wavs)[int(mi % 6)]
+                for mi in m
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payload})
+
+    import pyspark.sql.types as T
+
+    tracks = docs.mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", id_field),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    fp = MM.audio_fingerprint_frames(tracks)
+    flipped = fp.select(
+        "doc_id",
+        F.col("fp")
+        .bitwiseXOR(F.expr("shiftleft(1L, CAST(doc_id % 32 AS INT))"))
+        .bitwiseXOR(F.expr("shiftleft(1L, CAST((doc_id div 3) % 32 AS INT))"))
+        .alias("fp"),
+    )
+    return D.hamming_neardup_pairs(
+        flipped, max_distance=4, hash_bits=32, max_bucket=None,
+        hash_col="fp",
+    ).select("id_a", "id_b", F.col("distance").cast("int").alias("distance"))
+
+
+_SQL_AUDIO_PAIRS = (
+    "WITH fps(c, frame_idx, fp) AS (VALUES "
+    + ", ".join(
+        f"({c}, {fi}, {v}::BIGINT)"
+        for c, frames in _AUDIO_GATE_FPS.items()
+        for fi, v in frames.items()
+    )
+    + """),
+ids AS (
+  SELECT doc_id, CAST((doc_id // 10) % 6 AS INT) AS c
+  FROM documents WHERE doc_id % 10 = 0),
+h AS (
+  SELECT doc_id, frame_idx,
+         xor(xor(fp, 1::BIGINT << CAST(doc_id % 32 AS INT)),
+             1::BIGINT << CAST((doc_id // 3) % 32 AS INT)) AS fp
+  FROM ids JOIN fps USING (c)),
+d AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         min(bit_count(xor(a.fp, b.fp))) AS dist
+  FROM h a JOIN h b ON a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b, CAST(dist AS INT) AS distance FROM d WHERE dist <= 4
+"""
+)
+
+
 # candidate registry: same (fn, sql) shape as QUERIES, same portable
 # rounding rewrite — registering is moving an entry into QUERIES.
 # r15 executed the written plan: duplicated_spans + gopher_flags were
 # promoted (see the registration block below); the two entries left
-# over from r14 plus the two gates built at r15 (dsir_resample here,
-# audio_fingerprint_pairs below it) wait for the r16 window per the
-# throttle arithmetic.
+# over from r14 plus the two gates built at r15 (dsir_resample,
+# audio_fingerprint_pairs) wait for the r16 window per the throttle
+# arithmetic.
 R16_CANDIDATES = {
+    "audio_fingerprint_pairs": (
+        q_audio_fingerprint_pairs,
+        _portable_round_sql(_SQL_AUDIO_PAIRS),
+    ),
     "dsir_resample": (q_dsir_resample, _portable_round_sql(_SQL_DSIR)),
     "hashed_clf_scores": (
         q_hashed_clf_scores,
