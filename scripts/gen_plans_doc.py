@@ -153,8 +153,9 @@ GALLERY = [
      "bytewise param sort, rebuild) is JVM Column expressions inside "
      "one codegen stage over the scan; the ONLY exchange is the "
      "canonical-key rollup."),
-    # --- pre-built r16 candidates (R16_CANDIDATES, not yet registered;
-    #     gopher_flags + duplicated_spans were promoted at r15) ---
+    # --- gate-candidate family: gopher_flags + duplicated_spans were
+    #     PROMOTED into the registry at r15; the entries after them are
+    #     the pre-built R16_CANDIDATES, not yet registered ---
     ("gopher_flags", "Gopher rule set: all nine published rules — word/"
      "line splits, sorted-predecessor duplicate-line compare, per-rule "
      "fail_reasons assembly — are ONE codegen'd projection over the "

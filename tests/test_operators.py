@@ -4164,6 +4164,21 @@ def test_load_frontier_rekeys_stored_v2_keys(spark, tmp_path, caplog):
     with pytest.raises(ValueError, match="mixed"):
         load_frontier(spark, mixed)
 
+    # an explicit stored_version contradicting a PRESENT stamp fails
+    # loud instead of silently skipping the rekey (review r15)
+    with pytest.raises(ValueError, match="disagree"):
+        load_frontier(spark, path, stored_version=3)
+
+    # a zero-row stamped frontier is a legitimate first-run load, not
+    # corruption: comes back empty with the schema intact (review r15)
+    empty = str(tmp_path / "frontier_empty")
+    spark.createDataFrame(
+        [], "canonical_url string, canonicalizer_version int"
+    ).write.parquet(empty)
+    out_empty = load_frontier(spark, empty)
+    assert out_empty.count() == 0
+    assert "canonicalizer_version" in out_empty.columns
+
 
 def test_url_dedup_groups_collapses_variants(spark):
     """Tracking/fragment/order variants of one page group under one

@@ -1668,14 +1668,19 @@ def hamming_neardup_pairs(
     )
     ha = hsets.select(F.col("_id").alias("id_a"), F.col("_hs").alias("_ha"))
     hb = hsets.select(F.col("_id").alias("id_b"), F.col("_hs").alias("_hb"))
+    # nested array_min, NOT flatten: flatten would materialize the full
+    # f_a x f_b popcount cross-product as ONE in-memory array per pair
+    # row (two 30k-frame tracks -> a 9e8-element array -> executor OOM
+    # where the old row aggregate merely spilled); folding the inner
+    # MIN first keeps intermediates O(f_b) (review r15)
     dist = F.array_min(
-        F.flatten(
-            F.transform(
-                F.col("_ha"),
-                lambda a: F.transform(
+        F.transform(
+            F.col("_ha"),
+            lambda a: F.array_min(
+                F.transform(
                     F.col("_hb"), lambda b: F.bit_count(a.bitwiseXOR(b))
-                ),
-            )
+                )
+            ),
         )
     )
     out = (

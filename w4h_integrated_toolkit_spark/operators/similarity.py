@@ -387,8 +387,12 @@ def neardup_pairs(
     no skip can trigger, or passes ``max_bucket=None`` to disable the
     guard — the oracle-gated registry queries do exactly that: the
     parity law needs the uncapped semantics). The count is a standard
-    Spark accumulator: task retries/speculation can over-count, so
-    treat nonzero as "at least one skip", not an exact tally
+    Spark accumulator with accumulator semantics, so read it as a FLAG,
+    not a tally: task retries/speculation can over-count, every action
+    on the handle adds another full pass (two ``collect()`` calls
+    double it), and the attribute lives on THIS returned object only —
+    any further transformation (``.filter(...)`` etc.) returns a new
+    DataFrame without it, so grab the handle before chaining
     (ADVICE r15 #2).
     """
     import numpy as np

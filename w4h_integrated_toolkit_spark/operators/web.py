@@ -722,25 +722,44 @@ def load_frontier(
     df = spark.read.format(fmt).load(path)
     if key_col not in df.columns:
         raise ValueError(f"column {key_col!r} not in stored frontier {path}")
+    stamps: list | None = None
+    if version_col in df.columns:
+        stamps = [
+            r[0]
+            for r in df.select(version_col).distinct().limit(3).collect()
+        ]
     if stored_version is None:
-        if version_col not in df.columns:
+        if stamps is None:
             raise ValueError(
                 f"stored frontier {path} carries no {version_col!r} stamp "
                 "column — pass stored_version explicitly (and stamp the "
                 "next write; see CANONICALIZER_VERSION)"
             )
-        stamps = [
-            r[0]
-            for r in df.select(version_col).distinct().limit(3).collect()
-        ]
-        if len(stamps) != 1 or stamps[0] is None:
+        if not stamps:
+            # zero-row frontier: nothing to rekey, no stamp to read —
+            # a legitimate first-run load, not corruption (review r15)
+            stored_version = CANONICALIZER_VERSION
+        elif len(stamps) != 1 or stamps[0] is None:
             raise ValueError(
                 f"stored frontier {path} carries mixed/NULL {version_col!r} "
                 f"stamps {sorted(stamps, key=str)} — an unversioned append "
                 "already corrupted it; rebuild from raw URLs instead of "
                 "rekeying"
             )
-        stored_version = int(stamps[0])
+        else:
+            stored_version = int(stamps[0])
+    elif stamps and any(
+        s is not None and int(s) != stored_version for s in stamps
+    ):
+        # an explicit version must not silently override a present,
+        # contradicting stamp — that re-enables exactly the silent
+        # key-format mixing this loader exists to prevent (review r15)
+        raise ValueError(
+            f"stored frontier {path} is stamped {version_col!r}="
+            f"{sorted(set(stamps), key=str)} but stored_version="
+            f"{stored_version} was passed — the stamp and the caller "
+            "disagree; trust the stamp (drop stored_version) or rebuild"
+        )
     out = rekey_canonical_urls(df, stored_version, key_col=key_col)
     if stored_version != CANONICALIZER_VERSION:
         logging.getLogger(__name__).info(

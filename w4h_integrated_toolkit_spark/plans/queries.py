@@ -9133,7 +9133,8 @@ assert set(_R12_WINDOW) <= set(QUERIES), set(_R12_WINDOW) - set(QUERIES)
 # gopher_flags + duplicated_spans promotions): all three candidates are
 # PRE-BUILT with oracles at the end of this file (gopher_flags,
 # duplicated_spans, hashed_clf_scores), deliberately NOT registered;
-# tests/test_r15_candidates.py runs the registered-sweep canonical
+# tests/test_gate_candidates.py (né test_r15_candidates.py) runs the
+# registered-sweep canonical
 # compare against them and is green at sf0.001/0.01/0.1 AND under 7
 # shuffle partitions. Promotion at r15 = move the entry into QUERIES
 # (the anti-leak test will start failing the moment one is moved —
@@ -9218,7 +9219,7 @@ assert set(_R13_WINDOW) <= set(QUERIES), set(_R13_WINDOW) - set(QUERIES)
 # never-gated entries remain), so r15 has zero free slots BY DEFAULT —
 # every new gate entry promoted at r15 must DISPLACE a stale row,
 # pushing that row to r16 (5 rounds stale, a first). Promotion
-# arithmetic for the three pre-built R15_CANDIDATES (gopher_flags,
+# arithmetic for the three pre-built candidates (gopher_flags,
 # duplicated_spans, hashed_clf_scores) plus the r14-built
 # phash_hamming_pairs candidate: promote AT MOST 2, displacing the
 # LAST 2 r11-stale rows in CORRECTNESS_r11 key order (the least-stale
@@ -9326,13 +9327,14 @@ def oracle_sql() -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
-# R15 GATE CANDIDATES — pre-built, NOT registered (r14 has zero window
-# slots; see the throttle arithmetic above). Each candidate ships its
-# Spark query + DuckDB oracle NOW so the r15 decision is a one-line
+# GATE CANDIDATES — pre-built, promoted one window at a time per the
+# rotation throttle. Each candidate ships its Spark query + DuckDB
+# oracle the round it is BUILT, so a later promotion is a one-line
 # registry move with the parity evidence already standing
-# (tests/test_r15_candidates.py runs the same canonical compare the
-# registered parity sweep uses). Keep these OUT of QUERIES until a
-# window slot opens.
+# (tests/test_gate_candidates.py runs the same canonical compare the
+# registered parity sweep uses). r15 promoted gopher_flags +
+# duplicated_spans into QUERIES (registration block below); the rest
+# stay in R16_CANDIDATES until a window slot opens.
 # ---------------------------------------------------------------------------
 
 
