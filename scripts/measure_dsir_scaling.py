@@ -32,8 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 # ONE copy of the salted-replication helpers (the letters-only-salt
-# invariant — the digit-salt lesson — must live in one place)
-from measure_clf_fit_scaling import replicate_salted  # noqa: E402
+# invariant — the digit-salt lesson — lives in scripts/scale_common.py)
+from scale_common import replicate_salted  # noqa: E402
 
 from w4h_integrated_toolkit_spark.catalog import (  # noqa: E402
     ensure_min_partitions,

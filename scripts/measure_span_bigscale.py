@@ -15,13 +15,15 @@ from __future__ import annotations
 
 import json
 import os
-import string
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
+
+from scale_common import replicate_salted  # noqa: E402
 
 from w4h_integrated_toolkit_spark.catalog import (  # noqa: E402
     ensure_min_partitions,
@@ -34,26 +36,6 @@ SF_DIR = os.environ.get(
     os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
 )
 FACTORS = (16, 64)
-
-
-def _salt(i: int) -> str:
-    a, b = divmod(i, 26)
-    return "q" + string.ascii_lowercase[a] + string.ascii_lowercase[b]
-
-
-def replicate_salted(df, factor):
-    parts = [
-        df.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
-        .withColumn(
-            "text",
-            F.regexp_replace(F.col("text"), r"(\S+)", f"{_salt(i)}$1"),
-        )
-        for i in range(factor)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
 
 
 def main() -> None:

@@ -42,7 +42,7 @@ N_HOSTS = 997
 
 
 def replicate_salted(df, factor):
-    # letters-only salts (see measure_scaling.replicate): replica-local
+    # letters-only salts (THE shared rule: scripts/scale_common.py): replica-local
     # tokens -> replica-local duplicated spans -> linear true dup mass
     salts = ["qa", "qb", "qc", "qd", "qe", "qf", "qg", "qh"]
     parts = [

@@ -4169,6 +4169,19 @@ def test_load_frontier_rekeys_stored_v2_keys(spark, tmp_path, caplog):
     with pytest.raises(ValueError, match="disagree"):
         load_frontier(spark, path, stored_version=3)
 
+    # NULL stamps mark an unversioned append: an explicit version must
+    # not sail past them and restamp the corruption uniform (review r15
+    # pass 2)
+    nullstamp = str(tmp_path / "frontier_nullstamp")
+    spark.createDataFrame(
+        [(v3_key, 3), (v2_key, None)],
+        "canonical_url string, canonicalizer_version int",
+    ).write.parquet(nullstamp)
+    with pytest.raises(ValueError, match="disagree"):
+        load_frontier(spark, nullstamp, stored_version=3)
+    with pytest.raises(ValueError, match="mixed"):
+        load_frontier(spark, nullstamp)
+
     # a zero-row stamped frontier is a legitimate first-run load, not
     # corruption: comes back empty with the schema intact (review r15)
     empty = str(tmp_path / "frontier_empty")

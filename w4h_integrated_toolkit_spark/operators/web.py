@@ -749,16 +749,22 @@ def load_frontier(
         else:
             stored_version = int(stamps[0])
     elif stamps and any(
-        s is not None and int(s) != stored_version for s in stamps
+        s is None or int(s) != stored_version for s in stamps
     ):
         # an explicit version must not silently override a present,
         # contradicting stamp — that re-enables exactly the silent
-        # key-format mixing this loader exists to prevent (review r15)
+        # key-format mixing this loader exists to prevent. NULL stamps
+        # count as disagreement too: they mark an unversioned append
+        # (the corruption the implicit path rejects), and letting an
+        # explicit version sail past them would restamp every row
+        # uniform and launder the corruption permanently (review r15
+        # pass 2)
         raise ValueError(
             f"stored frontier {path} is stamped {version_col!r}="
             f"{sorted(set(stamps), key=str)} but stored_version="
             f"{stored_version} was passed — the stamp and the caller "
-            "disagree; trust the stamp (drop stored_version) or rebuild"
+            "disagree; trust the stamp (drop stored_version), or "
+            "rebuild from raw URLs if the stamps are mixed/NULL"
         )
     out = rekey_canonical_urls(df, stored_version, key_col=key_col)
     if stored_version != CANONICALIZER_VERSION:
