@@ -9862,12 +9862,19 @@ QUERIES["gopher_flags"] = (
 #
 # R16 WINDOW PLAN (execute at r16 start): lead with the displaced pair
 # [knn_ivf_persisted, replay_wraparound], then promote at most 2 of the
-# R16_CANDIDATES (hashed_clf_scores, phash_hamming_pairs, plus any gate
-# built this round — dsir_resample / the audio arm if their standing
-# oracles are green), displacing the LAST rows of the r12-stale list in
-# CORRECTNESS_r12 key order, one displacement per promotion. Recompute
-# the r12-stale list from the JSONs at r16 start — do not trust a
-# hand-written list.
+# four R16_CANDIDATES, displacing the LAST rows of the r12-stale list
+# in CORRECTNESS_r12 key order, one displacement per promotion.
+# Recompute the r12-stale list from the JSONs at r16 start — do not
+# trust a hand-written list. All four candidates carry standing parity
+# at 3 sfs + 7 shuffle partitions; gate latency pre-measured at r15
+# (sf0.01, 4 cpus, idle box): dsir_resample 12.8 s cold / 2.4-2.9 s
+# warm (a steal-contaminated window once read 35 s — re-measure solo
+# before trusting any elevated read), audio_fingerprint_pairs 3.7-7.5 s
+# cold, hashed_clf_scores 4.46 s cold (r13), phash_hamming_pairs 7.9 s
+# cold / 1.6 s warm (r14). Recommended picks: dsir_resample +
+# audio_fingerprint_pairs (both families' ONLY oracle-able driver
+# surfaces — DSIR closes verdict missing-item #2a, the audio arm #2b);
+# hashed_clf_scores and phash_hamming_pairs wait for r17.
 _R15_WINDOW = [
     # --- 48 of the 50 r11-stale rows, true CORRECTNESS_r11 key order ---
     "source_overlap",
