@@ -295,8 +295,8 @@ MEDIAN_EXTRA_QUERIES = {
     # (2.48 s / 2.33 s in the clean r14 capture) show the fresh-session
     # cold spread that misled r13's robots_filter reads — median-of-3 so
     # their r15 bands land on medians (bands written in BASELINE.md).
-    "tfidf_top_terms",           # ~1.9-2.5 s
-    "dedup_keep_best",           # ~1.8-2.4 s
+    "tfidf_top_terms",           # 1.2-1.8 s median (1-run 2.5 was cold-plan)
+    "dedup_keep_best",           # 2.1-2.7 s deep-warm (r11 adjudication)
 }
 
 
