@@ -9874,7 +9874,15 @@ QUERIES["gopher_flags"] = (
 # cold / 1.6 s warm (r14). Recommended picks: dsir_resample +
 # audio_fingerprint_pairs (both families' ONLY oracle-able driver
 # surfaces — DSIR closes verdict missing-item #2a, the audio arm #2b);
-# hashed_clf_scores and phash_hamming_pairs wait for r17.
+# hashed_clf_scores and phash_hamming_pairs wait for r17. The EXACT
+# prospective window (displaced pair first, then the first 46 r12-stale
+# rows in CORRECTNESS_r12 key order, then the two recommended
+# promotions — pushing streaming_ewma, stream_window_dedup,
+# value_percentile_rank, grid_density to lead r17) was pre-measured at
+# r15 end: 60.3 s total cold at sf0.01 on 4 cpus, worst
+# knn_ivf_persisted 16.55 s (the fresh-session first-job JIT tier of a
+# ~3 s row — the source_overlap pattern) — every entry inside the
+# ~30 s per-entry envelope.
 _R15_WINDOW = [
     # --- 48 of the 50 r11-stale rows, true CORRECTNESS_r11 key order ---
     "source_overlap",
