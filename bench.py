@@ -291,12 +291,15 @@ MEDIAN_EXTRA_QUERIES = {
     # profile median-of-3 absorbs; its first round-over-round
     # comparison lands at r15 on medians.
     "robots_filter",             # 1.3-2.3 s warm (13 s fresh-session cold)
-    # r14 verdict order #5: the two heaviest remaining 1-run extras
-    # (2.48 s / 2.33 s in the clean r14 capture) show the fresh-session
-    # cold spread that misled r13's robots_filter reads — median-of-3 so
-    # their r15 bands land on medians (bands written in BASELINE.md).
+    # r14 verdict order #5, executed with a correction: the order named
+    # tfidf_top_terms (2.48, genuinely 1-run) and dedup_keep_best (2.33)
+    # — but dedup_keep_best has been median-of-3 since late-r9 (line
+    # above), so its 2.33 WAS already a median and that half of the
+    # order was a no-op (review r15 pass 3). The actual heaviest
+    # remaining 1-run extra on the clean r15 capture is basket_affinity
+    # (2.05 s) — promoted in its place; first median band lands at r16.
     "tfidf_top_terms",           # 1.2-1.8 s median (1-run 2.5 was cold-plan)
-    "dedup_keep_best",           # 2.1-2.7 s deep-warm (r11 adjudication)
+    "basket_affinity",           # 1-run 1.9-2.1 observed; first median at r16
 }
 
 

@@ -17,8 +17,11 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
+
+from scale_common import replicate_salted
 
 from w4h_integrated_toolkit_spark.catalog import ensure_min_partitions, read_parquet
 from w4h_integrated_toolkit_spark.operators import dedup as D
@@ -29,26 +32,12 @@ FACTORS = (1, 2, 4)
 
 
 def replicate(df, factor):
-    # the salt prefix must be LETTERS-ONLY: digit salts ("r0", "r1")
-    # survive whitespace tokenizers but are split off by letter-run
-    # extractors like bpe_vocab's [a-z]+, which would silently collapse
-    # every replica's words back to one vocabulary (caught by review —
-    # the bpe_learn scaling row's premise depends on this)
-    salts = ["qa", "qb", "qc", "qd", "qe", "qf", "qg", "qh"]
-    if factor > len(salts):
-        raise ValueError(f"factor {factor} exceeds available salts")
-    parts = []
-    for i in range(factor):
-        parts.append(
-            df.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
-            .withColumn(
-                "text",
-                F.regexp_replace(F.col("text"), r"(\S+)", f"{salts[i]}$1"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    # THE letters-only-salt rule lives in scripts/scale_common.py (digit
+    # salts survive whitespace tokenizers but are split off by
+    # letter-run extractors like bpe_vocab's [a-z]+, silently collapsing
+    # every replica's words to one vocabulary — caught by review; the
+    # bpe_learn scaling row's premise depends on it)
+    out = replicate_salted(df, factor)
     return out
 
 

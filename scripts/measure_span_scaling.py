@@ -27,8 +27,13 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import functions as F
+
+# letters-only salts (THE shared rule): replica-local tokens ->
+# replica-local duplicated spans -> linear true dup mass
+from scale_common import replicate_salted  # noqa: E402
 
 from w4h_integrated_toolkit_spark.catalog import (  # noqa: E402
     ensure_min_partitions,
@@ -39,24 +44,6 @@ from w4h_integrated_toolkit_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("W4H_SCALE_SF_DIR", "/root/testdata/sf0.1")
 FACTORS = (1, 2, 4, 8)
 N_HOSTS = 997
-
-
-def replicate_salted(df, factor):
-    # letters-only salts (THE shared rule: scripts/scale_common.py): replica-local
-    # tokens -> replica-local duplicated spans -> linear true dup mass
-    salts = ["qa", "qb", "qc", "qd", "qe", "qf", "qg", "qh"]
-    parts = [
-        df.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
-        .withColumn(
-            "text",
-            F.regexp_replace(F.col("text"), r"(\S+)", f"{salts[i]}$1"),
-        )
-        for i in range(factor)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
 
 
 def main() -> None:

@@ -759,12 +759,18 @@ def load_frontier(
         # explicit version sail past them would restamp every row
         # uniform and launder the corruption permanently (review r15
         # pass 2)
+        if any(s is None for s in stamps):
+            remedy = (
+                "NULL stamps mark an unversioned append — the implicit "
+                "path rejects this table too; rebuild from raw URLs"
+            )
+        else:
+            remedy = "trust the stamp (drop stored_version) or rebuild"
         raise ValueError(
             f"stored frontier {path} is stamped {version_col!r}="
             f"{sorted(set(stamps), key=str)} but stored_version="
             f"{stored_version} was passed — the stamp and the caller "
-            "disagree; trust the stamp (drop stored_version), or "
-            "rebuild from raw URLs if the stamps are mixed/NULL"
+            f"disagree; {remedy}"
         )
     out = rekey_canonical_urls(df, stored_version, key_col=key_col)
     if stored_version != CANONICALIZER_VERSION:
