@@ -238,6 +238,11 @@ EXTRA_BENCH_QUERIES = [
     "warc_extract",
     # r13 addition
     "robots_filter",
+    # r15 registrations (promoted from the candidates file; every
+    # registered entry gets a bench row so driver deltas have a local
+    # reference level)
+    "duplicated_spans",
+    "gopher_flags",
 ]
 
 # The heaviest extras get MEDIAN-OF-3 like the headline (r8 verdict
