@@ -522,12 +522,63 @@ def main() -> None:
         or loadavg_start > PREFLIGHT_LOAD_MAX
         or steal_pct > STEAL_PCT_MAX
     )
+    retry_detail = None
     if loaded_box:
         print(
             "# WARNING: bench ran on a contended box — treat per-query "
             "deltas vs prior rounds as noise and re-measure solo",
             file=sys.stderr,
         )
+        # ONE clean-retry of the HEADLINE set (r15): the flag is honest
+        # but the artifact of record still carries inflated numbers —
+        # r14's official capture misread 0.95x code as 2.05x. Ambient
+        # contention here arrives in bursts (measured: steal windows of
+        # minutes between clean stretches), so after a bounded settle,
+        # re-measure the 35 headline queries only (~2-3 min warm; the
+        # extras keep their first-pass levels, marked). The retry is
+        # adopted ONLY if its own interleaved probes and steal window
+        # are clean — otherwise the first pass stands, still flagged.
+        print("# retry: settling 90s for a clean headline window",
+              file=sys.stderr)
+        time.sleep(90.0)
+        r_cpu0 = _cpu_stat()
+        r_probes = [round(_calibration_sec(spark), 3)]
+        print(f"# retry probe (before): {r_probes[0]:.3f}s", file=sys.stderr)
+        if r_probes[0] <= probe_flag_at:
+            r_timings: dict[str, float] = {}
+            for i, name in enumerate(BENCH_QUERIES):
+                r_timings[name] = timed_median(name, n_runs=3)
+                if i in (len(BENCH_QUERIES) // 2,):
+                    r_probes.append(round(_calibration_sec(spark), 3))
+                    print(f"# retry probe (mid): {r_probes[-1]:.3f}s",
+                          file=sys.stderr)
+            r_probes.append(round(_calibration_sec(spark), 3))
+            print(f"# retry probe (after): {r_probes[-1]:.3f}s",
+                  file=sys.stderr)
+            r_steal = _steal_pct(r_cpu0, _cpu_stat())
+            retry_clean = (
+                max(r_probes) <= probe_flag_at
+                and not r_steal > STEAL_PCT_MAX
+            )
+            retry_detail = {
+                "timings": r_timings,
+                "probes": r_probes,
+                "steal_pct": round(r_steal, 2),
+                "adopted": retry_clean,
+            }
+            if retry_clean:
+                print(
+                    "# retry window was clean — headline timings adopted "
+                    "from the retry; extras keep first-pass levels",
+                    file=sys.stderr,
+                )
+                timings = r_timings
+                probes = probes + r_probes
+                loaded_box = False
+        else:
+            retry_detail = {"probes": r_probes, "adopted": False}
+            print("# retry window still contended — first pass stands",
+                  file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -559,6 +610,7 @@ def main() -> None:
             ),
         },
         "loaded_box": loaded_box,
+        "retry": retry_detail,
         "baseline": "r7 reset: 35 headline queries (BASELINE.md)",
     }
     with open(
