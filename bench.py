@@ -304,7 +304,7 @@ MEDIAN_EXTRA_QUERIES = {
     # remaining 1-run extra on the clean r15 capture is basket_affinity
     # (2.05 s) — promoted in its place; first median band lands at r16.
     "tfidf_top_terms",           # 1.2-1.8 s median (1-run 2.5 was cold-plan)
-    "basket_affinity",           # 1-run 1.9-2.1 observed; first median at r16
+    "basket_affinity",           # 1.1-1.6 s median (1-run ~2.0 was cold-plan)
 }
 
 
