@@ -302,7 +302,8 @@ MEDIAN_EXTRA_QUERIES = {
     # above), so its 2.33 WAS already a median and that half of the
     # order was a no-op (review r15 pass 3). The actual heaviest
     # remaining 1-run extra on the clean r15 capture is basket_affinity
-    # (2.05 s) — promoted in its place; first median band lands at r16.
+    # (2.05 s) — promoted in its place; first clean median landed the
+    # same round: 1.254 s (band 1.1-1.6, BASELINE.md).
     "tfidf_top_terms",           # 1.2-1.8 s median (1-run 2.5 was cold-plan)
     "basket_affinity",           # 1.1-1.6 s median (1-run ~2.0 was cold-plan)
 }
@@ -335,6 +336,13 @@ PREFLIGHT_MAX_WAIT = 300.0  # sec; bounded so the driver's timeout is safe
 # 0.095-0.13 band clears it with margin.
 CALIBRATION_CLEAN_FLOOR_SEC = 0.118
 CALIBRATION_LOADED_FACTOR = 1.35
+# Clean-retry wall budget: a flagged first pass that took longer than
+# this forfeits the headline retry rather than risking the driver's
+# timeout (a flagged capture beats a lost one); clean passes finish in
+# ~8-10 min, the r14 contaminated official run (~1.67x inflation)
+# still returned rc=0, so 720 s start + ~90 s settle + ~4 min retry
+# stays inside what the driver demonstrably tolerates.
+RETRY_MAX_START_SEC = 720.0
 
 
 def _loadavg() -> float:
@@ -426,6 +434,7 @@ def main() -> None:
         steal = _steal_now()
     loadavg_start = load
     cpu_start = _cpu_stat()
+    bench_t0 = time.time()
 
     # no console progress bars: the driver parses the tail of combined
     # output, and \r-progress spam is what squeezed the r6 JSON line out
@@ -523,21 +532,37 @@ def main() -> None:
         or steal_pct > STEAL_PCT_MAX
     )
     retry_detail = None
+    first_pass = None
+    retry_adopted = False
     if loaded_box:
         print(
             "# WARNING: bench ran on a contended box — treat per-query "
             "deltas vs prior rounds as noise and re-measure solo",
             file=sys.stderr,
         )
-        # ONE clean-retry of the HEADLINE set (r15): the flag is honest
-        # but the artifact of record still carries inflated numbers —
-        # r14's official capture misread 0.95x code as 2.05x. Ambient
-        # contention here arrives in bursts (measured: steal windows of
-        # minutes between clean stretches), so after a bounded settle,
-        # re-measure the 35 headline queries only (~2-3 min warm; the
-        # extras keep their first-pass levels, marked). The retry is
-        # adopted ONLY if its own interleaved probes and steal window
-        # are clean — otherwise the first pass stands, still flagged.
+    # ONE clean-retry of the HEADLINE set (r15): the flag is honest but
+    # the artifact of record still carries inflated numbers — r14's
+    # official capture misread 0.95x code as 2.05x. Ambient contention
+    # here arrives in bursts (measured: steal windows of minutes between
+    # clean stretches), so after a bounded settle, re-measure the 35
+    # headline queries only. The retry is adopted ONLY if its own
+    # interleaved probes (denser than the main pass: before + every 9
+    # queries + after) and its own steal window are clean — loadavg is
+    # deliberately NOT re-checked here: 90 s after a full pass the 1-min
+    # loadavg is dominated by the bench's OWN residual (a clean run ends
+    # near 12), while the probes measure directly what loadavg proxies.
+    # When adopted, ALL first-pass contention metadata (probes, steal,
+    # loadavg, and the contended headline timings) moves into the
+    # "first_pass" block so no consumer can mistake it for the adopted
+    # window's; extras are NOT re-measured and are marked contended.
+    if loaded_box and (time.time() - bench_t0) > RETRY_MAX_START_SEC:
+        retry_detail = {
+            "timings": None, "probes": None, "steal_pct": None,
+            "adopted": False, "skipped": "wall budget exceeded",
+        }
+        print("# retry skipped: first pass exceeded the wall budget",
+              file=sys.stderr)
+    elif loaded_box:
         print("# retry: settling 90s for a clean headline window",
               file=sys.stderr)
         time.sleep(90.0)
@@ -548,7 +573,7 @@ def main() -> None:
             r_timings: dict[str, float] = {}
             for i, name in enumerate(BENCH_QUERIES):
                 r_timings[name] = timed_median(name, n_runs=3)
-                if i in (len(BENCH_QUERIES) // 2,):
+                if (i + 1) % 9 == 0 and (i + 1) < len(BENCH_QUERIES):
                     r_probes.append(round(_calibration_sec(spark), 3))
                     print(f"# retry probe (mid): {r_probes[-1]:.3f}s",
                           file=sys.stderr)
@@ -556,7 +581,7 @@ def main() -> None:
             print(f"# retry probe (after): {r_probes[-1]:.3f}s",
                   file=sys.stderr)
             r_steal = _steal_pct(r_cpu0, _cpu_stat())
-            retry_clean = (
+            retry_adopted = (
                 max(r_probes) <= probe_flag_at
                 and not r_steal > STEAL_PCT_MAX
             )
@@ -564,19 +589,31 @@ def main() -> None:
                 "timings": r_timings,
                 "probes": r_probes,
                 "steal_pct": round(r_steal, 2),
-                "adopted": retry_clean,
+                "adopted": retry_adopted,
             }
-            if retry_clean:
+            if retry_adopted:
                 print(
                     "# retry window was clean — headline timings adopted "
-                    "from the retry; extras keep first-pass levels",
+                    "from the retry; extras keep first-pass levels "
+                    "(marked contended)",
                     file=sys.stderr,
                 )
+                first_pass = {
+                    "flagged": True,
+                    "headline_timings": timings,
+                    "probes": probes,
+                    "steal_pct": round(steal_pct, 2),
+                    "loadavg_start": round(loadavg_start, 2),
+                }
                 timings = r_timings
-                probes = probes + r_probes
+                probes = r_probes
+                steal_pct = r_steal
                 loaded_box = False
         else:
-            retry_detail = {"probes": r_probes, "adopted": False}
+            retry_detail = {
+                "timings": None, "probes": r_probes, "steal_pct": None,
+                "adopted": False,
+            }
             print("# retry window still contended — first pass stands",
                   file=sys.stderr)
 
@@ -611,6 +648,11 @@ def main() -> None:
         },
         "loaded_box": loaded_box,
         "retry": retry_detail,
+        # when a retry was adopted, the extras were NOT re-measured:
+        # they carry first-pass (contended-window) levels — do not
+        # adjudicate extra-query bands from this capture
+        "extra_queries_contended": retry_adopted,
+        "first_pass": first_pass,
         "baseline": "r7 reset: 35 headline queries (BASELINE.md)",
     }
     with open(
@@ -632,7 +674,12 @@ def main() -> None:
             "runs": 3,
             "stat": "median",
             "loaded_box": loaded_box,
+            # after an adopted retry this is the ADOPTED window's steal
+            # (the first pass's reading lives in detail.first_pass), so
+            # the steal_pct>3 reading rule and loaded_box never
+            # contradict each other on the compact line
             "steal_pct": round(steal_pct, 2),
+            "retry_adopted": retry_adopted,
         },
         separators=(",", ":"),
     )
