@@ -396,6 +396,74 @@ def test_mixture_sample_nested_deterministic(spark):
     assert reparted == lo
 
 
+def test_temperature_mixture_rates_math_and_composition(spark):
+    """Temperature-scaled mixture rates (the mT5 rule): the rates match
+    the literal q_g ∝ p_g^(1/T) hand model with the most-upweighted
+    group pinned at 1.0, T=1 keeps natural proportions (every rate 1.0
+    — nothing to rebalance), large T flattens toward uniform kept
+    counts, NULL keys are excluded, and the dict composes with
+    mixture_sample into the expected kept proportions."""
+    from w4h_integrated_toolkit_spark.operators.etl import (
+        mixture_sample,
+        temperature_mixture_rates,
+    )
+
+    # groups: a=800, b=150, c=50 (+ NULLs that must not claim a share)
+    rows = [
+        Row(doc_id=i, g="a" if i < 800 else ("b" if i < 950 else "c"))
+        for i in range(1000)
+    ] + [Row(doc_id=1000 + i, g=None) for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+
+    # T=1: natural proportions — q_g/n_g is constant, every rate 1.0
+    assert temperature_mixture_rates(df, "g", 1.0) == {
+        "a": 1.0, "b": 1.0, "c": 1.0,
+    }
+
+    # hand model at T=2: q_g ∝ sqrt(p_g); r_g = (q_g/n_g) normalized so
+    # the max (the smallest group) is 1.0
+    import math
+
+    n = {"a": 800, "b": 150, "c": 50}
+    tot = sum(n.values())
+    q = {g: math.sqrt(v / tot) for g, v in n.items()}
+    z = sum(q.values())
+    q = {g: v / z for g, v in q.items()}
+    scale = max(q[g] / n[g] for g in n)
+    expect = {g: min(1.0, (q[g] / n[g]) / scale) for g in n}
+    got = temperature_mixture_rates(df, "g", 2.0)
+    assert got.keys() == expect.keys()
+    for g in expect:
+        assert got[g] == pytest.approx(expect[g], abs=1e-12)
+    assert got["c"] == 1.0  # smallest group keeps everything
+    assert got["a"] < got["b"] < 1.0  # big groups downsample hardest
+
+    # composition: kept counts land near q-share proportions (hash
+    # sampling is Bernoulli per row — allow counting noise)
+    kept = mixture_sample(df.filter(F.col("g").isNotNull()), "g", got)
+    by = {r["g"]: r["cnt"] for r in kept.groupBy("g").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert by["c"] == 50  # rate 1.0 keeps all
+    # expected kept: n_g * r_g; Bernoulli sd ~ sqrt(n*r*(1-r)) ≤ ~11
+    for g in ("a", "b"):
+        assert abs(by[g] - n[g] * got[g]) < 40
+
+    # very large T: kept counts approach uniform (everyone ≈ the
+    # smallest group's 50)
+    flat = temperature_mixture_rates(df, "g", 1e9)
+    for g, r in flat.items():
+        assert abs(n[g] * r - 50) < 1e-6 * 50 + 1e-6
+
+    # guards
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_mixture_rates(df, "g", 0.0)
+    with pytest.raises(ValueError, match="distinct"):
+        temperature_mixture_rates(df, "doc_id", 2.0, max_groups=10)
+    empty = spark.createDataFrame([], "doc_id long, g string")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        temperature_mixture_rates(empty, "g", 2.0)
+
+
 def test_frame_sample_empty_payload(spark):
     """n_frames=0 must yield zero frames, not a sequence(0,-1) runtime error."""
     from pyspark.sql import Row

@@ -28,6 +28,7 @@ __all__ = [
     "merge_upsert",
     "stratified_sample",
     "mixture_sample",
+    "temperature_mixture_rates",
     "weighted_priority_sample",
     "debounce_events",
     "blocked_edit_distance_pairs",
@@ -240,6 +241,67 @@ def mixture_sample(
         rate = F.when(F.col(key) == group, F.lit(float(r))).otherwise(rate)
     pri = portable_hash32(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 1_000_000
     return df.filter(pri < rate * 1_000_000.0)
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    key: str,
+    temperature: float,
+    max_groups: int = 10_000,
+) -> dict[str, float]:
+    """Per-group KEEP RATES implementing temperature-scaled mixture
+    rebalancing (the mT5/multilingual sampling rule, Xue et al. 2021):
+    sampling shares q_g ∝ p_g^(1/T) flatten the group distribution as
+    T grows (T=1 keeps natural proportions; T→∞ → uniform shares),
+    boosting low-resource groups. Rate sampling can only DROP rows, so
+    the shares are scaled to the largest feasible subsample — the
+    group with the highest q_g/n_g keeps 100% and every other group
+    downsamples proportionally: ``r_g = (q_g/n_g) / max_h(q_h/n_h)``,
+    giving kept counts exactly proportional to the q shares. Feed the
+    returned dict straight into :func:`mixture_sample` (deterministic,
+    nested, zero-shuffle membership).
+
+    Driver-side math on ONE group-count aggregate — the collect is
+    O(groups), guarded by ``max_groups`` (a mixture key with 10k+
+    distinct values is a bug, not a mixture; fail loud, never a silent
+    driver OOM). NULL group keys are excluded (they'd silently claim a
+    share; filter or fillna upstream if NULL is a real group).
+
+    At 100 TB: the aggregate is one map-side-combined exchange over
+    (key) — group counts, never rows, reach the driver; the sampling
+    pass it feeds is a map-side filter with zero exchanges.
+    """
+    import math
+
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    rows = (
+        df.filter(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .limit(max_groups + 1)
+        .collect()
+    )
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"mixture key {key!r} has more than {max_groups} distinct "
+            "groups — that is an id-like column, not a mixture key; "
+            "raise max_groups only if this is intentional"
+        )
+    if not rows:
+        raise ValueError(
+            f"no non-NULL {key!r} groups — a mixture over nothing is "
+            "meaningless"
+        )
+    counts = {r[key]: int(r["_n"]) for r in rows}
+    total = sum(counts.values())
+    # q_g ∝ p_g^(1/T); the normalizer cancels in the r_g ratio below,
+    # but compute it anyway so callers can log the shares
+    q = {g: (n / total) ** (1.0 / temperature) for g, n in counts.items()}
+    z = sum(q.values())
+    q = {g: v / z for g, v in q.items()}
+    scale = max(q[g] / counts[g] for g in counts)
+    return {g: min(1.0, (q[g] / counts[g]) / scale) for g in counts}
 
 
 def weighted_priority_sample(
