@@ -28,11 +28,35 @@ def test_steal_pct_arithmetic_and_degenerate_inputs(bench):
     assert bench._steal_pct((100, 1000), (110, 1100)) == pytest.approx(10.0)
     # zero steal
     assert bench._steal_pct((5, 1000), (5, 1100)) == pytest.approx(0.0)
-    # unreadable /proc/stat and zero-width windows report -1 (unknown),
-    # never a crash or a false "clean"
-    assert bench._steal_pct((-1, -1), (0, 0)) == -1.0
-    assert bench._steal_pct((0, 100), (0, 100)) == -1.0
-    assert bench._steal_pct((0, 100), (0, 90)) == -1.0
+    # unreadable /proc/stat and zero-width windows report None (unknown),
+    # never a crash or a false "clean" — the r15 ADVICE found the old
+    # -1.0 sentinel comparing as clean in every consumer
+    assert bench._steal_pct((-1, -1), (0, 0)) is None
+    assert bench._steal_pct((0, 100), (0, 100)) is None
+    assert bench._steal_pct((0, 100), (0, 90)) is None
+
+
+def test_steal_unknown_is_not_clean_and_not_exceeding(bench):
+    """_steal_exceeds is the ONLY comparison consumers may use: a
+    measured excess trips it, a measured clean value doesn't, and an
+    unknown reading doesn't trip it either (the probes carry the flag
+    then) — but unknown must surface as null in the JSON, which
+    _round_or_none preserves."""
+    assert bench._steal_exceeds(bench.STEAL_PCT_MAX + 0.1)
+    assert not bench._steal_exceeds(0.5)
+    assert not bench._steal_exceeds(None)
+    assert bench._round_or_none(None) is None
+    assert bench._round_or_none(3.14159) == 3.14
+
+
+def test_retry_policy_constants_hold_the_r15_post_mortem_lines(bench):
+    # the r15 retry settled 90 s and landed inside the same steal burst
+    # (bursts run minutes long on this box) — the settle must now
+    # exceed the longest observed burst spacing, with more than one
+    # attempt available, inside a bounded total wall
+    assert bench.RETRY_SETTLE_SEC >= 300.0
+    assert bench.RETRY_MAX_ATTEMPTS >= 2
+    assert bench.RETRY_WALL_BUDGET_SEC <= 3000.0
 
 
 def test_probe_rule_flags_the_r14_contaminated_capture(bench):

@@ -627,6 +627,25 @@ def test_neardup_pairs_identical_flood_skipped_not_oom(spark):
     assert {(r["id_a"], r["id_b"]) for r in ok.collect()} == {(1, 2)}
     assert ok.skipped_groups.value == 0
 
+    # the explicit-count wrapper (r16, ADVICE r15 #4): one action, the
+    # count arrives as a return value that survives chaining, and a
+    # SECOND action on the persisted result replays cache instead of
+    # re-running (and re-counting) the kernel
+    from w4h_integrated_toolkit_spark.operators.similarity import (
+        neardup_pairs_counted,
+    )
+
+    pairs_df, skipped = neardup_pairs_counted(
+        df, threshold=0.999, dim=8, n_planes=1, max_bucket=8
+    )
+    try:
+        assert skipped >= 1
+        chained = pairs_df.filter("id_a < id_b")  # chaining is now safe
+        assert (1, 2) in {(r["id_a"], r["id_b"]) for r in chained.collect()}
+        assert int(pairs_df.skipped_groups.value) == skipped  # no double count
+    finally:
+        pairs_df.unpersist()
+
 
 def test_semantic_dedup_max_cluster_subsplit_and_flood_raise(spark):
     """semantic_dedup's guard: a diverse mega-cluster sub-splits (one

@@ -271,8 +271,6 @@ def temperature_mixture_rates(
     (key) — group counts, never rows, reach the driver; the sampling
     pass it feeds is a map-side filter with zero exchanges.
     """
-    import math
-
     if temperature <= 0:
         raise ValueError(f"temperature must be positive, got {temperature}")
     rows = (

@@ -438,6 +438,28 @@ def neardup_pairs(
     return out
 
 
+def neardup_pairs_counted(df: DataFrame, **kwargs) -> tuple[DataFrame, int]:
+    """:func:`neardup_pairs` with the skip count returned EXPLICITLY —
+    the robust form of the ``.skipped_groups`` attribute (r15 ADVICE:
+    the monkey-patched handle vanishes on any chained transformation
+    and over-counts on repeated actions).
+
+    Runs exactly one full action against a persisted result and reads
+    the accumulator once: ``(pairs, skipped_count)``. Because the
+    returned DataFrame is persisted, later actions on it replay cached
+    partitions instead of re-running the pairing kernel, so the count
+    stays consistent with the rows the caller will read (task
+    retries/speculation can still over-count within the one pass — read
+    it as a flag: 0 means every group was paired). The caller owns the
+    persist: ``pairs.unpersist()`` when done.
+    """
+    pairs = neardup_pairs(df, **kwargs)
+    acc = pairs.skipped_groups
+    pairs = pairs.persist()
+    pairs.count()
+    return pairs, int(acc.value)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
