@@ -4592,6 +4592,56 @@ def test_audio_fingerprint_gain_invariance_and_pairing(spark):
         MM.audio_fingerprint_frames(df, frame_samples=66)
 
 
+def test_audio_fingerprint_version_stamp_guards_stored_tables(spark, tmp_path):
+    """AUDIO_FP_VERSION is the persisted-fingerprint format guard (the
+    PHASH_VERSION / FEATURE_HASH_VERSION discipline, r15 verdict #4):
+    a fingerprint table stored with the stamp loads only when the
+    reader expects the SAME format version — a stale stamp fails loud
+    at load instead of silently joining drifted bits at small Hamming
+    distances. Also pins v1 itself: a band/FFT change that alters the
+    emitted bits without bumping the constant must break here."""
+    import numpy as np
+
+    from w4h_integrated_toolkit_spark.operators import multimodal as MM
+    from w4h_integrated_toolkit_spark.sources.models import (
+        load_model,
+        save_model,
+    )
+
+    assert MM.AUDIO_FP_VERSION == 1
+
+    n = 2048 * 3
+    rng = np.random.default_rng(23)
+    df = spark.createDataFrame(
+        [_wav_doc(1, rng.integers(-8000, 8000, size=n))],
+        "doc_id long, payload binary",
+    )
+    fp = MM.audio_fingerprint_frames(df)
+    params = {
+        "kind": "audio_fp_index",
+        "frame_samples": 2048,
+        "hop": 1024,
+        "n_bands": 33,
+        "audio_fp_version": MM.AUDIO_FP_VERSION,
+    }
+    store = str(tmp_path / "audio_fp_index")
+    save_model(spark, store, fp, params)
+    loaded, stored = load_model(spark, store, expect_params=params)
+    assert stored["audio_fp_version"] == MM.AUDIO_FP_VERSION
+    assert sorted(tuple(r) for r in loaded.collect()) == sorted(
+        tuple(r) for r in fp.collect()
+    )
+
+    # fingerprints persisted under an older (or newer) bit format must
+    # fail loud at load — rebuild from source audio, never rekey
+    with pytest.raises(ValueError, match="audio_fp_version"):
+        load_model(
+            spark,
+            store,
+            expect_params={**params, "audio_fp_version": MM.AUDIO_FP_VERSION + 1},
+        )
+
+
 def test_audio_fingerprint_chunking_law(spark):
     """The memory-bounding chunk loop is bit-invisible: fingerprints at
     chunk_frames=1/2/3 equal the one-shot computation frame-for-frame

@@ -1497,15 +1497,16 @@ def test_r15_gate_window_composition_recomputed_from_driver_rows():
     replay_wraparound, the least-stale tail, pushed to lead the r16
     window), then the two planned promotions duplicated_spans +
     gopher_flags taking their first driver hash — and assert
-    _R15_WINDOW equals it name-for-name. Also pins the registry
-    arithmetic: 200 + 2 promotions = 202 entries, and the promoted
-    names must no longer sit in R16_CANDIDATES."""
+    _R15_WINDOW equals it name-for-name. Also pins that the promoted
+    names never returned to the candidates file (renamed
+    R17_CANDIDATES at r16; the exact registry count moved to the r16
+    test below)."""
     import json
 
     from w4h_integrated_toolkit_spark.plans.queries import (
         _R15_WINDOW,
         QUERIES,
-        R16_CANDIDATES,
+        R17_CANDIDATES,
     )
 
     root = os.path.join(os.path.dirname(__file__), "..")
@@ -1532,5 +1533,110 @@ def test_r15_gate_window_composition_recomputed_from_driver_rows():
     assert list(_R15_WINDOW) == expected, (
         "gate window diverges from the recomputed rotation plan"
     )
-    assert len(QUERIES) == 202
-    assert not set(promotions) & set(R16_CANDIDATES)
+    assert not set(promotions) & set(R17_CANDIDATES)
+
+
+def test_r16_gate_window_composition_recomputed_from_driver_rows():
+    """Rotation honesty for r16, machine-checked the same way as
+    r10-r15: RECOMPUTE the prescribed composition from the
+    CORRECTNESS_r*.json driver records — the 2 displaced r11 rows LEAD
+    (knn_ivf_persisted + replay_wraparound, 5 rounds stale, the oldest
+    driver evidence in the registry), then the first 46 of the 50
+    r12-stale rows in true r12-file key order (the last 4 —
+    streaming_ewma, stream_window_dedup, value_percentile_rank,
+    grid_density — are pushed to lead the r17 window), then the two
+    planned promotions dsir_resample + audio_fingerprint_pairs taking
+    their first driver hash — and assert _R16_WINDOW equals it
+    name-for-name. Also pins the registry arithmetic: 202 + 2
+    promotions = 204 entries, and the promoted names must no longer
+    sit in R17_CANDIDATES."""
+    import json
+
+    from w4h_integrated_toolkit_spark.plans.queries import (
+        _R16_WINDOW,
+        QUERIES,
+        R17_CANDIDATES,
+    )
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    latest: dict[str, int] = {}
+    orders: dict[int, list[str]] = {}
+    for n in range(1, 16):
+        path = os.path.join(root, f"CORRECTNESS_r{n:02d}.json")
+        if not os.path.exists(path):
+            pytest.skip("driver CORRECTNESS records not present")
+        with open(path) as f:
+            rows = json.load(f)
+        orders[n] = list(rows)
+        for name, rec in rows.items():
+            if rec.get("hash_match") or rec.get("rows_match"):
+                latest[name] = n
+
+    r11_stale = [k for k in orders[11] if latest.get(k) == 11]
+    assert r11_stale == ["knn_ivf_persisted", "replay_wraparound"]
+    r12_stale = [k for k in orders[12] if latest.get(k) == 12]
+    assert len(r12_stale) == 50  # no r12 row re-entered a later window
+    promotions = ["dsir_resample", "audio_fingerprint_pairs"]
+    assert all(k not in latest for k in promotions)
+    expected = r11_stale + r12_stale[:-4] + promotions
+    assert r12_stale[-4:] == [
+        "streaming_ewma",
+        "stream_window_dedup",
+        "value_percentile_rank",
+        "grid_density",
+    ]
+    assert len(expected) == 50
+    assert list(_R16_WINDOW) == expected, (
+        "gate window diverges from the recomputed rotation plan"
+    )
+    assert len(QUERIES) == 204
+    assert not set(promotions) & set(R17_CANDIDATES)
+
+
+def test_registry_freshness_invariant():
+    """The machine-checked max-staleness rule the r15 verdict ordered
+    (the registry outgrew window*4 rows, so prose discipline no longer
+    suffices): with N = the latest CORRECTNESS round on disk, every
+    registered entry must either (a) carry a green driver row no older
+    than MAX_STALENESS = ceil(len(QUERIES)/50) rounds as of round N+1
+    (the window about to execute), or (b) sit INSIDE the current
+    first-50 window so round N+1 refreshes it. Never-gated entries
+    (fresh promotions) must always be inside the window — registration
+    and first gating happen in the same round by construction. This
+    test tightens automatically: each new CORRECTNESS record on disk
+    advances N, so rows a window displaced come due within one round of
+    slack and MUST re-enter a committed window by then, or this fails
+    (the written window plans stay one round stricter than this
+    backstop)."""
+    import json
+    import math
+
+    from w4h_integrated_toolkit_spark.plans.queries import QUERIES
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    latest: dict[str, int] = {}
+    n = 0
+    while os.path.exists(
+        os.path.join(root, f"CORRECTNESS_r{n + 1:02d}.json")
+    ):
+        n += 1
+        with open(os.path.join(root, f"CORRECTNESS_r{n:02d}.json")) as f:
+            for name, rec in json.load(f).items():
+                if rec.get("hash_match") or rec.get("rows_match"):
+                    latest[name] = n
+    if n == 0:
+        pytest.skip("driver CORRECTNESS records not present")
+
+    window = set(list(QUERIES)[:50])
+    max_staleness = math.ceil(len(QUERIES) / 50)
+    violations = [
+        name
+        for name in QUERIES
+        if name not in window
+        and (n + 1) - latest.get(name, -(10**6)) > max_staleness
+    ]
+    assert not violations, (
+        f"registered entries older than {max_staleness} rounds at round "
+        f"{n + 1} yet not in the gate window: {violations} — lead the "
+        "next window with them"
+    )

@@ -51,6 +51,7 @@ __all__ = [
     "byte_histogram_features",
     "decode_frames",
     "resize_frames",
+    "AUDIO_FP_VERSION",
     "PHASH_VERSION",
     "phash64_frames",
     "AUDIO_META_TYPE",
@@ -443,7 +444,10 @@ def audio_fingerprint_frames(
     Determinism: decode and mono-mix are integer math; the FFT runs in
     float64, so fingerprints are deterministic per platform (the pHash
     discipline — pin with the vendored codec, oracle via fixed
-    vectors).
+    vectors). The emitted bit format is versioned as
+    :data:`AUDIO_FP_VERSION` — stamp it next to any PERSISTED
+    fingerprint table and validate at load; a band/FFT change without a
+    bump silently breaks stored-hash joins at small Hamming distances.
 
     Plan shape: one map-side Arrow kernel (``mapInPandas``) —
     partitioning follows the input, payload blobs never shuffle; the
@@ -948,6 +952,23 @@ def video_frame_stats(
 #       the ImageHash library applies), so bits match the published
 #       pHash given the same grayscale-resized pixels.
 PHASH_VERSION = 2
+
+# Version of the fingerprint FORMAT :func:`audio_fingerprint_frames`
+# emits (same discipline as :data:`PHASH_VERSION`): the 32 bits/frame
+# are a persistable join key — stored audio-dedup pair tables and
+# fingerprint indexes silently stop matching newly computed frames at
+# small Hamming distances if the band layout, FFT framing, or sign rule
+# ever changes, so any such change MUST bump this number. Persist it
+# alongside stored fingerprints (e.g. ``sources.models.save_model(...,
+# params={"audio_fp_version": AUDIO_FP_VERSION, ...})``) and validate
+# at load with ``expect_params`` — the FEATURE_HASH_VERSION pattern; on
+# mismatch REBUILD from the source audio (like pHash, the old bits do
+# not determine the new ones — no in-place rekey exists). History:
+#   1 — Haitsma-Kalker 2002 layout: frame_samples=2048/hop=1024
+#       defaults, 33 log-spaced band edges over FFT bins
+#       [4, frame_samples/2), float64 |FFT|² energies,
+#       time-frequency energy-difference sign bits.
+AUDIO_FP_VERSION = 1
 
 
 def _phash_rows(

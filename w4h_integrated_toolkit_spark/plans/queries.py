@@ -9129,8 +9129,8 @@ assert set(_R12_WINDOW) <= set(QUERIES), set(_R12_WINDOW) - set(QUERIES)
 # candidates against the stalest rotation rows at r15 — at most the
 # free-slot count enters; the others stay library-level.
 #
-# STATUS (late-r13; dict renamed R16_CANDIDATES at r15 after the
-# gopher_flags + duplicated_spans promotions): all three candidates are
+# STATUS (late-r13; dict renamed R16_CANDIDATES at r15, then
+# R17_CANDIDATES at r16, after each round's promotions): all three candidates are
 # PRE-BUILT with oracles at the end of this file (gopher_flags,
 # duplicated_spans, hashed_clf_scores), deliberately NOT registered;
 # tests/test_gate_candidates.py (né test_r15_candidates.py) runs the
@@ -9333,8 +9333,9 @@ def oracle_sql() -> dict[str, str]:
 # registry move with the parity evidence already standing
 # (tests/test_gate_candidates.py runs the same canonical compare the
 # registered parity sweep uses). r15 promoted gopher_flags +
-# duplicated_spans into QUERIES (registration block below); the rest
-# stay in R16_CANDIDATES until a window slot opens.
+# duplicated_spans into QUERIES (registration block below); r16
+# promoted dsir_resample + audio_fingerprint_pairs; the rest
+# stay in R17_CANDIDATES until a window slot opens.
 # ---------------------------------------------------------------------------
 
 
@@ -9805,16 +9806,11 @@ SELECT id_a, id_b, CAST(dist AS INT) AS distance FROM d WHERE dist <= 4
 # candidate registry: same (fn, sql) shape as QUERIES, same portable
 # rounding rewrite — registering is moving an entry into QUERIES.
 # r15 executed the written plan: duplicated_spans + gopher_flags were
-# promoted (see the registration block below); the two entries left
-# over from r14 plus the two gates built at r15 (dsir_resample,
-# audio_fingerprint_pairs) wait for the r16 window per the throttle
-# arithmetic.
-R16_CANDIDATES = {
-    "audio_fingerprint_pairs": (
-        q_audio_fingerprint_pairs,
-        _portable_round_sql(_SQL_AUDIO_PAIRS),
-    ),
-    "dsir_resample": (q_dsir_resample, _portable_round_sql(_SQL_DSIR)),
+# promoted; r16 executed ITS written plan the same way: dsir_resample +
+# audio_fingerprint_pairs were promoted (see the ROUND-16 block below)
+# and the dict renamed R17_CANDIDATES — the two remaining entries are
+# the whole r17 promotion queue per the throttle arithmetic.
+R17_CANDIDATES = {
     "hashed_clf_scores": (
         q_hashed_clf_scores,
         _portable_round_sql(_SQL_HASHED_CLF),
@@ -9944,4 +9940,115 @@ assert len(set(_R15_WINDOW)) == 50
 assert set(_R15_WINDOW) <= set(QUERIES), set(_R15_WINDOW) - set(QUERIES)
 QUERIES = {name: QUERIES[name] for name in _R15_WINDOW} | {
     name: spec for name, spec in QUERIES.items() if name not in set(_R15_WINDOW)
+}
+
+
+# ---------------------------------------------------------------------------
+# ROUND-16 REGISTRATION + DRIVER WINDOW
+# ---------------------------------------------------------------------------
+# Promote the two candidates named by the written r16 plan (above, at
+# the _R15_WINDOW comment): dsir_resample (the only major curation
+# family with no driver row — full fit + Gumbel-top-k CTE-chain oracle
+# standing, parity green at 3 sfs + 7 partitions) and
+# audio_fingerprint_pairs (closes the image/audio perceptual-dedup
+# pair; pinned-constant oracle standing). Registry grows 202 -> 204.
+# The raw SQL constants are wrapped exactly once, as in every prior
+# registration (the R17_CANDIDATES copies above carry their own wrap).
+QUERIES["dsir_resample"] = (q_dsir_resample, _portable_round_sql(_SQL_DSIR))
+QUERIES["audio_fingerprint_pairs"] = (
+    q_audio_fingerprint_pairs,
+    _portable_round_sql(_SQL_AUDIO_PAIRS),
+)
+
+# Round-16 driver window, executed exactly as written in the r15 plan:
+# the stale backlog entering r16 is the 50 r12-stale rows plus the two
+# 5-round-stale displaced r11 rows. The displaced pair LEADS (the
+# oldest driver evidence in the registry — first rows ever to age past
+# 4 rounds), then the first 46 r12-stale rows in true CORRECTNESS_r12
+# key order, then the two promotions take the last 2 slots — pushing
+# the final 4 r12-stale rows (streaming_ewma, stream_window_dedup,
+# value_percentile_rank, grid_density) to LEAD the r17 window.
+# Composition machine-checked by
+# test_r16_gate_window_composition_recomputed_from_driver_rows; the
+# registry-wide freshness invariant (no registered row staler than
+# ceil(len(QUERIES)/50) rounds without sitting in the current window)
+# is machine-checked by test_registry_freshness_invariant.
+# After r16 gates green: freshness {r16: 50, r15: 50, r14: 50, r13: 50,
+# r12: 4 (the pushed tail)}.
+#
+# R17 WINDOW PLAN (execute at r17 start): lead with the 4 pushed
+# r12-stale rows above (they will be 5 rounds stale — the freshness
+# invariant REQUIRES them in the window), then the first 44 r13-stale
+# rows in CORRECTNESS_r13 key order, then promote the two standing
+# R17_CANDIDATES (hashed_clf_scores, phash_hamming_pairs — both carry
+# parity green at 3 sfs + 7 partitions; gate latency pre-measured:
+# hashed_clf_scores 4.46 s cold (r13), phash_hamming_pairs 7.9 s cold /
+# 1.6 s warm (r14)), pushing the last 6 r13-stale rows to lead r18.
+# Recompute the r13-stale list from the JSONs at r17 start — do not
+# trust a hand list. That empties the candidates file: r17 may build
+# new candidates (the unigram-LM tokenizer gate is the named one).
+_R16_WINDOW = [
+    # --- the 2 displaced r11 rows (5 rounds stale, oldest evidence) ---
+    "knn_ivf_persisted",
+    "replay_wraparound",
+    # --- first 46 of the 50 r12-stale rows, true CORRECTNESS_r12 key
+    # order ---
+    "table_diff",
+    "scd2_intervals",
+    "golden_record",
+    "token_entropy",
+    "weighted_sample",
+    "name_match_pairs",
+    "conversion_lag_daily",
+    "windowed_funnel",
+    "first_per_user",
+    "cohort_compare",
+    "activity_span",
+    "safe_band",
+    "time_of_day_overnight",
+    "dedup_composite_key",
+    "json_extract",
+    "melt_unpivot",
+    "doc_fingerprint",
+    "exact_dedup",
+    "text_stats",
+    "language_id",
+    "quality_score",
+    "minhash_signatures",
+    "percentiles",
+    "distinct_counts",
+    "rollup_totals",
+    "pivot_event_types",
+    "sessionize",
+    "align_by_position",
+    "offset_batch",
+    "string_normalize",
+    "fuzzy_column_mapping",
+    "value_tiers",
+    "trailing_window_kpis",
+    "shipping_priority",
+    "local_supplier_volume",
+    "gap_mask",
+    "resample_1min",
+    "sliding_window",
+    "knn_cosine_topk",
+    "embedding_neardup_pairs",
+    "calibration",
+    "minhash_lsh_pairs",
+    "frame_sample",
+    "stream_window_kpis",
+    "url_canonicalize",
+    "idna_hosts",
+    # --- the 2 r16 promotions (first driver hash), pushing
+    # streaming_ewma, stream_window_dedup, value_percentile_rank,
+    # grid_density to lead the r17 window ---
+    "dsir_resample",
+    "audio_fingerprint_pairs",
+]
+
+assert len(_R16_WINDOW) == 50, len(_R16_WINDOW)
+assert len(set(_R16_WINDOW)) == 50
+assert set(_R16_WINDOW) <= set(QUERIES), set(_R16_WINDOW) - set(QUERIES)
+QUERIES = {name: QUERIES[name] for name in _R16_WINDOW} | {
+    name: spec for name, spec in QUERIES.items() if name not in set(_R16_WINDOW)
 }
