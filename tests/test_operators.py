@@ -921,6 +921,81 @@ def test_user_similarity_ranks_correlated_first(spark):
     assert got[(3, 1)][1] == -1.0  # u3's best is still an anti-correlated peer
 
 
+def _planted_correlation_families(n_families=3, members=6, width=40):
+    """Time-series fixture for the LSH-block equivalence law: families
+    of positively-correlated users over temporally DISJOINT bucket
+    ranges, so cross-family pairs share zero buckets and are dropped by
+    min_common in BOTH arms — the unblocked candidate set is exactly
+    the per-family all-pairs set, which blocking must reproduce."""
+    import numpy as np
+
+    base_t = dt.datetime(2024, 1, 1)
+    rng = np.random.default_rng(7)
+    rows = []
+    for f in range(n_families):
+        sig = rng.normal(0.0, 1.0, size=width)
+        for m in range(members):
+            # noise is 0.5% of the base signal: a plane's family-level
+            # dot is O(sqrt(width)) while the member-noise contribution
+            # is O(0.005*sqrt(width)), so a member-flipped sign bit
+            # needs a family dot within 0.5% of zero — not hit by this
+            # seed (deterministic; re-tune the seed if the hash family
+            # ever changes)
+            noise = rng.normal(0.0, 0.005, size=width)
+            for b in range(width):
+                rows.append(
+                    Row(
+                        user_id=100 * f + m,
+                        ts=base_t + dt.timedelta(hours=f * 1000 + b),
+                        value=float(10.0 * (m + 1) + sig[b] + noise[b]),
+                    )
+                )
+    return rows
+
+
+def test_user_similarity_lsh_blocking_equivalence_and_keys(spark):
+    """The blocked arm (block_planes=) must return EXACTLY the
+    unblocked result on planted-correlation families: blocking only
+    filters candidate pairs, and here every surviving candidate pair is
+    within-family (cross-family pairs share zero buckets), with family
+    members agreeing on every sign bit w.h.p. (tiny noise vs the base
+    signal). Also pins user_block_keys directly: one key per user,
+    within-family keys identical, at least two distinct keys across
+    the three families (the planes actually separate work)."""
+    from w4h_integrated_toolkit_spark.operators.tsim import (
+        resample_grid,
+        user_block_keys,
+        user_similarity_topk,
+    )
+
+    rows = _planted_correlation_families()
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    kw = dict(k=3, bucket_seconds=3600, min_common=8, n_chunks=4)
+    unblocked = {
+        (r["user_a"], r["rank"]): (r["user_b"], round(r["r"], 9), r["n_common"])
+        for r in user_similarity_topk(df, **kw).collect()
+    }
+    blocked = {
+        (r["user_a"], r["rank"]): (r["user_b"], round(r["r"], 9), r["n_common"])
+        for r in user_similarity_topk(df, block_planes=4, **kw).collect()
+    }
+    assert blocked == unblocked and len(unblocked) == 18 * 3  # 18 users x k=3
+
+    g = resample_grid(df, bucket_seconds=3600)
+    keys = {r["k"]: r["lsh"] for r in user_block_keys(g, 4).collect()}
+    assert len(keys) == 18
+    fam_keys = [
+        {keys[100 * f + m] for m in range(6)} for f in range(3)
+    ]
+    assert all(len(s) == 1 for s in fam_keys)  # families never split
+    assert len(set().union(*fam_keys)) >= 2    # and blocking separates work
+
+    with pytest.raises(ValueError, match="block_planes"):
+        user_similarity_topk(df, block_planes=0, **kw)
+
+
 # --------------------------------------------------------------------------
 # MERGE upsert into date-partitioned fact tables
 # --------------------------------------------------------------------------

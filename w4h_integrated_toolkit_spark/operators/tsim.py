@@ -17,16 +17,18 @@ Plan shape (designed for the 100 TB case):
 4. per-user top-k by correlation via row_number (no global sort).
 
 For cohort-scale user counts the bucket self-join is fine; for millions of
-users, insert the sign-LSH blocking of ``similarity.neardup_pairs`` on the
-bucket-mean vectors first.
+users, pass ``block_planes=`` to :func:`user_similarity_topk` — the
+sign-LSH blocking arm (:func:`user_block_keys`) restricts the B(B+1)/2
+block Gram decomposition to users sharing an LSH key, the same
+Rademacher sign-hash family ``similarity.neardup_pairs`` blocks with.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["resample_grid", "user_similarity_topk"]
+__all__ = ["resample_grid", "user_block_keys", "user_similarity_topk"]
 
 
 def resample_grid(
@@ -49,6 +51,54 @@ def resample_grid(
     )
 
 
+def _rademacher_sign(j: int, bucket: Column, seed: int) -> Column:
+    """±1.0 from xxhash64(seed, j, bucket) parity — the dimension-keyed
+    Rademacher sign-LSH family ``similarity._sign_hash_bit`` uses, with
+    the grid-bucket VALUE as the dimension key (the grid is unbounded,
+    so no literal plane array can exist)."""
+    return F.when(
+        F.pmod(F.xxhash64(F.lit(seed), F.lit(j), bucket), F.lit(2)) == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+
+
+def user_block_keys(
+    g: DataFrame, block_planes: int, seed: int = 42
+) -> DataFrame:
+    """One sign-LSH key per user from its grid vector: (k, lsh string of
+    ``block_planes`` bits). Bit j is the sign of the dot product between
+    the user's MEAN-CENTERED grid values and a Rademacher ±1 vector
+    keyed by (seed, j, bucket). Centering matters: Pearson correlation
+    is the cosine of the centered vectors, so two positively-correlated
+    users have nearly parallel centered vectors and agree on every bit
+    w.h.p. (per-user std scaling is skipped — a positive scale never
+    flips a dot's sign). Computed as ONE extra hash aggregate over the
+    grid — no vector is ever materialized, so the grid's bucket span is
+    unbounded.
+
+    This is a recall trade exactly like ``similarity.neardup_pairs``
+    blocking: a pair is scored only if no plane separates it
+    (P ≈ (1 − θ/π)^planes). Anti-correlated pairs (r < 0) get FLIPPED
+    centered vectors and land in complementary buckets — use blocking
+    only when the query is "most positively similar", which is what
+    top-k by r DESC asks.
+    """
+    z = F.col("v") - F.avg("v").over(Window.partitionBy("k"))
+    zg = g.withColumn("_z", z)
+    dots = [
+        F.sum(F.col("_z") * _rademacher_sign(j, F.col("bucket"), seed)).alias(
+            f"_d{j}"
+        )
+        for j in range(block_planes)
+    ]
+    per_user = zg.groupBy("k").agg(*dots)
+    bits = [
+        F.when(F.col(f"_d{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(block_planes)
+    ]
+    return per_user.select("k", F.concat(*bits).alias("lsh"))
+
+
 def user_similarity_topk(
     df: DataFrame,
     k: int = 3,
@@ -58,6 +108,8 @@ def user_similarity_topk(
     bucket_seconds: int = 21600,
     min_common: int = 8,
     n_chunks: int = 8,
+    block_planes: int | None = None,
+    block_seed: int = 42,
 ) -> DataFrame:
     """Top-``k`` most-similar keys per key by z-normalized similarity
     (Pearson r over common grid buckets); pairs with fewer than
@@ -76,8 +128,20 @@ def user_similarity_topk(
     applyInPandas kernel per (chunk_a, chunk_b) emits that block's pair
     stats — B(B+1)/2 independent tasks whose inputs are O(cells·B/B²) each,
     the standard scalable all-pairs shape (raise ``n_chunks`` with the
-    cluster; LSH-block first at millions of users, see module notes).
-    Chunking only partitions work — results are chunk-count-invariant.
+    cluster). Chunking only partitions work — results are
+    chunk-count-invariant.
+
+    At millions of users even the block decomposition is all-pairs WORK
+    (B(B+1)/2 blocks of O((n/B)²) pairs each): pass ``block_planes``
+    to insert :func:`user_block_keys` sign-LSH blocking first — users
+    are bucketed by the sign pattern of their mean-centered grid
+    vector, and only same-bucket pairs are scored, cutting pair work
+    ~4^planes for well-spread data at the usual sign-LSH recall trade
+    (a correlated pair is missed iff some plane separates it;
+    anti-correlated neighbors are excluded by construction — see
+    :func:`user_block_keys`). Pair statistics that ARE computed are
+    bit-identical to the unblocked arm's: blocking only filters
+    candidates, never changes arithmetic.
     """
     import numpy as np
     import pandas as pd
@@ -91,11 +155,24 @@ def user_similarity_topk(
         F.col("bucket").alias("b"),
         "v",
     )
+    group_cols = ["block_id"]
+    if block_planes is not None:
+        if block_planes < 1:
+            raise ValueError(
+                f"block_planes must be >= 1, got {block_planes}"
+            )
+        # one extra hash aggregate on k (the grid's own key) + one hash
+        # join back; the kernel grouping gains the lsh key, so only
+        # same-bucket pairs ever meet a Gram product
+        keys = user_block_keys(g, block_planes, block_seed)
+        cells = cells.join(keys, "k")
+        group_cols = ["lsh", "block_id"]
     others = df.sparkSession.range(n_chunks).select(F.col("id").alias("other"))
     ca = F.least("chunk", "other")
     cb = F.greatest("chunk", "other")
     # dense block index in [0, B(B+1)/2) for ca<=cb: lower-triangle row-major
     tagged = cells.crossJoin(F.broadcast(others)).select(
+        *(["lsh"] if block_planes is not None else []),
         (cb * (cb + 1) / 2 + ca).cast("long").alias("block_id"),
         ca.alias("ca"),
         cb.alias("cb"),
@@ -181,9 +258,14 @@ def user_similarity_topk(
     # Boundary sampling could still co-locate two blocks; that only costs
     # parallelism, never correctness.
     n_blocks = n_chunks * (n_chunks + 1) // 2
+    # under blocking the range partitioning covers (lsh, block_id) — the
+    # partition count stays n_blocks (blocked kernels are ~4^planes
+    # smaller, so several sharing a task is the right trade), and
+    # RangePartitioning on the grouping cols still satisfies the
+    # groupBy's clustered distribution with no second exchange
     pairs = (
-        tagged.repartitionByRange(n_blocks, "block_id")
-        .groupBy("block_id")
+        tagged.repartitionByRange(n_blocks, *group_cols)
+        .groupBy(*group_cols)
         .applyInPandas(block, "user_a long, user_b long, r double, n_common long")
     )
     w = Window.partitionBy("user_a").orderBy(F.col("r").desc(), F.col("user_b"))
