@@ -243,6 +243,9 @@ EXTRA_BENCH_QUERIES = [
     # reference level)
     "duplicated_spans",
     "gopher_flags",
+    # r16 registrations (same rule)
+    "dsir_resample",
+    "audio_fingerprint_pairs",
 ]
 
 # The heaviest extras get MEDIAN-OF-3 like the headline (r8 verdict
@@ -306,6 +309,19 @@ MEDIAN_EXTRA_QUERIES = {
     # same round: 1.254 s (band 1.1-1.6, BASELINE.md).
     "tfidf_top_terms",           # 1.2-1.8 s median (1-run 2.5 was cold-plan)
     "basket_affinity",           # 1.1-1.6 s median (1-run ~2.0 was cold-plan)
+    # r15 verdict order #5: the r15 registrations' first round-over-round
+    # comparison lands at r16 — median-of-3 so their first bands are set
+    # on medians, the same pattern as every registration since r9
+    # (duplicated_spans 1.682 and gopher_flags 0.859 were 1-run levels
+    # on the clean r15 capture).
+    "duplicated_spans",          # 1.68 s 1-run r15 (heavier extras tier)
+    "gopher_flags",              # 0.86 s 1-run r15
+    # r16 registrations: first bench rows this round — median-of-3 from
+    # the start so the r17 comparison never reads cold-plan noise
+    # (dsir_resample runs a full fit + Gumbel-top-k chain; the audio
+    # gate synthesizes WAV tracks through the FFT kernel).
+    "dsir_resample",
+    "audio_fingerprint_pairs",
 }
 
 

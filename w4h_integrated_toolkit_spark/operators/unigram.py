@@ -1,0 +1,411 @@
+"""Unigram-LM (SentencePiece-style) tokenizer training at corpus scale.
+
+The second tokenizer family next to :mod:`bpe` (r15 verdict missing-item
+#5): the unigram language model of Kudo 2018 ("Subword Regularization",
+the trainer behind SentencePiece's default and the mT5/T5 vocabularies —
+the same line whose temperature-mixture sampling rule
+``etl.temperature_mixture_rates`` implements). Where BPE grows a
+vocabulary bottom-up by merges, the unigram model starts from a LARGE
+seed of candidate pieces, fits piece probabilities by EM over each
+word's segmentation lattice, and PRUNES down to the target size; at
+inference, Viterbi picks each word's single best segmentation.
+
+Reference analog: none (training-data layer, like ``bpe``/``text``).
+
+Scale design — the :mod:`bpe` discipline, reused stage for stage:
+
+1. ``bpe_vocab`` (imported): corpus → word-frequency vocabulary. The ONE
+   corpus-sized shuffle of the whole fit (``bpe.py`` step 1 — at 100 TB,
+   ~1e7-1e8 distinct words vs ~1e13 tokens).
+2. ``unigram_seed_vocab``: candidate pieces = every substring of every
+   word up to ``max_piece_len``, count-weighted — a map-side nested
+   ``transform`` over the vocabulary (JVM-side, no kernel), ONE
+   vocabulary-sized aggregate. Top ``seed_size`` by (count, piece) plus
+   ALL single characters (coverage guarantee: every word stays
+   segmentable through every EM/prune round).
+3. ``unigram_em_counts``: one EM E-step — an Arrow kernel over the
+   DISTINCT-word dictionary (the ``bpe_segment`` escape-hatch shape:
+   model-sized piece table broadcast into the kernel, forward-backward
+   per word in float64, per-word results INTEGER-scaled before the
+   cross-word sum so the aggregate is partition-count-invariant — the
+   DSIR integer-dot discipline), then one piece-sized aggregate.
+4. ``unigram_fit``: the driver loop — seed → EM iterations → count-based
+   prune to ``vocab_size`` (single chars always kept) → one final EM
+   re-estimate over the survivors. Per-step driver traffic is the
+   model-sized count table (like ``bpe_learn``'s argmax rows, bounded by
+   parameters not data). This is the count-based pruning variant of
+   Kudo §3.2 (which prunes by likelihood-loss α%-per-round); the
+   simplification is documented, not hidden.
+5. ``unigram_segment``: Viterbi apply-at-inference over the DISTINCT
+   words, broadcast-joined back, one ``id_col`` exchange restoring
+   order — exactly ``bpe_segment``'s plan shape. DP scores are the
+   model's INTEGER 1e-9-grid log-probs, so the best path (and its
+   deterministic tie-break: score, then fewer tokens, then
+   lexicographic) is engine/partition-invariant and replayable by a
+   recursive-CTE SQL oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .bpe import bpe_vocab
+
+__all__ = [
+    "UNIGRAM_MODEL_VERSION",
+    "UNK_LOGP_1E9",
+    "unigram_seed_vocab",
+    "unigram_em_counts",
+    "unigram_fit",
+    "unigram_segment",
+]
+
+# Version of the MODEL FORMAT unigram_fit emits / unigram_segment
+# consumes (the FEATURE_HASH_VERSION discipline): pieces are [a-z]+
+# substrings of bpe_vocab words, log-probs are ln(p) on the 1e-9
+# integer grid, UNK is a per-character fallback at UNK_LOGP_1E9. Any
+# change to the piece domain, the grid, or the UNK rule breaks stored
+# models — bump this and re-fit; stamp it into save_model params and
+# check with expect_params at load.
+UNIGRAM_MODEL_VERSION = 1
+
+# Fallback score for a character absent from the model when segmenting
+# with an EXTERNAL (stored) model: ln(1e-12) on the 1e-9 grid. Finite
+# (the word still segments, the unknown char becomes its own token —
+# SentencePiece's unk behavior) but below any fitted piece, so Viterbi
+# uses known pieces wherever possible. Models fitted on their own
+# corpus never need it (the seed keeps every single char).
+UNK_LOGP_1E9 = round(math.log(1e-12) * 1e9)
+
+MODEL_SCHEMA = StructType(
+    [
+        StructField("piece", StringType(), False),
+        StructField("logp_1e9", LongType(), False),
+        StructField("count_1e6", LongType(), False),
+    ]
+)
+
+# integer scale for per-word expected counts before the cross-word sum
+# (the partition-invariance discipline): 1e6 keeps int64 headroom for
+# cnt ≤ ~2.8e11 per word at expected counts ≤ 32
+_COUNT_SCALE = 1_000_000
+
+
+def unigram_seed_vocab(
+    df: DataFrame,
+    text: str = "text",
+    max_piece_len: int = 4,
+    seed_size: int = 256,
+) -> DataFrame:
+    """Candidate-piece seed: (piece, n) = corpus occurrence counts of
+    every word-substring up to ``max_piece_len`` chars, restricted to
+    the top ``seed_size`` by (n DESC, piece) UNION all single
+    characters (always kept, whatever their rank — the coverage
+    guarantee). Deterministic through count ties, so a SQL oracle can
+    replay the seed.
+
+    Plan: the ``bpe_vocab`` corpus shuffle, then a map-side nested
+    ``transform`` (substring enumeration is O(len·max_piece_len) per
+    DISTINCT word — pure JVM, no kernel) and one piece-keyed aggregate;
+    the top-k is a TakeOrdered, never a global sort.
+    """
+    if max_piece_len < 1:
+        raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
+    if seed_size < 1:
+        raise ValueError(f"seed_size must be >= 1, got {seed_size}")
+    vocab = bpe_vocab(df, text)
+    n = F.length("word")
+    # Column.substr accepts Column start/len, so the whole enumeration
+    # stays one JVM-side nested transform — no kernel, no explode of
+    # (start, len) index pairs
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda s: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(max_piece_len), n - s + 1)),
+                lambda ln: F.col("word").substr(s, ln),
+            ),
+        )
+    )
+    counts = (
+        vocab.select(F.col("cnt"), F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+    )
+    top = counts.filter(F.length("piece") > 1).orderBy(
+        F.desc("n"), "piece"
+    ).limit(seed_size)
+    chars = counts.filter(F.length("piece") == 1)
+    return top.unionByName(chars)
+
+
+def _em_expected_counts(word: str, cnt: int, lp: dict, max_len: int):
+    """Forward-backward expected piece counts for one word (float64,
+    single-threaded, deterministic), integer-scaled by _COUNT_SCALE and
+    weighted by cnt. Returns {piece: int_count}. Words with an
+    unsegmentable position (char not in lp) contribute nothing."""
+    n = len(word)
+    NEG = float("-inf")
+    alpha = [NEG] * (n + 1)
+    alpha[0] = 0.0
+    edges = []  # (j, i, piece, logp)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            p = word[j:i]
+            w = lp.get(p)
+            if w is not None:
+                edges.append((j, i, p, w))
+    for j, i, p, w in edges:
+        if alpha[j] != NEG:
+            x = alpha[j] + w
+            a = alpha[i]
+            alpha[i] = x if a == NEG else (max(a, x) + math.log1p(math.exp(-abs(a - x))))
+    if alpha[n] == NEG:
+        return {}
+    beta = [NEG] * (n + 1)
+    beta[n] = 0.0
+    for j, i, p, w in sorted(edges, key=lambda e: -e[0]):
+        if beta[i] != NEG:
+            x = beta[i] + w
+            b = beta[j]
+            beta[j] = x if b == NEG else (max(b, x) + math.log1p(math.exp(-abs(b - x))))
+    z = alpha[n]
+    out: dict[str, int] = {}
+    for j, i, p, w in edges:
+        if alpha[j] == NEG or beta[i] == NEG:
+            continue
+        e = math.exp(alpha[j] + w + beta[i] - z)
+        out[p] = out.get(p, 0) + round(e * _COUNT_SCALE) * cnt
+    return out
+
+
+def unigram_em_counts(
+    vocab: DataFrame, pieces: list[tuple[str, float]], max_piece_len: int
+) -> DataFrame:
+    """One EM E-step: expected corpus counts of every model piece under
+    the current log-probs, over the word-frequency vocabulary
+    (word, cnt). Returns (piece, count_1e6 long) — per-word
+    forward-backward posteriors are computed in float64 (deterministic
+    per word) and INTEGER-scaled before the one cross-word aggregate,
+    so the result is partition-count-invariant. Pieces with zero
+    expected count are absent.
+
+    Plan: one Arrow kernel pass over the dictionary (model broadcast
+    inside the closure — O(vocab_size) bytes), one piece-keyed
+    aggregate. The corpus is never touched.
+    """
+    import pandas as pd
+
+    lp = dict(pieces)
+    ml = max_piece_len
+
+    def estep(batches):
+        for pdf in batches:
+            acc: dict[str, int] = {}
+            for w, c in zip(pdf["word"], pdf["cnt"]):
+                for p, v in _em_expected_counts(w, int(c), lp, ml).items():
+                    acc[p] = acc.get(p, 0) + v
+            yield pd.DataFrame(
+                {"piece": list(acc), "count_1e6": list(acc.values())}
+            ) if acc else pd.DataFrame({"piece": [], "count_1e6": []})
+
+    return (
+        vocab.select("word", "cnt")
+        .mapInPandas(estep, "piece string, count_1e6 long")
+        .groupBy("piece")
+        .agg(F.sum("count_1e6").cast("long").alias("count_1e6"))
+    )
+
+
+def _normalize(counts: dict[str, int]) -> list[tuple[str, float]]:
+    """M-step: counts → ln probabilities (driver-side float64 over the
+    model-sized table; deterministic given the integer counts)."""
+    total = sum(counts.values())
+    return [
+        (p, math.log(c) - math.log(total)) for p, c in sorted(counts.items())
+    ]
+
+
+def unigram_fit(
+    df: DataFrame,
+    text: str = "text",
+    vocab_size: int = 64,
+    n_iters: int = 3,
+    max_piece_len: int = 4,
+    seed_size: int = 256,
+) -> DataFrame:
+    """Fit a unigram-LM tokenizer: seed → ``n_iters`` EM rounds →
+    count-based prune to ``vocab_size`` (all single characters kept
+    regardless of rank, so every corpus word stays segmentable) → one
+    final EM re-estimate over the survivors. Returns the model table
+    (piece, logp_1e9, count_1e6) with log-probs on the 1e-9 integer
+    grid — the shape :func:`unigram_segment` and the model store
+    consume (stamp ``UNIGRAM_MODEL_VERSION`` into the save params).
+
+    Deterministic end to end: integer-scaled E-steps, sorted M-steps,
+    count-then-piece prune order — a fit is bit-identical at any
+    partition count (test-pinned).
+
+    Scale: one corpus shuffle (the word vocabulary), then every stage
+    is dictionary- or model-sized; per-round driver traffic is the
+    model-sized count table (like ``bpe_learn``'s argmax rows). The
+    prune is the count-based variant of Kudo 2018 §3.2's loss-based
+    α%-pruning — documented simplification, same seed→EM→prune→EM
+    pipeline shape.
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    spark = df.sparkSession
+    vocab = bpe_vocab(df, text).localCheckpoint(eager=True)
+    seed = unigram_seed_vocab(df, text, max_piece_len, seed_size)
+    counts = {r["piece"]: int(r["n"]) * _COUNT_SCALE for r in seed.collect()}
+    if not counts:
+        raise ValueError(f"no [a-z]+ words in {text!r} — nothing to fit")
+    model = _normalize(counts)
+
+    def run_em(model, rounds):
+        for _ in range(rounds):
+            rows = unigram_em_counts(vocab, model, max_piece_len).collect()
+            # a piece whose expectation rounds to zero on the integer
+            # grid drops out of the model here (its probability would be
+            # log(0)); single chars are floored back in below
+            counts = {
+                r["piece"]: int(r["count_1e6"])
+                for r in rows
+                if int(r["count_1e6"]) > 0
+            }
+            # coverage floor: a char EM zeroed out must survive with a
+            # minimal count or some word may become unsegmentable
+            for p, _lp in model:
+                if len(p) == 1 and counts.get(p, 0) <= 0:
+                    counts[p] = 1
+            model = _normalize(counts)
+        return model, counts
+
+    model, counts = run_em(model, n_iters)
+    # prune: keep all single chars + the top multi-char pieces by
+    # (expected count DESC, piece) until vocab_size
+    chars = [(p, c) for p, c in counts.items() if len(p) == 1]
+    multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda x: (-x[1], x[0]),
+    )
+    keep = dict(chars)
+    for p, c in multi:
+        if len(keep) >= max(vocab_size, len(chars)):
+            break
+        keep[p] = c
+    model, counts = run_em(_normalize(keep), 1)
+    rows = [
+        (p, round(lp * 1e9), counts.get(p, 0)) for p, lp in model
+    ]
+    return spark.createDataFrame(rows, MODEL_SCHEMA)
+
+
+def unigram_segment(
+    df: DataFrame,
+    pieces: list[tuple[str, int]],
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Viterbi-segment each document's word stream under a FIXED unigram
+    model — the apply-at-inference half (:func:`unigram_fit` ships the
+    (piece, logp_1e9) table, this consumes it). Returns (``id_col``,
+    tokens array<string>) in reading order; documents with no
+    extractable ``[a-z]+`` word are absent (inner semantics, the
+    ``bpe_segment`` contract).
+
+    Per word, the best segmentation maximizes the INTEGER sum of
+    logp_1e9 scores; ties break by fewer tokens, then lexicographic
+    token sequence — fully deterministic and replayable by a
+    recursive-CTE SQL oracle (no float comparison anywhere). A
+    character absent from the model becomes its own token at
+    :data:`UNK_LOGP_1E9`.
+
+    Plan shape: ``bpe_segment``'s exactly — map-side word explode, the
+    DISTINCT-word dictionary Viterbi'd ONCE by an Arrow kernel (model
+    broadcast in the closure), joined back, one ``id_col`` exchange
+    restoring order; corpus bytes cross the shuffle once.
+    """
+    import pandas as pd
+
+    from .bpe import _WORD_PATTERN
+
+    lp = dict(pieces)
+    if not lp:
+        raise ValueError("pieces must be a non-empty (piece, logp_1e9) table")
+    max_len = max(len(p) for p in lp)
+
+    def better(a: tuple[int, int, list[str]], b) -> bool:
+        # maximize score; tie → FEWER tokens; tie → lexicographically
+        # smallest token sequence (explicit compare — a char-negation
+        # trick under max() mis-orders prefix tokens like "a" vs "ab")
+        if b is None:
+            return True
+        if a[0] != b[0]:
+            return a[0] > b[0]
+        if a[1] != b[1]:
+            return a[1] < b[1]
+        return a[2] < b[2]
+
+    def viterbi(word: str) -> list[str]:
+        n = len(word)
+        best: list[tuple[int, int, list[str]] | None] = [None] * (n + 1)
+        best[0] = (0, 0, [])
+        for i in range(1, n + 1):
+            for j in range(max(0, i - max_len), i):
+                if best[j] is None:
+                    continue
+                p = word[j:i]
+                w = lp.get(p)
+                if w is None and i - j == 1:
+                    w = UNK_LOGP_1E9
+                if w is None:
+                    continue
+                s, t, toks = best[j]
+                cand = (s + w, t + 1, toks + [p])
+                if better(cand, best[i]):
+                    best[i] = cand
+        assert best[n] is not None  # single-char fallback always exists
+        return best[n][2]
+
+    def segment(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "_word": pdf["_word"],
+                    "_toks": [viterbi(w) for w in pdf["_word"]],
+                }
+            )
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text)), F.lit(_WORD_PATTERN), 0)
+        ).alias("_pos", "_word"),
+    )
+    dictionary = words.select(F.col("_word")).distinct()
+    seg = dictionary.mapInPandas(segment, "_word string, _toks array<string>")
+    return (
+        words.join(seg, "_word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_toks"))),
+                    lambda s: s["_toks"],
+                )
+            ).alias("tokens")
+        )
+    )
