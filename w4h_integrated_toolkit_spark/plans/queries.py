@@ -9803,6 +9803,151 @@ SELECT id_a, id_b, CAST(dist AS INT) AS distance FROM d WHERE dist <= 4
 )
 
 
+# ---------------------------------------------------------------------------
+# R17 gate candidate: unigram-LM Viterbi segmentation (built r16)
+# ---------------------------------------------------------------------------
+# PINNED scoring model for the gate: all 26 single chars (coverage — the
+# oracle never needs an UNK arm) at index-graded log-probs plus a
+# multi-char piece set targeted at the documents vocabulary, with
+# deliberate traps (e.g. "ke" scores WORSE than k+e while "key" beats
+# both — the DP must discriminate, not greedy-longest). Integer
+# 1e-9-grid scores make the best path engine-exact; probabilities need
+# not normalize (Viterbi only compares sums — documented).
+_UNIGRAM_GATE_PIECES: list[tuple[str, int]] = [
+    *[
+        (chr(97 + i), -(3_000_000_000 + 10_000_000 * i))
+        for i in range(26)
+    ],
+    ("ta", -4_500_000_000),
+    ("ab", -4_600_000_000),
+    ("le", -4_400_000_000),
+    ("tab", -6_500_000_000),
+    ("ble", -5_000_000_000),
+    ("er", -4_300_000_000),
+    ("or", -4_350_000_000),
+    ("ar", -4_450_000_000),
+    ("st", -4_250_000_000),
+    ("ro", -4_550_000_000),
+    ("an", -4_480_000_000),
+    ("in", -4_320_000_000),
+    ("me", -4_470_000_000),
+    ("ue", -4_510_000_000),
+    ("ha", -4_530_000_000),
+    ("sh", -4_490_000_000),
+    ("ow", -4_520_000_000),
+    ("al", -4_560_000_000),
+    ("um", -4_570_000_000),
+    ("at", -4_460_000_000),
+    ("ch", -4_540_000_000),
+    ("sc", -4_580_000_000),
+    ("row", -6_000_000_000),
+    ("key", -6_100_000_000),
+    ("val", -6_200_000_000),
+    ("spa", -6_300_000_000),
+    ("que", -6_400_000_000),
+    ("dow", -6_450_000_000),
+    ("ke", -7_500_000_000),  # trap: worse than k+e, but "key" beats both
+]
+
+
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi-segment every 10th document under a FIXED pinned unigram
+    model (operators/unigram.py unigram_segment — the apply-at-inference
+    half of the SentencePiece-style tokenizer; unigram_fit ships the
+    model, this consumes it). Emits (doc_id, n_tokens, tokens_str): the
+    FULL space-joined token stream, so the gate hashes the integer-score
+    DP, its deterministic score→fewer-tokens→lexicographic tie-break,
+    AND the positional reassembly join. The model travels through the
+    MODEL STORE with the UNIGRAM_MODEL_VERSION stamp validated at load
+    (the q_bpe_segment production shape — fit job ships, tokenize-on-
+    read jobs consume across sessions). The DuckDB oracle re-derives the
+    segmentation INDEPENDENTLY: a recursive CTE enumerates every
+    segmentation path over the pinned piece table per DISTINCT word
+    (bounded — gate words are ≤8 chars over a ~31-word vocabulary),
+    picks the best by the same total-score/ntok/lex ordering (space <
+    every [a-z] byte, so string comparison of the joined paths IS the
+    token-list comparison), and re-joins by word position. Reference
+    analog: none (training-data layer; SURVEY §2 north-star)."""
+    import tempfile
+
+    from ..operators.unigram import (
+        MODEL_SCHEMA,
+        UNIGRAM_MODEL_VERSION,
+        unigram_segment,
+    )
+    from ..sources.models import load_model, save_model
+
+    params = {
+        "kind": "unigram_lm",
+        "unigram_model_version": UNIGRAM_MODEL_VERSION,
+        "n_pieces": len(_UNIGRAM_GATE_PIECES),
+    }
+    # pieces are COLLECTED inside the block, so the plan never scans the
+    # deleted temp store (the q_bpe_segment lifetime discipline)
+    with tempfile.TemporaryDirectory(
+        prefix="w4h_unigram_model_", ignore_cleanup_errors=True
+    ) as store:
+        save_model(
+            spark,
+            store,
+            spark.createDataFrame(
+                [(p, lp, 0) for p, lp in _UNIGRAM_GATE_PIECES], MODEL_SCHEMA
+            ),
+            params,
+        )
+        loaded, _ = load_model(spark, store, expect_params=params)
+        pieces = [(r["piece"], r["logp_1e9"]) for r in loaded.collect()]
+    seg = unigram_segment(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0),
+        pieces,
+    )
+    return seg.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", "tokens").alias("tokens_str"),
+    )
+
+
+_SQL_UNIGRAM_SEGMENT = (
+    "WITH RECURSIVE pieces(piece, lp) AS (VALUES "
+    + ", ".join(
+        f"('{p}', CAST({lp} AS BIGINT))" for p, lp in _UNIGRAM_GATE_PIECES
+    )
+    + """),
+docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM documents WHERE doc_id % 10 = 0),
+dw AS (
+  SELECT doc_id, unnest([{'pos': i, 'word': ws[i]}
+                         for i in range(1, len(ws) + 1)]) AS e
+  FROM docs),
+dwp AS (SELECT doc_id, e.pos AS pos, e.word AS word FROM dw),
+w AS (SELECT DISTINCT word FROM dwp),
+paths(word, pos, score, ntok, toks) AS (
+  SELECT word, 0, CAST(0 AS BIGINT), 0, CAST('' AS VARCHAR) FROM w
+  UNION ALL
+  SELECT pa.word, pa.pos + length(p.piece), pa.score + p.lp, pa.ntok + 1,
+         CASE WHEN pa.toks = '' THEN p.piece
+              ELSE pa.toks || ' ' || p.piece END
+  FROM paths pa JOIN pieces p
+    ON substr(pa.word, pa.pos + 1, length(p.piece)) = p.piece
+  WHERE pa.pos < length(pa.word)),
+best AS (
+  SELECT word, toks, ntok, row_number() OVER (
+           PARTITION BY word
+           ORDER BY score DESC, ntok ASC, toks ASC) AS rn
+  FROM paths WHERE pos = length(word)),
+seg AS (SELECT word, toks, ntok FROM best WHERE rn = 1),
+out AS (
+  SELECT d.doc_id, CAST(sum(s.ntok) AS BIGINT) AS n_tokens,
+         string_agg(s.toks, ' ' ORDER BY d.pos) AS tokens_str
+  FROM dwp d JOIN seg s ON d.word = s.word
+  GROUP BY d.doc_id)
+SELECT doc_id, n_tokens, tokens_str FROM out
+"""
+)
+
+
 # candidate registry: same (fn, sql) shape as QUERIES, same portable
 # rounding rewrite — registering is moving an entry into QUERIES.
 # r15 executed the written plan: duplicated_spans + gopher_flags were
@@ -9818,6 +9963,13 @@ R17_CANDIDATES = {
     "phash_hamming_pairs": (
         q_phash_hamming_pairs,
         _portable_round_sql(_SQL_PHASH_HAMMING),
+    ),
+    # built r16 (the named unigram-LM gate): r17 promotes the two
+    # longer-standing entries above per the written plan; this one
+    # leads the r18 promotion queue
+    "unigram_segment": (
+        q_unigram_segment,
+        _portable_round_sql(_SQL_UNIGRAM_SEGMENT),
     ),
 }
 
@@ -9985,8 +10137,11 @@ QUERIES["audio_fingerprint_pairs"] = (
 # hashed_clf_scores 4.46 s cold (r13), phash_hamming_pairs 7.9 s cold /
 # 1.6 s warm (r14)), pushing the last 6 r13-stale rows to lead r18.
 # Recompute the r13-stale list from the JSONs at r17 start — do not
-# trust a hand list. That empties the candidates file: r17 may build
-# new candidates (the unigram-LM tokenizer gate is the named one).
+# trust a hand list. After those two promotions the candidates file
+# holds only unigram_segment (the unigram-LM gate, built late-r16 with
+# a recursive-CTE Viterbi oracle; parity green at 3 sfs + 7 partitions;
+# gate latency 11.8 s cold fresh-session / 1.5-1.9 s warm at sf0.01 on
+# 4 cpus) — it leads the r18 promotion queue.
 _R16_WINDOW = [
     # --- the 2 displaced r11 rows (5 rounds stale, oldest evidence) ---
     "knn_ivf_persisted",
