@@ -845,6 +845,90 @@ def stress_embedding_guard(spark, rnd, trials):
     return bad
 
 
+def stress_unigram(spark, rnd, trials):
+    """unigram_segment vs a literal all-segmentations argmax under the
+    exact (integer score, fewer tokens, lex token list) objective —
+    randomized piece tables (chars sometimes MISSING, exercising the
+    UNK single-char fallback) over randomized words."""
+    from w4h_integrated_toolkit_spark.operators.unigram import (
+        UNK_LOGP_1E9,
+        unigram_segment,
+    )
+
+    def brute(word, lp, max_len):
+        best = None
+
+        def rec(i, acc, score):
+            nonlocal best
+            if i == len(word):
+                cand = (score, len(acc), list(acc))
+                if (
+                    best is None
+                    or cand[0] > best[0]
+                    or (cand[0] == best[0] and cand[1] < best[1])
+                    or (
+                        cand[0] == best[0]
+                        and cand[1] == best[1]
+                        and cand[2] < best[2]
+                    )
+                ):
+                    best = cand
+                return
+            for ln in range(1, min(max_len, len(word) - i) + 1):
+                p = word[i : i + ln]
+                w = lp.get(p)
+                if w is None and ln == 1:
+                    w = UNK_LOGP_1E9
+                if w is None:
+                    continue
+                acc.append(p)
+                rec(i + ln, acc, score + w)
+                acc.pop()
+
+        rec(0, [], 0)
+        return best[2]
+
+    bad = 0
+    for trial in range(trials):
+        alphabet = "abcd"
+        words = [
+            "".join(rnd.choice(alphabet) for _ in range(rnd.randrange(1, 9)))
+            for _ in range(rnd.randrange(3, 12))
+        ]
+        # random piece table: chars of a RANDOM subset (UNK covers the
+        # rest), plus random substrings of the words at random scores
+        pieces = {}
+        for c in alphabet:
+            if rnd.random() < 0.8:
+                pieces[c] = -rnd.randrange(1_000_000_000, 4_000_000_000)
+        cands = {
+            w[i : i + ln]
+            for w in words
+            for i in range(len(w))
+            for ln in (2, 3)
+            if i + ln <= len(w)
+        }
+        for p in rnd.sample(sorted(cands), min(len(cands), 6)):
+            pieces[p] = -rnd.randrange(1_500_000_000, 9_000_000_000)
+        if not pieces:
+            pieces["a"] = -2_000_000_000
+        df = spark.createDataFrame(
+            [(0, " ".join(words))], "doc_id long, text string"
+        )
+        got = unigram_segment(df, list(pieces.items())).collect()[0]["tokens"]
+        max_len = max(len(p) for p in pieces)
+        want = [t for w in words for t in brute(w, pieces, max_len)]
+        if got != want:
+            bad += 1
+            print(
+                f"  unigram trial {trial}: words={words}\n"
+                f"    pieces={sorted(pieces.items())}\n"
+                f"    got {got}\n    want {want}",
+                flush=True,
+            )
+    return bad
+
+
 def main() -> int:
     scale = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     spark = get_spark(
@@ -863,6 +947,7 @@ def main() -> int:
         ("paragraph_dedup", stress_paragraphs, int(15 * scale)),
         ("hamming_pairs", stress_hamming, int(15 * scale)),
         ("embedding_guard", stress_embedding_guard, int(10 * scale)),
+        ("unigram_segment", stress_unigram, int(15 * scale)),
     ]:
         b = fn(spark, rnd, max(1, trials))
         print(f"{name}: {b} mismatches in {max(1, trials)} trials", flush=True)

@@ -105,6 +105,7 @@ def unigram_seed_vocab(
     text: str = "text",
     max_piece_len: int = 4,
     seed_size: int = 256,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate-piece seed: (piece, n) = corpus occurrence counts of
     every word-substring up to ``max_piece_len`` chars, restricted to
@@ -113,16 +114,20 @@ def unigram_seed_vocab(
     guarantee). Deterministic through count ties, so a SQL oracle can
     replay the seed.
 
-    Plan: the ``bpe_vocab`` corpus shuffle, then a map-side nested
-    ``transform`` (substring enumeration is O(len·max_piece_len) per
-    DISTINCT word — pure JVM, no kernel) and one piece-keyed aggregate;
-    the top-k is a TakeOrdered, never a global sort.
+    Plan: the ``bpe_vocab`` corpus shuffle (pass a precomputed/
+    checkpointed ``vocab`` to reuse it — :func:`unigram_fit` does, so
+    the WHOLE fit pays the corpus shuffle exactly once), then a
+    map-side nested ``transform`` (substring enumeration is
+    O(len·max_piece_len) per DISTINCT word — pure JVM, no kernel) and
+    one piece-keyed aggregate; the top-k is a TakeOrdered, never a
+    global sort.
     """
     if max_piece_len < 1:
         raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
     if seed_size < 1:
         raise ValueError(f"seed_size must be >= 1, got {seed_size}")
-    vocab = bpe_vocab(df, text)
+    if vocab is None:
+        vocab = bpe_vocab(df, text)
     n = F.length("word")
     # Column.substr accepts Column start/len, so the whole enumeration
     # stays one JVM-side nested transform — no kernel, no explode of
@@ -268,7 +273,9 @@ def unigram_fit(
         raise ValueError(f"n_iters must be >= 1, got {n_iters}")
     spark = df.sparkSession
     vocab = bpe_vocab(df, text).localCheckpoint(eager=True)
-    seed = unigram_seed_vocab(df, text, max_piece_len, seed_size)
+    seed = unigram_seed_vocab(
+        df, text, max_piece_len, seed_size, vocab=vocab
+    )
     counts = {r["piece"]: int(r["n"]) * _COUNT_SCALE for r in seed.collect()}
     if not counts:
         raise ValueError(f"no [a-z]+ words in {text!r} — nothing to fit")
