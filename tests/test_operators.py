@@ -992,6 +992,18 @@ def test_user_similarity_lsh_blocking_equivalence_and_keys(spark):
     assert all(len(s) == 1 for s in fam_keys)  # families never split
     assert len(set().union(*fam_keys)) >= 2    # and blocking separates work
 
+    # bits are partition-count-invariant (exact integer sign identity —
+    # a float-summed dot near zero could flip with the shuffle layout)
+    k1 = {
+        r["k"]: r["lsh"]
+        for r in user_block_keys(g.repartition(1), 4).collect()
+    }
+    k7 = {
+        r["k"]: r["lsh"]
+        for r in user_block_keys(g.repartition(7), 4).collect()
+    }
+    assert k1 == k7 == keys
+
     with pytest.raises(ValueError, match="block_planes"):
         user_similarity_topk(df, block_planes=0, **kw)
 

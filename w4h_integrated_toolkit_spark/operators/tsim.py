@@ -76,6 +76,14 @@ def user_block_keys(
     grid — no vector is ever materialized, so the grid's bucket span is
     unbounded.
 
+    Bits are PARTITION-COUNT-INVARIANT: the centered dot's sign is
+    taken on the integer identity n·Σv₆s − (Σv₆)(Σs) over 1e-6-scaled
+    grid values (v₆ = round(v·1e6), s = ±1), summed in DECIMAL(38,0) —
+    exact whole-number arithmetic in any order, the ``stable_mean``
+    discipline. A float-summed dot near zero could flip a bit with the
+    shuffle layout and silently move a user between buckets across
+    runs.
+
     This is a recall trade exactly like ``similarity.neardup_pairs``
     blocking: a pair is scored only if no plane separates it
     (P ≈ (1 − θ/π)^planes). Anti-correlated pairs (r < 0) get FLIPPED
@@ -83,17 +91,21 @@ def user_block_keys(
     only when the query is "most positively similar", which is what
     top-k by r DESC asks.
     """
-    z = F.col("v") - F.avg("v").over(Window.partitionBy("k"))
-    zg = g.withColumn("_z", z)
-    dots = [
-        F.sum(F.col("_z") * _rademacher_sign(j, F.col("bucket"), seed)).alias(
-            f"_d{j}"
-        )
-        for j in range(block_planes)
-    ]
-    per_user = zg.groupBy("k").agg(*dots)
+    dec = "decimal(38,0)"
+    v6 = F.round(F.col("v") * 1_000_000).cast(dec)
+    aggs = [F.sum(v6).alias("_b"), F.count(F.lit(1)).cast(dec).alias("_n")]
+    for j in range(block_planes):
+        s = _rademacher_sign(j, F.col("bucket"), seed).cast(dec)
+        aggs.append(F.sum(v6 * s).alias(f"_a{j}"))
+        aggs.append(F.sum(s).alias(f"_c{j}"))
+    per_user = g.groupBy("k").agg(*aggs)
     bits = [
-        F.when(F.col(f"_d{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        # sign(Σ(v−mean)·s) == sign(n·Σv₆s − Σv₆·Σs), n > 0
+        F.when(
+            F.col("_n") * F.col(f"_a{j}") - F.col("_b") * F.col(f"_c{j}")
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
         for j in range(block_planes)
     ]
     return per_user.select("k", F.concat(*bits).alias("lsh"))
