@@ -10142,6 +10142,15 @@ QUERIES["audio_fingerprint_pairs"] = (
 # a recursive-CTE Viterbi oracle; parity green at 3 sfs + 7 partitions;
 # gate latency 11.8 s cold fresh-session / 1.5-1.9 s warm at sf0.01 on
 # 4 cpus) — it leads the r18 promotion queue.
+# The EXACT prospective r17 window (the 4 pushed rows, then the first
+# 44 r13-stale in CORRECTNESS_r13 key order — mixture_sample,
+# repetition_ratio, ranking_model_scores, stream_url_frontier,
+# warc_extract, decontaminate drop to lead r18 — then the two
+# promotions) was pre-measured at r16 end: 50/50 oracle-green, 111.8 s
+# total cold at sf0.01 on 4 cpus, worst streaming_ewma 19.4 s (the
+# first-streaming-job JIT tier on a steal-contended box — re-measure
+# solo before trusting any elevated read); every entry inside the
+# ~30 s per-entry envelope.
 _R16_WINDOW = [
     # --- the 2 displaced r11 rows (5 rounds stale, oldest evidence) ---
     "knn_ivf_persisted",
