@@ -2401,6 +2401,42 @@ def test_gram_bloom_no_false_negatives_and_param_guards(spark):
         D.bloom_contamination(corpus, bitmap, m_bits=1 << 17, k=k)
 
 
+def test_contamination_with_bloom_matches_composed_full_outer(spark):
+    """r16 fused single-pass operator ≡ the composed shape it replaced:
+    contamination(corpus, bench) FULL OUTER JOIN bloom_contamination(
+    corpus, bitmap) on doc_id, row for row including the NULL-count
+    semantics (absent side → NULL, never 0)."""
+    from w4h_integrated_toolkit_spark.catalog import read_parquet
+    from w4h_integrated_toolkit_spark.operators import dedup as D
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    m, k = 1 << 16, 4
+    bitmap = D.gram_bloom_bitmap(bench, n=3, m_bits=m, k=k)
+
+    fused = {
+        r["doc_id"]: (r["n_hits"], r["n_bloom_hits"])
+        for r in D.contamination_with_bloom(
+            corpus, bench, bitmap, m, k=k, n=3
+        ).collect()
+    }
+    composed = {
+        r["doc_id"]: (r["n_hits"], r["n_bloom_hits"])
+        for r in D.contamination(corpus, bench, n=3)
+        .join(D.bloom_contamination(corpus, bitmap, m, k=k, n=3), "doc_id", "full")
+        .collect()
+    }
+    assert fused == composed and len(fused) > 0
+    # NULL semantics preserved: bloom-only docs carry n_hits IS NULL
+    # (false positives exist at this m/k on this data or not — either
+    # way no count may collapse to 0)
+    assert all(
+        (eh is None or eh >= 1) and (bh is None or bh >= 1)
+        for eh, bh in fused.values()
+    )
+
+
 def test_quantize_int8_and_recall(spark):
     """Quantization invariants: values within [-127,127], zero vector
     stays zero with scale 1, reconstruction error <= scale/2 per

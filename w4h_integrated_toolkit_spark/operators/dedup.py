@@ -830,6 +830,76 @@ def bloom_contamination(
     )
 
 
+def contamination_with_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    bitmap: list[int],
+    m_bits: int,
+    k: int = 4,
+    n: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact AND Bloom contamination counts per corpus document from ONE
+    gram pass — the fused form of ``contamination(corpus, benchmark)``
+    full-outer-joined with ``bloom_contamination(corpus, bitmap)``.
+
+    Output is row-for-row identical to that composition: (id, n_hits,
+    n_bloom_hits) for every doc with at least one exact hit OR one Bloom
+    hit; a count is NULL when that side has no hits for the doc (the
+    full-outer join's absent-row semantics). Both counts are taken over
+    the SAME per-doc distinct gram set, so the law n_bloom_hits >=
+    n_hits (no false negatives) is preserved by construction.
+
+    Why fused (r16 optimization round): the composed plan assembled and
+    exploded the corpus grams TWICE — once per side — and merged the two
+    per-doc frames with a full-outer sort-merge join (FullOuter cannot
+    broadcast). The gram assembly is the dominant corpus-side cost at
+    scale, so the composition paid 2x the only expensive pass and added
+    two sorts + one exchange for the merge. Here the Bloom probe (pure
+    map-side bit math) and the benchmark-gram broadcast join annotate
+    the SAME gram rows, and one hash aggregate per doc emits both
+    counts: 1 corpus gram pass, 1 exchange, no sort-merge join.
+    """
+    _validate_bloom_params(m_bits, k)
+    if len(bitmap) * 64 != m_bits:
+        raise ValueError(
+            f"bitmap has {len(bitmap)} words but m_bits={m_bits} needs "
+            f"{m_bits // 64} — (bitmap, m_bits, k) must come from the same "
+            "gram_bloom_bitmap call"
+        )
+    packed = b"".join(w.to_bytes(8, "little", signed=True) for w in bitmap)
+    all_set = F.expr(
+        "forall(_pos, p -> "
+        "(shiftright(CAST(conv(hex(substring(_bm, CAST(p / 8 AS INT) + 1, 1)), "
+        "16, 10) AS INT), CAST(p % 8 AS INT)) & 1) = 1)"
+    )
+    bench_grams = (
+        shingle_rows(benchmark, n, text, id_col)
+        .select("shingle")
+        .distinct()
+        .withColumn("_exact", F.lit(1).cast("long"))
+    )
+    per_gram = (
+        distinct_shingle_rows(corpus, n, text, id_col)
+        .withColumn("_pos", F.array(*_bloom_positions(F.col("shingle"), m_bits, k)))
+        .withColumn("_bm", F.lit(packed))
+        .withColumn("_bloom", all_set.cast("long"))
+        .join(F.broadcast(bench_grams), "shingle", "left")
+    )
+    agg = per_gram.groupBy(id_col).agg(
+        # sum over {1, NULL} is NULL when no gram matched — exactly the
+        # absent-row (NULL) semantics of the full-outer composition
+        F.sum("_exact").alias("n_hits"),
+        F.sum("_bloom").alias("_nb"),
+    )
+    return agg.select(
+        id_col,
+        "n_hits",
+        F.when(F.col("_nb") > 0, F.col("_nb")).alias("n_bloom_hits"),
+    ).filter(F.col("n_hits").isNotNull() | F.col("n_bloom_hits").isNotNull())
+
+
 def boilerplate_ngrams(
     df: DataFrame,
     n: int = 2,

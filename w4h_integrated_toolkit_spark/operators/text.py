@@ -776,9 +776,23 @@ def fit_hashed_logodds(
     spark = df.sparkSession
     lab = df.select(id_col, F.col(label).cast("boolean").alias("_y"))
     feats = feature_hashing(df, n_buckets, text, id_col)
-    counts = feats.join(lab, id_col).groupBy("bucket").agg(
-        F.sum(F.when(F.col("_y"), F.col("cnt")).otherwise(F.lit(0))).alias("_cp"),
-        F.sum(F.when(~F.col("_y"), F.col("cnt")).otherwise(F.lit(0))).alias("_cn"),
+    counts = (
+        feats.join(lab, id_col)
+        .groupBy("bucket")
+        .agg(
+            F.sum(
+                F.when(F.col("_y"), F.col("cnt")).otherwise(F.lit(0))
+            ).alias("_cp"),
+            F.sum(
+                F.when(~F.col("_y"), F.col("cnt")).otherwise(F.lit(0))
+            ).alias("_cn"),
+        )
+        # materialized ONCE (O(n_buckets) rows): consumed by the class
+        # totals below and again by the weights join — without the
+        # barrier each reference re-ran the tokenize+hash+label-join
+        # pass over the labeled sample (r16 optimization round, same
+        # rationale as fit_dsir_logratios)
+        .localCheckpoint(eager=True)
     )
     tot = counts.agg(
         F.coalesce(F.sum("_cp"), F.lit(0)).alias("tp"),
@@ -926,8 +940,14 @@ def fit_dsir_logratios(
             .agg(F.sum("cnt").alias(out))
         )
 
-    ct_t = _bucket_totals(target, "_ct")
-    ct_r = _bucket_totals(raw, "_cr")
+    # materialize each bucket table ONCE (O(n_buckets) rows): the totals
+    # below AND the weights join both consume it — without the barrier
+    # each reference re-runs the whole tokenize+hash+aggregate pass over
+    # its corpus (the totals collect once, the weights join again), so
+    # the fit paid every slice's scan twice (r16 optimization round;
+    # same localCheckpoint rationale as dedup.minhash_lsh_pairs)
+    ct_t = _bucket_totals(target, "_ct").localCheckpoint(eager=True)
+    ct_r = _bucket_totals(raw, "_cr").localCheckpoint(eager=True)
     tot_t = ct_t.agg(F.coalesce(F.sum("_ct"), F.lit(0))).collect()[0][0]
     tot_r = ct_r.agg(F.coalesce(F.sum("_cr"), F.lit(0))).collect()[0][0]
     if tot_t == 0 or tot_r == 0:

@@ -4486,9 +4486,13 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 100 != 0)
     m_bits, k = 1 << 20, 4
     bitmap = D.gram_bloom_bitmap(bench, n=3, m_bits=m_bits, k=k)
-    bloom = D.bloom_contamination(corpus, bitmap, m_bits, k=k, n=3)
-    exact = D.contamination(corpus, bench, n=3)
-    per_doc = exact.join(bloom, "doc_id", "full")
+    # r16: fused single-gram-pass form — row-identical to
+    # contamination(...) FULL OUTER JOIN bloom_contamination(...) but
+    # assembles the corpus grams once and plans no sort-merge join
+    # (operators/dedup.py contamination_with_bloom)
+    per_doc = D.contamination_with_bloom(
+        corpus, bench, bitmap, m_bits, k=k, n=3
+    )
     folded = per_doc.agg(
         F.count("n_hits").alias("n_exact_contaminated"),
         F.count("n_bloom_hits").alias("_n_flagged"),
