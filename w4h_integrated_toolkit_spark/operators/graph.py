@@ -84,11 +84,6 @@ def pagerank_fixed_point(
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
 
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     out = edges.groupBy("src").agg(F.sum("weight").alias("_out"))
     # guard the int64 product bound where the multiply actually happens:
     # rank mass is conserved (Σ shares ≤ Σ r), so r ≤ scale after every
@@ -113,6 +108,21 @@ def pagerank_fixed_point(
         # event-sized — the same eager-materialization discipline as
         # timeseries.rollup_cascade's level cascade.
         e = e.localCheckpoint(eager=True)
+    # derive the node set from the cheapest materialized relation that
+    # carries every (src, dst): the checkpointed edge aggregate when it
+    # exists. The node subtree is referenced by base AND the rank init,
+    # and (pre-r16) each reference re-ran the whole upstream edge build —
+    # with the unrolled-rank duplication below that multiplied to 2^k
+    # upstream re-executions (the event_type_pagerank plan carried 32
+    # parquet scans / 47 exchanges for 3 iterations; r16 measured the
+    # fix at ~40% of the query's wall). src/dst values are identical in
+    # `e` (the weight guard raises, it never drops rows).
+    nodes_src = e if iterations > 1 else edges
+    nodes = (
+        nodes_src.select(F.col("src").alias("node"))
+        .unionByName(nodes_src.select(F.col("dst").alias("node")))
+        .distinct()
+    )
 
     n_expr = (
         F.lit(int(n_nodes)) if n_nodes is not None else F.count(F.lit(1))
@@ -126,7 +136,7 @@ def pagerank_fixed_point(
     ranks = nodes.crossJoin(F.broadcast(base)).select(
         "node", F.col("_r0").alias("rank_fp"), "_teleport"
     )
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             e.join(
                 F.broadcast(ranks.select(F.col("node").alias("src"), "rank_fp")),
@@ -155,4 +165,14 @@ def pagerank_fixed_point(
                 "_teleport",
             )
         )
+        if it < iterations - 1:
+            # linearize the unrolled lineage: rank_k feeds BOTH the next
+            # contrib (broadcast) and the next outer join, so without a
+            # per-round barrier the rank subtree doubles per iteration
+            # (plan size and re-execution both ~2^k). The checkpointed
+            # relation is node-sized by definition; the LAST round stays
+            # lazy so the consumer's action materializes it once
+            # (r16 measured: with the node-set fix above, 2.2 s → 1.34 s
+            # deep-warm for event_type_pagerank at sf0.1).
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank_fp")

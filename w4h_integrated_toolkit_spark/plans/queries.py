@@ -9775,6 +9775,14 @@ def q_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .bitwiseXOR(F.expr("shiftleft(1L, CAST((doc_id div 3) % 32 AS INT))"))
         .alias("fp"),
     )
+    # r16: hamming_neardup_pairs consumes its input THREE times (band
+    # bucketing + both sides of the hash-set verify join), and here the
+    # input subtree is the WAV-synth + FFT fingerprint kernel — the
+    # query's only expensive pass. Materialize the (id, 32-bit fp) rows
+    # once (track-frame-sized at any scale) so the kernel runs 1x, not
+    # 3x. Local wall is within noise at sf0.1 (the three evaluations
+    # overlap on idle cores); at scale the saved passes are the point.
+    flipped = flipped.localCheckpoint(eager=True)
     return D.hamming_neardup_pairs(
         flipped, max_distance=4, hash_bits=32, max_bucket=None,
         hash_col="fp",
