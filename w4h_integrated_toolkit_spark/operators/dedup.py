@@ -1090,6 +1090,13 @@ def source_ngram_overlap(
         distinct_shingle_rows(docs, n, text, id_col=group_col)
         .groupBy(group_col, "shingle")
         .agg(F.lit(1).alias("_one"))
+        # r16: this slice-gram relation feeds FOUR consumers (the size
+        # aggregate and both self-join sides) — un-materialized, each
+        # re-ran the whole corpus gram assembly + aggregate. One
+        # checkpoint of the (slice, distinct-gram) relation — gram-set
+        # scale, already far smaller than the corpus — replaces three
+        # redundant corpus passes.
+        .localCheckpoint(eager=True)
     )
     sizes = rows.groupBy(group_col).agg(F.count(F.lit(1)).alias("_sz"))
     a = rows.select(F.col(group_col).alias("source_a"), "shingle")

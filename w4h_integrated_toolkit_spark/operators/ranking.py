@@ -278,6 +278,14 @@ def unigram_nll(
     # the self-model folds the tf aggregate (vocab-bounded) rather than
     # re-exploding the instance stream — the raw token explosion happens
     # exactly once however the model is sourced
+    # r16 optimization-round note: the self-model counts feed both the
+    # totals aggregate and the ln p projection, so the tokenize + tf
+    # subtree executes ~3x per action (0 ReusedExchange in the executed
+    # plan). A vocab-sized localCheckpoint was MEASURED SLOWER at sf0.1
+    # (1.4-2.1 s -> 2.2-3.3 s): the duplicated branches run concurrently
+    # on idle cores while the barrier serializes them — deliberately
+    # left unmaterialized; revisit on a saturated cluster where the
+    # duplicated passes cost real capacity.
     counts = (
         term_counts
         if term_counts is not None
@@ -341,7 +349,17 @@ def pmi_pairs(
         ).alias("tok"),
     ).filter(F.col("tok") != "")
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    vocab = dfreq.orderBy(F.desc("df"), "tok").limit(int(vocab_size))
+    # r16: the fitted vocabulary feeds THREE consumers (the in-vocab
+    # semi filter and the d_a/d_b broadcast sides) and each reference
+    # re-ran the corpus-wide token-df aggregate + TakeOrdered.
+    # Materialize the vocab_size-row result once — at sf0.1 the three
+    # evaluations overlap on idle cores so local wall is ~unchanged;
+    # at scale this is 3 full corpus aggregates → 1.
+    vocab = (
+        dfreq.orderBy(F.desc("df"), "tok")
+        .limit(int(vocab_size))
+        .localCheckpoint(eager=True)
+    )
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
 
     in_vocab = toks.join(F.broadcast(vocab.select("tok")), "tok")
@@ -447,6 +465,12 @@ def bigram_nll(
             F.count(F.lit(1)).alias("tf")
         )
     )
+    # r16 optimization-round note: cab feeds both the _ca rollup and the
+    # model join (branches re-execute — no exchange reuse), but a
+    # distinct-bigram-sized localCheckpoint measured SLOWER at sf0.1 for
+    # the same reason as unigram_nll's counts (see note there):
+    # concurrent duplicate branches beat a serializing barrier on an
+    # under-utilized box. Left unmaterialized on measurement.
     cab = model_tf.groupBy("_a", "_b").agg(F.sum("tf").cast("long").alias("_cab"))
     ca = cab.groupBy("_a").agg(F.sum("_cab").cast("long").alias("_ca"))
     vocab = (

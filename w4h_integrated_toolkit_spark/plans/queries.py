@@ -6802,6 +6802,12 @@ def q_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pred, "doc_id")
         .groupBy("actual", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
+        # r16: the matrix feeds THREE consumers (tp / per_actual /
+        # per_pred) and each reference re-ran the corpus scan +
+        # language_id scoring + join + aggregate. One |classes|²-row
+        # materialization runs that pass once (measured ~2.6 s → ~1.5 s
+        # deep-warm at sf0.1; values unchanged — integer counts)
+        .localCheckpoint(eager=True)
     )
     tp = m.filter(F.col("actual") == F.col("lang_pred")).select(
         F.col("actual").alias("cls"), F.col("n").alias("tp")
