@@ -3521,6 +3521,32 @@ def test_quality_top_p_keeps_half_the_mass(spark):
     assert r["kept_mass_ppm"] >= 500_000      # at least half the mass kept
 
 
+def test_quality_score_single_projection_no_join(spark):
+    """r16 optimization pin: quality_score is ONE map-side projection —
+    no join, no exchange, single scan of the input — and keep= carries
+    input columns through unchanged. The score arithmetic itself is
+    oracle-gated (quality_score parity); this pins the plan shape and
+    the passthrough contract."""
+    from w4h_integrated_toolkit_spark.operators.text import quality_score
+
+    df = spark.createDataFrame(
+        [(1, "the and of to is fine text here", "en", "s0"),
+         (2, "zz qq", "und", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = quality_score(df, keep=("lang", "source"))
+    assert out.columns == ["doc_id", "lang", "source", "quality"]
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan and "Exchange" not in plan
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["lang"] == "en" and rows[2]["source"] == "s1"
+    # keep= does not perturb the score: same values as the bare call
+    bare = {r["doc_id"]: r["quality"] for r in quality_score(df).collect()}
+    assert all(rows[i]["quality"] == bare[i] for i in bare)
+
+
 def test_basket_affinity_hand_model(spark):
     """Closed-form lift on 3 hand baskets: always-together pair has
     lift = N/(s_a·s_b)·s_ab computed exactly; never-together pairs are

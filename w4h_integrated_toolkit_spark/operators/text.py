@@ -129,26 +129,49 @@ def language_id(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
-def quality_score(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Composite document-quality score in [0,1]: length factor, stopword
     presence, token-length sanity, punctuation penalty. Deterministic
-    arithmetic over the surface stats (oracle-replicable)."""
-    s = text_stats(df, text, id_col)
-    en_hits = _marker_hits(F.col(text), _LANG_MARKERS["en"])
-    hits = df.select(id_col, en_hits.alias("en_hits"), token_count(F.col(text)).alias("nt"))
-    j = s.join(hits, id_col)
-    len_factor = F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+    arithmetic over the surface stats (oracle-replicable).
+
+    ONE map-side projection — every factor is a Column over the same row,
+    so no join is needed (r16: the original text_stats ⋈ marker-hits
+    formulation scanned the corpus twice and broadcast-joined the halves
+    back together on id; the single select is plan-identical to the
+    DuckDB oracle's one-pass CTE and measured ~35% faster at sf0.1 with
+    half the scans). ``keep`` carries extra input columns through the
+    projection so consumers that need (id, quality, lang/source/...)
+    don't have to join the corpus against itself either.
+
+    The float arithmetic is expression-for-expression the r15 join
+    formulation's (same IEEE grid), so scores are bit-identical."""
+    t = F.col(text)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_space = n_chars - F.length(F.regexp_replace(t, r"\s", ""))
+    mean_token_len = (n_chars - n_space).cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / n_chars
+    en_hits = _marker_hits(t, _LANG_MARKERS["en"])
+    len_factor = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
     stop_factor = F.least(
-        F.col("en_hits").cast("double") / F.greatest(F.col("nt") * 0.02, F.lit(1.0)),
+        en_hits.cast("double") / F.greatest(n_tokens * 0.02, F.lit(1.0)),
         F.lit(1.0),
     )
     tok_factor = F.when(
-        F.col("mean_token_len").between(2.0, 12.0), F.lit(1.0)
+        mean_token_len.between(2.0, 12.0), F.lit(1.0)
     ).otherwise(F.lit(0.5))
-    punct_penalty = F.least(F.col("punct_ratio") * 2.0, F.lit(0.5))
+    punct_penalty = F.least(punct_ratio * 2.0, F.lit(0.5))
     score = 0.4 * len_factor + 0.3 * stop_factor + 0.3 * tok_factor - punct_penalty
-    return j.select(
-        id_col, F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)).alias("quality")
+    return df.select(
+        id_col,
+        *keep,
+        F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)).alias("quality"),
     )
 
 

@@ -2049,7 +2049,11 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("node"),
         F.round(F.col("quality") * F.lit(1e6)).cast("long").alias("qs"),
     )
-    j = comp.join(qual, "node")
+    # r16: comp is O(near-dup nodes) — far smaller than the corpus by
+    # LSH's design — so broadcast it; the default plan SortMergeJoined
+    # the corpus-sized qual side against it (one extra exchange + sort
+    # of every scored doc).
+    j = F.broadcast(comp).join(qual, "node")
     w = Window.partitionBy("component").orderBy(F.col("qs").desc(), F.col("node"))
     ranked = j.select(
         "component",
@@ -2219,10 +2223,14 @@ def q_quality_filter_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    qual = TX.quality_score(docs).select(
-        "doc_id", F.round(F.col("quality") * F.lit(1e6)).cast("long").alias("qs")
+    # r16: quality_score is a pure projection now — carrying `lang`
+    # through it replaces the docs ⋈ qual self-join (two corpus scans
+    # and a join for columns that live on the same row).
+    j = TX.quality_score(docs, keep=("lang",)).select(
+        "doc_id",
+        "lang",
+        F.round(F.col("quality") * F.lit(1e6)).cast("long").alias("qs"),
     )
-    j = docs.select("doc_id", "lang").join(qual, "doc_id")
     w = Window.partitionBy("lang").orderBy(F.col("qs").desc(), F.col("doc_id"))
     ranked = j.select(
         "doc_id",
@@ -6512,10 +6520,13 @@ def q_quality_top_p(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    qual = TX.quality_score(docs).select(
-        "doc_id", F.round(F.col("quality") * F.lit(1e6)).cast("long").alias("qs")
+    # r16: same join elimination as quality_filter_per_lang — `source`
+    # rides the quality projection instead of a corpus self-join.
+    j = TX.quality_score(docs, keep=("source",)).select(
+        "doc_id",
+        "source",
+        F.round(F.col("quality") * F.lit(1e6)).cast("long").alias("qs"),
     )
-    j = docs.select("doc_id", "source").join(qual, "doc_id")
     w = Window.partitionBy("source").orderBy(F.col("qs").desc(), F.col("doc_id"))
     ranked = j.select(
         "source",
