@@ -5073,6 +5073,12 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole report is per-key aggregates + scalar math. HHI ~ 1/n_keys
     means uniform; a key whose HHI ≫ 1/n_keys needs skew handling
     before it anchors a shuffle join."""
+    # r16: a localCheckpoint barrier on each per-table `counts` (it feeds
+    # both the totals aggregate and the top-10 TakeOrdered) was measured
+    # SLOWER at sf0.1 (0.7-0.85 s -> 0.95-1.2 s interleaved A/B): three
+    # eager checkpoints serialize the per-table jobs the lazy plan runs
+    # concurrently, and the duplicated branch is a single count aggregate
+    # (the nll-barrier lesson, not the classification_metrics one).
     reports = []
     for table, keycol in (
         ("orders", "o_custkey"),
@@ -5246,9 +5252,16 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("value") < 150, "mid")
         .otherwise("high")
     )
-    observed = ev.groupBy(
-        F.col("event_type"), tier.alias("tier")
-    ).agg(F.count(F.lit(1)).alias("o"))
+    observed = (
+        ev.groupBy(F.col("event_type"), tier.alias("tier"))
+        .agg(F.count(F.lit(1)).alias("o"))
+        # r16: the contingency table feeds FOUR consumers (row margins,
+        # col margins, N, and the full-grid left join) — un-materialized,
+        # each re-ran the whole events scan + aggregate (12 scans in the
+        # before plan). The table is <= |types|x|tiers| rows, so one
+        # eager checkpoint replaces three redundant corpus passes.
+        .localCheckpoint(eager=True)
+    )
     rowt = observed.groupBy("event_type").agg(F.sum("o").alias("row_n"))
     colt = observed.groupBy("tier").agg(F.sum("o").alias("col_n"))
     tot = observed.agg(F.sum("o").alias("n_tot"))
@@ -6619,11 +6632,21 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     same contract as pmi_pairs); one (user, day) self-join exchange,
     per-type and pair aggregates, N broadcast as one row."""
     ev = _t(spark, sf_dir, "events")
-    b = ev.select(
-        "user_id",
-        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day"),
-        "event_type",
-    ).distinct()
+    b = (
+        ev.select(
+            "user_id",
+            F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day"),
+            "event_type",
+        )
+        .distinct()
+        # r16: the basket relation feeds FOUR consumers (N, per-type
+        # supports, and both self-join sides) — un-materialized, each
+        # re-ran the events scan + the distinct's full shuffle. One
+        # eager checkpoint of the post-distinct rows (<= corpus size,
+        # spillable) replaces three redundant scan+distinct passes;
+        # measured 0.77 -> 0.68 s at sf0.1, outputs exact-equal.
+        .localCheckpoint(eager=True)
+    )
     n_baskets = b.select("user_id", "day").distinct().agg(
         F.count(F.lit(1)).alias("_n")
     )
