@@ -942,20 +942,21 @@ def simhash32(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Data
     hrows = df.select(F.col(id_col), F.explode(words).alias("word")).select(
         F.col(id_col), portable_hash32(F.col("word")).alias("h")
     )
+    # The 32 bit-sums and the 32-way bit assembly are built as THREE parsed
+    # SQL expression strings instead of ~100 chained Column calls: the
+    # arithmetic is token-identical (sum(shiftright(h,b)&1) per lane;
+    # if(2*s_b > n, 1<<b, 0) assembly), but plan CONSTRUCTION drops from
+    # ~0.9 s of py4j round-trips to ~0.1 s (r16 construction pass; the
+    # executed aggregate — 32 partial sums, one exchange — is unchanged).
+    sums = ", ".join(f"sum(shiftright(h, {b}) & 1)" for b in range(32))
     votes = hrows.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_nw"),
-        *[
-            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"s{b}")
-            for b in range(32)
-        ],
+        F.expr("count(1) AS _nw"),
+        F.expr(f"array({sums}) AS sv"),
     )
-    total = None
-    for b in range(32):
-        t = F.when(2 * F.col(f"s{b}") > F.col("_nw"), F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        total = t if total is None else total + t
-    return votes.select(F.col(id_col), total.alias("simhash"))
+    assemble = " + ".join(
+        f"if(2 * sv[{b}] > _nw, {1 << b}L, 0L)" for b in range(32)
+    )
+    return votes.select(F.col(id_col), F.expr(f"({assemble}) AS simhash"))
 
 
 def connected_components(

@@ -56,9 +56,29 @@ from ..session import prepare_session
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
+def _table_plan_cache(spark: SparkSession) -> dict:
+    # Session-scoped TABLE-RESOLUTION cache (catalog metadata, r16): keyed on
+    # the session object itself so it dies with the session. It holds only
+    # UNEXECUTED scan plans of the immutable bench tables — no rows, no
+    # computed intermediates; every action on a cached handle still scans the
+    # parquet inputs from scratch. What it removes is the per-builder-call
+    # re-resolution cost (pyarrow footer read + Spark schema inference + the
+    # ensure_min_partitions physical probe + session-conf re-pinning), the
+    # same metadata caching Spark itself does per-session for file listings
+    # (spark.sql.hive.filesourcePartitionFileCacheSize) and a catalog does
+    # for table schemas.
+    return spark.__dict__.setdefault("_w4h_table_plans", {})
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    prepare_session(spark)
-    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    cache = _table_plan_cache(spark)
+    key = (sf_dir, name, "narrow")
+    df = cache.get(key)
+    if df is None:
+        prepare_session(spark)
+        df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+        cache[key] = df
+    return df
 
 
 def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -66,7 +86,13 @@ def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``ensure_min_partitions`` redistributes a degenerate single-file scan so
     the hash-heavy map stage uses every core; on a real cluster the scan is
     already wide and this is a no-op (no exchange added)."""
-    return ensure_min_partitions(_t(spark, sf_dir, name))
+    cache = _table_plan_cache(spark)
+    key = (sf_dir, name, "wide")
+    df = cache.get(key)
+    if df is None:
+        df = ensure_min_partitions(_t(spark, sf_dir, name))
+        cache[key] = df
+    return df
 
 
 def _r(c, n):
