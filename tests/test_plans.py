@@ -1640,3 +1640,24 @@ def test_registry_freshness_invariant():
         f"{n + 1} yet not in the gate window: {violations} — lead the "
         "next window with them"
     )
+
+
+def test_table_plan_cache_invalidates_on_rewrite(spark, tmp_path):
+    """The r16 session table-resolution cache must key on the FILES, not the
+    path: a table rewritten at the same path (write -> query -> rewrite ->
+    query, the pattern the operator hand-model tests use) must re-resolve
+    instead of serving the stale file listing (FAILED_READ_FILE) or stale
+    rows."""
+    import shutil
+
+    from w4h_integrated_toolkit_spark.plans.queries import _t, _tw
+
+    d = str(tmp_path)
+    p = d + "/events.parquet"
+    spark.range(3).toDF("x").write.parquet(p)
+    assert _t(spark, d, "events").count() == 3
+    assert _tw(spark, d, "events").count() == 3
+    shutil.rmtree(p)
+    spark.range(5).toDF("x").write.parquet(p)
+    assert _t(spark, d, "events").count() == 5
+    assert _tw(spark, d, "events").count() == 5

@@ -74,6 +74,13 @@ def _as_double(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def _as_double_expr(col_name: str) -> Column:
+    """``_as_double`` over a plain column, built as ONE parsed SQL
+    expression instead of a Column lambda (r16 construction pass — same
+    analyzed expression, ~10x fewer py4j round-trips)."""
+    return F.expr(f"transform(`{col_name}`, x -> CAST(x AS DOUBLE))")
+
+
 # DataType instance (not DDL string): a module-level pandas_udf must not
 # need an active session at import time
 @F.pandas_udf(T.DoubleType())
@@ -104,24 +111,28 @@ def cosine_topk(
     tiebreak makes results fully deterministic.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"), _as_double_expr(vec_col).alias("qv")
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"), _as_double_expr(vec_col).alias("cv")
     )
     scored = c.crossJoin(F.broadcast(q)).withColumn(
         "cos", _cosine_batch(F.col("qv"), F.col("cv"))
     )
     if exclude_self:
-        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+        scored = scored.filter("query_id != neighbor_id")
+    # the window is ONE parsed OVER expression (identical WindowExpression —
+    # DESC/ASC null ordering defaults match the Column API's) instead of a
+    # Window-spec object chain: r16 construction pass, same executed plan
+    return scored.select(
+        "query_id",
+        "neighbor_id",
+        F.expr(
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos DESC, neighbor_id ASC) AS rank"
+        ),
+        "cos",
+    ).filter(f"rank <= {k}")
 
 
 def ivf_topk(
@@ -173,7 +184,7 @@ def ivf_topk(
     )
     cent_rows = sorted(
         cent_src.select(
-            F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
+            F.col(id_col).alias("cid"), _as_double_expr(vec_col).alias("cv")
         )
         .limit(max_centroids + 1)
         .collect(),
@@ -204,11 +215,11 @@ def ivf_topk(
         return _cells
 
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
+        F.col(id_col).alias("neighbor_id"), _as_double_expr(vec_col).alias("nv")
     )
     assigned = c.withColumn("cell", top_cells(1)(F.col("nv"))[0])
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"), _as_double_expr(vec_col).alias("qv")
     )
     probes = q.withColumn(
         "cell", F.explode(top_cells(nprobe)(F.col("qv")))
@@ -217,15 +228,17 @@ def ivf_topk(
         "cos", _cosine_batch(F.col("qv"), F.col("nv"))
     )
     if exclude_self:
-        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+        scored = scored.filter("query_id != neighbor_id")
+    # one parsed OVER expression — r16 construction pass, identical plan
+    return scored.select(
+        "query_id",
+        "neighbor_id",
+        F.expr(
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos DESC, neighbor_id ASC) AS rank"
+        ),
+        "cos",
+    ).filter(f"rank <= {k}")
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -400,7 +413,7 @@ def neardup_pairs(
     planes = hyperplanes(dim, n_planes, seed)
     skipped_acc = df.sparkSession.sparkContext.accumulator(0)
     b = df.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+        F.col(id_col).alias("vid"), _as_double_expr(vec_col).alias("v")
     ).withColumn("bucket", sign_bucket_key(F.col("v"), planes))
     group_cols = ["bucket"]
     if max_bucket is not None:
@@ -478,24 +491,26 @@ def lsh_topk(
     corpus. Recall < 1 by design; raise n_planes/bands for precision."""
     planes = hyperplanes(dim, n_planes, seed)
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"), _as_double_expr(vec_col).alias("cv")
     ).withColumn("bucket", sign_bucket_key(F.col("cv"), planes))
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"), _as_double_expr(vec_col).alias("qv")
     ).withColumn("bucket", sign_bucket_key(F.col("qv"), planes))
     scored = (
         c.join(F.broadcast(q), "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter("query_id != neighbor_id")
         .withColumn("cos", _cosine_batch(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    # one parsed OVER expression — r16 construction pass, identical plan
+    return scored.select(
+        "query_id",
+        "neighbor_id",
+        F.expr(
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos DESC, neighbor_id ASC) AS rank"
+        ),
+        "cos",
+    ).filter(f"rank <= {k}")
 
 
 def semantic_dedup(
@@ -594,7 +609,7 @@ def semantic_dedup(
     b = df.select(
         F.col(id_col).alias("_vid"),
         F.col(cluster_col).alias("_c"),
-        _as_double(F.col(vec_col)).alias("_v"),
+        _as_double_expr(vec_col).alias("_v"),
     )
     group_cols = ["_c"]
     if max_cluster is not None:
@@ -627,14 +642,20 @@ def quantize_int8(
     All-zero vectors quantize to all-zero (scale pinned to 1 to avoid
     0/0) and score NULL downstream like any zero-norm vector.
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
-    q = F.transform(v, lambda x: F.round(x / scale, 0).cast("int"))
+    # The nested transforms are built as parsed SQL expression strings
+    # instead of chained Column lambdas: the arithmetic is token-identical
+    # (CASE WHEN mirrors when/otherwise, the scale subtree inlines at each
+    # use exactly as Column reuse does), but plan construction drops from
+    # dozens of py4j round-trips to three parses (r16 construction pass).
+    v = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+    amax = f"array_max(transform({v}, x -> abs(x)))"
+    scale = f"(CASE WHEN {amax} > 0 THEN {amax} / 127.0D ELSE 1.0D END)"
     return df.select(
         F.col(id_col),
-        q.alias("qvec"),
-        (F.round(scale * F.lit(1e9), 0) / F.lit(1e9)).alias("q_scale"),
+        F.expr(f"transform({v}, x -> CAST(round(x / {scale}, 0) AS INT))").alias(
+            "qvec"
+        ),
+        F.expr(f"round({scale} * 1e9, 0) / 1e9").alias("q_scale"),
     )
 
 
@@ -683,15 +704,22 @@ def quantized_topk(
         "qcos", _int_cosine_batch(F.col("qv"), F.col("cv"))
     )
     if exclude_self:
-        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("qcos").desc(), F.col("neighbor_id").asc()
-    )
+        scored = scored.filter("query_id != neighbor_id")
+    # NULL scores are dropped BEFORE ranking (zero-norm vectors must not
+    # consume rank slots); the window is one parsed OVER expression — r16
+    # construction pass, identical executed plan
     return (
-        scored.filter(F.col("qcos").isNotNull())
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "qcos")
+        scored.filter("qcos IS NOT NULL")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "row_number() OVER (PARTITION BY query_id "
+                "ORDER BY qcos DESC, neighbor_id ASC) AS rank"
+            ),
+            "qcos",
+        )
+        .filter(f"rank <= {k}")
     )
 
 

@@ -20,6 +20,7 @@ Literals (dates, thresholds) are chosen to be meaningful at every sf
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,13 +71,38 @@ def _table_plan_cache(spark: SparkSession) -> dict:
     return spark.__dict__.setdefault("_w4h_table_plans", {})
 
 
+def _table_sig(path: str) -> tuple:
+    """File-level signature of a parquet path (names, mtimes, sizes via one
+    os.scandir — microseconds, no JVM round-trips). Part of the cache key so
+    a table REWRITTEN at the same path (write → query → rewrite → query, the
+    pattern several operator tests use) misses the cache and re-resolves
+    instead of serving a stale file listing; the immutable bench tables hit
+    every time. Missing path → empty signature (the read itself will raise
+    the actionable error)."""
+    try:
+        with os.scandir(path) as it:
+            return tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in it
+                    if not e.name.startswith((".", "_"))
+                )
+            )
+    except NotADirectoryError:
+        st = os.stat(path)
+        return ((path, st.st_mtime_ns, st.st_size),)
+    except FileNotFoundError:
+        return ()
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cache = _table_plan_cache(spark)
-    key = (sf_dir, name, "narrow")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (path, "narrow", _table_sig(path))
     df = cache.get(key)
     if df is None:
         prepare_session(spark)
-        df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+        df = read_parquet(spark, path)
         cache[key] = df
     return df
 
@@ -87,7 +113,8 @@ def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the hash-heavy map stage uses every core; on a real cluster the scan is
     already wide and this is a no-op (no exchange added)."""
     cache = _table_plan_cache(spark)
-    key = (sf_dir, name, "wide")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (path, "wide", _table_sig(path))
     df = cache.get(key)
     if df is None:
         df = ensure_min_partitions(_t(spark, sf_dir, name))
@@ -4598,21 +4625,20 @@ def q_quantized_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("_hits"))
     )
+    # identical aggregate built as one parsed SQL expression instead of the
+    # nested Column-lambda chain (r16 construction pass — same analyzed
+    # expression tree, one py4j round-trip instead of dozens)
     per_q = exact.groupBy("query_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("rank", "neighbor_id"))
-                ),
-                lambda x: x.neighbor_id.cast("string"),
-            ),
-            ",",
-        ).alias("exact_neighbors")
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(rank, "
+            "neighbor_id))), x -> CAST(x.neighbor_id AS STRING)), ',') "
+            "AS exact_neighbors"
+        )
     )
     return per_q.join(F.broadcast(hits), "query_id", "left").select(
         "query_id",
         "exact_neighbors",
-        (F.coalesce(F.col("_hits"), F.lit(0)) >= 3).cast("long").alias("recall_ok"),
+        F.expr("CAST(coalesce(_hits, 0) >= 3 AS BIGINT) AS recall_ok"),
     )
 
 
