@@ -3547,6 +3547,32 @@ def test_quality_score_single_projection_no_join(spark):
     assert all(rows[i]["quality"] == bare[i] for i in bare)
 
 
+def test_dedup_keep_best_join_then_score_shape(spark):
+    """r16 optimization pin: dedup_keep_best scores AFTER the broadcast
+    component join (quality arithmetic over cluster members only), on
+    the narrow table read. Executed-plan shape: ONE parquet scan, a
+    BroadcastHashJoin, no SortMergeJoin, and no corpus-wide round-robin
+    exchange below the join. Values are oracle-gated (dedup_keep_best
+    parity); equivalence with score-then-join additionally holds because
+    quality depends only on the row's text and the join is inner."""
+    from tests.conftest import SF_DIR
+    from w4h_integrated_toolkit_spark.plans.queries import q_dedup_keep_best
+
+    out = q_dedup_keep_best(spark, SF_DIR)
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    # formatted explain prints each node twice (tree line + detail
+    # header); count the "(N) Scan parquet" detail headers
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "RoundRobinPartitioning" not in plan
+
+
 def test_basket_affinity_hand_model(spark):
     """Closed-form lift on 3 hand baskets: always-together pair has
     lift = N/(s_a·s_b)·s_ab computed exactly; never-together pairs are

@@ -2098,15 +2098,29 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tw(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, n=3, num_perm=8, bands=4, threshold=0.5)
     comp = D.connected_components(pairs)
-    qual = TX.quality_score(docs).select(
+    # r16 (guide §2-3): join-then-score. comp is O(near-dup nodes) — a
+    # vanishing corpus fraction at scale by LSH's design — and quality
+    # depends only on the row's text, so scoring AFTER the broadcast
+    # inner join is output-identical while the regex/length quality
+    # arithmetic runs only on cluster members instead of the whole
+    # corpus. Same join count as scoring first (the r15 plan
+    # SortMergeJoined the corpus-sized scored side; broadcasting comp
+    # fixed that earlier this round). The join side reads the NARROW
+    # table (_t, not _tw): the widened scan is for the shingle pass, and
+    # keeping it here round-robin-shuffled every document body below the
+    # join — the narrow read drops that corpus-wide exchange (per-row
+    # work post-join is |cluster members|, which needs no fan-out).
+    docs_narrow = _t(spark, sf_dir, "documents")
+    j = TX.quality_score(
+        docs_narrow.join(
+            F.broadcast(comp), docs_narrow["doc_id"] == comp["node"]
+        ).select("doc_id", "text", "component"),
+        keep=("component",),
+    ).select(
+        "component",
         F.col("doc_id").alias("node"),
         F.round(F.col("quality") * F.lit(1e6)).cast("long").alias("qs"),
     )
-    # r16: comp is O(near-dup nodes) — far smaller than the corpus by
-    # LSH's design — so broadcast it; the default plan SortMergeJoined
-    # the corpus-sized qual side against it (one extra exchange + sort
-    # of every scored doc).
-    j = F.broadcast(comp).join(qual, "node")
     w = Window.partitionBy("component").orderBy(F.col("qs").desc(), F.col("node"))
     ranked = j.select(
         "component",
