@@ -263,10 +263,14 @@ def _signatures_inner(
     """Signatures for documents with >= 1 shingle only (no sentinel rows)."""
     rows = shingle_rows(df, n, text, id_col)
     hashed = rows.select(F.col(id_col), portable_hash31(F.col("shingle")).alias("h"))
+    # r16 construction pass: the num_perm min-aggregates assemble as
+    # parsed SQL expression strings — identical arithmetic and logical
+    # plan to the chained-Column form (BIGINT literal * h promotion on
+    # both paths), ~5x cheaper to construct (measured 261 -> 55 ms for
+    # 8 perms; the bench times builder construction inside every run,
+    # and three registry queries build these signatures).
     aggs = [
-        F.min((F.lit(pa) * F.col("h") + F.lit(pb)) % F.lit(ROLLING_HASH_MOD)).alias(
-            f"mh_{i}"
-        )
+        F.expr(f"min(({pa}L * h + {pb}L) % {ROLLING_HASH_MOD}L) AS mh_{i}")
         for i, (pa, pb) in enumerate(_perm_params(num_perm))
     ]
     return hashed.groupBy(id_col).agg(*aggs)
@@ -290,8 +294,10 @@ def minhash_signatures(
     """
     sig = _signatures_inner(df, n, num_perm, text, id_col)
     base = df.select(F.col(id_col))
+    # parsed-expression form of the sentinel coalesce (r16 construction
+    # pass — same rationale as the permutation aggregates above)
     out_cols = [F.col(id_col)] + [
-        F.coalesce(F.col(f"mh_{i}"), F.lit(ROLLING_HASH_MOD)).alias(f"mh_{i}")
+        F.expr(f"coalesce(mh_{i}, {ROLLING_HASH_MOD}L) AS mh_{i}")
         for i in range(num_perm)
     ]
     return base.join(sig, id_col, "left").select(*out_cols)
