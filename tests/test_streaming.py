@@ -1449,3 +1449,100 @@ def test_stream_url_frontier_matches_batch_dedup(spark, tmp_path):
         "http://ex.com/A",
         None,
     }
+
+
+def test_python_state_partitions_pin_isolated_and_scale_adaptive(
+    spark, tmp_path, monkeypatch
+):
+    """r17 conf-leak regression (the r10 lesson, re-pinned for the
+    cores-sized Python-stateful pin): (a) python_state_partitions tracks
+    defaultParallelism capped at 32; (b) a debounce drain carrying that
+    pin mutates NOTHING on the parent session; (c) the clone cache keys
+    on the pin, so a default (JVM-state, 8) clone requested after the
+    cores-pinned drain still carries 8 — no cross-query pin poisoning."""
+    from w4h_integrated_toolkit_spark.streaming.replay import (
+        BOUNDED_REPLAY_STATE_PARTITIONS,
+        bounded_replay_session,
+        python_state_partitions,
+        run_debounce_batchmode,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    assert python_state_partitions(spark) == max(1, min(32, cores))
+    assert python_state_partitions(spark, cap=2) == max(1, min(2, cores))
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    out = run_debounce_batchmode(
+        spark, "/root/testdata/sf0.001/events.parquet"
+    )
+    assert out.count() > 0
+    assert spark.conf.get(key) == before, "pin leaked to the parent session"
+    assert (
+        spark.conf.get("spark.w4h.boundedReplay.cloned", None) is None
+    ), "clone marker leaked to the parent session"
+
+    # the default JVM-state clone is a DIFFERENT cache entry and still
+    # carries the 8-partition pin after the cores-pinned drain ran
+    default_clone = bounded_replay_session(spark)
+    assert default_clone.conf.get(key) == str(
+        BOUNDED_REPLAY_STATE_PARTITIONS
+    )
+    python_clone = bounded_replay_session(
+        spark, state_partitions=python_state_partitions(spark)
+    )
+    assert python_clone.conf.get(key) == str(python_state_partitions(spark))
+    if python_state_partitions(spark) != BOUNDED_REPLAY_STATE_PARTITIONS:
+        assert python_clone is not default_clone
+
+
+def test_ephemeral_checkpoint_override_and_cleanup(spark, tmp_path, monkeypatch):
+    """The per-drain ephemeral checkpoint honors $W4H_EPHEMERAL_CKPT,
+    gives every drain a FRESH dir (a resumed checkpoint would skip
+    reprocessing — the bounded-replay contract forbids it), and removes
+    it afterwards — success AND failure paths leave no residue."""
+    import os as _os
+
+    from w4h_integrated_toolkit_spark.streaming.replay import (
+        _ephemeral_checkpoint_dir,
+        drain_memory_sink,
+        windowed_kpis_stream,
+    )
+
+    base = str(tmp_path / "ckpt_base")
+    _os.makedirs(base)
+    monkeypatch.setenv("W4H_EPHEMERAL_CKPT", base)
+    a = _ephemeral_checkpoint_dir()
+    b = _ephemeral_checkpoint_dir()
+    assert a != b and a.startswith(base) and b.startswith(base)
+    import shutil as _shutil
+
+    # the probe dirs above are the caller's to remove (mkdtemp creates)
+    _shutil.rmtree(a)
+    _shutil.rmtree(b)
+
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    spark.createDataFrame(
+        [(i, float(i), t0 + dt.timedelta(minutes=i)) for i in range(40)],
+        "event_id long, value double, ts timestamp",
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = windowed_kpis_stream(stream, ts="ts", value="value", window="10 minutes")
+    out = drain_memory_sink(agg, "complete", name_prefix="w4h_ckpt_test_")
+    assert out.count() == 4
+    leftovers = [
+        d for d in _os.listdir(base) if d.startswith("w4h_ckpt_")
+    ]
+    assert leftovers == [], f"ephemeral checkpoints leaked: {leftovers}"
+
+    # failure path: an invalid plan (complete mode without aggregation)
+    # raises at start() and must still clean up
+    stream2 = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    with pytest.raises(Exception):
+        drain_memory_sink(stream2, "complete", name_prefix="w4h_ckpt_test_")
+    leftovers = [
+        d for d in _os.listdir(base) if d.startswith("w4h_ckpt_")
+    ]
+    assert leftovers == [], f"ephemeral checkpoints leaked on failure: {leftovers}"

@@ -4217,12 +4217,21 @@ def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the BATCH formulation's SQL — on this availableNow replay the
     streaming output equals the batch operator exactly (the equality law
     tests/test_streaming.py asserts directly)."""
-    from ..streaming.replay import drain_memory_sink, file_stream
+    from ..streaming.replay import (
+        drain_memory_sink,
+        file_stream,
+        python_state_partitions,
+    )
     from ..streaming.stateful import streaming_anomaly_flags
 
     prepare_session(spark)
     stream, stage = file_stream(
-        spark, f"{sf_dir}/events.parquet", prefix="w4h_anomaly_stream_"
+        spark,
+        f"{sf_dir}/events.parquet",
+        prefix="w4h_anomaly_stream_",
+        # Python-stateful op: cores-sized state partitions (see
+        # replay.python_state_partitions for the measured trade)
+        state_partitions=python_state_partitions(spark),
     )
     out = streaming_anomaly_flags(
         stream, lookback=20, min_periods=5, threshold=3.0

@@ -26,6 +26,7 @@ client frames unboundedly, viz.py:742-747).
 from __future__ import annotations
 
 import contextlib
+import os
 import threading
 import uuid
 from collections.abc import Iterator
@@ -42,6 +43,7 @@ __all__ = [
     "drain_memory_sink",
     "run_windowed_kpis_batchmode",
     "file_stream",
+    "python_state_partitions",
     "interval_pair_stream",
     "run_interval_pair_batchmode",
     "windowed_heavy_hitters_stream",
@@ -231,6 +233,55 @@ def windowed_distinct_stream(
 # so a small fixed count is the right default there.
 BOUNDED_REPLAY_STATE_PARTITIONS = 8
 
+
+def python_state_partitions(spark: SparkSession, cap: int = 32) -> int:
+    """State-partition count for bounded replays whose stateful operator
+    round-trips a PYTHON worker per key group (``applyInPandasWithState``).
+
+    The 8-partition default above is sized to the JVM state-store fixed
+    cost (open/commit/maintenance per store per micro-batch), which is
+    the right trade for engine-native stateful operators. A Python
+    stateful operator has a different cost profile — measured r17 at
+    sf0.1/local[32]: per-GROUP Python overhead (serializer round-trip +
+    pandas assembly, ~2-4 ms/group) dominates the state-store fixed
+    cost, and the groups in one partition are processed sequentially by
+    one Python worker. Parallelism should therefore track cores:
+    debounce (7,500 groups) measured 4.2 s at 8 partitions → 2.6 s at
+    32; ewma/anomaly (1,500 groups) 2.2/2.4 s → ~1.7-2.0 s at 16-32.
+    JVM-state ops measured the OPPOSITE direction (stream-stream join
+    2.8 s at 8 → 7.0 s at 32 — four stores per partition), so this
+    helper is only for Python-stateful drains. Scale-adaptive by
+    construction: an 8-core run derives 8."""
+    return max(1, min(cap, spark.sparkContext.defaultParallelism))
+
+
+def _ephemeral_checkpoint_dir() -> str | None:
+    """A fresh checkpoint dir for ONE bounded availableNow replay, on a
+    RAM-backed filesystem when one is available (``$W4H_EPHEMERAL_CKPT``
+    overrides; ``/dev/shm`` default; None → engine temp-dir behavior).
+
+    The bounded replays behind the gate/bench/oracle surface return
+    their result synchronously and their checkpoint is deleted before
+    the call returns — the checkpoint's durability guarantees buy
+    nothing, so its fsync/IO cost is pure overhead (same reasoning as
+    the ``localCheckpoint`` sink localization). Measured r17: the WAL +
+    offset/commit-log + state-store-delta writes cost ~0.1-0.2 s per
+    replay on /tmp (disk). A STANDING production query must pass its
+    own durable ``checkpointLocation`` and never route through this."""
+    import tempfile
+
+    base = os.environ.get("W4H_EPHEMERAL_CKPT")
+    if base is None and os.path.isdir("/dev/shm") and os.access(
+        "/dev/shm", os.W_OK
+    ):
+        base = "/dev/shm"
+    if not base:
+        return None
+    try:
+        return tempfile.mkdtemp(prefix="w4h_ckpt_", dir=base)
+    except OSError:
+        return None
+
 # serializes the conf-pin window (save → set → start → restore) across
 # threads so two concurrent drains can never save each other's pin
 _PIN_LOCK = threading.Lock()
@@ -406,6 +457,11 @@ def drain_memory_sink(
 
     spark = out.sparkSession
     name = name_prefix + uuid.uuid4().hex[:8]
+    # per-drain ephemeral checkpoint (RAM-backed when available): fresh
+    # mkdtemp per start so a prior run's checkpoint can never be resumed
+    # (a resume would skip reprocessing — the opposite of the bounded
+    # replay contract), removed in the finally below
+    ckpt_dir = _ephemeral_checkpoint_dir()
     conf_key = "spark.sql.shuffle.partitions"
     marker = spark.conf.get(_CLONE_MARKER, None)
     pin_baked = marker is not None and marker != "none"
@@ -444,13 +500,15 @@ def drain_memory_sink(
             try:
                 if state_partitions is not None:
                     spark.conf.set(conf_key, str(state_partitions))
-                q = (
+                writer = (
                     out.writeStream.outputMode(output_mode)
                     .format("memory")
                     .queryName(name)
                     .trigger(availableNow=True)
-                    .start()
                 )
+                if ckpt_dir is not None:
+                    writer = writer.option("checkpointLocation", ckpt_dir)
+                q = writer.start()
             finally:
                 # the query cloned the conf at start(); restore the
                 # session's value (also when start() raises) before
@@ -469,6 +527,8 @@ def drain_memory_sink(
             pass
         if stage_dir is not None:
             shutil.rmtree(stage_dir, ignore_errors=True)
+        if ckpt_dir is not None:
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
     return result
 
 
@@ -552,7 +612,10 @@ def stage_file_source(
 
 
 def file_stream(
-    spark: SparkSession, path: str, prefix: str = "w4h_stream_"
+    spark: SparkSession,
+    path: str,
+    prefix: str = "w4h_stream_",
+    state_partitions: int | None = BOUNDED_REPLAY_STATE_PARTITIONS,
 ) -> tuple[DataFrame, str | None]:
     """Open a parquet file/dir as a file-source stream with the same
     normalization as the batch reader (ns->µs truncation), staging a bare
@@ -565,7 +628,13 @@ def file_stream(
     ever mutates the caller's session conf. Downstream transformations
     stay on the clone automatically (they derive from the returned
     DataFrame); callers that need to JOIN the stream against
-    shared-session static DataFrames should not use this constructor."""
+    shared-session static DataFrames should not use this constructor.
+
+    ``state_partitions`` is baked into the clone (default: the module's
+    JVM-state-store-sized constant); drains whose stateful operator is a
+    PYTHON worker round-trip should pass
+    :func:`python_state_partitions` instead (see its docstring for the
+    measured trade)."""
     from ..catalog import ns_timestamp_columns
 
     ns_cols = ns_timestamp_columns(path)
@@ -573,7 +642,9 @@ def file_stream(
     # the clone BEFORE caching (part of the cache key), so repeat
     # ns-source streams still hit the cache and the toggle can never
     # leak into clones served for non-ns keys
-    spark = bounded_replay_session(spark, ns_long=bool(ns_cols))
+    spark = bounded_replay_session(
+        spark, state_partitions=state_partitions, ns_long=bool(ns_cols)
+    )
     schema = spark.read.parquet(path).schema
     source_dir, stage = stage_file_source(path, prefix)
     stream = spark.readStream.schema(schema).parquet(source_dir)
@@ -773,7 +844,15 @@ def run_debounce_batchmode(
     rule (operators.etl.debounce_events) — equality is test-asserted."""
     from .stateful import streaming_debounce
 
-    stream, stage = file_stream(spark, events_path, prefix="w4h_debounce_")
+    stream, stage = file_stream(
+        spark,
+        events_path,
+        prefix="w4h_debounce_",
+        # Python-stateful op (one worker round-trip per (user, type)
+        # group): size state partitions to cores, not to the JVM
+        # state-store default — see python_state_partitions
+        state_partitions=python_state_partitions(spark),
+    )
     out = streaming_debounce(stream, cooldown_seconds=cooldown_seconds)
     return drain_memory_sink(
         out, "update", name_prefix="w4h_debounced_", stage_dir=stage
@@ -792,7 +871,14 @@ def run_streaming_ewma_batchmode(
     test-asserted."""
     from .stateful import streaming_ewma
 
-    stream, stage = file_stream(spark, events_path, prefix="w4h_ewma_")
+    stream, stage = file_stream(
+        spark,
+        events_path,
+        prefix="w4h_ewma_",
+        # Python-stateful op: per-group worker overhead dominates —
+        # cores-sized state partitions (python_state_partitions)
+        state_partitions=python_state_partitions(spark),
+    )
     out = streaming_ewma(stream, horizon=horizon)
     return drain_memory_sink(
         out, "update", name_prefix="w4h_ewma_out_", stage_dir=stage

@@ -430,9 +430,12 @@ def streaming_debounce(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        if pdf.empty:
+        frames = [f for f in pdfs if len(f)]
+        if not frames:
             return
+        pdf = frames[0] if len(frames) == 1 else pd.concat(
+            frames, ignore_index=True
+        )
         pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
         # gap measures from the previous EVENT, kept or not — so keep is
         # a pure integer diff against the previous row (vectorized; the
@@ -512,29 +515,55 @@ def streaming_ewma(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        if pdf.empty:
+        import numpy as np
+
+        frames = [f for f in pdfs if len(f)]
+        if not frames:
             return
+        pdf = frames[0] if len(frames) == 1 else pd.concat(
+            frames, ignore_index=True
+        )
         pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
         tail: list = list(state.get[0]) if state.exists else []
-        out = []
-        for v in pdf["value"]:
-            x = None if pd.isna(v) else float(v)
-            # identical fold order to the batch operator: lag 0 first
-            window = [x] + tail[::-1][: horizon - 1]
-            num, den = 0.0, 0.0
-            for i, xi in enumerate(window):
-                w = 2.0 ** -(i + 1)
-                if xi is not None:
-                    num = num + xi * w
-                    den = den + w
-            out.append(num / den if den > 0 else None)
-            tail.append(x)
-            if len(tail) > horizon - 1:
-                tail = tail[-(horizon - 1):] if horizon > 1 else []
-        state.update((tail,))
+        # Vectorized across the batch's rows, SEQUENTIAL across lags, so
+        # each element's accumulation is the batch operator's exact IEEE
+        # op sequence: num starts 0.0 and adds lag-0*w1, lag-1*w2, … in
+        # order, SKIPPING null lags (np.where keeps num untouched — not
+        # "+ 0.0", which would flip a -0.0 accumulator). nan marks null.
+        vals = pdf["value"].to_numpy(dtype=np.float64, na_value=np.nan)
+        tail_arr = np.asarray(
+            [np.nan if x is None else float(x) for x in tail],
+            dtype=np.float64,
+        )
+        arr = np.concatenate([tail_arr, vals])
+        pos = np.arange(len(tail_arr), len(arr))
+        num = np.zeros(len(pos))
+        den = np.zeros(len(pos))
+        for i in range(horizon):
+            idx = pos - i
+            in_range = idx >= 0
+            xi = arr[np.maximum(idx, 0)]
+            w = 2.0 ** -(i + 1)
+            m = in_range & ~np.isnan(xi)
+            num = np.where(m, num + xi * w, num)
+            den = np.where(m, den + w, den)
+        covered = den > 0
+        ewma = np.divide(
+            num, den, out=np.full(len(pos), np.nan), where=covered
+        )
+        new_tail = arr[-(horizon - 1):] if horizon > 1 else arr[:0]
+        state.update(
+            ([None if np.isnan(x) else float(x) for x in new_tail],)
+        )
         res = pdf.copy()
-        res["ewma"] = out
+        # object column with real None for uncovered rows — the same
+        # null signalling the scalar fold emitted (nan is only a null
+        # sentinel for rows the mask proved covered)
+        res["ewma"] = ewma
+        if not covered.all():
+            res["ewma"] = res["ewma"].astype(object).where(
+                pd.Series(covered, index=res.index), None
+            )
         yield res
     return keyed.groupBy("user_id").applyInPandasWithState(
         update,
