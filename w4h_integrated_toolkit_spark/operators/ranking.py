@@ -275,38 +275,56 @@ def unigram_nll(
     base = _tokens(docs, text, id_col)
     inst = base.select(F.col(id_col), F.explode("toks").alias("term"))
     tf = inst.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    # the self-model folds the tf aggregate (vocab-bounded) rather than
-    # re-exploding the instance stream — the raw token explosion happens
-    # exactly once however the model is sourced
-    # r16 optimization-round note: the self-model counts feed both the
-    # totals aggregate and the ln p projection, so the tokenize + tf
-    # subtree executes ~3x per action (0 ReusedExchange in the executed
-    # plan). A vocab-sized localCheckpoint was MEASURED SLOWER at sf0.1
-    # (1.4-2.1 s -> 2.2-3.3 s): the duplicated branches run concurrently
-    # on idle cores while the barrier serializes them — deliberately
-    # left unmaterialized; revisit on a saturated cluster where the
-    # duplicated passes cost real capacity.
-    counts = (
-        term_counts
-        if term_counts is not None
-        else tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
-    )
-    stats = counts.agg(
-        F.sum("c").cast("long").alias("_t"), F.count(F.lit(1)).alias("_v")
-    )
-    model = counts.crossJoin(F.broadcast(stats)).select(
-        "term",
+    _lnp_expr = (
         F.round(
             F.log((F.col("c") + F.lit(1)) / (F.col("_t") + F.col("_v"))) * F.lit(1e9),
             0,
         )
         .cast("long")
-        .alias("_lnp"),
+        .alias("_lnp")
     )
-    scored = tf.join(model, "term").groupBy(id_col).agg(
-        F.sum("tf").cast("long").alias("n_tokens"),
-        F.sum(F.col("tf") * F.col("_lnp")).alias("_s"),
-    )
+    if term_counts is None:
+        # r17 (guide §2.4, the bigram_nll pattern): the self-model counts
+        # fed both the totals aggregate and the ln p projection, so the
+        # tokenize + tf subtree executed ~3x per action (a vocab-sized
+        # barrier measured SLOWER in r16 — concurrency beat
+        # serialization locally). Fold the per-term count as a WINDOW
+        # sum over the ONE tf aggregate instead: the model join
+        # disappears and the tf subtree runs twice (once for the
+        # window'd scoring pass, once for the global (T, V) scalar
+        # aggregate) instead of three times, with no barrier. Exactness:
+        # integer window sum; ln p now evaluated per (doc, term) row —
+        # deterministic function of identical inputs, so every tf·lnp
+        # product is bit-identical; the dropped join was inner on keys
+        # produced from tf itself.
+        from pyspark.sql import Window as W
+
+        stats = tf.agg(
+            F.sum("tf").cast("long").alias("_t"),
+            F.count_distinct("term").alias("_v"),
+        )
+        scored = (
+            tf.withColumn(
+                "c", F.sum("tf").over(W.partitionBy("term")).cast("long")
+            )
+            .crossJoin(F.broadcast(stats))
+            .select(id_col, "tf", _lnp_expr)
+            .groupBy(id_col)
+            .agg(
+                F.sum("tf").cast("long").alias("n_tokens"),
+                F.sum(F.col("tf") * F.col("_lnp")).alias("_s"),
+            )
+        )
+    else:
+        counts = term_counts
+        stats = counts.agg(
+            F.sum("c").cast("long").alias("_t"), F.count(F.lit(1)).alias("_v")
+        )
+        model = counts.crossJoin(F.broadcast(stats)).select("term", _lnp_expr)
+        scored = tf.join(model, "term").groupBy(id_col).agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("_lnp")).alias("_s"),
+        )
     return scored.select(
         id_col,
         "n_tokens",
@@ -362,9 +380,31 @@ def pmi_pairs(
     )
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
 
-    in_vocab = toks.join(F.broadcast(vocab.select("tok")), "tok")
-    per_doc = in_vocab.groupBy(id_col).agg(
-        F.array_sort(F.collect_set("tok")).alias("_vt")
+    # r17 (guide §2.3/§2.4): the per-doc in-vocab token set used to be
+    # built by explode → broadcast-semi join → collect_set groupBy —
+    # a SECOND corpus tokenize pass plus a corpus-sized (doc, tok)
+    # exchange, just to reassemble rows that were map-side facts all
+    # along. The fitted vocab is model-sized (vocab_size ≤ dozens) and
+    # already materialized, so collect it (an O(model) driver transfer,
+    # same class as the bm25/top-k scalar collects) and intersect it
+    # against each doc's distinct tokens IN the scan projection:
+    # array_sort(array_intersect(distinct_tokens, vocab_literal)) is
+    # element-identical to array_sort(collect_set(in-vocab tok))
+    # (array_intersect keeps first-array order, dedupes, and '' / NULL
+    # texts fall out exactly as the joined path dropped them). Pair
+    # generation is then map-side off the scan; the only corpus
+    # exchanges left are the vocab-fit aggregate and the bounded
+    # (a, b) pair aggregate.
+    vocab_lit = F.array(
+        *(F.lit(r["tok"]) for r in vocab.select("tok").collect())
+    )
+    per_doc = df.select(
+        F.array_sort(
+            F.array_intersect(
+                F.array_distinct(F.split(F.trim(F.col(text)), r"\s+")),
+                vocab_lit,
+            )
+        ).alias("_vt")
     )
     # ordered pairs (a < b) from the sorted per-doc vocab hits, map-side
     pairs = per_doc.select(
@@ -458,48 +498,69 @@ def bigram_nll(
     tf = _bigrams(docs).groupBy(id_col, "_a", "_b").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    model_tf = (
-        tf
-        if model_docs is None
-        else _bigrams(src).groupBy(id_col, "_a", "_b").agg(
-            F.count(F.lit(1)).alias("tf")
-        )
-    )
-    # r16 optimization-round note: cab feeds both the _ca rollup and the
-    # model join (branches re-execute — no exchange reuse), but a
-    # distinct-bigram-sized localCheckpoint measured SLOWER at sf0.1 for
-    # the same reason as unigram_nll's counts (see note there):
-    # concurrent duplicate branches beat a serializing barrier on an
-    # under-utilized box. Left unmaterialized on measurement.
-    cab = model_tf.groupBy("_a", "_b").agg(F.sum("tf").cast("long").alias("_cab"))
-    ca = cab.groupBy("_a").agg(F.sum("_cab").cast("long").alias("_ca"))
     vocab = (
         _tokens(src, text, id_col)
         .select(F.explode("toks").alias("_t"))
         .agg(F.count_distinct("_t").alias("_v"))
     )
-    model = (
-        cab.join(ca, "_a")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "_a",
-            "_b",
-            F.round(
-                F.log(
-                    (F.col("_cab") + F.lit(1))
-                    / (F.col("_ca") + F.col("_v")).cast("double")
-                )
-                * F.lit(1e9),
-                0,
+    _lnp = (
+        F.round(
+            F.log(
+                (F.col("_cab") + F.lit(1))
+                / (F.col("_ca") + F.col("_v")).cast("double")
             )
-            .cast("long")
-            .alias("_lnp"),
+            * F.lit(1e9),
+            0,
         )
+        .cast("long")
+        .alias("_lnp")
     )
-    scored = tf.join(model, ["_a", "_b"]).groupBy(id_col).agg(
-        F.sum("tf").cast("long").alias("n_bigrams"),
-        F.sum(F.col("tf") * F.col("_lnp")).alias("_s"),
-    )
+    if model_docs is None:
+        # r17 (guide §2.4, the r16 verdict's ordered fix): in the
+        # self-model case the cab → ca → join-back chain re-executed the
+        # tokenize+tf subtree three times (a barrier measured SLOWER in
+        # r16 — concurrency beat serialization locally). Fold _cab and
+        # _ca as WINDOW sums over the ONE tf aggregate instead: the
+        # model join disappears, the bigram stream is built exactly
+        # once, and nothing serializes. Exact-equivalence notes: the
+        # sums are integer (order-free); _ca = Σ_b _cab(a, b) =
+        # Σ tf over partition _a; ln p is now evaluated per (doc,
+        # bigram) row instead of per DISTINCT bigram, but log/round/cast
+        # are deterministic functions of identical inputs, so every
+        # product tf·lnp is bit-identical; the dropped join was inner on
+        # keys produced from tf itself — it never filtered anything.
+        from pyspark.sql import Window as W
+
+        enriched = (
+            tf.withColumn(
+                "_cab", F.sum("tf").over(W.partitionBy("_a", "_b")).cast("long")
+            )
+            .withColumn(
+                "_ca", F.sum("tf").over(W.partitionBy("_a")).cast("long")
+            )
+            .crossJoin(F.broadcast(vocab))
+        )
+        scored = enriched.select(id_col, "tf", _lnp).groupBy(id_col).agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("_lnp")).alias("_s"),
+        )
+    else:
+        model_tf = _bigrams(src).groupBy(id_col, "_a", "_b").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        cab = model_tf.groupBy("_a", "_b").agg(
+            F.sum("tf").cast("long").alias("_cab")
+        )
+        ca = cab.groupBy("_a").agg(F.sum("_cab").cast("long").alias("_ca"))
+        model = (
+            cab.join(ca, "_a")
+            .crossJoin(F.broadcast(vocab))
+            .select("_a", "_b", _lnp)
+        )
+        scored = tf.join(model, ["_a", "_b"]).groupBy(id_col).agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("_lnp")).alias("_s"),
+        )
     return scored.select(
         id_col,
         "n_bigrams",
