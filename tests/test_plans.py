@@ -1593,6 +1593,78 @@ def test_r16_gate_window_composition_recomputed_from_driver_rows():
     assert not set(promotions) & set(R17_CANDIDATES)
 
 
+def test_r17_gate_window_composition_recomputed_from_driver_rows():
+    """Rotation honesty for r17 (optimization round 2), machine-checked
+    the same way as r10-r16: RECOMPUTE the prescribed composition from
+    the CORRECTNESS_r*.json driver records — the 4 pushed r12-stale
+    rows LEAD (5 rounds stale, the freshness invariant requires them),
+    then the 9 optimization-touched re-gates the r16 verdict's order #9
+    names (r16-touched heavy queries not already in the stale backlog,
+    plus this round's restructured rows), then the first 37 r13-stale
+    rows in true r13-file key order (the last 13 push to lead r18) —
+    and assert _R17_WINDOW equals it name-for-name. No promotions this
+    round (optimization scope): the registry stays at 204 and both
+    standing R17_CANDIDATES remain un-registered."""
+    import json
+
+    from w4h_integrated_toolkit_spark.plans.queries import (
+        _R17_WINDOW,
+        QUERIES,
+        R17_CANDIDATES,
+    )
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    latest: dict[str, int] = {}
+    orders: dict[int, list[str]] = {}
+    for n in range(1, 17):
+        path = os.path.join(root, f"CORRECTNESS_r{n:02d}.json")
+        if not os.path.exists(path):
+            pytest.skip("driver CORRECTNESS records not present")
+        with open(path) as f:
+            rows = json.load(f)
+        orders[n] = list(rows)
+        for name, rec in rows.items():
+            if rec.get("hash_match") or rec.get("rows_match"):
+                latest[name] = n
+
+    r12_stale = [k for k in orders[12] if latest.get(k) == 12]
+    assert r12_stale == [
+        "streaming_ewma",
+        "stream_window_dedup",
+        "value_percentile_rank",
+        "grid_density",
+    ]
+    regates = [
+        "bloom_decontaminate",
+        "event_type_pagerank",
+        "dedup_keep_best",
+        "chi2_independence",
+        "source_overlap",
+        "pmi_pairs",
+        "unigram_nll",
+        "streaming_debounce",
+        "streaming_anomaly",
+    ]
+    # every re-gate row is genuinely outside the stale backlog (it was
+    # re-gated r14/r15) — the slot spend is re-stamping, not rotation
+    assert all(14 <= latest[k] <= 15 for k in regates), {
+        k: latest.get(k) for k in regates
+    }
+    r13_stale = [k for k in orders[13] if latest.get(k) == 13]
+    assert len(r13_stale) == 50
+    expected = r12_stale + regates + r13_stale[:37]
+    assert len(expected) == 50
+    assert list(_R17_WINDOW) == expected, (
+        "gate window diverges from the recomputed rotation plan"
+    )
+    assert list(QUERIES)[:50] == expected
+    assert len(QUERIES) == 204
+    assert set(R17_CANDIDATES.keys()) >= {
+        "hashed_clf_scores",
+        "phash_hamming_pairs",
+    }
+
+
 def test_registry_freshness_invariant():
     """The machine-checked max-staleness rule the r15 verdict ordered
     (the registry outgrew window*4 rows, so prose discipline no longer

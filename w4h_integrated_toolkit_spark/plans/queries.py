@@ -10343,3 +10343,93 @@ assert set(_R16_WINDOW) <= set(QUERIES), set(_R16_WINDOW) - set(QUERIES)
 QUERIES = {name: QUERIES[name] for name in _R16_WINDOW} | {
     name: spec for name, spec in QUERIES.items() if name not in set(_R16_WINDOW)
 }
+
+
+# ---------------------------------------------------------------------------
+# ROUND-17 DRIVER WINDOW (optimization round 2)
+# ---------------------------------------------------------------------------
+# Executed per the r16 verdict's order #9, which supersedes the written
+# r16-era plan above in two ways, both deliberate:
+# (a) The two standing R17_CANDIDATES promotions (hashed_clf_scores,
+#     phash_hamming_pairs) are NOT taken — r17 is an optimization round
+#     ("no new features beyond what an optimization needs") and a new
+#     gate entry is registry/feature work; the candidates stay queued
+#     with their parity evidence for the next build round.
+# (b) Nine slots re-gate the optimization-touched heavy queries so the
+#     driver's own oracle re-stamps them post-change: the r16-touched
+#     set the verdict names (bloom_decontaminate, event_type_pagerank,
+#     dedup_keep_best, chi2_independence, source_overlap, pmi_pairs —
+#     classification_metrics and basket_affinity already sit in the
+#     r13-stale block below) plus this round's restructured/touched
+#     rows (unigram_nll, streaming_debounce, streaming_anomaly;
+#     bigram_nll and streaming_ewma are covered by the stale blocks).
+# Composition: the 4 pushed r12-stale rows LEAD (5 rounds stale — the
+# freshness invariant REQUIRES them), then the 9 re-gate rows, then the
+# first 37 r13-stale rows in true CORRECTNESS_r13 key order. The last
+# 13 r13-stale rows (session_windows .. decontaminate) are pushed to
+# LEAD the r18 window — at r18 they are exactly MAX_STALENESS rounds
+# stale, so the invariant makes that mandatory, not advisory.
+# Machine-checked by
+# test_r17_gate_window_composition_recomputed_from_driver_rows.
+_R17_WINDOW = [
+    # --- the 4 pushed r12-stale rows (5 rounds stale) ---
+    "streaming_ewma",
+    "stream_window_dedup",
+    "value_percentile_rank",
+    "grid_density",
+    # --- r16/r17 optimization-touched re-gates (verdict order #9) ---
+    "bloom_decontaminate",
+    "event_type_pagerank",
+    "dedup_keep_best",
+    "chi2_independence",
+    "source_overlap",
+    "pmi_pairs",
+    "unigram_nll",
+    "streaming_debounce",
+    "streaming_anomaly",
+    # --- first 37 r13-stale rows, true CORRECTNESS_r13 key order ---
+    "salted_hot_key_agg",
+    "event_paths",
+    "brand_top_parts",
+    "salted_join_equiv",
+    "embedding_gram",
+    "embedding_dim_stats",
+    "feature_hash_histogram",
+    "bigram_nll",
+    "vocab_oov_rate",
+    "rolling_median",
+    "equi_depth_bins",
+    "class_balance",
+    "acf_lags",
+    "kfold_report",
+    "quality_top_p",
+    "dataset_card",
+    "basket_affinity",
+    "shrunk_group_means",
+    "incremental_agg",
+    "langid_confusion",
+    "classification_metrics",
+    "ewma_backtest",
+    "k_anonymity_audit",
+    "scd2_lookup",
+    "ols_trend_slope",
+    "streaming_neardup",
+    "stream_distinct_users",
+    "byte_histogram",
+    "token_counts",
+    "trajectories",
+    "user_similarity_topk",
+    "stable_split",
+    "asof_latest_purchase",
+    "incident_interval_join",
+    "knn_ivf_topk",
+    "rollup_cascade",
+    "stratified_sample",
+]
+
+assert len(_R17_WINDOW) == 50, len(_R17_WINDOW)
+assert len(set(_R17_WINDOW)) == 50
+assert set(_R17_WINDOW) <= set(QUERIES), set(_R17_WINDOW) - set(QUERIES)
+QUERIES = {name: QUERIES[name] for name in _R17_WINDOW} | {
+    name: spec for name, spec in QUERIES.items() if name not in set(_R17_WINDOW)
+}
