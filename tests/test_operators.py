@@ -2872,6 +2872,45 @@ def test_pagerank_rejects_overflowing_weights(spark):
     assert "overflow" in str(ei.value)
 
 
+def test_pagerank_node_set_guard_raises_never_drops(spark):
+    """Pins the invariant the r16 node-set optimization rests on (r16
+    verdict watch item #4): for iterations > 1 the node set derives from
+    the CHECKPOINTED edge aggregate, which is only sound because the
+    weight guard RAISES on a would-be-excluded row — if the guard ever
+    silently dropped it instead, a node reachable only through that edge
+    would vanish from the node set with no error anywhere. Two pins:
+    (a) an over-bound edge raises on the multi-iteration path too (the
+    eager checkpoint inside the builder must not swallow it), and (b) on
+    a frame where one node appears ONLY as the dst of a single edge,
+    the iterations=1 (raw-edge) and iterations=3 (checkpointed) node
+    sets are identical."""
+    import pytest
+
+    from w4h_integrated_toolkit_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    bad = spark.createDataFrame(
+        [("a", "b", 2**62), ("b", "a", 1)],
+        "src string, dst string, weight long",
+    )
+    with pytest.raises(Exception) as ei:
+        # iterations > 1 takes the checkpointed-edge node-set path; the
+        # eager localCheckpoint executes the guard during CONSTRUCTION,
+        # so the raise may surface from the builder call itself
+        pagerank_fixed_point(bad, iterations=3).collect()
+    assert "overflow" in str(ei.value)
+
+    # "leaf" appears only as a dst — dropping its edge would remove it
+    ok = spark.createDataFrame(
+        [("a", "b", 3), ("b", "a", 2), ("a", "leaf", 1)],
+        "src string, dst string, weight long",
+    )
+    nodes1 = {r["node"] for r in pagerank_fixed_point(ok, iterations=1).collect()}
+    nodes3 = {r["node"] for r in pagerank_fixed_point(ok, iterations=3).collect()}
+    assert nodes1 == nodes3 == {"a", "b", "leaf"}
+
+
 def test_grid_density_hand_model(spark):
     """Cells bucket by floor(coord/cell); ranking is count-desc with
     deterministic tie order; extra aggregates ride the same pass."""
@@ -3554,9 +3593,29 @@ def test_dedup_keep_best_join_then_score_shape(spark):
     BroadcastHashJoin, no SortMergeJoin, and no corpus-wide round-robin
     exchange below the join. Values are oracle-gated (dedup_keep_best
     parity); equivalence with score-then-join additionally holds because
-    quality depends only on the row's text and the join is inner."""
+    quality depends only on the row's text and the join is inner.
+
+    DRIVER-PATH DEPENDENCY (r16 ADVICE): these shape assertions hold
+    only because connected_components takes the driver union-find path
+    at this fixture size (pairs <= driver_threshold=100k) and returns a
+    lineage-truncated local relation the builder may broadcast-hint. A
+    larger fixture would flip to the distributed path, re-introduce the
+    widened corpus scan under the (now un-hinted) join, and fail this
+    test WITHOUT any code regression — the pair-count assertion below
+    makes that failure mode self-explanatory instead of mysterious."""
     from tests.conftest import SF_DIR
-    from w4h_integrated_toolkit_spark.plans.queries import q_dedup_keep_best
+    from w4h_integrated_toolkit_spark.operators import dedup as D
+    from w4h_integrated_toolkit_spark.plans.queries import _tw, q_dedup_keep_best
+
+    n_pairs = D.minhash_lsh_pairs(
+        _tw(spark, SF_DIR, "documents"), n=3, num_perm=8, bands=4,
+        threshold=0.5,
+    ).count()
+    assert n_pairs <= 100_000, (
+        f"fixture grew past driver_threshold ({n_pairs} pairs): "
+        "connected_components now takes the distributed path and the "
+        "single-scan/broadcast shape pins below no longer apply"
+    )
 
     out = q_dedup_keep_best(spark, SF_DIR)
     out.write.format("noop").mode("overwrite").save()

@@ -1081,8 +1081,19 @@ def test_wave7_plan_shapes(spark):
     assert "Join" not in p
 
     p = plan_of(spark, "bigram_nll")
-    # bigrams are intra-row slice/zip — NO window anywhere
-    assert "Window" not in p, p[:800]
+    # bigram ADJACENCY is intra-row slice/zip — no lag window over a
+    # per-document exchange. The r17 restructure folds the model counts
+    # (_cab/_ca) as window sums over the BIGRAM KEYS, so Window nodes
+    # now exist but every one must partition by the token columns, never
+    # by doc_id (a doc-keyed window would mean adjacency regressed to
+    # the lag formulation); the model join must stay gone.
+    import re as _re
+
+    win_specs = _re.findall(r"windowspecdefinition\(([^)]*?), specified", p)
+    assert win_specs, "r17 window-fold model counts missing"
+    for spec in win_specs:
+        assert "_a#" in spec and "doc_id" not in spec, spec
+    assert "SortMergeJoin" not in p and "lag(" not in p, p[:800]
 
     p = plan_of(spark, "salted_join_equiv")
     # the salted join must still be a hash/sort equi join, never a

@@ -261,14 +261,28 @@ def _signatures_inner(
     df: DataFrame, n: int, num_perm: int, text: str, id_col: str
 ) -> DataFrame:
     """Signatures for documents with >= 1 shingle only (no sentinel rows)."""
+    # the parsed expressions below resolve `h` and `mh_{i}` by NAME — a
+    # caller-supplied id column shadowing one of them would fail at SQL
+    # resolution with a far more confusing error than the Column form's
+    # (r16 ADVICE): reject the reserved names at entry
+    reserved = {"h"} | {f"mh_{i}" for i in range(num_perm)}
+    if id_col in reserved:
+        raise ValueError(
+            f"id_col={id_col!r} collides with the reserved internal "
+            f"minhash column names ({{'h', 'mh_0'..'mh_{num_perm - 1}'}}); "
+            "rename the id column before calling"
+        )
     rows = shingle_rows(df, n, text, id_col)
     hashed = rows.select(F.col(id_col), portable_hash31(F.col("shingle")).alias("h"))
     # r16 construction pass: the num_perm min-aggregates assemble as
-    # parsed SQL expression strings — identical arithmetic and logical
-    # plan to the chained-Column form (BIGINT literal * h promotion on
-    # both paths), ~5x cheaper to construct (measured 261 -> 55 ms for
-    # 8 perms; the bench times builder construction inside every run,
-    # and three registry queries build these signatures).
+    # parsed SQL expression strings — identical arithmetic / equivalent
+    # OPTIMIZED plan vs the chained-Column form (the parsed `{pa}L`
+    # literals start as BIGINT while the Column form's int32 literals
+    # promote at analysis, so the analyzed trees differ until type
+    # coercion folds them; values are identical either way — r16
+    # ADVICE wording), ~5x cheaper to construct (measured 261 -> 55 ms
+    # for 8 perms; the bench times builder construction inside every
+    # run, and three registry queries build these signatures).
     aggs = [
         F.expr(f"min(({pa}L * h + {pb}L) % {ROLLING_HASH_MOD}L) AS mh_{i}")
         for i, (pa, pb) in enumerate(_perm_params(num_perm))
@@ -1025,9 +1039,16 @@ def connected_components(
             if m is None or node < m:
                 comp_min[root] = node
         out = [(node, comp_min[find(node)]) for node in parent]
-        return pairs.sparkSession.createDataFrame(
+        result = pairs.sparkSession.createDataFrame(
             out, "node long, component long"
         )
+        # expose which path produced the result (the skipped_groups
+        # accumulator pattern): a driver-path component relation is
+        # provably <= driver_threshold rows and safe to broadcast-hint;
+        # the distributed relation's size is unknown and hinting it
+        # forces an arbitrarily large build side (r16 ADVICE)
+        result.driver_path = True
+        return result
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
@@ -1069,6 +1090,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    labels.driver_path = False
     return labels
 
 

@@ -2111,9 +2111,16 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join — the narrow read drops that corpus-wide exchange (per-row
     # work post-join is |cluster members|, which needs no fan-out).
     docs_narrow = _t(spark, sf_dir, "documents")
+    # broadcast hint only when connected_components took the driver
+    # union-find path (provably <= driver_threshold rows); a distributed
+    # component relation's size is unknown — leave the strategy to the
+    # planner/AQE rather than force an arbitrary build side (r16 ADVICE)
+    comp_side = (
+        F.broadcast(comp) if getattr(comp, "driver_path", False) else comp
+    )
     j = TX.quality_score(
         docs_narrow.join(
-            F.broadcast(comp), docs_narrow["doc_id"] == comp["node"]
+            comp_side, docs_narrow["doc_id"] == comp["node"]
         ).select("doc_id", "text", "component"),
         keep=("component",),
     ).select(
