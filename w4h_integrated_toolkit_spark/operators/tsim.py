@@ -119,7 +119,7 @@ def user_similarity_topk(
     key: str = "user_id",
     bucket_seconds: int = 21600,
     min_common: int = 8,
-    n_chunks: int = 8,
+    n_chunks: int | None = 8,
     block_planes: int | None = None,
     block_seed: int = 42,
 ) -> DataFrame:
@@ -161,6 +161,24 @@ def user_similarity_topk(
     from ..functions import portable_hash32
 
     g = resample_grid(df, ts, value, key, bucket_seconds)
+    if n_chunks is None:
+        # auto-pick per shape (r16 verdict order #7, measured r17): the
+        # optimum chunk count flips with the user count because two
+        # costs pull opposite ways — every grid cell is replicated
+        # n_chunks times through the block exchange (small user counts
+        # want FEW chunks: 1,500 users measured nc4 1.4-1.7 s vs nc8
+        # 2.1-2.5 s at both 8 and 32 cores), while the per-block Gram
+        # work grows with (users/chunks)² (large counts want MANY:
+        # 6,000 users measured nc4 ~15 s vs nc8 6.6 / nc12 5.4 s).
+        # ~400 users per chunk lands both measured shapes at their
+        # optimum; the checkpoint makes the sizing count cheap and is
+        # grid-sized (users x active buckets), never event-sized.
+        # Web-scale callers keep passing an explicit n_chunks sized to
+        # the cluster (the docstring's standing contract); the clamp
+        # bounds the auto pick, it is not a parallelism ceiling.
+        g = g.localCheckpoint(eager=True)
+        n_users = g.select("k").distinct().count()
+        n_chunks = max(2, min(64, -(-n_users // 400)))
     cells = g.select(
         (portable_hash32(F.col("k").cast("string")) % n_chunks).alias("chunk"),
         "k",

@@ -2536,8 +2536,12 @@ def q_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Resample bounds pair cost; the self-join is grid-cell-local."""
     from ..operators.tsim import user_similarity_topk
 
+    # n_chunks=None → shape-adaptive chunk count (r16 verdict order #7):
+    # the chunk choice only partitions work — rounded outputs are
+    # chunk-invariant (law-tested), so the oracle hash is unaffected
     out = user_similarity_topk(
-        _t(spark, sf_dir, "events"), k=3, bucket_seconds=21600, min_common=8
+        _t(spark, sf_dir, "events"), k=3, bucket_seconds=21600, min_common=8,
+        n_chunks=None,
     )
     return out.select(
         "user_a", "user_b", "rank", _r(F.col("r"), 5).alias("r"), "n_common"
