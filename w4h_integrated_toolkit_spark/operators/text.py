@@ -525,120 +525,140 @@ def gopher_quality_flags(
     registry entry when the rotation window has a slot (r15 candidate,
     alongside duplicated_spans).
     """
-    # full-whitespace trim (see _ws_trim): a trailing newline would leave
-    # an empty token after the split and skew every per-word ratio
-    t = _ws_trim(F.col(text))
-    words = _ws_tokens(t)
-    n_words = F.when(t == "", F.lit(0)).otherwise(F.size(words)).cast("long")
+    # r17 construction pass (the r16 simhash/ANN/minhash precedent): the
+    # whole zero-shuffle projection assembles as PARSED SQL expression
+    # strings instead of ~200 chained Column/lambda py4j round-trips —
+    # measured ~0.5 s of per-run builder construction on this entry.
+    # Semantics and expression SHAPE mirror the Column form exactly
+    # (full-whitespace trim via _ws_trim's regexes, tokens via _WORD_RE
+    # with empty tokens filtered, CASE/when branches and casts in the
+    # same places); output equality and executed-plan shape stay pinned
+    # by the hand-model/attribution/plan tests plus the randomized
+    # text_gates stress section.
+    t = (
+        "regexp_replace(regexp_replace("
+        f"{text}, '^\\\\s+', ''), '\\\\s+$', '')"
+    )
+    words = f"filter(split({t}, '\\\\s+'), x_ -> x_ != '')"
+    n_words = (
+        f"CAST(CASE WHEN {t} = '' THEN 0 ELSE size({words}) END AS BIGINT)"
+    )
     # mean word length over non-space chars (the text_stats formulation)
-    n_chars = F.length(t)
-    n_space = n_chars - F.length(F.regexp_replace(t, r"\s", ""))
-    mean_wlen = F.when(
-        n_words > 0, (n_chars - n_space).cast("double") / n_words
-    ).otherwise(F.lit(0.0))
+    n_space = f"(length({t}) - length(regexp_replace({t}, '\\\\s', '')))"
+    mean_wlen = (
+        f"CASE WHEN {n_words} > 0 THEN "
+        f"CAST(length({t}) - {n_space} AS DOUBLE) / {n_words} "
+        "ELSE 0.0D END"
+    )
     # symbol-to-word ratio: '#' occurrences + ellipsis occurrences per word
-    n_symbols = F.regexp_count(t, F.lit("#")) + F.regexp_count(
-        t, F.lit(_ELLIPSIS_ANY_RE)
+    n_symbols = (
+        f"(regexp_count({t}, '#') + "
+        f"regexp_count({t}, '\\\\.\\\\.\\\\.|…'))"
     )
-    sym_ratio = F.when(
-        n_words > 0, n_symbols.cast("double") / n_words
-    ).otherwise(F.lit(0.0))
+    sym_ratio = (
+        f"CASE WHEN {n_words} > 0 THEN CAST({n_symbols} AS DOUBLE) / "
+        f"{n_words} ELSE 0.0D END"
+    )
     # line rules over non-empty fully-trimmed lines (tab-only lines are
-    # blank, not one-char lines — _ws_trim, not F.trim)
-    lines = F.filter(
-        F.transform(F.split(F.col(text), r"\n"), _ws_trim),
-        lambda x: x != "",
+    # blank, not one-char lines — the _ws_trim regexes, not trim())
+    lines = (
+        f"filter(transform(split({text}, '\\\\n'), "
+        "l_ -> regexp_replace(regexp_replace(l_, '^\\\\s+', ''), "
+        "'\\\\s+$', '')), x_ -> x_ != '')"
     )
-    n_lines = F.size(lines).cast("long")
-    bullet_frac = F.when(
-        n_lines > 0,
-        F.size(F.filter(lines, lambda x: x.rlike(_BULLET_LINE_RE))).cast("double")
-        / n_lines,
-    ).otherwise(F.lit(0.0))
-    ellipsis_frac = F.when(
-        n_lines > 0,
-        F.size(F.filter(lines, lambda x: x.rlike(_ELLIPSIS_TAIL_RE))).cast("double")
-        / n_lines,
-    ).otherwise(F.lit(0.0))
+    n_lines = f"CAST(size({lines}) AS BIGINT)"
+    bullet_frac = (
+        f"CASE WHEN {n_lines} > 0 THEN CAST(size(filter({lines}, "
+        f"x_ -> x_ RLIKE '{_BULLET_LINE_RE}')) AS DOUBLE) / {n_lines} "
+        "ELSE 0.0D END"
+    )
+    ellipsis_frac = (
+        f"CASE WHEN {n_lines} > 0 THEN CAST(size(filter({lines}, "
+        "x_ -> x_ RLIKE '(\\\\.\\\\.\\\\.|…)$')) AS DOUBLE) / "
+        f"{n_lines} ELSE 0.0D END"
+    )
     # fraction of words containing >=1 ASCII letter
-    alpha_frac = F.when(
-        n_words > 0,
-        F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))).cast("double")
-        / n_words,
-    ).otherwise(F.lit(0.0))
-    # distinct stop words present (case-folded exact-token membership)
-    lower_words = F.transform(words, lambda x: F.lower(x))
-    stop_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
-            lambda w: F.array_contains(lower_words, w),
-        )
-    ).cast("long")
-    # duplicate-line rules: sort once, compare each line to its predecessor
-    # (occurrences beyond the first are "duplicates", the Gopher counting)
-    sorted_lines = F.array_sort(lines)
-    is_dup = F.transform(
-        sorted_lines,
-        lambda x, i: F.when(x == F.get(sorted_lines, i - 1), 1).otherwise(0),
+    alpha_frac = (
+        f"CASE WHEN {n_words} > 0 THEN CAST(size(filter({words}, "
+        f"x_ -> x_ RLIKE '[A-Za-z]')) AS DOUBLE) / {n_words} "
+        "ELSE 0.0D END"
     )
-    dup_cnt = F.aggregate(is_dup, F.lit(0), lambda acc, x: acc + x).cast("long")
-    dup_chars = F.aggregate(
-        F.transform(
-            sorted_lines,
-            lambda x, i: F.when(
-                x == F.get(sorted_lines, i - 1), F.length(x)
-            ).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ).cast("long")
-    line_chars = F.aggregate(
-        lines, F.lit(0), lambda acc, x: acc + F.length(x)
-    ).cast("long")
-    dup_line_frac = F.when(
-        n_lines > 0, dup_cnt.cast("double") / n_lines
-    ).otherwise(F.lit(0.0))
-    dup_char_frac = F.when(
-        line_chars > 0, dup_chars.cast("double") / line_chars
-    ).otherwise(F.lit(0.0))
+    # distinct stop words present (case-folded exact-token membership)
+    stop_arr = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+    stop_hits = (
+        f"CAST(size(filter(array({stop_arr}), w_ -> array_contains("
+        f"transform({words}, x_ -> lower(x_)), w_))) AS BIGINT)"
+    )
+    # duplicate-line rules: sort once, compare each line to its predecessor
+    # (occurrences beyond the first are "duplicates", the Gopher counting);
+    # get() is the ANSI-safe indexed access (NULL at -1, never raising)
+    sorted_lines = f"array_sort({lines})"
+    dup_cnt = (
+        f"CAST(aggregate(transform({sorted_lines}, (x_, i_) -> "
+        f"CASE WHEN x_ = get({sorted_lines}, i_ - 1) THEN 1 ELSE 0 END), "
+        "0, (acc_, x_) -> acc_ + x_) AS BIGINT)"
+    )
+    dup_chars = (
+        f"CAST(aggregate(transform({sorted_lines}, (x_, i_) -> "
+        f"CASE WHEN x_ = get({sorted_lines}, i_ - 1) THEN length(x_) "
+        "ELSE 0 END), 0, (acc_, x_) -> acc_ + x_) AS BIGINT)"
+    )
+    line_chars = (
+        f"CAST(aggregate({lines}, 0, (acc_, x_) -> acc_ + length(x_)) "
+        "AS BIGINT)"
+    )
+    dup_line_frac = (
+        f"CASE WHEN {n_lines} > 0 THEN CAST({dup_cnt} AS DOUBLE) / "
+        f"{n_lines} ELSE 0.0D END"
+    )
+    dup_char_frac = (
+        f"CASE WHEN {line_chars} > 0 THEN CAST({dup_chars} AS DOUBLE) / "
+        f"{line_chars} ELSE 0.0D END"
+    )
 
     stats = df.select(
         id_col,
-        n_words.alias("n_words"),
-        mean_wlen.alias("mean_word_len"),
-        sym_ratio.alias("symbol_word_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        alpha_frac.alias("alpha_word_frac"),
-        stop_hits.alias("stopword_hits"),
-        dup_line_frac.alias("dup_line_frac"),
-        dup_char_frac.alias("dup_line_char_frac"),
+        F.expr(f"{n_words} AS n_words"),
+        F.expr(f"{mean_wlen} AS mean_word_len"),
+        F.expr(f"{sym_ratio} AS symbol_word_ratio"),
+        F.expr(f"{bullet_frac} AS bullet_line_frac"),
+        F.expr(f"{ellipsis_frac} AS ellipsis_line_frac"),
+        F.expr(f"{alpha_frac} AS alpha_word_frac"),
+        F.expr(f"{stop_hits} AS stopword_hits"),
+        F.expr(f"{dup_line_frac} AS dup_line_frac"),
+        F.expr(f"{dup_char_frac} AS dup_line_char_frac"),
     )
     rules = [
-        ("word_count", F.col("n_words").between(min_words, max_words)),
+        ("word_count", f"n_words BETWEEN {min_words} AND {max_words}"),
         (
             "mean_word_len",
-            F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len),
+            f"mean_word_len BETWEEN {min_mean_word_len!r}D "
+            f"AND {max_mean_word_len!r}D",
         ),
-        ("symbol_word_ratio", F.col("symbol_word_ratio") <= max_symbol_word_ratio),
-        ("bullet_lines", F.col("bullet_line_frac") <= max_bullet_line_frac),
-        ("ellipsis_lines", F.col("ellipsis_line_frac") <= max_ellipsis_line_frac),
-        ("alpha_words", F.col("alpha_word_frac") >= min_alpha_word_frac),
-        ("stopwords", F.col("stopword_hits") >= min_stopword_hits),
-        ("dup_lines", F.col("dup_line_frac") <= max_dup_line_frac),
-        ("dup_line_chars", F.col("dup_line_char_frac") <= max_dup_line_char_frac),
+        (
+            "symbol_word_ratio",
+            f"symbol_word_ratio <= {max_symbol_word_ratio!r}D",
+        ),
+        ("bullet_lines", f"bullet_line_frac <= {max_bullet_line_frac!r}D"),
+        (
+            "ellipsis_lines",
+            f"ellipsis_line_frac <= {max_ellipsis_line_frac!r}D",
+        ),
+        ("alpha_words", f"alpha_word_frac >= {min_alpha_word_frac!r}D"),
+        ("stopwords", f"stopword_hits >= {min_stopword_hits}"),
+        ("dup_lines", f"dup_line_frac <= {max_dup_line_frac!r}D"),
+        (
+            "dup_line_chars",
+            f"dup_line_char_frac <= {max_dup_line_char_frac!r}D",
+        ),
     ]
-    reasons = F.array_compact(
-        F.array(
-            *[
-                F.when(~cond, F.lit(name)).otherwise(F.lit(None).cast("string"))
-                for name, cond in rules
-            ]
-        )
+    reasons = ", ".join(
+        f"CASE WHEN NOT ({cond}) THEN '{name}' ELSE CAST(NULL AS STRING) END"
+        for name, cond in rules
     )
-    return stats.withColumn("fail_reasons", reasons).withColumn(
-        "passes", F.size("fail_reasons") == 0
-    )
+    return stats.withColumn(
+        "fail_reasons", F.expr(f"array_compact(array({reasons}))")
+    ).withColumn("passes", F.expr("size(fail_reasons) = 0"))
 
 
 # Version stamp for the HASHED-FEATURE FORMAT (tokenizer + hash family
