@@ -1546,3 +1546,25 @@ def test_ephemeral_checkpoint_override_and_cleanup(spark, tmp_path, monkeypatch)
         d for d in _os.listdir(base) if d.startswith("w4h_ckpt_")
     ]
     assert leftovers == [], f"ephemeral checkpoints leaked on failure: {leftovers}"
+
+    # pre-try failure path: a conflicting explicit pin raises BEFORE the
+    # stream is built — the checkpoint dir is created lazily inside the
+    # try precisely so this path cannot leak (a leak here was caught
+    # live in /dev/shm during the r17 round)
+    from w4h_integrated_toolkit_spark.streaming.replay import (
+        bounded_replay_session,
+    )
+
+    clone = bounded_replay_session(spark, state_partitions=8)
+    stream3 = clone.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg3 = windowed_kpis_stream(stream3, ts="ts", value="value", window="10 minutes")
+    with pytest.raises(ValueError):
+        drain_memory_sink(
+            agg3, "complete", name_prefix="w4h_ckpt_test_", state_partitions=5
+        )
+    leftovers = [
+        d for d in _os.listdir(base) if d.startswith("w4h_ckpt_")
+    ]
+    assert leftovers == [], (
+        f"ephemeral checkpoints leaked on the pin-conflict path: {leftovers}"
+    )

@@ -460,8 +460,9 @@ def drain_memory_sink(
     # per-drain ephemeral checkpoint (RAM-backed when available): fresh
     # mkdtemp per start so a prior run's checkpoint can never be resumed
     # (a resume would skip reprocessing — the opposite of the bounded
-    # replay contract), removed in the finally below
-    ckpt_dir = _ephemeral_checkpoint_dir()
+    # replay contract), removed in the finally below. Created lazily
+    # INSIDE the try so the pin-conflict raise above it can't leak a dir
+    ckpt_dir = None
     conf_key = "spark.sql.shuffle.partitions"
     marker = spark.conf.get(_CLONE_MARKER, None)
     pin_baked = marker is not None and marker != "none"
@@ -485,6 +486,7 @@ def drain_memory_sink(
     elif state_partitions is _PIN_DEFAULT:
         state_partitions = BOUNDED_REPLAY_STATE_PARTITIONS
     try:
+        ckpt_dir = _ephemeral_checkpoint_dir()
         # the lock serializes the set->start->restore conf window ON A
         # SHARED-CONF SESSION: a state_partitions=None drain racing a
         # pinned drain on the same session must not let its start()
